@@ -1,0 +1,229 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Extension surface mandated by BASELINE.json (training-data pipeline
+ops). All hashing is md5-based (functions.hashing) so results are
+deterministic and portable across engines — the DuckDB oracle replays
+the identical math.
+
+Scale notes (100 TB):
+- shingling/minhashing are narrow maps after one explode;
+- LSH banding turns all-pairs O(n^2) similarity into an equi-join on
+  band keys — the only shuffles are groupBy(doc) for signatures and
+  groupBy(band) for buckets, both AQE-coalesced;
+- verification joins shingle sets only for candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hi_csa_db_spark.functions.text import strip_punct, tokenize
+
+
+def exact_dedup(
+    df: DataFrame, keys: list[str], id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact dedup by key columns, keeping the min/max id per group.
+
+    Returns (keys..., id_col, dup_count). Hash-aggregate, one shuffle.
+    """
+    agg_id = F.min(id_col) if keep == "min" else F.max(id_col)
+    return df.groupBy(*keys).agg(
+        agg_id.alias(id_col), F.count(F.lit(1)).alias("dup_count")
+    )
+
+
+def shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Tokenize (punct-stripped, lowercased), then slide an n-window via a
+    higher-order ``transform`` over token indices — no UDF.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        tokenize(F.lower(strip_punct(F.col(text_col)))).alias("__toks"),
+    )
+    sh = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("__toks") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)),
+            )
+        ).alias("shingle"),
+    )
+    return sh.filter(F.col("shingle") != "").distinct()
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per doc: (id, sig array<string> of length h).
+
+    hash_i(shingle) = md5(i || ':' || shingle); the minimum md5 hex
+    string per seed is a valid uniform min-hash and is engine-portable
+    (hex strings compare lexicographically everywhere).
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    hashed = shingle_df.select(id_col, seeds, F.col("shingle")).select(
+        id_col,
+        "seed",
+        F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
+    )
+    per_seed = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
+    return per_seed.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("seed", "mh"))
+        ).getField("mh").alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 8, rows: int = 2
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band.
+
+    Band key = md5 of the band's signature slice. Self-join per bucket
+    with id_a < id_b; distinct pairs. This is the LSH equi-join that
+    replaces the O(n^2) cross join at scale.
+    """
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws("|", b, F.concat_ws("|", F.slice("sig", b * rows + 1, rows)))
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingle_df: DataFrame,
+    candidates: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for candidate pairs.
+
+    With ``candidates=None``, pairs come from the shingle inverted
+    index itself (docs sharing at least one shingle) — still an
+    equi-join, never a cross join. Returns (id_a, id_b, inter_cnt,
+    jaccard).
+    """
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingle_df.alias("a")
+    b = shingle_df.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"])
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter_cnt",
+            (
+                F.col("inter_cnt")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter_cnt"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> LSH -> verify.
+
+    Returns verified near-duplicate pairs (id_a, id_b, jaccard) with
+    exact Jaccard >= threshold among LSH candidates.
+    """
+    sh = shingles(docs, id_col, text_col, n)
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    verified = jaccard_pairs(sh, cands, id_col)
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+) -> DataFrame:
+    """60-bit SimHash per document from unigram token hashes.
+
+    Classic Charikar scheme: each distinct token contributes +1/-1 to
+    each bit position according to its 60-bit md5-derived hash; the
+    sign of each bit-sum forms the fingerprint. Expressed as
+    token-explode x bit-explode + groupBy — all built-ins, shuffles
+    once on (doc, bit) and once on doc.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokenize(F.lower(strip_punct(F.col(text_col))))).alias("tok"),
+    ).distinct()
+    hashed = toks.select(
+        id_col,
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    bits_df = hashed.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("h"),
+    ).select(
+        id_col,
+        "bit",
+        (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias("contrib"),
+    )
+    per_bit = bits_df.groupBy(id_col, "bit").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )

@@ -1,0 +1,75 @@
+"""Link-graph operators: property-graph joins, degrees, BFS frontier.
+
+The reference stores a crawl link graph (NetwIndex/NetwEdges,
+hi-csa-db.Rmd:123-128) and runs a BFS web crawl to MaxDepth
+(hi-csa-db.Rmd:111-119). Here the graph is nodes/edges DataFrames
+(GraphFrames-compatible layout, SURVEY.md section 1.4) and the BFS is
+an iterative frontier loop — one distributed job per depth level, the
+visited set maintained with a left-anti join (never collect()ed).
+
+Scale notes: each BFS level is one shuffle (frontier join edges); the
+visited set stays distributed; at cluster scale the edge table would be
+bucketed by src so the frontier join is shuffle-free on one side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resolve_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """J3: ordinal edges -> URL edges via double dimension join.
+
+    Reference: NetwEdges.From/.To are 1-based indices into NetwIndex.
+    """
+    src = nodes.select(F.col("id").alias("src"), F.col("url").alias("src_url"))
+    dst = nodes.select(F.col("id").alias("dst"), F.col("url").alias("dst_url"))
+    return edges.join(F.broadcast(src), "src").join(F.broadcast(dst), "dst")
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Out/in degree per node id: (id, out_deg, in_deg)."""
+    out_d = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return out_d.join(in_d, "id", "full").select(
+        "id",
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+    )
+
+
+def bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int,
+    node_col: str = "node",
+) -> DataFrame:
+    """BFS reachability with min depth: (node, depth).
+
+    ``edges``: (src, dst). ``seeds``: (node,). Iterative frontier —
+    the exact shape of the reference's crawl loop (S1): per level,
+    frontier joins the edge list, new nodes = exceptAll(visited) via
+    left-anti join. Depth count is bounded (crawler MaxDepth <= 4), so
+    the loop unrolls into one lazy plan; each level checkpoint is a
+    localCheckpoint to stop lineage growth on deep graphs.
+    """
+    visited = seeds.select(F.col(node_col).alias("node"), F.lit(0).alias("depth"))
+    frontier = visited.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new_nodes = nxt.join(visited, "node", "left_anti").withColumn(
+            "depth", F.lit(depth)
+        )
+        new_nodes = new_nodes.localCheckpoint(eager=False)
+        visited = visited.unionByName(new_nodes)
+        frontier = new_nodes.select("node")
+    return visited

@@ -1,0 +1,114 @@
+"""Ordered-data operators (reference W/P-family).
+
+The reference relies on R's implicit row order; Spark has none, so
+every ordered operator here takes explicit ordering columns (design
+rule from SURVEY.md section 7 step 3). All are window-function
+compositions — no collect(), no driver-side loops, partitionable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def forward_fill(
+    df: DataFrame,
+    value: Column,
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str | Column] = (),
+    reset_on: Column | None = None,
+) -> Column:
+    """Carry the last non-null ``value`` forward in order.
+
+    Re-expresses the reference's imperative sectionizer state
+    (current_h3/current_h4 loop, hi-csa-db.Rmd:178-212) as
+    ``last(..., ignorenulls=True)`` over an unbounded-preceding window.
+
+    ``reset_on``: boolean column; when true the fill restarts (the
+    reference's h4 context resets at each h3 — hi-csa-db.Rmd:193-210).
+    Implemented as a running group id (count of reset rows so far)
+    added to the window partition — still a single window stage, no
+    shuffle beyond the partition keys.
+    """
+    parts = list(partition_by)
+    if reset_on is not None:
+        grp = F.sum(F.when(reset_on, 1).otherwise(0)).over(
+            Window.partitionBy(*parts).orderBy(*order_by).rowsBetween(Window.unboundedPreceding, 0)
+        )
+        parts = parts + [grp]
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return F.last(value, ignorenulls=True).over(w)
+
+
+def ordered_slice_from_marker(
+    df: DataFrame, marker: Column, order_by: Sequence[str | Column]
+) -> DataFrame:
+    """Keep rows at or after the first row matching ``marker`` in order.
+
+    Reference P6: positional row-range slice from
+    ``grep("Waste Storage Structure")`` to end (hi-csa-db.Rmd:444-446).
+
+    Implemented as a scalar min over the matched rows' order key,
+    broadcast back as a filter — two fully-parallel stages, instead of
+    a global-order window (which would funnel the table through one
+    partition at scale).
+    """
+    key = F.struct(*[F.col(c) if isinstance(c, str) else c for c in order_by])
+    first = df.filter(marker).agg(F.min(key).alias("__k"))
+    return (
+        df.crossJoin(F.broadcast(first))
+        .filter(key >= F.col("__k"))
+        .drop("__k")
+    )
+
+
+def positional_update(
+    df: DataFrame,
+    match: Column,
+    order_by: Sequence[str | Column],
+    column: str,
+    values: Sequence[str],
+) -> DataFrame:
+    """Overwrite ``column`` of matched rows with ``values`` in row order.
+
+    Reference W4: the 5 "Energy" rows are overwritten with 5 specific
+    practices positionally (hi-csa-db.Rmd:575-580). Matched rows get a
+    row_number; a broadcast (pos, value) literal table joins in the
+    replacement — no driver loop, scales to any match count.
+    """
+    spark = df.sparkSession
+    mapping = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(values)], ["__pos", "__val"]
+    )
+    w = Window.partitionBy(match.cast("int")).orderBy(*order_by)
+    out = df.withColumn("__pos", F.when(match, F.row_number().over(w)))
+    out = out.join(F.broadcast(mapping), "__pos", "left")
+    return out.withColumn(
+        column, F.coalesce(F.col("__val"), F.col(column))
+    ).drop("__pos", "__val")
+
+
+def first_row_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column],
+) -> DataFrame:
+    """Deterministic first-row-per-key (reference A3).
+
+    R's ``!duplicated(x)`` keeps the first occurrence in file order
+    (hi-csa-db.Rmd:511); Spark's ``dropDuplicates`` picks an arbitrary
+    row, so we pin the choice with row_number over an explicit order.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension surface mandated by BASELINE.json: brute-force cosine top-k
+as the correctness baseline, IVF (coarse-quantizer probe) as the scale
+path. Everything is built-in higher-order functions — no UDF, so the
+scoring stays inside whole-stage codegen.
+
+Determinism: ranking uses the cosine ROUNDED to 6 decimals with the
+vector id as tiebreak, so top-k sets are stable across engines whose
+float accumulation may differ in final ulps.
+
+Scale notes (100 TB): brute force is one broadcast (the query vector)
+plus a TakeOrderedAndProject — no shuffle of the corpus. IVF shuffles
+once on the centroid assignment, then probes only matching buckets;
+at cluster scale the corpus would be written bucketed-by-centroid so
+probes prune partitions at scan time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hi_csa_db_spark.functions.vectors import cosine
+
+
+def _ranked(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    out = scored.withColumn("cos_sim", F.round("cos_sim", 6))
+    return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: Column | None = None,
+    query_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: (id_col, cos_sim), highest first.
+
+    The query vector (by default the row with id ``query_id``) is
+    broadcast-cross-joined to the corpus; scoring is a narrow map.
+    """
+    if query_vec is None:
+        q = embeddings.filter(F.col(id_col) == query_id).select(
+            F.col(vec_col).alias("__q")
+        )
+    else:
+        q = embeddings.sparkSession.range(1).select(query_vec.alias("__q"))
+    scored = (
+        embeddings.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("__q")).alias("cos_sim"),
+        )
+    )
+    return _ranked(scored, k, id_col)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine).
+
+    Centroids are broadcast; the argmax is a max_by over the small
+    per-vector candidate set — one narrow stage, one shuffle on the
+    assignment groupBy. Ties broken by centroid id (deterministic).
+    """
+    scored = embeddings.crossJoin(
+        F.broadcast(centroids.select(F.col(centroid_id), F.col(vec_col).alias("__c")))
+    ).select(
+        F.col(id_col),
+        F.col(centroid_id),
+        F.round(cosine(F.col(vec_col), F.col("__c")), 6).alias("__cs"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col(centroid_id), F.struct(F.col("__cs"), -F.col(centroid_id))
+        ).alias(centroid_id)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: probe the ``n_probe`` centroids nearest the query,
+    brute-force only within those buckets.
+
+    Centroids are the first ``n_centroids`` corpus vectors (a
+    deterministic coarse quantizer stand-in for k-means; the plumbing —
+    assignment, probing, pruned scoring — is the real scale path).
+    """
+    cents = (
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    )
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "centroid_id",
+            F.round(cosine(F.col(vec_col), F.col("__q")), 6).alias("__cs"),
+        )
+        .orderBy(F.col("__cs").desc(), F.col("centroid_id").asc())
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    bucket = assigned.join(F.broadcast(probe), "centroid_id").select(id_col)
+    scored = (
+        embeddings.join(bucket, id_col)
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), cosine(F.col(vec_col), F.col("__q")).alias("cos_sim"))
+    )
+    return _ranked(scored, k, id_col)

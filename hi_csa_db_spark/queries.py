@@ -1,0 +1,1137 @@
+"""The engine's query catalog: named queries + DuckDB oracle SQL.
+
+Each entry re-expresses one operator family from SURVEY.md section 2
+(reference file:line cited in the implementing operator's docstring)
+or one BASELINE.json extension op, as a (PySpark plan, ANSI-SQL
+oracle) pair. The driver runs both at sf0.01 and compares row count +
+schema + order-insensitive value hash.
+
+Cross-engine determinism rules used throughout:
+- money/quantity aggregates go through DECIMAL so sums are exact and
+  identical regardless of float add order; final cast to double;
+- float similarity scores are ROUNDED (6 dp) before any ranking, with
+  id tie-breaks, so top-k sets are stable;
+- content hashes are md5 hex (portable across Spark/DuckDB/Python);
+- event-time ordering uses the raw int64 nanos (``ts_ns`` /
+  ``epoch_ns(ts)``), never engine timestamp arithmetic;
+- every computed column is aliased identically in both dialects.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hi_csa_db_spark.catalog import load_table, load_tables
+from hi_csa_db_spark.functions.text import absolutize_url, slugify, strip_punct, tokenize
+from hi_csa_db_spark.operators import classify, dedup, graph, ordered, similarity, textstats
+from hi_csa_db_spark.operators.merge import db_merge, union_streams
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dsum(col: Column, scale: int = 2, precision: int = 28) -> Column:
+    """Exact decimal sum of a double column, returned as double."""
+    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def _disc_price() -> Column:
+    """l_extendedprice * (1 - l_discount) in exact decimal arithmetic.
+
+    Casting a computed double product to a high-scale decimal is NOT
+    portable (engines differ in sub-ulp rounding of the cast); casting
+    each 2-decimal factor first keeps every multiply exact.
+    """
+    e = F.col("l_extendedprice").cast("decimal(14,2)")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    d = F.col("l_discount").cast("decimal(3,2)")
+    return e * (one - d)
+
+
+def _charge() -> Column:
+    one = F.lit("1.00").cast("decimal(3,2)")
+    t = F.col("l_tax").cast("decimal(3,2)")
+    return _disc_price() * (one + t)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY.md section 2.2-2.6)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                    * (CAST('1.00' AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style scan+filter+hash-aggregate; the filter and the two
+    needed columns push down to the parquet scan; partial aggregation is
+    map-side (7 groups total, so the shuffle is a few KB at any scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(_charge()).cast("double").alias("sum_charge"),
+            F.round(_dsum(F.col("l_quantity")) / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(_dsum(F.col("l_discount"), 6) / F.count(F.lit(1)), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q3_top_revenue_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join+agg+top-k. customer is the small side -> broadcast; the
+    lineitem/orders join shuffles on orderkey once; top-k is
+    TakeOrderedAndProject (no global sort)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "j1_lookup_join",
+    """
+    SELECT r.r_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def j1_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: broadcast lookup join through two tiny dimensions (the
+    reference's match()-based practice->mitigation lookup,
+    hi-csa-db.Rmd:541-543). Both dims broadcast; zero shuffle before
+    the final 5-group aggregate."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+_KEYWORD_DICT = [
+    ("join", "Join Tuning"),
+    ("scan", "Scan Planning"),
+    ("stream", "Stream Processing"),
+    ("vector", "Vectorization"),
+    ("window", "Windowing"),
+    ("hash", "Hash Strategies"),
+]
+
+_KEYWORD_VALUES = ", ".join(f"('{k}', '{v}')" for k, v in _KEYWORD_DICT)
+
+
+@_register(
+    "j2_keyword_classify",
+    f"""
+    WITH dict AS (SELECT * FROM (VALUES {_KEYWORD_VALUES}) t(keyword, label)),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS tok
+      FROM documents
+    ),
+    matched AS (SELECT DISTINCT t.doc_id, d.label FROM toks t JOIN dict d ON t.tok = d.keyword)
+    SELECT d.doc_id, m.label FROM documents d LEFT JOIN matched m ON d.doc_id = m.doc_id
+    """,
+)
+def j2_keyword_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/X3: keyword-dictionary multi-label classifier (detect.csa,
+    hi-csa-db.Rmd:75-88) via the scale strategy: token-explode +
+    broadcast equi-join (not an rlike nested-loop join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kw = spark.createDataFrame(_KEYWORD_DICT, ["keyword", "label"])
+    return classify.keyword_classify(docs, kw)
+
+
+@_register(
+    "j3_star_join",
+    """
+    SELECT p.p_brand,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+           COUNT(DISTINCT s.s_name) AS n_suppliers
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY p.p_brand
+    """,
+)
+def j3_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: fact-to-two-dimensions star join (the reference's edge->node
+    ordinal resolution, SURVEY.md section 1.4). Dims broadcast."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.countDistinct("s_name").alias("n_suppliers"),
+        )
+    )
+
+
+@_register(
+    "j4_forward_fill",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value, epoch_ns(ts) AS tsn FROM events
+    ),
+    g AS (
+      SELECT *, SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM e
+    )
+    SELECT event_id, user_id,
+           LAST_VALUE(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_value,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id, grp ORDER BY tsn, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_since_error
+    FROM g
+    """,
+)
+def j4_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/W1: the reference's imperative sectionizer state as window
+    forward-fill — last signup value per user (plain fill) and last
+    purchase value resetting at each error (the h4-resets-at-h3
+    semantics, hi-csa-db.Rmd:178-212)."""
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts_ns"), F.col("event_id")]
+    fill = ordered.forward_fill(
+        ev,
+        F.when(F.col("event_type") == "signup", F.col("value")),
+        order_by=order,
+        partition_by=["user_id"],
+    )
+    reset_fill = ordered.forward_fill(
+        ev,
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+        order_by=order,
+        partition_by=["user_id"],
+        reset_on=F.col("event_type") == "error",
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        fill.alias("last_signup_value"),
+        reset_fill.alias("purchase_since_error"),
+    )
+
+
+@_register(
+    "w2_topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def w2_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W3: orderBy+limit -> TakeOrderedAndProject (per-partition
+    top-k then merge; never a global sort)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_TIER_VALUES = "(1,'alpha'),(2,'beta'),(3,'gamma'),(4,'delta'),(5,'epsilon')"
+
+
+@_register(
+    "w4_positional_update",
+    f"""
+    WITH m AS (
+      SELECT n_nationkey, ROW_NUMBER() OVER (ORDER BY n_name) AS rn
+      FROM nation WHERE n_regionkey = 0
+    ),
+    v AS (SELECT * FROM (VALUES {_TIER_VALUES}) t(rn, val))
+    SELECT n.n_nationkey, n.n_name, COALESCE(v.val, 'standard') AS tier
+    FROM nation n LEFT JOIN m ON n.n_nationkey = m.n_nationkey
+                  LEFT JOIN v ON m.rn = v.rn
+    """,
+)
+def w4_positional_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: ordered positional assignment (the reference's 5 'Energy'
+    rows overwritten in row order, hi-csa-db.Rmd:575-580)."""
+    nation = load_table(spark, sf_dir, "nation").withColumn("tier", F.lit("standard"))
+    out = ordered.positional_update(
+        nation,
+        match=F.col("n_regionkey") == 0,
+        order_by=["n_name"],
+        column="tier",
+        values=["alpha", "beta", "gamma", "delta", "epsilon"],
+    )
+    return out.select("n_nationkey", "n_name", "tier")
+
+
+@_register(
+    "p6_ordered_slice",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE o_orderkey >= (SELECT MIN(o_orderkey) FROM orders WHERE o_totalprice > 450000)
+    """,
+)
+def p6_ordered_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: ordered row-range slice from the first marker row to the end
+    (hi-csa-db.Rmd:444-446), keyed on an explicit order column."""
+    orders = load_table(spark, sf_dir, "orders")
+    return ordered.ordered_slice_from_marker(
+        orders, F.col("o_totalprice") > 450000, order_by=["o_orderkey"]
+    ).select("o_orderkey")
+
+
+@_register(
+    "p7_conditional_update",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'DELINQUENT' ELSE c_mktsegment END AS segment
+    FROM customer
+    """,
+)
+def p7_conditional_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: conditional overwrite (the reference's stop-gap UPDATEs,
+    hi-csa-db.Rmd:575-585) as when/otherwise — pure projection."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit("DELINQUENT"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+
+
+@_register(
+    "a1_distinct_segments",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def a1_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: distinct via hash aggregate (hi-csa-db.Rmd:473-474)."""
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@_register(
+    "a3_first_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def a3_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: deterministic first-row-per-key. R's !duplicated() keeps the
+    first row in file order (hi-csa-db.Rmd:511); bare dropDuplicates is
+    nondeterministic, so the engine pins order with row_number."""
+    orders = load_table(spark, sf_dir, "orders")
+    return ordered.first_row_per_key(
+        orders, keys=["o_custkey"], order_by=["o_orderdate", "o_orderkey"]
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+@_register(
+    "a5_group_concat",
+    """
+    SELECT n.n_name,
+           COUNT(*) AS n_suppliers,
+           STRING_AGG(s.s_name, ' | ' ORDER BY s.s_name) AS supplier_names
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def a5_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: group-concat (paste0 collapse, hi-csa-db.Rmd:450) with a
+    sorted collect_list for deterministic concatenation order."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.concat_ws(" | ", F.array_sort(F.collect_list("s_name"))).alias(
+                "supplier_names"
+            ),
+        )
+    )
+
+
+@_register(
+    "u1_db_merge",
+    """
+    SELECT c_acctbal AS acctbal, c_name AS name,
+           CAST(NULL AS INTEGER) AS nationkey, c_mktsegment AS segment
+    FROM customer
+    UNION ALL
+    SELECT s_acctbal AS acctbal, s_name AS name,
+           s_nationkey AS nationkey, CAST(NULL AS VARCHAR) AS segment
+    FROM supplier
+    """,
+)
+def u1_db_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: db_merge schema-aligning union (hi-csa-db.Rmd:58-73) ==
+    unionByName(allowMissingColumns=True) + sorted column projection."""
+    t = load_tables(spark, sf_dir)
+    x = t["customer"].select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    y = t["supplier"].select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    return db_merge(x, y)
+
+
+@_register(
+    "u2_union_streams",
+    """
+    SELECT o_orderkey, o_totalprice, 'open' AS type FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'done' AS type FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'pending' AS type FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def u2_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: typed-stream union (rbind(Technical, Policy, Support) with
+    per-stream Type constants, hi-csa-db.Rmd:587-589)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    streams = {
+        "open": base.filter(F.col("o_orderstatus") == "O").drop("o_orderstatus"),
+        "done": base.filter(F.col("o_orderstatus") == "F").drop("o_orderstatus"),
+        "pending": base.filter(F.col("o_orderstatus") == "P").drop("o_orderstatus"),
+    }
+    return union_streams(streams, type_col="type")
+
+
+@_register(
+    "semi_suppliers_with_big_sales",
+    """
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+    """,
+)
+def semi_suppliers_with_big_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (needed by the crawl frontier exceptAll/visited logic,
+    SURVEY.md section 2.3)."""
+    t = load_tables(spark, sf_dir)
+    big = t["lineitem"].filter(F.col("l_quantity") > 49)
+    return (
+        t["supplier"]
+        .join(big, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@_register(
+    "anti_parts_never_ordered",
+    """
+    SELECT p_partkey, p_name FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def anti_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — dedup/frontier building block."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+    )
+
+
+@_register(
+    "g1_rollup_region_nation",
+    """
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def g1_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup — free breadth from Spark SQL on top of the
+    reference's flat aggregations (SURVEY.md section 2.4)."""
+    t = load_tables(spark, sf_dir)
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _dsum(F.col("c_acctbal")).alias("total_acctbal"),
+    )
+
+
+@_register(
+    "g2_grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def g2_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over orders (status / priority / grand total)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function family (SURVEY.md section 2.7) + nested data (2.8)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "f1_regex_tokenize",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, len(toks) AS n_tokens, toks[1] AS first_token,
+           replace(array_to_string(toks[1:5], ' '), ' ', '-') AS slug5
+    FROM t
+    """,
+)
+def f1_regex_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F8: punctuation strip, whitespace tokenize, slugify."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.lower(strip_punct(F.col("text"))))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        slugify(F.concat_ws(" ", F.slice(toks, 1, 5))).alias("slug5"),
+    )
+
+
+@_register(
+    "f5_url_absolutize",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'https://cdn.example.org/' || source
+                  ELSE '/assets/' || source END AS raw_url
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN regexp_matches(raw_url, '^https?://') THEN raw_url
+                ELSE 'https://www.example.org' || raw_url END AS resource
+    FROM u
+    """,
+)
+def f5_url_absolutize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: relative->absolute URL rewrite (hi-csa-db.Rmd:275-279)."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("https://cdn.example.org/"), F.col("source")),
+    ).otherwise(F.concat(F.lit("/assets/"), F.col("source")))
+    return docs.select(
+        "doc_id", absolutize_url(raw, "https://www.example.org").alias("resource")
+    )
+
+
+@_register(
+    "f7_json_extract",
+    """
+    SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events
+    """,
+)
+def f7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured scalar access: JSON property extraction (the
+    engine's schema-on-read path for the reference's dynamic-schema
+    sheet ingestion, SURVEY.md section 1.5)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+@_register(
+    "x1_token_explode_topk",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+    ORDER BY cnt DESC, token ASC LIMIT 20
+    """,
+)
+def x1_token_explode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2: nested explode + aggregation (the reference's per-
+    paragraph link expansion, hi-csa-db.Rmd:197-211, re-expressed as
+    explode -> groupBy; the nested dict never materializes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(tokenize(F.lower(strip_punct(F.col("text"))))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time operators (SURVEY.md section 2.9 batch equivalents)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "t1_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def t1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (batch form; the
+    streaming form with watermarks lives in streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
+
+
+@_register(
+    "t2_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) AS tsn, event_id FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             CASE WHEN tsn - LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id)
+                       > 43200000000000 OR
+                  LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    )
+    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def t2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a 12h inactivity gap — lag + running
+    sum (the batch twin of session_window in streaming/windows.py).
+    Gap math on raw int64 nanos for cross-engine determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap_ns = 12 * 3600 * 1_000_000_000
+    new_session = F.when(
+        (F.col("ts_ns") - F.lag("ts_ns").over(w) > gap_ns)
+        | F.lag("ts_ns").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph operators (SURVEY.md sections 1.4, 2.1 S1)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "graph_bfs_reachability",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst FROM orders
+      UNION ALL
+      SELECT DISTINCT 'o' || l_orderkey, 'p' || l_partkey FROM lineitem
+    ),
+    reach(node, depth) AS (
+      SELECT * FROM (VALUES ('c0', 0), ('c1', 0), ('c2', 0)) t(node, depth)
+      UNION ALL
+      SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.depth < 2
+    )
+    SELECT node, MIN(depth) AS depth FROM reach GROUP BY node
+    """,
+)
+def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: BFS frontier loop (the reference's Rcrawler crawl,
+    hi-csa-db.Rmd:111-119) over a customer->order->part graph; min
+    depth per node, depth<=2, distributed frontier w/ anti-join."""
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t["orders"]
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("o"), F.col("o_orderkey")).alias("dst"),
+        )
+        .unionAll(
+            t["lineitem"]
+            .select(
+                F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+                F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+            )
+            .distinct()
+        )
+    )
+    seeds = spark.createDataFrame([("c0",), ("c1",), ("c2",)], ["node"])
+    return graph.bfs(edges, seeds, max_depth=2)
+
+
+@_register(
+    "graph_degrees",
+    """
+    WITH edges AS (SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem),
+    o AS (SELECT src AS id, COUNT(*) AS out_deg FROM edges GROUP BY src),
+    i AS (SELECT dst AS id, COUNT(*) AS in_deg FROM edges GROUP BY dst)
+    SELECT COALESCE(o.id, i.id) AS id,
+           COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg
+    FROM o FULL JOIN i ON o.id = i.id
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph degree aggregation (the reference stores NetwEdges
+    but never analyzes them, hi-csa-db.Rmd:123-128 — the engine does)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    return graph.degrees(edges)
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: dedup (BASELINE.json mandate)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "d1_exact_dedup",
+    """
+    SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY lang, source
+    """,
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by key, keeping the smallest id per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, keys=["lang", "source"], id_col="doc_id").select(
+        "lang", "source", "doc_id", "dup_count"
+    )
+
+
+_SHINGLE_SQL = """
+    toks AS (
+      SELECT doc_id, list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM toks
+      ) WHERE shingle <> ''
+    )
+"""
+
+
+@_register(
+    "d2_minhash_lsh_pairs",
+    f"""
+    WITH {_SHINGLE_SQL},
+    seeds AS (SELECT unnest(range(0, 16)) AS seed),
+    mh AS (
+      SELECT doc_id, seed, MIN(md5(seed::VARCHAR || ':' || shingle)) AS mh
+      FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             md5(band::VARCHAR || '|' || string_agg(mh, '|' ORDER BY seed)) AS bkey
+      FROM (SELECT doc_id, seed, mh, seed // 2 AS band FROM mh)
+      GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                               AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ic
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b, ROUND(i.ic / (sa.sz + sb.sz - i.ic), 6) AS jaccard
+    FROM cand c JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+                JOIN sizes sa ON sa.doc_id = c.id_a
+                JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE i.ic / (sa.sz + sb.sz - i.ic) >= 0.05
+    """,
+)
+def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle -> md5 minhash (16) -> band (8x2)
+    -> bucket equi-join -> exact-Jaccard verify. The LSH equi-join
+    replaces the O(n^2) cross join at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=8, threshold=0.05
+    )
+
+
+@_register(
+    "d3_ngram_jaccard_topk",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ic
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(ic / (sa.sz + sb.sz - ic), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20
+    """,
+)
+def d3_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard via the shingle inverted index (equi-join,
+    never a cross join): 20 most-similar pairs, rank on rounded score
+    with id tie-breaks."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, n=3)
+    pairs = dedup.jaccard_pairs(sh)
+    return (
+        pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(20)
+    )
+
+
+@_register(
+    "d4_simhash",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(list_filter(
+          string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+          x -> x <> '')) AS tok
+        FROM documents
+      )
+    ),
+    h AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+    bits AS (
+      SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints from md5-derived token hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: similarity search
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_aggregate(list_transform(range(1, 65), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+@_register(
+    "s1_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, ROUND({_cos_sql('e.embedding', 'q.qv')}, 6) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+)
+def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over array<float> embeddings — the
+    correctness baseline for ANN. Broadcast query vector; scoring is
+    Catalyst higher-order functions (no UDF); TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, query_id=0, k=10)
+
+
+@_register(
+    "s2_ivf_topk",
+    f"""
+    WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_cos_sql('e.embedding', 'c.cv')}, 6) DESC, c.centroid_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT centroid_id FROM (
+        SELECT c.centroid_id, ROUND({_cos_sql('c.cv', 'q.qv')}, 6) AS cs
+        FROM cents c CROSS JOIN q
+      ) ORDER BY cs DESC, centroid_id ASC LIMIT 2
+    ),
+    bucket AS (SELECT vec_id FROM assigned JOIN probe USING (centroid_id))
+    SELECT e.vec_id, ROUND({_cos_sql('e.embedding', 'q.qv')}, 6) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id IN (SELECT vec_id FROM bucket) AND e.vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+)
+def s2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: assign vectors to the nearest of 8 coarse
+    centroids, probe the 2 centroids nearest the query, brute-force
+    only inside those buckets — the partition-pruned scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, query_id=0, k=10, n_centroids=8, n_probe=2)
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: text analysis
+# ---------------------------------------------------------------------------
+
+_MARKER_VALUES = ", ".join(
+    f"('{w}', '{lang}')"
+    for lang, ws in textstats.LANG_MARKERS.items()
+    for w in ws
+)
+
+
+@_register(
+    "x2_lang_id",
+    f"""
+    WITH markers AS (SELECT * FROM (VALUES {_MARKER_VALUES}) t(tok, lang)),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS tok
+      FROM documents
+    ),
+    scores AS (
+      SELECT t.doc_id, m.lang, COUNT(*) AS hits
+      FROM toks t JOIN markers m ON t.tok = m.tok
+      GROUP BY t.doc_id, m.lang
+    ),
+    best AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id, COALESCE(b.lang, 'und') AS predicted_lang
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+    """,
+)
+def x2_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language identification (broadcast join + argmax)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.lang_id(docs)
+
+
+_TOKS_SQL = (
+    "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), "
+    "x -> x <> '')"
+)
+
+
+@_register(
+    "x3_quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, n_chars, len(toks) AS n_tokens,
+             CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(toks) > 0 THEN
+               len(list_filter(toks, x -> x IN ('a','the','of','and','in','to','is')))
+               / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+             CASE WHEN len(toks) > 0 THEN
+               list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+               / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS mean_wlen
+      FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           ROUND(punct_ratio, 6) AS punct_ratio,
+           ROUND(stop_ratio, 6) AS stopword_ratio,
+           ROUND(mean_wlen, 6) AS mean_word_len,
+           ROUND(least(n_tokens / 100.0, 1.0) * 0.4 + (1 - punct_ratio) * 0.3
+                 + stop_ratio * 0.2 + least(mean_wlen / 10.0, 1.0) * 0.1, 9) AS quality_score
+    FROM f
+    """,
+)
+def x3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style document quality features + composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.quality_score(docs)
+
+
+@_register(
+    "x4_token_stats",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS regex_tokens,
+           len(list_distinct(list_filter(string_split(trim(text), ' '), x -> x <> ''))) AS distinct_tokens
+    FROM documents
+    """,
+)
+def x4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex pieces,
+    distinct tokens — the data-budgeting primitives."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.token_stats(docs)
+
+
+@_register(
+    "x5_fingerprints",
+    """
+    SELECT doc_id, unnest(list_sort(
+      list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                     i -> md5(substring(text, i::INT, 8)))
+    )[1:5]) AS fp
+    FROM documents
+    """,
+)
+def x5_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-min content fingerprints (winnowing-style) over char 8-grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.fingerprints(docs, k=8, keep=5)
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

@@ -1,0 +1,114 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same parquet fixtures, then compares row count,
+column names, and an order-insensitive canonical value hash.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from hi_csa_db_spark.catalog import TABLES
+from hi_csa_db_spark.session import get_spark
+import __spark_entry__ as entrymod
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, Decimal):
+        return canon(float(v))
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def table_fingerprint(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    import hashlib
+
+    h = hashlib.md5("\n".join(lines).encode()).hexdigest()
+    return h, lines
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = [c.lower() for c in rel.columns]
+            drows = rel.fetchall()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {ex}")
+            failed.append(name)
+            continue
+        scols_l = [c.lower() for c in scols]
+        problems = []
+        if sorted(scols_l) != sorted(dcols):
+            problems.append(f"schema: spark={sorted(scols_l)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rows: spark={len(srows)} duck={len(drows)}")
+        sh, slines = table_fingerprint(scols_l, srows)
+        dh, dlines = table_fingerprint(dcols, drows)
+        if sh != dh and not problems:
+            sset, dset = set(slines), set(dlines)
+            s_only = sorted(sset - dset)[:3]
+            d_only = sorted(dset - sset)[:3]
+            problems.append(f"hash: spark_only={s_only} duck_only={d_only}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failed.append(name)
+        else:
+            print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
