@@ -1,0 +1,81 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to completion via a noop sink (full plan runs, no
+driver collect overhead distorting the numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hi_csa_db_spark.session import get_spark
+import __spark_entry__ as entrymod
+
+# Headline set: the scale-sensitive queries (big shuffles, joins,
+# windows, dedup, similarity). Cheap metadata-ish queries are excluded
+# so the number reflects real work.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "j1_lookup_join",
+    "j2_keyword_classify",
+    "j3_star_join",
+    "j4_forward_fill",
+    "t1_tumbling_window",
+    "t2_sessionize",
+    "x1_token_explode_topk",
+    "graph_bfs_reachability",
+    "graph_degrees",
+    "d1_exact_dedup",
+    "d2_minhash_lsh_pairs",
+    "d3_ngram_jaccard_topk",
+    "d4_simhash",
+    "s1_cosine_topk",
+    "s2_ivf_topk",
+    "x2_lang_id",
+    "x3_quality_score",
+    "x4_token_stats",
+    "x5_fingerprints",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("hi-csa-db-bench")
+    qs = entrymod.queries()
+    # warm the JVM + parquet footers with one tiny action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

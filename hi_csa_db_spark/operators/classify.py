@@ -1,20 +1,21 @@
 """Keyword-dictionary multi-label classifier (reference J2/X3).
 
-``detect.csa`` (hi-csa-db.Rmd:75-88) tokenizes text and emits one label
-per case-insensitively matched keyword, NA if none — a one-to-many
-contains-join doubling as a multi-label classifier, applied to the
-policy sheet at hi-csa-db.Rmd:513 with the 21-row dictionary at
-hi-csa-db.Rmd:497-509.
+``detect.csa`` (hi-csa-db.Rmd:75-88) punct-strips and tokenizes text,
+case-insensitively matches each of the 21 keyword patterns, and emits
+one label per matching keyword — NA if none (a one-to-many
+contains-join doubling as a multi-label classifier; dictionary at
+hi-csa-db.Rmd:497-509, applied at hi-csa-db.Rmd:513).
 
-Two physical strategies:
+Two physical strategies with identical semantics (word-boundary phrase
+match on punct-stripped, lowercased text):
 
-- ``keyword_classify_nlj``: broadcast nested-loop rlike join — fine
-  when the dictionary is tiny (the reference's 21 rows).
-- ``keyword_classify`` (default): token-explode + broadcast hash
-  equi-join on the token — the 100 TB path. Tokenization is a narrow
-  map; the join is broadcast, so the only shuffle is the final
-  per-(doc,label) distinct, which AQE coalesces. This is the rewrite
-  SURVEY.md section 4 calls out for dictionary scale.
+- ``keyword_classify`` (default): explode each document into word
+  n-gram shingles (n = 1..longest keyword phrase) and broadcast-hash
+  equi-join shingle == keyword. This is the 100 TB path: narrow map +
+  broadcast join + one distinct shuffle, no nested loop. (The rewrite
+  SURVEY.md section 4 calls out for dictionary scale.)
+- ``keyword_classify_nlj``: broadcast nested-loop rlike join — simpler
+  plan, fine when docs x dict is small.
 
 Both keep unmatched rows with a NULL label (reference keep-NA branch,
 hi-csa-db.Rmd:515-536 explode_outer semantics).
@@ -36,17 +37,36 @@ def keyword_classify(
     keyword_col: str = "keyword",
     label_col: str = "label",
 ) -> DataFrame:
-    """Token equi-join strategy. Returns (id_col, label_col) with one
+    """Shingle equi-join strategy. Returns (id_col, label_col) with one
     row per matched label, plus a NULL-label row for unmatched docs."""
+    dict_df = keywords.select(
+        F.lower(F.col(keyword_col)).alias("__kw"), F.col(label_col)
+    )
+    # longest keyword phrase decides how many shingle sizes to emit;
+    # the dictionary is broadcast-small by definition, so this tiny
+    # driver-side inspection is not a distributed action to worry about.
+    max_n = max(
+        len(r["__kw"].split()) for r in dict_df.select("__kw").distinct().collect()
+    )
     toks = docs.select(
         F.col(id_col),
-        F.explode(tokenize(F.lower(strip_punct(F.col(text_col))))).alias("__tok"),
+        tokenize(F.lower(strip_punct(F.col(text_col)))).alias("__toks"),
     )
-    dict_df = keywords.select(
-        F.lower(F.col(keyword_col)).alias("__tok"), F.col(label_col)
-    )
+    def _ngrams(n: int):
+        # NB: the lambda must take exactly one arg — F.transform treats
+        # a second parameter as the element index.
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("__toks") - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)),
+        )
+
+    shingle_arrays = [_ngrams(n) for n in range(1, max_n + 1)]
+    shingled = toks.select(
+        F.col(id_col),
+        F.explode(F.flatten(F.array(*shingle_arrays))).alias("__tok"),
+    ).filter(F.col("__tok") != "")
     matched = (
-        toks.join(F.broadcast(dict_df), "__tok")
+        shingled.join(F.broadcast(dict_df), F.col("__tok") == F.col("__kw"))
         .select(id_col, label_col)
         .distinct()
     )
@@ -65,18 +85,16 @@ def keyword_classify_nlj(
     keyword_col: str = "keyword",
     label_col: str = "label",
 ) -> DataFrame:
-    """Broadcast nested-loop rlike strategy (small dictionaries only)."""
+    """Broadcast nested-loop rlike strategy (small corpora only)."""
     cleaned = docs.select(
         F.col(id_col), F.lower(strip_punct(F.col(text_col))).alias("__txt")
     )
     dict_df = keywords.select(
         F.lower(F.col(keyword_col)).alias("__kw"), F.col(label_col)
     )
+    pattern = F.concat(F.lit("\\b"), F.col("__kw"), F.lit("\\b"))
     matched = (
-        cleaned.join(
-            F.broadcast(dict_df),
-            F.col("__txt").rlike(F.concat(F.lit(r"\b"), F.col("__kw"), F.lit(r"\b"))),
-        )
+        cleaned.join(F.broadcast(dict_df), F.rlike(F.col("__txt"), pattern))
         .select(id_col, label_col)
         .distinct()
     )

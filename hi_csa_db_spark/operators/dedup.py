@@ -66,18 +66,22 @@ def minhash_signatures(
     hash_i(shingle) = md5(i || ':' || shingle); the minimum md5 hex
     string per seed is a valid uniform min-hash and is engine-portable
     (hex strings compare lexicographically everywhere).
+
+    All ``num_hashes`` minima are computed as parallel aggregates in a
+    SINGLE groupBy pass: the map-side partial aggregation reduces each
+    partition to one row per doc before the shuffle, instead of
+    exploding num_hashes x shingles rows through it.
     """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    hashed = shingle_df.select(id_col, seeds, F.col("shingle")).select(
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(i), F.col("shingle")))
+        ).alias(f"__mh{i}")
+        for i in range(num_hashes)
+    ]
+    per_doc = shingle_df.groupBy(id_col).agg(*aggs)
+    return per_doc.select(
         id_col,
-        "seed",
-        F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
-    )
-    per_seed = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
-    return per_seed.groupBy(id_col).agg(
-        F.array_sort(
-            F.collect_list(F.struct("seed", "mh"))
-        ).getField("mh").alias("sig")
+        F.array(*[F.col(f"__mh{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -132,6 +136,17 @@ def jaccard_pairs(
     equi-join, never a cross join. Returns (id_a, id_b, inter_cnt,
     jaccard).
     """
+    if candidates is not None:
+        # verify only candidate docs: semi-join the shingle table down
+        # to ids that appear in any candidate pair before the
+        # inverted-index self-join (orders of magnitude cheaper than
+        # intersecting the full corpus when LSH recall is selective).
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        shingle_df = shingle_df.join(F.broadcast(cand_ids), id_col, "left_semi")
     sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = shingle_df.alias("a")
     b = shingle_df.alias("b")
@@ -179,9 +194,13 @@ def minhash_lsh_dedup(
     Returns verified near-duplicate pairs (id_a, id_b, jaccard) with
     exact Jaccard >= threshold among LSH candidates.
     """
-    sh = shingles(docs, id_col, text_col, n)
+    # shingles feed both the signatures and the verify stage, and the
+    # candidate pairs are consumed twice (semi-join + pair filter) —
+    # materialize both instead of recomputing their lineage. At cluster
+    # scale these are the stage boundaries you'd checkpoint to storage.
+    sh = shingles(docs, id_col, text_col, n).cache()
     sigs = minhash_signatures(sh, id_col, num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands).cache()
     verified = jaccard_pairs(sh, cands, id_col)
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")

@@ -58,6 +58,10 @@ def bfs(
     the loop unrolls into one lazy plan; each level checkpoint is a
     localCheckpoint to stop lineage growth on deep graphs.
     """
+    # the edge list is scanned once per level — materialize it instead
+    # of recomputing its lineage (at cluster scale: a bucketed-by-src
+    # parquet table; locally: cache).
+    edges = edges.cache()
     visited = seeds.select(F.col(node_col).alias("node"), F.lit(0).alias("depth"))
     frontier = visited.select("node")
     for depth in range(1, max_depth + 1):

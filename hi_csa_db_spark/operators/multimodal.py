@@ -1,0 +1,128 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+BASELINE.json mandate: image/audio/video travel as ``binary`` columns
+with a metadata struct; decode / feature-extract / resize / frame-
+sample run as Arrow-batched pandas functions over mapInPandas. The
+decode kernels are STUBBED (no codec libraries in this container) —
+either a clearly-marked NotImplementedError or a deterministic fake —
+but the Spark-side plumbing (schema, partitioning, batch shape, UDF
+signatures) is real and tested.
+
+Scale notes: payloads stay opaque end-to-end (no driver collect);
+feature extraction is a narrow map; partition by content-size bands
+upstream so a few giant videos don't skew task runtimes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_hash", StringType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decode requires an image codec (Pillow/opencv) — not in
+    this container. The plumbing around it is what the engine owns."""
+    raise NotImplementedError(
+        "image decode requires a codec library; wire Pillow/torchvision "
+        "here in a full deployment"
+    )
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in feature vector: md5-derived floats.
+
+    Replaces the codec+model step so the distributed plumbing (batch
+    shapes, schema, shuffle behavior) is fully exercised in tests.
+    """
+    h = hashlib.md5(payload or b"").digest()
+    return [b / 255.0 for b in h[:dim]]
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """media -> (media_id, kind, n_bytes, content_hash, feature).
+
+    Arrow-batched mapInPandas; payload bytes never leave the executor.
+    """
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "content_hash": [hashlib.md5(p).hexdigest() for p in payloads],
+                    "feature": [_fake_feature(p, dim) for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def exact_media_dedup(media: DataFrame) -> DataFrame:
+    """Exact payload dedup on the content hash (JVM-side md5 over the
+    binary column — no Python involved)."""
+    return (
+        media.withColumn("content_hash", F.md5(F.col("payload")))
+        .groupBy("content_hash")
+        .agg(
+            F.min("media_id").alias("media_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Expand each video row into frame-sampling tasks (one row per
+    timestamp to decode) — the shuffle-friendly prelude to a decode
+    stage; the decode itself is the stubbed kernel above."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )

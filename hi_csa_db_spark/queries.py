@@ -1129,6 +1129,29 @@ def x5_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprints(docs, k=8, keep=5)
 
 
+# ---------------------------------------------------------------------------
+# Structured Streaming (rows-only checks — not expressible in batch SQL)
+# ---------------------------------------------------------------------------
+
+
+@_register("stream_hourly_counts")
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregation, executed with
+    Trigger.AvailableNow against the events fixture (real streaming
+    planner + state store; deterministic)."""
+    from hi_csa_db_spark.streaming import windows
+
+    return windows.hourly_counts(spark, sf_dir)
+
+
+@_register("stream_session_windows")
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window() stateful streaming aggregation (12h gap)."""
+    from hi_csa_db_spark.streaming import windows
+
+    return windows.session_windows(spark, sf_dir)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

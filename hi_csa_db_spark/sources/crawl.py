@@ -1,0 +1,112 @@
+"""Iterative BFS crawl source with idempotent caching (reference S1/S2).
+
+The reference's Rcrawler forks 4 fetch workers BFS-wise to MaxDepth and
+caches the result as RDS (hi-csa-db.Rmd:105-131). Re-expressed:
+
+- the frontier loop is one distributed job per depth level: fetch the
+  frontier via mapInPandas (the worker pool generalizes to executors),
+  parse hrefs, next frontier = new URLs anti-joined against visited;
+- the crawl-or-cache guard becomes an idempotent parquet
+  materialization (compute once, then always read the parquet).
+
+Network fetch is injectable: tests and offline runs pass a fetcher
+(url -> html) backed by fixtures; a live deployment passes an HTTP
+fetcher with per-partition politeness delay. The engine never assumes
+network access.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Callable, Iterable, Iterator
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+PAGE_SCHEMA = StructType(
+    [StructField("url", StringType()), StructField("html", StringType())]
+)
+
+_HREF_RE = re.compile(r"""<a\s[^>]*href=["']([^"'#][^"']*)["']""", re.IGNORECASE)
+
+Fetcher = Callable[[str], str]
+
+
+def extract_hrefs(base_url: str, html: str) -> list[str]:
+    """All absolutized hrefs on a page (the reference's
+    ExtractXpathPat = '//*/a/@href' with ManyPerPattern,
+    hi-csa-db.Rmd:115-117)."""
+    return [urljoin(base_url, m) for m in _HREF_RE.findall(html or "")]
+
+
+def fetch_pages(frontier: DataFrame, fetcher: Fetcher) -> DataFrame:
+    """Distributed fetch of a frontier(url) DataFrame -> pages(url, html)."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"url": pdf["url"], "html": [fetcher(u) for u in pdf["url"]]}
+            )
+
+    return frontier.mapInPandas(gen, PAGE_SCHEMA)
+
+
+def crawl(
+    spark: SparkSession,
+    seeds: list[str],
+    fetcher: Fetcher,
+    max_depth: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """BFS crawl to ``max_depth``. Returns (index, edges):
+
+    index(url, level)        — the reference's INDEX table (1.2)
+    edges(src, dst, level)   — the reference's NetwEdges (1.4)
+    """
+    from pyspark.sql import Row
+
+    visited = spark.createDataFrame(
+        [Row(url=u, level=0) for u in seeds], "url string, level int"
+    )
+    frontier = visited.select("url")
+    all_edges = None
+    for depth in range(1, max_depth + 1):
+        pages = fetch_pages(frontier, fetcher)
+        hrefs_udf = F.udf(extract_hrefs, "array<string>")
+        edges = pages.select(
+            F.col("url").alias("src"),
+            F.explode(hrefs_udf("url", "html")).alias("dst"),
+        ).withColumn("level", F.lit(depth))
+        edges = edges.localCheckpoint(eager=True)
+        all_edges = edges if all_edges is None else all_edges.unionByName(edges)
+        nxt = edges.select(F.col("dst").alias("url")).distinct()
+        new_urls = nxt.join(visited, "url", "left_anti").withColumn(
+            "level", F.lit(depth)
+        )
+        new_urls = new_urls.localCheckpoint(eager=True)
+        visited = visited.unionByName(new_urls)
+        frontier = new_urls.select("url")
+    if all_edges is None:
+        all_edges = spark.createDataFrame([], "src string, dst string, level int")
+    return visited, all_edges
+
+
+def crawl_or_cache(
+    spark: SparkSession,
+    cache_dir: str,
+    seeds: list[str],
+    fetcher: Fetcher,
+    max_depth: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """S2: idempotent materialization — if the parquet cache exists,
+    read it; else crawl and persist (hi-csa-db.Rmd:105-131)."""
+    index_path = os.path.join(cache_dir, "crawl_index")
+    edges_path = os.path.join(cache_dir, "crawl_edges")
+    if not (os.path.exists(index_path) and os.path.exists(edges_path)):
+        index, edges = crawl(spark, seeds, fetcher, max_depth)
+        index.write.mode("overwrite").parquet(index_path)
+        edges.write.mode("overwrite").parquet(edges_path)
+    return spark.read.parquet(index_path), spark.read.parquet(edges_path)

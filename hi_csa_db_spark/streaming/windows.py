@@ -1,0 +1,103 @@
+"""Structured Streaming operators over the events table.
+
+The reference is batch-only; its ingestion tier (iterative crawl +
+cache guards, SURVEY.md section 2.9) generalizes to Structured
+Streaming: watermarked event-time windows, session windows, and
+dedup-within-watermark — all built-in operators, no custom state store.
+
+Local/test runs read the events parquet with Trigger.AvailableNow and a
+memory sink, which exercises the real streaming planner (stateful agg,
+watermark tracking) while staying deterministic. At cluster scale the
+same plans run on Kafka/file sources with checkpointed state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # int64 nanos (see catalog.py)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def _run_to_memory(windowed: DataFrame, name: str, output_mode: str) -> DataFrame:
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return windowed.sparkSession.table(name)
+
+
+def hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts (1h windows, 2h watermark)."""
+    ev = read_events_stream(spark, sf_dir)
+    windowed = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run_to_memory(windowed, "stream_hourly_counts", "complete")
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 12h inactivity gap (the
+    streaming twin of the batch t2_sessionize query)."""
+    ev = read_events_stream(spark, sf_dir)
+    windowed = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "12 hours"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+    return _run_to_memory(windowed, "stream_session_windows", "complete")
+
+
+def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type) within the watermark."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return _run_to_memory(counted, "stream_dedup_counts", "complete")

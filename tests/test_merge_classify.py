@@ -1,0 +1,64 @@
+"""db_merge union semantics + keyword classifier strategies."""
+
+from pyspark.sql import functions as F
+
+from hi_csa_db_spark.operators.classify import keyword_classify, keyword_classify_nlj
+from hi_csa_db_spark.operators.merge import db_merge, union_streams
+
+
+def test_db_merge_schema_aligning_union(spark):
+    x = spark.createDataFrame([(1, "a")], "id int, only_x string")
+    y = spark.createDataFrame([(2, 3.5)], "id int, only_y double")
+    out = db_merge(x, y)
+    assert out.columns == ["id", "only_x", "only_y"]
+    rows = {r.id: (r.only_x, r.only_y) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: (None, 3.5)}
+
+
+def test_db_merge_matches_reference_rbind_for_same_schema(spark):
+    x = spark.createDataFrame([(1, "a")], "id int, v string")
+    y = spark.createDataFrame([(2, "b")], "id int, v string")
+    assert db_merge(x, y).count() == 2
+
+
+def test_union_streams_tags(spark):
+    a = spark.createDataFrame([(1,)], "id int")
+    b = spark.createDataFrame([(2,)], "id int")
+    out = union_streams({"A": a, "B": b})
+    assert {(r.id, r.type) for r in out.collect()} == {(1, "A"), (2, "B")}
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "Cover crops and crop ROTATION improve soil."),
+            (1, "Nothing relevant here."),
+            (2, "irrigation, irrigation; and more Irrigation!"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _dict(spark):
+    return spark.createDataFrame(
+        [("cover", "Conservation Cover"), ("rotation", "Crop Rotation"),
+         ("irrigation", "Irrigation Mgmt")],
+        "keyword string, label string",
+    )
+
+
+def test_keyword_classify_multilabel_and_na(spark):
+    out = keyword_classify(_docs(spark), _dict(spark))
+    got = {(r.doc_id, r.label) for r in out.collect()}
+    assert got == {
+        (0, "Conservation Cover"),
+        (0, "Crop Rotation"),
+        (1, None),
+        (2, "Irrigation Mgmt"),
+    }
+
+
+def test_nlj_strategy_agrees_with_equijoin_strategy(spark):
+    a = keyword_classify(_docs(spark), _dict(spark))
+    b = keyword_classify_nlj(_docs(spark), _dict(spark))
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}

@@ -1,0 +1,63 @@
+"""Structured Streaming windows + multimodal plumbing."""
+
+import pytest
+
+from hi_csa_db_spark.operators import multimodal
+from hi_csa_db_spark.streaming import windows
+
+
+def test_stream_hourly_counts_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from hi_csa_db_spark.catalog import load_table
+
+    streamed = windows.hourly_counts(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    assert {tuple(r) for r in streamed.collect()} == {
+        tuple(r) for r in batch.collect()
+    }
+
+
+def test_stream_session_windows_runs(spark, sf_dir):
+    out = windows.session_windows(spark, sf_dir)
+    assert out.count() > 0
+
+
+def _media(spark):
+    rows = [
+        (0, "image", b"imgbytes-0", "image/png", 32, 32, None),
+        (1, "image", b"imgbytes-0", "image/png", 32, 32, None),  # exact dup
+        (2, "video", b"vid", "video/mp4", 640, 480, 3500),
+        (3, "audio", b"aud", "audio/wav", None, None, 2000),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_extract_features_shape(spark):
+    out = multimodal.extract_features(_media(spark)).collect()
+    assert len(out) == 4
+    by_id = {r.media_id: r for r in out}
+    assert by_id[0].content_hash == by_id[1].content_hash
+    assert len(by_id[0].feature) == 8
+    assert by_id[0].n_bytes == len(b"imgbytes-0")
+
+
+def test_exact_media_dedup(spark):
+    out = multimodal.exact_media_dedup(_media(spark))
+    rows = {r.media_id: r.dup_count for r in out.collect()}
+    assert rows[0] == 2
+
+
+def test_frame_sample_plan(spark):
+    out = multimodal.frame_sample_plan(_media(spark), every_ms=1000).collect()
+    assert {r.frame_ts_ms for r in out} == {0, 1000, 2000, 3000}
+
+
+def test_decode_stub_is_explicit():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"x")
