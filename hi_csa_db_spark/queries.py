@@ -1130,6 +1130,461 @@ def x5_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational breadth, batch 2: windows, set ops, subqueries, function
+# families (free Spark SQL surface on top of the reference's operators —
+# SURVEY.md sections 2.4/2.5/2.7)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "w5_window_suite",
+    """
+    WITH w AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS drnk,
+             LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+             LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey,
+             NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum,
+             COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, rnk, drnk, prev_orderkey, next_orderkey,
+           quartile, mov_sum, ROUND(mov_sum / mov_n, 6) AS mov_avg
+    FROM w
+    """,
+)
+def w5_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: rank/dense_rank/lag/lead/ntile + a
+    3-row moving aggregate (decimal-exact sum, derived average)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(-2, 0)
+    mov_sum = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(wf).cast("double")
+    )
+    mov_n = F.count(F.lit(1)).over(wf)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.ntile(4).over(w).alias("quartile"),
+        mov_sum.alias("mov_sum"),
+        F.round(mov_sum / mov_n, 6).alias("mov_avg"),
+    )
+
+
+@_register(
+    "set_intersect_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set operation."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+@_register(
+    "set_except_nations",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set) operation — the crawl frontier's visited-removal
+    shape (SURVEY.md S1): high-balance customers with no finished
+    order. Uses `subtract` (EXCEPT DISTINCT), not `exceptAll`."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("custkey"))
+        .subtract(
+            t["orders"]
+            .filter(F.col("o_orderstatus") == "F")
+            .select(F.col("o_custkey").alias("custkey"))
+        )
+    )
+
+
+@_register(
+    "sq_scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 1.5 * (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+      FROM orders)
+    """,
+)
+def sq_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (orders above 1.5x the global mean price); the
+    mean is decimal-exact so the predicate is engine-portable."""
+    orders = load_table(spark, sf_dir, "orders")
+    avg_price = orders.agg(
+        (_dsum(F.col("o_totalprice")) / F.count(F.lit(1))).alias("__avg")
+    )
+    return (
+        orders.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("__avg"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@_register(
+    "sq_correlated_subquery",
+    """
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE c_acctbal > (
+      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+      FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def sq_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (above-nation-average customers),
+    decorrelated into a per-nation aggregate + broadcast join — the
+    rewrite Catalyst itself applies (RewriteCorrelatedScalarSubquery)."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        (_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("__avg")
+    )
+    return (
+        cust.join(F.broadcast(per_nation), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@_register(
+    "f_date_suite",
+    """
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS mo,
+           EXTRACT(day FROM o_orderdate) AS dy,
+           strftime(o_orderdate, '%a') AS dow_name,
+           DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+    FROM orders
+    """,
+)
+def f_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar functions (absent from the reference — its
+    dates live inside strings — but part of the engine surface)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.date_format("o_orderdate", "E").alias("dow_name"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+    )
+
+
+@_register(
+    "f_math_suite",
+    """
+    SELECT c_custkey,
+           ABS(c_acctbal) AS abs_bal,
+           CEIL(c_acctbal) AS ceil_bal,
+           FLOOR(c_acctbal) AS floor_bal,
+           SQRT(ABS(c_acctbal)) AS sqrt_bal,
+           ROUND(LN(ABS(c_acctbal) + 1.0), 6) AS ln_bal,
+           c_custkey % 7 AS mod7
+    FROM customer
+    """,
+)
+def f_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar functions. sqrt is IEEE-correctly-rounded (exact
+    parity); ln is rounded to 6dp since libm implementations may
+    differ in the final ulp."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        F.abs(bal).alias("abs_bal"),
+        F.ceil(bal).alias("ceil_bal"),
+        F.floor(bal).alias("floor_bal"),
+        F.sqrt(F.abs(bal)).alias("sqrt_bal"),
+        F.round(F.log(F.abs(bal) + 1.0), 6).alias("ln_bal"),
+        (F.col("c_custkey") % 7).alias("mod7"),
+    )
+
+
+@_register(
+    "f_string_suite",
+    """
+    SELECT p_partkey,
+           UPPER(p_name) AS uname,
+           LOWER(p_brand) AS lbrand,
+           LENGTH(p_name) AS name_len,
+           SUBSTRING(p_name, 1, 5) AS name5,
+           LPAD(p_brand, 12, '*') AS padded,
+           REVERSE(p_type) AS rtype,
+           REPLACE(p_name, ' ', '_') AS snake
+    FROM part
+    """,
+)
+def f_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions (F4/F8 family breadth)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.reverse("p_type").alias("rtype"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+    )
+
+
+@_register(
+    "f6f7_brackets_and_codes",
+    """
+    WITH noisy AS (
+      SELECT doc_id,
+             text || ' [' || source || '] ref E' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || 'X' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           replace(regexp_replace(raw, '\\[.*?\\]', '', 'g'), '  ', ' ') AS cleaned,
+           regexp_extract(raw, '(E[0-9][0-9][0-9][A-Za-z])', 1) AS code
+    FROM noisy
+    """,
+)
+def f6f7_brackets_and_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 bracket-stripping + F7 practice-code extraction
+    (hi-csa-db.Rmd:437-441, 449-457) over a synthesized noisy column."""
+    from hi_csa_db_spark.functions.text import extract_code, strip_brackets
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" ["),
+        F.col("source"),
+        F.lit("] ref E"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("X"),
+    )
+    noisy = docs.select("doc_id", raw.alias("raw"))
+    return noisy.select(
+        "doc_id",
+        strip_brackets(F.col("raw")).alias("cleaned"),
+        extract_code(F.col("raw"), r"(E[0-9][0-9][0-9][A-Za-z])").alias("code"),
+    )
+
+
+@_register(
+    "f9f10_path_segments",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://x.org/cat/' || source || '/' || lang || '/' || CAST(doc_id % 5 AS VARCHAR) AS url
+      FROM documents
+    ),
+    s AS (SELECT doc_id, string_split(string_split(url, 'https://x.org/')[2], '/') AS segs FROM u)
+    SELECT doc_id,
+           segs[1] AS level1, segs[2] AS level2, segs[3] AS level3,
+           COALESCE(segs[4], '') AS level4,
+           len(segs) AS n_segs
+    FROM s
+    """,
+)
+def f9f10_path_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 path-segment split + F10 ragged padding
+    (hi-csa-db.Rmd:404-415): URL -> fixed-width category levels."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://x.org/cat/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/"),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    segs = F.split(F.split(url, "https://x\\.org/").getItem(1), "/")
+    return docs.select(
+        "doc_id",
+        segs.getItem(0).alias("level1"),
+        segs.getItem(1).alias("level2"),
+        segs.getItem(2).alias("level3"),
+        F.coalesce(F.element_at(segs, 4), F.lit("")).alias("level4"),
+        F.size(segs).alias("n_segs"),
+    )
+
+
+@_register(
+    "g3_cube_orders",
+    """
+    SELECT o_orderstatus, EXTRACT(year FROM o_orderdate) AS yr, COUNT(*) AS n_orders
+    FROM orders GROUP BY CUBE (o_orderstatus, yr)
+    """,
+)
+def g3_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over status x order-year."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderstatus", F.year("o_orderdate").alias("yr"))
+        .cube("o_orderstatus", "yr")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@_register(
+    "g4_pivot_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def g4_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by priority, statuses as columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["P", "O", "F"])
+        .count()
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce("P", F.lit(0)).alias("p_cnt"),
+        F.coalesce("O", F.lit(0)).alias("o_cnt"),
+        F.coalesce("F", F.lit(0)).alias("f_cnt"),
+    )
+
+
+@_register(
+    "a6_conditional_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           COUNT(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_finished
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a6_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: count_if / filtered counts / sum(case)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_big"),
+        F.count_if(F.col("l_discount") == 0).alias("n_nodisc"),
+        F.sum(
+            F.when(
+                F.col("l_linestatus") == "F", F.col("l_quantity").cast("decimal(18,2)")
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("qty_finished"),
+    )
+
+
+@_register(
+    "f_array_suite",
+    """
+    WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+    SELECT p_partkey,
+           len(words) AS n_words,
+           list_contains(words, 'green') AS has_green,
+           list_aggregate(words, 'min') AS first_alpha,
+           list_aggregate(words, 'max') AS last_alpha,
+           array_to_string(list_sort(list_distinct(words)), ',') AS sorted_distinct
+    FROM t
+    """,
+)
+def f_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function family over tokenized part names."""
+    part = load_table(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "green").alias("has_green"),
+        F.array_min(words).alias("first_alpha"),
+        F.array_max(words).alias("last_alpha"),
+        F.concat_ws(",", F.array_sort(F.array_distinct(words))).alias(
+            "sorted_distinct"
+        ),
+    )
+
+
+@_register(
+    "d5_embedding_neardup",
+    f"""
+    WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_cos_sql('e.embedding', 'c.cv')}, 6) DESC, c.centroid_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.3
+    """,
+)
+def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, bucketed by IVF centroid so the
+    pairwise comparison is intra-bucket only (the blocked/partitioned
+    scale path — never an unblocked O(n^2) cross join)."""
+    from hi_csa_db_spark.functions.vectors import cosine
+    from hi_csa_db_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    assigned = ivf_assign(emb, cents).join(emb, "vec_id")
+    a = assigned.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("__ea"),
+    )
+    b = assigned.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("__eb"),
+    )
+    pairs = a.join(b, ["centroid_id"]).filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("__ea"), F.col("__eb")), 6).alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= 0.3)
+
+
+# ---------------------------------------------------------------------------
 # Structured Streaming (rows-only checks — not expressible in batch SQL)
 # ---------------------------------------------------------------------------
 
