@@ -55,6 +55,27 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from ``documents`` (the driver
+    fixtures ship no binary column): payload = UTF-8 bytes of ``text``,
+    kind cycles image/audio/video by ``doc_id``, duration scales with
+    document length. Gives the binary pipeline real driver testdata to
+    run — and be oracle-checked — against."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.concat(F.lit("application/x-"), kind).alias("mime"),
+        F.lit(64).cast("int").alias("width"),
+        F.lit(64).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+    )
+
+
 def decode_image(payload: bytes) -> "object":
     """Real decode requires an image codec (Pillow/opencv) — not in
     this container. The plumbing around it is what the engine owns."""

@@ -1585,6 +1585,120 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal columns (BASELINE.json mandate): binary payloads + typed
+# metadata; decode stubs, real Spark plumbing (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+# DuckDB-side hex-nibble -> int (md5 is the portable content hash; the
+# fake feature is md5-byte/255 cast to float32 on BOTH engines so the
+# Arrow FloatType round-trip is bit-identical).
+_NIB = "strpos('0123456789abcdef', substr(md5(text), {pos}, 1)) - 1"
+_FEAT_SQL = (
+    "list_transform(range(1, 9), i -> CAST(("
+    "  (strpos('0123456789abcdef', substr(md5(text), 2*CAST(i AS INT)-1, 1)) - 1) * 16"
+    "  + strpos('0123456789abcdef', substr(md5(text), 2*CAST(i AS INT), 1)) - 1"
+    ") / 255.0 AS REAL))"
+)
+
+
+@_register(
+    "mm1_media_features",
+    f"""
+    SELECT doc_id AS media_id,
+           (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash,
+           {_FEAT_SQL} AS feature
+    FROM documents
+    """,
+)
+def mm1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary media
+    payloads (schema MEDIA_SCHEMA -> FEATURE_SCHEMA). The md5-derived
+    fake feature stands in for the codec+model kernel; the oracle
+    recomputes it in SQL, so even the Pandas-UDF path is value-checked."""
+    from hi_csa_db_spark.operators.multimodal import extract_features, media_from_documents
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return extract_features(media, dim=8)
+
+
+@_register(
+    "mm2_media_dedup",
+    """
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS media_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def mm2_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup on JVM-side md5 of the binary payload — no
+    Python in the plan; map-side-combined hash aggregate."""
+    from hi_csa_db_spark.operators.multimodal import exact_media_dedup, media_from_documents
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return exact_media_dedup(media)
+
+
+@_register(
+    "mm3_frame_sample_plan",
+    """
+    SELECT doc_id AS media_id,
+           unnest(generate_series(0, greatest(n_chars * 10 - 1, 0), 1000)) AS frame_ts_ms
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def mm3_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling task expansion for video rows (explode over a
+    sequence) — the shuffle-friendly prelude to a decode stage."""
+    from hi_csa_db_spark.operators.multimodal import frame_sample_plan, media_from_documents
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms")
+    )
+
+
+@_register(
+    "mm4_feature_knn",
+    f"""
+    WITH feats AS (
+      SELECT doc_id AS media_id, {_FEAT_SQL} AS feature FROM documents
+    ),
+    probe AS (SELECT feature AS pf FROM feats WHERE media_id = 0)
+    SELECT media_id,
+           ROUND(list_dot_product(feature, pf) /
+                 (sqrt(list_dot_product(feature, feature)) * sqrt(list_dot_product(pf, pf))), 6) AS cos_sim
+    FROM feats, probe
+    WHERE media_id <> 0
+    ORDER BY cos_sim DESC, media_id ASC LIMIT 10
+    """,
+)
+def mm4_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest media by cosine over the extracted feature vector
+    — media features flow straight into the similarity tier (s1/s2)."""
+    from hi_csa_db_spark.functions.vectors import cosine
+    from hi_csa_db_spark.operators.multimodal import extract_features, media_from_documents
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media, dim=8).select("media_id", "feature")
+    probe = feats.filter(F.col("media_id") == 0).select(
+        F.col("feature").alias("pf")
+    )
+    return (
+        feats.filter(F.col("media_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "media_id",
+            F.round(cosine(F.col("feature"), F.col("pf")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("media_id").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Structured Streaming (rows-only checks — not expressible in batch SQL)
 # ---------------------------------------------------------------------------
 

@@ -61,3 +61,19 @@ def test_frame_sample_plan(spark):
 def test_decode_stub_is_explicit():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"x")
+
+
+def test_media_from_documents_schema(spark, sf_dir):
+    from hi_csa_db_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(9)
+    media = multimodal.media_from_documents(docs)
+    assert [f.name for f in media.schema.fields] == [
+        f.name for f in multimodal.MEDIA_SCHEMA.fields
+    ]
+    rows = media.collect()
+    assert len(rows) == 9
+    kinds = {r.media_id % 3: r.kind for r in rows}
+    assert kinds == {0: "image", 1: "audio", 2: "video"}
+    r0 = rows[0]
+    assert isinstance(r0.payload, (bytes, bytearray)) and len(r0.payload) > 0
