@@ -137,16 +137,39 @@ def jaccard_pairs(
     jaccard).
     """
     if candidates is not None:
-        # verify only candidate docs: semi-join the shingle table down
-        # to ids that appear in any candidate pair before the
-        # inverted-index self-join (orders of magnitude cheaper than
-        # intersecting the full corpus when LSH recall is selective).
+        # Candidate-pair verify: intersect the two docs' shingle SETS
+        # per pair (collect_set + array_intersect) instead of running
+        # the inverted-index self-join. The self-join explodes
+        # quadratically on hot shingles BEFORE the pair filter can
+        # prune; the set-join is linear in |pairs| and each set is
+        # bounded by document length. Semi-join the shingle table down
+        # to candidate docs first so only their sets materialize.
         cand_ids = (
             candidates.select(F.col("id_a").alias(id_col))
             .unionByName(candidates.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        shingle_df = shingle_df.join(F.broadcast(cand_ids), id_col, "left_semi")
+        sets = (
+            shingle_df.join(F.broadcast(cand_ids), id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.collect_set("shingle").alias("__shs"))
+        )
+        sa = sets.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("__sh_a"))
+        sb = sets.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("__sh_b"))
+        inter_cnt = F.size(F.array_intersect("__sh_a", "__sh_b"))
+        return (
+            candidates.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                inter_cnt.alias("inter_cnt"),
+                (
+                    inter_cnt
+                    / (F.size("__sh_a") + F.size("__sh_b") - inter_cnt)
+                ).alias("jaccard"),
+            )
+        )
     sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = shingle_df.alias("a")
     b = shingle_df.alias("b")
@@ -161,8 +184,6 @@ def jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter_cnt"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"])
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (

@@ -29,17 +29,30 @@ def resolve_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
 
 
 def degrees(edges: DataFrame) -> DataFrame:
-    """Out/in degree per node id: (id, out_deg, in_deg)."""
-    out_d = edges.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    )
-    in_d = edges.groupBy(F.col("dst").alias("id")).agg(
-        F.count(F.lit(1)).alias("in_deg")
-    )
-    return out_d.join(in_d, "id", "full").select(
-        "id",
-        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
-        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+    """Out/in degree per node id: (id, out_deg, in_deg).
+
+    Single hash-aggregate pass: each edge contributes (src,1,0) and
+    (dst,0,1); map-side partial aggregation collapses per-partition
+    before ONE shuffle — vs the naive two-groupBy + full-outer-join
+    plan (three shuffles, two of them over the full edge list)."""
+    contrib = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("id"),
+                    F.lit(1).alias("o"),
+                    F.lit(0).alias("i"),
+                ),
+                F.struct(
+                    F.col("dst").alias("id"),
+                    F.lit(0).alias("o"),
+                    F.lit(1).alias("i"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.id", "c.o", "c.i")
+    return contrib.groupBy("id").agg(
+        F.sum("o").alias("out_deg"), F.sum("i").alias("in_deg")
     )
 
 

@@ -762,23 +762,36 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi-csa-db.Rmd:111-119) over a customer->order->part graph; min
     depth per node, depth<=2, distributed frontier w/ anti-join."""
     t = load_tables(spark, sf_dir)
+    # BFS runs over LONG node ids (node type packed into the top
+    # digits); the 'c0'/'o123' display strings only materialize on the
+    # final result. Every frontier join / distinct / anti-join then
+    # shuffles 8-byte longs instead of variable-length strings.
+    B = 10_000_000_000  # > any key in the fixtures
     edges = (
         t["orders"]
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("o"), F.col("o_orderkey")).alias("dst"),
+            (F.lit(1 * B) + F.col("o_custkey")).alias("src"),
+            (F.lit(2 * B) + F.col("o_orderkey")).alias("dst"),
         )
         .unionAll(
             t["lineitem"]
-            .select(
-                F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
-                F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
-            )
+            .select("l_orderkey", "l_partkey")
             .distinct()
+            .select(
+                (F.lit(2 * B) + F.col("l_orderkey")).alias("src"),
+                (F.lit(3 * B) + F.col("l_partkey")).alias("dst"),
+            )
         )
     )
-    seeds = spark.createDataFrame([("c0",), ("c1",), ("c2",)], ["node"])
-    return graph.bfs(edges, seeds, max_depth=2)
+    seeds = spark.createDataFrame([(1 * B,), (1 * B + 1,), (1 * B + 2,)], ["node"])
+    reached = graph.bfs(edges, seeds, max_depth=2)
+    tag = F.element_at(
+        F.array(F.lit("c"), F.lit("o"), F.lit("p")),
+        (F.col("node") / B).cast("int"),
+    )
+    return reached.select(
+        F.concat(tag, (F.col("node") % B).cast("string")).alias("node"), "depth"
+    )
 
 
 @_register(
@@ -796,10 +809,13 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph degree aggregation (the reference stores NetwEdges
     but never analyzes them, hi-csa-db.Rmd:123-128 — the engine does)."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges = li.select(
+    # distinct on the INT key pair, concat to node strings after — the
+    # dedup shuffle moves 16-byte rows, not 2x ~10-char strings.
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    edges = pairs.select(
         F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-    ).distinct()
+    )
     return graph.degrees(edges)
 
 
