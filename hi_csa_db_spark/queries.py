@@ -1600,6 +1600,80 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("cos_sim") >= 0.3)
 
 
+@_register(
+    "a2_a4_distinct_and_maxlen",
+    """
+    SELECT COUNT(DISTINCT source) AS n_sources,
+           MAX(len(list_filter(
+             string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+             x -> x <> ''))) AS max_tokens
+    FROM documents
+    """,
+)
+def a2_a4_distinct_and_maxlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 single-column distinct count (unique(nrcs.db[,"Practice"]),
+    hi-csa-db.Rmd:494) + A4 max array length (ragged-path padding bound,
+    hi-csa-db.Rmd:412-413) in one scalar aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.lower(strip_punct(F.col("text"))))
+    return docs.agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.max(F.size(toks)).alias("max_tokens"),
+    )
+
+
+@_register(
+    "html_parse_sectionize",
+    """
+    WITH t AS (
+      SELECT doc_id, source, lang,
+             array_to_string((list_filter(
+               string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+               x -> x <> ''))[1:5], ' ') AS body
+      FROM documents
+    )
+    SELECT 'https://x.org/doc/' || doc_id AS url,
+           'Sec ' || source AS mitigation,
+           'Sub ' || lang AS practice,
+           'Para link' || CASE WHEN body = '' THEN '' ELSE ' ' || body END AS description,
+           'https://x.org/r/' || doc_id AS resource
+    FROM t
+    """,
+)
+def html_parse_sectionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/F11/F12 + W1/J4 + X1/F5 end-to-end, oracle-checked: build an
+    HTML page per document, parse it with the REAL mapInPandas HTML
+    parser (sources.html), forward-fill section context, explode links,
+    absolutize. The oracle re-derives the expected output from the raw
+    documents — so the parser itself is value-checked, not just row-
+    counted (the reference's scrape tier, hi-csa-db.Rmd:151-212)."""
+    from hi_csa_db_spark.operators import sectionize as sec
+    from hi_csa_db_spark.sources.html import elements_from_pages
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.lower(strip_punct(F.col("text"))))
+    body = F.concat_ws(" ", F.slice(toks, 1, 5))
+    pages = docs.select(
+        F.concat(F.lit("https://x.org/doc/"), F.col("doc_id")).alias("url"),
+        F.concat(
+            F.lit("<h3>Sec "),
+            F.col("source"),
+            F.lit("</h3><h4>Sub "),
+            F.col("lang"),
+            F.lit('</h4><p>Para <a href="/r/'),
+            F.col("doc_id"),
+            F.lit('">link</a> '),
+            body,
+            F.lit("</p>"),
+        ).alias("html"),
+    )
+    elements = elements_from_pages(pages, kept=("h3", "h4", "p"))
+    sections = sec.sectionize(elements)
+    return sec.explode_links(sections, "https://x.org").select(
+        "url", "mitigation", "practice", "description", "resource"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (BASELINE.json mandate): binary payloads + typed
 # metadata; decode stubs, real Spark plumbing (operators/multimodal.py)
@@ -1735,6 +1809,36 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hi_csa_db_spark.streaming import windows
 
     return windows.session_windows(spark, sf_dir)
+
+
+@_register("stream_sliding_counts")
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) watermarked window aggregation: 2h windows
+    advancing every 1h — each event counted in two windows."""
+    from hi_csa_db_spark.streaming import windows
+
+    return windows.sliding_counts(spark, sf_dir)
+
+
+@_register("stream_dedup_watermark")
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on (user_id, event_type) — the
+    streaming twin of the dedup tier (state expires with the watermark,
+    so memory is bounded on unbounded streams)."""
+    from hi_csa_db_spark.streaming import windows
+
+    return windows.dedup_within_watermark(spark, sf_dir)
+
+
+@_register("stream_stateful_totals")
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals carried across micro-batches in explicit state —
+    the engine's escape hatch for semantics built-in windows can't
+    express (SURVEY.md section 2.9)."""
+    from hi_csa_db_spark.streaming import stateful
+
+    return stateful.user_running_totals(spark, sf_dir)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -93,6 +93,28 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(windowed, "stream_session_windows", "complete")
 
 
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window aggregation (2h windows every 1h):
+    each event lands in two overlapping windows — the hopping-window
+    shape the reference's batch tier can't express."""
+    ev = read_events_stream(spark, sf_dir)
+    windowed = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(windowed, "stream_sliding_counts", "complete")
+
+
 def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on (user_id, event_type) within the watermark."""
     ev = read_events_stream(spark, sf_dir)

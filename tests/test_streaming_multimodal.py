@@ -4,6 +4,7 @@ import pytest
 
 from hi_csa_db_spark.operators import multimodal
 from hi_csa_db_spark.streaming import windows
+from pyspark.sql import functions as F
 
 
 def test_stream_hourly_counts_matches_batch(spark, sf_dir):
@@ -77,3 +78,31 @@ def test_media_from_documents_schema(spark, sf_dir):
     assert kinds == {0: "image", 1: "audio", 2: "video"}
     r0 = rows[0]
     assert isinstance(r0.payload, (bytes, bytearray)) and len(r0.payload) > 0
+
+
+def test_stream_stateful_totals_matches_batch(spark, sf_dir):
+    from hi_csa_db_spark.catalog import load_table
+    from hi_csa_db_spark.streaming import stateful
+
+    out = stateful.user_running_totals(spark, sf_dir)
+    got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in out.collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exp = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert {u: v[0] for u, v in got.items()} == {u: v[0] for u, v in exp.items()}
+    for u in exp:
+        assert abs(got[u][1] - exp[u][1]) < 1e-4
+
+
+def test_stream_sliding_counts_double_counts(spark, sf_dir):
+    from hi_csa_db_spark.catalog import load_table
+    from hi_csa_db_spark.streaming import windows
+
+    out = windows.sliding_counts(spark, sf_dir)
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    n = load_table(spark, sf_dir, "events").count()
+    assert total == 2 * n
