@@ -56,6 +56,56 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank: (id, rank).
+
+    r_{k+1}(v) = (1-d)/N + d * sum over incoming u of r_k(u)/outdeg(u)
+    — the simplified variant without dangling-mass redistribution
+    (sink nodes leak mass; deterministic and engine-portable). Each
+    iteration is one join + one aggregation; the edge and degree
+    tables are computed once and cached since every iteration rescans
+    them (at cluster scale: a bucketed-by-src edge table, so the
+    per-iteration join is shuffle-free on the edge side).
+
+    The reference stores its crawl link graph but never analyzes it
+    (igraph loaded yet unused, hi-csa-db.Rmd:56,123-128) — this is the
+    analysis tier it was missing.
+    """
+    edges = edges.select("src", "dst").distinct().cache()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .cache()
+    )
+    n_nodes = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    # contribution edge list: src, dst, 1/outdeg (static across iters)
+    contrib_edges = edges.join(outdeg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("od")).alias("w")
+    ).cache()
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iterations):
+        inflow = (
+            contrib_edges.join(ranks, contrib_edges["src"] == ranks["id"])
+            .select(F.col("dst").alias("id"), (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = nodes.join(inflow, "id", "left").select(
+            "id",
+            (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+    return ranks
+
+
 def bfs(
     edges: DataFrame,
     seeds: DataFrame,

@@ -1601,6 +1601,123 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "asof_purchase_click",
+    """
+    SELECT p.event_id AS p_id, p.user_id, epoch_us(p.ts) AS p_ts_us,
+           c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (custom operator — Spark has no built-in): each
+    purchase matched to the user's most recent click at-or-before it.
+    Implemented with ZERO joins: union + tag + last(ignorenulls)
+    window over (user, event-time) — one shuffle (operators/temporal).
+    The oracle is DuckDB's native ASOF LEFT JOIN."""
+    from hi_csa_db_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    # microsecond event time on BOTH engines (DuckDB reads the
+    # TIMESTAMP_NS parquet column at micro precision)
+    us = F.expr("ts_ns div 1000").alias("ts_us")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", us
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", ts="ts_us", build_cols=["event_id"]
+    )
+    return joined.select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts_us").alias("p_ts_us"),
+        F.col("event_id_asof").alias("click_id"),
+    )
+
+
+@_register(
+    "range_error_clicks",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error'),
+         c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id, e.ts_us,
+           COUNT(c.event_id) AS n_in_range
+    FROM e LEFT JOIN c
+      ON c.user_id = e.user_id
+     AND c.ts_us > e.ts_us AND c.ts_us <= e.ts_us + 3600000000
+    GROUP BY e.event_id, e.user_id, e.ts_us
+    """,
+)
+def range_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN (custom operator): clicks within 1h after each error,
+    per user. Implemented as a BANDED equi-join — time bucketed at the
+    range width, build side replicated into its two candidate bands,
+    hash join on (user, band), exact predicate after — never a
+    nested-loop interval join (operators/temporal)."""
+    from hi_csa_db_spark.operators.temporal import range_join_count
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000").alias("ts_us")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", us
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", us
+    )
+    return range_join_count(
+        errors,
+        clicks,
+        key="user_id",
+        ts="ts_us",
+        range_ns=3_600_000_000,
+        left_id="event_id",
+        right_id="event_id",
+    )
+
+
+@_register(
+    "graph_pagerank",
+    """
+    WITH edges AS (SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst FROM lineitem),
+    nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+    params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    ce AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / d.od AS w FROM edges e JOIN deg d ON d.src = e.src),
+    r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM params) AS rank FROM nodes),
+    r1 AS (SELECT nd.id, CAST(0.15 AS DOUBLE)/(SELECT n FROM params)
+                  + CAST(0.85 AS DOUBLE)*COALESCE(SUM(r.rank * ce.w), 0) AS rank
+           FROM nodes nd LEFT JOIN ce ON ce.dst = nd.id LEFT JOIN r0 r ON r.id = ce.src
+           GROUP BY nd.id),
+    r2 AS (SELECT nd.id, CAST(0.15 AS DOUBLE)/(SELECT n FROM params)
+                  + CAST(0.85 AS DOUBLE)*COALESCE(SUM(r.rank * ce.w), 0) AS rank
+           FROM nodes nd LEFT JOIN ce ON ce.dst = nd.id LEFT JOIN r1 r ON r.id = ce.src
+           GROUP BY nd.id),
+    r3 AS (SELECT nd.id, CAST(0.15 AS DOUBLE)/(SELECT n FROM params)
+                  + CAST(0.85 AS DOUBLE)*COALESCE(SUM(r.rank * ce.w), 0) AS rank
+           FROM nodes nd LEFT JOIN ce ON ce.dst = nd.id LEFT JOIN r2 r ON r.id = ce.src
+           GROUP BY nd.id)
+    SELECT id, ROUND(rank, 6) AS rank FROM r3
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (3 fixed iterations, d=0.85) over the
+    part->supplier link graph — the iterative-join class of algorithms
+    (each iteration: one join + one aggregation). Oracle: the same
+    three iterations unrolled as chained CTEs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+    )
+    ranks = graph.pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+@_register(
     "a2_a4_distinct_and_maxlen",
     """
     SELECT COUNT(DISTINCT source) AS n_sources,

@@ -1,0 +1,74 @@
+"""As-of join, banded range join, and PageRank on hand-built graphs."""
+
+from pyspark.sql import functions as F
+
+from hi_csa_db_spark.operators import graph
+from hi_csa_db_spark.operators.temporal import asof_join, range_join_count
+
+
+def test_asof_join_basic(spark):
+    probe = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 250), (3, 20, 50)], ["event_id", "user_id", "ts_us"]
+    )
+    build = spark.createDataFrame(
+        [(11, 10, 100), (12, 10, 200), (13, 10, 300), (14, 99, 10)],
+        ["event_id", "user_id", "ts_us"],
+    )
+    out = {
+        r.event_id: r.event_id_asof
+        for r in asof_join(
+            probe, build, key="user_id", ts="ts_us", build_cols=["event_id"]
+        ).collect()
+    }
+    # inclusive at equal ts; most recent prior; no prior -> NULL
+    assert out == {1: 11, 2: 12, 3: None}
+
+
+def test_range_join_count_boundaries(spark):
+    left = spark.createDataFrame([(1, 7, 1000)], ["event_id", "user_id", "ts_us"])
+    right = spark.createDataFrame(
+        [
+            (21, 7, 1000),  # not > ts
+            (22, 7, 1001),  # in range
+            (23, 7, 1100),  # boundary: ts + 100 inclusive
+            (24, 7, 1101),  # out of range
+            (25, 8, 1050),  # other user
+        ],
+        ["event_id", "user_id", "ts_us"],
+    )
+    out = range_join_count(
+        left, right, key="user_id", ts="ts_us", range_ns=100,
+        left_id="event_id", right_id="event_id",
+    ).collect()
+    assert len(out) == 1 and out[0].n_in_range == 2
+
+
+def test_range_join_zero_counts_kept(spark):
+    left = spark.createDataFrame([(1, 7, 0), (2, 7, 10**9)], ["event_id", "user_id", "ts_us"])
+    right = spark.createDataFrame([(9, 7, 5)], ["event_id", "user_id", "ts_us"])
+    rows = {
+        r.event_id: r.n_in_range
+        for r in range_join_count(
+            left, right, key="user_id", ts="ts_us", range_ns=100,
+            left_id="event_id", right_id="event_id",
+        ).collect()
+    }
+    assert rows == {1: 1, 2: 0}
+
+
+def test_pagerank_star_graph(spark):
+    # a <- {b, c, d}: hub a accumulates rank; b/c/d stay at base
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1)], ["src", "dst"]
+    )
+    ranks = {r.id: r.rank for r in graph.pagerank(edges, iterations=3).collect()}
+    n = 4
+    base = 0.15 / n
+    # leaves never receive inflow
+    for leaf in (2, 3, 4):
+        assert abs(ranks[leaf] - base) < 1e-12
+    # after iter1 a = base + 0.85*3*(1/4); leaves drop to base, so
+    # iter2+ a = base + 0.85*3*base — the fixpoint for a star
+    assert abs(ranks[1] - (base + 0.85 * 3 * base)) < 1e-12
+    # total mass leaks (a is a sink) but stays positive and bounded
+    assert 0 < sum(ranks.values()) <= 1.0
