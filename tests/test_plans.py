@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: the scale properties SURVEY.md
+section 4 promises must be visible in explain() output — filter
+pushdown reaching the parquet scan, column pruning, broadcast joins
+for dimension lookups, and no accidental nested-loop/cartesian plans.
+"""
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    jvm = spark._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate at the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    # only the 7 needed columns are read, not all 16
+    assert len(m.group(1).split(",")) <= 7
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    for name in ("j1_lookup_join", "j3_star_join"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_keyword_classify_is_equi_join(spark, sf_dir):
+    # the J2 scale rewrite: shingle equi-join, NOT an rlike nested loop
+    plan = _plan(spark, sf_dir, "j2_keyword_classify")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_pairs_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "d2_minhash_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_has_no_join_at_all(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "asof_purchase_click")
+    assert not re.search(r"Join", plan), "as-of should be pure window"
+    assert "Window" in plan
+
+
+def test_range_join_is_hash_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "range_error_clicks")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# queries where a broadcast nested-loop IS the intended plan (1-row or
+# few-row broadcast side); everything else must stay NLJ-free
+_NLJ_ALLOWED = {
+    "sq_scalar_subquery",  # 1-row global aggregate broadcast
+    "mm4_feature_knn",  # 1-row probe vector broadcast
+    "s1_cosine_topk",  # 1-row probe vector broadcast
+    "d5_embedding_neardup",  # 8-row centroid table broadcast
+    "s2_ivf_topk",  # 8-row centroid table broadcast
+    "p6_ordered_slice",  # 1-row scalar min-marker broadcast
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n in entrymod.queries()
+        if not n.startswith("stream_") and n not in _NLJ_ALLOWED
+    ),
+)
+def test_no_accidental_nested_loops(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
