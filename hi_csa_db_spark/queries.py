@@ -1601,6 +1601,100 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stats_percentiles",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+           ROUND(MIN(o_totalprice), 6) AS lo,
+           ROUND(MAX(o_totalprice), 6) AS hi
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregation (linear interpolation — identical
+    semantics to SQL quantile_cont); distribution profiling for data
+    pipelines. Spark's sort-based exact percentile, not the sketch."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+        F.round(F.min("o_totalprice"), 6).alias("lo"),
+        F.round(F.max("o_totalprice"), 6).alias("hi"),
+    )
+
+
+@_register("sketch_cardinality")
+def sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-count sketches (HLL++) per group — the
+    100 TB path for cardinality profiling where exact countDistinct
+    would shuffle every value. Rows-only check: sketch estimates are
+    engine-specific by construction (the exact twin is
+    a2_a4_distinct_and_maxlen)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_register(
+    "x6_tfidf_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND(tf.tf * ln((SELECT n_docs FROM n) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.tok = df.tok
+    ),
+    ranked AS (
+      SELECT doc_id, tok, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, tok, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def x6_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: token explode -> TF (map-side
+    combined) -> DF join -> log weighting -> per-doc top-k window.
+    Scores rounded BEFORE ranking with a term tie-break, so the top-k
+    set is engine-stable. The core text-featurization op of a training
+    pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(tokenize(F.lower(strip_punct(F.col("text"))))).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar: one long to the driver
+    scored = tf.join(df_, "tok").select(
+        "doc_id",
+        "tok",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.select("doc_id", "tok", "tfidf", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@_register(
     "asof_purchase_click",
     """
     SELECT p.event_id AS p_id, p.user_id, epoch_us(p.ts) AS p_ts_us,
