@@ -1601,6 +1601,44 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "j5_salted_join",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j5_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact join (operators/skew.py): lineitem scattered
+    across 8 sub-keys, orders replicated per salt, joined on
+    (orderkey, salt). The oracle is the PLAIN join — hash-matching it
+    proves salting is semantics-preserving."""
+    from hi_csa_db_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_extendedprice")
+    orders = t["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, key="l_orderkey", salt_factor=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+@_register("stream_stream_join")
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (purchases x preceding-
+    hour clicks per user) — join state bounded by watermark+interval."""
+    from hi_csa_db_spark.streaming import windows
+
+    return windows.stream_stream_interval_join(spark, sf_dir)
+
+
+@_register(
     "stats_percentiles",
     """
     SELECT o_orderpriority,

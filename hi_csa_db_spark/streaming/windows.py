@@ -93,6 +93,49 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(windowed, "stream_session_windows", "complete")
 
 
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound:
+    each purchase matched to the same user's clicks in the preceding
+    hour. Both sides are watermarked so the join state store can evict
+    — the unbounded-state hazard of stream-stream joins is bounded by
+    (watermark + interval)."""
+    ev = read_events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"
+        ),
+        "inner",
+    ).select("p_id", "c_id", "p_user")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("stream_pc_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_pc_join")
+
+
 def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked SLIDING-window aggregation (2h windows every 1h):
     each event lands in two overlapping windows — the hopping-window

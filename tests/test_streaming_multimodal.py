@@ -106,3 +106,26 @@ def test_stream_sliding_counts_double_counts(spark, sf_dir):
     total = out.agg(F.sum("n_events")).collect()[0][0]
     n = load_table(spark, sf_dir, "events").count()
     assert total == 2 * n
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from hi_csa_db_spark.catalog import load_table
+    from hi_csa_db_spark.streaming import windows
+
+    out = windows.stream_stream_interval_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("u"), F.col("ts_ns").alias("p_ns")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("cu"), F.col("ts_ns").alias("c_ns")
+    )
+    batch = p.join(
+        c,
+        (F.col("u") == F.col("cu"))
+        & (F.col("c_ns") >= F.col("p_ns") - F.lit(3_600_000_000_000))
+        & (F.col("c_ns") < F.col("p_ns")),
+    )
+    got = {(r.p_id, r.c_id) for r in out.collect()}
+    exp = {(r.p_id, r.c_id) for r in batch.collect()}
+    assert got == exp
