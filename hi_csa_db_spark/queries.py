@@ -2007,8 +2007,7 @@ def mm3_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     probe AS (SELECT feature AS pf FROM feats WHERE media_id = 0)
     SELECT media_id,
-           ROUND(list_dot_product(feature, pf) /
-                 (sqrt(list_dot_product(feature, feature)) * sqrt(list_dot_product(pf, pf))), 6) AS cos_sim
+           ROUND({_cos_sql('feature', 'pf')}, 6) AS cos_sim
     FROM feats, probe
     WHERE media_id <> 0
     ORDER BY cos_sim DESC, media_id ASC LIMIT 10
