@@ -25,10 +25,14 @@ from urllib.parse import urljoin
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 PAGE_SCHEMA = StructType(
-    [StructField("url", StringType()), StructField("html", StringType())]
+    [
+        StructField("url", StringType()),
+        StructField("html", StringType()),
+        StructField("hrefs", ArrayType(StringType())),
+    ]
 )
 
 _HREF_RE = re.compile(r"""<a\s[^>]*href=["']([^"'#][^"']*)["']""", re.IGNORECASE)
@@ -44,12 +48,22 @@ def extract_hrefs(base_url: str, html: str) -> list[str]:
 
 
 def fetch_pages(frontier: DataFrame, fetcher: Fetcher) -> DataFrame:
-    """Distributed fetch of a frontier(url) DataFrame -> pages(url, html)."""
+    """Distributed fetch of a frontier(url) DataFrame ->
+    pages(url, html, hrefs). Fetch AND href extraction happen in the
+    same Arrow batch pass — one Python boundary crossing per level,
+    never a second row-at-a-time UDF over the fetched HTML."""
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            htmls = [fetcher(u) for u in pdf["url"]]
             yield pd.DataFrame(
-                {"url": pdf["url"], "html": [fetcher(u) for u in pdf["url"]]}
+                {
+                    "url": pdf["url"],
+                    "html": htmls,
+                    "hrefs": [
+                        extract_hrefs(u, h) for u, h in zip(pdf["url"], htmls)
+                    ],
+                }
             )
 
     return frontier.mapInPandas(gen, PAGE_SCHEMA)
@@ -75,10 +89,9 @@ def crawl(
     all_edges = None
     for depth in range(1, max_depth + 1):
         pages = fetch_pages(frontier, fetcher)
-        hrefs_udf = F.udf(extract_hrefs, "array<string>")
         edges = pages.select(
             F.col("url").alias("src"),
-            F.explode(hrefs_udf("url", "html")).alias("dst"),
+            F.explode("hrefs").alias("dst"),
         ).withColumn("level", F.lit(depth))
         edges = edges.localCheckpoint(eager=True)
         all_edges = edges if all_edges is None else all_edges.unionByName(edges)
