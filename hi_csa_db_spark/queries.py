@@ -1601,6 +1601,62 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "f_map_suite",
+    """
+    WITH m AS (
+      SELECT p_partkey,
+             map(['brand', 'type'], [p_brand, p_type]) AS meta
+      FROM part
+    )
+    SELECT p_partkey,
+           meta['brand'][1] AS brand_val,
+           array_to_string(map_keys(meta), ',') AS keys_csv,
+           array_to_string(map_values(meta), ',') AS vals_csv,
+           cardinality(meta) AS n_entries
+    FROM m
+    """,
+)
+def f_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type support: construct, key lookup, keys/values extraction,
+    cardinality. Typed metadata maps are the multimodal tier's side-
+    channel (SURVEY.md section 1.5 / extension surface)."""
+    part = load_table(spark, sf_dir, "part")
+    meta = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return part.select(
+        "p_partkey",
+        F.element_at(meta, "brand").alias("brand_val"),
+        F.concat_ws(",", F.map_keys(meta)).alias("keys_csv"),
+        F.concat_ws(",", F.map_values(meta)).alias("vals_csv"),
+        F.size(meta).alias("n_entries"),
+    )
+
+
+@_register(
+    "sample_hash_bucket",
+    """
+    SELECT source, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    GROUP BY source
+    """,
+)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket sampling (~2/16 of rows): the
+    reproducible way to sample training data — the sample is a pure
+    function of the id, stable across engines, re-runs, and cluster
+    sizes (unlike rand()/TABLESAMPLE). Pushes down as a cheap filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        docs.filter(bucket.isin("0", "1"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("min_id"))
+    )
+
+
+@_register(
     "j5_salted_join",
     """
     SELECT o.o_orderpriority,
