@@ -33,3 +33,18 @@ def union_streams(streams: dict[str, DataFrame], type_col: str = "type") -> Data
 
 def union_all(frames: Iterable[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
+
+
+def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE/upsert without a table format: updates win on key match,
+    unmatched base rows survive, new keys insert.
+
+    The relational form of the reference's crawl-or-cache refresh
+    (re-crawl replaces cached rows, hi-csa-db.Rmd:105-131). Expressed
+    as base ANTI-JOIN updates (keep only un-updated base rows) UNION
+    updates — two narrow passes, one shuffle on the key, no full outer
+    join. With Delta/Iceberg this becomes MERGE INTO; the plan shape
+    is the same.
+    """
+    kept = base.join(updates.select(*keys).distinct(), keys, "left_anti")
+    return kept.unionByName(updates)

@@ -1601,6 +1601,102 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "u5_upsert",
+    """
+    WITH updates AS (
+      SELECT c_custkey, 'PLATINUM' AS segment FROM customer WHERE c_acctbal > 8000
+    ),
+    kept AS (
+      SELECT c_custkey, c_mktsegment AS segment FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+    )
+    SELECT * FROM kept UNION ALL SELECT * FROM updates
+    """,
+)
+def u5_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert/MERGE semantics (operators/merge.py::upsert): updated
+    keys replaced, the rest kept — anti-join + union, one key shuffle
+    (the reference's crawl-cache refresh as a relational op)."""
+    from hi_csa_db_spark.operators.merge import upsert
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    updates = (
+        cust.filter(F.col("c_acctbal") > 8000)
+        .select("c_custkey", F.lit("PLATINUM").alias("segment"))
+    )
+    return upsert(base, updates, keys=["c_custkey"])
+
+
+@_register(
+    "profile_columns",
+    """
+    SELECT 'o_totalprice' AS col,
+           COUNT(*) AS n_rows,
+           COUNT(o_totalprice) AS n_nonnull,
+           COUNT(DISTINCT o_totalprice) AS n_distinct,
+           ROUND(MIN(o_totalprice), 6) AS min_v,
+           ROUND(MAX(o_totalprice), 6) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+           ROUND(MIN(o_custkey), 6), ROUND(MAX(o_custkey), 6)
+    FROM orders
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null rate / cardinality / range) — the data-
+    quality pass every ingest tier runs; one scan per profiled batch,
+    all aggregates map-side combined."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def prof(c: str):
+        return orders.agg(
+            F.lit(c).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(c).alias("n_nonnull"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.round(F.min(c).cast("double"), 6).alias("min_v"),
+            F.round(F.max(c).cast("double"), 6).alias("max_v"),
+        )
+
+    return prof("o_totalprice").unionByName(prof("o_custkey"))
+
+
+@_register(
+    "sample_train_split",
+    """
+    WITH b AS (
+      SELECT doc_id, source,
+             CASE
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT split, source, COUNT(*) AS n_docs FROM b GROUP BY split, source
+    """,
+)
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test assignment from the
+    id's md5 prefix — stable across engines, runs, and shards (no
+    rand(); membership is a pure function of the row id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib.isin(*list("0123456789ab")), F.lit("train"))
+        .when(nib.isin("c", "d"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "source")
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_register(
     "f_map_suite",
     """
     WITH m AS (
