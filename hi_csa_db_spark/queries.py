@@ -1601,6 +1601,85 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stats_moments",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND(sx / n, 6) AS mean_qty,
+           ROUND(sxx / n - (sx / n) * (sx / n), 6) AS var_qty,
+           ROUND((sxy / n - (sx / n) * (sy / n)) /
+                 (sqrt(sxx / n - (sx / n) * (sx / n)) * sqrt(syy / n - (sy / n) * (sy / n))), 6) AS corr_qty_price
+    FROM s
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / population variance / Pearson correlation, derived from
+    DECIMAL-EXACT power sums (n, Σx, Σx², Σxy) so the statistics are
+    identical regardless of partition count or engine — the built-in
+    var_pop/corr aggregate over doubles is NOT order-stable at scale.
+    This is the map-side-combinable moments pattern: each partition
+    emits 6 exact numbers, merge is exact addition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q14 = F.col("l_quantity").cast("decimal(14,2)")
+    p14 = F.col("l_extendedprice").cast("decimal(14,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _dsum(F.col("l_quantity")).alias("sx"),
+        F.sum(q14 * q14).cast("double").alias("sxx"),
+        _dsum(F.col("l_extendedprice")).alias("sy"),
+        F.sum(p14 * p14).cast("double").alias("syy"),
+        F.sum(q14 * p14).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var_x = sxx / n - (sx / n) * (sx / n)
+    var_y = syy / n - (sy / n) * (sy / n)
+    cov = sxy / n - (sx / n) * (sy / n)
+    return s.select(
+        "l_returnflag",
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round(var_x, 6).alias("var_qty"),
+        F.round(cov / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias("corr_qty_price"),
+    )
+
+
+@_register(
+    "stats_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 6) AS lo,
+           ROUND(MAX(o_totalprice), 6) AS hi
+    FROM orders GROUP BY bin
+    """,
+)
+def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (floor arithmetic — portable,
+    unlike engine-specific width_bucket variants); one map-side-
+    combined aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+    )
+
+
+@_register(
     "u5_upsert",
     """
     WITH updates AS (

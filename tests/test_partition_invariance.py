@@ -1,0 +1,31 @@
+"""Results must not depend on the shuffle partition count — the
+property that lets the same plan run on 32 local threads or 1000
+executors. This is what the decimal-sum / round-then-rank discipline
+buys; these tests pin it.
+"""
+
+import pytest
+
+
+FLOAT_SENSITIVE = [
+    "q1_pricing_summary",
+    "x6_tfidf_topk",
+    "graph_pagerank",
+    "s1_cosine_topk",
+]
+
+
+@pytest.mark.parametrize("name", FLOAT_SENSITIVE)
+def test_result_invariant_to_shuffle_partitions(spark, sf_dir, name):
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
