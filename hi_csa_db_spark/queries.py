@@ -1601,6 +1601,169 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join with a same-nation theta condition
+    — the canonical join-ordering stress test. Dimension chain
+    (nation⋈region) broadcasts; fact joins shuffle on their keys;
+    Catalyst + AQE pick the order."""
+    t = load_tables(spark, sf_dir)
+    dims = t["nation"].join(
+        t["region"].filter(F.col("r_name") == "ASIA"),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    rev = _disc_price()
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@_register(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(28,2))) > CAST(300 AS DECIMAL(28,2))
+    )
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate feeding a semi-
+    filtering join back onto the fact table (group-then-join)."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("__q"))
+        .filter(F.col("__q") > F.lit(300).cast("decimal(28,2)"))
+        .select("l_orderkey")
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == big["l_orderkey"])
+        .drop("l_orderkey")
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(14,2)").cast("double").alias(
+                "o_totalprice"
+            ),
+            "total_qty",
+        )
+    )
+
+
+@_register(
+    "w6_range_frame",
+    """
+    WITH d AS (
+      SELECT o_orderkey, o_custkey,
+             DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_n,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS price
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, day_n,
+           CAST(SUM(price) OVER (
+             PARTITION BY o_custkey ORDER BY day_n
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+    FROM d
+    """,
+)
+def w6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): per-customer
+    trailing-30-day spend. Distinct from w5's ROWS frames — RANGE
+    includes ALL peers inside the value interval regardless of row
+    count (the time-windowed rolling aggregate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("day_n"),
+        F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_n")
+        .rangeBetween(-30, 0)
+    )
+    return d.select(
+        "o_orderkey",
+        "o_custkey",
+        "day_n",
+        F.sum("price").over(w).cast("double").alias("spend_30d"),
+    )
+
+
+@_register(
+    "x7_posexplode",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           generate_subscripts(toks, 1) - 1 AS pos,
+           unnest(toks) AS tok
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def x7_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: token stream WITH ordinal positions — the ordered
+    flatten every sequence-model featurizer needs (explicit position,
+    SURVEY section 7 step 3 design rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.lower(strip_punct(F.col("text"))))
+    return (
+        docs.select("doc_id", toks.alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select("doc_id", F.posexplode("__toks").alias("pos", "tok"))
+    )
+
+
+@_register(
     "stats_moments",
     """
     WITH s AS (
