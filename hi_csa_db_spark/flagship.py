@@ -80,6 +80,15 @@ def flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = union_streams(
         {"Policy": policy, "Support": support, "Technical": technical}, type_col="type"
     )
+    # in-flight data-quality metrics (F.observe): row/null counts ride
+    # the same job — no second scan; a QueryExecutionListener (or
+    # df.attrs in tests) reads them post-action.
+    merged = merged.observe(
+        "flagship_quality",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("mitigation").isNull()).alias("n_null_mitigation"),
+        F.count_if(F.col("resource").isNull()).alias("n_null_resource"),
+    )
     merged = merged.filter(F.col("mitigation").isNotNull())
     deduped = first_row_per_key(
         merged,

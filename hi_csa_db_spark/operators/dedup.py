@@ -201,6 +201,29 @@ def jaccard_pairs(
     )
 
 
+def plan_lsh_bands(
+    num_hashes: int, threshold: float
+) -> tuple[int, int]:
+    """Pick (bands, rows) for a target Jaccard threshold.
+
+    The LSH S-curve crosses 1/2 near t ≈ (1/b)^(1/r); choose the
+    divisor pair of ``num_hashes`` whose implied threshold is closest
+    to the target. Driver-side pure math — lets callers say
+    "threshold=0.5" instead of hand-tuning band geometry.
+    """
+    best: tuple[float, int, int] | None = None
+    for rows in range(1, num_hashes + 1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+        implied = (1.0 / bands) ** (1.0 / rows)
+        err = abs(implied - threshold)
+        if best is None or err < best[0]:
+            best = (err, bands, rows)
+    assert best is not None
+    return best[1], best[2]
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -47,6 +47,55 @@ def extract_hrefs(base_url: str, html: str) -> list[str]:
     return [urljoin(base_url, m) for m in _HREF_RE.findall(html or "")]
 
 
+def concurrent_fetcher(
+    fetcher: Fetcher, max_workers: int = 4, delay_s: float = 0.0
+) -> Callable[[list[str]], list[str]]:
+    """Wrap a url->html fetcher into a batch fetcher with bounded
+    per-executor concurrency and a politeness delay per request slot —
+    the reference's 4-connection worker pool (no_conn=4,
+    hi-csa-db.Rmd:112) generalized: N executors x max_workers
+    connections, delay enforced per worker thread."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fetch_batch(urls: list[str]) -> list[str]:
+        def one(u: str) -> str:
+            html = fetcher(u)
+            if delay_s:
+                time.sleep(delay_s)
+            return html
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            return list(pool.map(one, urls))
+
+    return fetch_batch
+
+
+def fetch_pages_concurrent(
+    frontier: DataFrame,
+    fetcher: Fetcher,
+    max_workers: int = 4,
+    delay_s: float = 0.0,
+) -> DataFrame:
+    """fetch_pages with intra-partition fetch concurrency: network
+    latency overlaps within each Arrow batch instead of serializing."""
+    batch_fetch = concurrent_fetcher(fetcher, max_workers, delay_s)
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls = list(pdf["url"])
+            htmls = batch_fetch(urls)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "html": htmls,
+                    "hrefs": [extract_hrefs(u, h) for u, h in zip(urls, htmls)],
+                }
+            )
+
+    return frontier.mapInPandas(gen, PAGE_SCHEMA)
+
+
 def fetch_pages(frontier: DataFrame, fetcher: Fetcher) -> DataFrame:
     """Distributed fetch of a frontier(url) DataFrame ->
     pages(url, html, hrefs). Fetch AND href extraction happen in the
