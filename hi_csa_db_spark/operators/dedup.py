@@ -230,14 +230,18 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 16,
-    bands: int = 8,
+    bands: int | None = None,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> LSH -> verify.
 
     Returns verified near-duplicate pairs (id_a, id_b, jaccard) with
-    exact Jaccard >= threshold among LSH candidates.
+    exact Jaccard >= threshold among LSH candidates. ``bands=None``
+    derives the band geometry from the threshold (plan_lsh_bands);
+    for the defaults (16 hashes, t=0.5) that's the classic 8x2.
     """
+    if bands is None:
+        bands, _rows = plan_lsh_bands(num_hashes, threshold)
     # shingles feed both the signatures and the verify stage, and the
     # candidate pairs are consumed twice (semi-join + pair filter) —
     # materialize both instead of recomputing their lineage. At cluster

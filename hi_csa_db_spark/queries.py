@@ -1601,6 +1601,76 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipe_training_prep",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, lang, text,
+             len(list_filter(
+               string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+               x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM toks WHERE lang IN ('en', 'haw') AND n_tokens >= 10
+    ),
+    deduped AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS doc_id,
+             MIN(source) AS source, MIN(n_tokens) AS n_tokens
+      FROM gated GROUP BY md5(text)
+    ),
+    split AS (
+      SELECT CASE
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+               ELSE 'test'
+             END AS split,
+             source, n_tokens
+      FROM deduped
+    )
+    SELECT split, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+    FROM split GROUP BY split, source
+    """,
+)
+def pipe_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep composite: language gate ->
+    quality gate (min token count) -> exact content dedup (md5,
+    keep-min-id) -> deterministic split assignment -> per-split corpus
+    stats. One lazy Catalyst plan; the gates pushed down to the scan,
+    two shuffles total (dedup groupBy, final stats groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokenize(F.lower(strip_punct(F.col("text")))))
+    gated = (
+        docs.select("doc_id", "source", "lang", "text", n_tokens.alias("n_tokens"))
+        .filter(F.col("lang").isin("en", "haw") & (F.col("n_tokens") >= 10))
+    )
+    deduped = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("source").alias("source"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib < "c", F.lit("train"))
+        .when(nib < "e", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        deduped.select(split.alias("split"), "source", "n_tokens")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_tokens"),
+        )
+    )
+
+
+@_register(
     "q5_local_supplier_volume",
     """
     SELECT n.n_name,
