@@ -55,3 +55,27 @@ def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[s
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def publish(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """The engine's sink spec (SCALE.md): zstd parquet, optional
+    partition columns (e.g. the published csa_db partitioned by Type),
+    bounded file sizes so downstream scans parallelize evenly.
+
+    Overwrite is dynamic-partition-scoped when partitioning: a re-run
+    replaces only the partitions it produced (the idempotent-stage
+    pattern, reference crawl-or-cache S2)."""
+    writer = (
+        df.write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .option("partitionOverwriteMode", "dynamic")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
