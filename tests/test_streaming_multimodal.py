@@ -129,3 +129,18 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     got = {(r.p_id, r.c_id) for r in out.collect()}
     exp = {(r.p_id, r.c_id) for r in batch.collect()}
     assert got == exp
+
+
+def test_stream_upsert_sink_matches_batch(spark, sf_dir, tmp_path):
+    from hi_csa_db_spark.catalog import load_table
+
+    out = windows.upsert_sink(
+        spark, sf_dir, str(tmp_path / "totals"), str(tmp_path / "ckpt")
+    )
+    got = {r.user_id: r.n_events for r in out.collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exp = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == exp
