@@ -106,6 +106,41 @@ def pagerank(
     return ranks
 
 
+def connected_components(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Label propagation toward connected components: (id, lbl).
+
+    label_0(v) = v; label_{k+1}(v) = min(label_k(v), min over
+    neighbors). Pure integer min-propagation — deterministic on any
+    engine, no float anywhere. ``iterations`` bounds the propagation
+    radius (labels converge within graph diameter); per iteration:
+    one join + one aggregation over the undirected edge list, same
+    bucketed-by-src layout as pagerank/bfs at cluster scale.
+    """
+    ud = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = ud.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    for _ in range(iterations):
+        nb_min = (
+            ud.join(labels, ud["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("__nb"))
+        )
+        labels = (
+            labels.join(nb_min, labels["id"] == nb_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("__nb", F.col("lbl"))).alias("lbl"),
+            )
+        )
+    return labels
+
+
 def bfs(
     edges: DataFrame,
     seeds: DataFrame,

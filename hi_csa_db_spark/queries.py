@@ -1601,6 +1601,83 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "graph_components",
+    """
+    WITH e0 AS (SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+                FROM lineitem WHERE l_partkey < 200),
+    ud AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    nodes AS (SELECT DISTINCT src AS id FROM ud),
+    l0 AS (SELECT id, id AS lbl FROM nodes),
+    l1 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN l0 s ON s.id = n.id
+           LEFT JOIN ud e ON e.src = n.id LEFT JOIN l0 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl),
+    l2 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN l1 s ON s.id = n.id
+           LEFT JOIN ud e ON e.src = n.id LEFT JOIN l1 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl),
+    l3 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN l2 s ON s.id = n.id
+           LEFT JOIN ud e ON e.src = n.id LEFT JOIN l2 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl)
+    SELECT id, lbl FROM l3
+    """,
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component label propagation (3 iterations, pure
+    integer min — deterministic on any engine) over a subgraph of the
+    part-supplier graph. The iterative-algorithm twin of pagerank
+    with no float anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_partkey") < 200).select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+    )
+    return graph.connected_components(edges, iterations=3)
+
+
+@_register(
+    "x8_bigram_counts",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram ASC LIMIT 30
+    """,
+)
+def x8_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts, top-30 (count-desc, bigram tie-break) —
+    the n-gram LM statistics pass; ALL occurrences counted (unlike the
+    dedup tier's distinct shingles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokenize(F.lower(strip_punct(F.col("text"))))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("__t", i), F.element_at("__t", i + 1)
+        ),
+    )
+    return (
+        docs.select(t.alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(30)
+    )
+
+
+@_register(
     "pipe_training_prep",
     """
     WITH toks AS (
