@@ -1601,6 +1601,53 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x9_udtf_sentences",
+    """
+    WITH parts AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, '. '), 1) - 1 AS pos,
+             unnest(string_split(text, '. ')) AS sentence
+      FROM documents
+    )
+    SELECT doc_id, pos, sentence FROM parts WHERE sentence <> ''
+    """,
+)
+def x9_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) via LATERAL join: one row per
+    sentence with its ordinal — the UDTF third of the UDF/UDAF/UDTF
+    surface (SURVEY section 2.9), value-checked against a SQL
+    re-derivation."""
+    from hi_csa_db_spark.functions.udxf import SplitSentences
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.sentence "
+        "FROM __docs_udtf d, LATERAL split_sentences(d.text) s"
+    )
+
+
+@_register(
+    "agg_pandas_median",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS med_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDAF (grouped-agg pandas_udf): per-group
+    median, Arrow batch per group — the UDAF third of the surface;
+    matches SQL quantile_cont(0.5) exactly (same interpolation)."""
+    from hi_csa_db_spark.functions.udxf import pandas_median
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(pandas_median("o_totalprice"), 6).alias("med_price")
+    )
+
+
+@_register(
     "graph_components",
     """
     WITH e0 AS (SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
