@@ -901,6 +901,77 @@ def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "d6_dedup_survivors",
+    f"""
+    WITH {_SHINGLE_SQL},
+    seeds AS (SELECT unnest(range(0, 16)) AS seed),
+    mh AS (
+      SELECT doc_id, seed, MIN(md5(seed::VARCHAR || ':' || shingle)) AS mh
+      FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             md5(band::VARCHAR || '|' || string_agg(mh, '|' ORDER BY seed)) AS bkey
+      FROM (SELECT doc_id, seed, mh, seed // 2 AS band FROM mh)
+      GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                               AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ic
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+                  JOIN sizes sa ON sa.doc_id = c.id_a
+                  JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE i.ic / (sa.sz + sb.sz - i.ic) >= 0.05
+    ),
+    ud AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM ud),
+    l0 AS (SELECT id, id AS lbl FROM nodes),
+    l1 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN l0 s ON s.id = n.id
+           LEFT JOIN ud e ON e.src = n.id LEFT JOIN l0 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl),
+    l2 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN l1 s ON s.id = n.id
+           LEFT JOIN ud e ON e.src = n.id LEFT JOIN l1 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl),
+    l3 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN l2 s ON s.id = n.id
+           LEFT JOIN ud e ON e.src = n.id LEFT JOIN l2 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl)
+    SELECT lbl AS survivor_id, COUNT(*) AS n_members
+    FROM l3 GROUP BY lbl
+    """,
+)
+def d6_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ENDGAME: near-dup pairs (d2) -> connected components
+    (transitive closure via integer label propagation) -> one canonical
+    survivor per duplicate cluster (the component's min id) with the
+    cluster size. Pair detection alone isn't dedup — a~b~c must
+    collapse to ONE survivor even when (a,c) was never directly
+    compared."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=8, threshold=0.05
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = graph.connected_components(edges, iterations=3)
+    return labels.groupBy(F.col("lbl").alias("survivor_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+@_register(
     "d3_ngram_jaccard_topk",
     f"""
     WITH {_SHINGLE_SQL},
