@@ -1672,6 +1672,104 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "t3_resample_daily",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n
+      FROM events
+    ),
+    counts AS (SELECT user_id, day_n, COUNT(*) AS n FROM d GROUP BY user_id, day_n),
+    spans AS (SELECT user_id, MIN(day_n) AS d0, MAX(day_n) AS d1 FROM d GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day_n FROM spans)
+    SELECT g.user_id, g.day_n, COALESCE(c.n, 0) AS n_events
+    FROM grid g LEFT JOIN counts c ON c.user_id = g.user_id AND c.day_n = g.day_n
+    """,
+)
+def t3_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample / gap fill: per-user daily counts with
+    MISSING DAYS materialized as zeros — per-key calendar grid built
+    with sequence+explode, left-joined to the observed counts. The
+    grid explode is narrow (no shuffle); the join shuffles on
+    (user, day), same key as the aggregation — one exchange reused."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.expr("ts_ns div 1000 div 86400000000").alias("day_n")
+    )
+    counts = d.groupBy("user_id", "day_n").agg(F.count(F.lit(1)).alias("n"))
+    spans = d.groupBy("user_id").agg(
+        F.min("day_n").alias("d0"), F.max("day_n").alias("d1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day_n")
+    )
+    return grid.join(counts, ["user_id", "day_n"], "left").select(
+        "user_id", "day_n", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+@_register(
+    "g5_unpivot",
+    """
+    SELECT o_orderkey, k, CAST(v AS DOUBLE) AS v
+    FROM (UNPIVOT (SELECT o_orderkey, o_totalprice, CAST(o_custkey AS DOUBLE) AS o_custkey
+                   FROM orders)
+          ON o_totalprice, o_custkey INTO NAME k VALUE v)
+    """,
+)
+def g5_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide numeric columns to (key, value) rows — the
+    inverse of g4's pivot; a narrow map (no shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_custkey").cast("double").alias("o_custkey"),
+        )
+        .unpivot(
+            ["o_orderkey"],
+            ["o_totalprice", "o_custkey"],
+            "k",
+            "v",
+        )
+    )
+
+
+@_register(
+    "f7b_extract_all",
+    """
+    WITH noisy AS (
+      SELECT doc_id,
+             'ref E' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || 'X and E' ||
+             lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || 'B done' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(regexp_extract_all(raw, '(E[0-9][0-9][0-9][A-Za-z])', 1), ',') AS codes,
+           len(regexp_extract_all(raw, '(E[0-9][0-9][0-9][A-Za-z])', 1)) AS n_codes
+    FROM noisy
+    """,
+)
+def f7b_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 generalized: ALL practice-code matches per row (the
+    reference keeps only the first, hi-csa-db.Rmd:453-457)."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("ref E"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("X and E"),
+        F.lpad(((F.col("doc_id") * 7) % 1000).cast("string"), 3, "0"),
+        F.lit("B done"),
+    )
+    codes = F.regexp_extract_all(raw, F.lit(r"(E[0-9][0-9][0-9][A-Za-z])"), 1)
+    return docs.select(
+        "doc_id",
+        F.concat_ws(",", codes).alias("codes"),
+        F.size(codes).alias("n_codes"),
+    )
+
+
+@_register(
     "x9_udtf_sentences",
     """
     WITH parts AS (
