@@ -1708,6 +1708,70 @@ def t3_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "t4_event_gaps",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    )
+    SELECT user_id, event_id, ts_us, ts_us - prev_us AS gap_us
+    FROM o
+    WHERE prev_us IS NOT NULL AND ts_us - prev_us > 86400000000
+    """,
+)
+def t4_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap detection (islands-and-gaps): events arriving more than a
+    day after the user's previous event — lag() over (user, time), the
+    sessionization primitive t2 builds on."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    o = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("ts_us"),
+        F.lag(us).over(w).alias("prev_us"),
+    )
+    return (
+        o.filter(
+            F.col("prev_us").isNotNull()
+            & (F.col("ts_us") - F.col("prev_us") > 86_400_000_000)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            (F.col("ts_us") - F.col("prev_us")).alias("gap_us"),
+        )
+    )
+
+
+@_register(
+    "a7_argmax",
+    """
+    SELECT user_id,
+           arg_max(event_type, epoch_us(ts)) AS last_type,
+           arg_min(event_type, epoch_us(ts)) AS first_type,
+           MAX(epoch_us(ts)) AS last_ts_us
+    FROM events GROUP BY user_id
+    """,
+)
+def a7_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin aggregates (max_by/min_by): each user's first and
+    last event type in one aggregation pass — no self-join, no window
+    (event timestamps are unique at microsecond precision, so the
+    ordering key is tie-free)."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.expr("ts_ns div 1000")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", key).alias("last_type"),
+        F.min_by("event_type", key).alias("first_type"),
+        F.max(F.expr("ts_ns div 1000")).alias("last_ts_us"),
+    )
+
+
+@_register(
     "g5_unpivot",
     """
     SELECT o_orderkey, k, CAST(v AS DOUBLE) AS v
