@@ -1708,6 +1708,87 @@ def t3_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "t5_funnel",
+    """
+    WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+          FROM events e JOIN v ON v.user_id = e.user_id AND epoch_us(e.ts) > v.t
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+          FROM events e JOIN c ON c.user_id = e.user_id AND epoch_us(e.ts) > c.t
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def t5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER the first
+    view, then purchased AFTER that click. Each stage is one
+    aggregation + one equi-join on user — never a per-user sort or
+    collect; stages chain on the same user-partitioned shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    base = ev.select("user_id", "event_type", us.alias("t"))
+    v = base.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("t").alias("vt")
+    )
+    c = (
+        base.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("t") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("ct"))
+    )
+    p = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("pt"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+@_register(
+    "t6_cohort_retention",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week_n
+      FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(week_n) AS c0 FROM d GROUP BY user_id)
+    SELECT c.c0 AS cohort_week,
+           d.week_n - c.c0 AS week_offset,
+           COUNT(DISTINCT d.user_id) AS active_users
+    FROM d JOIN cohort c ON c.user_id = d.user_id
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def t6_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity week, counted
+    distinct per subsequent week offset — the canonical retention
+    matrix; two aggregations sharing the user-keyed shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.expr("ts_ns div 1000 div 604800000000").alias("week_n")
+    )
+    cohort = d.groupBy("user_id").agg(F.min("week_n").alias("c0"))
+    return (
+        d.join(cohort, "user_id")
+        .groupBy(
+            F.col("c0").alias("cohort_week"),
+            (F.col("week_n") - F.col("c0")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@_register(
     "t4_event_gaps",
     """
     WITH o AS (
