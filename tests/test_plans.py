@@ -69,6 +69,7 @@ _NLJ_ALLOWED = {
     "d5_embedding_neardup",  # 8-row centroid table broadcast
     "s2_ivf_topk",  # 8-row centroid table broadcast
     "p6_ordered_slice",  # 1-row scalar min-marker broadcast
+    "t5_funnel",  # three 1-row stage counts cross-combined
 }
 
 
