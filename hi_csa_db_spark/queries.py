@@ -1708,6 +1708,81 @@ def t3_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "t7_zscore_outliers",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - s.sx / s.n) / sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)) AS zs
+      FROM events e JOIN s ON s.event_type = e.event_type
+    )
+    SELECT event_id, event_type, value, ROUND(zs, 6) AS zscore
+    FROM z WHERE zs > 3.0 OR zs < -3.0
+    """,
+)
+def t7_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection per event type: per-group moments
+    from decimal-exact power sums (the stats_moments pattern)
+    broadcast back onto the stream; outliers = |z| > 3. The per-group
+    stats table is tiny — broadcast join, no second shuffle of the
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    v14 = F.col("value").cast("decimal(14,2)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _dsum(F.col("value")).alias("sx"),
+        F.sum(v14 * v14).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt(F.col("sxx") / F.col("n") - mean * mean)
+    zs = (F.col("value") - mean) / std
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .filter((zs > 3.0) | (zs < -3.0))
+        .select(
+            "event_id", "event_type", "value", F.round(zs, 6).alias("zscore")
+        )
+    )
+
+
+@_register(
+    "f_null_suite",
+    """
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_or_null,
+           COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_filled,
+           (c_acctbal IS NULL) AS is_null_bal,
+           IFNULL(NULL, c_custkey) AS ifnull_demo
+    FROM customer
+    """,
+)
+def f_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling family: nullif/coalesce/ifnull/IS NULL — the F13
+    surface (hi-csa-db.Rmd:62,67,458...) as one projection."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal_or_null = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+        F.col("c_acctbal")
+    )
+    return cust.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_masked"),
+        bal_or_null.alias("bal_or_null"),
+        F.coalesce(bal_or_null, F.lit(0.0)).alias("bal_filled"),
+        F.col("c_acctbal").isNull().alias("is_null_bal"),
+        F.ifnull(F.lit(None), F.col("c_custkey")).alias("ifnull_demo"),
+    )
+
+
+@_register(
     "t5_funnel",
     """
     WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events WHERE event_type = 'view' GROUP BY user_id),
