@@ -294,3 +294,55 @@ def simhash(
             )
         ).alias("simhash")
     )
+
+
+def simhash_hamming_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded.
+
+    Pigeonhole blocking: split the fingerprint into ``bands`` equal
+    bit-slices; any pair within Hamming distance < bands must agree on
+    at least one whole slice, so candidates = docs sharing (band,
+    slice-value) — an equi-join, never an all-pairs XOR scan. Verify
+    with bit_count(xor) <= max_hamming. (Guaranteed-complete recall
+    requires max_hamming < bands; larger thresholds trade recall for
+    the same cost, the standard production setting.)
+    """
+    width = bits // bands
+    # integer shiftright per band — double division would lose
+    # precision above 2^53 and mis-bucket high bits
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            (F.shiftright(F.col(sim_col), i * width) % F.lit(2**width)).alias(
+                "bval"
+            ),
+        )
+        for i in range(bands)
+    ]
+    banded = fingerprints.select(
+        F.col(id_col), F.col(sim_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, sim_col, F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(sim_col).alias("__sa"), "band", "bval"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(sim_col).alias("__sb"), "band", "bval"
+    )
+    cands = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        cands.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1028,6 +1028,52 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(docs)
 
 
+@_register(
+    "d7_simhash_pairs",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(list_filter(
+          string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+          x -> x <> '')) AS tok
+        FROM documents
+      )
+    ),
+    h AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+    bits AS (
+      SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+      GROUP BY doc_id, b
+    ),
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, simhash, band, (simhash // (CAST(1 AS BIGINT) << (band * 15))) % 32768 AS bval
+      FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.simhash AS sa, b.simhash AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 12
+    """,
+)
+def d7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole band blocking (4 x 15-bit
+    slices -> equi-join) + Hamming verify via bit_count(xor) — the
+    all-pairs XOR scan never happens. Completes the SimHash path (d4
+    emits fingerprints; this pairs them)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = dedup.simhash(docs)
+    return dedup.simhash_hamming_pairs(fp, bands=4, max_hamming=12)
+
+
 # ---------------------------------------------------------------------------
 # Extension surface: similarity search
 # ---------------------------------------------------------------------------
