@@ -128,3 +128,62 @@ def ivf_topk(
         .select(F.col(id_col), cosine(F.col(vec_col), F.col("__q")).alias("cos_sim"))
     )
     return _ranked(scored, k, id_col)
+
+
+def kmeans_iterate(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd step: assign (broadcast cosine argmax) then recompute
+    centroids as per-dimension means, rebuilt into arrays with
+    position-sorted collect (array order = dim order, deterministic).
+
+    Returns a new centroids DataFrame (centroid_id, embedding). The
+    per-(cluster, dim) mean aggregation is map-side combinable; the
+    array rebuild groups k*dims tiny rows — negligible at any scale.
+    """
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col).join(
+        embeddings, id_col
+    )
+    dims = assigned.select(
+        "centroid_id", F.posexplode(vec_col).alias("dim", "val")
+    )
+    means = dims.groupBy("centroid_id", "dim").agg(F.avg("val").alias("m"))
+    return (
+        means.groupBy("centroid_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "m"))
+            ).alias("__dm")
+        )
+        .select(
+            "centroid_id",
+            F.transform(F.col("__dm"), lambda s: s["m"].cast("float")).alias(
+                vec_col
+            ),
+        )
+    )
+
+
+def kmeans_clusters(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means: seed centroids = first k vectors (deterministic),
+    ``iterations`` assign/update rounds, final cluster sizes
+    (cluster_id, n_members). The iterative-ML shape on DataFrames:
+    every round is one broadcast argmax + one mean aggregation."""
+    cents = embeddings.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col)
+    )
+    for _ in range(iterations):
+        cents = kmeans_iterate(embeddings, cents, id_col, vec_col)
+    final = ivf_assign(embeddings, cents, id_col, vec_col)
+    return final.groupBy(F.col("centroid_id").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

@@ -2083,6 +2083,56 @@ def agg_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "graph_triangles",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 120) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 120) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT COUNT(*) AS n_triangles FROM pairs e1
+    JOIN pairs e2 ON e2.p1 = e1.p2
+    JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph (parts sharing an
+    order): the canonical multi-way self-join graph analytic. Ordered
+    edges (p1<p2) make each triangle count exactly once; both joins
+    are equi-joins on node ids (at scale: edges bucketed by p1)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 120)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "o").filter(F.col("p1") < F.col("p2")).select("p1", "p2").distinct()
+    )
+    e1 = pairs
+    e2 = pairs.select(F.col("p1").alias("p2"), F.col("p2").alias("p3"))
+    e3 = pairs.select(F.col("p1").alias("p1x"), F.col("p2").alias("p3x"))
+    tri = (
+        e1.join(e2, "p2")
+        .join(e3, (F.col("p1") == F.col("p1x")) & (F.col("p3") == F.col("p3x")))
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@_register("ml_kmeans")
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 2 iterations) over the embeddings table,
+    expressed in DataFrame ops: posexplode to (vec, dim, val), cosine
+    assignment against broadcast centroids, per-(cluster, dim) means
+    rebuilt into centroid arrays. Rows-only check (float means are
+    engine-specific); the unit test asserts the clustering partitions
+    the corpus."""
+    from hi_csa_db_spark.operators.similarity import kmeans_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_clusters(emb, k=8, iterations=2)
+
+
+@_register(
     "graph_components",
     """
     WITH e0 AS (SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst

@@ -71,3 +71,15 @@ def test_ivf_topk_returns_k_and_subset_of_bruteforce_buckets(spark):
     rows = out.collect()
     assert 0 < len(rows) <= 5
     assert all(r.vec_id != 0 for r in rows)
+
+
+def test_kmeans_partitions_corpus(spark, sf_dir):
+    from hi_csa_db_spark.catalog import load_table
+    from hi_csa_db_spark.operators.similarity import kmeans_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    clusters = kmeans_clusters(emb, k=8, iterations=2).collect()
+    assert len(clusters) <= 8
+    assert sum(r.n_members for r in clusters) == n
+    assert all(r.n_members > 0 for r in clusters)

@@ -70,6 +70,7 @@ _NLJ_ALLOWED = {
     "s2_ivf_topk",  # 8-row centroid table broadcast
     "p6_ordered_slice",  # 1-row scalar min-marker broadcast
     "t5_funnel",  # three 1-row stage counts cross-combined
+    "ml_kmeans",  # 8-row centroid table broadcast per Lloyd round
 }
 
 
