@@ -79,3 +79,74 @@ def publish(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact(
+    spark: SparkSession, path: str, target_files: int | None = None
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``target_files`` files (default: size-based, ~128 MB each). The
+    operational fix for the many-tiny-files problem that kills scan
+    parallelism accounting and NameNode/listing overhead at fleet
+    scale. Returns the new file count.
+
+    Rewrites via a temp sibling directory then atomic-ish rename, so a
+    failed compaction never destroys the source."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    if target_files is None:
+        total_bytes = sum(
+            f.stat().st_size for f in __import__("pathlib").Path(path).rglob("*.parquet")
+        )
+        target_files = max(1, total_bytes // (128 * 1024 * 1024))
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(int(target_files)).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return len(
+        [f for f in __import__("pathlib").Path(path).rglob("*.parquet")]
+    )
+
+
+def zorder_value(cols: list, bits: int = 8):
+    """Z-order (Morton) value: interleave the bits of per-column
+    bucket ids so files sorted by the result are clustered in EVERY
+    listed dimension at once — min/max row-group pruning then skips
+    effectively for filters on any of the columns, not just the first
+    sort key. ``cols``: (column, lo, hi) triples; linear width_bucket
+    binning (at fleet scale, swap in approx-quantile boundaries for
+    skewed columns)."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for ci, (col, lo, hi) in enumerate(cols):
+        bucket = (
+            F.width_bucket(col, F.lit(lo), F.lit(hi), F.lit(2**bits)) - 1
+        ).cast("long")
+        for b in range(bits):
+            bit = F.shiftright(bucket, b) % 2
+            z = z + F.shiftleft(bit, b * len(cols) + ci)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list,
+    n_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Range-partition + sort by the Z-value, then write: each output
+    file covers a compact hyper-rectangle of the listed dimensions."""
+    z = zorder_value(cols, bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -50,3 +50,47 @@ def test_sql_frontend_matches_dataframe(spark, sf_dir):
     assert sorted(map(tuple, sql_result.collect())) == sorted(
         map(tuple, df_result.collect())
     )
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    from hi_csa_db_spark.catalog import compact, load_table
+
+    path = str(tmp_path / "shattered")
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    docs.repartition(64).write.parquet(path)
+    import pathlib
+
+    assert len(list(pathlib.Path(path).rglob("*.parquet"))) == 64
+    new_count = compact(spark, path, target_files=4)
+    assert new_count == 4
+    assert spark.read.parquet(path).count() == n
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    import pathlib
+
+    from hi_csa_db_spark.catalog import write_zordered
+
+    df = (
+        spark.range(0, 4096)
+        .select(
+            (F.col("id") % 64).cast("double").alias("x"),
+            (F.col("id") / 64).cast("long").cast("double").alias("y"),
+        )
+    )
+    path = str(tmp_path / "zord")
+    write_zordered(df, path, [("x", 0.0, 64.0), ("y", 0.0, 64.0)], n_files=16)
+    files = list(pathlib.Path(path).rglob("*.parquet"))
+    assert len(files) == 16
+    # each file must span a narrow range in BOTH x and y — a plain
+    # sort by x would leave y ranges full-width in every file
+    spans_x, spans_y = [], []
+    for f in files:
+        pdf = spark.read.parquet(str(f)).agg(
+            F.max("x") - F.min("x"), F.max("y") - F.min("y")
+        ).collect()[0]
+        spans_x.append(pdf[0])
+        spans_y.append(pdf[1])
+    assert sum(spans_x) / len(spans_x) < 32
+    assert sum(spans_y) / len(spans_y) < 32
