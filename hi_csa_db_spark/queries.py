@@ -1029,6 +1029,33 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "d8_edit_distance",
+    """
+    WITH s AS (SELECT DISTINCT source FROM documents)
+    SELECT a.source AS src_a, b.source AS src_b,
+           levenshtein(a.source, b.source) AS dist
+    FROM s a JOIN s b ON a.source < b.source
+    WHERE levenshtein(a.source, b.source) <= 4
+    """,
+)
+def d8_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching between source names (levenshtein
+    <= 4) — the record-linkage primitive; the distinct-values build
+    side is dimension-sized, so the pair join broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select("source").distinct()
+    a = s.select(F.col("source").alias("src_a"))
+    b = s.select(F.col("source").alias("src_b"))
+    return (
+        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a", "src_b", F.levenshtein("src_a", "src_b").alias("dist")
+        )
+        .filter(F.col("dist") <= 4)
+    )
+
+
+@_register(
     "d7_simhash_pairs",
     """
     WITH toks AS (
