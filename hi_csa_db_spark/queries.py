@@ -2645,6 +2645,40 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "f_string_suite2",
+    """
+    SELECT p_partkey,
+           trim(p_name) AS trimmed,
+           ltrim(rtrim(p_name)) AS lr_trimmed,
+           split_part(p_type, ' ', 1) AS type_head,
+           split_part(p_type, ' ', -1) AS type_tail,
+           translate(p_brand, '#', '-') AS brand_dashed,
+           repeat('*', CAST(p_size % 5 AS INT)) AS stars,
+           strpos(p_name, 'o') AS first_o,
+           left(p_name, 4) AS head4,
+           right(p_name, 4) AS tail4
+    FROM part
+    """,
+)
+def f_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family 2: trim variants, split_part head/tail, translate,
+    repeat, position, left/right slices."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.trim("p_name").alias("trimmed"),
+        F.ltrim(F.rtrim("p_name")).alias("lr_trimmed"),
+        F.substring_index("p_type", " ", 1).alias("type_head"),
+        F.substring_index("p_type", " ", -1).alias("type_tail"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("stars"),
+        F.instr("p_name", "o").alias("first_o"),
+        F.substring("p_name", 1, 4).alias("head4"),
+        F.substring(F.col("p_name"), -4, 4).alias("tail4"),
+    )
+
+
+@_register(
     "f_map_suite",
     """
     WITH m AS (
