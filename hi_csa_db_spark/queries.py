@@ -2645,6 +2645,64 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "w7_rank_fractions",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey), 9) AS pr,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey), 9) AS cd
+    FROM orders
+    """,
+)
+def w7_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist window fractions per priority group
+    (tie-free ordering via the orderkey suffix; exact rational values
+    rounded identically on both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    )
+
+
+@_register(
+    "f_array_suite2",
+    """
+    WITH t AS (
+      SELECT p_partkey,
+             string_split(p_name, ' ') AS w1,
+             string_split(p_type, ' ') AS w2
+      FROM part
+    )
+    SELECT p_partkey,
+           COALESCE(array_to_string(list_sort(list_distinct(w1 || w2)), ','), '') AS union_csv,
+           COALESCE(array_to_string(list_sort(list_intersect(w1, w2)), ','), '') AS inter_csv,
+           COALESCE(array_to_string(list_sort(list_filter(list_distinct(w1), x -> NOT list_contains(w2, x))), ','), '') AS except_csv,
+           len(list_distinct(w1 || w2)) AS n_union
+    FROM t
+    """,
+)
+def f_array_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations (union/intersect/except) — outputs sorted
+    then joined so the comparison is order-insensitive (array_intersect
+    ordering is engine-specific)."""
+    part = load_table(spark, sf_dir, "part")
+    w1 = F.split(F.col("p_name"), " ")
+    w2 = F.split(F.col("p_type"), " ")
+    return part.select(
+        "p_partkey",
+        F.concat_ws(",", F.array_sort(F.array_union(w1, w2))).alias("union_csv"),
+        F.concat_ws(",", F.array_sort(F.array_intersect(w1, w2))).alias(
+            "inter_csv"
+        ),
+        F.concat_ws(",", F.array_sort(F.array_except(w1, w2))).alias("except_csv"),
+        F.size(F.array_union(w1, w2)).alias("n_union"),
+    )
+
+
+@_register(
     "f_string_suite2",
     """
     SELECT p_partkey,
