@@ -2645,6 +2645,37 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "w8_window_values",
+    """
+    SELECT o_orderkey, o_custkey,
+           count(DISTINCT o_orderstatus) OVER (PARTITION BY o_custkey) AS n_statuses,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_order,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+    FROM orders
+    """,
+)
+def w8_window_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value functions: per-partition distinct count (collect_set
+    size — Spark's window has no COUNT(DISTINCT)), first/nth/last value
+    over the full frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_custkey")
+    wo = wp.orderBy("o_orderdate", "o_orderkey")
+    wfull = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.size(F.collect_set("o_orderstatus").over(wp)).alias("n_statuses"),
+        F.first("o_orderkey").over(wo).alias("first_order"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+    )
+
+
+@_register(
     "w7_rank_fractions",
     """
     SELECT o_orderkey, o_orderpriority,
