@@ -2350,6 +2350,74 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q8_market_share",
+    """
+    WITH sales AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS yr,
+             CAST(l.l_extendedprice AS DECIMAL(14,2))
+               * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))) AS vol,
+             n.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT yr,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'CHINA' THEN vol ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+                 / CAST(SUM(vol) AS DOUBLE), 9) AS mkt_share
+    FROM sales GROUP BY yr
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's share of yearly sales volume —
+    conditional decimal sums ratioed at read time (numerator and
+    denominator both exact, so the share is order-independent)."""
+    t = load_tables(spark, sf_dir)
+    vol = _disc_price()
+    sales = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            vol.alias("vol"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(14,2)")
+    return sales.groupBy("yr").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "CHINA", F.col("vol")).otherwise(zero)
+            ).cast("double")
+            / F.sum("vol").cast("double"),
+            9,
+        ).alias("mkt_share")
+    )
+
+
+@_register("sketch_hll_merge")
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (hll_sketch_agg/hll_union_agg): distinct
+    orders estimated from PER-SHARD sketches merged at read time — the
+    incremental-aggregation pattern for approximate distinct counts.
+    Rows-only (sketch estimates are engine-specific); the unit test
+    asserts merge(sketch(A), sketch(B)) lands within sketch error of
+    sketch(A ∪ B) — union-mode promotions make it approximate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    shards = li.select(
+        "l_returnflag", "l_orderkey", (F.col("l_orderkey") % 4).alias("shard")
+    )
+    per_shard = shards.groupBy("l_returnflag", "shard").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk")
+    )
+    return per_shard.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_orders")
+    )
+
+
+@_register(
     "q18_large_orders",
     """
     WITH big AS (

@@ -28,3 +28,25 @@ def test_merge_handles_new_and_missing_keys(spark):
     merged = merge_states(agg_state(a, ["k"], "v"), agg_state(b, ["k"], "v"), ["k"])
     rows = {r.k: (r.n_rows, float(r.sum_v), r.min_v, r.max_v) for r in merged.collect()}
     assert rows == {"x": (2, 3.0, 1.0, 2.0), "y": (1, 10.0, 10.0, 10.0)}
+
+
+def test_hll_sketch_merge_close_to_direct(spark, sf_dir):
+    """merge(sketch(A), sketch(B)) estimates within sketch error of
+    sketch(A ∪ B) — union-mode promotions can shift registers, so
+    equality is approximate, not bit-exact (unlike the decimal
+    states above)."""
+    from hi_csa_db_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = (
+        a.agg(F.hll_sketch_agg("l_orderkey").alias("sk"))
+        .unionAll(b.agg(F.hll_sketch_agg("l_orderkey").alias("sk")))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0].est
+    )
+    full = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias("est")
+    ).collect()[0].est
+    assert abs(merged - full) / full < 0.05

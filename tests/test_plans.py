@@ -87,3 +87,16 @@ def test_no_accidental_nested_loops(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_fact_fact_join_shuffles_when_too_big_to_broadcast(spark, sf_dir):
+    # with broadcast off (as at real fact-table scale), the engine picks
+    # a shuffled join for lineitem x orders — fact tables are never
+    # forced through a broadcast
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "q18_large_orders")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
