@@ -2713,6 +2713,100 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "g6_grouping_id",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_prio,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def g6_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator columns over grouping sets — distinguishes
+    'NULL because aggregated away' from 'NULL in the data'."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_register(
+    "f_trycast",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 3 = 1 THEN CAST(doc_id AS VARCHAR) || 'x'
+                  ELSE '' END AS numish
+      FROM documents
+    )
+    SELECT doc_id, numish,
+           TRY_CAST(numish AS BIGINT) AS parsed,
+           COALESCE(TRY_CAST(numish AS BIGINT), -1) AS parsed_or_default
+    FROM raw
+    """,
+)
+def f_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe parsing (try_cast): malformed numerics become NULL, never a
+    job failure — the error-tolerant ingest primitive (ANSI mode stays
+    on for everything else)."""
+    docs = load_table(spark, sf_dir, "documents")
+    numish = (
+        F.when(F.col("doc_id") % 3 == 0, F.col("doc_id").cast("string"))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.col("doc_id").cast("string"), F.lit("x")))
+        .otherwise(F.lit(""))
+    )
+    raw = docs.select("doc_id", numish.alias("numish"))
+    return raw.select(
+        "doc_id",
+        "numish",
+        F.col("numish").try_cast("bigint").alias("parsed"),
+        F.coalesce(F.col("numish").try_cast("bigint"), F.lit(-1)).alias(
+            "parsed_or_default"
+        ),
+    )
+
+
+@_register(
+    "f_date_suite2",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_month,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter_start,
+           dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+           CAST(strftime(o_orderdate, '%j') AS BIGINT) AS day_of_year
+    FROM orders
+    """,
+)
+def f_date_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family 2: month addition (end-of-month clamped
+    identically on both engines), last_day, quarter truncation,
+    day-of-week (Spark 1=Sunday convention), day-of-year."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.add_months(d, 1).alias("plus_month"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+        F.dayofweek(d).cast("bigint").alias("dow"),
+        F.dayofyear(d).cast("bigint").alias("day_of_year"),
+    )
+
+
+@_register(
     "w8_window_values",
     """
     SELECT o_orderkey, o_custkey,
