@@ -62,3 +62,14 @@ def test_nlj_strategy_agrees_with_equijoin_strategy(spark):
     a = keyword_classify(_docs(spark), _dict(spark))
     b = keyword_classify_nlj(_docs(spark), _dict(spark))
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_upsert_semantics(spark):
+    from hi_csa_db_spark.operators.merge import upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    updates = spark.createDataFrame([(2, "B"), (4, "D")], ["k", "v"])
+    out = {r.k: r.v for r in upsert(base, updates, keys=["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "D"}
