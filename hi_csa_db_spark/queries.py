@@ -2590,6 +2590,79 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stats_linreg",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND((sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n)), 6) AS slope,
+           ROUND((sy / n) - ((sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n))) * (sx / n), 6) AS intercept,
+           ROUND(((sxy / n - (sx / n) * (sy / n)) * (sxy / n - (sx / n) * (sy / n)))
+                 / ((sxx / n - (sx / n) * (sx / n)) * (syy / n - (sy / n) * (sy / n))), 6) AS r2
+    FROM s
+    """,
+)
+def stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit (slope/intercept/R^2 of
+    price on quantity) from decimal-exact power sums — the built-in
+    regr_slope/regr_r2 over doubles is not order-stable at scale; this
+    is, and it's one map-side-combined pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q14 = F.col("l_quantity").cast("decimal(14,2)")
+    p14 = F.col("l_extendedprice").cast("decimal(14,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _dsum(F.col("l_quantity")).alias("sx"),
+        F.sum(q14 * q14).cast("double").alias("sxx"),
+        _dsum(F.col("l_extendedprice")).alias("sy"),
+        F.sum(q14 * p14).cast("double").alias("sxy"),
+        F.sum(p14 * p14).cast("double").alias("syy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
+    cov = sxy / n - (sx / n) * (sy / n)
+    var_x = sxx / n - (sx / n) * (sx / n)
+    var_y = syy / n - (sy / n) * (sy / n)
+    slope = cov / var_x
+    return s.select(
+        "l_returnflag",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy / n) - slope * (sx / n), 6).alias("intercept"),
+        F.round((cov * cov) / (var_x * var_y), 6).alias("r2"),
+    )
+
+
+@_register(
+    "f_bitwise",
+    """
+    SELECT l_returnflag,
+           BIT_AND(CAST(l_orderkey % 256 AS BIGINT)) AS band,
+           BIT_OR(CAST(l_orderkey % 256 AS BIGINT)) AS bor,
+           BIT_XOR(CAST(l_orderkey % 256 AS BIGINT)) AS bxor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def f_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (and/or/xor) — order-independent by
+    algebra, so exactly portable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = (F.col("l_orderkey") % 256).cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(b).alias("band"),
+        F.bit_or(b).alias("bor"),
+        F.bit_xor(b).alias("bxor"),
+    )
+
+
+@_register(
     "stats_histogram",
     """
     SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
