@@ -1408,6 +1408,39 @@ def sq_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sq_exists",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F'
+                        AND o2.o_totalprice > 400000)
+    """,
+)
+def sq_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL front-end —
+    Catalyst decorrelates them into the semi/anti joins the DataFrame
+    tier uses directly (the identical plan, two authoring surfaces)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice > 400000)
+        """
+    )
+
+
+@_register(
     "sq_correlated_subquery",
     """
     SELECT c_custkey, c_acctbal FROM customer c
