@@ -12,6 +12,10 @@ FLOAT_SENSITIVE = [
     "x6_tfidf_topk",
     "graph_pagerank",
     "s1_cosine_topk",
+    "stats_moments",
+    "stats_linreg",
+    "t6_cohort_retention",
+    "q8_market_share",
 ]
 
 
