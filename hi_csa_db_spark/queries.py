@@ -2096,6 +2096,85 @@ def f7b_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x10_sparse_cosine_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS tok
+      FROM documents WHERE doc_id < 200
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+    w AS (
+      SELECT tf.doc_id, tf.tok, tf.tf * ln((SELECT n_docs FROM n) / df.df) AS w
+      FROM tf JOIN df ON tf.tok = df.tok WHERE df.df > 1
+    ),
+    norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dots JOIN norms na ON na.doc_id = id_a
+              JOIN norms nb ON nb.doc_id = id_b
+    WHERE na.nrm > 0 AND nb.nrm > 0
+    ORDER BY cos_sim DESC, id_a ASC, id_b ASC LIMIT 20
+    """,
+)
+def x10_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE-vector cosine similarity over TF-IDF document vectors:
+    inverted-index token join computes only the nonzero dot-product
+    terms — the all-pairs text-similarity path when documents are bags
+    of words, complementing the dense-embedding tier (s1/s2).
+    Zero-df-weight tokens (df == 1 contribute to no pair) are pruned
+    BEFORE the join — the sparse analogue of prefix filtering."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = docs.select(
+        "doc_id",
+        F.explode(tokenize(F.lower(strip_punct(F.col("text"))))).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = float(tf.select("doc_id").distinct().count())
+    w = (
+        tf.join(df_, "tok")
+        .filter(F.col("df") > 1)
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("id_a"), "tok", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(20)
+    )
+
+
+@_register(
     "x9_udtf_sentences",
     """
     WITH parts AS (
