@@ -1858,6 +1858,35 @@ def t7_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "f_conditional_suite",
+    """
+    SELECT c_custkey,
+           GREATEST(c_acctbal, 0.0) AS bal_floor0,
+           LEAST(c_acctbal, 5000.0) AS bal_cap5k,
+           IF(c_acctbal >= 0, 'ok', 'neg') AS flag,
+           CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'MACHINERY' THEN 2 ELSE 0 END AS seg_code
+    FROM customer
+    """,
+)
+def f_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression family: greatest/least clamps, IF, simple
+    CASE dispatch."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_cap5k"),
+        F.when(F.col("c_acctbal") >= 0, F.lit("ok"))
+        .otherwise(F.lit("neg"))
+        .alias("flag"),
+        F.when(F.col("c_mktsegment") == "BUILDING", F.lit(1))
+        .when(F.col("c_mktsegment") == "MACHINERY", F.lit(2))
+        .otherwise(F.lit(0))
+        .alias("seg_code"),
+    )
+
+
+@_register(
     "f_null_suite",
     """
     SELECT c_custkey,
