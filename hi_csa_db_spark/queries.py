@@ -2377,6 +2377,24 @@ def x8_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("pipe_reference_replay")
+def pipe_reference_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL analytical pipeline (SURVEY.md section 3
+    E3: scrape -> sectionize -> classify -> merge -> publish) replayed
+    on reference-shaped deterministic fixtures (FIXTURES.md Group B) —
+    one lazy Catalyst plan producing the csa_db table shape
+    (Type, Mitigation, Practice, Description, Resource). Rows-only:
+    the fixtures are independent of sf_dir; golden invariants are
+    asserted in tests/test_pipeline.py."""
+    from hi_csa_db_spark.plans import fixtures, pipeline
+
+    elements = fixtures.page_elements(spark)
+    policy = fixtures.policy_sheet(spark)
+    support = fixtures.support_sheet(spark)
+    keywords = fixtures.practice_keywords(spark)
+    return pipeline.run_pipeline(elements, policy, support, keywords)
+
+
 @_register(
     "pipe_training_prep",
     """
