@@ -16,6 +16,8 @@ we type at the boundary — SURVEY.md section 1.2):
 from __future__ import annotations
 
 import os
+from collections.abc import Mapping
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,7 +38,29 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make table loading work in ANY SparkSession, not just the one
+    built by ``session.get_spark``.
+
+    The reference's cache reads (hi-csa-db.Rmd:105-131) are
+    session-agnostic; ours must be too. Both confs below are runtime
+    SQL confs, safe to set after session start:
+
+    - ``nanosAsLong``: the driver fixtures carry INT64 TIMESTAMP(NANOS)
+      parquet columns (events.ts) which Spark rejects by default —
+      read them as int64 nanos and normalize here.
+    - UTC session timezone: timestamp rendering determinism so results
+      hash identically against the DuckDB oracle regardless of host tz.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # read below will surface a clear error if the conf matters
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(
@@ -45,13 +69,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+class LazyTables(Mapping):
+    """Mapping of table name -> DataFrame that loads each table on
+    first access. Per-query lazy loading means a query touching only
+    ``nation`` can never fail on an unreadable ``events`` fixture —
+    the round-1 failure mode where one eager load sank 15 unrelated
+    queries."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            if name not in TABLES:
+                raise KeyError(name)
+            self._cache[name] = load_table(self._spark, self._sf_dir, name)
+        return self._cache[name]
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(TABLES)
+
+    def __len__(self) -> int:
+        return len(TABLES)
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> LazyTables:
+    return LazyTables(spark, sf_dir)
 
 
 def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Register every fixture table as a temp view and return the dict."""
-    dfs = load_tables(spark, sf_dir)
+    dfs = {name: load_table(spark, sf_dir, name) for name in TABLES}
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
@@ -101,11 +151,22 @@ def compact(
         )
         target_files = max(1, total_bytes // (128 * 1024 * 1024))
     tmp = path.rstrip("/") + "__compacting"
-    df.repartition(int(target_files)).write.mode("overwrite").option(
-        "compression", "zstd"
-    ).parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    old = path.rstrip("/") + "__precompact"
+    try:
+        df.repartition(int(target_files)).write.mode("overwrite").option(
+            "compression", "zstd"
+        ).parquet(tmp)
+        # Swap via rename-aside so a crash at any point leaves either the
+        # original or the compacted copy intact — never neither.
+        shutil.move(path, old)
+        shutil.move(tmp, path)
+        shutil.rmtree(old)
+    except BaseException:
+        if not os.path.exists(path) and os.path.exists(old):
+            shutil.move(old, path)  # restore the original
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+        raise
     return len(
         [f for f in __import__("pathlib").Path(path).rglob("*.parquet")]
     )

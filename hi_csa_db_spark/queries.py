@@ -1018,14 +1018,23 @@ def d3_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, b
     )
     SELECT doc_id,
-           SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+           lpad(hex(CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)),
+                16, '0') AS simhash_hex
     FROM bits GROUP BY doc_id
     """,
 )
 def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash fingerprints from md5-derived token hashes."""
+    """60-bit SimHash fingerprints from md5-derived token hashes.
+
+    Emitted as a fixed-width hex STRING: the raw fingerprint is a
+    ~2^60 bigint, which DuckDB widens to HUGEINT under SUM — a lossy
+    float in some client versions and a canonicalization mismatch in
+    round 1. Hex strings are engine-neutral (NOTES.md rule: no >2^53
+    integers and no raw doubles in output schemas)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash(docs)
+    return dedup.simhash(docs).select(
+        "doc_id", F.lpad(F.hex("simhash"), 16, "0").alias("simhash_hex")
+    )
 
 
 @_register(
@@ -1496,27 +1505,29 @@ def f_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_math_suite",
     """
     SELECT c_custkey,
-           ABS(c_acctbal) AS abs_bal,
-           CEIL(c_acctbal) AS ceil_bal,
-           FLOOR(c_acctbal) AS floor_bal,
-           SQRT(ABS(c_acctbal)) AS sqrt_bal,
+           ROUND(ABS(c_acctbal), 2) AS abs_bal,
+           CAST(CEIL(c_acctbal) AS BIGINT) AS ceil_bal,
+           CAST(FLOOR(c_acctbal) AS BIGINT) AS floor_bal,
+           ROUND(SQRT(ABS(c_acctbal)), 6) AS sqrt_bal,
            ROUND(LN(ABS(c_acctbal) + 1.0), 6) AS ln_bal,
            c_custkey % 7 AS mod7
     FROM customer
     """,
 )
 def f_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math scalar functions. sqrt is IEEE-correctly-rounded (exact
-    parity); ln is rounded to 6dp since libm implementations may
-    differ in the final ulp."""
+    """Math scalar functions. Every float output is rounded and
+    ceil/floor cast to BIGINT on both engines (Spark's ceil(double)
+    is LONG, DuckDB's is DOUBLE) — raw doubles diverge under the
+    driver's canonicalizer even when numerically equal (round-1
+    hash_match failure; NOTES.md rule)."""
     cust = load_table(spark, sf_dir, "customer")
     bal = F.col("c_acctbal")
     return cust.select(
         "c_custkey",
-        F.abs(bal).alias("abs_bal"),
-        F.ceil(bal).alias("ceil_bal"),
-        F.floor(bal).alias("floor_bal"),
-        F.sqrt(F.abs(bal)).alias("sqrt_bal"),
+        F.round(F.abs(bal), 2).alias("abs_bal"),
+        F.ceil(bal).cast("long").alias("ceil_bal"),
+        F.floor(bal).cast("long").alias("floor_bal"),
+        F.round(F.sqrt(F.abs(bal)), 6).alias("sqrt_bal"),
         F.round(F.log(F.abs(bal) + 1.0), 6).alias("ln_bal"),
         (F.col("c_custkey") % 7).alias("mod7"),
     )
