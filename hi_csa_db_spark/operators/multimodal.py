@@ -2,11 +2,14 @@
 
 BASELINE.json mandate: image/audio/video travel as ``binary`` columns
 with a metadata struct; decode / feature-extract / resize / frame-
-sample run as Arrow-batched pandas functions over mapInPandas. The
-decode kernels are STUBBED (no codec libraries in this container) —
-either a clearly-marked NotImplementedError or a deterministic fake —
-but the Spark-side plumbing (schema, partitioning, batch shape, UDF
-signatures) is real and tested.
+sample run as Arrow-batched pandas functions over mapInPandas.
+
+Decode kernels: PNG/BMP/PPM images and PCM WAV audio are decoded for
+REAL (pure numpy + stdlib zlib/wave, functions/codecs.py). Formats
+that need an entropy-coded codec (JPEG, MP3, H.264) fall back to a
+clearly-marked deterministic md5 feature so the distributed plumbing
+still runs on any payload; wire Pillow/ffmpeg there in a full
+deployment.
 
 Scale notes: payloads stay opaque end-to-end (no driver collect);
 feature extraction is a narrow map; partition by content-size bands
@@ -76,23 +79,51 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decode requires an image codec (Pillow/opencv) — not in
-    this container. The plumbing around it is what the engine owns."""
-    raise NotImplementedError(
-        "image decode requires a codec library; wire Pillow/torchvision "
-        "here in a full deployment"
-    )
+def decode_image(payload: bytes):
+    """Decode a PNG/BMP/PPM payload to a uint8 numpy array via the
+    pure-numpy codecs (functions/codecs.py — real kernels, decoded from
+    the public file-format specs). Entropy-coded formats (JPEG, video)
+    still require an external codec and raise UnsupportedMedia; wire
+    Pillow/ffmpeg there in a full deployment."""
+    from hi_csa_db_spark.functions import codecs
+
+    fmt = codecs.sniff(payload or b"")
+    if fmt == "png":
+        return codecs.decode_png(payload)
+    if fmt == "bmp":
+        return codecs.decode_bmp(payload)
+    if fmt == "ppm":
+        return codecs.decode_ppm(payload)
+    raise codecs.UnsupportedMedia(f"no in-container decoder for {fmt or 'unknown'}")
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in feature vector: md5-derived floats.
 
-    Replaces the codec+model step so the distributed plumbing (batch
-    shapes, schema, shuffle behavior) is fully exercised in tests.
+    The fallback when a payload is not one of the really-decodable
+    formats — keeps the distributed plumbing (batch shapes, schema,
+    shuffle behavior) fully exercised on any input, including the
+    text-derived driver fixtures.
     """
     h = hashlib.md5(payload or b"").digest()
     return [b / 255.0 for b in h[:dim]]
+
+
+def _feature_of(payload: bytes, dim: int) -> list[float]:
+    """Real decode where the payload is a supported format (PNG/BMP/
+    PPM image stats, WAV audio stats), md5 fake elsewhere."""
+    from hi_csa_db_spark.functions import codecs
+
+    fmt = codecs.sniff(payload)
+    try:
+        if fmt in ("png", "bmp", "ppm"):
+            return codecs.image_feature(decode_image(payload), dim)
+        if fmt == "wav":
+            samples, rate = codecs.decode_wav(payload)
+            return codecs.audio_feature(samples, rate, dim)
+    except codecs.UnsupportedMedia:
+        pass
+    return _fake_feature(payload, dim)
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
@@ -110,7 +141,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     "kind": pdf["kind"],
                     "n_bytes": [len(p) for p in payloads],
                     "content_hash": [hashlib.md5(p).hexdigest() for p in payloads],
-                    "feature": [_fake_feature(p, dim) for p in payloads],
+                    "feature": [_feature_of(p, dim) for p in payloads],
                 }
             )
 

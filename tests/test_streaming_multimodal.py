@@ -59,8 +59,12 @@ def test_frame_sample_plan(spark):
     assert {r.frame_ts_ms for r in out} == {0, 1000, 2000, 3000}
 
 
-def test_decode_stub_is_explicit():
-    with pytest.raises(NotImplementedError):
+def test_decode_unsupported_is_explicit():
+    # entropy-coded formats stay behind an explicit error (PNG/BMP/PPM
+    # decode for real — tests/test_codecs.py)
+    from hi_csa_db_spark.functions.codecs import UnsupportedMedia
+
+    with pytest.raises(UnsupportedMedia):
         multimodal.decode_image(b"x")
 
 
