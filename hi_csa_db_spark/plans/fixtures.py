@@ -91,8 +91,7 @@ def page_elements(spark: SparkSession, n_pages: int = 6, seed: int = 42) -> Data
     )
 
 
-def policy_sheet(spark: SparkSession, n_rows: int = 40, seed: int = 7) -> DataFrame:
-    """B6: policy sheet with 0-3 keywords per free-text goal row."""
+def _policy_rows(n_rows: int = 40, seed: int = 7) -> list[tuple]:
     rng = random.Random(seed)
     rows = []
     for i in range(n_rows):
@@ -109,16 +108,19 @@ def policy_sheet(spark: SparkSession, n_rows: int = 40, seed: int = 7) -> DataFr
                 f"https://policy.example.org/act{i % 9}#s{i}",
             )
         )
+    return rows
+
+
+def policy_sheet(spark: SparkSession, n_rows: int = 40, seed: int = 7) -> DataFrame:
+    """B6: policy sheet with 0-3 keywords per free-text goal row."""
     return spark.createDataFrame(
-        rows,
+        _policy_rows(n_rows, seed),
         "csa_goals string, guiding_policy string, description string, "
         "verbiage_location string, url string",
     )
 
 
-def support_sheet(spark: SparkSession, n_rows: int = 60, seed: int = 11) -> DataFrame:
-    """B8: support sheet; ~10% null descriptions; resource column
-    arrives under the reference's raw name 'Resources (Links)'."""
+def _support_rows(n_rows: int = 60, seed: int = 11) -> list[tuple]:
     rng = random.Random(seed)
     rows = []
     for i in range(n_rows):
@@ -131,10 +133,54 @@ def support_sheet(spark: SparkSession, n_rows: int = 60, seed: int = 11) -> Data
                 f"https://support.example.org/r/{i}",
             )
         )
+    return rows
+
+
+def support_sheet(spark: SparkSession, n_rows: int = 60, seed: int = 11) -> DataFrame:
+    """B8: support sheet; ~10% null descriptions; resource column
+    arrives under the reference's raw name 'Resources (Links)'."""
     df = spark.createDataFrame(
-        rows, "mitigation string, practice string, description string, resource string"
+        _support_rows(n_rows, seed),
+        "mitigation string, practice string, description string, resource string",
     )
     return df.withColumnRenamed("resource", "Resources (Links)")
+
+
+def _csv_lines(header: list[str], rows: list[tuple]) -> list[str]:
+    """Serialize rows as the CSV lines a sheet export produces —
+    display-cased headers, RFC-4180 quoting, empty cell for NULL."""
+    import csv
+    import io
+
+    buf = io.StringIO()
+    wr = csv.writer(buf, quoting=csv.QUOTE_MINIMAL, lineterminator="\n")
+    wr.writerow(header)
+    for r in rows:
+        wr.writerow(["" if v is None else v for v in r])
+    return buf.getvalue().splitlines()
+
+
+def policy_sheet_export_lines(n_rows: int = 40, seed: int = 7) -> list[str]:
+    """B6 as its raw CSV export: display headers, plus the drift the
+    live sheet accumulated — an extra 'Notes' column the pipeline must
+    drop, and 'Last Reviewed' it never asked for."""
+    rows = [
+        r + (f"note {i % 5}", "2024-01-01")
+        for i, r in enumerate(_policy_rows(n_rows, seed))
+    ]
+    return _csv_lines(
+        ["CSA Goals", "Guiding Policy", "Description",
+         "Verbiage Location", "URL", "Notes", "Last Reviewed"],
+        rows,
+    )
+
+
+def support_sheet_export_lines(n_rows: int = 60, seed: int = 11) -> list[str]:
+    """B8 as its raw CSV export (headers as displayed in the sheet)."""
+    return _csv_lines(
+        ["Mitigation", "Practice", "Description", "Resources (Links)"],
+        _support_rows(n_rows, seed),
+    )
 
 
 def practice_keywords(spark: SparkSession) -> DataFrame:

@@ -86,9 +86,13 @@ def policy_stream(policy_sheet: DataFrame, keywords: DataFrame, technical: DataF
 
 def support_stream(support_sheet: DataFrame) -> DataFrame:
     """Support stream: rename + not-null filter + project
-    (hi-csa-db.Rmd:552-562)."""
+    (hi-csa-db.Rmd:552-562). Accepts the resource column under the
+    sheet's raw display name or its normalized slug (sources/sheets)."""
+    for raw in ("Resources (Links)", "resources_links"):
+        if raw in support_sheet.columns:
+            support_sheet = support_sheet.withColumnRenamed(raw, "resource")
     return (
-        support_sheet.withColumnRenamed("Resources (Links)", "resource")
+        support_sheet
         .filter(F.col("description").isNotNull())
         .select(
             F.col("mitigation").alias("Mitigation"),

@@ -2405,12 +2405,29 @@ def pipe_reference_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     one lazy Catalyst plan producing the csa_db table shape
     (Type, Mitigation, Practice, Description, Resource). Rows-only:
     the fixtures are independent of sf_dir; golden invariants are
-    asserted in tests/test_pipeline.py."""
+    asserted in tests/test_pipeline.py.
+
+    The two sheets arrive as their RAW CSV exports (display-cased
+    headers, drifted extra columns, empty cells) and are ingested
+    through sources/sheets.read_sheet_export — the credential-free
+    Spark-first replacement for the reference's live googlesheets4
+    reads (hi-csa-db.Rmd:470-471, 554)."""
     from hi_csa_db_spark.plans import fixtures, pipeline
+    from hi_csa_db_spark.sources import sheets
 
     elements = fixtures.page_elements(spark)
-    policy = fixtures.policy_sheet(spark)
-    support = fixtures.support_sheet(spark)
+    policy = sheets.read_sheet_export(
+        spark,
+        fixtures.policy_sheet_export_lines(),
+        target_schema="csa_goals string, guiding_policy string, "
+        "description string, verbiage_location string, url string",
+    )
+    support = sheets.read_sheet_export(
+        spark,
+        fixtures.support_sheet_export_lines(),
+        target_schema="mitigation string, practice string, "
+        "description string, resources_links string",
+    )
     keywords = fixtures.practice_keywords(spark)
     return pipeline.run_pipeline(elements, policy, support, keywords)
 
