@@ -36,17 +36,22 @@ def keyword_classify(
     text_col: str = "text",
     keyword_col: str = "keyword",
     label_col: str = "label",
+    max_phrase_words: int | None = None,
 ) -> DataFrame:
     """Shingle equi-join strategy. Returns (id_col, label_col) with one
-    row per matched label, plus a NULL-label row for unmatched docs."""
+    row per matched label, plus a NULL-label row for unmatched docs.
+
+    ``max_phrase_words`` bounds the shingle sizes to emit (the longest
+    keyword phrase). Pass it when known; when None it is derived with
+    one aggregate over the dictionary — broadcast-small by definition,
+    so the driver-side fetch is a scalar, never the dictionary rows."""
     dict_df = keywords.select(
         F.lower(F.col(keyword_col)).alias("__kw"), F.col(label_col)
     )
-    # longest keyword phrase decides how many shingle sizes to emit;
-    # the dictionary is broadcast-small by definition, so this tiny
-    # driver-side inspection is not a distributed action to worry about.
-    max_n = max(
-        len(r["__kw"].split()) for r in dict_df.select("__kw").distinct().collect()
+    max_n = max_phrase_words or int(
+        dict_df.agg(
+            F.max(F.size(F.split("__kw", " ", -1)))
+        ).collect()[0][0]
     )
     toks = docs.select(
         F.col(id_col),
