@@ -46,16 +46,28 @@ def shingles(
         F.col(id_col),
         tokenize(F.lower(strip_punct(F.col(text_col)))).alias("__toks"),
     )
-    sh = toks.select(
+    # per-doc dedup happens INSIDE the array (array_distinct) before
+    # the explode: identical semantics to a global distinct on
+    # (id, shingle) — a shingle can only repeat within its own doc —
+    # but zero shuffle, where .distinct() would repartition the whole
+    # exploded index. Every consumer (minhash, LSH, jaccard) inherits
+    # the saving.
+    return toks.select(
         id_col,
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("__toks") - n, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)),
+            F.array_distinct(
+                F.filter(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0), F.greatest(F.size("__toks") - n, F.lit(0))
+                        ),
+                        lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)),
+                    ),
+                    lambda s: s != "",
+                )
             )
         ).alias("shingle"),
     )
-    return sh.filter(F.col("shingle") != "").distinct()
 
 
 def minhash_signatures(
@@ -149,25 +161,80 @@ def jaccard_pairs(
     n_shingles * max_df^2 regardless of corpus skew.
     """
     if candidates is None and max_df is not None:
-        dfreq = shingle_df.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        rare = shingle_df.join(
-            dfreq.filter(F.col("__df") <= max_df).select("shingle"),
-            "shingle",
-            "left_semi",
-        )
+        # Split the inverted index by document frequency. Pair counts
+        # come from TWO bounded equi-joins instead of one unbounded
+        # self-join:
+        #  - rare shingles (df <= max_df): the classic inverted-index
+        #    self-join + map-side-combined pair count — fan-out per
+        #    shingle bounded by max_df^2. These also DEFINE the
+        #    candidate pairs.
+        #  - hot shingles (df > max_df): never self-joined; for the
+        #    already-bounded candidate set, count hot shingles present
+        #    in both docs via two index lookups (join on (doc),
+        #    then semi on (shingle, doc)) — linear in |candidates| x
+        #    hot-shingles-per-doc, and hot shingles are few DISTINCT
+        #    values by construction.
+        # inter = rare part + hot part, so Jaccard stays exact for
+        # every candidate pair. Rare/hot splitting joins the index
+        # against only the HOT-shingle list — by construction a small
+        # relation (stopword-like values), so AQE converts both the
+        # anti- and semi-join to broadcasts at runtime, and the index
+        # is never shuffled just for tagging; if the list ever grows
+        # past the broadcast threshold the plan degrades to a shuffle
+        # join instead of an executor OOM (no forced hint).
+        sh = shingle_df
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        hot_list = dfreq.filter(F.col("__df") > max_df).select("shingle")
+        rare = sh.join(hot_list, "shingle", "left_anti").select(id_col, "shingle")
+        hot = sh.join(hot_list, "shingle", "left_semi").select(id_col, "shingle")
         a = rare.alias("a")
         b = rare.alias("b")
-        candidates = (
+        inter_rare = (
             a.join(
                 b,
                 (F.col("a.shingle") == F.col("b.shingle"))
                 & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
             )
-            .select(
+            .groupBy(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
             )
-            .distinct()
+            .agg(F.count(F.lit(1)).alias("__rc"))
+        )
+        hot_a = hot.select(F.col(id_col).alias("id_a"), "shingle")
+        hot_b = hot.select(F.col(id_col).alias("id_b"), "shingle")
+        inter_hot = (
+            inter_rare.select("id_a", "id_b")
+            .join(hot_a, "id_a")
+            .join(hot_b, ["id_b", "shingle"], "left_semi")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__hc"))
+        )
+        inter = (
+            inter_rare.join(inter_hot, ["id_a", "id_b"], "left")
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("__rc") + F.coalesce(F.col("__hc"), F.lit(0))).alias(
+                    "inter_cnt"
+                ),
+            )
+        )
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+        return (
+            inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                "inter_cnt",
+                (
+                    F.col("inter_cnt")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter_cnt"))
+                ).alias("jaccard"),
+            )
         )
     if candidates is not None:
         # Candidate-pair verify: intersect the two docs' shingle SETS
