@@ -187,3 +187,55 @@ def kmeans_clusters(
     return final.groupBy(F.col("centroid_id").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+def sign_quantize(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 60,
+) -> DataFrame:
+    """Sign-bit quantization: pack the signs of the first ``bits``
+    dimensions into one BIGINT code — 8 bytes per vector instead of
+    4*dim, the classic binary-embedding compression. Hamming distance
+    on the codes approximates angular distance (each sign bit is a
+    random-hyperplane LSH bit for centered embeddings).
+
+    At 100 TB this is the ANN scale path: codes live in a long column
+    (scans stay vectorized), distance is one xor+popcount, and the
+    existing simhash_hamming_pairs banding (dedup.py) provides
+    sub-linear candidate generation over the very same codes."""
+    code = F.expr(
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
+        f"(acc, b) -> acc + IF(element_at({vec_col}, b + 1) > 0, "
+        "shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"
+    )
+    return embeddings.select(F.col(id_col), code.alias("code"))
+
+
+def hamming_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 60,
+) -> DataFrame:
+    """ANN top-k by Hamming distance over sign-quantized codes:
+    (id_col, hamming), closest first, query row excluded. The query
+    code is a broadcast scalar join; the scan is xor+popcount per row
+    feeding TakeOrderedAndProject — no corpus shuffle."""
+    codes = sign_quantize(embeddings, id_col, vec_col, bits)
+    q = codes.filter(F.col(id_col) == query_id).select(
+        F.col("code").alias("__qcode")
+    )
+    return (
+        codes.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q))
+        .select(
+            id_col,
+            F.bit_count(F.col("code").bitwiseXOR(F.col("__qcode"))).alias("hamming"),
+        )
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

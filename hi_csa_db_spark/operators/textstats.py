@@ -152,3 +152,113 @@ def fingerprints(
         F.col(id_col),
         F.explode(F.slice(F.array_sort(grams), 1, keep)).alias("fp"),
     )
+
+
+# PII patterns (the scrub pass every public training corpus runs).
+# Both regexes use only syntax shared by Spark and DuckDB/RE2.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PHONE_RE = r"[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+
+def pii_scrub(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Redact emails and phone-shaped digit runs, keeping redaction
+    counts: (id, scrubbed, n_emails, n_phones). Pure regexp_replace /
+    regexp_extract_all — JVM-side, embarrassingly parallel, no shuffle.
+    Count emails BEFORE phones so an address like user555-1234@x.org
+    is classified once (email wins), matching the replace order."""
+    emails = F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), 0))
+    scrub1 = F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>")
+    phones = F.size(F.regexp_extract_all(scrub1, F.lit(PHONE_RE), 0))
+    return docs.select(
+        F.col(id_col),
+        F.regexp_replace(scrub1, PHONE_RE, "<PHONE>").alias("scrubbed"),
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+    )
+
+
+def quality_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style document quality gates: (id, n_words,
+    mean_word_len, frac_alpha_words, keep). One explode + one groupBy
+    (partial aggregation map-side); thresholds are the published
+    rules-of-thumb (word count window, mean word length 3-10, >=80%
+    alphabetic words)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokenize(F.lower(strip_punct(F.col(text_col))))).alias("w"),
+    ).filter(F.col("w") != "")
+    stats = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.avg(F.length("w")), 6).alias("mean_word_len"),
+        F.round(
+            F.avg(F.when(F.col("w").rlike("[a-z]"), 1.0).otherwise(0.0)), 6
+        ).alias("frac_alpha_words"),
+    )
+    keep = (
+        (F.col("n_words") >= 10)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("frac_alpha_words") >= 0.8)
+    )
+    return stats.select(
+        id_col, "n_words", "mean_word_len", "frac_alpha_words",
+        keep.cast("int").alias("keep"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition signals used to drop boilerplate/TV-static docs:
+    (id, dup_sentence_frac, top_bigram_frac).
+
+    dup_sentence_frac = 1 - distinct/total sentences ('. ' split);
+    top_bigram_frac = occurrences of the most frequent word bigram /
+    total bigrams. Two explode+groupBy legs joined on id — both
+    map-side combinable; no per-doc collect."""
+    sents = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\. ", -1)).alias("s"),
+    ).filter(F.col("s") != "")
+    sent_stats = sents.groupBy(id_col).agg(
+        F.round(
+            1.0 - F.countDistinct("s") / F.count(F.lit(1)), 6
+        ).alias("dup_sentence_frac")
+    )
+    toks = docs.select(
+        F.col(id_col),
+        tokenize(F.lower(strip_punct(F.col(text_col)))).alias("__toks"),
+    )
+    bigrams = toks.select(
+        id_col,
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("__toks") - 2, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, 2)),
+                ),
+                lambda s: s.rlike(" "),  # drop the ragged tail 1-grams
+            )
+        ).alias("bg"),
+    )
+    per_bigram = bigrams.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
+    bigram_stats = per_bigram.groupBy(id_col).agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
+    )
+    return (
+        docs.select(id_col)
+        .join(sent_stats, id_col, "left")
+        .join(bigram_stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("dup_sentence_frac", F.lit(0.0)).alias("dup_sentence_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )

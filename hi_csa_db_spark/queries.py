@@ -3743,6 +3743,164 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful.user_running_totals(spark, sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# Training-corpus hygiene tier 2 (round 2): PII scrub, Gopher-style
+# quality gates, repetition filters, binary-embedding ANN
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "x11_pii_scrub",
+    """
+    WITH noisy AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.org or call 555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             len(regexp_extract_all(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', 0)) AS n_emails,
+             regexp_replace(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                 '<EMAIL>', 'g') AS s1
+      FROM noisy
+    )
+    SELECT doc_id,
+           regexp_replace(s1, '[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]',
+                          '<PHONE>', 'g') AS scrubbed,
+           n_emails,
+           len(regexp_extract_all(s1,
+               '[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', 0)) AS n_phones
+    FROM e
+    """,
+)
+def x11_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, phone-shaped digit runs) with counts —
+    the scrub pass every public training corpus runs before release.
+    Deterministic synthetic PII is appended per doc so the fixtures
+    exercise both patterns; pure regexp expressions, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    noisy = docs.select("doc_id", raw.alias("text"))
+    return textstats.pii_scrub(noisy)
+
+
+@_register(
+    "x12_quality_rules",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS w
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, COUNT(*) AS n_words,
+             ROUND(AVG(length(w)), 6) AS mean_word_len,
+             ROUND(AVG(CASE WHEN regexp_matches(w, '[a-z]') THEN 1.0 ELSE 0.0 END), 6)
+               AS frac_alpha_words
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+           CAST(n_words >= 10 AND n_words <= 100000
+                AND mean_word_len >= 3 AND mean_word_len <= 10
+                AND frac_alpha_words >= 0.8 AS INT) AS keep
+    FROM stats
+    """,
+)
+def x12_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gates (word-count window, mean word
+    length, alphabetic-word fraction) with a keep flag — the
+    rule-based filter stage of a training pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.quality_rules(docs)
+
+
+@_register(
+    "x13_repetition_stats",
+    """
+    WITH sents AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, unnest(string_split(text, '. ')) AS s FROM documents
+      ) WHERE s <> ''
+    ),
+    ss AS (
+      SELECT doc_id,
+             ROUND(1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*), 6)
+               AS dup_sentence_frac
+      FROM sents GROUP BY doc_id
+    ),
+    toks AS (
+      SELECT doc_id, list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '') AS ws
+      FROM documents
+    ),
+    bgs AS (
+      SELECT doc_id, w || ' ' || lead_w AS bg FROM (
+        SELECT doc_id, w, pos,
+               LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS lead_w
+        FROM (SELECT doc_id, generate_subscripts(ws, 1) AS pos,
+                     unnest(ws) AS w FROM toks)
+      ) WHERE lead_w IS NOT NULL
+    ),
+    pb AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY doc_id, bg),
+    bs AS (
+      SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
+      FROM pb GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(ss.dup_sentence_frac, 0.0) AS dup_sentence_frac,
+           COALESCE(bs.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM documents d
+    LEFT JOIN ss ON ss.doc_id = d.doc_id
+    LEFT JOIN bs ON bs.doc_id = d.doc_id
+    """,
+)
+def x13_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (duplicate-sentence fraction, top-bigram
+    dominance) — the boilerplate/spam detector stage of corpus
+    curation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.repetition_stats(docs)
+
+
+@_register(
+    "s4_hamming_topk",
+    """
+    WITH codes AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN embedding[b + 1] > 0
+                           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS code
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+      GROUP BY vec_id
+    ),
+    q AS (SELECT code AS qcode FROM codes WHERE vec_id = 0)
+    SELECT vec_id, bit_count(xor(code, (SELECT qcode FROM q))) AS hamming
+    FROM codes WHERE vec_id <> 0
+    ORDER BY hamming ASC, vec_id ASC LIMIT 10
+    """,
+)
+def s4_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding ANN: sign-quantize 60 dims into one BIGINT
+    code (8 bytes/vector vs 256 for the floats), rank by Hamming
+    distance to the query row's code — xor+popcount per row feeding
+    TakeOrderedAndProject, no corpus shuffle. The existing simhash
+    banding (operators/dedup.py) gives sub-linear candidates over the
+    same codes at fleet scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hamming_topk(emb, query_id=0, k=10)
+
+
 # Exposure order. The driver's correctness gate samples a prefix of the
 # registry (50 of 116 in round 1, in dict order), so the prefix must
 # prove the maximum number of distinct SURVEY.md section-2 components:
@@ -3775,6 +3933,8 @@ _PRIORITY = (
     "x2_lang_id", "x3_quality_score", "x4_token_stats", "x5_fingerprints",
     "ml_kmeans",
     # past the round-1 sample horizon: next-most-valuable first
+    "x11_pii_scrub", "x12_quality_rules", "x13_repetition_stats",
+    "s4_hamming_topk",
     "agg_pandas_median", "pipe_training_prep", "x8_bigram_counts",
     "pipe_reference_replay", "graph_pagerank", "graph_components",
     "mm4_feature_knn", "mm2_media_dedup", "mm3_frame_sample_plan",
