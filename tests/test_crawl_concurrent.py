@@ -53,3 +53,63 @@ def test_partition_pruning_visible_in_scan(spark, tmp_path):
     assert q.count() == 250
     # only one of four partition directories is read
     assert "part_key=2" in plan or "(part_key" in plan
+
+
+def test_polite_fetcher_serializes_per_host():
+    import time
+    from hi_csa_db_spark.sources.crawl import polite_fetcher
+
+    calls = []
+
+    def fake(url):
+        calls.append((url, time.monotonic()))
+        return f"<html>{url}</html>"
+
+    urls = [
+        "https://a.example.org/1", "https://b.example.org/1",
+        "https://a.example.org/2", "https://b.example.org/2",
+        "https://a.example.org/3",
+    ]
+    t0 = time.monotonic()
+    out = polite_fetcher(fake, per_host_delay_s=0.08, max_workers=4)(urls)
+    elapsed = time.monotonic() - t0
+    assert out == [f"<html>{u}</html>" for u in urls]  # order preserved
+    per_host = {}
+    for u, t in calls:
+        host = u.split("/")[2]
+        per_host.setdefault(host, []).append(t)
+    for host, times in per_host.items():
+        for a, b in zip(times, times[1:]):
+            assert b - a >= 0.07, f"{host} spacing {b - a:.3f}"
+    # hosts overlap: 3+2 requests at 80ms spacing serialized would be
+    # >= 0.24s; concurrent hosts finish in about max(2,1)*delay
+    assert elapsed < 0.25
+
+
+def test_fetch_pages_polite_host_colocation(spark):
+    from pyspark.sql import functions as F
+    from hi_csa_db_spark.sources.crawl import fetch_pages_polite, partition_frontier_by_host
+
+    urls = [
+        (f"https://h{i % 3}.example.org/p{i}",) for i in range(12)
+    ]
+    frontier = spark.createDataFrame(urls, ["url"])
+    parts = (
+        partition_frontier_by_host(frontier, 6)
+        .select(
+            F.expr("parse_url(url, 'HOST')").alias("host"),
+            F.spark_partition_id().alias("pid"),
+        )
+        .groupBy("host")
+        .agg(F.countDistinct("pid").alias("n_parts"))
+        .collect()
+    )
+    assert all(r["n_parts"] == 1 for r in parts)  # cluster-wide politeness
+    pages = fetch_pages_polite(
+        frontier, lambda u: f'<a href="/next">x</a>', per_host_delay_s=0.0
+    )
+    rows = pages.collect()
+    assert len(rows) == 12
+    for r in rows:
+        host = r["url"].split("/")[2]
+        assert list(r["hrefs"]) == [f"https://{host}/next"]
