@@ -73,24 +73,32 @@ def shingles(
 def minhash_signatures(
     shingle_df: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature per doc: (id, sig array<string> of length h).
+    """MinHash signature per doc: (id, sig array<long> of length h).
 
-    hash_i(shingle) = md5(i || ':' || shingle); the minimum md5 hex
-    string per seed is a valid uniform min-hash and is engine-portable
-    (hex strings compare lexicographically everywhere).
+    Kirsch-Mitzenmacher double hashing: ONE md5 per shingle yields
+    h1 (60-bit, hex chars 1-15) and h2 (49-bit odd, hex chars 16-27);
+    hash_i = (h1 + i*h2) mod 2^60. The affine family preserves the
+    min-hash property while doing 1/num_hashes of the hashing work —
+    md5 is the dominant CPU cost of the signature stage at corpus
+    scale. Engine-portable: the oracle replays the identical
+    arithmetic in DuckDB (bigints, no floats).
 
     All ``num_hashes`` minima are computed as parallel aggregates in a
     SINGLE groupBy pass: the map-side partial aggregation reduces each
     partition to one row per doc before the shuffle, instead of
     exploding num_hashes x shingles rows through it.
     """
+    m = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(m, 16, 12), 16, 10).cast("long") * 2 + 1
+    base = shingle_df.select(F.col(id_col), h1.alias("__h1"), h2.alias("__h2"))
     aggs = [
-        F.min(
-            F.md5(F.concat_ws(":", F.lit(i), F.col("shingle")))
-        ).alias(f"__mh{i}")
+        F.min((F.col("__h1") + F.lit(i) * F.col("__h2")) % F.lit(2**60)).alias(
+            f"__mh{i}"
+        )
         for i in range(num_hashes)
     ]
-    per_doc = shingle_df.groupBy(id_col).agg(*aggs)
+    per_doc = base.groupBy(id_col).agg(*aggs)
     return per_doc.select(
         id_col,
         F.array(*[F.col(f"__mh{i}") for i in range(num_hashes)]).alias("sig"),
@@ -114,7 +122,17 @@ def lsh_candidate_pairs(
                 lambda b: F.struct(
                     b.alias("band"),
                     F.md5(
-                        F.concat_ws("|", b, F.concat_ws("|", F.slice("sig", b * rows + 1, rows)))
+                        F.concat_ws(
+                            "|",
+                            b,
+                            F.concat_ws(
+                                "|",
+                                F.transform(
+                                    F.slice("sig", b * rows + 1, rows),
+                                    lambda v: v.cast("string"),
+                                ),
+                            ),
+                        )
                     ).alias("bkey"),
                 ),
             )

@@ -862,13 +862,22 @@ _SHINGLE_SQL = """
     f"""
     WITH {_SHINGLE_SQL},
     seeds AS (SELECT unnest(range(0, 16)) AS seed),
+    hh AS (
+      -- Kirsch-Mitzenmacher double hashing: one md5 per shingle,
+      -- hash_i = (h1 + i*h2) mod 2^60 (mirrors minhash_signatures)
+      SELECT doc_id,
+             CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h1,
+             CAST('0x' || substring(md5(shingle), 16, 12) AS BIGINT) * 2 + 1 AS h2
+      FROM sh
+    ),
     mh AS (
-      SELECT doc_id, seed, MIN(md5(seed::VARCHAR || ':' || shingle)) AS mh
-      FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+      SELECT doc_id, seed,
+             MIN((h1 + seed * h2) % 1152921504606846976) AS mh
+      FROM hh CROSS JOIN seeds GROUP BY doc_id, seed
     ),
     bands AS (
       SELECT doc_id, band,
-             md5(band::VARCHAR || '|' || string_agg(mh, '|' ORDER BY seed)) AS bkey
+             md5(band::VARCHAR || '|' || string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bkey
       FROM (SELECT doc_id, seed, mh, seed // 2 AS band FROM mh)
       GROUP BY doc_id, band
     ),
@@ -905,13 +914,22 @@ def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SHINGLE_SQL},
     seeds AS (SELECT unnest(range(0, 16)) AS seed),
+    hh AS (
+      -- Kirsch-Mitzenmacher double hashing: one md5 per shingle,
+      -- hash_i = (h1 + i*h2) mod 2^60 (mirrors minhash_signatures)
+      SELECT doc_id,
+             CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h1,
+             CAST('0x' || substring(md5(shingle), 16, 12) AS BIGINT) * 2 + 1 AS h2
+      FROM sh
+    ),
     mh AS (
-      SELECT doc_id, seed, MIN(md5(seed::VARCHAR || ':' || shingle)) AS mh
-      FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+      SELECT doc_id, seed,
+             MIN((h1 + seed * h2) % 1152921504606846976) AS mh
+      FROM hh CROSS JOIN seeds GROUP BY doc_id, seed
     ),
     bands AS (
       SELECT doc_id, band,
-             md5(band::VARCHAR || '|' || string_agg(mh, '|' ORDER BY seed)) AS bkey
+             md5(band::VARCHAR || '|' || string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bkey
       FROM (SELECT doc_id, seed, mh, seed // 2 AS band FROM mh)
       GROUP BY doc_id, band
     ),

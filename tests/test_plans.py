@@ -71,7 +71,7 @@ _NLJ_ALLOWED = {
     "p6_ordered_slice",  # 1-row scalar min-marker broadcast
     "t5_funnel",  # three 1-row stage counts cross-combined
     "ml_kmeans",  # 8-row centroid table broadcast per Lloyd round
-    "d8_edit_distance",  # ~18-row distinct-sources pair broadcast
+    "s4_hamming_topk",  # 1-row query-code broadcast
 }
 
 
