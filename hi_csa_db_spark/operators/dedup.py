@@ -425,9 +425,11 @@ def simhash(
 
     Classic Charikar scheme: each distinct token contributes +1/-1 to
     each bit position according to its 60-bit md5-derived hash; the
-    sign of each bit-sum forms the fingerprint. Expressed as
-    token-explode x bit-explode + groupBy — all built-ins, shuffles
-    once on (doc, bit) and once on doc.
+    sign of each bit-sum forms the fingerprint. All ``bits`` bit-sums
+    are parallel aggregates in a SINGLE groupBy pass (the same
+    map-side-combine shape as minhash_signatures) — the naive
+    bit-explode would push bits x tokens rows through the shuffle for
+    identical results.
     """
     toks = docs.select(
         F.col(id_col),
@@ -437,23 +439,20 @@ def simhash(
         id_col,
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
     )
-    bits_df = hashed.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        F.col("h"),
-    ).select(
-        id_col,
-        "bit",
-        (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias("contrib"),
-    )
-    per_bit = bits_df.groupBy(id_col, "bit").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy(id_col).agg(
+    aggs = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"__s{b}")
+        for b in range(bits)
+    ]
+    per_doc = hashed.groupBy(id_col).agg(*aggs)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"__s{b}") > 0, F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_doc.select(id_col, fingerprint.alias("simhash"))
 
 
 def simhash_hamming_pairs(
