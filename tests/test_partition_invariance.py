@@ -16,6 +16,12 @@ FLOAT_SENSITIVE = [
     "stats_linreg",
     "t6_cohort_retention",
     "q8_market_share",
+    # round-2 additions
+    "d2_minhash_lsh_pairs",
+    "d3_ngram_jaccard_topk",
+    "x12_quality_rules",
+    "x13_repetition_stats",
+    "s4_hamming_topk",
 ]
 
 
