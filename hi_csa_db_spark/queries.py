@@ -3919,6 +3919,142 @@ def s4_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hamming_topk(emb, query_id=0, k=10)
 
 
+@_register(
+    "x14_contamination",
+    """
+    WITH evald AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    eg AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(ws) - 4, 0) + 1),
+          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+        FROM (SELECT doc_id, list_filter(
+                string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                x -> x <> '') AS ws
+              FROM evald)
+        WHERE len(ws) >= 5
+      )
+    ),
+    cg AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest(list_transform(
+          range(1, greatest(len(ws) - 4, 0) + 1),
+          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+        FROM (SELECT list_filter(
+                string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                x -> x <> '') AS ws
+              FROM corpus)
+        WHERE len(ws) >= 5
+      )
+    )
+    SELECT eg.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN cg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN cg.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS contamination_frac
+    FROM eg LEFT JOIN cg ON cg.g = eg.g
+    GROUP BY eg.doc_id
+    """,
+)
+def x14_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: fraction of an eval doc's
+    distinct word 5-grams that appear anywhere in the training corpus
+    (the decontamination check every LLM data pipeline runs before a
+    release). Eval set = doc_id % 97 == 0 (deterministic holdout).
+
+    Scale shape: membership is a semi-style join against the DISTINCT
+    corpus-gram set — never a doc-pair explosion, so hot grams cost
+    one row each; two map-side-combinable aggregations total."""
+    docs = load_table(spark, sf_dir, "documents")
+    evald = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    eg = dedup.shingles(evald, n=5).withColumnRenamed("shingle", "g")
+    cg = dedup.shingles(corpus, n=5).select("shingle").distinct().select(
+        F.col("shingle").alias("g"), F.lit(1).alias("__hit")
+    )
+    return (
+        eg.join(cg, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("contamination_frac"),
+        )
+    )
+
+
+@_register(
+    "x15_bigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '') AS ws
+      FROM documents
+    ),
+    bgs AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+      WHERE len(ws) >= 2
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgs GROUP BY w1, w2),
+    uc AS (SELECT w1, COUNT(*) AS c1 FROM bgs GROUP BY w1)
+    SELECT g.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(ln(CAST(bc.c2 AS DOUBLE) / uc.c1)), 6) AS avg_logprob
+    FROM bgs g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+               JOIN uc ON uc.w1 = g.w1
+    GROUP BY g.doc_id
+    """,
+)
+def x15_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency scoring: average log P(w2|w1) per document
+    under the corpus's own bigram MLE — the cheap statistical-quality
+    signal (gibberish and boilerplate score far from the mode) used to
+    rank documents before expensive model-based filtering.
+
+    Two count aggregations + two equi-joins on token keys; every
+    aggregate is map-side combinable and the count tables are
+    Zipf-small relative to the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        tokenize(F.lower(strip_punct(F.col("text")))).alias("__toks"),
+    ).filter(F.size("__toks") >= 2)
+    bgs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - 2),
+                lambda i: F.struct(
+                    F.element_at("__toks", i + 1).alias("w1"),
+                    F.element_at("__toks", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bc = bgs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uc = bgs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        bgs.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("c2").cast("double") / F.col("c1"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 # Exposure order. The driver's correctness gate samples a prefix of the
 # registry (50 of 116 in round 1, in dict order), so the prefix must
 # prove the maximum number of distinct SURVEY.md section-2 components:
@@ -3952,7 +4088,7 @@ _PRIORITY = (
     "ml_kmeans",
     # past the round-1 sample horizon: next-most-valuable first
     "x11_pii_scrub", "x12_quality_rules", "x13_repetition_stats",
-    "s4_hamming_topk",
+    "s4_hamming_topk", "x14_contamination", "x15_bigram_logprob",
     "agg_pandas_median", "pipe_training_prep", "x8_bigram_counts",
     "pipe_reference_replay", "graph_pagerank", "graph_components",
     "mm4_feature_knn", "mm2_media_dedup", "mm3_frame_sample_plan",

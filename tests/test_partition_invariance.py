@@ -22,6 +22,8 @@ FLOAT_SENSITIVE = [
     "x12_quality_rules",
     "x13_repetition_stats",
     "s4_hamming_topk",
+    "x14_contamination",
+    "x15_bigram_logprob",
 ]
 
 
