@@ -1,0 +1,78 @@
+"""Transaction-log table format: atomicity, snapshot isolation, time
+travel, MERGE, conflict detection, vacuum."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hi_csa_db_spark.sources import txlog
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["k", "val"])
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v = txlog.write_table(_df(spark, [(1, "a"), (2, "b")]), path)
+    assert v == 0
+    out = {r["k"]: r["val"] for r in txlog.read_table(spark, path).collect()}
+    assert out == {1: "a", 2: "b"}
+
+
+def test_overwrite_is_versioned_and_time_travel_reads_history(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.write_table(_df(spark, [(1, "a")]), path)
+    txlog.write_table(_df(spark, [(1, "B"), (2, "c")]), path)
+    assert txlog.current_version(path) == 1
+    assert {r["val"] for r in txlog.read_table(spark, path).collect()} == {"B", "c"}
+    assert {r["val"] for r in txlog.read_table(spark, path, version=0).collect()} == {"a"}
+
+
+def test_append_carries_prior_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.write_table(_df(spark, [(1, "a")]), path)
+    txlog.write_table(_df(spark, [(2, "b")]), path, mode="append")
+    assert txlog.read_table(spark, path).count() == 2
+
+
+def test_merge_upserts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.write_table(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), path)
+    txlog.merge_table(spark, path, _df(spark, [(2, "B2"), (4, "d")]), key="k")
+    out = {r["k"]: r["val"] for r in txlog.read_table(spark, path).collect()}
+    assert out == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    # the pre-merge snapshot is still readable (time travel)
+    old = {r["k"]: r["val"] for r in txlog.read_table(spark, path, version=0).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+
+
+def test_commit_conflict_detected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.write_table(_df(spark, [(1, "a")]), path)
+    # simulate a racing writer that already published v1
+    files = txlog._manifest(path, 0)["files"]
+    txlog._commit(path, 1, files, "overwrite")
+    with pytest.raises(txlog.CommitConflict):
+        txlog._commit(path, 1, files, "overwrite")
+
+
+def test_readers_never_see_torn_state(spark, tmp_path):
+    # data files written but NOT committed must be invisible
+    path = str(tmp_path / "t")
+    txlog.write_table(_df(spark, [(1, "a")]), path)
+    txlog._write_data_files(_df(spark, [(9, "zzz")]), path)  # no commit
+    assert txlog.read_table(spark, path).count() == 1
+
+
+def test_vacuum_drops_unreferenced(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.write_table(_df(spark, [(1, "a")]), path)
+    txlog.write_table(_df(spark, [(1, "b")]), path)
+    txlog.write_table(_df(spark, [(1, "c")]), path)
+    removed = txlog.vacuum(path, keep_last=1)
+    assert removed > 0
+    assert {r["val"] for r in txlog.read_table(spark, path).collect()} == {"c"}
+    with pytest.raises(FileNotFoundError):
+        txlog.read_table(spark, path, version=0)
