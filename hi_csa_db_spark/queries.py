@@ -4055,6 +4055,236 @@ def x15_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND CAST(l_discount AS DECIMAL(3,2)) BETWEEN CAST('0.05' AS DECIMAL(3,2)) AND CAST('0.07' AS DECIMAL(3,2))
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecasting-revenue-change: pure scan + filter +
+    single global aggregate. Every predicate and both needed columns
+    push to the parquet scan; the "shuffle" is one partial-sum row per
+    task — the cheapest possible plan shape at any scale. Discount is
+    compared in decimal so the band edges are exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_discount").cast("decimal(3,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (d >= F.lit("0.05").cast("decimal(3,2)"))
+            & (d <= F.lit("0.07").cast("decimal(3,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)") * d)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item reporting. The date filter prunes
+    orders BEFORE the fact join; nation (25 rows) and the filtered
+    customer side broadcast; the only real shuffle is lineitem⋈orders
+    on orderkey + the final groupBy; top-20 is TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@_register(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(
+             100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(14,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+                 ELSE CAST('0.00' AS DECIMAL(17,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE),
+           6) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion effect: conditional-aggregate ratio.
+    part is dimension-sized -> broadcast, so the month of lineitem never
+    shuffles; both sums ride one aggregation pass. Decimal accumulators,
+    double division only at the very end, rounded for canonical output."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    joined = li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
+        F.lit("0.00").cast("decimal(17,4)")
+    )
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(_disc_price()).cast("double"),
+            6,
+        ).alias("promo_revenue")
+    )
+
+
+_PACK_BUDGET = 512  # tokens per training context
+
+
+@_register(
+    "x16_context_packing",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+      FROM toks
+    )
+    SELECT source,
+           CAST(FLOOR(tokens_before / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM cum
+    GROUP BY source, bin_id
+    """,
+)
+def x16_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-context packing: concatenate each corpus slice's docs in
+    a deterministic order and split at a fixed token budget — the
+    chunked sequence-packing used to fill fixed-length training
+    contexts. bin = floor(cumulative-tokens-before / budget), i.e. a
+    document straddling a boundary starts in the earlier bin (streaming
+    chunking, not bin packing — no sequential dependence beyond one
+    prefix sum).
+
+    Scale: ONE shuffle (repartition by source + in-partition sort for
+    the window), then the groupBy re-uses the same partitioning; per-doc
+    token counts never leave the executor. A greedy first-fit packer
+    would serialize per slice; the prefix-sum formulation is
+    embarrassingly parallel and what 100 TB pipelines actually run."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        toks.withColumn(
+            "bin_id", F.floor(before / F.lit(float(_PACK_BUDGET))).cast("long")
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+    )
+
+
+@_register(
+    "x17_domain_mixture",
+    """
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    totals AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+      FROM toks GROUP BY source
+    ),
+    floor_t AS (SELECT MIN(src_tokens) AS min_tokens FROM totals)
+    SELECT t.source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS kept_tokens
+    FROM toks t
+    JOIN totals s ON t.source = s.source
+    CROSS JOIN floor_t m
+    WHERE ((t.doc_id * 2654435761) % 4294967296) * s.src_tokens
+          < m.min_tokens * 4294967296
+    GROUP BY t.source
+    """,
+)
+def x17_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture balancing: downsample every corpus slice to the
+    token budget of the smallest slice, so the training mixture is
+    uniform across sources. The keep/drop decision is a deterministic
+    multiplicative hash of doc_id (Knuth 2654435761 mod 2^32) compared
+    in PURE INTEGER arithmetic (hash * src_tokens < min_tokens * 2^32)
+    — no float thresholds, so Spark and the oracle agree exactly and a
+    re-run keeps the identical document set (reproducible mixtures).
+
+    Scale: per-source totals are one map-combined aggregation over a
+    handful of groups; both the totals and the global min broadcast;
+    the corpus itself is filtered in place with zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens")
+    )
+    totals = toks.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    floor_t = totals.agg(F.min("src_tokens").alias("min_tokens"))
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    return (
+        toks.join(F.broadcast(totals), "source")
+        .join(F.broadcast(floor_t))
+        .filter(u * F.col("src_tokens") < F.col("min_tokens") * F.lit(4294967296))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        )
+    )
+
+
 # Exposure order. The driver's correctness gate samples a prefix of the
 # registry (50 of 116 in round 1, in dict order), so the prefix must
 # prove the maximum number of distinct SURVEY.md section-2 components:
@@ -4089,6 +4319,7 @@ _PRIORITY = (
     # past the round-1 sample horizon: next-most-valuable first
     "x11_pii_scrub", "x12_quality_rules", "x13_repetition_stats",
     "s4_hamming_topk", "x14_contamination", "x15_bigram_logprob",
+    "x16_context_packing", "x17_domain_mixture",
     "agg_pandas_median", "pipe_training_prep", "x8_bigram_counts",
     "pipe_reference_replay", "graph_pagerank", "graph_components",
     "mm4_feature_knn", "mm2_media_dedup", "mm3_frame_sample_plan",

@@ -24,6 +24,9 @@ FLOAT_SENSITIVE = [
     "s4_hamming_topk",
     "x14_contamination",
     "x15_bigram_logprob",
+    "x16_context_packing",
+    "x17_domain_mixture",
+    "q14_promo_revenue",
 ]
 
 

@@ -72,6 +72,7 @@ _NLJ_ALLOWED = {
     "t5_funnel",  # three 1-row stage counts cross-combined
     "ml_kmeans",  # 8-row centroid table broadcast per Lloyd round
     "s4_hamming_topk",  # 1-row query-code broadcast
+    "x17_domain_mixture",  # 1-row global-min-tokens broadcast
 }
 
 
