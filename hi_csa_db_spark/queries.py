@@ -4285,6 +4285,164 @@ def x17_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "sq_recursive_cte",
+    """
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01 00:00:00'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '2001-12-01 00:00:00'
+    )
+    SELECT months.m AS month, COALESCE(o.n_orders, 0) AS n_orders
+    FROM months
+    LEFT JOIN (
+      SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ) o ON months.m = o.mo
+    """,
+)
+def sq_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the SQL front-end (Spark 4): generate the
+    month calendar spanning the order history, then left-join monthly
+    order counts so empty months surface as explicit zero rows — the
+    gap-free time-series contract t3_resample provides per key, here as
+    a global calendar.
+
+    Scale: the recursion produces 84 driver-side rows (one per month);
+    the fact side is one map-combined count per month. The recursive
+    part never touches big data — it only seeds a broadcast-sized
+    dimension, which is the correct use of recursion at 100 TB."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months
+          WHERE m < TIMESTAMP '2001-12-01 00:00:00'
+        )
+        SELECT months.m AS month, COALESCE(o.n_orders, 0) AS n_orders
+        FROM months
+        LEFT JOIN (
+          SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n_orders
+          FROM orders GROUP BY 1
+        ) o ON months.m = o.mo
+        """
+    )
+
+
+@_register(
+    "sq_lateral_topn",
+    """
+    SELECT n.n_name, t.c_custkey, t.bal
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey ASC
+      LIMIT 2
+    ) t
+    """,
+)
+def sq_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT —
+    top-2 customers by balance per nation, authored as SQL. Catalyst
+    rewrites the lateral into the same ranked-window shape the
+    DataFrame tier uses (w2/a3), so there is no per-nation re-scan of
+    customer; deterministic custkey tie-break keeps both engines'
+    top-2 sets identical."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.bal
+        FROM nation n,
+        LATERAL (
+          SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+          FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey ASC
+          LIMIT 2
+        ) t
+        """
+    )
+
+
+@_register(
+    "f_variant_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+           MAX(CAST(props->>'$.k' AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def f_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through the VARIANT type (Spark 4):
+    parse_json once into a binary variant, then typed variant_get
+    extraction — the open-schema path for event payloads whose shape
+    drifts (vs f7's schema-pinned get_json_object). At scale the parse
+    happens once per row in the scan stage and the shredded int rides
+    the aggregation; no string re-parsing per accessor."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("CAST(variant_get(parse_json(props), '$.k', 'int') AS BIGINT)")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+@_register(
+    "w9_ntile_quartiles",
+    """
+    WITH ranked AS (
+      SELECT c_mktsegment,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile,
+             c_acctbal
+      FROM customer
+    )
+    SELECT c_mktsegment, quartile,
+           COUNT(*) AS n,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal
+    FROM ranked
+    GROUP BY c_mktsegment, quartile
+    """,
+)
+def w9_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile() bucketing: balance quartiles within each market segment
+    — the window-function path to quantile-banded cohorts (exact,
+    unlike approx_percentile; deterministic via custkey tie-break).
+    One shuffle on the segment key; the quartile groupBy reuses it."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.select(
+            "c_mktsegment",
+            F.ntile(4).over(w).alias("quartile"),
+            "c_acctbal",
+        )
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
 # Exposure order. The driver's correctness gate samples a prefix of the
 # registry (50 of 116 in round 1, in dict order), so the prefix must
 # prove the maximum number of distinct SURVEY.md section-2 components:
@@ -4326,7 +4484,9 @@ _PRIORITY = (
     "asof_purchase_click", "range_error_clicks", "d5_embedding_neardup",
     "graph_degrees", "graph_triangles", "g2_grouping_sets_orders",
     "w5_window_suite", "sq_scalar_subquery", "sq_exists",
-    "sq_correlated_subquery", "f_date_suite", "f_string_suite",
+    "sq_correlated_subquery", "sq_recursive_cte", "sq_lateral_topn",
+    "f_variant_props", "w9_ntile_quartiles",
+    "f_date_suite", "f_string_suite",
     "f_null_suite",
 )
 
