@@ -80,14 +80,19 @@ def _write_data_files(df: DataFrame, path: str) -> list[str]:
     ]
 
 
-def _commit(path: str, version: int, files: list[str], op: str) -> int:
+def _commit(
+    path: str, version: int, files: list[str], op: str, meta: dict | None = None
+) -> int:
     """Publish a manifest for ``version`` atomically; raise
     CommitConflict if someone else got there first."""
     os.makedirs(_log_dir(path), exist_ok=True)
     final = os.path.join(_log_dir(path), f"v{version}.json")
     tmp = final + f".{uuid.uuid4().hex[:8]}.tmp"
+    body = {"version": version, "op": op, "files": sorted(files)}
+    if meta:
+        body.update(meta)
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "op": op, "files": sorted(files)}, fh)
+        json.dump(body, fh)
     if os.path.exists(final):
         os.remove(tmp)
         raise CommitConflict(f"version {version} already committed")
@@ -113,6 +118,35 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> int:
     elif mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode}")
     return _commit(path, (base if base is not None else -1) + 1, files, mode)
+
+
+def append_batch(df: DataFrame, path: str, batch_id: int) -> int:
+    """Exactly-once streaming append: commit ``df`` as one transaction
+    tagged with the stream's monotonic ``batch_id``, skipping batches
+    the table has already seen (Delta's idempotent-writes `txn`
+    pattern — the manifest carries the high-water batch id forward, so
+    the replay check is O(1), not a log scan).
+
+    foreachBatch re-delivers a batch when a stream restarts after a
+    sink write but before the checkpoint commit; without this tag the
+    re-delivery would duplicate rows. Returns the (possibly unchanged)
+    current version."""
+    base = current_version(path)
+    last = -1
+    if base is not None:
+        last = _manifest(path, base).get("last_batch_id", -1)
+        if batch_id <= last:
+            return base  # replayed batch: already durable, skip
+    files = _write_data_files(df, path)
+    if base is not None:
+        files = _manifest(path, base)["files"] + files
+    return _commit(
+        path,
+        (base if base is not None else -1) + 1,
+        files,
+        "stream-append",
+        meta={"last_batch_id": max(last, batch_id)},
+    )
 
 
 def read_table(

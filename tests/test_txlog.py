@@ -76,3 +76,32 @@ def test_vacuum_drops_unreferenced(spark, tmp_path):
     assert {r["val"] for r in txlog.read_table(spark, path).collect()} == {"c"}
     with pytest.raises(FileNotFoundError):
         txlog.read_table(spark, path, version=0)
+
+
+def test_append_batch_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v0 = txlog.append_batch(_df(spark, [(1, "a")]), path, batch_id=0)
+    v1 = txlog.append_batch(_df(spark, [(2, "b")]), path, batch_id=1)
+    assert (v0, v1) == (0, 1)
+    # a re-delivered batch (stream restarted between sink write and
+    # checkpoint commit) must not duplicate rows or bump the version
+    v_replay = txlog.append_batch(_df(spark, [(2, "b")]), path, batch_id=1)
+    assert v_replay == 1
+    rows = sorted(map(tuple, txlog.read_table(spark, path).collect()))
+    assert rows == [(1, "a"), (2, "b")]
+
+
+def test_stream_append_exactly_once(spark, sf_dir, tmp_path):
+    from hi_csa_db_spark.streaming.acid_sink import stream_append_to_table
+
+    table = str(tmp_path / "events_table")
+    ckpt = str(tmp_path / "ckpt")
+    out = stream_append_to_table(spark, sf_dir, table, ckpt)
+    n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    assert out.count() == n_events
+    # restarting the stream on the same checkpoint finds no new input
+    # and no new commits appear
+    v_before = txlog.current_version(table)
+    stream_append_to_table(spark, sf_dir, table, ckpt)
+    assert txlog.current_version(table) == v_before
+    assert txlog.read_table(spark, table).count() == n_events
