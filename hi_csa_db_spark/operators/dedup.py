@@ -105,16 +105,14 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_keys(
     signatures: DataFrame, id_col: str = "doc_id", bands: int = 8, rows: int = 2
 ) -> DataFrame:
-    """Band the signatures and emit candidate pairs sharing any band.
-
-    Band key = md5 of the band's signature slice. Self-join per bucket
-    with id_a < id_b; distinct pairs. This is the LSH equi-join that
-    replaces the O(n^2) cross join at scale.
-    """
-    banded = signatures.select(
+    """Explode a signature table into its LSH band keys:
+    (id, band, bkey) with bkey = md5 of the band's signature slice.
+    This IS the persistable LSH index — at fleet scale it lives as a
+    table bucketed by (band, bkey) so probes are co-located joins."""
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -138,6 +136,18 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 8, rows: int = 2
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band.
+
+    Band key = md5 of the band's signature slice. Self-join per bucket
+    with id_a < id_b; distinct pairs. This is the LSH equi-join that
+    replaces the O(n^2) cross join at scale.
+    """
+    banded = band_keys(signatures, id_col, bands, rows)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -149,6 +159,40 @@ def lsh_candidate_pairs(
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_incremental(
+    new_signatures: DataFrame,
+    corpus_signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows: int = 2,
+) -> DataFrame:
+    """Candidate pairs between a DELTA and an existing corpus: band the
+    new docs' signatures and probe them against the corpus' band-key
+    index — the incremental-dedup path a continuously-built corpus
+    runs per ingest batch.
+
+    Scale contract: cost is |delta| x bucket-mates, never corpus x
+    corpus. The corpus side is a maintained signature/band table (one
+    pass when a doc is first ingested, e.g. kept in the txlog table
+    format); a batch of b new docs reads only the buckets it hashes
+    into. Returns (id_new, id_old) distinct pairs.
+    """
+    a = band_keys(new_signatures, id_col, bands, rows).alias("a")
+    b = band_keys(corpus_signatures, id_col, bands, rows).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_new"),
+            F.col(f"b.{id_col}").alias("id_old"),
         )
         .distinct()
     )

@@ -4286,6 +4286,81 @@ def x17_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "d9_incremental_lsh",
+    f"""
+    WITH {_SHINGLE_SQL},
+    seeds AS (SELECT unnest(range(0, 16)) AS seed),
+    hh AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h1,
+             CAST('0x' || substring(md5(shingle), 16, 12) AS BIGINT) * 2 + 1 AS h2
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, seed,
+             MIN((h1 + seed * h2) % 1152921504606846976) AS mh
+      FROM hh CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             md5(band::VARCHAR || '|' || string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bkey
+      FROM (SELECT doc_id, seed, mh, seed // 2 AS band FROM mh)
+      GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_new, c.id_old, COUNT(*) AS ic
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_new
+      JOIN sh b ON b.doc_id = c.id_old AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT c.id_new, c.id_old,
+           ROUND(i.ic / (sa.sz + sb.sz - i.ic), 6) AS jaccard
+    FROM cand c JOIN inter i ON c.id_new = i.id_new AND c.id_old = i.id_old
+                JOIN sizes sa ON sa.doc_id = c.id_new
+                JOIN sizes sb ON sb.doc_id = c.id_old
+    WHERE i.ic / (sa.sz + sb.sz - i.ic) >= 0.05
+    """,
+)
+def d9_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: an ingest batch (doc_id % 7 = 0
+    here) probed against the existing corpus' LSH band index — the
+    per-batch dedup a continuously-built corpus runs, instead of
+    re-pairing the whole corpus against itself. Candidates are
+    delta x bucket-mates; exact Jaccard verifies over full shingle
+    sets. At fleet scale the corpus' signatures/band keys are a
+    maintained table (txlog format) bucketed by (band, bkey), so the
+    probe is a co-located join touching only the delta's buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    is_new = F.col("doc_id") % 7 == 0
+    cand = dedup.lsh_candidate_pairs_incremental(
+        sigs.filter(is_new), sigs.filter(~is_new), bands=8, rows=2
+    )
+    verified = dedup.jaccard_pairs(
+        sh,
+        candidates=cand.select(
+            F.col("id_new").alias("id_a"), F.col("id_old").alias("id_b")
+        ),
+    )
+    return (
+        verified.filter(F.col("jaccard") >= 0.05)
+        .select(
+            F.col("id_a").alias("id_new"),
+            F.col("id_b").alias("id_old"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+@_register(
     "sq_recursive_cte",
     """
     WITH RECURSIVE months(m) AS (
@@ -4471,7 +4546,7 @@ _PRIORITY = (
     "x1_token_explode_topk", "f1_regex_tokenize", "f5_url_absolutize",
     "f6f7_brackets_and_codes",
     "d1_exact_dedup", "d2_minhash_lsh_pairs", "d6_dedup_survivors",
-    "d7_simhash_pairs", "s1_cosine_topk", "s2_ivf_topk",
+    "d7_simhash_pairs", "d9_incremental_lsh", "s1_cosine_topk", "s2_ivf_topk",
     "x2_lang_id", "x3_quality_score", "x4_token_stats", "x5_fingerprints",
     "ml_kmeans",
     # past the round-1 sample horizon: next-most-valuable first
