@@ -3351,6 +3351,26 @@ def sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("sketch_quantiles")
+def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantile sketches (Greenwald-Khanna family) per
+    group — the 100 TB path for distribution profiling: each partition
+    builds a bounded-size sketch, partials MERGE associatively, and
+    only sketches cross the shuffle (exact percentiles would sort every
+    value). Rows-only check: sketch estimates are engine-specific by
+    construction (the exact twin is stats_percentiles)."""
+    o = load_table(spark, sf_dir, "orders")
+    qs = F.percentile_approx(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.round(qs[0], 2).alias("p50_est"),
+        F.round(qs[1], 2).alias("p90_est"),
+        F.round(qs[2], 2).alias("p99_est"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 @_register(
     "x6_tfidf_topk",
     """
