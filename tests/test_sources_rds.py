@@ -1,0 +1,101 @@
+"""RDS interop: pure-Python reader/writer for R's serialization format
+(R Internals section 1.8), plus the Spark data source. The gated tests
+read the reference's ACTUAL artifacts and check the exact workload
+numbers BASELINE.md measured from them — the strongest available proof
+that a reference user's files load unchanged."""
+
+import os
+
+import pytest
+
+from hi_csa_db_spark.sources import rds
+
+REF_DATA = "/root/reference/data"
+
+
+def test_writer_reader_roundtrip(tmp_path):
+    names = ["s", "i", "d", "b"]
+    cols = [
+        ["a", None, "ü-umlaut", "d"],
+        [1, 2, None, -4],
+        [1.5, None, 3.25, -0.125],
+        [True, False, None, True],
+    ]
+    path = str(tmp_path / "t.rds")
+    rds.write_rds_data_frame(path, names, cols)
+    obj = rds.read_rds(path)
+    got_names, got_cols = rds.data_frame_columns(obj)
+    assert got_names == names
+    assert got_cols == cols
+
+
+def test_roundtrip_uncompressed(tmp_path):
+    path = str(tmp_path / "t.rds")
+    rds.write_rds_data_frame(path, ["x"], [[1, 2, 3]], compress=False)
+    _, cols = rds.data_frame_columns(rds.read_rds(path))
+    assert cols == [[1, 2, 3]]
+
+
+def test_spark_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 1, 1.5), ("b", None, None)], "name string, n int, v double"
+    )
+    path = str(tmp_path / "t.rds")
+    rds.spark_to_rds(df, path)
+    back = rds.rds_to_spark(spark, path)
+    assert back.columns == df.columns
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF_DATA}/hi-csa-db.rds"),
+    reason="reference artifacts not present",
+)
+def test_reads_reference_published_table(spark):
+    # hi-csa-db.Rmd:593 saveRDS(csa_db); BASELINE.md: 308 rows x 5
+    # string cols, Type = Support 224 / Technical 44 / Policy 40
+    df = rds.rds_to_spark(spark, f"{REF_DATA}/hi-csa-db.rds")
+    assert df.columns == [
+        "Type", "Mitigation", "Practice", "Description", "Resource"
+    ]
+    assert df.count() == 308
+    counts = {r["Type"]: r["n"] for r in
+              df.groupBy("Type").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"Support": 224, "Technical": 44, "Policy": 40}
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF_DATA}/nrcs.rds"),
+    reason="reference artifacts not present",
+)
+def test_reads_reference_crawl_artifacts(spark):
+    # hi-csa-db.Rmd:129/316/349/384 crawl caches; BASELINE.md numbers:
+    # INDEX rows 109/99/145, NetwEdges 15109/13244/21366
+    expected = {"nrcs": (109, 15109), "nifa": (99, 13244), "ams": (145, 21366)}
+    for name, (n_pages, n_edges) in expected.items():
+        obj = rds.read_rds(f"{REF_DATA}/{name}.rds")
+        _, idx_cols = rds.data_frame_columns(rds.element(obj, "INDEX"))
+        assert len(idx_cols[0]) == n_pages, name
+        _, e_cols = rds.data_frame_columns(
+            rds.element(obj, "network", "NetwEdges")
+        )
+        assert len(e_cols[0]) == n_edges, name
+
+
+@pytest.mark.skipif(
+    rds.RDSDataSource is None or not os.path.exists(f"{REF_DATA}/nrcs.rds"),
+    reason="DataSource API or reference artifacts not present",
+)
+def test_rds_data_source_format(spark):
+    try:
+        spark.dataSource.register(rds.RDSDataSource)
+    except Exception as e:  # already registered in this session
+        if "already" not in str(e).lower():
+            raise
+    df = (
+        spark.read.format("rds")
+        .option("element", "network.NetwEdges")
+        .load(f"{REF_DATA}/nrcs.rds")
+    )
+    assert df.columns == ["From", "To", "Weight", "Type"]
+    assert df.count() == 15109
