@@ -99,3 +99,37 @@ def test_rds_data_source_format(spark):
     )
     assert df.columns == ["From", "To", "Weight", "Type"]
     assert df.count() == 15109
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF_DATA}/nrcs.rds"),
+    reason="reference artifacts not present",
+)
+def test_reference_crawl_data_through_link_pipeline(spark):
+    """End-to-end on the reference's REAL crawl payloads: per-page
+    href arrays (X4, ManyPerPattern at hi-csa-db.Rmd:115-117) exploded
+    and absolutized (F5, Rmd:275-279) — the artifact a reference user
+    has on disk flows through the same operators the fixtures test."""
+    import pyspark.sql.functions as F
+
+    from hi_csa_db_spark.functions.text import absolutize_url
+
+    obj = rds.read_rds(f"{REF_DATA}/nrcs.rds")
+    data = rds.element(obj, "DATA")
+    entries = data.value if isinstance(data, rds.RObject) else data
+    rows = []
+    for e in entries:
+        vals = e.value if isinstance(e, rds.RObject) else e
+        pid = int(rds._strip(vals[0])[0])
+        hrefs = [h for h in (rds._strip(vals[1]) or []) if h is not None]
+        rows.append((pid, hrefs))
+    df = spark.createDataFrame(rows, "page_id int, hrefs array<string>")
+    links = df.select("page_id", F.explode("hrefs").alias("href")).withColumn(
+        "abs_url", absolutize_url(F.col("href"), "https://www.nrcs.usda.gov")
+    )
+    n_links = links.count()
+    # BASELINE.md: ~150-484 hrefs per page over 100+ pages
+    assert n_links > 10_000
+    assert links.filter(F.col("abs_url").rlike("^https?://")).count() == n_links
+    # the per-page arrays survived intact: explode count == sum of sizes
+    assert n_links == df.select(F.sum(F.size("hrefs"))).collect()[0][0]
