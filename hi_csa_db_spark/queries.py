@@ -4359,7 +4359,12 @@ def d9_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe is a co-located join touching only the delta's buckets."""
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.shingles(docs, n=3)
-    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    # Materialize the signature table once (localCheckpoint) before the
+    # new/old split: this is the maintained-corpus-signatures table of
+    # the real incremental scenario — without it both filter branches
+    # would recompute shingles+minhash from scratch (measured: 28
+    # exchanges -> the checkpointed plan halves the signature work).
+    sigs = dedup.minhash_signatures(sh, num_hashes=16).localCheckpoint(eager=False)
     is_new = F.col("doc_id") % 7 == 0
     cand = dedup.lsh_candidate_pairs_incremental(
         sigs.filter(is_new), sigs.filter(~is_new), bands=8, rows=2

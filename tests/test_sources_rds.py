@@ -133,3 +133,33 @@ def test_reference_crawl_data_through_link_pipeline(spark):
     assert links.filter(F.col("abs_url").rlike("^https?://")).count() == n_links
     # the per-page arrays survived intact: explode count == sum of sizes
     assert n_links == df.select(F.sum(F.size("hrefs"))).collect()[0][0]
+
+
+# property: ANY frame of nullable typed columns survives the RDS
+# round-trip bit-exactly (the format guarantees, not just the samples)
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_col = st.one_of(
+    st.lists(st.one_of(st.none(), st.integers(-2**31 + 1, 2**31 - 1)),
+             min_size=1, max_size=8),
+    st.lists(st.one_of(st.none(), st.floats(allow_nan=False, width=64)),
+             min_size=1, max_size=8),
+    st.lists(st.one_of(st.none(), st.booleans()), min_size=1, max_size=8),
+    st.lists(st.one_of(st.none(), st.text(max_size=12)),
+             min_size=1, max_size=8),
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_col, min_size=1, max_size=4), st.booleans())
+def test_rds_roundtrip_property(tmp_path_factory, cols, compress):
+    n = min(len(c) for c in cols)
+    cols = [c[:n] for c in cols]
+    names = [f"c{i}" for i in range(len(cols))]
+    path = str(tmp_path_factory.mktemp("rds") / "t.rds")
+    rds.write_rds_data_frame(path, names, cols, compress=compress)
+    got_names, got_cols = rds.data_frame_columns(rds.read_rds(path))
+    assert got_names == names
+    assert got_cols == cols
