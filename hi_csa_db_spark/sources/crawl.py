@@ -243,7 +243,50 @@ def crawl_or_cache(
     max_depth: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """S2: idempotent materialization — if the parquet cache exists,
-    read it; else crawl and persist (hi-csa-db.Rmd:105-131)."""
+    read it; else crawl and persist (hi-csa-db.Rmd:105-131).
+
+    Interop: an existing RDS crawl cache (the artifact the reference's
+    own runs leave on disk, e.g. nrcs.rds) is honored first — a
+    reference user pointing this engine at their cache_dir re-uses
+    their crawls without refetching, exactly as readRDS at Rmd:105
+    would. The RDS shape (INDEX/network$NetwEdges data.frames) maps to
+    the same (index, edges) pair."""
+    rds_caches = (
+        [
+            os.path.join(cache_dir, f)
+            for f in sorted(os.listdir(cache_dir))
+            if f.endswith(".rds")
+        ]
+        if os.path.isdir(cache_dir)
+        else []
+    )
+    if rds_caches:
+        from hi_csa_db_spark.sources import rds as rds_mod
+
+        obj = rds_mod.read_rds(rds_caches[0])
+        inames, icols = rds_mod.data_frame_columns(rds_mod.element(obj, "INDEX"))
+        enames, ecols = rds_mod.data_frame_columns(
+            rds_mod.element(obj, "network", "NetwEdges")
+        )
+        url_i = inames.index("Url")
+        lvl_i = inames.index("Level")
+        index = spark.createDataFrame(
+            [
+                (u, int(lv) if lv is not None else 0)
+                for u, lv in zip(icols[url_i], icols[lvl_i])
+            ],
+            "url string, level int",
+        )
+        f_i, t_i = enames.index("From"), enames.index("To")
+        edges = spark.createDataFrame(
+            [
+                (int(a), int(b))
+                for a, b in zip(ecols[f_i], ecols[t_i])
+                if a is not None and b is not None
+            ],
+            "src bigint, dst bigint",
+        )
+        return index, edges
     index_path = os.path.join(cache_dir, "crawl_index")
     edges_path = os.path.join(cache_dir, "crawl_edges")
     if not (os.path.exists(index_path) and os.path.exists(edges_path)):

@@ -163,3 +163,30 @@ def test_rds_roundtrip_property(tmp_path_factory, cols, compress):
     got_names, got_cols = rds.data_frame_columns(rds.read_rds(path))
     assert got_names == names
     assert got_cols == cols
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF_DATA}/nrcs.rds"),
+    reason="reference artifacts not present",
+)
+def test_crawl_or_cache_honors_reference_rds_cache(spark, tmp_path):
+    """S2 interop: a cache_dir holding the reference's own RDS crawl
+    cache is reused without any fetching (fetcher would raise)."""
+    import shutil
+
+    from hi_csa_db_spark.sources.crawl import crawl_or_cache
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    shutil.copy(f"{REF_DATA}/nrcs.rds", cache / "nrcs.rds")
+
+    def no_fetch(url):
+        raise AssertionError("cache hit must not fetch")
+
+    index, edges = crawl_or_cache(
+        spark, str(cache), seeds=["https://example.org"], fetcher=no_fetch
+    )
+    assert index.count() == 109  # BASELINE.md INDEX rows
+    assert edges.count() == 15109  # BASELINE.md NetwEdges rows
+    assert index.columns == ["url", "level"]
+    assert edges.columns == ["src", "dst"]
