@@ -61,3 +61,64 @@ def finalize(state: DataFrame) -> DataFrame:
         "*",
         F.round(F.col("sum_v").cast("double") / F.col("n_rows"), 6).alias("avg_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# maintained rollup: partial states + versioned storage = the
+# continuous aggregate (a materialized view that ingests deltas)
+# ---------------------------------------------------------------------------
+
+
+def maintain_rollup(
+    spark,
+    table_path: str,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+    batch_id: int | None = None,
+) -> int:
+    """Merge a delta's partial states into the versioned rollup table
+    (txlog commit) — incremental view maintenance end-to-end: never
+    re-aggregate history, commit atomically, keep every prior snapshot
+    readable (time travel), and — when ``batch_id`` is given — skip
+    replayed stream batches exactly-once-style.
+
+    Scale: the delta aggregates map-side to one row per touched key;
+    the merge is a full-outer join ON THE STATE TABLE (aggregate-sized,
+    not data-sized). At fleet scale the state table is partitioned by
+    key range so a commit rewrites only intersecting files (the txlog
+    MERGE note); history never gets re-read. Returns the committed (or
+    unchanged, if replayed) version."""
+    from hi_csa_db_spark.sources import txlog
+
+    delta_state = agg_state(delta, keys, value_col)
+    base_version = txlog.current_version(table_path)
+    if base_version is None:
+        merged = delta_state
+    else:
+        if batch_id is not None:
+            last = txlog._manifest(table_path, base_version).get(
+                "last_batch_id", -1
+            )
+            if batch_id <= last:
+                return base_version
+        merged = merge_states(
+            txlog.read_table(spark, table_path, base_version), delta_state, keys
+        )
+    if batch_id is not None:
+        return txlog.replace_batch(merged, table_path, batch_id)
+    files = txlog._write_data_files(merged, table_path)
+    return txlog._commit(
+        table_path,
+        (base_version if base_version is not None else -1) + 1,
+        files,
+        "rollup-merge",
+    )
+
+
+def read_rollup(spark, table_path: str, version: int | None = None) -> DataFrame:
+    """Snapshot (or time-travel) read of a maintained rollup, with the
+    derived metrics finalized."""
+    from hi_csa_db_spark.sources import txlog
+
+    return finalize(txlog.read_table(spark, table_path, version))

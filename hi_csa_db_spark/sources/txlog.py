@@ -149,6 +149,27 @@ def append_batch(df: DataFrame, path: str, batch_id: int) -> int:
     )
 
 
+def replace_batch(df: DataFrame, path: str, batch_id: int) -> int:
+    """Exactly-once streaming OVERWRITE: commit ``df`` as the table's
+    new full contents, tagged with ``batch_id`` and skipping replays —
+    the companion to append_batch for maintained state tables (e.g.
+    incremental rollups) whose every commit replaces the snapshot."""
+    base = current_version(path)
+    last = -1
+    if base is not None:
+        last = _manifest(path, base).get("last_batch_id", -1)
+        if batch_id <= last:
+            return base
+    files = _write_data_files(df, path)
+    return _commit(
+        path,
+        (base if base is not None else -1) + 1,
+        files,
+        "replace",
+        meta={"last_batch_id": max(last, batch_id)},
+    )
+
+
 def read_table(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:

@@ -50,3 +50,43 @@ def test_hll_sketch_merge_close_to_direct(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias("est")
     ).collect()[0].est
     assert abs(merged - full) / full < 0.05
+
+
+def test_maintained_rollup_matches_direct_aggregate(spark, sf_dir, tmp_path):
+    from hi_csa_db_spark.operators.incremental import maintain_rollup, read_rollup
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    path = str(tmp_path / "rollup")
+    # ingest history as three deltas
+    slices = [ev.filter(F.col("user_id") % 3 == i) for i in range(3)]
+    for i, sl in enumerate(slices):
+        maintain_rollup(spark, path, sl, keys=["user_id"], value_col="value",
+                        batch_id=i)
+    got = {r["user_id"]: (r["n_rows"], r["min_v"], r["max_v"], r["avg_v"])
+           for r in read_rollup(spark, path).collect()}
+    direct = {r["user_id"]: (r["n_rows"], r["min_v"], r["max_v"], r["avg_v"])
+              for r in finalize(agg_state(ev, ["user_id"], "value")).collect()}
+    assert got == direct
+    # replayed batch: no new version, same contents
+    from hi_csa_db_spark.sources import txlog
+    v = txlog.current_version(path)
+    maintain_rollup(spark, path, slices[2], keys=["user_id"],
+                    value_col="value", batch_id=2)
+    assert txlog.current_version(path) == v
+    # time travel: version 0 holds exactly slice 0's aggregate
+    v0 = {r["user_id"]: r["n_rows"]
+          for r in read_rollup(spark, path, version=0).collect()}
+    d0 = {r["user_id"]: r["n_rows"]
+          for r in agg_state(slices[0], ["user_id"], "value").collect()}
+    assert v0 == d0
+
+
+def test_stream_rollup_matches_batch(spark, sf_dir, tmp_path):
+    from hi_csa_db_spark.streaming.acid_sink import stream_rollup_to_table
+
+    out = stream_rollup_to_table(
+        spark, sf_dir, str(tmp_path / "t"), str(tmp_path / "ckpt")
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    direct = finalize(agg_state(ev, ["user_id"], "value"))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, direct.collect()))
