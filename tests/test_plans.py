@@ -117,3 +117,43 @@ def test_jaccard_and_sparse_cosine_no_nested_loop(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_runtime_bloom_filter_join_pruning_available(spark, sf_dir):
+    """Runtime bloom-filter semi-join reduction (on by default in the
+    session) injects a might_contain filter on the fact side of a
+    shuffle join when the dim side is selective. The size thresholds
+    are scaled down here because they are calibrated for cluster-scale
+    scans (applicationSideScanSizeThreshold defaults to 10GB) — at
+    100 TB the DEFAULTS fire; this pins that our session/plan shape
+    lets them."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
