@@ -112,14 +112,34 @@ def publish(
     path: str,
     partition_by: list[str] | None = None,
     max_records_per_file: int = 1_000_000,
-) -> None:
+    observe: bool = False,
+) -> dict | None:
     """The engine's sink spec (SCALE.md): zstd parquet, optional
     partition columns (e.g. the published csa_db partitioned by Type),
     bounded file sizes so downstream scans parallelize evenly.
 
     Overwrite is dynamic-partition-scoped when partitioning: a re-run
     replaces only the partitions it produced (the idempotent-stage
-    pattern, reference crawl-or-cache S2)."""
+    pattern, reference crawl-or-cache S2).
+
+    ``observe=True`` attaches data-quality observations (row count +
+    per-column null counts) that ride the WRITE job itself —
+    Spark's Observation API collects them from the task metrics of the
+    same action, so the quality gate costs zero extra scans at any
+    scale. Returns the metrics dict (or None)."""
+    obs = None
+    if observe:
+        from pyspark.sql import Observation
+
+        obs = Observation("publish")
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(F.col(c).isNull().cast("long")).alias(f"nulls__{c}")
+                for c in df.columns
+            ],
+        )
     writer = (
         df.write.mode("overwrite")
         .option("compression", "zstd")
@@ -129,6 +149,7 @@ def publish(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    return obs.get if obs is not None else None
 
 
 def compact(

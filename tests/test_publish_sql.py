@@ -94,3 +94,14 @@ def test_zorder_clusters_both_dimensions(spark, tmp_path):
         spans_y.append(pdf[1])
     assert sum(spans_x) / len(spans_x) < 32
     assert sum(spans_y) / len(spans_y) < 32
+
+
+def test_publish_observed_metrics_ride_the_write(spark, sf_dir, tmp_path):
+    from hi_csa_db_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "props")
+    metrics = publish(ev, str(tmp_path / "out"), observe=True)
+    assert metrics["n_rows"] == ev.count()
+    assert metrics["nulls__event_id"] == 0
+    expected_null_props = ev.filter(F.col("props").isNull()).count()
+    assert metrics["nulls__props"] == expected_null_props
