@@ -27,6 +27,7 @@ FLOAT_SENSITIVE = [
     "x16_context_packing",
     "x17_domain_mixture",
     "q14_promo_revenue",
+    "d9_incremental_lsh",
 ]
 
 

@@ -190,3 +190,35 @@ def test_crawl_or_cache_honors_reference_rds_cache(spark, tmp_path):
     assert edges.count() == 15109  # BASELINE.md NetwEdges rows
     assert index.columns == ["url", "level"]
     assert edges.columns == ["src", "dst"]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF_DATA}/nrcs.rds"),
+    reason="reference artifacts not present",
+)
+def test_reference_link_graph_through_graph_operators(spark, tmp_path):
+    """The reference's REAL link graph (network$NetwEdges,
+    hi-csa-db.Rmd:113-114) through our graph tier: degree conservation
+    and component structure hold on the artifact, not just fixtures."""
+    from hi_csa_db_spark.operators import graph
+    from hi_csa_db_spark.sources.crawl import crawl_or_cache
+    import shutil
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    shutil.copy(f"{REF_DATA}/nrcs.rds", cache / "nrcs.rds")
+    _, edges = crawl_or_cache(spark, str(cache), seeds=[], fetcher=None)
+    n_edges = edges.count()
+    assert n_edges == 15109  # BASELINE.md
+    deg = graph.degrees(edges)
+    # every edge contributes exactly one out- and one in-degree
+    import pyspark.sql.functions as F
+
+    sums = deg.agg(
+        F.sum("out_deg").alias("o"), F.sum("in_deg").alias("i")
+    ).collect()[0]
+    assert sums["o"] == n_edges and sums["i"] == n_edges
+    # node universe matches the crawl's NetwIndex scale (1901 nodes,
+    # BASELINE.md); isolated nodes don't appear in the edge list
+    assert deg.count() <= 1901
+    assert deg.count() > 1000
