@@ -9,26 +9,32 @@ from hi_csa_db_spark.sources import crawl
 
 
 def test_concurrent_fetcher_overlaps_requests(spark):
+    # Each fetch records its own wall-clock interval in the returned
+    # payload; overlap between any two intervals PROVES concurrency.
+    # (Deterministic under load, unlike comparing serial-vs-concurrent
+    # durations, which flakes when the whole suite saturates the box.)
     def slow_fetcher(url: str) -> str:
+        t0 = time.time()
         time.sleep(0.05)
-        return f"<a href='/x'>{url}</a>"
+        t1 = time.time()
+        return f"<a href='/x'>{t0}:{t1}</a>"
 
     frontier = spark.createDataFrame(
         [(f"https://h.org/{i}",) for i in range(16)], ["url"]
     ).coalesce(1)
-    # warm the Python workers with the SERIAL path, then compare: the
-    # fetch portion is 16x0.05s serial vs ~2x0.05s with 8 workers.
-    t0 = time.time()
-    crawl.fetch_pages(frontier, slow_fetcher).collect()
-    serial = time.time() - t0
-    t0 = time.time()
     pages = crawl.fetch_pages_concurrent(
         frontier, slow_fetcher, max_workers=8
     ).collect()
-    concurrent = time.time() - t0
     assert len(pages) == 16
     assert all(p.hrefs == ["https://h.org/x"] for p in pages)
-    assert concurrent < serial
+    spans = sorted(
+        tuple(map(float, p.html.split(">", 1)[1].split("<")[0].split(":")))
+        for p in pages
+    )
+    overlaps = sum(
+        1 for (s1, e1), (s2, e2) in zip(spans, spans[1:]) if s2 < e1
+    )
+    assert overlaps >= 1, spans
 
 
 def test_plan_lsh_bands_hits_threshold():
