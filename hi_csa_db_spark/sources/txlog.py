@@ -174,14 +174,23 @@ def read_table(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Snapshot read: resolve ONE manifest, pin its file list. Pass
-    ``version`` for time travel."""
+    ``version`` for time travel.
+
+    Schema evolution: the snapshot is read with ``mergeSchema`` so a
+    table whose later commits added columns surfaces the union schema,
+    old files null-filling the new columns — the additive-evolution
+    contract Delta/Iceberg readers give. (Column renames/drops are a
+    metadata problem this minimal format does not model; additive drift
+    is the case ingest pipelines actually hit.)"""
     v = version if version is not None else current_version(path)
     if v is None:
         raise FileNotFoundError(f"no committed version at {path}")
     files = _manifest(path, v)["files"]
     if not files:
         raise FileNotFoundError(f"version {v} of {path} is empty")
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in files]
+    )
 
 
 def merge_table(

@@ -105,3 +105,16 @@ def test_stream_append_exactly_once(spark, sf_dir, tmp_path):
     stream_append_to_table(spark, sf_dir, table, ckpt)
     assert txlog.current_version(table) == v_before
     assert txlog.read_table(spark, table).count() == n_events
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.write_table(_df(spark, [(1, "a")]), path)
+    evolved = spark.createDataFrame([(2, "b", 9.5)], ["k", "val", "score"])
+    txlog.append_batch(evolved, path, batch_id=0)
+    cur = txlog.read_table(spark, path)
+    assert set(cur.columns) == {"k", "val", "score"}
+    rows = {r["k"]: (r["val"], r["score"]) for r in cur.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    # time travel still sees the ORIGINAL schema for version 0
+    assert set(txlog.read_table(spark, path, version=0).columns) == {"k", "val"}
