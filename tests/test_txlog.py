@@ -118,3 +118,53 @@ def test_additive_schema_evolution(spark, tmp_path):
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
     # time travel still sees the ORIGINAL schema for version 0
     assert set(txlog.read_table(spark, path, version=0).columns) == {"k", "val"}
+
+
+def test_compact_table_same_rows_fewer_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for b in range(4):
+        txlog.append_batch(
+            _df(spark, [(b * 10 + i, f"v{b}{i}") for i in range(3)]), path, b
+        )
+    before_files = len(txlog._manifest(path, txlog.current_version(path))["files"])
+    rows_before = sorted(map(tuple, txlog.read_table(spark, path).collect()))
+    v = txlog.compact_table(spark, path, target_files=1)
+    m = txlog._manifest(path, v)
+    assert m["op"] == "compact"
+    assert len(m["files"]) < before_files
+    assert sorted(map(tuple, txlog.read_table(spark, path).collect())) == rows_before
+    # pre-compaction snapshot still readable (until vacuum)
+    assert (
+        sorted(map(tuple, txlog.read_table(spark, path, version=v - 1).collect()))
+        == rows_before
+    )
+
+
+def test_read_table_pruned_skips_files_and_matches_filter(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    # three commits covering disjoint key ranges -> disjoint file stats
+    for lo in (0, 100, 200):
+        txlog.append_batch(
+            _df(spark, [(lo + i, f"r{lo+i}") for i in range(10)]), path, lo
+        )
+    stats = txlog.file_stats(path)
+    assert all("k" in st for st in stats.values())
+    pruned = txlog.read_table_pruned(spark, path, "k", 100, 109)
+    full = txlog.read_table(spark, path).filter(
+        (F.col("k") >= 100) & (F.col("k") <= 109)
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # the pruned plan reads fewer files than the manifest lists
+    n_all = len(txlog._manifest(path, txlog.current_version(path))["files"])
+    kept = [
+        rel
+        for rel, st in stats.items()
+        if "k" in st and not (st["k"][1] < 100 or st["k"][0] > 109)
+    ]
+    assert len(kept) < n_all
+    # empty intersection still returns a well-formed empty frame
+    assert txlog.read_table_pruned(spark, path, "k", 10_000, 20_000).count() == 0
