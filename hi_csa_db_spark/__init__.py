@@ -16,7 +16,12 @@ Design rules (SURVEY.md section 7):
   nested-loop contains-joins at scale
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from hi_csa_db_spark.session import get_spark  # noqa: F401
-from hi_csa_db_spark.catalog import load_tables, register_tables  # noqa: F401
+from hi_csa_db_spark.catalog import (  # noqa: F401
+    load_table,
+    load_tables,
+    publish,
+    register_tables,
+)
