@@ -1393,6 +1393,44 @@ def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "set_ops_all_multiset",
+    """
+    WITH a AS (SELECT c_nationkey AS nationkey FROM customer),
+         b AS (SELECT s_nationkey AS nationkey FROM supplier)
+    SELECT 'intersect_all' AS op, nationkey, COUNT(*) AS n FROM (
+      SELECT nationkey FROM a INTERSECT ALL SELECT nationkey FROM b
+    ) GROUP BY nationkey
+    UNION ALL
+    SELECT 'except_all' AS op, nationkey, COUNT(*) AS n FROM (
+      SELECT nationkey FROM a EXCEPT ALL SELECT nationkey FROM b
+    ) GROUP BY nationkey
+    """,
+)
+def set_ops_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) semantics: INTERSECT ALL keeps min(m, n)
+    duplicates per value, EXCEPT ALL keeps max(m - n, 0) — the
+    completion of the set-operation family next to the DISTINCT forms.
+    One shuffle per branch on the value; counts summarize so output
+    stays small and order-insensitive."""
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    b = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    ia = (
+        a.intersectAll(b)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "nationkey", "n")
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "nationkey", "n")
+    )
+    return ia.unionByName(ea)
+
+
+@_register(
     "set_except_nations",
     """
     SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
@@ -4557,6 +4595,7 @@ _PRIORITY = (
     "anti_parts_never_ordered", "g1_rollup_region_nation",
     "f7_json_extract", "t1_tumbling_window", "t2_sessionize",
     "graph_bfs_reachability", "set_intersect_nations", "set_except_nations",
+    "set_ops_all_multiset",
     "d4_simhash", "f_math_suite",
     # scale-guarded this round
     "d3_ngram_jaccard_topk", "d8_edit_distance", "x10_sparse_cosine_topk",
