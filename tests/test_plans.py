@@ -157,3 +157,44 @@ def test_runtime_bloom_filter_join_pruning_available(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splitting_available(spark):
+    """AQE skew-join splitting (on in the session defaults) divides an
+    oversized shuffle partition across extra tasks at runtime — the
+    engine's native answer to hot keys, alongside the explicit salted
+    join (j5). Thresholds are byte-calibrated for cluster scale, so
+    they are scaled down here; at 100 TB the defaults fire on real
+    skew with no code change."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        a = spark.range(0, 500_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        b = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = a.join(b, "k").select(F.sum("v").alias("s"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"skew=true", plan), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
