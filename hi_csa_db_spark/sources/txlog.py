@@ -225,7 +225,11 @@ def compact_table(
         raise FileNotFoundError(f"no committed version at {path}")
     cur = read_table(spark, path, base).repartition(target_files)
     files = _write_data_files(cur, path)
-    return _commit(path, base + 1, files, "compact")
+    # carry the streaming high-water mark forward: a replayed batch
+    # arriving right after a compaction must still be recognized
+    last = _manifest(path, base).get("last_batch_id", -1)
+    meta = {"last_batch_id": last} if last >= 0 else None
+    return _commit(path, base + 1, files, "compact", meta=meta)
 
 
 def file_stats(path: str, version: int | None = None) -> dict[str, dict]:

@@ -29,10 +29,18 @@ def stream_append_to_table(
     sf_dir: str,
     table_path: str,
     checkpoint: str,
+    compact_every: int | None = None,
 ) -> DataFrame:
     """Stream the events fixture into an ACID table (projected to the
     per-event record a downstream pipeline would keep), then return a
-    snapshot read of the committed table."""
+    snapshot read of the committed table.
+
+    ``compact_every=N`` runs txlog.compact_table after every N
+    appended batches — the background-OPTIMIZE policy that stops
+    streaming appends from accumulating unbounded small files. The
+    compaction is itself a versioned commit, so readers pinned to any
+    snapshot are unaffected and a crash between append and compact
+    loses nothing."""
     ev = read_events_stream(spark, sf_dir).select(
         "event_id",
         "user_id",
@@ -42,6 +50,8 @@ def stream_append_to_table(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         txlog.append_batch(batch_df, table_path, batch_id)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            txlog.compact_table(batch_df.sparkSession, table_path)
 
     q = (
         ev.writeStream.foreachBatch(write_batch)

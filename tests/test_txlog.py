@@ -168,3 +168,30 @@ def test_read_table_pruned_skips_files_and_matches_filter(spark, tmp_path):
     assert len(kept) < n_all
     # empty intersection still returns a well-formed empty frame
     assert txlog.read_table_pruned(spark, path, "k", 10_000, 20_000).count() == 0
+
+
+def test_stream_append_with_auto_compaction(spark, sf_dir, tmp_path):
+    from hi_csa_db_spark.streaming.acid_sink import stream_append_to_table
+
+    table = str(tmp_path / "t")
+    out = stream_append_to_table(
+        spark, sf_dir, table, str(tmp_path / "ckpt"), compact_every=1
+    )
+    n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    assert out.count() == n_events
+    m = txlog._manifest(table, txlog.current_version(table))
+    assert m["op"] == "compact"
+    # compaction bounded the live file count to the compact target
+    assert len(m["files"]) <= 2
+
+
+def test_replay_after_compaction_still_skipped(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.append_batch(_df(spark, [(1, "a")]), path, batch_id=0)
+    txlog.append_batch(_df(spark, [(2, "b")]), path, batch_id=1)
+    txlog.compact_table(spark, path)
+    v = txlog.current_version(path)
+    # a batch re-delivered after the compaction commit must not apply
+    txlog.append_batch(_df(spark, [(2, "b")]), path, batch_id=1)
+    assert txlog.current_version(path) == v
+    assert txlog.read_table(spark, path).count() == 2
