@@ -4424,6 +4424,137 @@ def d9_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipe_training_prep_v2",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, text, unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS w
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, MIN(source) AS source, MIN(text) AS text,
+             COUNT(*) AS n_tokens,
+             AVG(length(w)) AS mwl,
+             AVG(CASE WHEN regexp_matches(w, '[a-z]') THEN 1.0 ELSE 0.0 END) AS alpha
+      FROM toks GROUP BY doc_id
+    ),
+    gated AS (
+      SELECT doc_id, source, text, n_tokens,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', 0))
+             + len(regexp_extract_all(text, '[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', 0))
+               AS n_pii
+      FROM stats
+      WHERE n_tokens >= 10 AND n_tokens <= 100000
+        AND mwl >= 3 AND mwl <= 10 AND alpha >= 0.8
+    ),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(source) AS source,
+             MIN(n_tokens) AS n_tokens, MIN(n_pii) AS n_pii
+      FROM gated GROUP BY md5(text)
+    ),
+    totals AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+      FROM deduped GROUP BY source
+    ),
+    floor_t AS (SELECT MIN(src_tokens) AS min_tokens FROM totals),
+    kept AS (
+      SELECT d.* FROM deduped d JOIN totals s ON d.source = s.source
+      CROSS JOIN floor_t m
+      WHERE ((d.doc_id * 2654435761) % 4294967296) * s.src_tokens
+            < m.min_tokens * 4294967296
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens, n_pii,
+             CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id
+      FROM kept
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT bin_id) AS n_bins,
+           CAST(SUM(n_pii) AS BIGINT) AS n_pii
+    FROM packed GROUP BY source
+    """,
+)
+def pipe_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-prep pipeline as ONE lazy Catalyst plan:
+    Gopher-style quality gates -> PII counting -> exact dedup ->
+    domain-mixture balancing (integer-hash downsample to the smallest
+    slice) -> context packing (prefix-sum token bins) -> per-source
+    summary. Composes the same operator implementations the individual
+    queries prove (x12, x11, d1, x17, x16), so every stage's semantics
+    are already oracle-pinned; this entry pins their COMPOSITION.
+
+    Scale: the whole chain is two aggregations (per-doc stats, hash
+    dedup), one broadcast-joined filter, one window, one final groupBy
+    — shuffles only on doc_id / md5 / source; no stage materializes
+    anything driver-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.explode(tokenize(F.lower(strip_punct(F.col("text"))))).alias("w"),
+    ).filter(F.col("w") != "")
+    stats = toks.groupBy("doc_id").agg(
+        F.min("source").alias("source"),
+        F.min("text").alias("text"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg(F.length("w")).alias("mwl"),
+        F.avg(F.when(F.col("w").rlike("[a-z]"), 1.0).otherwise(0.0)).alias(
+            "alpha"
+        ),
+    )
+    from hi_csa_db_spark.operators.textstats import EMAIL_RE, PHONE_RE
+
+    n_pii = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(PHONE_RE), F.lit(0)))
+    )
+    gated = stats.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 100000)
+        & (F.col("mwl") >= 3)
+        & (F.col("mwl") <= 10)
+        & (F.col("alpha") >= 0.8)
+    ).select("doc_id", "source", "text", "n_tokens", n_pii.alias("n_pii"))
+    deduped = gated.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("source").alias("source"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("n_pii").alias("n_pii"),
+    )
+    totals = deduped.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    floor_t = totals.agg(F.min("src_tokens").alias("min_tokens"))
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    kept = (
+        deduped.join(F.broadcast(totals), "source")
+        .join(F.broadcast(floor_t))
+        .filter(u * F.col("src_tokens") < F.col("min_tokens") * F.lit(4294967296))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = kept.withColumn(
+        "bin_id", F.floor(before / F.lit(float(_PACK_BUDGET))).cast("long")
+    )
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.sum("n_pii").alias("n_pii"),
+    )
+
+
+@_register(
     "sq_recursive_cte",
     """
     WITH RECURSIVE months(m) AS (
@@ -4617,7 +4748,8 @@ _PRIORITY = (
     "x11_pii_scrub", "x12_quality_rules", "x13_repetition_stats",
     "s4_hamming_topk", "x14_contamination", "x15_bigram_logprob",
     "x16_context_packing", "x17_domain_mixture",
-    "agg_pandas_median", "pipe_training_prep", "x8_bigram_counts",
+    "agg_pandas_median", "pipe_training_prep", "pipe_training_prep_v2",
+    "x8_bigram_counts",
     "pipe_reference_replay", "graph_pagerank", "graph_components",
     "mm4_feature_knn", "mm2_media_dedup", "mm3_frame_sample_plan",
     "asof_purchase_click", "range_error_clicks", "d5_embedding_neardup",
