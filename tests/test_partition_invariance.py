@@ -28,6 +28,7 @@ FLOAT_SENSITIVE = [
     "x17_domain_mixture",
     "q14_promo_revenue",
     "d9_incremental_lsh",
+    "pipe_training_prep_v2",
 ]
 
 
