@@ -73,6 +73,7 @@ _NLJ_ALLOWED = {
     "ml_kmeans",  # 8-row centroid table broadcast per Lloyd round
     "s4_hamming_topk",  # 1-row query-code broadcast
     "x17_domain_mixture",  # 1-row global-min-tokens broadcast
+    "pipe_training_prep_v2",  # same 1-row min-tokens broadcast (via x17)
 }
 
 
