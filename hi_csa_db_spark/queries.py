@@ -4555,6 +4555,46 @@ def pipe_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x18_global_shuffle_order",
+    """
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR))
+           ) AS shuffle_rank,
+           (ROW_NUMBER() OVER (
+             ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR))
+           ) - 1) % 8 AS shard
+    FROM documents
+    """,
+)
+def x18_global_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle into training order + shard
+    assignment: seed-keyed md5 gives a reproducible pseudo-random total
+    order; ordered.global_row_numbers enumerates it WITHOUT the
+    single-partition window (range-partition + broadcast offsets), so
+    the op scales to any corpus size; round-robin over ranks yields
+    size-balanced shards (max spread 1, vs hash-mod sharding's
+    statistical spread). The oracle is the naive global window — same
+    result, plan that would die at 100 TB; ours is the scale-safe
+    rewrite of it."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string"))).alias(
+            "__k"
+        ),
+    )
+    return (
+        ordered.global_row_numbers(keyed, "__k")
+        .select(
+            "doc_id",
+            F.col("rank").alias("shuffle_rank"),
+            ((F.col("rank") - 1) % 8).alias("shard"),
+        )
+    )
+
+
+@_register(
     "sq_recursive_cte",
     """
     WITH RECURSIVE months(m) AS (
@@ -4747,7 +4787,7 @@ _PRIORITY = (
     # past the round-1 sample horizon: next-most-valuable first
     "x11_pii_scrub", "x12_quality_rules", "x13_repetition_stats",
     "s4_hamming_topk", "x14_contamination", "x15_bigram_logprob",
-    "x16_context_packing", "x17_domain_mixture",
+    "x16_context_packing", "x17_domain_mixture", "x18_global_shuffle_order",
     "agg_pandas_median", "pipe_training_prep", "pipe_training_prep_v2",
     "x8_bigram_counts",
     "pipe_reference_replay", "graph_pagerank", "graph_components",

@@ -29,6 +29,7 @@ FLOAT_SENSITIVE = [
     "q14_promo_revenue",
     "d9_incremental_lsh",
     "pipe_training_prep_v2",
+    "x18_global_shuffle_order",
 ]
 
 
