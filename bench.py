@@ -48,6 +48,21 @@ HEADLINE = [
 ]
 
 
+def host_speed_probe() -> float:
+    """Single-core md5 loop wall time (sec). A fixed amount of pure-CPU
+    work, so the value indexes THIS host's speed: dividing the headline
+    total by (probe / recorded-probe) normalizes bench numbers across
+    rounds that land on differently-loaded machines. Recorded values
+    live next to each bench entry in BASELINE.md."""
+    import hashlib
+
+    t0 = time.time()
+    h = b"x" * 1000
+    for _ in range(200000):
+        h = hashlib.md5(h).digest() + b"pad" * 100
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -86,6 +101,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "host_md5_sec": host_speed_probe(),
             }
         )
     )
