@@ -549,3 +549,93 @@ def simhash_hamming_pairs(
         cands.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def chunk_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+) -> DataFrame:
+    """Deterministic fixed-width token chunks — the "paragraph" unit
+    for span-level dedup on corpora whose documents carry no explicit
+    paragraph breaks: (id, chunk_idx, chunk).
+
+    Chunk i covers tokens [i*width, (i+1)*width); the ragged tail is
+    kept. Pure higher-order array functions (sequence + slice inside
+    one projection), so chunking is a narrow map — no shuffle, no UDF.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        tokenize(F.lower(strip_punct(F.col(text_col)))).alias("__toks"),
+    )
+    n_chunks = F.greatest(
+        F.ceil(F.size("__toks") / F.lit(float(width))).cast("long"), F.lit(1)
+    )
+    return (
+        toks.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("__toks", i * width + 1, width)
+                    ),
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+        .filter(F.col("chunk") != "")
+    )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+) -> DataFrame:
+    """Span-level (CCNet-style) dedup: drop every repeated chunk except
+    its global first occurrence, then reassemble per-document stats:
+    (id, n_chunks, n_kept, kept_md5).
+
+    "First occurrence" is the corpus-global minimum (doc id, chunk
+    position) for the chunk's content — a deterministic survivor rule,
+    so re-runs keep the identical spans. kept_md5 fingerprints the
+    surviving text (kept chunks joined in document order), which is
+    what a downstream exact-dedup or storage layer would key on.
+
+    Scale: one shuffle partitioned BY CHUNK CONTENT for the
+    first-occurrence window (equivalently a min-aggregate + equi-join;
+    the window form shuffles once and never materializes the
+    dup-count histogram), one shuffle by document for reassembly.
+    Hot chunks (the boilerplate being deduplicated) bound each
+    content-partition by that chunk's occurrence count; at fleet scale
+    the window runs over md5(chunk) keys, so the shuffle moves hashes
+    plus positions, not full spans.
+    """
+    chunks = chunk_spans(docs, id_col, text_col, width)
+    w = Window.partitionBy("chunk").orderBy(F.col(id_col).asc(), F.col("chunk_idx").asc())
+    flagged = chunks.withColumn("__keep", F.row_number().over(w) == 1)
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("chunk_idx", "__keep", "chunk")
+                                )
+                            ),
+                            lambda x: x["__keep"],
+                        ),
+                        lambda x: x["chunk"],
+                    ),
+                    "|",
+                )
+            ).alias("kept_md5"),
+        )
+    )

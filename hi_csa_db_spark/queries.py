@@ -4752,6 +4752,531 @@ def w9_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-2 additions: span-level dedup, semantic dedup, model-based
+# quality filtering, temperature mixtures, stratified sampling, CDC
+# snapshot diff, URL canonicalization
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "x19_chunk_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '') AS toks
+      FROM documents
+    ),
+    nc AS (
+      SELECT doc_id, toks,
+             greatest(CAST(ceil(len(toks) / 8.0) AS BIGINT), 1) AS n_chunks
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(range(0, n_chunks)) AS chunk_idx,
+             unnest(list_transform(range(0, n_chunks),
+                    i -> array_to_string(toks[i*8+1:i*8+8], ' '))) AS chunk
+      FROM nc
+    ),
+    flagged AS (
+      SELECT doc_id, chunk_idx, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) = 1 AS keep
+      FROM chunks WHERE chunk <> ''
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(CASE WHEN keep THEN chunk END, '|' ORDER BY chunk_idx), '')) AS kept_md5
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def x19_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (CCNet-style) dedup: repeated fixed-width token
+    chunks are dropped except their corpus-global first occurrence
+    (min (doc_id, position) — deterministic survivor rule), then each
+    document reports (n_chunks, n_kept, md5 of the surviving text).
+    The span granularity catches boilerplate shared across otherwise
+    distinct documents — the case whole-document dedup (d1/d2) misses.
+
+    Scale: one shuffle partitioned by chunk content for the
+    first-occurrence window, one by document for reassembly — see
+    operators/dedup.py::chunk_dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.chunk_dedup(docs, width=8)
+
+
+@_register(
+    "sem1_semdedup_survivors",
+    f"""
+    WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_cos_sql('e.embedding', 'c.cv')}, 6) DESC, c.centroid_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      ) WHERE cos_sim >= 0.3
+    ),
+    ud AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM ud),
+    l0 AS (SELECT id, id AS lbl FROM nodes),
+    l1 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN l0 s ON s.id = n.id
+           LEFT JOIN ud e ON e.src = n.id LEFT JOIN l0 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl),
+    l2 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN l1 s ON s.id = n.id
+           LEFT JOIN ud e ON e.src = n.id LEFT JOIN l1 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl),
+    l3 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN l2 s ON s.id = n.id
+           LEFT JOIN ud e ON e.src = n.id LEFT JOIN l2 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl)
+    SELECT lbl AS survivor_id, COUNT(*) AS n_members
+    FROM l3 GROUP BY lbl
+    """,
+)
+def sem1_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup ENDGAME over embeddings: IVF
+    cluster assignment blocks the pairwise cosine (intra-bucket only,
+    never corpus^2), pairs above threshold become edges, transitive
+    closure collapses each semantic-duplicate group to ONE canonical
+    survivor (min vec_id) with its group size. The embedding analogue
+    of d6 (which does the same over MinHash/LSH text pairs): pair
+    detection alone isn't dedup — a~b~c must fold to one survivor even
+    when (a,c) was never directly compared.
+
+    Scale: same contract as d5 (bucketed pair generation) plus the
+    bounded-iteration integer min-label propagation of
+    operators/graph.py::connected_components."""
+    from hi_csa_db_spark.functions.vectors import cosine
+    from hi_csa_db_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    assigned = ivf_assign(emb, cents).join(emb, "vec_id")
+    a = assigned.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("__ea"),
+    )
+    b = assigned.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("__eb"),
+    )
+    pairs = (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__ea"), F.col("__eb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = graph.connected_components(edges, iterations=3)
+    return labels.groupBy(F.col("lbl").alias("survivor_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+_CLS_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+
+
+@_register(
+    "x20_quality_classifier",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS w
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             COUNT(*) AS n_words,
+             ROUND(AVG(length(w)), 6) AS mean_word_len,
+             ROUND(AVG(CASE WHEN regexp_matches(w, '[a-z]') THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) AS frac_alpha,
+             ROUND(AVG(CASE WHEN w IN ({_CLS_STOPWORDS_SQL}) THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) AS stop_frac
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_words,
+           ROUND(-3.0::DOUBLE + 0.02::DOUBLE * n_words + 0.6::DOUBLE * mean_word_len
+                 + 2.0::DOUBLE * frac_alpha - 4.0::DOUBLE * stop_frac, 6) AS logit,
+           CASE WHEN -3.0::DOUBLE + 0.02::DOUBLE * n_words + 0.6::DOUBLE * mean_word_len
+                     + 2.0::DOUBLE * frac_alpha - 4.0::DOUBLE * stop_frac >= 0.0::DOUBLE
+                THEN 1 ELSE 0 END AS keep
+    FROM feats
+    """,
+)
+def x20_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a broadcast LINEAR classifier
+    (fixed logistic-regression weights over the Gopher-style features)
+    scored entirely in Catalyst — the fastText-classifier stage of a
+    training pipeline reduced to its distributed-execution shape:
+    per-doc feature aggregation (one explode + one map-combined
+    groupBy) followed by a narrow scoring projection. Keep = sign of
+    the logit (monotone in the probability, so no exp() — and no
+    cross-engine libm divergence). Weights would arrive as a broadcast
+    side input at fleet scale; scoring cost is independent of model
+    delivery."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(tokenize(F.lower(strip_punct(F.col("text"))))).alias("w"),
+    ).filter(F.col("w") != "")
+    feats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.avg(F.length("w")), 6).alias("mean_word_len"),
+        F.round(
+            F.avg(F.when(F.col("w").rlike("[a-z]"), 1.0).otherwise(0.0)), 6
+        ).alias("frac_alpha"),
+        F.round(
+            F.avg(
+                F.when(F.col("w").isin(*textstats.STOPWORDS), 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("stop_frac"),
+    )
+    logit = (
+        F.lit(-3.0)
+        + F.lit(0.02) * F.col("n_words")
+        + F.lit(0.6) * F.col("mean_word_len")
+        + F.lit(2.0) * F.col("frac_alpha")
+        - F.lit(4.0) * F.col("stop_frac")
+    )
+    return feats.select(
+        "doc_id",
+        "n_words",
+        F.round(logit, 6).alias("logit"),
+        (logit >= 0.0).cast("int").alias("keep"),
+    )
+
+
+@_register(
+    "x21_temperature_mixture",
+    """
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    totals AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+      FROM toks GROUP BY source
+    ),
+    wts AS (
+      SELECT source, src_tokens,
+             CAST(ROUND(sqrt(src_tokens), 6) AS DECIMAL(24,6)) AS w
+      FROM totals
+    ),
+    gl AS (
+      SELECT CAST(SUM(w) AS DECIMAL(30,6)) AS sum_w,
+             CAST(SUM(src_tokens) AS BIGINT) AS grand
+      FROM wts
+    ),
+    rates AS (
+      SELECT source, src_tokens,
+             least(1.0::DOUBLE,
+                   (CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE))
+                   * (0.5::DOUBLE * grand) / src_tokens) AS r
+      FROM wts CROSS JOIN gl
+    ),
+    thr AS (
+      SELECT source, r,
+             CAST(floor(r * 4294967296.0::DOUBLE) AS BIGINT) AS thr
+      FROM rates
+    )
+    SELECT t.source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS kept_tokens,
+           ROUND(MAX(h.r), 6) AS keep_rate
+    FROM toks t JOIN thr h ON t.source = h.source
+    WHERE (t.doc_id * 2654435761) % 4294967296 < h.thr
+    GROUP BY t.source
+    """,
+)
+def x21_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling (alpha = 0.5): each
+    domain's sampling share is proportional to src_tokens^alpha —
+    upweighting small domains relative to raw proportions — against a
+    global budget of half the corpus tokens. Where x17 flattens every
+    domain to the smallest's budget, this is the standard
+    temperature-T resampling between the two extremes.
+
+    Determinism: per-domain keep rate r_i = min(1, p_i * B / tokens_i)
+    is derived from an EXACT decimal sum of 6dp-rounded sqrt weights
+    (so the normalizing constant is bit-identical on both engines),
+    converted once to double; the keep decision compares the Knuth
+    multiplicative hash of doc_id against floor(r_i * 2^32) in pure
+    integer arithmetic.
+
+    Scale: per-source totals are one map-combined aggregation over a
+    handful of groups; weights/rates broadcast; the corpus filter is
+    narrow — zero extra shuffles, same contract as x17."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens")
+    )
+    totals = toks.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    wts = totals.select(
+        "source",
+        "src_tokens",
+        F.round(F.sqrt("src_tokens"), 6).cast("decimal(24,6)").alias("w"),
+    )
+    gl = wts.agg(
+        F.sum("w").cast("decimal(30,6)").alias("sum_w"),
+        F.sum("src_tokens").alias("grand"),
+    )
+    r = F.least(
+        F.lit(1.0),
+        (F.col("w").cast("double") / F.col("sum_w").cast("double"))
+        * (F.lit(0.5) * F.col("grand"))
+        / F.col("src_tokens"),
+    )
+    thr = (
+        wts.join(F.broadcast(gl))
+        .select("source", r.alias("r"))
+        .select(
+            "source",
+            "r",
+            F.floor(F.col("r") * F.lit(4294967296.0)).cast("bigint").alias("thr"),
+        )
+    )
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    return (
+        toks.join(F.broadcast(thr), "source")
+        .filter(u < F.col("thr"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+            F.round(F.max("r"), 6).alias("keep_rate"),
+        )
+    )
+
+
+@_register(
+    "x22_stratified_sample",
+    """
+    SELECT doc_id, lang, rn FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def x22_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: EXACTLY n=5 documents per
+    language stratum, drawn by ranking each stratum in md5(doc_id)
+    order — a seedless, engine-portable pseudo-random order that is a
+    pure function of the id, so the sample is reproducible and
+    membership is decidable per-row (unlike reservoir sampling, which
+    depends on scan order). One shuffle on the stratum key.
+
+    At fleet scale the full sort-per-stratum is avoided the same way
+    x18 does global ordering: TakeOrderedAndProject per stratum via
+    the rank window is already partial-agg'd (each partition keeps
+    only its local top-n before the shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@_register(
+    "u6_snapshot_diff",
+    """
+    WITH v_old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    v_new AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice + (CASE WHEN o_orderkey % 7 = 0
+                             THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 1
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM v_old o FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+       OR o.o_orderstatus <> n.o_orderstatus
+    """,
+)
+def u6_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: two versions of a table (simulated
+    here by deterministic key-range membership + a value bump) folded
+    into an added/removed/changed changelog via one full outer join on
+    the key, with unchanged rows dropped by direct column comparison —
+    the diff that feeds incremental downstream recomputation (and the
+    read-side complement of the txlog MERGE writer).
+
+    Scale: both snapshots shuffle once on the join key (or not at all
+    when stored bucketed-by-key, the layout the txlog compactor
+    produces); the comparison is a narrow post-join filter. No hashing
+    of formatted strings — values compare natively, so float
+    formatting differences can't fake a change."""
+    orders = load_table(spark, sf_dir, "orders")
+    v_old = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v_new = orders.filter(F.col("o_orderkey") % 10 != 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 7 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias("o_totalprice"),
+    )
+    o = v_old.alias("o")
+    n = v_new.alias("n")
+    j = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    change_type = (
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.filter(
+            F.col("o.o_orderkey").isNull()
+            | F.col("n.o_orderkey").isNull()
+            | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+            | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+        )
+        .select(
+            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            change_type.alias("change_type"),
+        )
+    )
+
+
+@_register(
+    "f14_url_canonicalize",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/docs/'
+             || CAST(doc_id % 50 AS VARCHAR)
+             || '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+             || '&ref=r' || CAST(doc_id AS VARCHAR)
+             || '#s' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             string_split(regexp_replace(url, '#.*$', ''), '?') AS pq
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(lower(pq[1]), '^https://www\\.', 'https://'),
+               ':443/', '/') AS base,
+             array_to_string(
+               list_sort(list_filter(string_split(pq[2], '&'),
+                         p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=')))),
+               '&') AS params
+      FROM parts
+    )
+    SELECT base || (CASE WHEN params <> '' THEN '?' || params ELSE '' END) AS canonical_url,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT url) AS n_variants
+    FROM canon
+    GROUP BY 1
+    """,
+)
+def f14_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl-frontier dedup: lowercase the
+    scheme/authority, strip the default port and leading www, drop the
+    fragment and tracking parameters (utm_*/ref), and SORT the
+    remaining query params — so every surface variant of one resource
+    folds to a single frontier key. The synthetic URLs here are
+    derived deterministically from document columns (the fixtures
+    carry no URL column); the canonicalizer itself is the operator
+    under test. All built-in string/array expressions — a narrow map
+    feeding one aggregation, the same shape at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.upper(F.col("source")),
+            F.lit(".EXAMPLE.COM:443/docs/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("?utm_source=feed&id="),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("&ref=r"),
+            F.col("doc_id").cast("string"),
+            F.lit("#s"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    pq = F.split(F.regexp_replace(F.col("url"), "#.*$", ""), r"\?")
+    canon = raw.select(
+        "url",
+        F.regexp_replace(
+            F.regexp_replace(F.lower(pq.getItem(0)), r"^https://www\.", "https://"),
+            ":443/",
+            "/",
+        ).alias("base"),
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.split(pq.getItem(1), "&"),
+                    lambda p: ~(p.startswith("utm_") | p.startswith("ref=")),
+                )
+            ),
+            "&",
+        ).alias("params"),
+    )
+    return (
+        canon.select(
+            F.concat(
+                F.col("base"),
+                F.when(F.col("params") != "", F.concat(F.lit("?"), F.col("params"))).otherwise(
+                    F.lit("")
+                ),
+            ).alias("canonical_url"),
+            "url",
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("url").alias("n_variants"),
+        )
+    )
+
+
 # Exposure order. The driver's correctness gate samples a prefix of the
 # registry (50 of 116 in round 1, in dict order), so the prefix must
 # prove the maximum number of distinct SURVEY.md section-2 components:
@@ -4774,6 +5299,11 @@ _PRIORITY = (
     "html_parse_sectionize", "a2_a4_distinct_and_maxlen",
     "f9f10_path_segments", "x9_udtf_sentences", "mm1_media_features",
     "x6_tfidf_topk",
+    # new this round: span/semantic dedup, model-based filtering,
+    # mixtures, sampling, CDC diff, URL canonicalization
+    "x19_chunk_dedup", "sem1_semdedup_survivors", "x20_quality_classifier",
+    "x21_temperature_mixture", "x22_stratified_sample", "u6_snapshot_diff",
+    "f14_url_canonicalize",
     # one query per remaining section-2 / pipeline component
     "w2_topk_orders", "w4_positional_update", "p6_ordered_slice",
     "p7_conditional_update", "a1_distinct_segments",

@@ -30,6 +30,12 @@ FLOAT_SENSITIVE = [
     "d9_incremental_lsh",
     "pipe_training_prep_v2",
     "x18_global_shuffle_order",
+    # round-2 session additions
+    "x19_chunk_dedup",
+    "sem1_semdedup_survivors",
+    "x20_quality_classifier",
+    "x21_temperature_mixture",
+    "x22_stratified_sample",
 ]
 
 

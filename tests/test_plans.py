@@ -74,6 +74,8 @@ _NLJ_ALLOWED = {
     "s4_hamming_topk",  # 1-row query-code broadcast
     "x17_domain_mixture",  # 1-row global-min-tokens broadcast
     "pipe_training_prep_v2",  # same 1-row min-tokens broadcast (via x17)
+    "sem1_semdedup_survivors",  # 8-row centroid table broadcast (via ivf_assign)
+    "x21_temperature_mixture",  # 1-row global (sum_w, grand) broadcast
 }
 
 
