@@ -198,11 +198,42 @@ def lsh_candidate_pairs_incremental(
     )
 
 
+def shingle_sizes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-doc DISTINCT-shingle count computed BEFORE the explode —
+    size(array_distinct(...)) inside one narrow projection, so the
+    denominator table for Jaccard costs zero shuffles (the groupBy
+    re-aggregation of the exploded index it replaces shuffles the
+    whole inverted index just to count it)."""
+    toks = docs.select(
+        F.col(id_col),
+        tokenize(F.lower(strip_punct(F.col(text_col)))).alias("__toks"),
+    )
+    return toks.select(
+        id_col,
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0), F.greatest(F.size("__toks") - n, F.lit(0))
+                        ),
+                        lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)),
+                    ),
+                    lambda s: s != "",
+                )
+            )
+        ).alias("sz"),
+    )
+
+
 def jaccard_pairs(
     shingle_df: DataFrame,
     candidates: DataFrame | None = None,
     id_col: str = "doc_id",
     max_df: int | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for candidate pairs.
 
@@ -282,7 +313,8 @@ def jaccard_pairs(
                 ),
             )
         )
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        if sizes is None:
+            sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
         sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
         sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
         return (
@@ -332,7 +364,8 @@ def jaccard_pairs(
                 ).alias("jaccard"),
             )
         )
-    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if sizes is None:
+        sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = shingle_df.alias("a")
     b = shingle_df.alias("b")
     inter = (
@@ -446,14 +479,50 @@ def minhash_lsh_dedup(
     """
     if bands is None:
         bands, _rows = plan_lsh_bands(num_hashes, threshold)
-    # shingles feed both the signatures and the verify stage, and the
-    # candidate pairs are consumed twice (semi-join + pair filter) —
-    # materialize both instead of recomputing their lineage. At cluster
-    # scale these are the stage boundaries you'd checkpoint to storage.
-    sh = shingles(docs, id_col, text_col, n).cache()
-    sigs = minhash_signatures(sh, id_col, num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands).cache()
-    verified = jaccard_pairs(sh, cands, id_col)
+    # FUSED signature+set aggregation: the minhash minima AND the
+    # per-doc shingle set (needed by the exact-Jaccard verify) come out
+    # of ONE groupBy over the shingle index, so the index is shuffled
+    # once instead of twice (separate signature and collect_set
+    # passes). Map-side partial aggregation still applies to every
+    # column: each partition reduces to one row per doc before the
+    # exchange. The per-doc table (signatures + sets) is the natural
+    # checkpoint/materialization boundary at cluster scale.
+    sh = shingles(docs, id_col, text_col, n)
+    m = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(m, 16, 12), 16, 10).cast("long") * 2 + 1
+    base = sh.select(F.col(id_col), F.col("shingle"), h1.alias("__h1"), h2.alias("__h2"))
+    aggs = [
+        F.min((F.col("__h1") + F.lit(i) * F.col("__h2")) % F.lit(2**60)).alias(
+            f"__mh{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    per_doc = (
+        base.groupBy(id_col)
+        .agg(*aggs, F.collect_set("shingle").alias("__shs"))
+        .cache()
+    )
+    sigs = per_doc.select(
+        id_col,
+        F.array(*[F.col(f"__mh{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    sa = per_doc.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("__sh_a"))
+    sb = per_doc.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("__sh_b"))
+    inter_cnt = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    verified = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                inter_cnt
+                / (F.size("__sh_a") + F.size("__sh_b") - inter_cnt)
+            ).alias("jaccard"),
+        )
+    )
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )

@@ -1022,7 +1022,9 @@ def d3_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, rank on rounded score with id tie-breaks."""
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.shingles(docs, n=3)
-    pairs = dedup.jaccard_pairs(sh, max_df=100)
+    # Jaccard denominators computed pre-explode (narrow map), so the
+    # inverted index is never re-shuffled just to count per-doc sizes.
+    pairs = dedup.jaccard_pairs(sh, max_df=100, sizes=dedup.shingle_sizes(docs, n=3))
     return (
         pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
