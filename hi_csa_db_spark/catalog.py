@@ -62,10 +62,20 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
-        )
+    if name == "events":
+        # Normalize to BOTH views of event time regardless of the
+        # fixture vintage: ``ts`` as a proper timestamp and ``ts_ns``
+        # as int64 nanos (the deterministic ordering/arithmetic key
+        # every temporal operator uses). Fixtures have shipped as
+        # INT64 TIMESTAMP(NANOS) (read as bigint under nanosAsLong)
+        # and as plain TIMESTAMP(MICROS); accept either.
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+            )
+        elif "timestamp" in (ts_type or ""):
+            df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
     return df
 
 
