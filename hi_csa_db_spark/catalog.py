@@ -59,23 +59,47 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         pass  # read below will surface a clear error if the conf matters
 
 
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize the events table to BOTH views of event time regardless
+    of the fixture vintage: ``ts`` as a proper (zone-aware) timestamp and
+    ``ts_ns`` as int64 nanos (the deterministic ordering/arithmetic key
+    every temporal operator uses).
+
+    Fixtures have shipped as INT64 TIMESTAMP(NANOS) (r1; read as bigint
+    under nanosAsLong), TIMESTAMP(MICROS, isAdjustedToUTC=false) ==
+    Spark TIMESTAMP_NTZ (r2), and plain TIMESTAMP(MICROS); accept all
+    three. Used by both the batch reader (load_table) and the streaming
+    reader (streaming/windows.py) so one vintage contract covers both.
+    Pinned by tests/test_vanilla_session.py against synthetic parquet in
+    every vintage."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # INT64 TIMESTAMP(NANOS) vintage, read as raw nanos under
+        # nanosAsLong. Integer `div` (not `/`): at nanos magnitude
+        # (~1.7e18 > 2^53) double division truncates ~1.5% of values
+        # to the wrong microsecond.
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) vintage. unix_micros
+        # rejects NTZ input; the cast to TIMESTAMP is value-exact under
+        # the UTC session tz set in _ensure_session_confs. Downstream
+        # operators then see one uniform timestamp type.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
+        )
+    elif "timestamp" in (ts_type or ""):
+        # TIMESTAMP(MICROS, adjusted-to-UTC) vintage: already LTZ.
+        df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # Normalize to BOTH views of event time regardless of the
-        # fixture vintage: ``ts`` as a proper timestamp and ``ts_ns``
-        # as int64 nanos (the deterministic ordering/arithmetic key
-        # every temporal operator uses). Fixtures have shipped as
-        # INT64 TIMESTAMP(NANOS) (read as bigint under nanosAsLong)
-        # and as plain TIMESTAMP(MICROS); accept either.
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-                "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
-            )
-        elif "timestamp" in (ts_type or ""):
-            df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
+        df = normalize_events(df)
     return df
 
 
@@ -110,10 +134,25 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> LazyTables
 
 
 def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    """Register every fixture table as a temp view and return the dict."""
-    dfs = {name: load_table(spark, sf_dir, name) for name in TABLES}
-    for name, df in dfs.items():
-        df.createOrReplaceTempView(name)
+    """Register every fixture table as a temp view and return the dict.
+
+    Failure-isolated per table: an unreadable or schema-drifted fixture
+    skips ONLY that view (recorded in the returned dict's ``__errors__``
+    under a non-table key) instead of sinking every SQL-frontend query —
+    the eager-load failure mode that cost rounds 1 and 2."""
+    dfs: dict[str, DataFrame] = {}
+    errors: dict[str, str] = {}
+    for name in TABLES:
+        try:
+            df = load_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            dfs[name] = df
+        except Exception as exc:  # isolate fixture-vintage drift per table
+            errors[name] = f"{type(exc).__name__}: {exc}"
+    if errors:
+        import warnings
+
+        warnings.warn(f"register_tables skipped unreadable tables: {errors}")
     return dfs
 
 

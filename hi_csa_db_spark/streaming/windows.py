@@ -15,35 +15,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # int64 nanos (see catalog.py)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vintage-proof streaming read of the events fixture.
+
+    Structured Streaming file sources require an explicit schema; instead
+    of hardcoding one vintage (the r2 failure mode: a LongType ts schema
+    silently reinterpreted TIMESTAMP(MICROS) micros as nanos → 1970-era
+    windows), take the schema from a batch footer read of the SAME file
+    and run it through the SAME ``catalog.normalize_events`` the batch
+    tier uses. One vintage contract, both engines; the footer read is
+    metadata-only (no data scan)."""
+    from hi_csa_db_spark.catalog import _ensure_session_confs, normalize_events
+
+    _ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    return normalize_events(raw)
 
 
 def _run_to_memory(windowed: DataFrame, name: str, output_mode: str) -> DataFrame:
