@@ -20,8 +20,30 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 from hi_csa_db_spark.catalog import TABLES
-from hi_csa_db_spark.session import get_spark
 import __spark_entry__ as entrymod
+
+
+def _vanilla_spark():
+    """A deliberately conf-free SparkSession (master/cores only): the
+    driver's harness builds its own session with none of our tuning, so
+    the default local gate must prove every query works WITHOUT
+    session.py's confs — fixture-vintage drift then fails locally first,
+    not at the driver (the r1/r2 failure mode). Set
+    SPARK_GRAFT_ORACLE_SESSION=tuned to use session.get_spark instead."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    if os.environ.get("SPARK_GRAFT_ORACLE_SESSION") == "tuned":
+        from hi_csa_db_spark.session import get_spark
+
+        return get_spark("oracle-check")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("oracle-check-vanilla")
+        .getOrCreate()
+    )
 
 
 def canon(v):
@@ -56,7 +78,7 @@ def table_fingerprint(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("oracle-check")
+    spark = _vanilla_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
