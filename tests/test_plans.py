@@ -76,6 +76,7 @@ _NLJ_ALLOWED = {
     "pipe_training_prep_v2",  # same 1-row min-tokens broadcast (via x17)
     "sem1_semdedup_survivors",  # 8-row centroid table broadcast (via ivf_assign)
     "x21_temperature_mixture",  # 1-row global (sum_w, grand) broadcast
+    "x10_sparse_cosine_topk",  # 1-row corpus-size (n_docs) broadcast
 }
 
 
@@ -116,10 +117,27 @@ def test_edit_distance_is_banded_equi_join(spark, sf_dir):
 
 
 def test_jaccard_and_sparse_cosine_no_nested_loop(spark, sf_dir):
-    for name in ("d3_ngram_jaccard_topk", "x10_sparse_cosine_topk"):
-        plan = _plan(spark, sf_dir, name)
-        assert "BroadcastNestedLoopJoin" not in plan, name
-        assert "CartesianProduct" not in plan, name
+    # d3: fully NLJ-free.  x10: the only NLJ allowed is the intended
+    # 1-row corpus-size broadcast (replacing the old eager .count());
+    # the doc-pair join itself must stay an equi-join.
+    plan = _plan(spark, sf_dir, "d3_ngram_jaccard_topk")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    plan = _plan(spark, sf_dir, "x10_sparse_cosine_topk")
+    assert "CartesianProduct" not in plan
+    # the `w` branch (tf-idf weights) recurs in norms/a/b subtrees, so
+    # its 1-row n_docs broadcast appears several times — but every NLJ
+    # in the plan must be that Cross BuildRight shape (tree lines) or
+    # the matching detail-section header, never a fallback pair join
+    import re
+
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        assert (
+            "BroadcastNestedLoopJoin Cross BuildRight" in line
+            or re.match(r"^\(\d+\) BroadcastNestedLoopJoin", line.strip())
+        ), line
 
 
 def test_runtime_bloom_filter_join_pruning_available(spark, sf_dir):
