@@ -3661,6 +3661,64 @@ def html_parse_sectionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "html_css_select",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             array_to_string((list_filter(
+               string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+               x -> x <> ''))[1:5], ' ') AS body
+      FROM documents
+    )
+    SELECT 'https://x.org/doc/' || doc_id AS url, 0 AS doc_order,
+           'h3' AS tag, 'Sec ' || source AS content, '' AS href
+    FROM t
+    UNION ALL
+    SELECT 'https://x.org/doc/' || doc_id, 1, 'p',
+           'Body ' || CASE WHEN body = '' THEN 'go' ELSE body || ' go' END,
+           '/r/' || doc_id
+    FROM t
+    """,
+)
+def html_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL CSS selection over a DOM tree (sources/cssdom.py): each
+    page carries a ``#main`` container plus a decoy sidebar with the
+    SAME tags/classes; the selector ``#main h3.title, #main p`` must
+    pick exactly the container's nodes and skip the decoys — the
+    reference's scrape pattern (hi-csa-db.Rmd:153-171 selects inside
+    ``#block-mainpagecontent``). The oracle re-derives the expected
+    elements from the raw documents, so tree building, selector
+    matching, text interleaving (text -> anchor -> text), and href
+    capture are all value-checked."""
+    from hi_csa_db_spark.sources.cssdom import css_select_elements
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.lower(strip_punct(F.col("text"))))
+    body = F.concat_ws(" ", F.slice(toks, 1, 5))
+    pages = docs.select(
+        F.concat(F.lit("https://x.org/doc/"), F.col("doc_id")).alias("url"),
+        F.concat(
+            F.lit('<div id="main"><h3 class="title">Sec '),
+            F.col("source"),
+            F.lit("</h3><p>Body "),
+            body,
+            F.lit(' <a href="/r/'),
+            F.col("doc_id"),
+            F.lit('">go</a></p></div>'),
+            F.lit('<div class="side"><h3 class="title">Noise</h3><p>skip</p></div>'),
+        ).alias("html"),
+    )
+    els = css_select_elements(pages, "#main h3.title, #main p")
+    return els.select(
+        "url",
+        "doc_order",
+        "tag",
+        F.col("text").alias("content"),
+        F.coalesce(F.try_element_at("hrefs", F.lit(1)), F.lit("")).alias("href"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (BASELINE.json mandate): binary payloads + typed
 # metadata; decode stubs, real Spark plumbing (operators/multimodal.py)
