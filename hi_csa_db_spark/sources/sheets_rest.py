@@ -1,0 +1,150 @@
+"""Live sheet ingest over the public Google Sheets REST API (v4).
+
+The reference's primary data source is googlesheets4::read_sheet on
+three workbooks (hi-csa-db.Rmd:15-16, 470-471, 490, 554). This module
+implements the live half that sources/sheets.py (export files) leaves
+out: the ``GET /v4/spreadsheets/{id}/values/{range}`` endpoint of the
+public Sheets API, with API-key or Bearer-token auth, bounded retry
+with backoff on 429/5xx, and ragged-row handling (the API omits
+trailing empty cells per row).
+
+Scale contract: a sheet is a DIMENSION table (the API hard-caps cells
+per workbook in the low millions), so the fetch is a driver-side HTTP
+GET and the result is created as a local DataFrame — the broadcast
+side of downstream joins, never a distributed scan. Fan-out over MANY
+sheets belongs in the crawl tier (sources/crawl.py politeness applies);
+a single sheet read is one request plus retries.
+
+The endpoint is injectable so tests (tests/test_sheets_rest.py) run
+against a local http.server with canned API-shaped JSON — no network,
+no credentials; the URL/payload contract is pinned from the public API
+docs."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from hi_csa_db_spark.sources.sheets import (
+    align_to_schema,
+    _blank_strings_to_null,
+    normalize_headers,
+)
+
+DEFAULT_ENDPOINT = "https://sheets.googleapis.com"
+
+
+def fetch_values(
+    spreadsheet_id: str,
+    a1_range: str,
+    api_key: str | None = None,
+    token: str | None = None,
+    endpoint: str = DEFAULT_ENDPOINT,
+    timeout: float = 30.0,
+    max_retries: int = 3,
+    backoff_s: float = 0.5,
+) -> dict:
+    """GET one values range; returns the decoded API payload
+    (``{"range": ..., "majorDimension": "ROWS", "values": [[...]]}``).
+    Retries 429/5xx with exponential backoff; 4xx (other than 429)
+    raise immediately — they are caller errors, not transient."""
+    url = "{}/v4/spreadsheets/{}/values/{}".format(
+        endpoint.rstrip("/"),
+        urllib.parse.quote(spreadsheet_id, safe=""),
+        urllib.parse.quote(a1_range, safe="!:"),
+    )
+    if api_key:
+        url += "?" + urllib.parse.urlencode({"key": api_key})
+    headers = {"Accept": "application/json"}
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
+    last: Exception | None = None
+    for attempt in range(max_retries + 1):
+        req = urllib.request.Request(url, headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as exc:
+            if exc.code != 429 and exc.code < 500:
+                raise
+            last = exc
+        except urllib.error.URLError as exc:
+            last = exc
+        if attempt < max_retries:
+            time.sleep(backoff_s * (2**attempt))
+    raise RuntimeError(
+        f"sheets fetch failed after {max_retries + 1} attempts: {last}"
+    )
+
+
+def values_to_dataframe(
+    spark: SparkSession,
+    payload: dict,
+    header: bool = True,
+    rename: dict[str, str] | None = None,
+    target_schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """API values payload -> typed, schema-stable DataFrame.
+
+    The API returns ROWS-major lists with trailing empty cells OMITTED
+    per row — rows are padded to the header width (extra cells beyond
+    the header are dropped, matching the export reader's behavior).
+    Empty strings become NULL; headers are slugged/renamed and the
+    result optionally drift-aligned, identically to read_sheet_export
+    so the two ingest paths are interchangeable downstream."""
+    values: list[list] = payload.get("values") or []
+    if not values:
+        if target_schema is not None:
+            return spark.createDataFrame([], schema=target_schema)
+        raise ValueError("empty sheet range and no target_schema given")
+    if header:
+        cols, rows = values[0], values[1:]
+    else:
+        width = max(len(r) for r in values)
+        cols, rows = [f"col_{i}" for i in range(width)], values
+    width = len(cols)
+    padded = [
+        [str(c) if c is not None else None for c in r[:width]]
+        + [None] * (width - len(r))
+        for r in rows
+    ]
+    df = spark.createDataFrame(
+        padded, schema=T.StructType([T.StructField(str(c), T.StringType()) for c in cols])
+    )
+    df = normalize_headers(df, rename)
+    df = _blank_strings_to_null(df)
+    if target_schema is not None:
+        df = align_to_schema(df, target_schema)
+    return df
+
+
+def read_sheet_rest(
+    spark: SparkSession,
+    spreadsheet_id: str,
+    a1_range: str,
+    api_key: str | None = None,
+    token: str | None = None,
+    endpoint: str = DEFAULT_ENDPOINT,
+    rename: dict[str, str] | None = None,
+    target_schema: T.StructType | str | None = None,
+    **fetch_kwargs,
+) -> DataFrame:
+    """The live twin of read_sheet_export: one REST fetch -> the same
+    normalized/aligned DataFrame contract."""
+    payload = fetch_values(
+        spreadsheet_id,
+        a1_range,
+        api_key=api_key,
+        token=token,
+        endpoint=endpoint,
+        **fetch_kwargs,
+    )
+    return values_to_dataframe(
+        spark, payload, header=True, rename=rename, target_schema=target_schema
+    )
