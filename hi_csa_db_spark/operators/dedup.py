@@ -254,14 +254,15 @@ def jaccard_pairs(
     n_shingles * max_df^2 regardless of corpus skew.
     """
     if candidates is None and max_df is not None:
-        # Split the inverted index by document frequency. Pair counts
-        # come from TWO bounded equi-joins instead of one unbounded
-        # self-join:
-        #  - rare shingles (df <= max_df): the classic inverted-index
-        #    self-join + map-side-combined pair count — fan-out per
-        #    shingle bounded by max_df^2. These also DEFINE the
-        #    candidate pairs.
-        #  - hot shingles (df > max_df): never self-joined; for the
+        # Split the inverted index by document frequency:
+        #  - rare shingles (df <= max_df): grouped to per-shingle doc
+        #    SETS (one shuffle of the rare index; each set is bounded
+        #    by max_df, so no group can blow executor memory), then
+        #    candidate pairs are generated MAP-SIDE by a double explode
+        #    over each set — fan-out per shingle still bounded by
+        #    max_df^2, but with no second shuffle and no self-join.
+        #    These pairs also DEFINE the candidate set.
+        #  - hot shingles (df > max_df): never pair-expanded; for the
         #    already-bounded candidate set, count hot shingles present
         #    in both docs via two index lookups (join on (doc),
         #    then semi on (shingle, doc)) — linear in |candidates| x
@@ -280,18 +281,16 @@ def jaccard_pairs(
         hot_list = dfreq.filter(F.col("__df") > max_df).select("shingle")
         rare = sh.join(hot_list, "shingle", "left_anti").select(id_col, "shingle")
         hot = sh.join(hot_list, "shingle", "left_semi").select(id_col, "shingle")
-        a = rare.alias("a")
-        b = rare.alias("b")
+        rare_sets = rare.groupBy("shingle").agg(F.collect_set(id_col).alias("__ds"))
         inter_rare = (
-            a.join(
-                b,
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            rare_sets.select(F.explode("__ds").alias("id_a"), "__ds")
+            .select(
+                "id_a",
+                F.explode(F.filter("__ds", lambda d: d > F.col("id_a"))).alias(
+                    "id_b"
+                ),
             )
-            .groupBy(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-            )
+            .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("__rc"))
         )
         hot_a = hot.select(F.col(id_col).alias("id_a"), "shingle")
