@@ -5365,6 +5365,228 @@ def f14_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ret1_bm25_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT CAST(SUM(dl) AS DOUBLE) AS total_dl,
+                      CAST(COUNT(*) AS DOUBLE) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('spark', 'hash', 'merge') GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+                  + CAST(1.0 AS DOUBLE))
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * dl * n_docs / total_dl)),
+             8) AS DECIMAL(20,8)) AS c
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus
+    )
+    SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS bm25
+    FROM contrib GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+)
+def ret1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Okapi, k1=1.2 b=0.75) for a fixed query
+    term set over the whitespace-token index — the lexical-retrieval
+    complement of the dense (s1/s2) and TF-IDF (x10) similarity tiers.
+
+    Scale shape: tf is filtered to the QUERY terms before any shuffle
+    (the per-(doc,term) aggregate only ever carries |query| terms per
+    doc); df is an aggregate of that already-tiny table; corpus length
+    stats enter as a broadcast 1-row aggregate, not a driver action.
+    Per-term contributions are rounded to 8dp and summed as DECIMAL on
+    both engines so the 2-3-term sum is order-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "hash", "merge"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(tokenize(F.lower(strip_punct(F.col("text"))))).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").cast("double").alias("total_dl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(df_, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf") * F.lit(2.2))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75) * F.col("dl") * F.col("n_docs") / F.col("total_dl")
+                    )
+                ),
+                8,
+            )
+            .cast("decimal(20,8)")
+            .alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "rag1_chunk_overlap",
+    """
+    WITH st AS (
+      SELECT doc_id, text,
+             range(0, greatest(length(text) - 1, 0) + 1, 150) AS starts
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, text,
+             unnest(starts) AS start,
+             generate_subscripts(starts, 1) - 1 AS chunk_idx
+      FROM st
+    )
+    SELECT doc_id, chunk_idx, start,
+           length(substring(text, start + 1, 200)) AS chunk_len,
+           md5(substring(text, start + 1, 200)) AS chunk_hash
+    FROM ex
+    """,
+)
+def rag1_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking for retrieval corpora: 200-char
+    windows every 150 chars (50-char overlap so no sentence straddles
+    a hard boundary unseen), with per-chunk offsets and content hashes
+    — the chunk table a RAG index builds on, complementing x16's
+    token-budget packing (which packs, this one splits). Narrow map +
+    explode, no shuffle; chunk count per doc is len/stride so output
+    scales linearly with corpus bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length("text") - 1, F.lit(0)), F.lit(150)
+    )
+    ex = docs.select("doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start"))
+    chunk = F.expr("substring(text, start + 1, 200)")
+    return ex.select(
+        "doc_id",
+        "chunk_idx",
+        "start",
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk).alias("chunk_hash"),
+    )
+
+
+@_register(
+    "x23_dsir_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS tok
+      FROM documents
+    ),
+    cs AS (
+      SELECT tok, COUNT(*) AS c_s,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+      FROM toks GROUP BY tok
+    ),
+    scal AS (SELECT SUM(c_s) AS t_s, SUM(c_t) AS t_t, COUNT(*) AS v FROM cs),
+    llr AS (
+      SELECT tok,
+             ln(CAST(c_t + 1 AS DOUBLE) / (t_t + v))
+             - ln(CAST(c_s + 1 AS DOUBLE) / (t_s + v)) AS llr
+      FROM cs CROSS JOIN scal
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok)
+    SELECT doc_id,
+           ROUND(CAST(SUM(CAST(ROUND(tf * llr, 8) AS DECIMAL(24,8))) AS DOUBLE)
+                 / SUM(tf), 6) AS dsir_weight
+    FROM tf JOIN llr USING (tok)
+    GROUP BY doc_id
+    ORDER BY dsir_weight DESC, doc_id ASC LIMIT 20
+    """,
+)
+def x23_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, 'Data Selection for Language Models via Importance
+    Resampling', arXiv:2302.03169 — public method): score each doc by the
+    average log-likelihood ratio of its tokens under a TARGET unigram
+    LM (here: the lang='en' slice) vs the SOURCE LM (whole corpus),
+    add-one smoothed over the shared vocabulary. Docs that look like
+    the target domain get high weights; resampling by these weights
+    steers a mixture toward the target. Top-20 by weight.
+
+    Scale shape: two aggregations of the token index (per-term corpus
+    counts, per-doc tf) + one broadcast 1-row scalar row — no pair
+    explosion anywhere; per-term contributions are rounded and summed
+    as DECIMAL so the per-doc reduction is order-independent on both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokenize(F.lower(strip_punct(F.col("text"))))).alias("tok"),
+    )
+    cs = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_s"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_t"),
+    )
+    scal = cs.agg(
+        F.sum("c_s").alias("t_s"), F.sum("c_t").alias("t_t"), F.count(F.lit(1)).alias("v")
+    )
+    llr = cs.crossJoin(F.broadcast(scal)).select(
+        "tok",
+        (
+            F.log((F.col("c_t") + 1).cast("double") / (F.col("t_t") + F.col("v")))
+            - F.log((F.col("c_s") + 1).cast("double") / (F.col("t_s") + F.col("v")))
+        ).alias("llr"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.join(llr, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("tf") * F.col("llr"), 8).cast("decimal(24,8)"))
+                .cast("double")
+                / F.sum("tf"),
+                6,
+            ).alias("dsir_weight")
+        )
+        .orderBy(F.col("dsir_weight").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds are
 # banked, so each round the prefix should be composed of (a) queries

@@ -77,6 +77,8 @@ _NLJ_ALLOWED = {
     "sem1_semdedup_survivors",  # 8-row centroid table broadcast (via ivf_assign)
     "x21_temperature_mixture",  # 1-row global (sum_w, grand) broadcast
     "x10_sparse_cosine_topk",  # 1-row corpus-size (n_docs) broadcast
+    "ret1_bm25_topk",  # 1-row corpus length-stats broadcast
+    "x23_dsir_weights",  # 1-row LM-normalizer (t_s, t_t, v) broadcast
 }
 
 
