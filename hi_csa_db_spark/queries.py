@@ -5591,17 +5591,21 @@ def x23_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prefix of the registry (dict order), and greens from past rounds are
 # banked, so each round the prefix should be composed of (a) queries
 # whose code changed this round (must re-prove) and (b) queries that
-# have never had a driver row. Round-3 prefix: the 4 catalog-bug reds +
-# the 2 rewritten this round, then 44 never-sampled component proofs —
-# every one verified green by tools/check_oracle.py in a VANILLA
-# session at sf0.01 before being placed here. Banked r01/r02 greens sit
-# at the back (their code is unchanged).
+# have never had a driver row. Round-3 prefix: the 4 catalog-bug reds,
+# the 2 rewritten + 4 brand-new + 1 re-planned (d3) this round, then
+# never-sampled component proofs — every one verified green by
+# tools/check_oracle.py in a VANILLA session at sf0.01 before being
+# placed here. Banked r01/r02 greens sit at the back (their code is
+# unchanged).
 _PRIORITY = (
     # red in r02, fixed this round (catalog NTZ vintage bug)
     "j4_forward_fill", "f7_json_extract", "t1_tumbling_window",
     "t2_sessionize",
     # rewritten this round: array-serialized output / broadcast count
     "mm1_media_features", "x10_sparse_cosine_topk",
+    # NEW this round: CSS-selector scrape, retrieval + data-selection
+    "html_css_select", "ret1_bm25_topk", "rag1_chunk_overlap",
+    "x23_dsir_weights", "d3_ngram_jaccard_topk",  # d3 pair-gen rewritten
     # --- never-sampled queries, by component value ---
     # temporal family
     "t3_resample_daily", "t4_event_gaps", "t5_funnel",
@@ -5626,11 +5630,12 @@ _PRIORITY = (
     # token/ngram + aggregation breadth
     "x7_posexplode", "x8_bigram_counts", "a6_conditional_agg",
     "g3_cube_orders", "g4_pivot_status", "g5_unpivot",
-    # sketches + stats
-    "sketch_hll_merge", "sketch_cardinality", "sketch_quantiles",
-    "stats_moments",
     # --- slot 51+: remaining never-sampled (checked if the driver ever
     # samples deeper), then banked greens via the dict-order tail ---
+    # sketches + stats (rows-only/weaker checks — deprioritized below
+    # the full-oracle entries above)
+    "sketch_hll_merge", "sketch_cardinality", "sketch_quantiles",
+    "stats_moments",
     "graph_triangles", "g2_grouping_sets_orders", "g6_grouping_id",
     "w5_window_suite", "w6_range_frame", "w7_rank_fractions",
     "w8_window_values", "w9_ntile_quartiles",
