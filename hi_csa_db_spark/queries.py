@@ -5550,6 +5550,17 @@ def x23_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion anywhere; per-term contributions are rounded and summed
     as DECIMAL so the per-doc reduction is order-independent on both
     engines."""
+    return (
+        _dsir_weight_frame(spark, sf_dir)
+        .orderBy(F.col("dsir_weight").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def _dsir_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dsir_weight rounded 6dp) for every document — the
+    shared weight computation behind x23 (inspect top-k) and x24
+    (resample). See x23_dsir_weights for semantics and scale notes."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -5582,8 +5593,99 @@ def x23_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("dsir_weight")
         )
-        .orderBy(F.col("dsir_weight").desc(), F.col("doc_id").asc())
-        .limit(20)
+    )
+
+
+# the x23 weight pipeline as reusable oracle CTEs (through `w`)
+_DSIR_W_SQL = """
+    toks AS (
+      SELECT doc_id, lang, unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS tok
+      FROM documents
+    ),
+    cs AS (
+      SELECT tok, COUNT(*) AS c_s,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+      FROM toks GROUP BY tok
+    ),
+    scal AS (SELECT SUM(c_s) AS t_s, SUM(c_t) AS t_t, COUNT(*) AS v FROM cs),
+    llr AS (
+      SELECT tok,
+             ln(CAST(c_t + 1 AS DOUBLE) / (t_t + v))
+             - ln(CAST(c_s + 1 AS DOUBLE) / (t_s + v)) AS llr
+      FROM cs CROSS JOIN scal
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    w AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(CAST(ROUND(tf * llr, 8) AS DECIMAL(24,8))) AS DOUBLE)
+                   / SUM(tf), 6) AS dsir_weight
+      FROM tf JOIN llr USING (tok)
+      GROUP BY doc_id
+    )
+"""
+
+
+@_register(
+    "x24_dsir_resample",
+    f"""
+    WITH {_DSIR_W_SQL},
+    wi AS (
+      SELECT doc_id,
+             CAST(floor(dsir_weight * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS wi
+      FROM w
+    ),
+    keep AS (
+      SELECT doc_id, wi,
+             greatest(0, least(1000000, 500000 + 10 * wi)) AS p,
+             (doc_id * 2654435761) % 4294967296 AS u
+      FROM wi
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_total,
+           SUM(CASE WHEN u * 1000000 < p * 4294967296 THEN 1 ELSE 0 END) AS n_kept,
+           SUM(CASE WHEN u * 1000000 < p * 4294967296 THEN wi ELSE 0 END)
+             AS kept_microweight_sum
+    FROM keep JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def x24_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampling half of DSIR: turn each doc's importance weight
+    into a keep probability (linear ramp centered at p=0.5, saturating
+    at [0, 1]) and make the keep/drop decision with x17's PURE-INTEGER
+    deterministic rule — micro-weight = round(w * 1e6) as BIGINT, keep
+    iff knuth_hash(doc_id) * 1e6 < p_micro * 2^32. No float threshold
+    ever crosses an engine boundary, so a re-run (or the oracle)
+    selects the IDENTICAL document set. Per-lang audit aggregates out;
+    target-language docs keep at visibly higher rates.
+
+    Scale: the weight frame is two token-index aggregations (x23);
+    the decision is a narrow map over docs; the audit is a 5-group
+    aggregate. Nothing new shuffles beyond the weight computation."""
+    w = _dsir_weight_frame(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    wi = F.floor(F.col("dsir_weight") * 1000000 + F.lit(0.5)).cast("long")
+    keep = w.select(
+        "doc_id",
+        wi.alias("wi"),
+        F.greatest(F.lit(0), F.least(F.lit(1000000), F.lit(500000) + 10 * wi)).alias(
+            "p"
+        ),
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)).alias("u"),
+    )
+    kept = F.col("u") * 1000000 < F.col("p") * F.lit(4294967296)
+    return (
+        keep.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("wi")).otherwise(0)).alias(
+                "kept_microweight_sum"
+            ),
+        )
     )
 
 
@@ -5605,7 +5707,8 @@ _PRIORITY = (
     "mm1_media_features", "x10_sparse_cosine_topk",
     # NEW this round: CSS-selector scrape, retrieval + data-selection
     "html_css_select", "ret1_bm25_topk", "rag1_chunk_overlap",
-    "x23_dsir_weights", "d3_ngram_jaccard_topk",  # d3 pair-gen rewritten
+    "x23_dsir_weights", "x24_dsir_resample",
+    "d3_ngram_jaccard_topk",  # d3 pair-gen rewritten
     # --- never-sampled queries, by component value ---
     # temporal family
     "t3_resample_daily", "t4_event_gaps", "t5_funnel",
