@@ -157,6 +157,32 @@ def encode_png(arr: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Minimal 24-bit uncompressed (BI_RGB) BMP writer: BITMAPFILEHEADER
+    + BITMAPINFOHEADER, bottom-up rows, 4-byte row alignment, BGR byte
+    order — the standard layout per the public BMP format. Round-trips
+    through decode_bmp, so tests and pipelines can build REAL image
+    payloads without any imaging library."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w, ch = arr.shape
+    if ch != 3:
+        raise UnsupportedMedia(f"encode_bmp wants (h, w, 3), got {arr.shape}")
+    bgr = arr[:, :, ::-1]  # RGB -> BGR
+    row_bytes = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_bytes - w * 3)
+    # bottom-up: last image row is written first
+    pixel_data = b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1))
+    data_off = 14 + 40
+    file_size = data_off + len(pixel_data)
+    file_hdr = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + pixel_data
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed 24/32-bit BI_RGB BMP -> uint8 (h, w, 3|4), RGB order."""
     if sniff(payload) != "bmp":

@@ -148,6 +148,65 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(gen, FEATURE_SCHEMA)
 
 
+CODEC_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("tl_r", IntegerType()),
+        StructField("tl_g", IntegerType()),
+        StructField("tl_b", IntegerType()),
+        StructField("br_r", IntegerType()),
+        StructField("br_g", IntegerType()),
+        StructField("br_b", IntegerType()),
+    ]
+)
+
+
+def codec_roundtrip_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exercise the REAL image codec on the executors: build a 24-bit
+    BMP per row (5x3 px — odd width, so the 4-byte row stride padding
+    is live — with id-derived sentinel pixels at top-left and
+    bottom-right), run encode_bmp -> decode_bmp, and emit the decoded
+    corner pixels. Because the sentinels are pure functions of the id,
+    a SQL oracle can predict every output value WITHOUT decoding —
+    channel order (BGR<->RGB), bottom-up row flip, and stride handling
+    are all value-checked end-to-end through the distributed plan.
+    Arrow-batched mapInPandas; payload bytes live and die executor-side.
+    """
+    import numpy as np
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hi_csa_db_spark.functions import codecs
+
+        cols = [f.name for f in CODEC_STATS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                r, g, b = i % 256, (i * 7) % 256, (i * 13) % 256
+                img = np.zeros((3, 5, 3), np.uint8)
+                img[0, 0] = (r, g, b)
+                img[2, 4] = (g, b, r)
+                out = codecs.decode_bmp(codecs.encode_bmp(img))
+                rows.append(
+                    {
+                        "media_id": i,
+                        "width": int(out.shape[1]),
+                        "height": int(out.shape[0]),
+                        "tl_r": int(out[0, 0, 0]),
+                        "tl_g": int(out[0, 0, 1]),
+                        "tl_b": int(out[0, 0, 2]),
+                        "br_r": int(out[2, 4, 0]),
+                        "br_g": int(out[2, 4, 1]),
+                        "br_b": int(out[2, 4, 2]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col).mapInPandas(gen, CODEC_STATS_SCHEMA)
+
+
 def exact_media_dedup(media: DataFrame) -> DataFrame:
     """Exact payload dedup on the content hash (JVM-side md5 over the
     binary column — no Python involved)."""

@@ -3854,6 +3854,32 @@ def mm4_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "mm5_codec_roundtrip",
+    """
+    SELECT doc_id AS media_id, 5 AS width, 3 AS height,
+           doc_id % 256 AS tl_r, (doc_id * 7) % 256 AS tl_g,
+           (doc_id * 13) % 256 AS tl_b,
+           (doc_id * 7) % 256 AS br_r, (doc_id * 13) % 256 AS br_g,
+           doc_id % 256 AS br_b
+    FROM documents
+    """,
+)
+def mm5_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, value-checked: per doc, a 24-bit BMP with
+    id-derived sentinel corner pixels is encoded and decoded by the
+    pure-numpy codec (functions/codecs.py) ON THE EXECUTORS, and the
+    decoded pixels are compared against a SQL oracle that predicts
+    them from the id alone — so BGR ordering, the bottom-up row flip,
+    and the 4-byte stride padding (width 5 is deliberately unaligned)
+    are all proven through the distributed plan, not just in unit
+    tests. This is the decode tier the md5 fallback stands in for on
+    entropy-coded formats."""
+    from hi_csa_db_spark.operators.multimodal import codec_roundtrip_stats
+
+    return codec_roundtrip_stats(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming (rows-only checks — not expressible in batch SQL)
 # ---------------------------------------------------------------------------
@@ -5721,6 +5747,7 @@ _PRIORITY = (
     "stream_stateful_totals", "stream_stream_join",
     # multimodal tier
     "mm2_media_dedup", "mm3_frame_sample_plan", "mm4_feature_knn",
+    "mm5_codec_roundtrip",
     # LLM-pipeline tier x11-x18 + composites
     "x11_pii_scrub", "x12_quality_rules", "x13_repetition_stats",
     "x14_contamination", "x15_bigram_logprob", "x16_context_packing",

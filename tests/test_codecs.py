@@ -145,3 +145,26 @@ def test_extract_features_real_decode_branch(spark):
     assert feats[3] == pytest.approx(
         multimodal._fake_feature(b"not an image"), abs=1e-6
     )
+
+
+def test_bmp_encode_decode_roundtrip():
+    import numpy as np
+
+    from hi_csa_db_spark.functions.codecs import decode_bmp, encode_bmp, sniff
+
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (3, 5), (7, 4), (8, 8)]:  # odd widths hit stride pad
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        payload = encode_bmp(img)
+        assert sniff(payload) == "bmp"
+        assert (decode_bmp(payload) == img).all(), (h, w)
+
+
+def test_bmp_encoder_rejects_bad_shape():
+    import numpy as np
+    import pytest
+
+    from hi_csa_db_spark.functions.codecs import UnsupportedMedia, encode_bmp
+
+    with pytest.raises(UnsupportedMedia):
+        encode_bmp(np.zeros((2, 2, 4), np.uint8))
