@@ -105,6 +105,50 @@ def minhash_signatures(
     )
 
 
+def shingle_array(text_col: str = "text", n: int = 3):
+    """The per-doc distinct shingle set as an ARRAY column — the same
+    set shingles() explodes, kept un-exploded for narrow per-row
+    consumers (streaming signatures)."""
+    toks = tokenize(F.lower(strip_punct(F.col(text_col))))
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+            lambda s: s != "",
+        )
+    )
+
+
+def minhash_signature_col(text_col: str = "text", n: int = 3, num_hashes: int = 16):
+    """MinHash signature as a NARROW per-row expression: identical
+    values to minhash_signatures() (same shingle set, same
+    Kirsch-Mitzenmacher affine family), but computed with array
+    functions instead of a groupBy — zero shuffle, zero state. This is
+    the streaming-safe path: a stream of new docs can be signed row by
+    row and probed against a static band index without any stateful
+    aggregation. md5 runs ONCE per shingle (the (h1, h2) pair is
+    materialized first), matching the batch path's hashing cost."""
+    hs = F.transform(
+        shingle_array(text_col, n),
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long").alias("h1"),
+            (F.conv(F.substring(F.md5(s), 16, 12), 16, 10).cast("long") * 2 + 1).alias(
+                "h2"
+            ),
+        ),
+    )
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(hs, lambda x: (x["h1"] + F.lit(i) * x["h2"]) % F.lit(2**60))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def band_keys(
     signatures: DataFrame, id_col: str = "doc_id", bands: int = 8, rows: int = 2
 ) -> DataFrame:

@@ -3885,6 +3885,19 @@ def mm5_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@_register("stream_incremental_dedup")
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-ingest dedup: new docs minhash-signed PER ROW
+    (narrow array expression — no stateful agg), band-exploded, and
+    probed against the static corpus band index via a stream-static
+    equi-join; per-batch cost is |delta| x bucket-mates, never
+    corpus^2. Batch-equivalence pinned in
+    tests/test_streaming_multimodal.py."""
+    from hi_csa_db_spark.streaming import windows
+
+    return windows.incremental_dedup_stream(spark, sf_dir)
+
+
 @_register("stream_hourly_counts")
 def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window streaming aggregation, executed with
@@ -5745,6 +5758,7 @@ _PRIORITY = (
     "stream_hourly_counts", "stream_session_windows",
     "stream_sliding_counts", "stream_dedup_watermark",
     "stream_stateful_totals", "stream_stream_join",
+    "stream_incremental_dedup",
     # multimodal tier
     "mm2_media_dedup", "mm3_frame_sample_plan", "mm4_feature_knn",
     "mm5_codec_roundtrip",

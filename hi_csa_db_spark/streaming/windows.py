@@ -161,6 +161,71 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(counted, "stream_dedup_counts", "complete")
 
 
+def incremental_dedup_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    split_frac: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Streaming corpus-ingest dedup: NEW documents arrive as a stream,
+    get minhash-signed per row (dedup.minhash_signature_col — a narrow
+    array expression, no stateful aggregation), band-exploded, and
+    probed against the STATIC band index of the existing corpus via a
+    stream-static equi-join. Emits per-new-doc duplicate-candidate
+    counts.
+
+    This is d9's incremental contract on the streaming planner: cost
+    per micro-batch is |delta| x bucket-mates, never corpus x corpus;
+    the corpus index is the maintained table (txlog format at fleet
+    scale) and only its matching buckets are touched. The split of the
+    documents fixture into corpus (first split_frac by doc_id) and
+    stream (the rest) makes the run deterministic and batch-checkable
+    (tests/test_streaming_multimodal.py asserts equivalence with the
+    batch probe)."""
+    from hi_csa_db_spark.catalog import load_table
+    from hi_csa_db_spark.operators import dedup
+
+    rows = num_hashes // bands
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # metadata-scale action: fixes the split point
+    split_id = int(n_docs * split_frac)
+    corpus = docs.filter(F.col("doc_id") < split_id)
+    corpus_bands = dedup.band_keys(
+        dedup.minhash_signatures(dedup.shingles(corpus), num_hashes=num_hashes),
+        bands=bands,
+        rows=rows,
+    )
+    schema = docs.schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    new_bands = dedup.band_keys(
+        raw.filter(F.col("doc_id") >= split_id).select(
+            "doc_id",
+            dedup.minhash_signature_col(num_hashes=num_hashes).alias("sig"),
+        ),
+        bands=bands,
+        rows=rows,
+    )
+    pairs = (
+        new_bands.alias("a")
+        .join(
+            corpus_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_new"), F.col("b.doc_id").alias("id_old")
+        )
+        .dropDuplicates(["id_new", "id_old"])
+        .groupBy("id_new")
+        .agg(F.count(F.lit(1)).alias("n_dup_candidates"))
+    )
+    return _run_to_memory(pairs, "stream_incremental_dedup", "complete")
+
+
 def upsert_sink(
     spark: SparkSession, sf_dir: str, out_path: str, checkpoint: str
 ) -> DataFrame:

@@ -178,3 +178,48 @@ def test_real_codec_features_through_spark(spark):
         and out[0] != _fake_feature(png)  # real kernel, not the fallback
     assert out[2] != _fake_feature(wav)
     assert len(out[2]) == 8
+
+
+def test_narrow_signature_matches_grouped(spark, sf_dir):
+    # dedup.minhash_signature_col (per-row array expr, the streaming
+    # path) must produce bit-identical signatures to the groupBy-based
+    # minhash_signatures — else the stream probe and the batch index
+    # disagree on band keys.
+    from pyspark.sql import functions as F
+
+    from hi_csa_db_spark.catalog import load_table
+    from hi_csa_db_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    grouped = dedup.minhash_signatures(dedup.shingles(docs))
+    narrow = docs.select("doc_id", dedup.minhash_signature_col().alias("sig"))
+    joined = grouped.alias("g").join(narrow.alias("n"), "doc_id")
+    n_diff = joined.filter(F.col("g.sig") != F.col("n.sig")).count()
+    assert n_diff == 0
+    assert grouped.count() == narrow.filter(F.size("sig") > 0).count()
+
+
+def test_stream_incremental_dedup_matches_batch_probe(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hi_csa_db_spark.catalog import load_table
+    from hi_csa_db_spark.operators import dedup
+
+    streamed = windows.incremental_dedup_stream(spark, sf_dir)
+
+    docs = load_table(spark, sf_dir, "documents")
+    split_id = int(docs.count() * 0.8)
+    corpus = docs.filter(F.col("doc_id") < split_id)
+    delta = docs.filter(F.col("doc_id") >= split_id)
+    pairs = dedup.lsh_candidate_pairs_incremental(
+        dedup.minhash_signatures(dedup.shingles(delta)),
+        dedup.minhash_signatures(dedup.shingles(corpus)),
+    )
+    batch = (
+        pairs.select(F.col("id_new"), F.col("id_old"))
+        .groupBy("id_new")
+        .agg(F.count(F.lit(1)).alias("n_dup_candidates"))
+    )
+    assert {tuple(r) for r in streamed.collect()} == {
+        tuple(r) for r in batch.collect()
+    }
