@@ -587,10 +587,16 @@ def simhash(
     bit-explode would push bits x tokens rows through the shuffle for
     identical results.
     """
+    # distinct-per-doc happens INSIDE the token array (array_distinct
+    # before explode) — identical semantics to a global .distinct() on
+    # (id, tok), a token can only repeat within its own doc, but zero
+    # shuffle (the same saving shingles() already banks).
     toks = docs.select(
         F.col(id_col),
-        F.explode(tokenize(F.lower(strip_punct(F.col(text_col))))).alias("tok"),
-    ).distinct()
+        F.explode(
+            F.array_distinct(tokenize(F.lower(strip_punct(F.col(text_col)))))
+        ).alias("tok"),
+    )
     hashed = toks.select(
         id_col,
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),

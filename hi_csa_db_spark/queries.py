@@ -5026,11 +5026,11 @@ def sem1_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLS_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
 
-
-@_register(
-    "x20_quality_classifier",
-    f"""
-    WITH toks AS (
+# x20's scoring pipeline as reusable oracle CTEs (through `scored`) —
+# shared with x25_classifier_auc so the evaluated scores are, by
+# construction, the scores the filter actually produces.
+_X20_SCORED_SQL = f"""
+    toks AS (
       SELECT doc_id, unnest(list_filter(
         string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
         x -> x <> '')) AS w
@@ -5043,15 +5043,22 @@ _CLS_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
              ROUND(AVG(CASE WHEN regexp_matches(w, '[a-z]') THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) AS frac_alpha,
              ROUND(AVG(CASE WHEN w IN ({_CLS_STOPWORDS_SQL}) THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) AS stop_frac
       FROM toks GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_id, n_words,
+             ROUND(-3.0::DOUBLE + 0.02::DOUBLE * n_words + 0.6::DOUBLE * mean_word_len
+                   + 2.0::DOUBLE * frac_alpha - 4.0::DOUBLE * stop_frac, 6) AS logit,
+             CASE WHEN -3.0::DOUBLE + 0.02::DOUBLE * n_words + 0.6::DOUBLE * mean_word_len
+                       + 2.0::DOUBLE * frac_alpha - 4.0::DOUBLE * stop_frac >= 0.0::DOUBLE
+                  THEN 1 ELSE 0 END AS keep
+      FROM feats
     )
-    SELECT doc_id, n_words,
-           ROUND(-3.0::DOUBLE + 0.02::DOUBLE * n_words + 0.6::DOUBLE * mean_word_len
-                 + 2.0::DOUBLE * frac_alpha - 4.0::DOUBLE * stop_frac, 6) AS logit,
-           CASE WHEN -3.0::DOUBLE + 0.02::DOUBLE * n_words + 0.6::DOUBLE * mean_word_len
-                     + 2.0::DOUBLE * frac_alpha - 4.0::DOUBLE * stop_frac >= 0.0::DOUBLE
-                THEN 1 ELSE 0 END AS keep
-    FROM feats
-    """,
+"""
+
+
+@_register(
+    "x20_quality_classifier",
+    f"WITH {_X20_SCORED_SQL} SELECT doc_id, n_words, logit, keep FROM scored",
 )
 def x20_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering: a broadcast LINEAR classifier
@@ -5094,6 +5101,63 @@ def x20_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         F.round(logit, 6).alias("logit"),
         (logit >= 0.0).cast("int").alias("keep"),
+    )
+
+
+@_register(
+    "x25_classifier_auc",
+    f"""
+    WITH {_X20_SCORED_SQL},
+    lab AS (
+      SELECT s.doc_id, s.logit,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY logit, doc_id) AS rank
+      FROM lab
+    )
+    SELECT SUM(y) AS n_pos, SUM(1 - y) AS n_neg,
+           ROUND((SUM(CASE WHEN y = 1 THEN rank ELSE 0 END)
+                  - SUM(y) * (SUM(y) + 1) / 2)
+                 / (SUM(y) * SUM(1 - y)), 6) AS auc
+    FROM ranked
+    """,
+)
+def x25_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval harness for the model-based filter: deterministic rank-sum
+    (Mann-Whitney) AUC of x20's logit against a weak label (lang='en').
+    Ties on the 6dp-rounded logit break by doc_id — a fixed convention
+    mirrored on both engines, so the metric is bit-stable (standard
+    midrank AUC would need avg-rank ties; the convention difference is
+    O(ties/n^2) and irrelevant for a drift monitor).
+
+    Scale shape: the global rank uses ordered.global_row_numbers
+    (range-partition + broadcast per-partition offsets), NOT a
+    single-partition ORDER BY window — ranking cost stays parallel at
+    any corpus size; the final reduction is one scalar aggregate.
+    A filtering pipeline runs this continuously to catch classifier
+    drift against cheap weak labels."""
+    from hi_csa_db_spark.operators import ordered
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = x20_quality_classifier(spark, sf_dir).select("doc_id", "logit")
+    lab = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "logit",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    keyed = lab.withColumn("__k", F.struct(F.col("logit"), F.col("doc_id")))
+    ranked = ordered.global_row_numbers(keyed, "__k")
+    n_pos = F.sum("y")
+    n_neg = F.sum(1 - F.col("y"))
+    sum_rank_pos = F.sum(F.when(F.col("y") == 1, F.col("rank")).otherwise(0))
+    return ranked.agg(
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        F.round(
+            (sum_rank_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg), 6
+        ).alias("auc"),
     )
 
 
@@ -5746,7 +5810,7 @@ _PRIORITY = (
     "mm1_media_features", "x10_sparse_cosine_topk",
     # NEW this round: CSS-selector scrape, retrieval + data-selection
     "html_css_select", "ret1_bm25_topk", "rag1_chunk_overlap",
-    "x23_dsir_weights", "x24_dsir_resample",
+    "x23_dsir_weights", "x24_dsir_resample", "x25_classifier_auc",
     "d3_ngram_jaccard_topk",  # d3 pair-gen rewritten
     # --- never-sampled queries, by component value ---
     # temporal family
