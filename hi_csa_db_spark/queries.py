@@ -735,6 +735,83 @@ def t2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "t8_session_sequences",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type FROM events
+    ),
+    s AS (
+      SELECT user_id, tsn, event_id, event_type,
+             CASE WHEN tsn - LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id)
+                       > 43200000000000 OR
+                  LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS ns
+      FROM e
+    ),
+    sid AS (
+      SELECT user_id, tsn, event_id, event_type,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM s
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           first(event_type ORDER BY tsn, event_id) AS first_event,
+           last(event_type ORDER BY tsn, event_id) AS last_event,
+           md5(string_agg(event_type, '>' ORDER BY tsn, event_id)) AS seq_hash
+    FROM sid
+    GROUP BY user_id, session_id
+    """,
+)
+def t8_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-sequence construction: one training example per
+    (user, session) — the ordered event-type sequence, fingerprinted —
+    the sequence-model data-prep step downstream of sessionization
+    (t2 counts sessions; this materializes their contents). Order
+    inside a session is pinned by (ts_ns, event_id) on both engines;
+    the sequence travels as an md5 fingerprint + endpoints so the
+    output stays canonicalizer-safe at any session length.
+
+    Scale shape: two window passes partitioned by user (parallel in
+    users) + one groupBy(user, session) whose collect_list is bounded
+    by session length — no global ordering anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap_ns = 12 * 3600 * 1_000_000_000
+    ns = F.when(
+        (F.col("ts_ns") - F.lag("ts_ns").over(w) > gap_ns)
+        | F.lag("ts_ns").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    sid = ev.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        "event_type",
+        F.sum(ns)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    # ONE collect_list aggregate (not one per output column — that
+    # would triple the shuffled payload); ordering/projection happen
+    # in the narrow select after the groupBy.
+    grouped = sid.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.collect_list(F.struct("ts_ns", "event_id", "event_type")).alias("__raw"),
+    )
+    ordered_types = F.transform(
+        F.array_sort(F.col("__raw")), lambda x: x["event_type"]
+    )
+    return grouped.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.element_at(ordered_types, 1).alias("first_event"),
+        F.element_at(ordered_types, -1).alias("last_event"),
+        F.md5(F.array_join(ordered_types, ">")).alias("seq_hash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Graph operators (SURVEY.md sections 1.4, 2.1 S1)
 # ---------------------------------------------------------------------------
@@ -5815,7 +5892,7 @@ _PRIORITY = (
     # --- never-sampled queries, by component value ---
     # temporal family
     "t3_resample_daily", "t4_event_gaps", "t5_funnel",
-    "t6_cohort_retention", "t7_zscore_outliers",
+    "t6_cohort_retention", "t7_zscore_outliers", "t8_session_sequences",
     "asof_purchase_click", "range_error_clicks",
     "a7_argmax", "f_variant_props",
     # streaming twins (rows-only where non-SQL-expressible)
