@@ -986,10 +986,11 @@ def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "d6_dedup_survivors",
-    f"""
-    WITH {_SHINGLE_SQL},
+# d6's LSH -> verify -> label-propagation pipeline as reusable oracle
+# CTEs (through `l3`: one (id, lbl) row per clustered doc) — shared
+# with d10_quality_survivors.
+_D6_LABELS_SQL = f"""
+    {_SHINGLE_SQL},
     seeds AS (SELECT unnest(range(0, 16)) AS seed),
     hh AS (
       -- Kirsch-Mitzenmacher double hashing: one md5 per shingle,
@@ -1044,6 +1045,13 @@ def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM nodes n JOIN l2 s ON s.id = n.id
            LEFT JOIN ud e ON e.src = n.id LEFT JOIN l2 nb ON nb.id = e.dst
            GROUP BY n.id, s.lbl)
+"""
+
+
+@_register(
+    "d6_dedup_survivors",
+    f"""
+    WITH {_D6_LABELS_SQL}
     SELECT lbl AS survivor_id, COUNT(*) AS n_members
     FROM l3 GROUP BY lbl
     """,
@@ -5107,19 +5115,19 @@ _CLS_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
 # shared with x25_classifier_auc so the evaluated scores are, by
 # construction, the scores the filter actually produces.
 _X20_SCORED_SQL = f"""
-    toks AS (
+    qtoks AS (
       SELECT doc_id, unnest(list_filter(
         string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
         x -> x <> '')) AS w
       FROM documents
     ),
-    feats AS (
+    qfeats AS (
       SELECT doc_id,
              COUNT(*) AS n_words,
              ROUND(AVG(length(w)), 6) AS mean_word_len,
              ROUND(AVG(CASE WHEN regexp_matches(w, '[a-z]') THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) AS frac_alpha,
              ROUND(AVG(CASE WHEN w IN ({_CLS_STOPWORDS_SQL}) THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) AS stop_frac
-      FROM toks GROUP BY doc_id
+      FROM qtoks GROUP BY doc_id
     ),
     scored AS (
       SELECT doc_id, n_words,
@@ -5128,7 +5136,7 @@ _X20_SCORED_SQL = f"""
              CASE WHEN -3.0::DOUBLE + 0.02::DOUBLE * n_words + 0.6::DOUBLE * mean_word_len
                        + 2.0::DOUBLE * frac_alpha - 4.0::DOUBLE * stop_frac >= 0.0::DOUBLE
                   THEN 1 ELSE 0 END AS keep
-      FROM feats
+      FROM qfeats
     )
 """
 
@@ -5235,6 +5243,67 @@ def x25_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (sum_rank_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg), 6
         ).alias("auc"),
+    )
+
+
+@_register(
+    "d10_quality_survivors",
+    f"""
+    WITH {_D6_LABELS_SQL},
+    {_X20_SCORED_SQL},
+    mem AS (
+      SELECT l3.id, l3.lbl, s.logit
+      FROM l3 JOIN scored s ON s.doc_id = l3.id
+    ),
+    m AS (
+      SELECT lbl, MAX(logit) AS mx, COUNT(*) AS n_members
+      FROM mem GROUP BY lbl
+    )
+    SELECT m.lbl AS cluster_id, MIN(mem.id) AS survivor_id,
+           m.n_members, m.mx AS survivor_logit
+    FROM m JOIN mem ON mem.lbl = m.lbl AND mem.logit = m.mx
+    GROUP BY m.lbl, m.n_members, m.mx
+    """,
+)
+def d10_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: d6 collapses each
+    near-dup cluster to its MIN-id member; real corpora keep the
+    HIGHEST-QUALITY member instead (the standard CCNet/RefinedWeb
+    practice — duplicates differ by boilerplate, truncation, OCR
+    noise). Survivor = the member maximizing x20's quality logit, ties
+    broken by min id; implemented as a per-cluster max + equi-join
+    back (both engine-deterministic on the 6dp-rounded logit), never
+    a sort-within-cluster.
+
+    Scale shape: inherits d2/d6's banded LSH + bounded label
+    propagation; the quality join adds one doc-level equi-join and two
+    small aggregations by cluster label."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=8, threshold=0.05
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = graph.connected_components(edges, iterations=3)
+    scored = x20_quality_classifier(spark, sf_dir).select("doc_id", "logit")
+    mem = labels.join(scored, labels["id"] == scored["doc_id"]).select(
+        "id", "lbl", "logit"
+    )
+    m = mem.groupBy("lbl").agg(
+        F.max("logit").alias("mx"), F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        m.join(
+            mem.select(F.col("lbl").alias("mlbl"), "id", "logit"),
+            (F.col("mlbl") == F.col("lbl")) & (F.col("logit") == F.col("mx")),
+        )
+        .groupBy("lbl", "n_members", "mx")
+        .agg(F.min("id").alias("survivor_id"))
+        .select(
+            F.col("lbl").alias("cluster_id"),
+            "survivor_id",
+            "n_members",
+            F.col("mx").alias("survivor_logit"),
+        )
     )
 
 
@@ -5889,10 +5958,11 @@ _PRIORITY = (
     "html_css_select", "ret1_bm25_topk", "rag1_chunk_overlap",
     "x23_dsir_weights", "x24_dsir_resample", "x25_classifier_auc",
     "d3_ngram_jaccard_topk",  # d3 pair-gen rewritten
+    "d10_quality_survivors", "t8_session_sequences",
     # --- never-sampled queries, by component value ---
     # temporal family
     "t3_resample_daily", "t4_event_gaps", "t5_funnel",
-    "t6_cohort_retention", "t7_zscore_outliers", "t8_session_sequences",
+    "t6_cohort_retention", "t7_zscore_outliers",
     "asof_purchase_click", "range_error_clicks",
     "a7_argmax", "f_variant_props",
     # streaming twins (rows-only where non-SQL-expressible)
