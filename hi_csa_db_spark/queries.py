@@ -5847,30 +5847,30 @@ def _dsir_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the x23 weight pipeline as reusable oracle CTEs (through `w`)
 _DSIR_W_SQL = """
-    toks AS (
+    dtoks AS (
       SELECT doc_id, lang, unnest(list_filter(
         string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
         x -> x <> '')) AS tok
       FROM documents
     ),
-    cs AS (
+    dcs AS (
       SELECT tok, COUNT(*) AS c_s,
              SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
-      FROM toks GROUP BY tok
+      FROM dtoks GROUP BY tok
     ),
-    scal AS (SELECT SUM(c_s) AS t_s, SUM(c_t) AS t_t, COUNT(*) AS v FROM cs),
-    llr AS (
+    dscal AS (SELECT SUM(c_s) AS t_s, SUM(c_t) AS t_t, COUNT(*) AS v FROM dcs),
+    dllr AS (
       SELECT tok,
              ln(CAST(c_t + 1 AS DOUBLE) / (t_t + v))
              - ln(CAST(c_s + 1 AS DOUBLE) / (t_s + v)) AS llr
-      FROM cs CROSS JOIN scal
+      FROM dcs CROSS JOIN dscal
     ),
-    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dtf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM dtoks GROUP BY doc_id, tok),
     w AS (
       SELECT doc_id,
              ROUND(CAST(SUM(CAST(ROUND(tf * llr, 8) AS DECIMAL(24,8))) AS DOUBLE)
                    / SUM(tf), 6) AS dsir_weight
-      FROM tf JOIN llr USING (tok)
+      FROM dtf JOIN dllr USING (tok)
       GROUP BY doc_id
     )
 """
@@ -5938,6 +5938,103 @@ def x24_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pipe_training_prep_v3",
+    f"""
+    WITH {_D6_LABELS_SQL},
+    {_X20_SCORED_SQL},
+    {_DSIR_W_SQL},
+    m AS (
+      SELECT lbl, MAX(logit) AS mx
+      FROM l3 JOIN scored s ON s.doc_id = l3.id
+      GROUP BY lbl
+    ),
+    surv AS (
+      SELECT m.lbl, MIN(l3.id) AS survivor_id
+      FROM m JOIN l3 ON l3.lbl = m.lbl
+             JOIN scored s ON s.doc_id = l3.id AND s.logit = m.mx
+      GROUP BY m.lbl
+    ),
+    drops AS (
+      SELECT l3.id FROM l3 JOIN surv ON surv.lbl = l3.lbl
+      WHERE l3.id <> surv.survivor_id
+    ),
+    dk AS (
+      SELECT doc_id FROM w
+      WHERE (doc_id * 2654435761) % 4294967296 * 1000000
+            < greatest(0, least(1000000,
+                500000 + 10 * CAST(floor(dsir_weight * 1000000
+                                         + CAST(0.5 AS DOUBLE)) AS BIGINT)))
+              * 4294967296
+    ),
+    kept AS (
+      SELECT d.doc_id, d.lang, s.n_words
+      FROM documents d
+      JOIN scored s ON s.doc_id = d.doc_id AND s.keep = 1
+      JOIN dk ON dk.doc_id = d.doc_id
+      LEFT JOIN drops dr ON dr.id = d.doc_id
+      WHERE dr.id IS NULL
+    )
+    SELECT lang, COUNT(*) AS n_kept, SUM(n_words) AS kept_tokens
+    FROM kept GROUP BY lang
+    """,
+)
+def pipe_training_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 corpus pipeline as ONE lazy oracle-checked plan:
+    model-based quality filter (x20 keep) -> near-dup collapse keeping
+    the BEST-quality member per cluster (d10 survivors) -> DSIR
+    importance resampling toward the target domain (x24's pure-integer
+    keep rule) -> per-lang audit of what survives. Every stage is
+    independently oracle-proven (x20/d10/x24); this pins their
+    COMPOSITION — the actual shape of a production data-prep job —
+    value-exactly against a single composed SQL derivation.
+
+    Scale: inherits each stage's contract (banded LSH, bounded label
+    propagation, broadcast normalizers, integer keep rules); the
+    composition adds only doc-level equi-joins and one 5-group audit
+    aggregate. One lazy plan — Catalyst sees the whole pipeline and
+    prunes columns across stage boundaries."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = x20_quality_classifier(spark, sf_dir).select(
+        "doc_id", "n_words", "logit", "keep"
+    )
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=8, threshold=0.05
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = graph.connected_components(edges, iterations=3)
+    mem = labels.join(
+        scored.select(F.col("doc_id").alias("id"), "logit"), "id"
+    ).select("id", "lbl", "logit")
+    m = mem.groupBy("lbl").agg(F.max("logit").alias("mx"))
+    surv = (
+        mem.join(m, "lbl")
+        .filter(F.col("logit") == F.col("mx"))
+        .groupBy("lbl")
+        .agg(F.min("id").alias("survivor_id"))
+    )
+    drops = (
+        labels.join(surv, "lbl")
+        .filter(F.col("id") != F.col("survivor_id"))
+        .select("id")
+    )
+    wdf = _dsir_weight_frame(spark, sf_dir)
+    wi = F.floor(F.col("dsir_weight") * 1000000 + F.lit(0.5)).cast("long")
+    p = F.greatest(F.lit(0), F.least(F.lit(1000000), F.lit(500000) + 10 * wi))
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    dk = wdf.filter(u * 1000000 < p * F.lit(4294967296)).select("doc_id")
+    kept = (
+        docs.select("doc_id", "lang")
+        .join(scored.filter(F.col("keep") == 1), "doc_id")
+        .join(dk, "doc_id")
+        .join(drops, docs["doc_id"] == drops["id"], "left_anti")
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_words").alias("kept_tokens"),
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds are
 # banked, so each round the prefix should be composed of (a) queries
@@ -5959,6 +6056,7 @@ _PRIORITY = (
     "x23_dsir_weights", "x24_dsir_resample", "x25_classifier_auc",
     "d3_ngram_jaccard_topk",  # d3 pair-gen rewritten
     "d10_quality_survivors", "t8_session_sequences",
+    "pipe_training_prep_v3",
     # --- never-sampled queries, by component value ---
     # temporal family
     "t3_resample_daily", "t4_event_gaps", "t5_funnel",

@@ -80,6 +80,7 @@ _NLJ_ALLOWED = {
     "ret1_bm25_topk",  # 1-row corpus length-stats broadcast
     "x23_dsir_weights",  # 1-row LM-normalizer (t_s, t_t, v) broadcast
     "x24_dsir_resample",  # same 1-row normalizer broadcast (via x23's frame)
+    "pipe_training_prep_v3",  # same 1-row DSIR normalizer broadcast
 }
 
 
