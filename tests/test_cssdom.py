@@ -140,3 +140,78 @@ def test_spark_operator_rejects_bad_selector_on_driver(spark):
     pages = spark.createDataFrame([("u", PAGE)], ["url", "html"])
     with pytest.raises(ValueError):
         css_select_elements(pages, "p::beforeX !!")
+
+
+# ---------------------------------------------------------------------------
+# property tests: selector algebra over random DOMs
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_TAGS = ["div", "p", "span", "li", "h3"]
+
+
+@st.composite
+def _dom(draw, max_nodes=24):
+    """Random nested HTML: returns the markup string."""
+    n = draw(st.integers(2, max_nodes))
+    parts = []
+    open_tags = []
+    for i in range(n):
+        action = draw(st.integers(0, 2))
+        if action == 0 or not open_tags:  # open
+            tag = draw(st.sampled_from(_TAGS))
+            cls = draw(st.sampled_from(["", ' class="a"', ' class="b"', ' class="a b"']))
+            parts.append(f"<{tag}{cls}>")
+            open_tags.append(tag)
+        elif action == 1:  # text
+            parts.append(draw(st.sampled_from(["x", "y z", ""])))
+        else:  # close
+            parts.append(f"</{open_tags.pop()}>")
+    while open_tags:
+        parts.append(f"</{open_tags.pop()}>")
+    return "".join(parts)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_dom(), st.sampled_from(_TAGS))
+def test_child_subset_of_descendant(html, tag):
+    from hi_csa_db_spark.sources.cssdom import select
+
+    child = {n.doc_order for n in select(html, f"div > {tag}")}
+    desc = {n.doc_order for n in select(html, f"div {tag}")}
+    assert child <= desc
+
+
+@settings(max_examples=60, deadline=None)
+@given(_dom(), st.sampled_from(_TAGS))
+def test_adjacent_subset_of_general_sibling(html, tag):
+    from hi_csa_db_spark.sources.cssdom import select
+
+    adj = {n.doc_order for n in select(html, f"p + {tag}")}
+    gen = {n.doc_order for n in select(html, f"p ~ {tag}")}
+    assert adj <= gen
+
+
+@settings(max_examples=60, deadline=None)
+@given(_dom())
+def test_tag_select_equals_dom_scan(html):
+    # selecting by bare tag must equal a brute-force scan of the tree
+    from hi_csa_db_spark.sources.cssdom import parse_dom, select
+
+    for tag in _TAGS:
+        want = [n.doc_order for n in parse_dom(html) if n.tag == tag]
+        got = [n.doc_order for n in select(html, tag)]
+        assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(_dom())
+def test_grouping_is_union_in_document_order(html):
+    from hi_csa_db_spark.sources.cssdom import select
+
+    a = {n.doc_order for n in select(html, "p.a")}
+    b = {n.doc_order for n in select(html, "span")}
+    both = [n.doc_order for n in select(html, "p.a, span")]
+    assert set(both) == a | b
+    assert both == sorted(both)  # document order, deduped

@@ -36,6 +36,14 @@ FLOAT_SENSITIVE = [
     "x20_quality_classifier",
     "x21_temperature_mixture",
     "x22_stratified_sample",
+    # round-3 additions (float scores / global ranks / keep rules)
+    "ret1_bm25_topk",
+    "x23_dsir_weights",
+    "x24_dsir_resample",
+    "x25_classifier_auc",
+    "d10_quality_survivors",
+    "t8_session_sequences",
+    "pipe_training_prep_v3",
 ]
 
 
