@@ -16,7 +16,7 @@ Design rules (SURVEY.md section 7):
   nested-loop contains-joins at scale
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from hi_csa_db_spark.session import get_spark  # noqa: F401
 from hi_csa_db_spark.catalog import (  # noqa: F401
