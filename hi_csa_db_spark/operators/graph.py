@@ -141,6 +141,40 @@ def connected_components(edges: DataFrame, iterations: int = 3) -> DataFrame:
     return labels
 
 
+def k_core(edges: DataFrame, k: int, iterations: int = 3) -> DataFrame:
+    """Bounded k-core peeling: (id, degree) of nodes surviving
+    ``iterations`` rounds of "drop nodes with undirected degree < k".
+
+    The third iterative-graph pattern next to pagerank (value
+    propagation) and components (label propagation): PEELING, where
+    the edge set itself shrinks each round — removing a node can push
+    its neighbors below k, so one pass is not enough. Fixed unroll
+    keeps it one lazy plan (exact k-core needs peel-to-fixpoint; at
+    diameter-bounded iterations this is the standard bounded
+    approximation, and the oracle unrolls identically). Per round: one
+    degree aggregation + two semi-joins over the surviving edge list —
+    same bucketed-by-src layout as the rest of the graph tier."""
+    ud = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    for _ in range(iterations):
+        deg = ud.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        ud = (
+            ud.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+        )
+        # each round's survivors feed three consumers next round (the
+        # degree agg + both semi-joins); checkpoint stops the shrinking
+        # edge list re-deriving its whole lineage per consumer (the
+        # same guard bfs uses per level)
+        ud = ud.localCheckpoint(eager=False)
+    return ud.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
+
+
 def bfs(
     edges: DataFrame,
     seeds: DataFrame,

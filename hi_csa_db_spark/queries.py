@@ -736,6 +736,42 @@ def t2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "graph_kcore",
+    """
+    WITH ce AS (
+      SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst FROM lineitem
+    ),
+    ud0 AS (SELECT src, dst FROM ce UNION SELECT dst, src FROM ce),
+    d1 AS (SELECT src, COUNT(*) AS deg FROM ud0 GROUP BY src),
+    k1 AS (SELECT src FROM d1 WHERE deg >= 3),
+    ud1 AS (SELECT u.src, u.dst FROM ud0 u
+            JOIN k1 a ON a.src = u.src JOIN k1 b ON b.src = u.dst),
+    d2 AS (SELECT src, COUNT(*) AS deg FROM ud1 GROUP BY src),
+    k2 AS (SELECT src FROM d2 WHERE deg >= 3),
+    ud2 AS (SELECT u.src, u.dst FROM ud1 u
+            JOIN k2 a ON a.src = u.src JOIN k2 b ON b.src = u.dst),
+    d3 AS (SELECT src, COUNT(*) AS deg FROM ud2 GROUP BY src),
+    k3 AS (SELECT src FROM d3 WHERE deg >= 3),
+    ud3 AS (SELECT u.src, u.dst FROM ud2 u
+            JOIN k3 a ON a.src = u.src JOIN k3 b ON b.src = u.dst)
+    SELECT src AS id, COUNT(*) AS degree FROM ud3 GROUP BY src
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 3-core peeling over the part<->supplier graph — the
+    PEELING iterative pattern (edge set shrinks per round; a removal
+    can push neighbors below threshold) next to pagerank's value
+    propagation and components' label propagation. Oracle: the same
+    three rounds unrolled as chained CTEs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+    )
+    return graph.k_core(edges, k=3, iterations=3)
+
+
+@_register(
     "t8_session_sequences",
     """
     WITH e AS (
@@ -6077,7 +6113,8 @@ _PRIORITY = (
     "x17_domain_mixture", "x18_global_shuffle_order",
     "pipe_training_prep_v2",
     # graph + similarity + ML
-    "graph_pagerank", "graph_components", "s4_hamming_topk",
+    "graph_pagerank", "graph_components", "graph_kcore",
+    "s4_hamming_topk",
     "agg_pandas_median", "d9_incremental_lsh", "d5_embedding_neardup",
     "ml_kmeans",
     # token/ngram + aggregation breadth
