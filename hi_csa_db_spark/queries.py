@@ -5283,6 +5283,59 @@ def x25_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x26_quality_quantile_filter",
+    f"""
+    WITH {_X20_SCORED_SQL},
+    lab AS (
+      SELECT s.doc_id, s.logit, s.n_words, d.lang
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    rk AS (
+      SELECT doc_id, lang, logit, n_words,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY logit DESC, doc_id ASC)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM lab
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           SUM(CASE WHEN rn * 10 <= n * 4 THEN 1 ELSE 0 END) AS n_kept,
+           SUM(CASE WHEN rn * 10 <= n * 4 THEN n_words ELSE 0 END) AS kept_tokens
+    FROM rk GROUP BY lang
+    """,
+)
+def x26_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based quality filtering: keep the top 40% of each
+    language slice by classifier logit — the threshold real pipelines
+    use (an absolute logit cutoff drifts as the corpus mix shifts; a
+    per-slice quantile self-calibrates). The keep test is pure integer
+    (rank * 10 <= slice_count * 4) over a deterministic per-slice rank
+    (logit desc, doc_id ties) — no float percentile boundary to
+    disagree across engines.
+
+    Scale: one window pass partitioned by lang (parallel in slices,
+    never global) + a 5-group audit aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = x20_quality_classifier(spark, sf_dir).select(
+        "doc_id", "logit", "n_words"
+    )
+    lab = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.col("logit").desc(), F.col("doc_id").asc())
+    rk = lab.select(
+        "lang",
+        "n_words",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    kept = F.col("rn") * 10 <= F.col("n") * 4
+    return rk.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_words")).otherwise(0)).alias("kept_tokens"),
+    )
+
+
+@_register(
     "d10_quality_survivors",
     f"""
     WITH {_D6_LABELS_SQL},
@@ -6090,6 +6143,7 @@ _PRIORITY = (
     # NEW this round: CSS-selector scrape, retrieval + data-selection
     "html_css_select", "ret1_bm25_topk", "rag1_chunk_overlap",
     "x23_dsir_weights", "x24_dsir_resample", "x25_classifier_auc",
+    "x26_quality_quantile_filter",
     "d3_ngram_jaccard_topk",  # d3 pair-gen rewritten
     "d10_quality_survivors", "t8_session_sequences",
     "pipe_training_prep_v3",
