@@ -5282,6 +5282,63 @@ def x25_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("x27_bpe_tokenize")
+def x27_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE tokenizer application (Sennrich et al. 2016): per doc,
+    whitespace token count vs count after greedy merge-list
+    segmentation — the actual token-budget number a training pipeline
+    plans against. Iterative per-word kernel (functions/bpe.py) in
+    Arrow-batched mapInPandas with a per-executor distinct-word cache;
+    inherently loop-bound per word, hence rows-only (unit tests pin
+    hand-computed segmentations; x28's oracle pins the counting side
+    of BPE)."""
+    from hi_csa_db_spark.functions.bpe import bpe_token_counts
+
+    return bpe_token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "x28_bpe_first_merges",
+    """
+    WITH words AS (
+      SELECT unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substring(w, CAST(i AS INT), 2))) AS pair
+      FROM words WHERE length(w) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 20
+    """,
+)
+def x28_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting half of BPE TRAINING: the first merge round picks
+    the most frequent adjacent symbol pair — over a corpus that's one
+    explode + one map-combined aggregation (later rounds re-count over
+    re-segmented text; each round is this same shape). Top-20 pairs,
+    count-desc with pair tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(tokenize(F.lower(strip_punct(F.col("text"))))).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
 @_register(
     "x26_quality_quantile_filter",
     f"""
@@ -6143,7 +6200,8 @@ _PRIORITY = (
     # NEW this round: CSS-selector scrape, retrieval + data-selection
     "html_css_select", "ret1_bm25_topk", "rag1_chunk_overlap",
     "x23_dsir_weights", "x24_dsir_resample", "x25_classifier_auc",
-    "x26_quality_quantile_filter",
+    "x26_quality_quantile_filter", "x27_bpe_tokenize",
+    "x28_bpe_first_merges",
     "d3_ngram_jaccard_topk",  # d3 pair-gen rewritten
     "d10_quality_survivors", "t8_session_sequences",
     "pipe_training_prep_v3",
