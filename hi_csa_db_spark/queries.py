@@ -6204,7 +6204,7 @@ _PRIORITY = (
     "x28_bpe_first_merges",
     "d3_ngram_jaccard_topk",  # d3 pair-gen rewritten
     "d10_quality_survivors", "t8_session_sequences",
-    "pipe_training_prep_v3",
+    "pipe_training_prep_v3", "graph_kcore",
     # --- never-sampled queries, by component value ---
     # temporal family
     "t3_resample_daily", "t4_event_gaps", "t5_funnel",
@@ -6225,7 +6225,7 @@ _PRIORITY = (
     "x17_domain_mixture", "x18_global_shuffle_order",
     "pipe_training_prep_v2",
     # graph + similarity + ML
-    "graph_pagerank", "graph_components", "graph_kcore",
+    "graph_pagerank", "graph_components",
     "s4_hamming_topk",
     "agg_pandas_median", "d9_incremental_lsh", "d5_embedding_neardup",
     "ml_kmeans",
