@@ -2054,6 +2054,66 @@ def t7_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "t9_robust_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m ON m.event_type = e.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           SUM(CASE WHEN ROUND(abs(e.value - m.med)
+                              / (CAST(1.4826 AS DOUBLE) * d.mad), 6)
+                         > CAST(3.0 AS DOUBLE)
+                    THEN 1 ELSE 0 END) AS n_outliers,
+           ROUND(ANY_VALUE(m.med), 6) AS med,
+           ROUND(ANY_VALUE(d.mad), 6) AS mad
+    FROM events e JOIN med m ON m.event_type = e.event_type
+                  JOIN mad d ON d.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def t9_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust outlier detection per event type: median +
+    median-absolute-deviation instead of mean/std (t7) — a single
+    extreme value can drag the mean past the 3-sigma gate, the median
+    cannot. Outlier iff |x - med| / (1.4826 * MAD) > 3, scored on the
+    6dp-rounded statistic so no float boundary crosses engines.
+
+    Scale: two exact-percentile aggregations by event_type (sort-based
+    within each group, parallel across groups) + broadcast of the tiny
+    per-type stats back onto the stream — same broadcast-stats shape
+    as t7, one extra pass for the deviation median."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    withmed = ev.join(F.broadcast(med), "event_type")
+    mad = withmed.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    score = F.round(
+        F.abs(F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 6
+    )
+    return (
+        withmed.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(score > 3.0, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+        )
+    )
+
+
+@_register(
     "f_conditional_suite",
     """
     SELECT c_custkey,
@@ -6208,12 +6268,12 @@ _PRIORITY = (
     # --- never-sampled queries, by component value ---
     # temporal family
     "t3_resample_daily", "t4_event_gaps", "t5_funnel",
-    "t6_cohort_retention", "t7_zscore_outliers",
+    "t6_cohort_retention", "t7_zscore_outliers", "t9_robust_outliers",
     "asof_purchase_click", "range_error_clicks",
     "a7_argmax", "f_variant_props",
     # streaming twins (rows-only where non-SQL-expressible)
     "stream_hourly_counts", "stream_session_windows",
-    "stream_sliding_counts", "stream_dedup_watermark",
+    "stream_dedup_watermark",
     "stream_stateful_totals", "stream_stream_join",
     "stream_incremental_dedup",
     # multimodal tier
@@ -6234,8 +6294,9 @@ _PRIORITY = (
     "g3_cube_orders", "g4_pivot_status", "g5_unpivot",
     # --- slot 51+: remaining never-sampled (checked if the driver ever
     # samples deeper), then banked greens via the dict-order tail ---
-    # sketches + stats (rows-only/weaker checks — deprioritized below
-    # the full-oracle entries above)
+    # sketches + stats + the 6th streaming row (rows-only/weaker checks
+    # — deprioritized below the full-oracle entries above)
+    "stream_sliding_counts",
     "sketch_hll_merge", "sketch_cardinality", "sketch_quantiles",
     "stats_moments",
     "graph_triangles", "g2_grouping_sets_orders", "g6_grouping_id",
