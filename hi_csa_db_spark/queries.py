@@ -2054,6 +2054,86 @@ def t7_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "u7_scd2_history",
+    """
+    WITH base AS (
+      SELECT c_custkey AS k, c_name,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS bal, c_mktsegment AS seg
+      FROM customer
+    ),
+    v1 AS (
+      SELECT k, md5(concat_ws('|', c_name, CAST(bal AS VARCHAR), seg)) AS h
+      FROM base
+    ),
+    v2rows AS (
+      SELECT k, c_name,
+             CASE WHEN k % 10 = 0 THEN bal + 100 ELSE bal END AS bal,
+             CASE WHEN k % 7 = 0 THEN 'SHIFTED' ELSE seg END AS seg
+      FROM base WHERE k % 97 <> 0
+      UNION ALL
+      SELECT k + 1000000, c_name, bal, seg FROM base WHERE k % 50 = 0
+    ),
+    v2 AS (
+      SELECT k, md5(concat_ws('|', c_name, CAST(bal AS VARCHAR), seg)) AS h
+      FROM v2rows
+    ),
+    j AS (
+      SELECT COALESCE(a.k, b.k) AS k, a.h AS h1, b.h AS h2
+      FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k
+    )
+    SELECT k AS c_custkey, h1 AS attr_hash, 1 AS valid_from, 0 AS valid_to
+    FROM j WHERE h1 IS NOT NULL AND h2 IS NOT NULL AND h1 = h2
+    UNION ALL
+    SELECT k, h1, 1, 2 FROM j
+    WHERE h1 IS NOT NULL AND (h2 IS NULL OR h1 <> h2)
+    UNION ALL
+    SELECT k, h2, 2, 0 FROM j
+    WHERE h2 IS NOT NULL AND (h1 IS NULL OR h1 <> h2)
+    """,
+)
+def u7_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history (operators/scd.py): snapshot v2 of
+    the customer dimension — with deterministic mutations (balance
+    bumps, segment shifts, deletions, late-arriving keys) — applied
+    over v1's history. Changed/deleted rows close at version 2,
+    new/changed rows open from it; unchanged rows stay open from 1.
+    Change detection is an md5 attribute hash (money cast to DECIMAL
+    string — raw double formatting differs across engines), so the
+    apply is two hash-joins on the business key, never a
+    column-by-column diff explosion. The oracle derives the identical
+    interval set from one full-outer join of the hashed snapshots."""
+    from hi_csa_db_spark.operators import scd
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        "c_name",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    v1 = base
+    v2 = base.filter(F.col("k") % 97 != 0).select(
+        "k",
+        "c_name",
+        F.when(F.col("k") % 10 == 0, F.col("bal") + 100).otherwise(F.col("bal")).alias("bal"),
+        F.when(F.col("k") % 7 == 0, F.lit("SHIFTED")).otherwise(F.col("seg")).alias("seg"),
+    ).unionByName(
+        base.filter(F.col("k") % 50 == 0).select(
+            (F.col("k") + 1000000).alias("k"), "c_name", "bal", "seg"
+        )
+    )
+    attrs = ["c_name", "bal", "seg"]
+    hist = scd.scd2_init(v1, "k", attrs, version=1)
+    hist2 = scd.scd2_apply(hist, v2, "k", attrs, version=2)
+    return hist2.select(
+        F.col("k").alias("c_custkey"),
+        "attr_hash",
+        "valid_from",
+        F.coalesce("valid_to", F.lit(0)).alias("valid_to"),
+    )
+
+
+@_register(
     "t9_robust_outliers",
     """
     WITH med AS (
@@ -6269,6 +6349,7 @@ _PRIORITY = (
     # temporal family
     "t3_resample_daily", "t4_event_gaps", "t5_funnel",
     "t6_cohort_retention", "t7_zscore_outliers", "t9_robust_outliers",
+    "u7_scd2_history",
     "asof_purchase_click", "range_error_clicks",
     "a7_argmax", "f_variant_props",
     # streaming twins (rows-only where non-SQL-expressible)
@@ -6277,7 +6358,7 @@ _PRIORITY = (
     "stream_stateful_totals", "stream_stream_join",
     "stream_incremental_dedup",
     # multimodal tier
-    "mm2_media_dedup", "mm3_frame_sample_plan", "mm4_feature_knn",
+    "mm2_media_dedup", "mm4_feature_knn",
     "mm5_codec_roundtrip",
     # LLM-pipeline tier x11-x18 + composites
     "x11_pii_scrub", "x12_quality_rules", "x13_repetition_stats",
@@ -6296,7 +6377,7 @@ _PRIORITY = (
     # samples deeper), then banked greens via the dict-order tail ---
     # sketches + stats + the 6th streaming row (rows-only/weaker checks
     # — deprioritized below the full-oracle entries above)
-    "stream_sliding_counts",
+    "stream_sliding_counts", "mm3_frame_sample_plan",
     "sketch_hll_merge", "sketch_cardinality", "sketch_quantiles",
     "stats_moments",
     "graph_triangles", "g2_grouping_sets_orders", "g6_grouping_id",
