@@ -129,3 +129,54 @@ def range_join_count(
             F.coalesce("__n", F.lit(0)).alias("n_in_range"),
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    cell_ns: int,
+    lo: str = "lo",
+    hi: str = "hi",
+    left_id: str = "lid",
+    right_id: str = "rid",
+) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join (strict: l.lo < r.hi and
+    r.lo < l.hi), grid-bucketed so it is an EQUI-join at any scale.
+
+    Each interval explodes into the time-grid cells it covers
+    (closed-open [lo, hi)); candidates meet on (key, cell) and the
+    exact overlap predicate filters them. A pair overlapping across
+    multiple shared cells appears multiple times, hence the distinct
+    on (left_id, right_id). Fan-out per interval = its length /
+    cell_ns — pick the cell near the typical interval length so the
+    blow-up stays O(1) per row. This replaces the theta join a naive
+    plan would pick (quadratic per key at cluster scale; the oracle
+    DOES use the theta form — DuckDB is fine with it at fixture
+    scale, which is exactly the check that the bucketing loses no
+    pairs)."""
+    lc = left.select(
+        F.col(left_id), F.col(key), F.col(lo).alias("__llo"), F.col(hi).alias("__lhi"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / F.lit(cell_ns)),
+                F.floor((F.col(hi) - 1) / F.lit(cell_ns)),
+            )
+        ).alias("__cell"),
+    )
+    rc = right.select(
+        F.col(right_id), F.col(key).alias("__rk"),
+        F.col(lo).alias("__rlo"), F.col(hi).alias("__rhi"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / F.lit(cell_ns)),
+                F.floor((F.col(hi) - 1) / F.lit(cell_ns)),
+            )
+        ).alias("__cell"),
+    )
+    return (
+        lc.join(rc, (lc[key] == rc["__rk"]) & (lc["__cell"] == rc["__cell"]))
+        .filter((F.col("__llo") < F.col("__rhi")) & (F.col("__rlo") < F.col("__lhi")))
+        .select(left_id, right_id, F.col(key))
+        .distinct()
+    )

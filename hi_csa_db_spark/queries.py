@@ -2054,6 +2054,56 @@ def t7_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "t10_interval_overlap",
+    """
+    WITH p AS (
+      SELECT event_id AS lid, user_id,
+             epoch_ns(ts) - 3600000000000 AS lo,
+             epoch_ns(ts) + 3600000000000 AS hi
+      FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT event_id AS rid, user_id,
+             epoch_ns(ts) - 1800000000000 AS lo,
+             epoch_ns(ts) + 1800000000000 AS hi
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT p.user_id, COUNT(*) AS n_overlaps
+    FROM p JOIN e ON p.user_id = e.user_id AND p.lo < e.hi AND e.lo < p.hi
+    GROUP BY p.user_id
+    """,
+)
+def t10_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join: +-1h windows around purchases
+    vs +-30m windows around errors, same user — which error episodes
+    brush against purchase activity. The engine plan is the
+    GRID-BUCKETED equi-join (operators/temporal.py::
+    interval_overlap_join): intervals explode into 30-min cells,
+    candidates meet on (user, cell), the exact predicate filters —
+    never the per-key quadratic theta join the naive formulation
+    plans. The oracle intentionally USES the theta form, so the check
+    proves the bucketing loses no pairs."""
+    from hi_csa_db_spark.operators.temporal import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    H, HH = 1_800_000_000_000, 3_600_000_000_000
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("lid"),
+        "user_id",
+        (F.col("ts_ns") - HH).alias("lo"),
+        (F.col("ts_ns") + HH).alias("hi"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("rid"),
+        "user_id",
+        (F.col("ts_ns") - H).alias("lo"),
+        (F.col("ts_ns") + H).alias("hi"),
+    )
+    pairs = interval_overlap_join(p, e, "user_id", cell_ns=H)
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_overlaps"))
+
+
+@_register(
     "u7_scd2_history",
     """
     WITH base AS (
@@ -6350,8 +6400,8 @@ _PRIORITY = (
     "t3_resample_daily", "t4_event_gaps", "t5_funnel",
     "t6_cohort_retention", "t7_zscore_outliers", "t9_robust_outliers",
     "u7_scd2_history",
-    "asof_purchase_click", "range_error_clicks",
-    "a7_argmax", "f_variant_props",
+    "asof_purchase_click", "range_error_clicks", "t10_interval_overlap",
+    "f_variant_props",
     # streaming twins (rows-only where non-SQL-expressible)
     "stream_hourly_counts", "stream_session_windows",
     "stream_dedup_watermark",
@@ -6377,7 +6427,7 @@ _PRIORITY = (
     # samples deeper), then banked greens via the dict-order tail ---
     # sketches + stats + the 6th streaming row (rows-only/weaker checks
     # — deprioritized below the full-oracle entries above)
-    "stream_sliding_counts", "mm3_frame_sample_plan",
+    "stream_sliding_counts", "mm3_frame_sample_plan", "a7_argmax",
     "sketch_hll_merge", "sketch_cardinality", "sketch_quantiles",
     "stats_moments",
     "graph_triangles", "g2_grouping_sets_orders", "g6_grouping_id",
