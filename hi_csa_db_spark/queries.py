@@ -2054,6 +2054,53 @@ def t7_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x29_weighted_sample",
+    """
+    WITH u AS (
+      SELECT doc_id, lang, n_chars,
+             (CAST(strpos('0123456789abcdef',
+                          substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                   AS BIGINT) * 65536
+              + CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 2, 4)
+                     AS BIGINT)) % 1000000 AS h
+      FROM documents WHERE n_chars > 0
+    ),
+    keyed AS (
+      SELECT doc_id, lang,
+             ROUND(ln((h + CAST(0.5 AS DOUBLE)) / 1000000) / n_chars, 9) AS es_key
+      FROM u
+    )
+    SELECT doc_id, lang, es_key FROM keyed
+    ORDER BY es_key DESC, doc_id ASC LIMIT 50
+    """,
+)
+def x29_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    (2006) exponential keys: key = ln(u)/w with u uniform per row; the
+    global top-k by key is exactly a weight-proportional sample drawn
+    without replacement — embarrassingly parallel (one narrow map +
+    TakeOrderedAndProject), where naive sequential WRS can't
+    distribute at all. Here w = n_chars (longer docs proportionally
+    likelier), u is a deterministic md5-derived uniform so the sample
+    is reproducible and oracle-checkable; keys are rounded to 9dp
+    before ranking with doc_id tie-break (the ln() 1-ulp class)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    m = F.md5(F.col("doc_id").cast("string"))
+    h = (
+        (F.conv(F.substring(m, 1, 1), 16, 10).cast("long") * 65536
+         + F.conv(F.substring(m, 2, 4), 16, 10).cast("long"))
+        % 1000000
+    )
+    u = (h + F.lit(0.5)) / 1000000
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        docs.select("doc_id", "lang", key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+@_register(
     "t10_interval_overlap",
     """
     WITH p AS (
@@ -6391,7 +6438,7 @@ _PRIORITY = (
     "html_css_select", "ret1_bm25_topk", "rag1_chunk_overlap",
     "x23_dsir_weights", "x24_dsir_resample", "x25_classifier_auc",
     "x26_quality_quantile_filter", "x27_bpe_tokenize",
-    "x28_bpe_first_merges",
+    "x28_bpe_first_merges", "x29_weighted_sample",
     "d3_ngram_jaccard_topk",  # d3 pair-gen rewritten
     "d10_quality_survivors", "t8_session_sequences",
     "pipe_training_prep_v3", "graph_kcore",
