@@ -44,6 +44,12 @@ FLOAT_SENSITIVE = [
     "d10_quality_survivors",
     "t8_session_sequences",
     "pipe_training_prep_v3",
+    "t9_robust_outliers",
+    "u7_scd2_history",
+    "t10_interval_overlap",
+    "x29_weighted_sample",
+    "x26_quality_quantile_filter",
+    "x28_bpe_first_merges",
 ]
 
 
