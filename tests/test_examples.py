@@ -1,0 +1,20 @@
+"""The examples/ scripts must stay runnable — they are the user-facing
+switch story (migrate_from_reference) and pipeline walkthrough
+(training_corpus_pipeline)."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_training_corpus_pipeline_runs(tmp_path, sf_dir):
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "training_corpus_pipeline.py"),
+         sf_dir, str(tmp_path)],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "kept after gates+dedup+resample" in r.stdout
+    assert "txlog" in r.stdout

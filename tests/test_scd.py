@@ -62,3 +62,16 @@ def test_reapplying_same_snapshot_is_noop(spark):
     h1 = scd.scd2_init(v1, "k", ATTRS, 1)
     h2 = scd.scd2_apply(h1, v1, "k", ATTRS, 2)
     assert {tuple(r) for r in h1.collect()} == {tuple(r) for r in h2.collect()}
+
+
+def test_null_attributes_hash_and_transitions(spark):
+    # NULL attr != empty string (attr_hash pads nulls with \x00), and
+    # NULL -> value is a CHANGE that closes + reopens
+    v1 = spark.createDataFrame([(1, None, "X"), (2, "", "X")], ["k", "name", "seg"])
+    v2 = spark.createDataFrame([(1, "a", "X"), (2, "", "X")], ["k", "name", "seg"])
+    h1 = scd.scd2_init(v1, "k", ATTRS, 1)
+    rows1 = {r.k: r.attr_hash for r in h1.collect()}
+    assert rows1[1] != rows1[2]  # null vs empty hash differently
+    h2 = scd.scd2_apply(h1, v2, "k", ATTRS, 2)
+    got = {(r.k, r.valid_from, r.valid_to) for r in h2.collect()}
+    assert got == {(1, 1, 2), (1, 2, None), (2, 1, None)}
