@@ -55,11 +55,15 @@ class Node:
         # preserves text/element interleaving for inner-text extraction
         self._content: list = []
 
-    # normalized inner text (whitespace-collapsed, includes descendants)
+    # normalized inner text (whitespace-collapsed, includes descendants;
+    # script/style content is code, not text — excluded like a
+    # browser's innerText)
     def text(self) -> str:
         out: list[str] = []
 
         def walk(n: "Node") -> None:
+            if n.tag in ("script", "style"):
+                return
             for item in n._content:
                 if isinstance(item, str):
                     out.append(item)

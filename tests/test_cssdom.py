@@ -215,3 +215,23 @@ def test_grouping_is_union_in_document_order(html):
     both = [n.doc_order for n in select(html, "p.a, span")]
     assert set(both) == a | b
     assert both == sorted(both)  # document order, deduped
+
+
+def test_script_and_style_excluded_from_text():
+    html = (
+        '<div id="m"><style>.x{color:red}</style><p>hello</p>'
+        "<script>var x = 1;</script><p>world</p></div>"
+    )
+    from hi_csa_db_spark.sources.cssdom import select
+
+    d = select(html, "#m")[0]
+    assert d.text() == "hello world"
+    # the nodes themselves still exist and are selectable
+    assert len(select(html, "script")) == 1
+
+
+def test_comments_dropped():
+    html = "<div><!-- hidden --><p>shown</p></div>"
+    from hi_csa_db_spark.sources.cssdom import select
+
+    assert select(html, "div")[0].text() == "shown"
