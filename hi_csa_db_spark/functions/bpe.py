@@ -21,7 +21,6 @@ from typing import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 # A fixed demonstration merge list (rank = position). A real deployment
