@@ -5577,6 +5577,87 @@ def x28_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x30_bpe_training_round2",
+    """
+    WITH words AS (
+      SELECT unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS w
+      FROM documents
+    ),
+    pairs1 AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substring(w, CAST(i AS INT), 2))) AS pair
+      FROM words WHERE length(w) >= 2
+    ),
+    top1 AS (
+      SELECT pair FROM pairs1 GROUP BY pair
+      ORDER BY COUNT(*) DESC, pair ASC LIMIT 1
+    ),
+    reseg AS (
+      SELECT replace(w, (SELECT pair FROM top1), chr(1)) AS w2 FROM words
+    ),
+    sym2 AS (
+      SELECT unnest(list_transform(range(1, length(w2)),
+                                   i -> substring(w2, CAST(i AS INT), 2))) AS sp
+      FROM reseg WHERE length(w2) >= 2
+    )
+    SELECT replace(sp, chr(1), (SELECT pair FROM top1)) AS pair, COUNT(*) AS n
+    FROM sym2 GROUP BY 1
+    ORDER BY n DESC, pair ASC LIMIT 20
+    """,
+)
+def x30_bpe_training_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING round 2, fully in-plan: learn round 1's top merge
+    (x28's aggregation, here as a 1-row broadcast), re-segment every
+    word by applying it (left-to-right non-overlapping replace — the
+    standard BPE application for a single pair), and count adjacent
+    SYMBOL pairs of the re-segmented text (the merged pair travels as
+    a sentinel char, decoded back in the output). Each further
+    training round is exactly this shape — re-segment with the merges
+    so far, re-count, take the max — so pinning round 2 value-exactly
+    against the oracle pins the loop's step function.
+
+    Scale: two corpus aggregations + one 1-row broadcast per round;
+    the re-segmentation is a narrow map."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(tokenize(F.lower(strip_punct(F.col("text"))))).alias("w")
+    )
+    pairs1 = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    top1 = (
+        pairs1.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(1)
+        .select(F.col("pair").alias("__top"))
+    )
+    reseg = words.crossJoin(F.broadcast(top1)).select(
+        F.replace(F.col("w"), F.col("__top"), F.expr("chr(1)")).alias("w2"),
+        "__top",
+    )
+    sym2 = reseg.filter(F.length("w2") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w2) - 1), i -> substring(w2, i, 2))")
+        ).alias("sp"),
+        "__top",
+    )
+    return (
+        sym2.select(
+            F.replace(F.col("sp"), F.expr("chr(1)"), F.col("__top")).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+@_register(
     "x26_quality_quantile_filter",
     f"""
     WITH {_X20_SCORED_SQL},
@@ -6439,6 +6520,7 @@ _PRIORITY = (
     "x23_dsir_weights", "x24_dsir_resample", "x25_classifier_auc",
     "x26_quality_quantile_filter", "x27_bpe_tokenize",
     "x28_bpe_first_merges", "x29_weighted_sample",
+    "x30_bpe_training_round2",
     "d3_ngram_jaccard_topk",  # d3 pair-gen rewritten
     "d10_quality_survivors", "t8_session_sequences",
     "pipe_training_prep_v3", "graph_kcore",
