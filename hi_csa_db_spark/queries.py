@@ -2054,6 +2054,84 @@ def t7_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stats_chi2_assoc",
+    """
+    WITH o AS (
+      SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY lang, source
+    ),
+    r AS (SELECT lang, SUM(obs) AS rn FROM o GROUP BY lang),
+    c AS (SELECT source, SUM(obs) AS cn FROM o GROUP BY source),
+    t AS (SELECT SUM(obs) AS n FROM o),
+    cells AS (
+      SELECT o.obs,
+             CAST(r.rn AS DOUBLE) * c.cn / t.n AS exp
+      FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+    )
+    SELECT COUNT(*) AS n_cells,
+           ROUND(CAST(SUM(CAST(ROUND((obs - exp) * (obs - exp) / exp, 8)
+                               AS DECIMAL(24,8))) AS DOUBLE), 6) AS chi2
+    FROM cells
+    """,
+)
+def stats_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of association between lang and source — the
+    corpus-audit statistic for 'is my language mix independent of my
+    source mix' (a skewed cell means one source over-contributes one
+    language to the training mixture). Expected counts from exact
+    integer marginals; per-cell terms rounded and DECIMAL-summed so
+    the reduction is order-independent cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("lang").agg(F.sum("obs").alias("rn"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("cn"))
+    t = o.agg(F.sum("obs").alias("n"))
+    cells = (
+        o.join(r, "lang")
+        .join(c, "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "obs",
+            (F.col("rn").cast("double") * F.col("cn") / F.col("n")).alias("exp"),
+        )
+    )
+    term = F.round(
+        (F.col("obs") - F.col("exp")) * (F.col("obs") - F.col("exp")) / F.col("exp"), 8
+    ).cast("decimal(24,8)")
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum(term).cast("double"), 6).alias("chi2"),
+    )
+
+
+@_register(
+    "w10_rank_distributions",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey), 6)
+             AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey), 6)
+             AS cume
+    FROM orders
+    """,
+)
+def w10_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK + CUME_DIST per priority band — the distributional
+    window functions completing the w5-w9 family. Unique ordering
+    (price, orderkey) makes both fractions exact rationals; rounded
+    6dp on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@_register(
     "x29_weighted_sample",
     """
     WITH u AS (
@@ -6557,6 +6635,7 @@ _PRIORITY = (
     # sketches + stats + the 6th streaming row (rows-only/weaker checks
     # — deprioritized below the full-oracle entries above)
     "stream_sliding_counts", "mm3_frame_sample_plan", "a7_argmax",
+    "stats_chi2_assoc", "w10_rank_distributions",
     "sketch_hll_merge", "sketch_cardinality", "sketch_quantiles",
     "stats_moments",
     "graph_triangles", "g2_grouping_sets_orders", "g6_grouping_id",

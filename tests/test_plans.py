@@ -82,6 +82,7 @@ _NLJ_ALLOWED = {
     "x24_dsir_resample",  # same 1-row normalizer broadcast (via x23's frame)
     "pipe_training_prep_v3",  # same 1-row DSIR normalizer broadcast
     "x30_bpe_training_round2",  # 1-row learned-top-merge broadcast
+    "stats_chi2_assoc",  # 1-row grand-total broadcast
 }
 
 
