@@ -2053,6 +2053,99 @@ def t7_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EWMA_W = [str(__import__("decimal").Decimal(1) / (2 ** (k + 1))) for k in range(10)]
+
+
+@_register(
+    "t11_ewma_smoothing",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+             CAST(value AS DECIMAL(12,2)) AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(ROUND((
+             {" + ".join(
+                 f"COALESCE(LAG(v, {k}) OVER (PARTITION BY user_id ORDER BY tsn, event_id),"
+                 f" CAST(0 AS DECIMAL(12,2))) * CAST({w} AS DECIMAL(12,10))"
+                 for k, w in enumerate(_EWMA_W)
+             )}
+           ), 6) AS DOUBLE) AS ewma
+    FROM e
+    """,
+)
+def t11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted trailing smoother (alpha = 1/2, 10-term
+    truncation) per user over event time — the time-series smoothing
+    primitive, made CROSS-ENGINE EXACT: weights are powers of two, so
+    every term is a finite DECIMAL product and the 10-term sum is
+    exact decimal arithmetic on both engines — no float accumulation
+    anywhere until the final rounded cast. Per-key window, parallel in
+    users; 10 lags stay inside one window pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    v = F.col("value").cast("decimal(12,2)")
+    terms = None
+    for k, wt in enumerate(_EWMA_W):
+        t = F.coalesce(F.lag(v, k).over(w), F.lit(0).cast("decimal(12,2)")) * F.expr(
+            f"CAST({wt} AS DECIMAL(12,10))"
+        )
+        terms = t if terms is None else terms + t
+    # round the EXACT DECIMAL (half-up on both engines) BEFORE the
+    # double cast: sums of /2^k terms land exactly on .xxxxxx5
+    # half-way points, where a double-then-round would tie-break on
+    # representation noise
+    return ev.select(
+        "event_id", "user_id", F.round(terms, 6).cast("double").alias("ewma")
+    )
+
+
+@_register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT ROUND(CAST(SUM(
+             CAST(l_extendedprice AS DECIMAL(14,2))
+             * (CAST(1.0 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))
+           ) AS DOUBLE), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#9'  AND p_size BETWEEN 1  AND 15
+           AND l_quantity >= 5  AND l_quantity <= 25)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 35)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 15 AND l_quantity <= 45)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a 3-branch OR of conjunctive predicates
+    spanning BOTH join sides — the disjunctive-pushdown stress test.
+    Catalyst normalizes the OR so the part-side conditions (brand,
+    size) reach the part scan and the lineitem-side quantity bounds
+    reach the lineitem scan as a derived OR-envelope, instead of
+    evaluating the whole disjunction post-join. Decimal-exact revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#9") & F.col("p_size").between(1, 15)
+         & (q >= 5) & (q <= 25))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(10, 30)
+           & (q >= 10) & (q <= 35))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(20, 50)
+           & (q >= 15) & (q <= 45))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1.0).cast("decimal(14,2)") - F.col("l_discount").cast("decimal(14,2)")
+    )
+    return j.filter(branch).agg(
+        F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 @_register(
     "stats_chi2_assoc",
     """
@@ -6636,6 +6729,7 @@ _PRIORITY = (
     # — deprioritized below the full-oracle entries above)
     "stream_sliding_counts", "mm3_frame_sample_plan", "a7_argmax",
     "stats_chi2_assoc", "w10_rank_distributions",
+    "q19_disjunctive_revenue", "t11_ewma_smoothing",
     "sketch_hll_merge", "sketch_cardinality", "sketch_quantiles",
     "stats_moments",
     "graph_triangles", "g2_grouping_sets_orders", "g6_grouping_id",
