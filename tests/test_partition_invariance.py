@@ -50,6 +50,11 @@ FLOAT_SENSITIVE = [
     "x29_weighted_sample",
     "x26_quality_quantile_filter",
     "x28_bpe_first_merges",
+    "x30_bpe_training_round2",
+    "stats_chi2_assoc",
+    "w10_rank_distributions",
+    "t11_ewma_smoothing",
+    "q19_disjunctive_revenue",
 ]
 
 
