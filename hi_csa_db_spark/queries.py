@@ -2102,6 +2102,53 @@ def t11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sq_not_in_null_semantics",
+    """
+    WITH keys AS (
+      SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders
+    )
+    SELECT
+      (SELECT COUNT(*) FROM customer WHERE c_custkey IN (SELECT k FROM keys))
+        AS n_in,
+      (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT k FROM keys))
+        AS n_not_in,
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT k FROM keys WHERE k IS NOT NULL))
+        AS n_not_in_sans_null
+    """,
+)
+def sq_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic SQL trap, pinned cross-engine: NOT IN against a set
+    CONTAINING a NULL returns no rows (three-valued logic — x <> NULL
+    is unknown, so the conjunction never becomes true), while IN still
+    matches and filtering the NULL out restores the expected anti-join
+    counts. An engine that silently compiles NOT IN to a plain
+    anti-join gets n_not_in wrong; Spark plans a null-aware anti join
+    and the oracle agrees. Registered as the semantics proof for the
+    IN/NOT-IN frontier of the subquery surface (sq_* family)."""
+    ev = load_table(spark, sf_dir, "orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("__cust_nin")
+    ev.createOrReplaceTempView("__orders_nin")
+    return spark.sql(
+        """
+        WITH keys AS (
+          SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL ELSE o_custkey END AS k
+          FROM __orders_nin
+        )
+        SELECT
+          (SELECT COUNT(*) FROM __cust_nin WHERE c_custkey IN (SELECT k FROM keys))
+            AS n_in,
+          (SELECT COUNT(*) FROM __cust_nin
+           WHERE c_custkey NOT IN (SELECT k FROM keys)) AS n_not_in,
+          (SELECT COUNT(*) FROM __cust_nin
+           WHERE c_custkey NOT IN (SELECT k FROM keys WHERE k IS NOT NULL))
+            AS n_not_in_sans_null
+        """
+    )
+
+
+@_register(
     "q19_disjunctive_revenue",
     """
     SELECT ROUND(CAST(SUM(
@@ -6730,6 +6777,7 @@ _PRIORITY = (
     "stream_sliding_counts", "mm3_frame_sample_plan", "a7_argmax",
     "stats_chi2_assoc", "w10_rank_distributions",
     "q19_disjunctive_revenue", "t11_ewma_smoothing",
+    "sq_not_in_null_semantics",
     "sketch_hll_merge", "sketch_cardinality", "sketch_quantiles",
     "stats_moments",
     "graph_triangles", "g2_grouping_sets_orders", "g6_grouping_id",
