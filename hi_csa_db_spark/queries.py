@@ -2102,6 +2102,55 @@ def t11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "t12_time_rollup",
+    """
+    SELECT CASE WHEN GROUPING(d) = 0 AND GROUPING(h) = 0 THEN 'hour'
+                WHEN GROUPING(d) = 0 THEN 'day' ELSE 'all' END AS grain,
+           COALESCE(CAST(d AS VARCHAR), '') AS day_key,
+           COALESCE(CAST(h AS VARCHAR), '') AS hour_key,
+           event_type, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    FROM (
+      SELECT event_type, value,
+             strftime(CAST(date_trunc('day', ts) AS TIMESTAMP),
+                      '%Y-%m-%d %H:%M:%S') AS d,
+             strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                      '%Y-%m-%d %H:%M:%S') AS h
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((event_type, d, h), (event_type, d), (event_type))
+    """,
+)
+def t12_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (hour -> day -> all) per event type in
+    ONE grouping-sets pass — the read-side shape of a hypertable
+    continuous aggregate (the maintained-rollup tier's query face;
+    incremental.maintain_rollup keeps the hour grain, this derives the
+    hierarchy). Time keys travel as strings (UTC session tz pins the
+    rendering); money decimal-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "value",
+        F.date_trunc("day", "ts").cast("string").alias("d"),
+        F.date_trunc("hour", "ts").cast("string").alias("h"),
+    )
+    base.createOrReplaceTempView("__t12_base")
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(d) = 0 AND GROUPING(h) = 0 THEN 'hour'
+                    WHEN GROUPING(d) = 0 THEN 'day' ELSE 'all' END AS grain,
+               COALESCE(d, '') AS day_key,
+               COALESCE(h, '') AS hour_key,
+               event_type, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM __t12_base
+        GROUP BY GROUPING SETS ((event_type, d, h), (event_type, d), (event_type))
+        """
+    )
+
+
+@_register(
     "sq_not_in_null_semantics",
     """
     WITH keys AS (
