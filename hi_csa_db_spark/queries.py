@@ -6826,7 +6826,7 @@ _PRIORITY = (
     "stream_sliding_counts", "mm3_frame_sample_plan", "a7_argmax",
     "stats_chi2_assoc", "w10_rank_distributions",
     "q19_disjunctive_revenue", "t11_ewma_smoothing",
-    "sq_not_in_null_semantics",
+    "sq_not_in_null_semantics", "t12_time_rollup",
     "sketch_hll_merge", "sketch_cardinality", "sketch_quantiles",
     "stats_moments",
     "graph_triangles", "g2_grouping_sets_orders", "g6_grouping_id",
