@@ -74,11 +74,23 @@ def normalize_events(df: DataFrame) -> DataFrame:
     every vintage."""
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
-        # INT64 TIMESTAMP(NANOS) vintage, read as raw nanos under
-        # nanosAsLong. Integer `div` (not `/`): at nanos magnitude
-        # (~1.7e18 > 2^53) double division truncates ~1.5% of values
-        # to the wrong microsecond.
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+        # INT64 epoch vintage. Observed so far: TIMESTAMP(NANOS) read
+        # as raw nanos under nanosAsLong — but a future fixture could
+        # ship plain BIGINT micros/millis/seconds, which would be
+        # silently misread as 1970-era nanos. Guard by MAGNITUDE,
+        # per row (pure expression, no driver action): epoch values
+        # for any plausible date are ~1.7e18 ns / 1.7e15 us / 1.7e12
+        # ms / 1.7e9 s — four decades apart, so the bands cannot
+        # overlap for dates between 1971 and 2500. Integer `div`/mults
+        # only: at nanos magnitude (> 2^53) double math truncates
+        # ~1.5% of values to the wrong microsecond.
+        ns = (
+            F.when(F.abs(F.col("ts")) > F.lit(5 * 10**17), F.col("ts"))
+            .when(F.abs(F.col("ts")) > F.lit(5 * 10**14), F.col("ts") * 1000)
+            .when(F.abs(F.col("ts")) > F.lit(5 * 10**11), F.col("ts") * 1000000)
+            .otherwise(F.col("ts") * 1000000000)
+        )
+        df = df.withColumn("ts_ns", ns).withColumn(
             "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
         )
     elif ts_type == "timestamp_ntz":

@@ -63,7 +63,19 @@ def test_real_events_fixture_loads_vanilla(vanilla_spark):
     assert bad == 0
 
 
-@pytest.mark.parametrize("vintage", ["ntz_micros", "ltz_micros", "int64_nanos"])
+@pytest.mark.parametrize(
+    "vintage",
+    [
+        "ntz_micros",
+        "ltz_micros",
+        "int64_nanos",
+        # hypothetical future vintages: plain BIGINT epoch columns at
+        # other magnitudes — normalize_events must band by magnitude
+        "int64_micros",
+        "int64_millis",
+        "int64_seconds",
+    ],
+)
 def test_every_vintage_normalizes(vanilla_spark, vintage, tmp_path):
     """Write the events ts column in each physical parquet type the
     driver has ever shipped, and assert load_table normalizes all of
@@ -72,10 +84,19 @@ def test_every_vintage_normalizes(vanilla_spark, vintage, tmp_path):
     import pyarrow.parquet as pq
 
     micros = [1704067200_000_001, 1704067201_500_000, 1704153599_999_999]
+    if vintage in ("int64_millis", "int64_seconds"):
+        # sub-unit precision can't survive a coarser epoch unit
+        micros = [1704067200_000_000, 1704067201_000_000, 1704153599_000_000]
     if vintage == "ntz_micros":
         ts_arr = pa.array(micros, type=pa.timestamp("us"))
     elif vintage == "ltz_micros":
         ts_arr = pa.array(micros, type=pa.timestamp("us", tz="UTC"))
+    elif vintage == "int64_micros":
+        ts_arr = pa.array(micros, type=pa.int64())
+    elif vintage == "int64_millis":
+        ts_arr = pa.array([m // 1000 for m in micros], type=pa.int64())
+    elif vintage == "int64_seconds":
+        ts_arr = pa.array([m // 1_000_000 for m in micros], type=pa.int64())
     else:
         ts_arr = pa.array([m * 1000 for m in micros], type=pa.timestamp("ns"))
     tbl = pa.table(
