@@ -2102,6 +2102,54 @@ def t11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x31_dataset_card",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(list_filter(
+               string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+               x -> x <> '')) AS n_toks
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           SUM(n_toks) AS total_ws_tokens,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS mean_doc_chars,
+           ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS frac_en,
+           MIN(n_toks) AS min_toks, MAX(n_toks) AS max_toks
+    FROM toks
+    """,
+)
+def x31_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: the one-row corpus summary every published
+    training set documents (counts, language/source diversity, token
+    budget, length extremes, target-language fraction) — one
+    map-combined aggregation pass, the cheapest query in the pipeline
+    and the one that runs after every build."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(tokenize(F.lower(strip_punct(F.col("text")))))
+    base = docs.select("lang", "source", "n_chars", toks.alias("n_toks"))
+    return base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_toks").alias("total_ws_tokens"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 2).alias(
+            "mean_doc_chars"
+        ),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("frac_en"),
+        F.min("n_toks").alias("min_toks"),
+        F.max("n_toks").alias("max_toks"),
+    )
+
+
+@_register(
     "t12_time_rollup",
     """
     SELECT CASE WHEN GROUPING(d) = 0 AND GROUPING(h) = 0 THEN 'hour'
@@ -6826,7 +6874,7 @@ _PRIORITY = (
     "stream_sliding_counts", "mm3_frame_sample_plan", "a7_argmax",
     "stats_chi2_assoc", "w10_rank_distributions",
     "q19_disjunctive_revenue", "t11_ewma_smoothing",
-    "sq_not_in_null_semantics", "t12_time_rollup",
+    "sq_not_in_null_semantics", "t12_time_rollup", "x31_dataset_card",
     "sketch_hll_merge", "sketch_cardinality", "sketch_quantiles",
     "stats_moments",
     "graph_triangles", "g2_grouping_sets_orders", "g6_grouping_id",
