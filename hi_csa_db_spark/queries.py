@@ -2102,6 +2102,113 @@ def t11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "u8_fk_conformance",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        AS orphan_parts,
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        AS orphan_suppliers,
+      (SELECT COUNT(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS orphan_customers,
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS orphan_orders
+    """,
+)
+def u8_fk_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every fact->dim
+    edge in the star schema, each an anti-join (broadcast for dims,
+    shuffle for the fact-fact edge) — the conformance check a
+    warehouse load runs before publishing. All four counts in one
+    row; a nonzero cell is a data-quality incident."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def orphans(fact, dim, fk, pk, name):
+        # 1-row lazy aggregate per FK edge — the four edges compose
+        # into ONE plan via 1-row crossJoins, no driver-side counts
+        return (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    return (
+        orphans(li, p, "l_partkey", "p_partkey", "orphan_parts")
+        .crossJoin(orphans(li, s, "l_suppkey", "s_suppkey", "orphan_suppliers"))
+        .crossJoin(orphans(o, c, "o_custkey", "c_custkey", "orphan_customers"))
+        .crossJoin(orphans(li, o, "l_orderkey", "o_orderkey", "orphan_orders"))
+    )
+
+
+@_register(
+    "f15_table_checksum",
+    """
+    SELECT
+      (SELECT CAST(SUM(CAST('0x' || substring(md5(
+                 CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || c_mktsegment
+               ), 1, 15) AS BIGINT) % 2147483647) AS BIGINT)
+       FROM customer) AS customer_checksum,
+      (SELECT CAST(SUM(CAST('0x' || substring(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+                 || '|' || o_orderstatus
+               ), 1, 15) AS BIGINT) % 2147483647) AS BIGINT)
+       FROM orders) AS orders_checksum
+    """,
+)
+def f15_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content checksum: per row, a 60-bit
+    md5-derived integer over the key columns; SUM is commutative, so
+    two replicas agree iff the fingerprints agree regardless of row
+    order or partitioning — the anti-entropy check replicated stores
+    run (and the same integer-sum trick the engine's partition-
+    invariance suite relies on). Pure map + one aggregate per table."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    ccol = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("c_custkey").cast("string"),
+                    "c_name",
+                    "c_mktsegment",
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long") % 2147483647
+    ocol = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    "o_orderstatus",
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long") % 2147483647
+    cc = c.agg(F.sum(ccol).alias("customer_checksum"))
+    oc = o.agg(F.sum(ocol).alias("orders_checksum"))
+    return cc.crossJoin(oc)
+
+
+@_register(
     "x31_dataset_card",
     """
     WITH toks AS (
@@ -6875,6 +6982,7 @@ _PRIORITY = (
     "stats_chi2_assoc", "w10_rank_distributions",
     "q19_disjunctive_revenue", "t11_ewma_smoothing",
     "sq_not_in_null_semantics", "t12_time_rollup", "x31_dataset_card",
+    "u8_fk_conformance", "f15_table_checksum",
     "sketch_hll_merge", "sketch_cardinality", "sketch_quantiles",
     "stats_moments",
     "graph_triangles", "g2_grouping_sets_orders", "g6_grouping_id",

@@ -83,6 +83,8 @@ _NLJ_ALLOWED = {
     "pipe_training_prep_v3",  # same 1-row DSIR normalizer broadcast
     "x30_bpe_training_round2",  # 1-row learned-top-merge broadcast
     "stats_chi2_assoc",  # 1-row grand-total broadcast
+    "u8_fk_conformance",  # four 1-row orphan-count aggregates composed
+    "f15_table_checksum",  # two 1-row checksum aggregates composed
 }
 
 
