@@ -2102,6 +2102,51 @@ def t11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "j7_basket_pairs",
+    """
+    WITH baskets AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    pairs AS (
+      SELECT a AS part_a, b AS part_b
+      FROM baskets,
+           unnest(parts) AS t1(a),
+           unnest(parts) AS t2(b)
+      WHERE a < b
+    )
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 20
+    """,
+)
+def j7_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in one
+    order, top-20 by support — association-rule mining's support
+    count. The d3 pair-generation shape: per-order part sets are
+    bounded (basket size), so the double explode is map-side O(k^2)
+    per basket with ONE shuffle for the grouping and one for the
+    count — never a lineitem self-join on orderkey (which shuffles
+    the fact table twice and explodes skewed orders)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode("parts").alias("part_a"), "parts"
+    ).select(
+        "part_a",
+        F.explode(F.filter("parts", lambda p: p > F.col("part_a"))).alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(20)
+    )
+
+
+@_register(
     "u8_fk_conformance",
     """
     SELECT
@@ -6982,7 +7027,7 @@ _PRIORITY = (
     "stats_chi2_assoc", "w10_rank_distributions",
     "q19_disjunctive_revenue", "t11_ewma_smoothing",
     "sq_not_in_null_semantics", "t12_time_rollup", "x31_dataset_card",
-    "u8_fk_conformance", "f15_table_checksum",
+    "u8_fk_conformance", "f15_table_checksum", "j7_basket_pairs",
     "sketch_hll_merge", "sketch_cardinality", "sketch_quantiles",
     "stats_moments",
     "graph_triangles", "g2_grouping_sets_orders", "g6_grouping_id",
