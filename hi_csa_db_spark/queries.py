@@ -2102,6 +2102,62 @@ def t11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "s5_batch_knn",
+    f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id,
+             ROUND({_cos_sql('e.embedding', 'p.pv')}, 6) AS cos_sim
+      FROM embeddings e CROSS JOIN probes p
+      WHERE e.vec_id <> p.probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT probe_id, neighbor_id, cos_sim, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def s5_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH kNN: many probes against the corpus in ONE pass — the
+    retrieval serving shape (s1 is the single-probe case). The probe
+    table broadcasts (requests are always the small side), scoring is
+    a narrow map over corpus x probes, and per-probe top-k is a window
+    rank on the rounded score — so corpus scan cost is paid once for
+    the whole batch instead of once per probe. At cluster scale the
+    same plan with the IVF bucket filter (s2) prunes the corpus side
+    per probe."""
+    from hi_csa_db_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("embedding"), F.col("pv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("probe_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+@_register(
     "j7_basket_pairs",
     """
     WITH baskets AS (
@@ -7028,6 +7084,7 @@ _PRIORITY = (
     "q19_disjunctive_revenue", "t11_ewma_smoothing",
     "sq_not_in_null_semantics", "t12_time_rollup", "x31_dataset_card",
     "u8_fk_conformance", "f15_table_checksum", "j7_basket_pairs",
+    "s5_batch_knn",
     "sketch_hll_merge", "sketch_cardinality", "sketch_quantiles",
     "stats_moments",
     "graph_triangles", "g2_grouping_sets_orders", "g6_grouping_id",

@@ -85,6 +85,7 @@ _NLJ_ALLOWED = {
     "stats_chi2_assoc",  # 1-row grand-total broadcast
     "u8_fk_conformance",  # four 1-row orphan-count aggregates composed
     "f15_table_checksum",  # two 1-row checksum aggregates composed
+    "s5_batch_knn",  # 5-row probe-batch broadcast
 }
 
 
