@@ -2102,6 +2102,46 @@ def t11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "d11_normalized_dedup",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(list_filter(
+               string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+               x -> x <> ''))), ' ')) AS nh
+      FROM documents
+    )
+    SELECT nh, MIN(doc_id) AS survivor_id, COUNT(*) AS n_variants
+    FROM norm GROUP BY nh HAVING COUNT(*) > 1
+    """,
+)
+def d11_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-insensitive exact dedup: case, punctuation,
+    digits, whitespace, token ORDER and token REPETITION variants of
+    the same text fold to one md5 of the sorted distinct vocabulary
+    (bag-of-words identity) — the cheap pre-pass real
+    pipelines run BEFORE MinHash (it catches the bulk of trivial
+    near-dups for one hash per doc, no banding, one shuffle). Emits
+    only the multi-variant groups; d1 (byte-exact) and d2 (MinHash)
+    bracket it from either side."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm_tokens = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " "), " "),
+        lambda x: x != "",
+    )
+    nh = F.md5(F.array_join(F.array_sort(F.array_distinct(norm_tokens)), " "))
+    return (
+        docs.select("doc_id", nh.alias("nh"))
+        .groupBy("nh")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+        .filter(F.col("n_variants") > 1)
+    )
+
+
+@_register(
     "s5_batch_knn",
     f"""
     WITH probes AS (
@@ -7084,7 +7124,7 @@ _PRIORITY = (
     "q19_disjunctive_revenue", "t11_ewma_smoothing",
     "sq_not_in_null_semantics", "t12_time_rollup", "x31_dataset_card",
     "u8_fk_conformance", "f15_table_checksum", "j7_basket_pairs",
-    "s5_batch_knn",
+    "s5_batch_knn", "d11_normalized_dedup",
     "sketch_hll_merge", "sketch_cardinality", "sketch_quantiles",
     "stats_moments",
     "graph_triangles", "g2_grouping_sets_orders", "g6_grouping_id",
