@@ -2102,6 +2102,105 @@ def t11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x32_source_overlap",
+    """
+    WITH st AS (
+      SELECT DISTINCT source, unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM st GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS ic
+      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           ROUND(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) AS vocab_jaccard
+    FROM inter JOIN sizes sa ON sa.source = src_a
+               JOIN sizes sb ON sb.source = src_b
+    ORDER BY vocab_jaccard DESC, src_a ASC, src_b ASC LIMIT 20
+    """,
+)
+def x32_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-structure audit: vocabulary Jaccard between every source
+    pair — which feeds publish (near-)identical content and would
+    double-count in a mixture. The (source, token) index is distinct
+    per source, and source cardinality is tiny, so the token-keyed
+    self-join fans out by shared-token source pairs (bounded by
+    n_sources^2), nothing like a doc-level pair explosion."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select(
+        "source",
+        F.explode(tokenize(F.lower(strip_punct(F.col("text"))))).alias("tok"),
+    ).distinct()
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = st.alias("a")
+    b = st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("ic"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.col("ic").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("ic")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy(F.col("vocab_jaccard").desc(), F.col("src_a").asc(), F.col("src_b").asc())
+        .limit(20)
+    )
+
+
+@_register(
+    "t13_ship_latency",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.5), 6)
+             AS p50_days,
+           ROUND(quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.9), 6)
+             AS p90_days,
+           MAX(date_diff('day', o_orderdate, l_shipdate)) AS max_days
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def t13_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency percentiles per priority band — the SLA
+    distribution query every fulfillment warehouse runs; exact
+    percentiles over integer day diffs (quantile_cont interpolation
+    parity pinned by t9/agg_pandas_median), one fact-fact join that
+    SMJs at scale (pinned for q18 in test_plans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    dd = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile(dd, F.lit(0.5)), 6).alias("p50_days"),
+            F.round(F.percentile(dd, F.lit(0.9)), 6).alias("p90_days"),
+            F.max(dd).alias("max_days"),
+        )
+    )
+
+
+@_register(
     "d11_normalized_dedup",
     """
     WITH norm AS (
@@ -7124,7 +7223,8 @@ _PRIORITY = (
     "q19_disjunctive_revenue", "t11_ewma_smoothing",
     "sq_not_in_null_semantics", "t12_time_rollup", "x31_dataset_card",
     "u8_fk_conformance", "f15_table_checksum", "j7_basket_pairs",
-    "s5_batch_knn", "d11_normalized_dedup",
+    "s5_batch_knn", "d11_normalized_dedup", "x32_source_overlap",
+    "t13_ship_latency",
     "sketch_hll_merge", "sketch_cardinality", "sketch_quantiles",
     "stats_moments",
     "graph_triangles", "g2_grouping_sets_orders", "g6_grouping_id",
