@@ -2102,6 +2102,37 @@ def t11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a8_grouped_mode",
+    """
+    WITH counted AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment, c_nationkey AS mode_nation, cnt AS mode_count
+    FROM counted
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                               ORDER BY cnt DESC, c_nationkey ASC) = 1
+    """,
+)
+def a8_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped MODE with deterministic ties: the most frequent nation
+    per market segment, ties broken toward the smaller key — built-in
+    mode() is tie-nondeterministic on both engines, so the stable form
+    is count-then-argmax over (count, -key), two map-combined
+    aggregations and no sort."""
+    c = load_table(spark, sf_dir, "customer")
+    counted = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counted.groupBy("c_mktsegment").agg(
+        F.max_by(
+            F.col("c_nationkey"), F.struct(F.col("cnt"), -F.col("c_nationkey"))
+        ).alias("mode_nation"),
+        F.max("cnt").alias("mode_count"),
+    )
+
+
+@_register(
     "x32_source_overlap",
     """
     WITH st AS (
@@ -7224,7 +7255,7 @@ _PRIORITY = (
     "sq_not_in_null_semantics", "t12_time_rollup", "x31_dataset_card",
     "u8_fk_conformance", "f15_table_checksum", "j7_basket_pairs",
     "s5_batch_knn", "d11_normalized_dedup", "x32_source_overlap",
-    "t13_ship_latency",
+    "t13_ship_latency", "a8_grouped_mode",
     "sketch_hll_merge", "sketch_cardinality", "sketch_quantiles",
     "stats_moments",
     "graph_triangles", "g2_grouping_sets_orders", "g6_grouping_id",
