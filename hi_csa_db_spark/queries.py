@@ -2102,6 +2102,78 @@ def t11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "d12_containment_pairs",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    rare AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 100
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS ic
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(ic AS DOUBLE) / sa.sz, 6) AS contain_a,
+           ROUND(CAST(ic AS DOUBLE) / sb.sz, 6) AS contain_b
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ic * 10 >= sa.sz * 3 OR ic * 10 >= sb.sz * 3
+    ORDER BY greatest(ic * 1.0 / sa.sz, ic * 1.0 / sb.sz) DESC, id_a ASC, id_b ASC
+    LIMIT 20
+    """,
+)
+def d12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup detection (Broder's second measure):
+    |A∩B| / |A| — a short doc quoted inside a long one scores near 1
+    on containment while its Jaccard stays tiny, so resemblance-only
+    dedup (d2/d3) misses subset duplication entirely. Same bounded
+    candidate generation as d3 (rare-shingle inverted index, df cap),
+    full-set intersection verify, then the PURE-INTEGER gate
+    ic*10 >= sz*3 (containment >= 0.3 either direction) so the filter
+    never compares floats cross-engine; scores rounded for output."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, n=3)
+    pairs = dedup.jaccard_pairs(sh, max_df=100, sizes=dedup.shingle_sizes(docs, n=3))
+    # jaccard_pairs returns inter_cnt + jaccard; recover sizes for the
+    # asymmetric scores: sz_a = inter/ (jaccard-free) — join sizes in
+    sizes = dedup.shingle_sizes(docs, n=3)
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+    j = pairs.select("id_a", "id_b", "inter_cnt").join(sa, "id_a").join(sb, "id_b")
+    gate = (F.col("inter_cnt") * 10 >= F.col("sza") * 3) | (
+        F.col("inter_cnt") * 10 >= F.col("szb") * 3
+    )
+    return (
+        j.filter(gate)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter_cnt").cast("double") / F.col("sza"), 6).alias(
+                "contain_a"
+            ),
+            F.round(F.col("inter_cnt").cast("double") / F.col("szb"), 6).alias(
+                "contain_b"
+            ),
+            F.greatest(
+                F.col("inter_cnt") * F.lit(1.0) / F.col("sza"),
+                F.col("inter_cnt") * F.lit(1.0) / F.col("szb"),
+            ).alias("__m"),
+        )
+        .orderBy(F.col("__m").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(20)
+        .drop("__m")
+    )
+
+
+@_register(
     "a8_grouped_mode",
     """
     WITH counted AS (
@@ -7255,7 +7327,7 @@ _PRIORITY = (
     "sq_not_in_null_semantics", "t12_time_rollup", "x31_dataset_card",
     "u8_fk_conformance", "f15_table_checksum", "j7_basket_pairs",
     "s5_batch_knn", "d11_normalized_dedup", "x32_source_overlap",
-    "t13_ship_latency", "a8_grouped_mode",
+    "t13_ship_latency", "a8_grouped_mode", "d12_containment_pairs",
     "sketch_hll_merge", "sketch_cardinality", "sketch_quantiles",
     "stats_moments",
     "graph_triangles", "g2_grouping_sets_orders", "g6_grouping_id",
