@@ -2102,6 +2102,36 @@ def t11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "t14_dow_seasonality",
+    """
+    SELECT isodow(ts) AS dow_iso, event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def t14_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week activity profile per event type — the seasonality
+    facet of the temporal tier. Engine trap pinned: Spark dayofweek()
+    is 1=Sunday while DuckDB dayofweek()/isodow differ; both sides
+    emit ISO day numbers (1=Monday..7=Sunday) via explicit mapping so
+    the key is engine-neutral."""
+    ev = load_table(spark, sf_dir, "events")
+    # Spark: dayofweek 1=Sun..7=Sat  ->  ISO 1=Mon..7=Sun
+    iso = ((F.dayofweek("ts") + 5) % 7) + 1
+    return (
+        ev.groupBy(iso.alias("dow_iso"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total"
+            ),
+        )
+    )
+
+
+@_register(
     "d12_containment_pairs",
     f"""
     WITH {_SHINGLE_SQL},
@@ -6476,6 +6506,47 @@ def x26_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x33_curriculum_phases",
+    f"""
+    WITH {_X20_SCORED_SQL},
+    lab AS (
+      SELECT s.doc_id, s.logit, s.n_words, d.lang
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    phased AS (
+      SELECT lang, n_words,
+             NTILE(4) OVER (PARTITION BY lang ORDER BY logit DESC, doc_id ASC)
+               AS phase
+      FROM lab
+    )
+    SELECT lang, phase, COUNT(*) AS n_docs, SUM(n_words) AS phase_tokens
+    FROM phased GROUP BY lang, phase
+    """,
+)
+def x33_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum scheduling: each language slice split into 4
+    quality-ordered phases (highest-logit docs first — the
+    clean-to-noisy curriculum ordering), with per-phase token budgets
+    for the training scheduler. Deterministic: ntile over the rounded
+    logit with doc_id ties, partitioned per slice (parallel across
+    languages, never a global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = x20_quality_classifier(spark, sf_dir).select(
+        "doc_id", "logit", "n_words"
+    )
+    lab = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.col("logit").desc(), F.col("doc_id").asc())
+    return (
+        lab.select("lang", "n_words", F.ntile(4).over(w).alias("phase"))
+        .groupBy("lang", "phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("phase_tokens"),
+        )
+    )
+
+
+@_register(
     "d10_quality_survivors",
     f"""
     WITH {_D6_LABELS_SQL},
@@ -7328,6 +7399,7 @@ _PRIORITY = (
     "u8_fk_conformance", "f15_table_checksum", "j7_basket_pairs",
     "s5_batch_knn", "d11_normalized_dedup", "x32_source_overlap",
     "t13_ship_latency", "a8_grouped_mode", "d12_containment_pairs",
+    "x33_curriculum_phases", "t14_dow_seasonality",
     "sketch_hll_merge", "sketch_cardinality", "sketch_quantiles",
     "stats_moments",
     "graph_triangles", "g2_grouping_sets_orders", "g6_grouping_id",
