@@ -80,11 +80,12 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes):
-    """Decode a PNG/BMP/PPM payload to a uint8 numpy array via the
-    pure-numpy codecs (functions/codecs.py — real kernels, decoded from
-    the public file-format specs). Entropy-coded formats (JPEG, video)
-    still require an external codec and raise UnsupportedMedia; wire
-    Pillow/ffmpeg there in a full deployment."""
+    """Decode a PNG/BMP/PPM/JPEG payload to a uint8 numpy array via the
+    pure-numpy codecs (functions/codecs.py + functions/jpeg.py — real
+    kernels, implemented from the public file-format specs, including
+    baseline JPEG per ITU-T T.81). Video formats still require an
+    external codec and raise UnsupportedMedia; wire ffmpeg there in a
+    full deployment."""
     from hi_csa_db_spark.functions import codecs
 
     fmt = codecs.sniff(payload or b"")
@@ -94,6 +95,10 @@ def decode_image(payload: bytes):
         return codecs.decode_bmp(payload)
     if fmt == "ppm":
         return codecs.decode_ppm(payload)
+    if fmt == "jpeg":
+        from hi_csa_db_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise codecs.UnsupportedMedia(f"no in-container decoder for {fmt or 'unknown'}")
 
 
@@ -116,12 +121,12 @@ def _feature_of(payload: bytes, dim: int) -> list[float]:
 
     fmt = codecs.sniff(payload)
     try:
-        if fmt in ("png", "bmp", "ppm"):
+        if fmt in ("png", "bmp", "ppm", "jpeg"):
             return codecs.image_feature(decode_image(payload), dim)
         if fmt == "wav":
             samples, rate = codecs.decode_wav(payload)
             return codecs.audio_feature(samples, rate, dim)
-    except codecs.UnsupportedMedia:
+    except (codecs.UnsupportedMedia, ValueError):
         pass
     return _fake_feature(payload, dim)
 
@@ -218,6 +223,62 @@ def exact_media_dedup(media: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("dup_count"),
         )
     )
+
+
+JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("uniform", IntegerType()),
+        StructField("out_r", IntegerType()),
+        StructField("out_g", IntegerType()),
+        StructField("out_b", IntegerType()),
+    ]
+)
+
+
+def jpeg_roundtrip_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exercise the REAL baseline-JPEG codec (functions/jpeg.py, pure
+    numpy, ITU-T T.81) on the executors: per row, a 16x16 solid-colour
+    RGB image (colour derived from the id) is encoded at quality 75 and
+    decoded back; the output reports the decoded pixel and whether the
+    whole decoded frame is uniform. Because a solid block quantizes to
+    a DC-only spectrum, the decoded pixel is predictable in CLOSED FORM
+    (jpeg.dc_roundtrip_value) — so a SQL oracle value-checks the whole
+    chain (RGB->YCbCr, DCT, quality-75 quantization, Huffman entropy
+    coding, byte stuffing, IDCT, YCbCr->RGB) through the distributed
+    plan. Arrow-batched mapInPandas; payloads never leave executors."""
+    import numpy as np
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hi_csa_db_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        cols = [f.name for f in JPEG_STATS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                r, g, b = i % 256, (i * 7) % 256, (i * 13) % 256
+                img = np.full((16, 16, 3), (r, g, b), np.uint8)
+                out = decode_jpeg(encode_jpeg(img, quality=75))
+                uni = int(
+                    (out.min(axis=(0, 1)) == out.max(axis=(0, 1))).all()
+                )
+                rows.append(
+                    {
+                        "media_id": i,
+                        "width": int(out.shape[1]),
+                        "height": int(out.shape[0]),
+                        "uniform": uni,
+                        "out_r": int(out[0, 0, 0]),
+                        "out_g": int(out[0, 0, 1]),
+                        "out_b": int(out[0, 0, 2]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col).mapInPandas(gen, JPEG_STATS_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
