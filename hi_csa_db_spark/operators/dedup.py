@@ -757,3 +757,74 @@ def chunk_dedup(
             ).alias("kept_md5"),
         )
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplicate SPAN detection (the deduplicate-
+    training-data strategy of Lee et al. 2021, arXiv:2107.06499,
+    approximated at token-k-gram granularity instead of a suffix
+    array): a token k-gram occurring more than once ANYWHERE in the
+    corpus marks its positions as duplicated; per document,
+    overlapping/adjacent duplicated grams merge into maximal spans
+    (interval-island merge), the unit a span-level dedup would cut.
+
+    Returns one row per document that contains at least one duplicated
+    span: n_spans, max_span_tokens (longest span), covered_tokens
+    (tokens inside any span), n_tokens.
+
+    Scale (the suffix-array rewrite for a cluster): gram occurrence
+    counting is a hash aggregation on the gram — one shuffle, no pair
+    explosion, hot grams cost one counter each via map-side partial
+    aggregation. Re-marking positions is an equi-join of the position
+    index against the duplicated-gram set on the same key (AQE handles
+    skewed boilerplate grams). The island merge is a per-document
+    window — one shuffle by document. Everything is linear in corpus
+    size; nothing is quadratic in duplicates.
+    """
+    toks = docs.select(
+        F.col(id_col), tokenize(F.lower(strip_punct(F.col(text_col)))).alias("__t")
+    ).filter(F.size("__t") >= k)
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - (k - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.concat_ws(" ", F.slice("__t", i, k)).alias("gram"),
+        ),
+    )
+    gp = toks.select(
+        id_col, F.size("__t").alias("n_tokens"), F.explode(gram_structs).alias("g")
+    ).select(id_col, "n_tokens", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    dup = (
+        gp.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("gram")
+    )
+    marked = gp.join(dup, "gram")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spans = (
+        marked.withColumn(
+            "__brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__brk").over(run))
+        .groupBy(id_col, "n_tokens", "__isl")
+        .agg(
+            F.min("pos").alias("__s"),
+            (F.max("pos") + (k - 1)).alias("__e"),
+        )
+        .withColumn("__len", F.col("__e") - F.col("__s") + 1)
+    )
+    return spans.groupBy(id_col, "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("__len").alias("max_span_tokens"),
+        F.sum("__len").alias("covered_tokens"),
+    ).select(id_col, "n_spans", "max_span_tokens", "covered_tokens", "n_tokens")

@@ -148,3 +148,44 @@ def global_row_numbers(
         .withColumn("rank", F.row_number().over(w_local) + F.col("__off"))
         .drop("__pid", "__off")
     )
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    key_col: str,
+    sum_cols: list[str],
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Distributed prefix (running) sums of ``sum_cols`` in ``key_col``
+    order — the cumulative-distribution primitive, built exactly like
+    global_row_numbers: range-partition by the key, one local
+    running-sum window per partition, plus broadcast per-partition
+    offsets (one partial sum per partition per column). No
+    single-partition global window anywhere; every stage is parallel
+    and the result is partition-count invariant for unique keys.
+
+    Adds ``cum_<col>`` per requested column.
+    """
+    d = df.repartitionByRange(num_partitions, F.col(key_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    totals = d.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__t_{c}").over(w_off), F.lit(0)).alias(f"__off_{c}")
+            for c in sum_cols
+        ],
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = d.join(F.broadcast(offsets), "__pid")
+    for c in sum_cols:
+        out = out.withColumn(f"cum_{c}", F.sum(c).over(w_local) + F.col(f"__off_{c}"))
+    return out.drop("__pid", *[f"__off_{c}" for c in sum_cols])

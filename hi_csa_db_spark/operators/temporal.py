@@ -180,3 +180,82 @@ def interval_overlap_join(
         .select(left_id, right_id, F.col(key))
         .distinct()
     )
+
+
+def nearest_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    ts: str,
+    probe_id: str,
+    build_id: str,
+) -> DataFrame:
+    """NEAREST-neighbour temporal join: for each probe row, the build
+    row (same key) minimizing |build.ts - probe.ts| in EITHER
+    direction; ties between the preceding and following candidate
+    resolve to the preceding one. Probe rows with no build row for the
+    key keep NULLs.
+
+    Like asof_join, this needs ZERO joins: union + tag, then a
+    forward last(ignorenulls) window (nearest at-or-before) and a
+    backward first(ignorenulls) window (nearest after) over the SAME
+    (key, ts) sort — Catalyst evaluates both frames in one Window node
+    over one shuffle, and the argmin is a scalar CASE. At 100 TB this
+    is a single repartition+sort per key, no candidate explosion.
+
+    Returns (probe_id, key, ts, nearest_<build_id>, gap) where gap =
+    |build.ts - probe.ts| in the ts column's units.
+    """
+    tagged = probe.select(
+        F.col(probe_id).alias("__pid"),
+        F.col(key),
+        F.col(ts),
+        F.lit(1).alias("__is_probe"),
+        F.lit(None).cast(build.schema[build_id].dataType).alias("__bid"),
+        F.lit(None).cast(build.schema[ts].dataType).alias("__bts"),
+    ).unionByName(
+        build.select(
+            F.lit(None).cast(probe.schema[probe_id].dataType).alias("__pid"),
+            F.col(key),
+            F.col(ts),
+            F.lit(0).alias("__is_probe"),
+            F.col(build_id).alias("__bid"),
+            F.col(ts).alias("__bts"),
+        )
+    )
+    order = [
+        F.col(ts).asc(),
+        F.col("__is_probe").asc(),
+        F.col("__bid").asc_nulls_last(),
+    ]
+    fwd = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    enriched = tagged.select(
+        "*",
+        F.last("__bts", ignorenulls=True).over(fwd).alias("__prev_ts"),
+        F.last("__bid", ignorenulls=True).over(fwd).alias("__prev_id"),
+        F.first("__bts", ignorenulls=True).over(bwd).alias("__next_ts"),
+        F.first("__bid", ignorenulls=True).over(bwd).alias("__next_id"),
+    ).filter(F.col("__is_probe") == 1)
+    prev_gap = F.col(ts) - F.col("__prev_ts")
+    next_gap = F.col("__next_ts") - F.col(ts)
+    take_prev = F.col("__next_ts").isNull() | (
+        F.col("__prev_ts").isNotNull() & (prev_gap <= next_gap)
+    )
+    return enriched.select(
+        F.col("__pid").alias(probe_id),
+        key,
+        ts,
+        F.when(take_prev, F.col("__prev_id"))
+        .otherwise(F.col("__next_id"))
+        .alias(f"nearest_{build_id}"),
+        F.when(take_prev, prev_gap).otherwise(next_gap).alias("gap"),
+    )

