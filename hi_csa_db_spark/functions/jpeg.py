@@ -299,36 +299,98 @@ def _pad_to_8(plane: np.ndarray) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
-def _encode_plane_blocks(
-    plane: np.ndarray, quant: np.ndarray
-) -> Iterator[np.ndarray]:
-    """Yield zigzagged quantized int coefficient vectors per 8x8 block,
-    in raster MCU order."""
+def _plane_block_grid(plane: np.ndarray, quant: np.ndarray) -> list[list[np.ndarray]]:
+    """Quantized zigzag coefficient vectors per 8x8 block, as a
+    [block_row][block_col] grid."""
     padded = _pad_to_8(plane)
     h, w = padded.shape
+    grid = []
     for by in range(0, h, 8):
+        row = []
         for bx in range(0, w, 8):
             block = padded[by : by + 8, bx : bx + 8] - 128.0
             coeffs = _D @ block @ _D.T
             q = _round_half_away(coeffs / quant).astype(np.int64)
-            yield q.reshape(-1)[ZIGZAG]
+            row.append(q.reshape(-1)[ZIGZAG])
+        grid.append(row)
+    return grid
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
+def _subsample_2x2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-average chroma subsampling (edge-replicated to even
+    dims first), kept in float."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+
+
+def _write_block(
+    writer: "_BitWriter",
+    zz: np.ndarray,
+    prev_dc: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Entropy-code one block (F.2 flow: DPCM DC, run-length AC);
+    returns the block's DC for the next prediction."""
+    diff = int(zz[0]) - prev_dc
+    ssss, bits = _magnitude(diff)
+    code, ln = dc_codes[ssss]
+    writer.write(code, ln)
+    if ssss:
+        writer.write(bits, ssss)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            code, ln = ac_codes[0x00]  # EOB
+            writer.write(code, ln)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        ssss, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | ssss]
+        writer.write(code, ln)
+        writer.write(bits, ssss)
+        run = 0
+    return int(zz[0])
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 75, subsample: str = "444"
+) -> bytes:
     """Encode HxWx3 uint8 RGB (or HxW grayscale) to a baseline
-    sequential 4:4:4 JFIF byte stream with Annex K Huffman tables."""
+    sequential JFIF byte stream with Annex K Huffman tables.
+    subsample: '444' (one block per component per MCU) or '420'
+    (2x2 luma sampling with box-averaged chroma — the common
+    photographic layout)."""
+    if subsample not in ("444", "420"):
+        raise ValueError("jpeg: subsample must be '444' or '420'")
     if arr.ndim == 2:
         arr = arr[..., None]
     h, w, nc = arr.shape
     if nc not in (1, 3):
         raise ValueError("jpeg: expected 1 or 3 channels")
     luma_q, chroma_q = scaled_quant_tables(quality)
+    use_420 = subsample == "420" and nc == 3
     if nc == 3:
-        planes = [rgb_to_ycbcr(arr)[..., i] for i in range(3)]
+        ycc = rgb_to_ycbcr(arr)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        if use_420:
+            planes[1] = _subsample_2x2(planes[1])
+            planes[2] = _subsample_2x2(planes[2])
         quants = [luma_q, chroma_q, chroma_q]
+        samp = [(2, 2), (1, 1), (1, 1)] if use_420 else [(1, 1)] * 3
     else:
         planes = [arr[..., 0].astype(np.float64)]
         quants = [luma_q]
+        samp = [(1, 1)]
 
     dc_codes = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
     ac_codes = [_build_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
@@ -336,39 +398,30 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
         dc_codes += [_build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)] * 2
         ac_codes += [_build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)] * 2
 
-    comp_blocks = [list(_encode_plane_blocks(p, q)) for p, q in zip(planes, quants)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    grids = []
+    for (sh, sv), p, q in zip(samp, planes, quants):
+        # pad each plane's block grid out to the full MCU coverage
+        need_h, need_w = mcus_y * sv * 8, mcus_x * sh * 8
+        ph, pw = p.shape
+        p = np.pad(p, ((0, need_h - ph), (0, need_w - pw)), mode="edge")
+        grids.append(_plane_block_grid(p, q))
+
     writer = _BitWriter()
     prev_dc = [0] * nc
-    for mcu in range(len(comp_blocks[0])):
-        for ci in range(nc):
-            zz = comp_blocks[ci][mcu]
-            diff = int(zz[0]) - prev_dc[ci]
-            prev_dc[ci] = int(zz[0])
-            ssss, bits = _magnitude(diff)
-            code, ln = dc_codes[ci][ssss]
-            writer.write(code, ln)
-            if ssss:
-                writer.write(bits, ssss)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if k > last_nz:
-                    code, ln = ac_codes[ci][0x00]  # EOB
-                    writer.write(code, ln)
-                    break
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[ci][0xF0]  # ZRL
-                    writer.write(code, ln)
-                    run -= 16
-                ssss, bits = _magnitude(v)
-                code, ln = ac_codes[ci][(run << 4) | ssss]
-                writer.write(code, ln)
-                writer.write(bits, ssss)
-                run = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                sh, sv = samp[ci]
+                for v_i in range(sv):
+                    for h_i in range(sh):
+                        zz = grids[ci][my * sv + v_i][mx * sh + h_i]
+                        prev_dc[ci] = _write_block(
+                            writer, zz, prev_dc[ci], dc_codes[ci], ac_codes[ci]
+                        )
     writer.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -379,7 +432,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
     # SOF0
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for ci in range(nc):
-        out += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+        hv = (samp[ci][0] << 4) | samp[ci][1]
+        out += struct.pack("BBB", ci + 1, hv, 0 if ci == 0 else 1)
     # DHT
     huff_defs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
     if nc == 3:

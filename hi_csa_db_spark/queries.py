@@ -2132,6 +2132,140 @@ def t14_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a9_weighted_median",
+    """
+    WITH vals AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(15,2)) AS v,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw
+      FROM vals
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM vals)
+    SELECT CAST(v AS DOUBLE) AS median_price,
+           total_w,
+           CAST(cw AS BIGINT) AS cum_w_at_median
+    FROM cum CROSS JOIN tot
+    WHERE 2 * cw >= total_w
+    ORDER BY v ASC LIMIT 1
+    """,
+)
+def a9_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median of the extended price — the
+    weighted quantile no built-in percentile function computes (Spark's
+    percentile/median are unweighted; approx_percentile is inexact by
+    design). Definition: smallest v with cum_weight(v) >= total/2,
+    tested as pure integers (2*cw >= W — no float division anywhere).
+
+    Scale shape: one groupBy collapses the value domain, then
+    ordered.global_prefix_sums cumulates weights in value order
+    (range-partition + broadcast offsets — parallel at any
+    cardinality), one broadcast total, one TakeOrderedAndProject. The
+    same pipeline yields ANY exact weighted quantile by changing the
+    integer test."""
+    from hi_csa_db_spark.operators import ordered
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.groupBy(
+        F.col("l_extendedprice").cast("decimal(15,2)").alias("v")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    cum = ordered.global_prefix_sums(vals, "v", ["w"])
+    tot = vals.agg(F.sum("w").alias("total_w"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("cum_w") >= F.col("total_w"))
+        .orderBy(F.col("v").asc())
+        .limit(1)
+        .select(
+            F.col("v").cast("double").alias("median_price"),
+            "total_w",
+            F.col("cum_w").alias("cum_w_at_median"),
+        )
+    )
+
+
+@_register(
+    "t15_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_orderdate
+    ),
+    cum AS (
+      SELECT d,
+             SUM(cents) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS s_t,
+             ROW_NUMBER() OVER (ORDER BY d) AS t
+      FROM daily
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS HUGEINT) AS total,
+                   CAST(COUNT(*) AS HUGEINT) AS n FROM daily)
+    SELECT strftime(d, '%Y-%m-%d') AS change_date,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(ABS(n * CAST(s_t AS HUGEINT) - CAST(t AS HUGEINT) * total)
+                AS VARCHAR) AS dev_num
+    FROM cum CROSS JOIN tot
+    ORDER BY ABS(n * CAST(s_t AS HUGEINT) - CAST(t AS HUGEINT) * total) DESC,
+             d ASC
+    LIMIT 1
+    """,
+)
+def t15_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily revenue series: the
+    day t maximizing |CUSUM_t| where CUSUM_t = sum_{i<=t}(x_i - mean)
+    — the classic single-changepoint estimator (Page 1954). ALL
+    arithmetic is exact integers: revenue in cents, and the deviation
+    scaled by n (|n*S_t - t*Total| = n*|CUSUM_t|) so no float mean is
+    ever formed; the argmax compares integers cross-engine, and the
+    deviation is emitted as a STRING (it can exceed 2^53 — the
+    OUTPUT SCHEMA RULE).
+
+    Scale shape: one groupBy(day), then ordered.global_prefix_sums for
+    S_t and t (range-partition + broadcast offsets — no
+    single-partition window), one broadcast 1-row total, one
+    TakeOrderedAndProject."""
+    from hi_csa_db_spark.operators import ordered
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+        .withColumn("one", F.lit(1))
+    )
+    cum = ordered.global_prefix_sums(daily, "d", ["cents", "one"])
+    tot = daily.agg(
+        F.sum("cents").cast("decimal(38,0)").alias("total"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    dev = F.abs(
+        F.col("n") * F.col("cum_cents").cast("decimal(38,0)")
+        - F.col("cum_one").cast("decimal(38,0)") * F.col("total")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("change_date"),
+            F.col("n").cast("long").alias("n_days"),
+            dev.alias("__dev"),
+        )
+        .orderBy(F.col("__dev").desc(), F.col("change_date").asc())
+        .limit(1)
+        .select(
+            "change_date",
+            "n_days",
+            F.col("__dev").cast("string").alias("dev_num"),
+        )
+    )
+
+
+@_register(
     "d12_containment_pairs",
     f"""
     WITH {_SHINGLE_SQL},
@@ -7364,6 +7498,63 @@ def rag1_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ret2_oracle_sql() -> str:
+    """Compose ret1's BM25 and s1's cosine oracles (verbatim, as scoped
+    subqueries) into a reciprocal-rank-fusion twin."""
+    return f"""
+    WITH bm0 AS (SELECT * FROM ({_ORACLES["ret1_bm25_topk"]}) t),
+    bm AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_bm25
+      FROM bm0
+    ),
+    cs0 AS (SELECT * FROM ({_ORACLES["s1_cosine_topk"]}) t),
+    cs AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS r_cos
+      FROM cs0
+    )
+    SELECT COALESCE(bm.doc_id, cs.doc_id) AS doc_id,
+           r_bm25, r_cos,
+           ROUND(COALESCE(1e0/(60 + r_bm25), 0e0)
+                 + COALESCE(1e0/(60 + r_cos), 0e0), 6) AS rrf
+    FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.doc_id
+    """
+
+
+@_register("ret2_rrf_fusion", _ret2_oracle_sql())
+def ret2_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the lexical and
+    dense retrievers: BM25 top-10 (ret1) and embedding-cosine top-10
+    (s1, vec_id = doc_id in the fixtures) fused as
+    sum(1/(60 + rank)) — the standard hybrid-retrieval combiner, which
+    needs only ranks, never score calibration across retrievers.
+    Candidate lists are top-k (broadcast-tiny at any corpus scale), so
+    the rank windows and the full-outer merge cost nothing; all the
+    heavy lifting stays in the two retrievers' own scalable plans."""
+    bm = ret1_bm25_topk(spark, sf_dir)
+    bm_r = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("r_bm25"),
+    )
+    cs = s1_cosine_topk(spark, sf_dir)
+    cs_r = cs.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()))
+        .alias("r_cos"),
+    )
+    fused = bm_r.join(cs_r, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("r_bm25")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_cos")), F.lit(0.0))
+    return fused.select(
+        "doc_id", "r_bm25", "r_cos", F.round(rrf, 6).alias("rrf")
+    )
+
+
 @_register(
     "x23_dsir_weights",
     """
@@ -7693,6 +7884,7 @@ _PRIORITY = (
     "x14_contamination", "x15_bigram_logprob", "x16_context_packing",
     # --- slot 51+: remaining never-sampled (checked if the driver ever
     # samples deeper), then banked greens via the dict-order tail ---
+    "ret2_rrf_fusion", "t15_cusum_changepoint", "a9_weighted_median",
     "x17_domain_mixture", "x18_global_shuffle_order",
     "pipe_training_prep_v2",
     "stream_session_windows", "stream_dedup_watermark",

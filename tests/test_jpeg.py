@@ -121,3 +121,35 @@ def test_decode_image_dispatches_jpeg():
     assert out.shape == (16, 16, 3)
     # quality-95 solid colour decodes within a pixel or two of source
     assert np.abs(out[0, 0].astype(int) - [10, 200, 30]).max() <= 3
+
+
+def test_420_subsampling_roundtrip():
+    x = np.linspace(0, 255, 45)
+    img = np.stack(
+        [np.tile(x, (33, 1)), np.tile(x[::-1], (33, 1)), np.full((33, 45), 90.0)],
+        axis=-1,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90, subsample="420"))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    # chroma is box-averaged 2x2; smooth content stays tight
+    assert err.mean() < 4 and err.max() <= 16
+
+
+def test_420_solid_matches_444_closed_form():
+    # a constant plane subsamples to the same constant, so the mm6
+    # closed form predicts 4:2:0 output identically to 4:4:4
+    for i in (3, 77, 200):
+        rgb = (i % 256, (i * 7) % 256, (i * 13) % 256)
+        img = np.full((16, 16, 3), rgb, np.uint8)
+        o444 = decode_jpeg(encode_jpeg(img, quality=75, subsample="444"))
+        o420 = decode_jpeg(encode_jpeg(img, quality=75, subsample="420"))
+        assert (o444[0, 0] == o420[0, 0]).all()
+        assert (o420.min(axis=(0, 1)) == o420.max(axis=(0, 1))).all()
+
+
+def test_420_odd_dims():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (19, 21, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=85, subsample="420"))
+    assert out.shape == img.shape
