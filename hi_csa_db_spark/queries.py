@@ -2266,6 +2266,68 @@ def t15_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "t16_trend_ma7",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    contrib AS (
+      SELECT d + CAST(i AS INT) * INTERVAL 1 DAY AS anchor, cents
+      FROM daily, UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS t(i)
+    ),
+    win AS (
+      SELECT anchor, SUM(cents) AS sum7, COUNT(*) AS n7
+      FROM contrib GROUP BY anchor
+    )
+    SELECT strftime(daily.d, '%Y-%m-%d') AS day,
+           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(sum7 / 700.0, 2) AS trend7,
+           ROUND(cents / 100.0 - sum7 / 700.0, 2) AS residual
+    FROM daily JOIN win ON win.anchor = CAST(daily.d AS TIMESTAMP)
+    WHERE n7 = 7
+    """,
+)
+def t16_trend_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend/residual decomposition of the daily revenue series: 7-day
+    CENTERED moving average (full windows only) and the residual the
+    anomaly tier (t7/t9) would then screen. Implemented as a calendar
+    BAND JOIN — each day contributes its exact integer cents to the 7
+    anchors it influences, then one groupBy(anchor) — a linear
+    shuffle-by-date plan, NOT the single-partition global window a
+    naive avg() OVER (ORDER BY day ROWS 3 PRECEDING...) would plan
+    (the same rewrite as the t10 interval join). Tie-free by
+    construction: sum7/700 can never land on an exact half at 2dp
+    (700 * (odd/200) is never an integer)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+        ).alias("cents")
+    )
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("i"), "d", "cents"
+    ).select(F.date_add(F.col("d"), F.col("i")).alias("anchor"), "cents")
+    win = contrib.groupBy("anchor").agg(
+        F.sum("cents").alias("sum7"), F.count(F.lit(1)).alias("n7")
+    )
+    return (
+        daily.join(win, daily["d"] == win["anchor"])
+        .filter(F.col("n7") == 7)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.col("sum7") / 700.0, 2).alias("trend7"),
+            F.round(F.col("cents") / 100.0 - F.col("sum7") / 700.0, 2).alias(
+                "residual"
+            ),
+        )
+    )
+
+
+@_register(
     "d12_containment_pairs",
     f"""
     WITH {_SHINGLE_SQL},
@@ -6894,6 +6956,66 @@ def x34_bpe_train_4rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokenize(F.lower(strip_punct(F.col("text"))))).alias("w")
     )
     return bpe_train(words, rounds=4)
+
+
+@_register(
+    "x35_shard_manifest",
+    """
+    WITH sh AS (
+      SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  AS BIGINT) AS shard,
+             doc_id,
+             length(text) AS n_chars,
+             CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)
+               % 2147483647 AS fp
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           CAST(SUM(fp) AS BIGINT) AS content_checksum
+    FROM sh GROUP BY shard
+    """,
+)
+def x35_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard EXPORT manifest: every document is
+    assigned to one of 16 shards by an id-hash (a pure function of the
+    id — stable across engines, re-runs, and cluster sizes, the same
+    contract as sample_hash_bucket), and each shard reports row count,
+    byte budget, id range, and an ORDER-INSENSITIVE content checksum
+    (commutative sum of 60-bit md5 fingerprints — f15's anti-entropy
+    trick). This is the manifest a sharded JSONL/parquet training
+    export writes next to its files so a consumer can verify every
+    shard without re-reading the corpus; at fleet scale the shard
+    column doubles as the partitionBy key of the actual write. One
+    narrow map + one 16-group aggregation; no shuffle beyond the
+    map-combined groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("long")
+    fp = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+        % 2147483647
+    )
+    return (
+        docs.select(
+            shard.alias("shard"),
+            F.col("doc_id"),
+            F.length("text").alias("n_chars"),
+            fp.alias("fp"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("fp").alias("content_checksum"),
+        )
+    )
 
 
 @_register(
