@@ -2010,6 +2010,74 @@ def t3_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "t17_ohlc_daily",
+    """
+    WITH b AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n,
+             epoch_us(ts) AS ts_us, event_id,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ),
+    o AS (
+      SELECT day_n, v AS open FROM (
+        SELECT day_n, v,
+               ROW_NUMBER() OVER (PARTITION BY day_n
+                                  ORDER BY ts_us ASC, event_id ASC) AS rn
+        FROM b) t WHERE rn = 1
+    ),
+    c AS (
+      SELECT day_n, v AS close FROM (
+        SELECT day_n, v,
+               ROW_NUMBER() OVER (PARTITION BY day_n
+                                  ORDER BY ts_us DESC, event_id DESC) AS rn
+        FROM b) t WHERE rn = 1
+    ),
+    hl AS (
+      SELECT day_n, COUNT(*) AS n, MAX(v) AS high, MIN(v) AS low
+      FROM b GROUP BY day_n
+    )
+    SELECT hl.day_n, n,
+           ROUND(CAST(open AS DOUBLE), 2) AS open,
+           ROUND(CAST(high AS DOUBLE), 2) AS high,
+           ROUND(CAST(low AS DOUBLE), 2) AS low,
+           ROUND(CAST(close AS DOUBLE), 2) AS close
+    FROM hl JOIN o USING (day_n) JOIN c USING (day_n)
+    """,
+)
+def t17_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars over the event value series — the time-series
+    downsampling every monitoring/market pipeline runs. Open/close are
+    argmin/argmax BY (time, event_id) via single struct-min/max
+    aggregates (ONE map-combined groupBy for all six outputs — no
+    window, no self-join; the struct's lexicographic order encodes the
+    deterministic tie-break), values kept DECIMAL-exact until the
+    rounded output. The oracle cross-checks with the explicit
+    row_number formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.expr("ts_ns div 1000 div 86400000000").alias("day_n"),
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    agg = b.groupBy("day_n").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct("ts_us", "event_id", "v")).alias("__o"),
+        F.max(F.struct("ts_us", "event_id", "v")).alias("__c"),
+        F.max("v").alias("__high"),
+        F.min("v").alias("__low"),
+    )
+    return agg.select(
+        "day_n",
+        "n",
+        F.round(F.col("__o.v").cast("double"), 2).alias("open"),
+        F.round(F.col("__high").cast("double"), 2).alias("high"),
+        F.round(F.col("__low").cast("double"), 2).alias("low"),
+        F.round(F.col("__c.v").cast("double"), 2).alias("close"),
+    )
+
+
+@_register(
     "t7_zscore_outliers",
     """
     WITH s AS (
