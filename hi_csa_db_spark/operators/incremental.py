@@ -122,3 +122,35 @@ def read_rollup(spark, table_path: str, version: int | None = None) -> DataFrame
     from hi_csa_db_spark.sources import txlog
 
     return finalize(txlog.read_table(spark, table_path, version))
+
+
+def delta_join(
+    old_left: DataFrame,
+    delta_left: DataFrame,
+    old_right: DataFrame,
+    delta_right: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental maintenance of an INNER-JOIN view under insert-only
+    deltas — the classic IVM identity:
+
+        Δ(L ⋈ R) = (ΔL ⋈ R_old) ∪ (L_old ⋈ ΔR) ∪ (ΔL ⋈ ΔR)
+
+    Returns exactly the rows to APPEND to the materialized join view
+    (multiset semantics — unionAll, no dedup), so
+    view_new = view_old ∪ delta_join(...) bit-exactly; composed with
+    agg_state/merge_states this maintains an aggregate-over-join view
+    end to end without ever re-joining history.
+
+    Scale: the two cross terms join a DELTA against a base — Catalyst
+    broadcasts the delta side when small (the common case), and a
+    key-range-partitioned base means only intersecting partitions are
+    read; ΔL ⋈ ΔR is delta-sized. History-size work never happens —
+    that is the point."""
+    cols = delta_left.join(old_right.limit(0), on).columns
+    return (
+        delta_left.join(old_right, on)
+        .select(*cols)
+        .unionByName(old_left.join(delta_right, on).select(*cols))
+        .unionByName(delta_left.join(delta_right, on).select(*cols))
+    )

@@ -118,9 +118,17 @@ def test_resize_nearest():
     assert np.array_equal(out[0, 0], img[0, 0])
 
 
-def test_unsupported_jpeg_raises():
-    with pytest.raises(codecs.UnsupportedMedia):
+def test_jpeg_now_decodes_for_real():
+    # JPEG graduated from recognized-but-undecodable to a real kernel
+    # (functions/jpeg.py); a jpeg-magic payload now hits that decoder —
+    # malformed streams raise its ValueError, valid ones round-trip.
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+    from hi_csa_db_spark.functions.jpeg import encode_jpeg
+
+    img = _rand_img(8, 8, 3, seed=21)
+    out = multimodal.decode_image(encode_jpeg(img, quality=95))
+    assert out.shape == img.shape
 
 
 def test_extract_features_real_decode_branch(spark):

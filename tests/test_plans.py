@@ -86,6 +86,10 @@ _NLJ_ALLOWED = {
     "u8_fk_conformance",  # four 1-row orphan-count aggregates composed
     "f15_table_checksum",  # two 1-row checksum aggregates composed
     "s5_batch_knn",  # 5-row probe-batch broadcast
+    "stats_ks_test",  # 1-row (n1, n2) sample-size broadcast
+    "t15_cusum_changepoint",  # 1-row (total, n) broadcast
+    "a9_weighted_median",  # 1-row total-weight broadcast
+    "ret2_rrf_fusion",  # 1-row broadcasts inside ret1/s1 subplans
 }
 
 

@@ -170,3 +170,57 @@ def test_global_prefix_sums_partition_count_invariance(spark):
     a = ordered.global_prefix_sums(df, "k", ["a", "b"], num_partitions=4)
     b = ordered.global_prefix_sums(df, "k", ["a", "b"], num_partitions=17)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# delta_join (incremental view maintenance)
+# ---------------------------------------------------------------------------
+
+
+def _multiset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_delta_join_identity(spark):
+    import random
+
+    rng = random.Random(5)
+    lrows = [(rng.randint(0, 20), i, f"l{i}") for i in range(300)]
+    rrows = [(rng.randint(0, 20), i, i * 10) for i in range(200)]
+    L = spark.createDataFrame(lrows, "k long, lid long, lval string")
+    R = spark.createDataFrame(rrows, "k long, rid long, rval long")
+    old_l, delta_l = L.filter("lid < 250"), L.filter("lid >= 250")
+    old_r, delta_r = R.filter("rid < 150"), R.filter("rid >= 150")
+
+    from hi_csa_db_spark.operators.incremental import delta_join
+
+    view_old = old_l.join(old_r, ["k"])
+    appended = delta_join(old_l, delta_l, old_r, delta_r, ["k"])
+    maintained = view_old.unionByName(appended)
+    assert _multiset(maintained) == _multiset(L.join(R, ["k"]))
+
+
+def test_delta_join_feeds_incremental_aggregate(spark):
+    # aggregate-over-join maintenance: merge_states(state(view_old),
+    # state(delta_join)) == state(full join) — bit-exact
+    from hi_csa_db_spark.operators import incremental as inc
+
+    L = spark.createDataFrame(
+        [(k, i, float(i)) for i, k in enumerate([1, 1, 2, 2, 3] * 20)],
+        "k long, lid long, v double",
+    )
+    R = spark.createDataFrame(
+        [(k, j) for j, k in enumerate([1, 2, 2, 3] * 10)],
+        "k long, rid long",
+    )
+    old_l, delta_l = L.filter("lid < 70"), L.filter("lid >= 70")
+    old_r, delta_r = R.filter("rid < 30"), R.filter("rid >= 30")
+    view_old = old_l.join(old_r, ["k"])
+    appended = inc.delta_join(old_l, delta_l, old_r, delta_r, ["k"])
+    merged = inc.merge_states(
+        inc.agg_state(view_old, ["k"], "v"),
+        inc.agg_state(appended, ["k"], "v"),
+        ["k"],
+    )
+    direct = inc.agg_state(L.join(R, ["k"]), ["k"], "v")
+    assert _multiset(merged) == _multiset(direct)
