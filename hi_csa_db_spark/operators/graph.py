@@ -14,7 +14,7 @@ bucketed by src so the frontier join is shuffle-free on one side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -209,3 +209,47 @@ def bfs(
         visited = visited.unionByName(new_nodes)
         frontier = new_nodes.select("node")
     return visited
+
+
+def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """Community detection by MAJORITY label propagation (Raghavan et
+    al. 2007): label_0(v) = v; each synchronous round re-labels every
+    node with the most frequent label among its neighbours (ties break
+    to the smallest label — fully deterministic, unlike the randomized
+    original). The fourth iterative-graph pattern beside value
+    propagation (pagerank), min propagation (components), and peeling
+    (k-core): this one needs a per-node ARGMAX aggregate per round.
+
+    Per round: one join edge-list x labels + one (node, label) count +
+    one per-node top-1 window — all shuffled on the node key; at
+    cluster scale the edge list stays bucketed by src like
+    pagerank/bfs, and the window's per-node group is bounded by the
+    node's distinct neighbour labels (<= degree).
+    """
+    ud = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = ud.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    for _ in range(iterations):
+        counts = (
+            ud.join(labels, ud["dst"] == labels["id"])
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.col("__n").desc(), F.col("lbl").asc()
+        )
+        top = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("src", F.col("lbl").alias("__new"))
+        )
+        labels = labels.join(top, labels["id"] == top["src"], "left").select(
+            "id", F.coalesce("__new", F.col("lbl")).alias("lbl")
+        )
+    return labels

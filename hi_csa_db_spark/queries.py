@@ -3960,6 +3960,70 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "graph_labelprop",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+      FROM lineitem WHERE l_partkey < 200
+    ),
+    ud AS (
+      SELECT src, dst FROM edges
+      UNION SELECT dst AS src, src AS dst FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM ud),
+    l0 AS (SELECT id, id AS lbl FROM nodes),
+    c1 AS (
+      SELECT e.src, l.lbl, COUNT(*) AS n
+      FROM ud e JOIN l0 l ON l.id = e.dst GROUP BY e.src, l.lbl
+    ),
+    w1 AS (
+      SELECT src, lbl FROM (
+        SELECT src, lbl,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY n DESC, lbl ASC) AS rn
+        FROM c1) t WHERE rn = 1
+    ),
+    l1 AS (
+      SELECT n.id, COALESCE(w.lbl, l.lbl) AS lbl
+      FROM nodes n JOIN l0 l ON l.id = n.id
+      LEFT JOIN w1 w ON w.src = n.id
+    ),
+    c2 AS (
+      SELECT e.src, l.lbl, COUNT(*) AS n
+      FROM ud e JOIN l1 l ON l.id = e.dst GROUP BY e.src, l.lbl
+    ),
+    w2 AS (
+      SELECT src, lbl FROM (
+        SELECT src, lbl,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY n DESC, lbl ASC) AS rn
+        FROM c2) t WHERE rn = 1
+    ),
+    l2 AS (
+      SELECT n.id, COALESCE(w.lbl, l.lbl) AS lbl
+      FROM nodes n JOIN l1 l ON l.id = n.id
+      LEFT JOIN w2 w ON w.src = n.id
+    )
+    SELECT id, lbl FROM l2
+    """,
+)
+def graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by MAJORITY label propagation (Raghavan et
+    al. 2007, determinized: synchronous rounds, ties to the smallest
+    label) over the part-supplier subgraph — the fourth iterative-
+    graph pattern (argmax aggregate per round) beside pagerank's
+    value propagation, components' min propagation, and k-core's
+    peeling. Two rounds, unrolled as CTEs in the oracle so every
+    intermediate labelling is value-checked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_partkey") < 200).select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+    )
+    return graph.label_propagation(edges, iterations=2)
+
+
+@_register(
     "x8_bigram_counts",
     """
     WITH toks AS (
@@ -4514,6 +4578,68 @@ def u5_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", F.lit("PLATINUM").alias("segment"))
     )
     return upsert(base, updates, keys=["c_custkey"])
+
+
+@_register(
+    "u10_cdc_apply",
+    """
+    WITH log AS (
+      SELECT o_custkey AS k,
+             o_orderdate AS seq_ts, o_orderkey AS seq_id,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(o_totalprice AS DECIMAL(15,2)) AS val
+      FROM orders
+    ),
+    latest AS (
+      SELECT k, op, val,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY seq_ts DESC, seq_id DESC) AS rn
+      FROM log
+    ),
+    counts AS (SELECT k, COUNT(*) AS n_ops FROM log GROUP BY k)
+    SELECT l.k AS key, CAST(l.val AS DOUBLE) AS current_val, c.n_ops
+    FROM latest l JOIN counts c ON c.k = l.k
+    WHERE l.rn = 1 AND l.op <> 'D'
+    """,
+)
+def u10_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog APPLY with tombstones: a change stream of
+    upserts and deletes (synthesized deterministically from orders:
+    every 10th order key is a delete) collapses to the final state —
+    last writer wins per key in (event-time, id) order, and a
+    trailing delete removes the key entirely. Completes the mutation
+    family: u5 = upsert without deletes, u7 = full history (SCD2),
+    u10 = latest-state materialization of a real changelog, i.e. what
+    a Debezium/OLTP-extract compaction does.
+
+    One shuffle on the key serves both the last-writer window and the
+    op count; deletes drop AFTER the window so a delete-then-reinsert
+    sequence resolves correctly."""
+    o = load_table(spark, sf_dir, "orders")
+    log = o.select(
+        F.col("o_custkey").alias("k"),
+        # ordering key only (never output): the raw NTZ timestamp
+        # compares identically on both engines with zero tz exposure
+        F.col("o_orderdate").alias("seq_ts"),
+        F.col("o_orderkey").alias("seq_id"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").cast("decimal(15,2)").alias("val"),
+    )
+    w = Window.partitionBy("k").orderBy(
+        F.col("seq_ts").desc(), F.col("seq_id").desc()
+    )
+    latest = log.select(
+        "k", "op", "val", F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("k")).alias("n_ops"),
+    )
+    return (
+        latest.filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            F.col("k").alias("key"),
+            F.col("val").cast("double").alias("current_val"),
+            "n_ops",
+        )
+    )
 
 
 @_register(
@@ -8075,6 +8201,8 @@ _PRIORITY = (
     # --- slot 51+: remaining never-sampled (checked if the driver ever
     # samples deeper), then banked greens via the dict-order tail ---
     "ret2_rrf_fusion", "t15_cusum_changepoint", "a9_weighted_median",
+    "x35_shard_manifest", "t16_trend_ma7", "t17_ohlc_daily",
+    "u10_cdc_apply", "graph_labelprop",
     "x17_domain_mixture", "x18_global_shuffle_order",
     "pipe_training_prep_v2",
     "stream_session_windows", "stream_dedup_watermark",
