@@ -1022,6 +1022,115 @@ def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "d14_minhash_calibration",
+    f"""
+    WITH {_SHINGLE_SQL},
+    seeds AS (SELECT unnest(range(0, 16)) AS seed),
+    hh AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h1,
+             CAST('0x' || substring(md5(shingle), 16, 12) AS BIGINT) * 2 + 1 AS h2
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, seed,
+             MIN((h1 + seed * h2) % 1152921504606846976) AS mh
+      FROM hh CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             md5(band::VARCHAR || '|' || string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bkey
+      FROM (SELECT doc_id, seed, mh, seed // 2 AS band FROM mh)
+      GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                               AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS m
+      FROM cand c JOIN mh a ON a.doc_id = c.id_a
+                  JOIN mh b ON b.doc_id = c.id_b AND b.seed = a.seed
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ic
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT ROUND(ABS(e.m / 16e0
+                       - i.ic / (sa.sz + sb.sz - i.ic)), 8) AS err
+      FROM est e JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+                 JOIN sizes sa ON sa.doc_id = e.id_a
+                 JOIN sizes sb ON sb.doc_id = e.id_b
+    )
+    SELECT COUNT(*) AS n_pairs,
+           ROUND(CAST(SUM(CAST(err AS DECIMAL(12,8))) AS DOUBLE)
+                 / COUNT(*), 6) AS mae,
+           ROUND(MAX(err), 6) AS max_err
+    FROM terms
+    """,
+)
+def d14_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ACCURACY AUDIT: over the LSH candidate pairs, compare
+    the 16-hash signature estimate (matching components / 16 — the
+    unbiased Jaccard estimator) against the exact shingle-set Jaccard,
+    reporting MAE and worst-case error. This is the calibration a
+    dedup pipeline runs when choosing num_hashes/banding — it verifies
+    the estimator the banding trusts, on exactly the pairs the banding
+    surfaces. Per-pair errors are 8dp-rounded and DECIMAL-summed so
+    the reduction is order-independent cross-engine.
+
+    Scale: reuses the d2 machinery (signature = one groupBy, candidates
+    = band equi-join); the extra estimate join is pair x 16 seeds —
+    linear in candidates, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, n=3)
+    sigs = dedup.minhash_signatures(sh)
+    cand = dedup.lsh_candidate_pairs(sigs)
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("ss"), F.count(F.lit(1)).alias("sz")
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("ss").alias("ss_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("ss").alias("ss_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    ga = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    gb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    j = cand.join(sa, "id_a").join(sb, "id_b").join(ga, "id_a").join(gb, "id_b")
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b
+        )
+    )
+    ic = F.size(F.array_intersect("ss_a", "ss_b"))
+    err = F.round(
+        F.abs(
+            matches / F.lit(16.0)
+            - ic / (F.col("sz_a") + F.col("sz_b") - ic)
+        ),
+        8,
+    )
+    return j.select(err.alias("err")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("err").cast("decimal(12,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mae"),
+        F.round(F.max("err"), 6).alias("max_err"),
+    )
+
+
 # d6's LSH -> verify -> label-propagation pipeline as reusable oracle
 # CTEs (through `l3`: one (id, lbl) row per clustered doc) — shared
 # with d10_quality_survivors.
@@ -8202,7 +8311,7 @@ _PRIORITY = (
     # samples deeper), then banked greens via the dict-order tail ---
     "ret2_rrf_fusion", "t15_cusum_changepoint", "a9_weighted_median",
     "x35_shard_manifest", "t16_trend_ma7", "t17_ohlc_daily",
-    "u10_cdc_apply", "graph_labelprop",
+    "u10_cdc_apply", "graph_labelprop", "d14_minhash_calibration",
     "x17_domain_mixture", "x18_global_shuffle_order",
     "pipe_training_prep_v2",
     "stream_session_windows", "stream_dedup_watermark",
