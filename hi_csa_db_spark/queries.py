@@ -3201,6 +3201,139 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q7_volume_shipping",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           ROUND(CAST(SUM(
+             CAST(l_extendedprice AS DECIMAL(14,2))
+             * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+           ) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s_nationkey
+    JOIN nation nc ON nc.n_nationkey = c_nationkey
+    WHERE ((ns.n_name = 'NATION_18' AND nc.n_name = 'NATION_19')
+        OR (ns.n_name = 'NATION_19' AND nc.n_name = 'NATION_18'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): the 6-table snowflake with TWO roles
+    of the same dimension (nation joined once through the supplier and
+    once through the customer) and a cross-role disjunctive filter
+    (fixture nations are synthetic NATION_k names; 18/19 stand in for
+    the spec's FRANCE/GERMANY).
+    Both nation joins broadcast (25 rows); the fact-side joins shuffle
+    on their keys; revenue decimal-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("__ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("__nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("__ns_key") == F.col("s_nationkey"))
+        .join(F.broadcast(nc), F.col("__nc_key") == F.col("c_nationkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19"))
+            | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.round(F.sum(_disc_price()).cast("double"), 2).alias("revenue"))
+
+
+@_register(
+    "q13_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT outer join
+    so zero-order customers survive with c_count 0, then a second
+    aggregation over the first's output — the double-aggregation
+    histogram shape. COUNT(o_orderkey) (not COUNT(*)) is what makes
+    the outer join's null rows count as zero."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(
+               CAST(l_extendedprice AS DECIMAL(14,2))
+               * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+             ) AS DECIMAL(28,4)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           ROUND(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+    FROM supplier JOIN revenue ON supplier_no = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the view-plus-global-max shape — the
+    revenue aggregate is compared against ITS OWN max, keeping ALL
+    tied suppliers (unlike a LIMIT 1, which would drop ties). The max
+    enters as a 1-row broadcast against the aggregate (aggregate-sized,
+    not fact-sized); equality compares EXACT decimals, never doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_disc_price()).cast("decimal(28,4)").alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        s.join(revenue, F.col("supplier_no") == F.col("s_suppkey"))
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@_register(
     "stats_chi2_assoc",
     """
     WITH o AS (
@@ -8348,6 +8481,7 @@ _PRIORITY = (
     "f_map_suite", "f_array_suite", "f_array_suite2", "f_null_suite",
     "f_bitwise", "f_conditional_suite", "f7b_extract_all",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q8_market_share",
+    "q7_volume_shipping", "q13_customer_distribution", "q15_top_supplier",
     "q10_returned_items", "q14_promo_revenue", "q18_large_orders",
     "pipe_training_prep", "pipe_reference_replay",
 )
