@@ -2364,6 +2364,58 @@ def a9_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a10_weighted_deciles",
+    """
+    WITH vals AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(15,2)) AS v,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw
+      FROM vals
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM vals),
+    hits AS (
+      SELECT CAST(d AS INT) AS decile, v
+      FROM cum CROSS JOIN tot, UNNEST(range(1, 10)) AS t(d)
+      WHERE 10 * cw >= d * total_w
+    )
+    SELECT decile, CAST(MIN(v) AS DOUBLE) AS value
+    FROM hits GROUP BY decile
+    """,
+)
+def a10_weighted_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL nine exact weighted deciles in ONE pass — a9's claim made
+    concrete: decile d = smallest v with 10*cum_weight >= d*total
+    (pure integer tests, no float quantile interpolation anywhere).
+    The cumulated value table is computed once (global_prefix_sums)
+    and served to all nine thresholds by a 9-way explode + min — the
+    marginal cost of eight more quantiles is one tiny aggregation."""
+    from hi_csa_db_spark.operators import ordered
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.groupBy(
+        F.col("l_extendedprice").cast("decimal(15,2)").alias("v")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    cum = ordered.global_prefix_sums(vals, "v", ["w"])
+    tot = vals.agg(F.sum("w").alias("total_w"))
+    hits = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("decile"),
+            "v",
+            "cum_w",
+            "total_w",
+        )
+        .filter(10 * F.col("cum_w") >= F.col("decile") * F.col("total_w"))
+    )
+    return hits.groupBy("decile").agg(
+        F.min("v").cast("double").alias("value")
+    )
+
+
+@_register(
     "t15_cusum_changepoint",
     """
     WITH daily AS (
@@ -8445,6 +8497,7 @@ _PRIORITY = (
     "ret2_rrf_fusion", "t15_cusum_changepoint", "a9_weighted_median",
     "x35_shard_manifest", "t16_trend_ma7", "t17_ohlc_daily",
     "u10_cdc_apply", "graph_labelprop", "d14_minhash_calibration",
+    "a10_weighted_deciles",
     "x17_domain_mixture", "x18_global_shuffle_order",
     "pipe_training_prep_v2",
     "stream_session_windows", "stream_dedup_watermark",
