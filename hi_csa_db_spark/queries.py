@@ -6018,6 +6018,18 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.dedup_within_watermark(spark, sf_dir)
 
 
+@_register("stream_ohlc_daily")
+def stream_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t17's one-pass OHLC (struct-argmin/argmax with deterministic
+    tie-breaks) run UNDER THE STREAMING PLANNER in a watermarked 1-day
+    tumbling window — custom downsampling aggregates compose with
+    stateful streaming aggregation unchanged. Batch-equivalence pinned
+    in tests/test_streaming_multimodal.py."""
+    from hi_csa_db_spark.streaming import windows
+
+    return windows.ohlc_daily(spark, sf_dir)
+
+
 @_register("stream_stateful_totals")
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user

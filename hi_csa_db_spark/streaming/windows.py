@@ -267,3 +267,38 @@ def upsert_sink(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+def ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC downsampling UNDER THE STREAMING PLANNER: the same
+    one-pass struct-argmin/argmax aggregation as the batch
+    t17_ohlc_daily, inside a watermarked 1-day tumbling window —
+    proving the custom deterministic-tie-break aggregate composes with
+    stateful streaming aggregation (struct min/max are just aggregates
+    to the state store). Complete-mode memory sink, AvailableNow."""
+    ev = read_events_stream(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,2)")
+    windowed = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct(F.col("ts_ns"), F.col("event_id"), v.alias("v"))).alias(
+                "__o"
+            ),
+            F.max(F.struct(F.col("ts_ns"), F.col("event_id"), v.alias("v"))).alias(
+                "__c"
+            ),
+            F.max(v).alias("__high"),
+            F.min(v).alias("__low"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(F.col("__o.v").cast("double"), 2).alias("open"),
+            F.round(F.col("__high").cast("double"), 2).alias("high"),
+            F.round(F.col("__low").cast("double"), 2).alias("low"),
+            F.round(F.col("__c.v").cast("double"), 2).alias("close"),
+        )
+    )
+    return _run_to_memory(windowed, "stream_ohlc_daily", "complete")

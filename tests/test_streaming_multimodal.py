@@ -223,3 +223,32 @@ def test_stream_incremental_dedup_matches_batch_probe(spark, sf_dir):
     assert {tuple(r) for r in streamed.collect()} == {
         tuple(r) for r in batch.collect()
     }
+
+
+def test_stream_ohlc_matches_batch(spark, sf_dir):
+    from hi_csa_db_spark.catalog import load_table
+
+    streamed = windows.ohlc_daily(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    batch = (
+        ev.groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct(F.col("ts_ns"), F.col("event_id"), v.alias("v"))).alias("__o"),
+            F.max(F.struct(F.col("ts_ns"), F.col("event_id"), v.alias("v"))).alias("__c"),
+            F.max(v).alias("__high"),
+            F.min(v).alias("__low"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(F.col("__o.v").cast("double"), 2).alias("open"),
+            F.round(F.col("__high").cast("double"), 2).alias("high"),
+            F.round(F.col("__low").cast("double"), 2).alias("low"),
+            F.round(F.col("__c.v").cast("double"), 2).alias("close"),
+        )
+    )
+    assert {tuple(r) for r in streamed.collect()} == {
+        tuple(r) for r in batch.collect()
+    }
