@@ -89,6 +89,7 @@ _NLJ_ALLOWED = {
     "stats_ks_test",  # 1-row (n1, n2) sample-size broadcast
     "t15_cusum_changepoint",  # 1-row (total, n) broadcast
     "a9_weighted_median",  # 1-row total-weight broadcast
+    "a10_weighted_deciles",  # same 1-row total-weight broadcast
     "ret2_rrf_fusion",  # 1-row broadcasts inside ret1/s1 subplans
 }
 
