@@ -10,9 +10,10 @@ reference's media-ingest surface (hi-csa-db reads scraped page assets;
 see SURVEY.md §2.1) without any external codec library.
 
 Scope: baseline sequential DCT, 8-bit, single interleaved scan,
-sampling factors 1x1 (4:4:4) or 2x2 luma (4:2:0) on decode; the
-encoder emits 4:4:4. Progressive (SOF2), arithmetic coding, and
-restart intervals are out of scope and raise cleanly.
+sampling factors in {1, 2} (4:4:4 and 4:2:0 on both encode and
+decode), DRI/RSTn restart intervals (the camera-JPEG error-resilience
+layout) with sequence checking and DC-predictor resets. Progressive
+(SOF2) and arithmetic coding are out of scope and raise cleanly.
 
 Determinism contract (relied on by the mm6 oracle): quantization and
 all pixel roundings use HALF-AWAY-FROM-ZERO (sign * floor(|x| + 0.5)),
@@ -268,6 +269,19 @@ class _BitReader:
                 return sym
         raise ValueError("jpeg: invalid Huffman code")
 
+    def sync_restart(self, expected: int) -> None:
+        """Consume a restart marker at an MCU-row boundary (E.2.4):
+        drop the padding bits of the current byte, then expect
+        FFD0+expected (modulo-8 sequence checked)."""
+        self._nbits = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("jpeg: truncated at restart marker")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != (
+            0xD0 + (expected & 7)
+        ):
+            raise ValueError("jpeg: missing/mis-sequenced restart marker")
+        self.pos += 2
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """(ssss, value-bits) per F.1.2.1.1: negatives store v - 1 in
@@ -363,13 +377,18 @@ def _write_block(
 
 
 def encode_jpeg(
-    arr: np.ndarray, quality: int = 75, subsample: str = "444"
+    arr: np.ndarray,
+    quality: int = 75,
+    subsample: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode HxWx3 uint8 RGB (or HxW grayscale) to a baseline
     sequential JFIF byte stream with Annex K Huffman tables.
     subsample: '444' (one block per component per MCU) or '420'
     (2x2 luma sampling with box-averaged chroma — the common
-    photographic layout)."""
+    photographic layout). restart_interval > 0 emits a DRI segment
+    and RSTn markers every that-many MCUs (DC prediction resets at
+    each — the error-resilience layout camera JPEGs use)."""
     if subsample not in ("444", "420"):
         raise ValueError("jpeg: subsample must be '444' or '420'")
     if arr.ndim == 2:
@@ -412,16 +431,27 @@ def encode_jpeg(
 
     writer = _BitWriter()
     prev_dc = [0] * nc
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci in range(nc):
-                sh, sv = samp[ci]
-                for v_i in range(sv):
-                    for h_i in range(sh):
-                        zz = grids[ci][my * sv + v_i][mx * sh + h_i]
-                        prev_dc[ci] = _write_block(
-                            writer, zz, prev_dc[ci], dc_codes[ci], ac_codes[ci]
-                        )
+    n_mcus = mcus_x * mcus_y
+    rst = 0
+    for mcu_idx in range(n_mcus):
+        my, mx = divmod(mcu_idx, mcus_x)
+        for ci in range(nc):
+            sh, sv = samp[ci]
+            for v_i in range(sv):
+                for h_i in range(sh):
+                    zz = grids[ci][my * sv + v_i][mx * sh + h_i]
+                    prev_dc[ci] = _write_block(
+                        writer, zz, prev_dc[ci], dc_codes[ci], ac_codes[ci]
+                    )
+        if (
+            restart_interval
+            and mcu_idx + 1 < n_mcus
+            and (mcu_idx + 1) % restart_interval == 0
+        ):
+            writer.flush()
+            writer.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            prev_dc = [0] * nc
     writer.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -444,6 +474,8 @@ def encode_jpeg(
     for tc_th, bits, vals in huff_defs:
         out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
         out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for ci in range(nc):
@@ -472,6 +504,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None
     scan_comps = None
     data_start = None
+    restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
@@ -513,8 +546,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             frame = {"h": fh, "w": fw, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("jpeg: only baseline sequential DCT supported")
-        elif marker == 0xDD:
-            raise ValueError("jpeg: restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scan_comps = []
@@ -545,39 +578,44 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     by_id = {c["id"]: i for i, c in enumerate(comps)}
     reader = _BitReader(payload[data_start:])
     prev_dc = [0] * len(comps)
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for sc in scan_comps:
-                ci = by_id[sc["id"]]
-                c = comps[ci]
-                for v_i in range(c["v"]):
-                    for h_i in range(c["h"]):
-                        zz = np.zeros(64, np.int64)
-                        ssss = reader.read_symbol(huff[(0, sc["td"])])
-                        diff = _extend(reader.read_bits(ssss), ssss)
-                        prev_dc[ci] += diff
-                        zz[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.read_symbol(huff[(1, sc["ta"])])
-                            r, s = rs >> 4, rs & 0x0F
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += r
-                            if k > 63:
-                                raise ValueError("jpeg: AC index overflow")
-                            zz[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        block = (zz[_UNZIGZAG].reshape(8, 8) * quants[c["tq"]]).astype(
-                            np.float64
-                        )
-                        pix = _D.T @ block @ _D + 128.0
-                        py = (my * c["v"] + v_i) * 8
-                        px = (mx * c["h"] + h_i) * 8
-                        planes[ci][py : py + 8, px : px + 8] = pix
+    rst_seq = 0
+    for mcu_idx in range(mcus_y * mcus_x):
+        my, mx = divmod(mcu_idx, mcus_x)
+        if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+            reader.sync_restart(rst_seq)
+            rst_seq += 1
+            prev_dc = [0] * len(comps)
+        for sc in scan_comps:
+            ci = by_id[sc["id"]]
+            c = comps[ci]
+            for v_i in range(c["v"]):
+                for h_i in range(c["h"]):
+                    zz = np.zeros(64, np.int64)
+                    ssss = reader.read_symbol(huff[(0, sc["td"])])
+                    diff = _extend(reader.read_bits(ssss), ssss)
+                    prev_dc[ci] += diff
+                    zz[0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.read_symbol(huff[(1, sc["ta"])])
+                        r, s = rs >> 4, rs & 0x0F
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("jpeg: AC index overflow")
+                        zz[k] = _extend(reader.read_bits(s), s)
+                        k += 1
+                    block = (zz[_UNZIGZAG].reshape(8, 8) * quants[c["tq"]]).astype(
+                        np.float64
+                    )
+                    pix = _D.T @ block @ _D + 128.0
+                    py = (my * c["v"] + v_i) * 8
+                    px = (mx * c["h"] + h_i) * 8
+                    planes[ci][py : py + 8, px : px + 8] = pix
 
     h, w = frame["h"], frame["w"]
     out_planes = []

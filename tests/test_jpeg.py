@@ -153,3 +153,35 @@ def test_420_odd_dims():
     img = rng.integers(0, 256, (19, 21, 3), dtype=np.uint8)
     out = decode_jpeg(encode_jpeg(img, quality=85, subsample="420"))
     assert out.shape == img.shape
+
+
+def test_restart_markers_roundtrip_identical():
+    # RSTn markers + DC-predictor resets must not change decoded output
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    for ri in (1, 3, 7):
+        payload = encode_jpeg(img, quality=85, restart_interval=ri)
+        assert b"\xff\xdd" in payload  # DRI present
+        assert (decode_jpeg(payload) == base).all()
+
+
+def test_restart_markers_with_420():
+    rng = np.random.default_rng(32)
+    img = rng.integers(0, 256, (33, 41, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=85, subsample="420"))
+    out = decode_jpeg(
+        encode_jpeg(img, quality=85, subsample="420", restart_interval=2)
+    )
+    assert (out == base).all()
+
+
+def test_missequenced_restart_detected():
+    img = np.zeros((24, 24, 3), np.uint8)
+    payload = bytearray(encode_jpeg(img, quality=75, restart_interval=1))
+    # corrupt the first restart marker's sequence number (D0 -> D5)
+    idx = payload.find(b"\xff\xd0", payload.find(b"\xff\xda"))
+    assert idx > 0
+    payload[idx + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(payload))
