@@ -10,11 +10,14 @@ not stubbed:
 - BMP  (Windows BITMAPINFOHEADER): uncompressed 24/32-bit BI_RGB.
 - PPM/PGM (netpbm P6/P5): binary 8-bit.
 - WAV  (RIFF PCM): stdlib ``wave``, 8/16/32-bit PCM.
+- GIF  (GIF87a/89a): REAL LZW both directions (variable code widths,
+  dictionary resets, sub-block framing), interlace, colour tables.
+- JPEG lives in functions/jpeg.py (baseline ITU-T T.81, pure numpy:
+  DCT, Annex K Huffman, 4:4:4/4:2:0, DRI/RSTn restarts).
 
-Formats that genuinely need an entropy-coded codec (JPEG, MP3, H.264)
-remain behind NotImplementedError — wire Pillow/ffmpeg there in a full
-deployment. Everything here runs inside Arrow-batched mapInPandas on
-executors; nothing touches the driver.
+Only video (MP3, H.264) still needs an external codec — wire ffmpeg
+there in a full deployment. Everything here runs inside Arrow-batched
+mapInPandas on executors; nothing touches the driver.
 """
 
 from __future__ import annotations

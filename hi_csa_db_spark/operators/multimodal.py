@@ -4,12 +4,12 @@ BASELINE.json mandate: image/audio/video travel as ``binary`` columns
 with a metadata struct; decode / feature-extract / resize / frame-
 sample run as Arrow-batched pandas functions over mapInPandas.
 
-Decode kernels: PNG/BMP/PPM images and PCM WAV audio are decoded for
-REAL (pure numpy + stdlib zlib/wave, functions/codecs.py). Formats
-that need an entropy-coded codec (JPEG, MP3, H.264) fall back to a
+Decode kernels: PNG/BMP/PPM/GIF/JPEG images and PCM WAV audio are
+decoded for REAL (pure numpy + stdlib, functions/codecs.py +
+functions/jpeg.py — including baseline JPEG per ITU-T T.81 and real
+GIF LZW). Unknown formats and video (MP3, H.264) fall back to a
 clearly-marked deterministic md5 feature so the distributed plumbing
-still runs on any payload; wire Pillow/ffmpeg there in a full
-deployment.
+still runs on any payload; wire ffmpeg there in a full deployment.
 
 Scale notes: payloads stay opaque end-to-end (no driver collect);
 feature extraction is a narrow map; partition by content-size bands
