@@ -18,3 +18,16 @@ def test_training_corpus_pipeline_runs(tmp_path, sf_dir):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "kept after gates+dedup+resample" in r.stdout
     assert "txlog" in r.stdout
+
+
+def test_multimodal_media_pipeline_runs():
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "multimodal_media_pipeline.py"),
+         "12"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "exact binary duplicates (content-hash groups > 1): 1" in r.stdout
+    assert "dominant FFT bin mismatches synthesis: 0" in r.stdout
+    assert r.stdout.strip().endswith("OK")
