@@ -81,6 +81,7 @@ _NLJ_ALLOWED = {
     "x23_dsir_weights",  # 1-row LM-normalizer (t_s, t_t, v) broadcast
     "x24_dsir_resample",  # same 1-row normalizer broadcast (via x23's frame)
     "pipe_training_prep_v3",  # same 1-row DSIR normalizer broadcast
+    "pipe_training_prep_v4",  # same 1-row DSIR normalizer broadcast (via x24)
     "x30_bpe_training_round2",  # 1-row learned-top-merge broadcast
     "stats_chi2_assoc",  # 1-row grand-total broadcast
     "u8_fk_conformance",  # four 1-row orphan-count aggregates composed
