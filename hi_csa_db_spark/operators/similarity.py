@@ -239,3 +239,96 @@ def hamming_topk(
         .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def srp_planes(bits: int = 32, dim: int = 64) -> list[list[float]]:
+    """Deterministic signed-random-projection hyperplanes (Charikar,
+    STOC'02 §3): plane ``j`` component ``i`` is +1 or -1 from the
+    parity of the first hex digit of md5("j_i"). Hash-derived rather
+    than RNG-seeded so ANY engine (Spark, DuckDB oracle, a future
+    executor in another language) reconstructs the identical planes
+    with no shared random state — the same trick the MinHash tier uses
+    for its Kirsch-Mitzenmacher coefficients (dedup.py)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+            for i in range(dim)
+        ]
+        for j in range(bits)
+    ]
+
+
+def srp_signature(
+    embeddings: DataFrame,
+    bits: int = 32,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sig): ``bits``-bit SRP signature packed into one BIGINT.
+    Bit j = [plane_j . v >= 0]. The plane matrix is a BROADCAST-FREE
+    literal (a few KB of ±1s folded into the expression tree), so the
+    signature is a fully narrow per-row projection: zero shuffles, no
+    UDF, whole-stage codegen end to end. Sign of the dot product is
+    engine-stable because ±1 multiplication is exact and both engines
+    fold the sum left-to-right over the same element order."""
+    planes = srp_planes(bits, dim)
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(s) for s in plane]),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return embeddings.select(F.col(id_col), sig.alias("sig"))
+
+
+def srp_band_pairs(
+    embeddings: DataFrame,
+    bands: int = 4,
+    band_bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) whose SRP signatures collide in at
+    least one band — the ALL-PAIRS complement of hamming_topk's single
+    probe. Classic LSH banding: explode each signature into ``bands``
+    (band, key) rows, equi-join on the band key, distinct the pairs.
+    Cost is sum of per-bucket squares, never corpus²; recall/precision
+    tune via (bands, band_bits) exactly as in the MinHash tier."""
+    sigs = srp_signature(embeddings, bands * band_bits, dim, id_col, vec_col)
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
