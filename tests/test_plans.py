@@ -92,6 +92,8 @@ _NLJ_ALLOWED = {
     "a9_weighted_median",  # 1-row total-weight broadcast
     "a10_weighted_deciles",  # same 1-row total-weight broadcast
     "ret2_rrf_fusion",  # 1-row broadcasts inside ret1/s1 subplans
+    "q22_prospect_customers",  # 1-row (cents_sum, n) balance broadcast
+    "x37_density_filter",  # 8-row centroid table broadcast (via ivf_assign)
 }
 
 
