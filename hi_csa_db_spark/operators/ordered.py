@@ -131,9 +131,24 @@ def global_row_numbers(
     Partition-count invariant: ranks depend only on the total key
     order, not on where range boundaries land, so local[32] and a
     1000-executor cluster agree row-for-row.
+
+    The range-partitioned frame is MATERIALIZED once (localCheckpoint)
+    before fanning out to the counts branch and the numbering branch:
+    Spark's RangePartitioner samples boundaries with an RDD-id-derived
+    seed, so two plan instantiations of the same repartitionByRange can
+    pick DIFFERENT boundaries — the offsets would then be keyed to
+    partition ids that don't match the rows' (observed: duplicate and
+    missing ranks, intermittently). Materializing pins one concrete
+    partitioning for both consumers; ranks remain boundary-invariant,
+    so the OUTPUT is deterministic run to run. At cluster scale this
+    is the standard "materialize the sorted run" barrier (reliable
+    checkpoint or persisted shuffle output instead of executor-local
+    blocks).
     """
-    d = df.repartitionByRange(num_partitions, F.col(key_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    d = (
+        df.repartitionByRange(num_partitions, F.col(key_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     w_off = Window.orderBy("__pid").rowsBetween(
@@ -165,9 +180,16 @@ def global_prefix_sums(
     and the result is partition-count invariant for unique keys.
 
     Adds ``cum_<col>`` per requested column.
+
+    Materialized via localCheckpoint before the branch fan-out for the
+    same reason as global_row_numbers: RangePartitioner's boundary
+    sampling is seeded by RDD id, so the totals branch and the window
+    branch could otherwise land on different partitionings.
     """
-    d = df.repartitionByRange(num_partitions, F.col(key_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    d = (
+        df.repartitionByRange(num_partitions, F.col(key_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     totals = d.groupBy("__pid").agg(
         *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]

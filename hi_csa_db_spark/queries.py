@@ -9240,6 +9240,212 @@ def x38_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ok.unionByName(suppressed)
 
 
+@_register(
+    "stats_cohen_kappa",
+    f"""
+    WITH rtoks AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS w
+      FROM documents
+    ),
+    rstats AS (
+      SELECT doc_id, COUNT(*) AS n_words,
+             ROUND(AVG(length(w)), 6) AS mean_word_len,
+             ROUND(AVG(CASE WHEN regexp_matches(w, '[a-z]') THEN 1.0 ELSE 0.0 END), 6)
+               AS frac_alpha_words
+      FROM rtoks GROUP BY doc_id
+    ),
+    rules AS (
+      SELECT doc_id,
+             CAST(n_words >= 10 AND n_words <= 100000
+                  AND mean_word_len >= 3 AND mean_word_len <= 10
+                  AND frac_alpha_words >= 0.8 AS INT) AS keep_a
+      FROM rstats
+    ),
+    {_X20_SCORED_SQL},
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(keep_a * keep) AS BIGINT) AS n11,
+             CAST(SUM(keep_a * (1 - keep)) AS BIGINT) AS n10,
+             CAST(SUM((1 - keep_a) * keep) AS BIGINT) AS n01,
+             CAST(SUM((1 - keep_a) * (1 - keep)) AS BIGINT) AS n00
+      FROM rules JOIN scored USING (doc_id)
+    )
+    SELECT n, n11, n10, n01, n00,
+           CASE WHEN n * n
+                     - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) = 0
+                THEN NULL
+                ELSE ROUND(CAST(n * (n11 + n00)
+                      - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                   AS DOUBLE)
+                 / (n * n
+                    - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))),
+                 6) END AS kappa
+    FROM cells
+    """,
+)
+def stats_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement (Cohen's kappa) between the RULE-based
+    quality gate (x12, Gopher thresholds) and the MODEL-based
+    classifier (x20, linear logit sign) — the filter-agreement audit
+    a curation pipeline runs before swapping one gate for another.
+
+    Kappa is computed from the 2x2 contingency via pure-INTEGER cross
+    multiplication — numerator n*(po_count) - pe_products and the
+    matching denominator stay exact bigints; ONE final double
+    division is rounded 6dp, so no float accumulation can diverge
+    between engines. Scale: both inputs are per-doc aggregates
+    already proven green (x12/x20); the contingency is a 1-row
+    map-combined reduction."""
+    rules = x12_quality_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_a")
+    )
+    model = x20_quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_b")
+    )
+    cells = rules.join(model, "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("keep_a") * F.col("keep_b")).cast("bigint").alias("n11"),
+        F.sum(F.col("keep_a") * (1 - F.col("keep_b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("keep_a")) * F.col("keep_b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("keep_a")) * (1 - F.col("keep_b")))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    pe_prod = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(
+            F.col("n") * F.col("n") - pe_prod != 0,
+            F.round(
+                (
+                    F.col("n") * (F.col("n11") + F.col("n00")) - pe_prod
+                ).cast("double")
+                / (F.col("n") * F.col("n") - pe_prod),
+                6,
+            ),
+        ).alias("kappa"),
+    )
+
+
+@_register(
+    "x40_source_normalized_quality",
+    """
+    WITH s AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x,
+             COUNT(*) OVER (PARTITION BY source) AS n,
+             SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source) AS sx,
+             SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+               OVER (PARTITION BY source) AS sxx
+      FROM documents
+    )
+    SELECT doc_id, source, x AS n_chars,
+           ROUND(CAST(x * n - sx AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS z
+    FROM s WHERE n * sxx > sx * sx
+    """,
+)
+def x40_source_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE standardization of a quality metric (z-score of
+    document length within its source): corpora mix sources with
+    wildly different length distributions, so absolute thresholds
+    (x12) over-prune some sources — normalizing within source is the
+    standard fix before a global cutoff.
+
+    z = (x*n - sum) / sqrt(n*sumsq - sum^2): every term inside the
+    final division is an exact BIGINT (integer metric), so both
+    engines divide the same two numbers — no float-accumulation
+    drift. One shuffle on source for the window aggregates; zero-
+    variance sources are excluded by the integer guard. At petabyte
+    scale the bigint sumsq accumulator bounds the metric at ~3e9 per
+    row for 1e10-row sources; wider metrics go through DECIMAL(38)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source")
+    x = F.col("n_chars").cast("bigint")
+    s = docs.select(
+        "doc_id",
+        "source",
+        x.alias("x"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(x).over(w).alias("sx"),
+        F.sum(x * x).over(w).alias("sxx"),
+    )
+    return (
+        s.filter(F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("x").alias("n_chars"),
+            F.round(
+                (F.col("x") * F.col("n") - F.col("sx")).cast("double")
+                / F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("z"),
+        )
+    )
+
+
+@_register(
+    "t19_temporal_split",
+    """
+    WITH e AS (
+      SELECT event_id, event_type, epoch_ns(ts) AS tsn FROM events
+    ),
+    r AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (ORDER BY tsn) AS rank,
+             COUNT(*) OVER () AS n
+      FROM e
+    )
+    SELECT CASE WHEN rank * 5 <= n * 4 THEN 'train' ELSE 'test' END AS split,
+           event_type, COUNT(*) AS n_events
+    FROM r GROUP BY 1, 2
+    """,
+)
+def t19_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe TEMPORAL train/test split: the first 80% of events
+    by event time train, the last 20% test — the time-ordered
+    counterpart of the hash split (sample_train_split), mandatory
+    when labels leak backwards in time (forecasting, churn). The
+    80th-percentile boundary is the exact integer rank test
+    rank*5 <= n*4, not a float quantile.
+
+    Scale shape: the global time rank uses ordered.global_row_numbers
+    (range-partition + per-partition offsets broadcast) — NEVER a
+    single-partition ORDER BY window; the total count joins as a
+    1-row broadcast; the final aggregate has |splits| x |types|
+    groups. Event timestamps are unique in every fixture vintage
+    (verified), making the rank deterministic."""
+    from hi_csa_db_spark.operators import ordered
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_id", "event_type", F.col("ts_ns").alias("tsn"))
+    ranked = ordered.global_row_numbers(e, "tsn")
+    n1 = ranked.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n1))
+        .select(
+            F.when(F.col("rank") * 5 <= F.col("n") * 4, "train")
+            .otherwise("test")
+            .alias("split"),
+            "event_type",
+        )
+        .groupBy("split", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds are
 # banked, so each round the prefix should be composed of (a) queries
@@ -9292,6 +9498,8 @@ _PRIORITY = (
     "q17_small_quantity_revenue", "ret3_phrase_search", "t18_interp_align",
     "graph_jaccard_neighbors", "s6_srp_lsh_pairs", "x36_syllable_complexity",
     "q22_prospect_customers", "x37_density_filter", "x38_k_anonymity",
+    "stats_cohen_kappa", "x40_source_normalized_quality",
+    "t19_temporal_split",
     "x14_contamination", "x15_bigram_logprob", "x16_context_packing",
     "ret2_rrf_fusion", "t15_cusum_changepoint", "a9_weighted_median",
     "x35_shard_manifest", "t16_trend_ma7", "t17_ohlc_daily",

@@ -94,6 +94,7 @@ _NLJ_ALLOWED = {
     "ret2_rrf_fusion",  # 1-row broadcasts inside ret1/s1 subplans
     "q22_prospect_customers",  # 1-row (cents_sum, n) balance broadcast
     "x37_density_filter",  # 8-row centroid table broadcast (via ivf_assign)
+    "t19_temporal_split",  # 1-row total-count broadcast
 }
 
 
