@@ -426,3 +426,55 @@ def gif_roundtrip_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.select(id_col).mapInPandas(gen, GIF_STATS_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def perceptual_dhash(
+    docs: DataFrame, id_col: str = "doc_id", classes: int = 50
+) -> DataFrame:
+    """Per-row difference hash (dHash) computed through the REAL image
+    codec: an 8x8 grayscale gradient image — pixel v(x,y) =
+    (k*31 + x*7 + y*13) % 256 with k = id % ``classes``, so exactly
+    ``classes`` distinct images exist and same-k documents are true
+    perceptual duplicates — is encoded to a 24-bit BMP and decoded
+    back ON THE EXECUTORS (functions/codecs.py), then hashed by the
+    standard horizontal-gradient rule bit[y*7+x] = [px(x+1,y) >
+    px(x,y)] (56 bits, stays in positive BIGINT range).
+
+    Because the pixels are pure functions of the id, a SQL oracle
+    predicts every hash WITHOUT decoding — the decode path, channel
+    layout, and gradient comparisons are value-checked through the
+    distributed plan. Arrow-batched mapInPandas; image bytes never
+    leave the executors (the 100 TB posture for media payloads)."""
+    import numpy as np
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hi_csa_db_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                k = i % classes
+                xs = np.arange(8)[None, :]
+                ys = np.arange(8)[:, None]
+                v = ((k * 31 + xs * 7 + ys * 13) % 256).astype(np.uint8)
+                img = np.repeat(v[:, :, None], 3, axis=2)
+                out = codecs.decode_bmp(codecs.encode_bmp(img))
+                gray = out[:, :, 0].astype(np.int64)
+                h = 0
+                for y in range(8):
+                    for x in range(7):
+                        if gray[y, x + 1] > gray[y, x]:
+                            h += 1 << (y * 7 + x)
+                rows.append({"doc_id": i, "phash": h})
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return docs.select(id_col).mapInPandas(gen, DHASH_SCHEMA)

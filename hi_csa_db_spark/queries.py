@@ -9446,6 +9446,52 @@ def t19_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "mm9_perceptual_dedup",
+    """
+    WITH g AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+    bits AS (
+      SELECT g.doc_id,
+             CASE WHEN ((k*31 + (x.x+1)*7 + y.y*13) % 256)
+                       > ((k*31 + x.x*7 + y.y*13) % 256)
+                  THEN CAST(1 AS BIGINT) << (y.y*7 + x.x)
+                  ELSE CAST(0 AS BIGINT) END AS bit
+      FROM g
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y
+      CROSS JOIN (SELECT unnest(range(0, 7)) AS x) x
+    ),
+    ph AS (
+      SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS phash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+    FROM ph GROUP BY phash
+    """,
+)
+def mm9_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image dedup: dHash (horizontal-gradient difference
+    hash) computed through the real BMP encode/decode on the
+    executors, then exact grouping on the 56-bit hash — the
+    content-aware media dedup mm2's byte-level md5 cannot do (mm2
+    misses re-encoded identical images; dHash keys on pixel structure).
+    The id-derived gradient images make every hash SQL-predictable, so
+    the decode + hash pipeline is value-checked end to end.
+
+    Scale shape: hashing is an Arrow-batched narrow pass (payloads
+    never shuffle — only the 8-byte hash does); the group-by moves one
+    row per image. Near-dup extension at fleet scale: band the 56 bits
+    like d7's SimHash pigeonhole split and verify Hamming distance on
+    collisions."""
+    from hi_csa_db_spark.operators.multimodal import perceptual_dhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    ph = perceptual_dhash(docs)
+    return ph.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds are
 # banked, so each round the prefix should be composed of (a) queries
@@ -9499,7 +9545,7 @@ _PRIORITY = (
     "graph_jaccard_neighbors", "s6_srp_lsh_pairs", "x36_syllable_complexity",
     "q22_prospect_customers", "x37_density_filter", "x38_k_anonymity",
     "stats_cohen_kappa", "x40_source_normalized_quality",
-    "t19_temporal_split",
+    "t19_temporal_split", "mm9_perceptual_dedup",
     "x14_contamination", "x15_bigram_logprob", "x16_context_packing",
     "ret2_rrf_fusion", "t15_cusum_changepoint", "a9_weighted_median",
     "x35_shard_manifest", "t16_trend_ma7", "t17_ohlc_daily",
