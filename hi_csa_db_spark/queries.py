@@ -9492,6 +9492,75 @@ def mm9_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "f16_jvm_fnv_hash",
+    """
+    WITH codes AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''),
+                            c -> CAST(ord(c) AS HUGEINT)) AS cs
+      FROM documents
+    ),
+    folded AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT), cs),
+               (acc, c) -> (
+                 (CASE WHEN xor(
+                     CAST(CASE WHEN acc >= 9223372036854775808
+                          THEN acc - 18446744073709551616
+                          ELSE acc END AS BIGINT),
+                     CAST(c AS BIGINT)) < 0
+                   THEN CAST(xor(
+                     CAST(CASE WHEN acc >= 9223372036854775808
+                          THEN acc - 18446744073709551616
+                          ELSE acc END AS BIGINT),
+                     CAST(c AS BIGINT)) AS HUGEINT) + 18446744073709551616
+                   ELSE CAST(xor(
+                     CAST(CASE WHEN acc >= 9223372036854775808
+                          THEN acc - 18446744073709551616
+                          ELSE acc END AS BIGINT),
+                     CAST(c AS BIGINT)) AS HUGEINT) END
+                 ) * 1099511628211) % 18446744073709551616
+             ) AS fin
+      FROM codes
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN fin >= 9223372036854775808
+                THEN fin - 18446744073709551616
+                ELSE fin END AS BIGINT) AS h,
+           CAST(CASE WHEN fin >= 9223372036854775808
+                THEN fin - 18446744073709551616
+                ELSE fin END AS BIGINT) % 16 AS bucket
+    FROM folded
+    """,
+)
+def f16_jvm_fnv_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPILED-JAVA UDF tier (functions/jvm_udf.py): FNV-1a 64-bit
+    content hashing by a JVM-native kernel loaded at runtime (ADD JAR
+    + registerJavaFunction — proven to work in a conf-free vanilla
+    session), completing the custom-function surface alongside the
+    Python UDTF (x9) and Arrow pandas UDAF (agg_pandas_median). For
+    per-row scalar hot loops this is the 100 TB tier: no Python
+    workers, no Arrow boundary — the JIT-compiled loop runs inside
+    the executor JVM at full speed.
+
+    The DuckDB oracle replays the identical fold in HUGEINT mod 2^64
+    arithmetic, value-checking every hash; Spark's % keeps the
+    dividend's sign, as does DuckDB's, so the bucket column matches
+    without normalization. ASCII corpus => UTF-16 code units = code
+    points on both engines."""
+    from hi_csa_db_spark.functions.jvm_udf import register_fnv
+
+    register_fnv(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "fnv_shingle(text, 0) AS h",
+        "fnv_shingle(text, 0) % 16 AS bucket",
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds are
 # banked, so each round the prefix should be composed of (a) queries
@@ -9545,7 +9614,7 @@ _PRIORITY = (
     "graph_jaccard_neighbors", "s6_srp_lsh_pairs", "x36_syllable_complexity",
     "q22_prospect_customers", "x37_density_filter", "x38_k_anonymity",
     "stats_cohen_kappa", "x40_source_normalized_quality",
-    "t19_temporal_split", "mm9_perceptual_dedup",
+    "t19_temporal_split", "mm9_perceptual_dedup", "f16_jvm_fnv_hash",
     "x14_contamination", "x15_bigram_logprob", "x16_context_packing",
     "ret2_rrf_fusion", "t15_cusum_changepoint", "a9_weighted_median",
     "x35_shard_manifest", "t16_trend_ma7", "t17_ohlc_daily",
