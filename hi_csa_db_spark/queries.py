@@ -9561,6 +9561,172 @@ def f16_jvm_fnv_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dq1_expectations",
+    """
+    WITH rowrules AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN NOT (o_custkey IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+             CAST(SUM(CASE WHEN NOT (o_totalprice IS NOT NULL AND o_totalprice >= 0
+                                     AND o_totalprice <= 600000) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(SUM(CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P')) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             CAST(SUM(CASE WHEN NOT (o_orderpriority IS NOT NULL
+                                     AND regexp_matches(o_orderpriority, '^[1-5]-')) THEN 1 ELSE 0 END) AS BIGINT) AS v3
+      FROM orders
+    ),
+    uniq AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c - 1) AS BIGINT) AS v
+      FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+    ),
+    fk AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)) AS v
+    )
+    SELECT 'not_null:o_custkey' AS rule, n AS n_checked, v0 AS n_violations FROM rowrules
+    UNION ALL
+    SELECT 'range:o_totalprice', n, v1 FROM rowrules
+    UNION ALL
+    SELECT 'accepted:o_orderstatus', n, v2 FROM rowrules
+    UNION ALL
+    SELECT 'regex:o_orderpriority', n, v3 FROM rowrules
+    UNION ALL
+    SELECT 'unique:o_orderkey', n, v FROM uniq
+    UNION ALL
+    SELECT 'fk:o_custkey->c_custkey', n, v FROM fk
+    """,
+)
+def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality EXPECTATIONS report
+    (operators/expectations.py — the Delta-constraints/Great-
+    Expectations capability): four row-level rules evaluated in ONE
+    map-combined aggregate pass (not-null, numeric range, accepted
+    values, regex), plus key uniqueness (one keyed aggregate) and
+    referential integrity (one anti-join). One row per rule with
+    checked/violation counts — the publish gate a pipeline runs
+    before promoting a table.
+
+    Scale: the row-rule pass costs one scan regardless of rule count
+    (a few counters per partition); uniqueness shuffles on the key a
+    merge of this table would shuffle on anyway; the FK anti-join
+    broadcasts the dimension side."""
+    from hi_csa_db_spark.operators import expectations as ex
+
+    t = load_tables(spark, sf_dir)
+    orders, customer = t["orders"], t["customer"]
+    rows = ex.check_rows(
+        orders,
+        [
+            ex.not_null("o_custkey"),
+            ex.in_range("o_totalprice", 0, 600000),
+            ex.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            ex.matches("o_orderpriority", "^[1-5]-"),
+        ],
+    )
+    uniq = ex.check_unique(orders, ["o_orderkey"])
+    fk = ex.check_fk(orders, "o_custkey", F.broadcast(customer), "c_custkey")
+    return rows.unionByName(uniq).unionByName(fk)
+
+
+@_register(
+    "dq2_psi_drift",
+    """
+    WITH b AS (
+      SELECT least(CAST(floor(o_totalprice / CAST(50000 AS DOUBLE)) AS BIGINT), 9) AS bucket,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                  THEN 1 ELSE 0 END AS side_a
+      FROM orders
+    ),
+    per_bucket AS (
+      SELECT bucket,
+             CAST(SUM(side_a) AS BIGINT) AS na,
+             CAST(SUM(1 - side_a) AS BIGINT) AS nb
+      FROM b GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+      FROM per_bucket
+    ),
+    terms AS (
+      SELECT CAST(ROUND(
+               (CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb)
+               * ln((CAST(na AS DOUBLE) * tb) / (CAST(nb AS DOUBLE) * ta)),
+             8) AS DECIMAL(20,8)) AS term
+      FROM per_bucket CROSS JOIN tot
+      WHERE na > 0 AND nb > 0
+    )
+    SELECT (SELECT ta FROM tot) AS n_before,
+           (SELECT tb FROM tot) AS n_after,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+    FROM terms
+    """,
+)
+def dq2_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: Population Stability Index of the
+    order-value distribution before vs after a calendar split — the
+    standard ML-ops metric for "has the data shifted enough to
+    retrain/alert" (PSI > 0.2 rule of thumb), complementing dq1's
+    row validity and stats_ks_test's exact two-sample test (PSI is
+    the binned, streaming-friendly one).
+
+    One groupBy(bucket) computes both sides' histograms in a single
+    shuffle (side flag summed two ways); totals enter as a 1-row
+    broadcast. Per-bucket PSI terms are rounded 8dp and summed as
+    DECIMAL — addition-order-proof across engines; empty-on-either-
+    side buckets are excluded (the deterministic convention)."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("bigint"),
+            F.lit(9).cast("bigint"),
+        ).alias("bucket"),
+        F.when(
+            F.col("o_orderdate")
+            < F.lit("1998-01-01 00:00:00").cast("timestamp"),
+            1,
+        )
+        .otherwise(0)
+        .alias("side_a"),
+    )
+    per_bucket = b.groupBy("bucket").agg(
+        F.sum("side_a").cast("bigint").alias("na"),
+        F.sum(1 - F.col("side_a")).cast("bigint").alias("nb"),
+    )
+    tot = per_bucket.agg(
+        F.sum("na").cast("bigint").alias("ta"),
+        F.sum("nb").cast("bigint").alias("tb"),
+    )
+    terms = (
+        per_bucket.crossJoin(F.broadcast(tot))
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "ta",
+            "tb",
+            F.round(
+                (
+                    F.col("na").cast("double") / F.col("ta")
+                    - F.col("nb").cast("double") / F.col("tb")
+                )
+                * F.log(
+                    (F.col("na").cast("double") * F.col("tb"))
+                    / (F.col("nb").cast("double") * F.col("ta"))
+                ),
+                8,
+            )
+            .cast("decimal(20,8)")
+            .alias("term"),
+        )
+    )
+    return terms.agg(
+        F.first("ta").alias("n_before"),
+        F.first("tb").alias("n_after"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.round(F.sum("term").cast("double"), 6).alias("psi"),
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds are
 # banked, so each round the prefix should be composed of (a) queries
@@ -9615,6 +9781,7 @@ _PRIORITY = (
     "q22_prospect_customers", "x37_density_filter", "x38_k_anonymity",
     "stats_cohen_kappa", "x40_source_normalized_quality",
     "t19_temporal_split", "mm9_perceptual_dedup", "f16_jvm_fnv_hash",
+    "dq1_expectations", "dq2_psi_drift",
     "x14_contamination", "x15_bigram_logprob", "x16_context_packing",
     "ret2_rrf_fusion", "t15_cusum_changepoint", "a9_weighted_median",
     "x35_shard_manifest", "t16_trend_ma7", "t17_ohlc_daily",

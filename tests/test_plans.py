@@ -95,6 +95,8 @@ _NLJ_ALLOWED = {
     "q22_prospect_customers",  # 1-row (cents_sum, n) balance broadcast
     "x37_density_filter",  # 8-row centroid table broadcast (via ivf_assign)
     "t19_temporal_split",  # 1-row total-count broadcast
+    "dq1_expectations",  # two 1-row count aggregates composed (fk rule)
+    "dq2_psi_drift",  # 1-row histogram-totals broadcast
 }
 
 
