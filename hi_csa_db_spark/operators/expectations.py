@@ -50,7 +50,10 @@ def check_rows(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
     agg = df.agg(
         F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum((~cond).cast("long")).alias(f"__v_{i}")
+            # NULL conditions count as violations (a row is only good
+            # when the condition is provably TRUE) — when/otherwise,
+            # not (~cond).cast, whose NULL would vanish from the sum
+            F.sum(F.when(cond, 0).otherwise(1)).alias(f"__v_{i}")
             for i, (_, cond) in enumerate(rules)
         ],
     )

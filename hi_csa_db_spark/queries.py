@@ -9566,12 +9566,12 @@ def f16_jvm_fnv_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rowrules AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CASE WHEN NOT (o_custkey IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS v0,
-             CAST(SUM(CASE WHEN NOT (o_totalprice IS NOT NULL AND o_totalprice >= 0
-                                     AND o_totalprice <= 600000) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
-             CAST(SUM(CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P')) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
-             CAST(SUM(CASE WHEN NOT (o_orderpriority IS NOT NULL
-                                     AND regexp_matches(o_orderpriority, '^[1-5]-')) THEN 1 ELSE 0 END) AS BIGINT) AS v3
+             CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+             CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice >= 0
+                           AND o_totalprice <= 600000 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+             CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+             CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                           AND regexp_matches(o_orderpriority, '^[1-5]-') THEN 0 ELSE 1 END) AS BIGINT) AS v3
       FROM orders
     ),
     uniq AS (
