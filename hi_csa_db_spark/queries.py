@@ -9727,6 +9727,45 @@ def dq2_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "stream_dq_gate",
+    """
+    SELECT 'accepted:event_type' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN event_type IN ('click', 'view', 'purchase',
+                                             'signup', 'error')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+    FROM events
+    UNION ALL
+    SELECT 'not_null:user_id',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'range:value',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN value IS NOT NULL AND value >= 0
+                         AND value <= 1000000 THEN 0 ELSE 1 END) AS BIGINT)
+    FROM events
+    """,
+)
+def stream_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS data-quality validation: the expectations engine
+    (dq1) applied per micro-batch on the events STREAM via
+    foreachBatch — every ingested batch is scored against the table
+    contract before it can poison the table (the streaming
+    counterpart of the dq1 publish gate).
+
+    Unlike the other stream_* entries this one carries a FULL oracle:
+    per-rule totals are sums over disjoint batches, hence invariant to
+    how the streaming engine splits the input — so the real streaming
+    run (foreachBatch, AvailableNow trigger, temp checkpoint) is
+    value-checked against plain SQL over the same rows."""
+    from hi_csa_db_spark.streaming.dq import dq_gate_report
+
+    return dq_gate_report(spark, sf_dir)
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds are
 # banked, so each round the prefix should be composed of (a) queries
@@ -9781,7 +9820,7 @@ _PRIORITY = (
     "q22_prospect_customers", "x37_density_filter", "x38_k_anonymity",
     "stats_cohen_kappa", "x40_source_normalized_quality",
     "t19_temporal_split", "mm9_perceptual_dedup", "f16_jvm_fnv_hash",
-    "dq1_expectations", "dq2_psi_drift",
+    "dq1_expectations", "dq2_psi_drift", "stream_dq_gate",
     "x14_contamination", "x15_bigram_logprob", "x16_context_packing",
     "ret2_rrf_fusion", "t15_cusum_changepoint", "a9_weighted_median",
     "x35_shard_manifest", "t16_trend_ma7", "t17_ohlc_daily",

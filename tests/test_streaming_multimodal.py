@@ -252,3 +252,35 @@ def test_stream_ohlc_matches_batch(spark, sf_dir):
     assert {tuple(r) for r in streamed.collect()} == {
         tuple(r) for r in batch.collect()
     }
+
+
+def test_stream_dq_gate_matches_batch(spark, sf_dir):
+    # the foreachBatch-accumulated totals must equal a single batch
+    # check_rows pass over the same rows (sums are batch-invariant)
+    from pyspark.sql import functions as F
+
+    from hi_csa_db_spark.catalog import load_table
+    from hi_csa_db_spark.operators import expectations as ex
+    from hi_csa_db_spark.streaming.dq import dq_gate_report
+
+    streamed = {
+        r["rule"]: (r["n_checked"], r["n_violations"])
+        for r in dq_gate_report(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        r["rule"]: (r["n_checked"], r["n_violations"])
+        for r in ex.check_rows(
+            ev,
+            [
+                ex.not_null("user_id"),
+                ex.in_range("value", 0, 1000000),
+                ex.accepted_values(
+                    "event_type",
+                    ["click", "view", "purchase", "signup", "error"],
+                ),
+            ],
+        ).collect()
+    }
+    assert streamed == batch
+    assert all(v[0] > 0 for v in streamed.values())
