@@ -1,0 +1,154 @@
+"""Fluent corpus-curation API: the user-facing front door to the
+LLM-training-data tier. Each verb appends one independently
+oracle-proven stage (the same code paths the named queries run) to a
+single LAZY plan — Catalyst sees the whole chained pipeline and prunes
+columns/pushes filters across stage boundaries, exactly like the
+hand-written composites (pipe_training_prep_v3/v4, whose equality with
+this API is pinned by tests/test_corpus_api.py).
+
+    corpus = Corpus.load(spark, sf_dir)
+    report = (corpus
+        .quality_filter()          # model gate (x20)
+        .dedup_near_keep_best()    # LSH clusters, keep best quality (d10)
+        .resample_dsir()           # domain importance resampling (x24)
+        .audit_by("lang"))         # survivors per language
+
+Every stage records provenance in ``corpus.stages`` so a run can
+publish WHAT was applied next to what survived (the datasheet needs
+both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Corpus:
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        docs: DataFrame,
+        stages: tuple[str, ...] = (),
+    ):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._docs = docs
+        self.stages = stages
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def load(cls, spark: SparkSession, sf_dir: str) -> "Corpus":
+        from hi_csa_db_spark.catalog import load_table
+
+        return cls(spark, sf_dir, load_table(spark, sf_dir, "documents"))
+
+    def _with(self, docs: DataFrame, stage: str) -> "Corpus":
+        return Corpus(self.spark, self.sf_dir, docs, self.stages + (stage,))
+
+    def df(self) -> DataFrame:
+        return self._docs
+
+    # -- filter stages ----------------------------------------------------
+
+    def quality_filter(self) -> "Corpus":
+        """Keep docs the broadcast linear classifier accepts (x20)."""
+        from hi_csa_db_spark import queries as q
+
+        scored = q.x20_quality_classifier(self.spark, self.sf_dir).select(
+            "doc_id", "n_words", "logit", "keep"
+        )
+        kept = self._docs.join(scored.filter(F.col("keep") == 1), "doc_id")
+        return self._with(kept, "quality_filter[x20]")
+
+    def rule_filter(self) -> "Corpus":
+        """Keep docs passing the Gopher-style rule gates (x12)."""
+        from hi_csa_db_spark import queries as q
+
+        rules = q.x12_quality_rules(self.spark, self.sf_dir).select(
+            "doc_id", F.col("keep").alias("__rk")
+        )
+        kept = (
+            self._docs.join(rules.filter(F.col("__rk") == 1), "doc_id")
+            .drop("__rk")
+        )
+        return self._with(kept, "rule_filter[x12]")
+
+    def dedup_exact(self) -> "Corpus":
+        """Drop exact-content duplicates, keeping the min-id copy (d1)."""
+        canon = (
+            self._docs.select("doc_id", F.md5("text").alias("__h"))
+            .groupBy("__h")
+            .agg(F.min("doc_id").alias("__keep_id"))
+        )
+        kept = self._docs.join(
+            canon.select(F.col("__keep_id").alias("doc_id")), "doc_id"
+        )
+        return self._with(kept, "dedup_exact[d1]")
+
+    def dedup_near_keep_best(
+        self, n: int = 3, num_hashes: int = 16, bands: int = 8,
+        threshold: float = 0.05,
+    ) -> "Corpus":
+        """Collapse MinHash-LSH near-dup clusters keeping the BEST-
+        quality member (max logit, min-id ties) — the d10 survivor
+        rule. Requires quality scores; computes them if the quality
+        stage hasn't run."""
+        from hi_csa_db_spark import queries as q
+        from hi_csa_db_spark.operators import dedup, graph
+
+        docs_all = self._docs
+        scored = q.x20_quality_classifier(self.spark, self.sf_dir).select(
+            F.col("doc_id").alias("id"), "logit"
+        )
+        pairs = dedup.minhash_lsh_dedup(
+            docs_all, n=n, num_hashes=num_hashes, bands=bands, threshold=threshold
+        )
+        edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        labels = graph.connected_components(edges, iterations=3)
+        mem = labels.join(scored, "id").select("id", "lbl", "logit")
+        m = mem.groupBy("lbl").agg(F.max("logit").alias("__mx"))
+        surv = (
+            mem.join(m, "lbl")
+            .filter(F.col("logit") == F.col("__mx"))
+            .groupBy("lbl")
+            .agg(F.min("id").alias("__survivor_id"))
+        )
+        drops = (
+            labels.join(surv, "lbl")
+            .filter(F.col("id") != F.col("__survivor_id"))
+            .select("id")
+        )
+        kept = docs_all.join(
+            drops, docs_all["doc_id"] == drops["id"], "left_anti"
+        )
+        return self._with(kept, "dedup_near_keep_best[d10]")
+
+    def resample_dsir(self) -> "Corpus":
+        """DSIR importance resampling toward the target domain (x24's
+        pure-integer micro-weight keep rule)."""
+        from hi_csa_db_spark import queries as q
+
+        wdf = q._dsir_weight_frame(self.spark, self.sf_dir)
+        wi = F.floor(F.col("dsir_weight") * 1000000 + F.lit(0.5)).cast("long")
+        p = F.greatest(
+            F.lit(0), F.least(F.lit(1000000), F.lit(500000) + 10 * wi)
+        )
+        u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+        dk = wdf.filter(u * 1000000 < p * F.lit(4294967296)).select("doc_id")
+        kept = self._docs.join(dk, "doc_id")
+        return self._with(kept, "resample_dsir[x24]")
+
+    # -- terminal reports -------------------------------------------------
+
+    def audit_by(self, col: str) -> DataFrame:
+        """Survivor counts (+ token budget when available) per group."""
+        aggs = [F.count(F.lit(1)).alias("n_kept")]
+        if "n_words" in self._docs.columns:
+            aggs.append(F.sum("n_words").alias("kept_tokens"))
+        return self._docs.groupBy(col).agg(*aggs)
+
+    def provenance(self) -> list[str]:
+        return list(self.stages)

@@ -1,0 +1,55 @@
+"""The fluent Corpus API must reproduce the hand-written composite
+pipelines EXACTLY — same stages, same survivor sets — and keep
+provenance."""
+
+from __future__ import annotations
+
+from hi_csa_db_spark import queries as q
+from hi_csa_db_spark.corpus import Corpus
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_chain_matches_pipe_training_prep_v3(spark, sf_dir):
+    api = (
+        Corpus.load(spark, sf_dir)
+        .quality_filter()
+        .dedup_near_keep_best()
+        .resample_dsir()
+        .audit_by("lang")
+    )
+    ref = q.pipe_training_prep_v3(spark, sf_dir)
+    assert sorted(api.columns) == sorted(ref.columns)
+    assert _rows(api.select(*sorted(api.columns))) == _rows(
+        ref.select(*sorted(ref.columns))
+    )
+
+
+def test_dedup_exact_keeps_one_per_distinct_text(spark, sf_dir):
+    from hi_csa_db_spark.catalog import load_table
+
+    kept = Corpus.load(spark, sf_dir).dedup_exact().df()
+    expected = (
+        load_table(spark, sf_dir, "documents").select("text").distinct().count()
+    )
+    assert kept.count() == expected
+    assert kept.select("doc_id").distinct().count() == expected
+
+
+def test_provenance_records_stages(spark, sf_dir):
+    c = Corpus.load(spark, sf_dir).rule_filter().dedup_exact()
+    assert c.provenance() == ["rule_filter[x12]", "dedup_exact[d1]"]
+    # the chain is lazy: building it must not have triggered any jobs
+    assert c.df().columns[0] == "doc_id"
+
+
+def test_stages_compose_monotonically(spark, sf_dir):
+    base = Corpus.load(spark, sf_dir)
+    n0 = base.df().count()
+    c1 = base.quality_filter()
+    n1 = c1.df().count()
+    n2 = c1.dedup_near_keep_best().df().count()
+    assert n0 >= n1 >= n2
+    assert n2 > 0
