@@ -9766,6 +9766,64 @@ def stream_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_gate_report(spark, sf_dir)
 
 
+@_register(
+    "x41_winsorize",
+    """
+    WITH r AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    lims AS (
+      SELECT source,
+             MIN(CASE WHEN rk * 10 >= n THEN x END) AS p10,
+             MIN(CASE WHEN rk * 10 >= 9 * n THEN x END) AS p90
+      FROM r GROUP BY source
+    )
+    SELECT r.doc_id, r.source, r.x AS n_chars,
+           greatest(lims.p10, least(lims.p90, r.x)) AS clipped
+    FROM r JOIN lims ON lims.source = r.source
+    """,
+)
+def x41_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group WINSORIZATION: clip the document-length metric to its
+    source's [p10, p90] band — the outlier treatment a robust
+    normalization pipeline applies before z-scoring (x40) so a few
+    giant documents can't dominate a source's statistics.
+
+    The decile boundaries are pure-INTEGER rank tests (first value
+    with rank*10 >= n / >= 9n), never a float percentile — identical
+    on both engines and on any executor count. One shuffle on source
+    serves the rank window, the boundary aggregate, and the re-join
+    (same key throughout)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    r = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lims = r.groupBy("source").agg(
+        F.min(F.when(F.col("rk") * 10 >= F.col("n"), F.col("x"))).alias("p10"),
+        F.min(F.when(F.col("rk") * 10 >= 9 * F.col("n"), F.col("x"))).alias(
+            "p90"
+        ),
+    )
+    return r.join(lims, "source").select(
+        "doc_id",
+        "source",
+        F.col("x").alias("n_chars"),
+        F.greatest(
+            F.col("p10"), F.least(F.col("p90"), F.col("x"))
+        ).alias("clipped"),
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds are
 # banked, so each round the prefix should be composed of (a) queries
@@ -9821,6 +9879,7 @@ _PRIORITY = (
     "stats_cohen_kappa", "x40_source_normalized_quality",
     "t19_temporal_split", "mm9_perceptual_dedup", "f16_jvm_fnv_hash",
     "dq1_expectations", "dq2_psi_drift", "stream_dq_gate",
+    "x41_winsorize",
     "x14_contamination", "x15_bigram_logprob", "x16_context_packing",
     "ret2_rrf_fusion", "t15_cusum_changepoint", "a9_weighted_median",
     "x35_shard_manifest", "t16_trend_ma7", "t17_ohlc_daily",
