@@ -36,49 +36,42 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
-    # 1-2. quality + PII: keep docs the broadcast linear model accepts
-    scored = q.x20_quality_classifier(spark, sf_dir).select("doc_id", "keep")
+    # 1+3+4. the fluent front door: each verb is an oracle-proven
+    # stage (x20 quality gate -> d10 best-of-cluster near-dup
+    # survivor -> x24 DSIR resample), chained into ONE lazy plan —
+    # tests/test_corpus_api.py pins this chain equal to the
+    # hand-written pipe_training_prep_v3 composite.
+    from hi_csa_db_spark.corpus import Corpus
+
+    curated = (
+        Corpus.load(spark, sf_dir)
+        .quality_filter()
+        .dedup_near_keep_best()
+        .resample_dsir()
+    )
+    print("stages:", curated.provenance())
+
+    # 2. PII scrub rides on top (x11)
     from hi_csa_db_spark.operators.textstats import pii_scrub
 
     clean = pii_scrub(docs).select("doc_id", "scrubbed")
+    kept = curated.df().select("doc_id", "lang", "source").join(clean, "doc_id")
 
-    # 3. near-dup clusters -> drop everything but the best member
-    pairs = dedup.minhash_lsh_dedup(docs, n=3, num_hashes=16, bands=8, threshold=0.05)
-    labels = graph.connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-        iterations=3,
-    )
-    logits = q.x20_quality_classifier(spark, sf_dir).select(
-        F.col("doc_id").alias("id"), "logit"
-    )
-    mem = labels.join(logits, "id")
-    best = mem.groupBy("lbl").agg(F.max("logit").alias("mx"))
-    surv = (
-        mem.join(best, "lbl")
-        .filter(F.col("logit") == F.col("mx"))
-        .groupBy("lbl")
-        .agg(F.min("id").alias("survivor_id"))
-    )
-    drops = (
-        labels.join(surv, "lbl")
-        .filter(F.col("id") != F.col("survivor_id"))
-        .select(F.col("id").alias("doc_id"))
-    )
+    # 5a. data-quality gate before anything is published (dq1): one
+    # aggregate pass; a production job aborts the publish on violations
+    from hi_csa_db_spark.operators import expectations as ex
 
-    # 4. DSIR resample (pure-integer keep rule — reruns keep the same set)
-    w = q._dsir_weight_frame(spark, sf_dir)
-    wi = F.floor(F.col("dsir_weight") * 1000000 + F.lit(0.5)).cast("long")
-    p = F.greatest(F.lit(0), F.least(F.lit(1000000), F.lit(500000) + 10 * wi))
-    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
-    dsir_keep = w.filter(u * 1000000 < p * F.lit(4294967296)).select("doc_id")
-
-    kept = (
-        docs.select("doc_id", "lang", "source")
-        .join(scored.filter(F.col("keep") == 1), "doc_id")
-        .join(dsir_keep, "doc_id")
-        .join(drops, "doc_id", "left_anti")
-        .join(clean, "doc_id")
-    )
+    report = ex.check_rows(
+        kept,
+        [
+            ex.not_null("doc_id"),
+            ex.accepted_values("lang", ["en", "de", "fr", "es", "zh"]),
+            ex.matches("scrubbed", r"^\S[\s\S]*$"),
+        ],
+    ).collect()
+    violations = {r["rule"]: r["n_violations"] for r in report}
+    assert all(v == 0 for v in violations.values()), violations
+    print("dq gate:", violations)
 
     # 5. pack into fixed token budgets (x16's prefix-sum chunking:
     # partition by lang — parallel across slices, ONE shuffle)
