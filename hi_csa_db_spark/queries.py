@@ -5414,13 +5414,20 @@ def x6_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # scalar: one long to the driver
-    scored = tf.join(df_, "tok").select(
-        "doc_id",
-        "tok",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
-            "tfidf"
-        ),
+    # Corpus size as a broadcast 1-row aggregate, not an eager driver
+    # action: keeps the whole query a single lazy plan (no extra job /
+    # scheduling barrier before the real action).
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
     return (
