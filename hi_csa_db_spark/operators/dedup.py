@@ -15,7 +15,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hi_csa_db_spark.functions.text import strip_punct, tokenize
@@ -828,3 +828,51 @@ def duplicated_spans(
         F.max("__len").alias("max_span_tokens"),
         F.sum("__len").alias("covered_tokens"),
     ).select(id_col, "n_spans", "max_span_tokens", "covered_tokens", "n_tokens")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key: Column | str,
+    id_col: str = "doc_id",
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995), the
+    third blocking family in this module beside LSH banding and
+    length-band blocking: order records by a normalized blocking key,
+    then compare each record only to its ``window`` successors in
+    that order. Emits candidate pairs
+    (a_id, a_key, b_id, b_key, rank_gap) with a_rank < b_rank.
+
+    Implementation is one global sort (row_number over the key order,
+    id tie-break) + an explode of offsets 1..window + an EQUI-join on
+    rank+offset = rank — linear candidate volume (n·window), never a
+    theta join. At 100 TB the global row_number would be replaced by
+    the range-partitioned two-pass rank already used by the engine's
+    prefix-sum primitives (operators/ordered.py); window comparisons
+    then stay within/adjacent range partitions.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("__id"), F.col(key).alias("__k") if isinstance(key, str) else key.alias("__k")
+    )
+    w = Window.orderBy(F.col("__k").asc(), F.col("__id").asc())
+    ranked = keyed.withColumn("__r", F.row_number().over(w))
+    a = ranked.select(
+        F.col("__id").alias("a_id"),
+        F.col("__k").alias("a_key"),
+        F.col("__r").alias("__ra"),
+        F.explode(
+            F.array(*[F.col("__r") + F.lit(i) for i in range(1, window + 1)])
+        ).alias("__rb"),
+    )
+    b = ranked.select(
+        F.col("__id").alias("b_id"),
+        F.col("__k").alias("b_key"),
+        F.col("__r").alias("__rb"),
+    )
+    return a.join(b, "__rb").select(
+        "a_id",
+        "a_key",
+        "b_id",
+        "b_key",
+        (F.col("__rb") - F.col("__ra")).alias("rank_gap"),
+    )

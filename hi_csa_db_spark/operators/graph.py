@@ -253,3 +253,51 @@ def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
             "id", F.coalesce("__new", F.col("lbl")).alias("lbl")
         )
     return labels
+
+
+def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999), fixed synchronous
+    iterations in INTEGER arithmetic: hub_0(v) = 1 for every node;
+    each round computes auth_t(v) = sum of hub_{t-1} over in-edges,
+    then hub_t(u) = sum of auth_t over out-edges. Returns
+    (id, hub, auth) after ``iterations`` rounds, UNNORMALIZED — with
+    integer seeds every score is an exact bigint (sums of sums of
+    1s), so the result is engine-portable with no float/normalization
+    ambiguity. Magnitude grows ~(avg_degree^2) per round: with the
+    default 2 rounds the scores stay far below 2^53 for any realistic
+    degree distribution (guard the output rule before raising it).
+
+    The fifth iterative-graph pattern in this module: mutually
+    recursive double propagation. Per round: two edge joins + two
+    aggregations, all shuffled on the node key; the distinct edge
+    list is computed once and cached (at cluster scale: bucketed by
+    src/dst so each propagation is shuffle-free on the edge side).
+    """
+    e = edges.select("src", "dst").distinct().cache()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    hub = nodes.select("id", F.lit(1).cast("bigint").alias("hub"))
+    auth = nodes.select("id", F.lit(0).cast("bigint").alias("auth"))
+    for _ in range(iterations):
+        auth = (
+            e.join(hub, e["src"] == hub["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        hub = (
+            e.join(auth, e["dst"] == auth["id"])
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+    return (
+        nodes.join(hub, "id", "left")
+        .join(auth, "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub", F.lit(0)).cast("bigint").alias("hub"),
+            F.coalesce("auth", F.lit(0)).cast("bigint").alias("auth"),
+        )
+    )
