@@ -18,6 +18,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _iter_layout(df: DataFrame, *keys: str) -> DataFrame:
+    """Materialized layout for iterative consumers: hash-partition on
+    the join key at the session's core parallelism, then cache. The
+    explicit partition count matters: a cached plan keeps its shuffle
+    partitioning forever (AQE cannot re-coalesce through an
+    InMemoryRelation), so caching a default-200-partition distinct
+    turns every later iteration into hundreds of near-empty tasks —
+    measured 13x slower on local[8] at sf0.01. On a cluster this is
+    where the bucketed-by-src table layout (SCALE.md) takes over."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys).cache()
+
+
 def resolve_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     """J3: ordinal edges -> URL edges via double dimension join.
 
@@ -75,19 +88,22 @@ def pagerank(
     (igraph loaded yet unused, hi-csa-db.Rmd:56,123-128) — this is the
     analysis tier it was missing.
     """
-    edges = edges.select("src", "dst").distinct().cache()
-    nodes = (
+    edges = _iter_layout(edges.select("src", "dst").distinct(), "src")
+    nodes = _iter_layout(
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .cache()
+        .distinct(),
+        "id",
     )
     n_nodes = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     # contribution edge list: src, dst, 1/outdeg (static across iters)
-    contrib_edges = edges.join(outdeg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("od")).alias("w")
-    ).cache()
+    contrib_edges = _iter_layout(
+        edges.join(outdeg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("od")).alias("w")
+        ),
+        "src",
+    )
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iterations):
@@ -116,11 +132,11 @@ def connected_components(edges: DataFrame, iterations: int = 3) -> DataFrame:
     one join + one aggregation over the undirected edge list, same
     bucketed-by-src layout as pagerank/bfs at cluster scale.
     """
-    ud = (
+    ud = _iter_layout(
         edges.select("src", "dst")
         .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .cache()
+        .distinct(),
+        "src",
     )
     labels = ud.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
@@ -154,11 +170,11 @@ def k_core(edges: DataFrame, k: int, iterations: int = 3) -> DataFrame:
     approximation, and the oracle unrolls identically). Per round: one
     degree aggregation + two semi-joins over the surviving edge list —
     same bucketed-by-src layout as the rest of the graph tier."""
-    ud = (
+    ud = _iter_layout(
         edges.select("src", "dst")
         .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .cache()
+        .distinct(),
+        "src",
     )
     for _ in range(iterations):
         deg = ud.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -193,7 +209,7 @@ def bfs(
     # the edge list is scanned once per level — materialize it instead
     # of recomputing its lineage (at cluster scale: a bucketed-by-src
     # parquet table; locally: cache).
-    edges = edges.cache()
+    edges = _iter_layout(edges, "src")
     visited = seeds.select(F.col(node_col).alias("node"), F.lit(0).alias("depth"))
     frontier = visited.select("node")
     for depth in range(1, max_depth + 1):
@@ -226,11 +242,11 @@ def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
     pagerank/bfs, and the window's per-node group is bounded by the
     node's distinct neighbour labels (<= degree).
     """
-    ud = (
+    ud = _iter_layout(
         edges.select("src", "dst")
         .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .cache()
+        .distinct(),
+        "src",
     )
     labels = ud.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
@@ -273,7 +289,7 @@ def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
     list is computed once and cached (at cluster scale: bucketed by
     src/dst so each propagation is shuffle-free on the edge side).
     """
-    e = edges.select("src", "dst").distinct().cache()
+    e = _iter_layout(edges.select("src", "dst").distinct(), "src")
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))

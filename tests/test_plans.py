@@ -97,6 +97,9 @@ _NLJ_ALLOWED = {
     "t19_temporal_split",  # 1-row total-count broadcast
     "dq1_expectations",  # two 1-row count aggregates composed (fk rule)
     "dq2_psi_drift",  # 1-row histogram-totals broadcast
+    "x6_tfidf_topk",  # 1-row corpus-size broadcast (replaced eager .count())
+    "q11_important_parts",  # 1-row (total_v, n_parts) threshold broadcast
+    "j9_bloom_prune_semi",  # 1-row bloom bit-array map broadcast
 }
 
 
