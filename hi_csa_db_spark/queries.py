@@ -10580,6 +10580,181 @@ def x42_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "t20_attribution",
+    """
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS pts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS cid, user_id, epoch_us(ts) AS cts,
+             CAST(props->>'$.k' AS INTEGER) % 5 AS channel
+      FROM events WHERE event_type = 'click'
+    ),
+    pc AS (
+      SELECT p.pid, p.cents, c.channel,
+             ROW_NUMBER() OVER (PARTITION BY p.pid
+                                ORDER BY c.cts DESC, c.cid DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY p.pid) AS n
+      FROM p JOIN c ON c.user_id = p.user_id
+                   AND c.cts >= p.pts - 604800000000 AND c.cts < p.pts
+    ),
+    credits AS (
+      SELECT 'last_touch' AS model, channel, cents AS cr FROM pc WHERE rn = 1
+      UNION ALL
+      SELECT 'linear' AS model, channel,
+             cents // n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END AS cr
+      FROM pc
+    )
+    SELECT model, channel, CAST(SUM(cr) AS BIGINT) AS credited_cents
+    FROM credits GROUP BY model, channel
+    """,
+)
+def t20_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: every purchase's revenue credited to the
+    user's clicks in the preceding 7 days, under BOTH standard models
+    in one plan — last-touch (all credit to the most recent click) and
+    linear (equal split). Credit is INTEGER-EXACT: cents div n per
+    click with the remainder going to the most recent click, so the
+    per-channel totals conserve revenue to the cent on any engine and
+    any partitioning (a float split would not). One user-keyed
+    equi-join bounded by the 7-day window + one per-purchase window;
+    channels come from the JSON props (f7's path)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        us.alias("pts"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("c_user"),
+        us.alias("cts"),
+        (F.get_json_object("props", "$.k").cast("int") % 5).alias("channel"),
+    )
+    week_us = 7 * 24 * 3600 * 1_000_000
+    pc = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("cts") >= F.col("pts") - F.lit(week_us))
+        & (F.col("cts") < F.col("pts")),
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("cts").desc(), F.col("cid").desc())
+    wn = Window.partitionBy("pid")
+    pc = pc.select(
+        "pid",
+        "cents",
+        "channel",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    last = pc.filter(F.col("rn") == 1).select(
+        F.lit("last_touch").alias("model"), "channel", F.col("cents").alias("cr")
+    )
+    linear = pc.select(
+        F.lit("linear").alias("model"),
+        "channel",
+        (
+            F.expr("cents div n")
+            + F.when(F.col("rn") == 1, F.col("cents") % F.col("n")).otherwise(0)
+        ).alias("cr"),
+    )
+    return (
+        last.unionByName(linear)
+        .groupBy("model", "channel")
+        .agg(F.sum("cr").cast("bigint").alias("credited_cents"))
+    )
+
+
+@_register(
+    "er1_entity_resolution",
+    """
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             substr(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), 1, 24) AS key
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, key, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rnk FROM k
+    ),
+    e0 AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+      WHERE levenshtein(a.key, b.key) <= 6
+    ),
+    ud AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    nodes AS (SELECT doc_id AS id FROM k),
+    l0 AS (SELECT id, id AS lbl FROM nodes),
+    l1 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN l0 s ON s.id = n.id
+           LEFT JOIN ud e ON e.src = n.id LEFT JOIN l0 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl),
+    l2 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN l1 s ON s.id = n.id
+           LEFT JOIN ud e ON e.src = n.id LEFT JOIN l1 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl),
+    l3 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN l2 s ON s.id = n.id
+           LEFT JOIN ud e ON e.src = n.id LEFT JOIN l2 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl),
+    m AS (SELECT l3.id, l3.lbl, k.n_chars FROM l3 JOIN k ON k.doc_id = l3.id),
+    ranked AS (
+      SELECT lbl, id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lbl
+                                ORDER BY n_chars DESC, id ASC) AS sr,
+             COUNT(*) OVER (PARTITION BY lbl) AS n
+      FROM m
+    )
+    SELECT lbl AS cluster, id AS survivor_id, CAST(n AS BIGINT) AS n_members
+    FROM ranked WHERE sr = 1
+    """,
+)
+def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution composite — the classic MDM pipeline from
+    FOUR independently proven stages, composed as ONE lazy plan:
+    sorted-neighborhood BLOCKING (d15's operator) -> edit-distance
+    MATCH scoring on the blocking key -> connected-component
+    CLUSTERING (graph.connected_components, integer min-label, 3
+    bounded rounds — identical bound on both engines) ->
+    SURVIVORSHIP (keep the longest document per cluster, id
+    tie-break). Singleton documents keep their own label via the
+    left join, so the output partitions the whole corpus. Every
+    stage is linear or blocking-bounded; nothing is quadratic in the
+    corpus."""
+    from hi_csa_db_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(F.lower(strip_punct(F.col("text"))), 1, 24)
+    pairs = (
+        sorted_neighborhood_pairs(docs, key, id_col="doc_id", window=3)
+        .filter(F.levenshtein("a_key", "b_key") <= 6)
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    labels = graph.connected_components(pairs, iterations=3)
+    m = docs.select("doc_id", "n_chars").join(
+        labels, docs["doc_id"] == labels["id"], "left"
+    ).select(
+        "doc_id", "n_chars", F.coalesce("lbl", F.col("doc_id")).alias("lbl")
+    )
+    w = Window.partitionBy("lbl").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    wn = Window.partitionBy("lbl")
+    ranked = m.select(
+        "lbl",
+        "doc_id",
+        F.row_number().over(w).alias("sr"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.filter(F.col("sr") == 1).select(
+        F.col("lbl").alias("cluster"),
+        F.col("doc_id").alias("survivor_id"),
+        F.col("n").cast("bigint").alias("n_members"),
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds are
 # banked, so each round the prefix should be composed of (a) queries
@@ -10637,6 +10812,7 @@ _PRIORITY = (
     "pipe_training_prep_v4",
     # --- slot 51+: remaining never-sampled (checked if the driver ever
     # samples deeper), then banked greens via the dict-order tail ---
+    "t20_attribution", "er1_entity_resolution",
     "q4_priority_count", "q12_late_priority_split",
     "q16_supplier_part_counts", "q20_excess_stock_suppliers",
     # yielded prefix slots to this round's NEW operators (code
