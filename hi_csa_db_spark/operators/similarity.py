@@ -422,3 +422,90 @@ def sq8_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    pool: int = 8,
+    k: int = 3,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick the candidate maximizing
+    ``lam·rel − (1−lam)·max_sim_to_already_selected`` — the
+    diversity-aware ordering that stops a retrieval-augmented context
+    window filling up with near-duplicates of one document.
+
+    Returns (rank, id_col, score): rank 1..k, score rounded 6dp.
+
+    Structure: relevance top-``pool`` (TakeOrderedAndProject over the
+    corpus — the only stage that touches all vectors) is materialized
+    once (localCheckpoint — each greedy step re-reads it, and the
+    pairwise sim table derives from it); the k-step greedy loop then
+    operates on pool-sized data only, each step one semi-join + one
+    aggregate + one limit(1), built lazily with 1-row broadcasts (no
+    driver collect). Determinism: rel and pairwise sims are rounded
+    6dp BEFORE the greedy arithmetic; lam=0.5 halvings are exact
+    binary scalings, so every engine ranks candidates identically."""
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    pool_df = (
+        embeddings.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("pid"),
+            F.col(vec_col).alias("pv"),
+            F.round(cosine(F.col(vec_col), F.col("__q")), 6).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("pid").asc())
+        .limit(pool)
+        .localCheckpoint(eager=False)
+    )
+    a = pool_df.select(F.col("pid").alias("ia"), F.col("pv").alias("va"))
+    b = pool_df.select(F.col("pid").alias("ib"), F.col("pv").alias("vb"))
+    sims = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select("ia", "ib", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    picks = []
+    sel = None  # union of already-selected (sel_id) rows
+    for step in range(1, k + 1):
+        if sel is None:
+            cand = pool_df.select("pid", F.col("rel").alias("score"))
+        else:
+            maxsim = (
+                sims.join(sel, sims["ib"] == sel["sel_id"], "left_semi")
+                .groupBy("ia")
+                .agg(F.max("s").alias("ms"))
+            )
+            cand = (
+                pool_df.join(sel, pool_df["pid"] == sel["sel_id"], "left_anti")
+                .join(maxsim, F.col("pid") == F.col("ia"))
+                .select(
+                    "pid",
+                    (F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("ms")).alias(
+                        "score"
+                    ),
+                )
+            )
+        pick = (
+            cand.orderBy(F.col("score").desc(), F.col("pid").asc())
+            .limit(1)
+            .select(
+                F.lit(step).alias("rank"),
+                F.col("pid").alias("sel_id"),
+                F.round("score", 6).alias("score"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        picks.append(pick)
+        sel = pick if sel is None else sel.unionByName(pick)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select("rank", F.col("sel_id").alias(id_col), "score")

@@ -10755,6 +10755,56 @@ def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ret4_mmr_rerank",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    pool AS (
+      SELECT vec_id, embedding, ROUND({_cos_sql('e.embedding', 'q.qv')}, 6) AS rel
+      FROM embeddings e CROSS JOIN q
+      WHERE vec_id <> 0
+      ORDER BY rel DESC, vec_id ASC LIMIT 8
+    ),
+    sims AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) AS s
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS (SELECT vec_id, rel AS score FROM pool
+           ORDER BY rel DESC, vec_id ASC LIMIT 1),
+    c2 AS (SELECT p.vec_id, 0.5 * p.rel - 0.5 * s.s AS score
+           FROM pool p JOIN sims s
+             ON s.ia = p.vec_id AND s.ib = (SELECT vec_id FROM s1)
+           WHERE p.vec_id <> (SELECT vec_id FROM s1)),
+    s2 AS (SELECT vec_id, score FROM c2
+           ORDER BY score DESC, vec_id ASC LIMIT 1),
+    c3 AS (SELECT p.vec_id,
+                  0.5 * p.rel - 0.5 * GREATEST(sa.s, sb.s) AS score
+           FROM pool p
+           JOIN sims sa ON sa.ia = p.vec_id AND sa.ib = (SELECT vec_id FROM s1)
+           JOIN sims sb ON sb.ia = p.vec_id AND sb.ib = (SELECT vec_id FROM s2)
+           WHERE p.vec_id <> (SELECT vec_id FROM s1)
+             AND p.vec_id <> (SELECT vec_id FROM s2)),
+    s3 AS (SELECT vec_id, score FROM c3
+           ORDER BY score DESC, vec_id ASC LIMIT 1)
+    SELECT 1 AS rank, vec_id, ROUND(score, 6) AS score FROM s1
+    UNION ALL SELECT 2, vec_id, ROUND(score, 6) FROM s2
+    UNION ALL SELECT 3, vec_id, ROUND(score, 6) FROM s3
+    """,
+)
+def ret4_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (similarity.mmr_rerank):
+    greedy diversity-aware selection over the relevance top-8 pool,
+    3 rounds of lam·rel − (1−lam)·max-sim-to-selected with lam=0.5
+    (exact binary halvings — no float ambiguity on top of the
+    6dp-rounded rel/sim inputs). The RAG-context curation step that
+    stops a retrieved window filling with near-duplicates; the greedy
+    loop runs on pool-sized data only. Oracle: the three greedy
+    rounds unrolled as chained CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_rerank(emb, query_id=0, pool=8, k=3, lam=0.5)
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds are
 # banked, so each round the prefix should be composed of (a) queries
@@ -10812,7 +10862,7 @@ _PRIORITY = (
     "pipe_training_prep_v4",
     # --- slot 51+: remaining never-sampled (checked if the driver ever
     # samples deeper), then banked greens via the dict-order tail ---
-    "t20_attribution", "er1_entity_resolution",
+    "t20_attribution", "er1_entity_resolution", "ret4_mmr_rerank",
     "q4_priority_count", "q12_late_priority_split",
     "q16_supplier_part_counts", "q20_excess_stock_suppliers",
     # yielded prefix slots to this round's NEW operators (code
