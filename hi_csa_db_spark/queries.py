@@ -10805,6 +10805,74 @@ def ret4_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_rerank(emb, query_id=0, pool=8, k=3, lam=0.5)
 
 
+@_register(
+    "x43_cdc_chunk_dedup",
+    """
+    WITH chunked AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(range(1, len(bs)),
+                              j -> substr(text, bs[j], bs[j+1] - bs[j])),
+               c -> c <> '') AS chunks
+      FROM (
+        SELECT doc_id, text,
+               list_concat(list_concat([1], list_filter(
+                 range(2, greatest(len(text) - 7, 2) + 1),
+                 i -> len(text) >= 9 AND
+                      CAST('0x' || substr(md5(substr(text, i, 8)), 1, 4) AS BIGINT)
+                      % 16 = 0)), [len(text) + 1]) AS bs
+        FROM documents
+      )
+    ),
+    occ AS (SELECT doc_id, md5(unnest(chunks)) AS content_hash FROM chunked)
+    SELECT content_hash, COUNT(*) AS n_occ,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM occ GROUP BY content_hash
+    ORDER BY n_occ DESC, content_hash ASC LIMIT 20
+    """,
+)
+def x43_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the rsync/LBFS/storage-dedup
+    technique): chunk boundaries are set where a rolling 8-gram
+    content hash ≡ 0 (mod 16) — so an INSERTION only reshapes the
+    chunks it touches, where x19's fixed-width chunking shifts every
+    boundary after the edit point. Top-20 most-repeated chunks across
+    the corpus (occurrences + distinct docs). The whole chunker is
+    narrow Catalyst array expressions (filter/transform over
+    sequence) — no explode until chunks exist, no shuffle before the
+    final hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bs = F.expr(
+        "concat(array(1), "
+        " filter(sequence(2, greatest(length(text) - 7, 2)),"
+        "        i -> length(text) >= 9 AND"
+        "             CAST(conv(substring(md5(substring(text, i, 8)), 1, 4),"
+        "                       16, 10) AS BIGINT) % 16 = 0),"
+        " array(length(text) + 1))"
+    )
+    chunks = F.expr(
+        "filter(transform(sequence(1, size(__bs) - 1),"
+        "                 j -> substring(text, element_at(__bs, j),"
+        "                                element_at(__bs, j + 1)"
+        "                                - element_at(__bs, j))),"
+        "       c -> c <> '')"
+    )
+    occ = (
+        docs.select("doc_id", "text", bs.alias("__bs"))
+        .select("doc_id", F.explode(chunks).alias("__c"))
+        .select("doc_id", F.md5("__c").alias("content_hash"))
+    )
+    return (
+        occ.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occ").desc(), F.col("content_hash").asc())
+        .limit(20)
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds are
 # banked, so each round the prefix should be composed of (a) queries
@@ -10863,6 +10931,7 @@ _PRIORITY = (
     # --- slot 51+: remaining never-sampled (checked if the driver ever
     # samples deeper), then banked greens via the dict-order tail ---
     "t20_attribution", "er1_entity_resolution", "ret4_mmr_rerank",
+    "x43_cdc_chunk_dedup",
     "q4_priority_count", "q12_late_priority_split",
     "q16_supplier_part_counts", "q20_excess_stock_suppliers",
     # yielded prefix slots to this round's NEW operators (code
