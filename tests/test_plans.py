@@ -100,6 +100,8 @@ _NLJ_ALLOWED = {
     "x6_tfidf_topk",  # 1-row corpus-size broadcast (replaced eager .count())
     "q11_important_parts",  # 1-row (total_v, n_parts) threshold broadcast
     "j9_bloom_prune_semi",  # 1-row bloom bit-array map broadcast
+    "s7_sq8_topk",  # 1-row per-dim quantization-bounds broadcast
+    "ret4_mmr_rerank",  # 1-row greedy-pick broadcasts per MMR round
 }
 
 
