@@ -55,6 +55,21 @@ FLOAT_SENSITIVE = [
     "w10_rank_distributions",
     "t11_ewma_smoothing",
     "q19_disjunctive_revenue",
+    # round-3 (this session) additions: float scores, quantized codes,
+    # greedy selections, integer credit splits, min-label clusters
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q21_waiting_suppliers",
+    "j9_bloom_prune_semi",
+    "d15_sorted_neighborhood",
+    "graph_hits",
+    "s7_sq8_topk",
+    "x42_perplexity_buckets",
+    "t20_attribution",
+    "er1_entity_resolution",
+    "ret4_mmr_rerank",
+    "x43_cdc_chunk_dedup",
 ]
 
 
