@@ -284,3 +284,36 @@ def test_stream_dq_gate_matches_batch(spark, sf_dir):
     }
     assert streamed == batch
     assert all(v[0] > 0 for v in streamed.values())
+
+
+def test_tws_user_totals_matches_batch(spark, sf_dir):
+    # transformWithStateInPandas (Spark 4 arbitrary-state API) twin of
+    # the applyInPandasWithState totalizer. Its state-server protocol
+    # needs google.protobuf, absent in some containers — skip there
+    # (the operator is deliberately NOT a registered driver query for
+    # the same reason).
+    import pytest
+
+    from hi_csa_db_spark.streaming import tws
+
+    if not tws.tws_available():
+        pytest.skip("google.protobuf not installed: tws runtime unavailable")
+    from pyspark.sql import functions as F
+
+    from hi_csa_db_spark.catalog import load_table
+
+    got = {
+        (r["user_id"]): (r["n_events"], r["total_cents"])
+        for r in tws.user_running_totals_tws(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
