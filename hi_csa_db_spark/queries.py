@@ -10806,7 +10806,7 @@ def ret4_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "x43_cdc_chunk_dedup", "a11_cms_heavy_hitters",
+    "x43_cdc_chunk_dedup",
     """
     WITH chunked AS (
       SELECT doc_id,

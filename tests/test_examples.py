@@ -31,3 +31,13 @@ def test_multimodal_media_pipeline_runs():
     assert "exact binary duplicates (content-hash groups > 1): 1" in r.stdout
     assert "dominant FFT bin mismatches synthesis: 0" in r.stdout
     assert r.stdout.strip().endswith("OK")
+
+
+def test_rag_retrieval_pipeline_runs(sf_dir):
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "rag_retrieval_pipeline.py"),
+         sf_dir],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "rag pipeline complete" in r.stdout
