@@ -10873,6 +10873,100 @@ def x43_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("x44_ffd_packing")
+def x44_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing sequence packing (operators/packing.py):
+    per-source FFD bin assignment via applyInPandas — the sequential-
+    per-group packer that beats x16's prefix-sum chunking on stranded
+    budget (FFD <= 11/9·OPT + 1 bins). Rows-only driver check: FFD's
+    loop-carried bin state is not oracle-dialect-expressible; the
+    exact assignment is pinned against a brute-force Python twin in
+    tests/test_r3_ops.py. Output: per (source, bin) doc count and
+    fill."""
+    from hi_csa_db_spark.operators.packing import pack_ffd
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_ffd(docs, budget=512)
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+@_register(
+    "x46_ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i)
+      WHERE len(ws) >= 3
+    ),
+    first_seen AS (SELECT g, MIN(doc_id) AS fs FROM grams GROUP BY g)
+    SELECT grams.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN f.fs = grams.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(SUM(CASE WHEN f.fs = grams.doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM grams JOIN first_seen f ON f.g = grams.g
+    GROUP BY grams.doc_id
+    """,
+)
+def x46_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty curve: per document, the fraction of its
+    DISTINCT token 3-grams first seen in THIS document (first
+    occurrence = min doc_id over the corpus) — the
+    diversity-vs-redundancy signal used to order or downsample a
+    corpus so training sees novel content early instead of the
+    hundredth near-copy. One gram aggregate (min doc_id, map-side
+    combined over the Zipf-small distinct-gram keyspace) re-joined to
+    the per-doc gram sets; integer ratio rounded once at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", tokenize(F.lower(strip_punct(F.col("text")))).alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2),"
+                    " i -> concat_ws(' ', element_at(ws, i),"
+                    "               element_at(ws, i + 1), element_at(ws, i + 2)))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("fs"))
+    novel = F.when(F.col("fs") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams").cast("double"), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
 @_register(
     "a11_cms_heavy_hitters",
     """
@@ -11017,6 +11111,7 @@ _PRIORITY = (
     # samples deeper), then banked greens via the dict-order tail ---
     "t20_attribution", "er1_entity_resolution", "ret4_mmr_rerank",
     "x43_cdc_chunk_dedup", "a11_cms_heavy_hitters",
+    "x46_ngram_novelty", "x44_ffd_packing",
     "q4_priority_count", "q12_late_priority_split",
     "q16_supplier_part_counts", "q20_excess_stock_suppliers",
     # yielded prefix slots to this round's NEW operators (code

@@ -88,3 +88,53 @@ def test_hits_duplicate_edges_ignored(spark):
     r1 = sorted(map(tuple, hits(e1, 2).collect()))
     r2 = sorted(map(tuple, hits(e2, 2).collect()))
     assert r1 == r2
+
+
+def test_ffd_packing_matches_bruteforce(spark, sf_dir):
+    from hi_csa_db_spark.catalog import load_table
+    from hi_csa_db_spark.operators.packing import pack_ffd
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.source, r.doc_id): (r.n_tokens, r.bin_id)
+        for r in pack_ffd(docs, budget=512).collect()
+    }
+    # brute force in plain Python over the same sizes
+    sized = docs.select(
+        "source", "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n")
+    ).collect()
+    by_src = {}
+    for r in sized:
+        by_src.setdefault(r.source, []).append((r.n, r.doc_id))
+    want = {}
+    for src, items in by_src.items():
+        fills = []
+        for n, doc_id in sorted(items, key=lambda t: (-t[0], t[1])):
+            placed = None
+            if n <= 512:
+                for b, fill in enumerate(fills):
+                    if fill + n <= 512:
+                        placed = b
+                        break
+            if placed is None:
+                placed = len(fills)
+                fills.append(0)
+            fills[placed] += n
+            want[(src, doc_id)] = (n, placed)
+    assert got == want
+
+
+def test_ffd_bins_respect_budget(spark, sf_dir):
+    from hi_csa_db_spark.catalog import load_table
+    from hi_csa_db_spark.operators.packing import pack_ffd
+
+    docs = load_table(spark, sf_dir, "documents")
+    over = (
+        pack_ffd(docs, budget=512)
+        .groupBy("source", "bin_id")
+        .agg(F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n"))
+        # a bin may exceed the budget ONLY as a single oversized item
+        .filter((F.col("fill") > 512) & (F.col("n") > 1))
+        .count()
+    )
+    assert over == 0
