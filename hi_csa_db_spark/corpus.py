@@ -141,7 +141,26 @@ class Corpus:
         kept = self._docs.join(dk, "doc_id")
         return self._with(kept, "resample_dsir[x24]")
 
+    def keep_perplexity_buckets(self, buckets: tuple[str, ...] = ("head",)) -> "Corpus":
+        """Keep only the named CCNet-style perplexity buckets (x42's
+        per-source corpus-bigram-LM terciles; default: head only)."""
+        from hi_csa_db_spark import queries as q
+
+        b = q.x42_perplexity_buckets(self.spark, self.sf_dir).filter(
+            F.col("bucket").isin(*buckets)
+        ).select("doc_id")
+        kept = self._docs.join(b, "doc_id")
+        return self._with(kept, f"keep_perplexity_buckets{buckets}[x42]")
+
     # -- terminal reports -------------------------------------------------
+
+    def pack_ffd(self, budget: int = 512) -> DataFrame:
+        """Terminal: first-fit-decreasing context packing of the
+        surviving docs (operators/packing.py) — (source, doc_id,
+        n_tokens, bin_id)."""
+        from hi_csa_db_spark.operators.packing import pack_ffd as _pack
+
+        return _pack(self._docs, budget=budget)
 
     def audit_by(self, col: str) -> DataFrame:
         """Survivor counts (+ token budget when available) per group."""

@@ -53,3 +53,27 @@ def test_stages_compose_monotonically(spark, sf_dir):
     n2 = c1.dedup_near_keep_best().df().count()
     assert n0 >= n1 >= n2
     assert n2 > 0
+
+
+def test_corpus_perplexity_bucket_and_ffd_pack(spark, sf_dir):
+    from hi_csa_db_spark import queries as q
+    from hi_csa_db_spark.corpus import Corpus
+
+    c = Corpus.load(spark, sf_dir).keep_perplexity_buckets(("head",))
+    kept = {r.doc_id for r in c.df().select("doc_id").collect()}
+    want = {
+        r.doc_id
+        for r in q.x42_perplexity_buckets(spark, sf_dir)
+        .filter("bucket = 'head'")
+        .collect()
+    }
+    assert kept == want and kept
+    packed = c.pack_ffd(budget=512)
+    rows = packed.collect()
+    assert {r.doc_id for r in rows} == kept
+    fills = {}
+    for r in rows:
+        fills.setdefault((r.source, r.bin_id), []).append(r.n_tokens)
+    for sizes in fills.values():
+        assert sum(sizes) <= 512 or len(sizes) == 1
+    assert "keep_perplexity_buckets('head',)[x42]" in c.provenance()
