@@ -102,6 +102,7 @@ _NLJ_ALLOWED = {
     "j9_bloom_prune_semi",  # 1-row bloom bit-array map broadcast
     "s7_sq8_topk",  # 1-row per-dim quantization-bounds broadcast
     "ret4_mmr_rerank",  # 1-row greedy-pick broadcasts per MMR round
+    "a11_cms_heavy_hitters",  # 1-row total/500 threshold broadcast
 }
 
 
