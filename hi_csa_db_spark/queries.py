@@ -10898,6 +10898,178 @@ def x44_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "t21_rfm_segmentation",
+    """
+    WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+    base AS (
+      SELECT o.o_custkey AS custkey,
+             date_diff('day', MAX(o.o_orderdate), mx.mxd) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders o CROSS JOIN mx
+      GROUP BY o.o_custkey, mx.mxd
+    )
+    SELECT custkey, recency_days, frequency, monetary_cents,
+           NTILE(5) OVER (ORDER BY recency_days ASC, custkey ASC) AS r_score,
+           NTILE(5) OVER (ORDER BY frequency DESC, custkey ASC) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary_cents DESC, custkey ASC) AS m_score
+    FROM base
+    """,
+)
+def t21_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-analytics
+    rollup: per customer, days since last order (vs the corpus max
+    date), order count, and lifetime spend in EXACT integer cents
+    (o_totalprice is parquet DOUBLE: the decimal(15,2)*100 route is
+    the truncate-vs-round-safe money conversion, NOTES.md), each
+    scored into quintiles (NTILE with custkey tie-break — total order
+    on both engines, so bucket edges match). One groupBy + three rank
+    windows; at fleet scale the windows become global_row_numbers
+    range partitions."""
+    t = load_tables(spark, sf_dir)
+    mx = t["orders"].agg(F.max("o_orderdate").alias("mxd"))
+    base = (
+        t["orders"]
+        .crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "mxd")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.expr("CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.datediff(F.col("mxd"), F.col("last_order")).alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("custkey").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
+    wm = Window.orderBy(F.col("monetary_cents").desc(), F.col("custkey").asc())
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+
+
+@_register(
+    "x47_priority_dedup",
+    """
+    WITH k AS (
+      SELECT doc_id, source,
+             substr(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), 1, 24) AS key,
+             CAST(substr(source, 4) AS INTEGER) AS prio
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, md5(key) AS group_hash,
+             ROW_NUMBER() OVER (PARTITION BY key
+                                ORDER BY prio ASC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY key) AS n_members
+      FROM k
+    )
+    SELECT group_hash, doc_id AS survivor_id, source AS survivor_source,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def x47_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-source dedup: within each content group (d15's
+    normalized blocking key), keep the document from the MOST TRUSTED
+    source (numeric source priority, id tie-break) — the curation rule
+    that prefers the curated copy over the crawl copy when both carry
+    the same content. One key shuffle; the priority rule is a pure
+    window, no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = docs.select(
+        "doc_id",
+        "source",
+        F.substring(F.lower(strip_punct(F.col("text"))), 1, 24).alias("key"),
+        F.expr("CAST(substr(source, 4) AS INT)").alias("prio"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("prio").asc(), F.col("doc_id").asc())
+    wn = Window.partitionBy("key")
+    return (
+        k.select(
+            F.md5("key").alias("group_hash"),
+            F.col("doc_id").alias("survivor_id"),
+            F.col("source").alias("survivor_source"),
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(wn).cast("bigint").alias("n_members"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@_register(
+    "stats_gini",
+    """
+    WITH cents AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS c
+      FROM orders
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c ASC, o_orderkey ASC) AS i
+      FROM cents
+    ),
+    s AS (SELECT COUNT(*) AS n, SUM(c) AS s0, SUM(i * c) AS s1 FROM ranked)
+    SELECT ROUND((2.0 * s1 - (n + 1.0) * s0) / (CAST(n AS DOUBLE) * s0), 6)
+      AS gini
+    FROM s
+    """,
+)
+def stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order values — the inequality statistic of
+    the spend distribution, via the rank formula
+    G = (2·Σ i·x_(i) − (n+1)·Σ x) / (n·Σ x). Every accumulation is an
+    exact BIGINT (integer cents × integer ranks); floats appear only
+    in the single final division, rounded once. The global rank uses
+    ``ordered.global_row_numbers`` (range partition + broadcast
+    offsets) — never a single-partition ORDER BY window."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)").alias(
+            "c"
+        ),
+    )
+    # global_row_numbers ranks by one key column; make it unique by
+    # packing (cents, orderkey) into a sortable struct-free key:
+    # cents * 2^20 + orderkey is strictly ordered the same way for
+    # orderkey < 2^20 at any fixture SF (orderkey max ~1.5e6 at sf1 —
+    # use 2^24 headroom; product stays far under 2^63).
+    keyed = cents.select(
+        "k", "c", (F.col("c") * F.lit(1 << 24) + F.col("k")).alias("__key")
+    )
+    ranked = ordered.global_row_numbers(keyed, "__key")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s0"),
+        F.sum(F.col("rank") * F.col("c")).alias("s1"),
+    )
+    return s.select(
+        F.round(
+            (2.0 * F.col("s1") - (F.col("n") + F.lit(1.0)) * F.col("s0"))
+            / (F.col("n").cast("double") * F.col("s0")),
+            6,
+        ).alias("gini")
+    )
+
+
+@_register(
     "x46_ngram_novelty",
     """
     WITH toks AS (
@@ -11110,6 +11282,7 @@ _PRIORITY = (
     # --- slot 51+: remaining never-sampled (checked if the driver ever
     # samples deeper), then banked greens via the dict-order tail ---
     "t20_attribution", "er1_entity_resolution", "ret4_mmr_rerank",
+    "t21_rfm_segmentation", "x47_priority_dedup", "stats_gini",
     "x43_cdc_chunk_dedup", "a11_cms_heavy_hitters",
     "x46_ngram_novelty", "x44_ffd_packing",
     "q4_priority_count", "q12_late_priority_split",

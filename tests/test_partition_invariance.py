@@ -70,6 +70,10 @@ FLOAT_SENSITIVE = [
     "er1_entity_resolution",
     "ret4_mmr_rerank",
     "x43_cdc_chunk_dedup",
+    "t21_rfm_segmentation",
+    "x47_priority_dedup",
+    "stats_gini",
+    "x46_ngram_novelty",
 ]
 
 
