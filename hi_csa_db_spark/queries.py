@@ -10898,6 +10898,38 @@ def x44_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sq_group_by_all",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def sq_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (the DuckDB-pioneered shorthand,
+    adopted by Spark 4) through the SQL front-end — every
+    non-aggregate select item becomes a grouping key, every output
+    column an order key. The SAME SQL text runs verbatim on both
+    engines; money in exact integer cents."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@_register(
     "t21_rfm_segmentation",
     """
     WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
@@ -11283,6 +11315,7 @@ _PRIORITY = (
     # samples deeper), then banked greens via the dict-order tail ---
     "t20_attribution", "er1_entity_resolution", "ret4_mmr_rerank",
     "t21_rfm_segmentation", "x47_priority_dedup", "stats_gini",
+    "sq_group_by_all",
     "x43_cdc_chunk_dedup", "a11_cms_heavy_hitters",
     "x46_ngram_novelty", "x44_ffd_packing",
     "q4_priority_count", "q12_late_priority_split",
