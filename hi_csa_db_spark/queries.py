@@ -10898,6 +10898,89 @@ def x44_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "u13_scd2_point_in_time",
+    """
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             c_mktsegment AS seg
+      FROM customer
+    ),
+    v2rows AS (
+      SELECT k,
+             CASE WHEN k % 10 = 0 THEN cents + 10000 ELSE cents END AS cents,
+             CASE WHEN k % 7 = 0 THEN 'SHIFTED' ELSE seg END AS seg
+      FROM base WHERE k % 97 <> 0
+      UNION ALL
+      SELECT k + 1000000, cents, seg FROM base WHERE k % 50 = 0
+    )
+    SELECT 1 AS as_of_version, seg, COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM base GROUP BY seg
+    UNION ALL
+    SELECT 2, seg, COUNT(*), CAST(SUM(cents) AS BIGINT)
+    FROM v2rows GROUP BY seg
+    """,
+)
+def u13_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time reconstruction — the ROUND-TRIP property
+    that makes a slowly-changing dimension trustworthy: filtering the
+    u7-style 2-version history to "as of version v" (valid_from <= v
+    AND (open OR valid_to > v)) must reproduce snapshot v EXACTLY.
+    The oracle is each original snapshot aggregated directly — no
+    interval algebra — so any history-construction bug (row leaked
+    across a close, double-counted reopen) breaks the match. Money in
+    exact integer cents; one segment rollup per reconstructed
+    version."""
+    from hi_csa_db_spark.operators import scd
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    v2 = base.filter(F.col("k") % 97 != 0).select(
+        "k",
+        F.when(F.col("k") % 10 == 0, F.col("cents") + 10000)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        F.when(F.col("k") % 7 == 0, F.lit("SHIFTED")).otherwise(F.col("seg")).alias(
+            "seg"
+        ),
+    ).unionByName(
+        base.filter(F.col("k") % 50 == 0).select(
+            (F.col("k") + 1000000).alias("k"), "cents", "seg"
+        )
+    )
+    hist = scd.scd2_apply(
+        scd.scd2_init(base, "k", ["cents", "seg"], version=1),
+        v2,
+        "k",
+        ["cents", "seg"],
+        version=2,
+    )
+
+    def as_of(v: int) -> DataFrame:
+        return (
+            hist.filter(
+                (F.col("valid_from") <= v)
+                & (F.col("valid_to").isNull() | (F.col("valid_to") > v))
+            )
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("total_cents"),
+            )
+            .select(F.lit(v).alias("as_of_version"), "seg", "n_rows", "total_cents")
+        )
+
+    return as_of(1).unionByName(as_of(2))
+
+
+@_register(
     "sq_group_by_all",
     """
     SELECT o_orderpriority, o_orderstatus,
