@@ -11398,6 +11398,7 @@ _PRIORITY = (
     # samples deeper), then banked greens via the dict-order tail ---
     "t20_attribution", "er1_entity_resolution", "ret4_mmr_rerank",
     "t21_rfm_segmentation", "x47_priority_dedup", "stats_gini",
+    "u13_scd2_point_in_time",
     "sq_group_by_all",
     "x43_cdc_chunk_dedup", "a11_cms_heavy_hitters",
     "x46_ngram_novelty", "x44_ffd_packing",
