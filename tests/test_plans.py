@@ -103,6 +103,8 @@ _NLJ_ALLOWED = {
     "s7_sq8_topk",  # 1-row per-dim quantization-bounds broadcast
     "ret4_mmr_rerank",  # 1-row greedy-pick broadcasts per MMR round
     "a11_cms_heavy_hitters",  # 1-row total/500 threshold broadcast
+    "t21_rfm_segmentation",  # 1-row max-orderdate broadcast
+    "stats_gini",  # global_row_numbers' 1-row offset broadcast
 }
 
 
