@@ -10898,6 +10898,58 @@ def x44_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dq4_skew_report",
+    """
+    WITH per_key AS (
+      SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows, MAX(cnt) AS max_cnt
+      FROM per_key
+    )
+    SELECT p.key, p.cnt,
+           ROUND(p.cnt * s.n_keys / CAST(s.n_rows AS DOUBLE), 6) AS skew_ratio,
+           CAST(s.n_keys AS BIGINT) AS n_keys,
+           CAST(s.n_rows AS BIGINT) AS n_rows
+    FROM per_key p CROSS JOIN stats s
+    ORDER BY p.cnt DESC, p.key ASC LIMIT 10
+    """,
+)
+def dq4_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the operational pre-join check at
+    100 TB: per-key row counts for a prospective join key, the top-10
+    heaviest keys, and each key's skew ratio (count ÷ mean count,
+    computed as cnt·n_keys/n_rows so the only float is the final
+    rounded division). A ratio far above 1 on the biggest keys is the
+    signal to salt (operators/skew.py) or let AQE's skew-join split
+    partitions; one map-combined aggregate + a 1-row stats broadcast
+    — the report costs one pass regardless of table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "cnt",
+            F.round(
+                F.col("cnt") * F.col("n_keys") / F.col("n_rows").cast("double"), 6
+            ).alias("skew_ratio"),
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(10)
+    )
+
+
+@_register(
     "u13_scd2_point_in_time",
     """
     WITH base AS (
@@ -11398,7 +11450,7 @@ _PRIORITY = (
     # samples deeper), then banked greens via the dict-order tail ---
     "t20_attribution", "er1_entity_resolution", "ret4_mmr_rerank",
     "t21_rfm_segmentation", "x47_priority_dedup", "stats_gini",
-    "u13_scd2_point_in_time",
+    "u13_scd2_point_in_time", "dq4_skew_report",
     "sq_group_by_all",
     "x43_cdc_chunk_dedup", "a11_cms_heavy_hitters",
     "x46_ngram_novelty", "x44_ffd_packing",

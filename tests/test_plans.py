@@ -105,6 +105,7 @@ _NLJ_ALLOWED = {
     "a11_cms_heavy_hitters",  # 1-row total/500 threshold broadcast
     "t21_rfm_segmentation",  # 1-row max-orderdate broadcast
     "stats_gini",  # global_row_numbers' 1-row offset broadcast
+    "dq4_skew_report",  # 1-row key-stats broadcast
 }
 
 
