@@ -10897,6 +10897,125 @@ def x44_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x49_oracle() -> str:
+    # compose the rule-gate and model-gate oracles VERBATIM (the ret2
+    # idiom): the ablation is then pinned to exactly the stage
+    # definitions the driver already verifies one by one.
+    return f"""
+    WITH rule AS (SELECT doc_id, keep AS rule_keep
+                  FROM ({_ORACLES["x12_quality_rules"]})),
+    model AS (SELECT doc_id, keep AS model_keep
+              FROM ({_ORACLES["x20_quality_classifier"]})),
+    toks AS (
+      SELECT doc_id, len(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT d.lang, r.rule_keep, m.model_keep,
+           COUNT(*) AS n_docs,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens
+    FROM rule r
+    JOIN model m ON m.doc_id = r.doc_id
+    JOIN toks t ON t.doc_id = r.doc_id
+    JOIN documents d ON d.doc_id = r.doc_id
+    GROUP BY d.lang, r.rule_keep, m.model_keep
+    """
+
+
+@_register("x49_gate_ablation", None)
+def x49_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-gate ablation report: the per-language 2x2
+    contingency of the rule gate (x12) x the model gate (x20) with
+    document AND token counts per cell — the analysis that tells a curator whether the
+    two filters are redundant or complementary, and what each
+    marginal gate costs in tokens. Composes the two gate queries
+    as subplans; the oracle composes their oracle SQL verbatim (the
+    ret2 idiom), so the ablation is pinned to the exact stage
+    definitions already verified individually."""
+    rule = x12_quality_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rule_keep")
+    )
+    model = x20_quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("model_keep")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokenize(F.lower(strip_punct(F.col("text"))))).alias("n_tokens"),
+    )
+    return (
+        rule.join(model, "doc_id")
+        .join(toks, "doc_id")
+        .groupBy("lang", "rule_keep", "model_keep")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+_ORACLES["x49_gate_ablation"] = _x49_oracle()
+
+
+@_register(
+    "t22_hazard_table",
+    """
+    WITH lifetimes AS (
+      SELECT user_id,
+             CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT) AS churn_day
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT churn_day AS day, COUNT(*) AS n_churned
+      FROM lifetimes GROUP BY 1
+    )
+    SELECT day,
+           CAST(SUM(n_churned) OVER (ORDER BY day DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_at_risk,
+           CAST(n_churned AS BIGINT) AS n_churned,
+           ROUND(n_churned / CAST(SUM(n_churned) OVER (ORDER BY day DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+             AS hazard
+    FROM per_day
+    """,
+)
+def t22_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time hazard table (the Kaplan-Meier ingredient): per
+    lifetime-day, users still at risk, users churning that day
+    (churn day = days between a user's first and last event), and
+    the hazard d/n — integers everywhere, ONE rounded division per
+    row (a cumulative survival product would need cross-engine libm;
+    the hazard table carries the same information without it).
+    n_at_risk is a SUFFIX SUM of per-day churn counts — the heavy
+    work is one user groupBy + one day groupBy; the window runs
+    over the tiny day dimension (bounded by corpus lifespan), never
+    over users or events."""
+    ev = load_table(spark, sf_dir, "events")
+    lifetimes = ev.groupBy("user_id").agg(
+        F.expr("CAST(datediff(MAX(ts), MIN(ts)) AS BIGINT)").alias("churn_day")
+    )
+    per_day = lifetimes.groupBy(F.col("churn_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_churned")
+    )
+    w = (
+        Window.orderBy(F.col("day").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        "day",
+        F.sum("n_churned").over(w).cast("bigint").alias("n_at_risk"),
+        F.col("n_churned").cast("bigint").alias("n_churned"),
+        F.round(
+            F.col("n_churned")
+            / F.sum("n_churned").over(w).cast("double"),
+            6,
+        ).alias("hazard"),
+    )
+
+
 @_register(
     "dq4_skew_report",
     """
@@ -11451,6 +11570,7 @@ _PRIORITY = (
     "t20_attribution", "er1_entity_resolution", "ret4_mmr_rerank",
     "t21_rfm_segmentation", "x47_priority_dedup", "stats_gini",
     "u13_scd2_point_in_time", "dq4_skew_report",
+    "x49_gate_ablation", "t22_hazard_table",
     "sq_group_by_all",
     "x43_cdc_chunk_dedup", "a11_cms_heavy_hitters",
     "x46_ngram_novelty", "x44_ffd_packing",
