@@ -11017,6 +11017,119 @@ def t22_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "t23_burstiness",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM daily GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_days, s AS n_events,
+           ROUND((n * s2 - s * s) / CAST(n AS DOUBLE) / s, 6) AS fano
+    FROM m
+    """,
+)
+def t23_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity burstiness: the Fano factor (variance/mean)
+    of daily event counts — Poisson-like users score ~1, bursty users
+    score higher; the behavioral feature that separates steady readers
+    from scraping bots. Variance·n² = n·Σx² − (Σx)², so the whole
+    statistic is exact BIGINT moment sums with ONE rounded double
+    division chain at the end (the x40 integer-moments idiom). Two
+    map-combined groupBys, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    m = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    return m.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("s").alias("n_events"),
+        F.round(
+            (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+            / F.col("n").cast("double")
+            / F.col("s"),
+            6,
+        ).alias("fano"),
+    )
+
+
+@_register(
+    "graph_assortativity",
+    """
+    WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+    od AS (SELECT src, COUNT(*) AS dx FROM e GROUP BY src),
+    idg AS (SELECT dst, COUNT(*) AS dy FROM e GROUP BY dst),
+    xy AS (
+      SELECT CAST(od.dx AS BIGINT) AS x, CAST(idg.dy AS BIGINT) AS y
+      FROM e JOIN od ON od.src = e.src JOIN idg ON idg.dst = e.dst
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS assortativity
+    FROM s
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part->supplier graph: the Pearson
+    correlation between source out-degree and target in-degree over
+    the edge list — positive means hubs link to hubs (the
+    graph-science summary statistic of mixing structure). All five
+    moment sums are exact BIGINTs (the stats_linreg idiom); doubles
+    appear only in the final sqrt/division, and both engines convert
+    the identical BIGINTs, so the rounded result is engine-stable.
+    One edge-degree join per side + one global aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    ).distinct()
+    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("dx"))
+    idg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("dy"))
+    xy = (
+        e.join(od, "src")
+        .join(idg, "dst")
+        .select(F.col("dx").cast("bigint").alias("x"), F.col("dy").cast("bigint").alias("y"))
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+            / F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+@_register(
     "dq4_skew_report",
     """
     WITH per_key AS (
@@ -11571,6 +11684,7 @@ _PRIORITY = (
     "t21_rfm_segmentation", "x47_priority_dedup", "stats_gini",
     "u13_scd2_point_in_time", "dq4_skew_report",
     "x49_gate_ablation", "t22_hazard_table",
+    "t23_burstiness", "graph_assortativity",
     "sq_group_by_all",
     "x43_cdc_chunk_dedup", "a11_cms_heavy_hitters",
     "x46_ngram_novelty", "x44_ffd_packing",
