@@ -11017,6 +11017,96 @@ def t22_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "d17_line_dedup",
+    """
+    WITH lines AS (
+      SELECT doc_id, md5(l) AS lh FROM (
+        SELECT doc_id, unnest(string_split(text, '. ')) AS l FROM documents
+      ) WHERE l <> ''
+    ),
+    df_ AS (SELECT lh, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY lh)
+    SELECT l.doc_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           ROUND(SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS boilerplate_frac
+    FROM lines l JOIN df_ d ON d.lh = l.lh
+    GROUP BY l.doc_id
+    """,
+)
+def d17_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LINE-level boilerplate detection — the granularity
+    between whole-doc dedup (d1) and token-span dedup (d13): a line
+    (sentence) appearing in >= 3 distinct documents is boilerplate
+    (nav bars, disclaimers, cookie banners); per doc, the line count
+    and boilerplate fraction that CCNet uses to strip or downrank.
+    One line-hash aggregate over the Zipf-small distinct-line
+    keyspace + one doc rollup; integer ratio rounded once."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\. ")).alias("l")
+    ).filter(F.col("l") != "").select("doc_id", F.md5("l").alias("lh"))
+    dfr = lines.groupBy("lh").agg(F.countDistinct("doc_id").alias("df"))
+    bp = F.when(F.col("df") >= 3, 1).otherwise(0)
+    return (
+        lines.join(dfr, "lh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(bp).cast("bigint").alias("n_boilerplate"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_boilerplate",
+            F.round(
+                F.col("n_boilerplate") / F.col("n_lines").cast("double"), 6
+            ).alias("boilerplate_frac"),
+        )
+    )
+
+
+@_register(
+    "dq5_dead_letters",
+    """
+    SELECT event_id,
+           concat_ws(',',
+             CASE WHEN user_id IS NULL THEN 'user_id_not_null' END,
+             CASE WHEN NOT (value >= 0 AND value <= 250) THEN 'value_in_range' END,
+             CASE WHEN event_type NOT IN ('click', 'view', 'purchase',
+                                          'signup', 'error')
+                  THEN 'event_type_accepted' END) AS failed_rules
+    FROM events
+    WHERE user_id IS NULL
+       OR NOT (value >= 0 AND value <= 250)
+       OR event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')
+    """,
+)
+def dq5_dead_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing — the row-level counterpart of dq1's
+    aggregate expectations report: every ingest row failing any rule
+    is emitted WITH the comma-joined list of the rules it failed (the
+    payload a DLQ topic or quarantine table needs for triage and
+    replay). Pure narrow projection + filter — the quarantine split
+    costs one predicate per rule at any scale, and the same
+    expressions drive dq1, so report and routing can never disagree."""
+    ev = load_table(spark, sf_dir, "events")
+    r1 = F.col("user_id").isNull()
+    r2 = ~((F.col("value") >= 0) & (F.col("value") <= 250))
+    r3 = ~F.col("event_type").isin("click", "view", "purchase", "signup", "error")
+    return ev.filter(r1 | r2 | r3).select(
+        "event_id",
+        F.concat_ws(
+            ",",
+            F.when(r1, "user_id_not_null"),
+            F.when(r2, "value_in_range"),
+            F.when(r3, "event_type_accepted"),
+        ).alias("failed_rules"),
+    )
+
+
+@_register(
     "t23_burstiness",
     """
     WITH daily AS (
@@ -11685,6 +11775,7 @@ _PRIORITY = (
     "u13_scd2_point_in_time", "dq4_skew_report",
     "x49_gate_ablation", "t22_hazard_table",
     "t23_burstiness", "graph_assortativity",
+    "d17_line_dedup", "dq5_dead_letters",
     "sq_group_by_all",
     "x43_cdc_chunk_dedup", "a11_cms_heavy_hitters",
     "x46_ngram_novelty", "x44_ffd_packing",
