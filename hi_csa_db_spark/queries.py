@@ -11017,6 +11017,55 @@ def t22_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "d18_dedup_cluster_stats",
+    None,  # oracle attached below (composes d6's label SQL verbatim)
+)
+def d18_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup audit report: the CLUSTER-SIZE HISTOGRAM of the near-dup
+    components (d6's labels) plus each size's document share — the
+    sanity check every dedup run ships with (a sudden giant cluster
+    means a degenerate blocking key; a flat histogram of singletons
+    means the threshold is too strict). Composes d6's pair->component
+    machinery; one extra size rollup + a 1-row total broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=8, threshold=0.05
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = graph.connected_components(edges, iterations=3)
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    tot = sizes.agg(F.sum("cluster_size").alias("n_docs_total"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            F.round(
+                F.col("cluster_size")
+                * F.col("n_clusters")
+                / F.col("n_docs_total").cast("double"),
+                6,
+            ).alias("doc_share"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+_ORACLES["d18_dedup_cluster_stats"] = f"""
+    WITH {_D6_LABELS_SQL},
+    csizes AS (SELECT lbl, COUNT(*) AS cluster_size FROM l3 GROUP BY lbl),
+    ctot AS (SELECT SUM(cluster_size) AS n_docs_total FROM csizes)
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           ROUND(cluster_size * COUNT(*) / CAST(n_docs_total AS DOUBLE), 6)
+             AS doc_share
+    FROM csizes CROSS JOIN ctot
+    GROUP BY cluster_size, n_docs_total
+    """
+
+
+@_register(
     "d17_line_dedup",
     """
     WITH lines AS (
@@ -11776,6 +11825,7 @@ _PRIORITY = (
     "x49_gate_ablation", "t22_hazard_table",
     "t23_burstiness", "graph_assortativity",
     "d17_line_dedup", "dq5_dead_letters",
+    "d18_dedup_cluster_stats",
     "sq_group_by_all",
     "x43_cdc_chunk_dedup", "a11_cms_heavy_hitters",
     "x46_ngram_novelty", "x44_ffd_packing",
