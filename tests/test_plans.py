@@ -106,6 +106,7 @@ _NLJ_ALLOWED = {
     "t21_rfm_segmentation",  # 1-row max-orderdate broadcast
     "stats_gini",  # global_row_numbers' 1-row offset broadcast
     "dq4_skew_report",  # 1-row key-stats broadcast
+    "d18_dedup_cluster_stats",  # 1-row doc-total broadcast
 }
 
 
