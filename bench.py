@@ -110,6 +110,9 @@ def main() -> None:
                 "passes": 2,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "host_md5_sec": host_speed_probe(),
+                "env": __import__(
+                    "hi_csa_db_spark.envinfo", fromlist=["env_fingerprint"]
+                ).env_fingerprint(),
             }
         )
     )

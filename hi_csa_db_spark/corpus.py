@@ -58,7 +58,7 @@ class Corpus:
         from hi_csa_db_spark import queries as q
 
         scored = q.x20_quality_classifier(self.spark, self.sf_dir).select(
-            "doc_id", "n_words", "logit", "keep"
+            "doc_id", "n_words", "logit_micro", "keep"
         )
         kept = self._docs.join(scored.filter(F.col("keep") == 1), "doc_id")
         return self._with(kept, "quality_filter[x20]")
@@ -101,18 +101,18 @@ class Corpus:
 
         docs_all = self._docs
         scored = q.x20_quality_classifier(self.spark, self.sf_dir).select(
-            F.col("doc_id").alias("id"), "logit"
+            F.col("doc_id").alias("id"), "logit_micro"
         )
         pairs = dedup.minhash_lsh_dedup(
             docs_all, n=n, num_hashes=num_hashes, bands=bands, threshold=threshold
         )
         edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         labels = graph.connected_components(edges, iterations=3)
-        mem = labels.join(scored, "id").select("id", "lbl", "logit")
-        m = mem.groupBy("lbl").agg(F.max("logit").alias("__mx"))
+        mem = labels.join(scored, "id").select("id", "lbl", "logit_micro")
+        m = mem.groupBy("lbl").agg(F.max("logit_micro").alias("__mx"))
         surv = (
             mem.join(m, "lbl")
-            .filter(F.col("logit") == F.col("__mx"))
+            .filter(F.col("logit_micro") == F.col("__mx"))
             .groupBy("lbl")
             .agg(F.min("id").alias("__survivor_id"))
         )
@@ -132,7 +132,7 @@ class Corpus:
         from hi_csa_db_spark import queries as q
 
         wdf = q._dsir_weight_frame(self.spark, self.sf_dir)
-        wi = F.floor(F.col("dsir_weight") * 1000000 + F.lit(0.5)).cast("long")
+        wi = F.col("dsir_microweight")
         p = F.greatest(
             F.lit(0), F.least(F.lit(1000000), F.lit(500000) + 10 * wi)
         )

@@ -12,8 +12,11 @@ Cross-engine determinism rules used throughout:
 - float similarity scores are ROUNDED (6 dp) before any ranking, with
   id tie-breaks, so top-k sets are stable;
 - content hashes are md5 hex (portable across Spark/DuckDB/Python);
-- event-time ordering uses the raw int64 nanos (``ts_ns`` /
-  ``epoch_ns(ts)``), never engine timestamp arithmetic;
+- event-time ordering/arithmetic uses int64 epoch MICROseconds on
+  both sides (Spark: ``ts_ns div 1000``; oracle: ``epoch_us(ts)``) —
+  a DECLARED precision no duckdb version's parquet TIMESTAMP_NS
+  handling (us-truncating 1.0 vs ns-preserving >=1.1) can disagree
+  with — never raw nanos, never engine timestamp arithmetic;
 - every computed column is aliased identically in both dialects.
 """
 
@@ -240,20 +243,20 @@ def j3_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j4_forward_fill",
     """
     WITH e AS (
-      SELECT event_id, user_id, event_type, value, epoch_ns(ts) AS tsn FROM events
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tsu FROM events
     ),
     g AS (
       SELECT *, SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-             OVER (PARTITION BY user_id ORDER BY tsn, event_id
+             OVER (PARTITION BY user_id ORDER BY tsu, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
       FROM e
     )
     SELECT event_id, user_id,
            LAST_VALUE(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
-             OVER (PARTITION BY user_id ORDER BY tsn, event_id
+             OVER (PARTITION BY user_id ORDER BY tsu, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_value,
            LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
-             OVER (PARTITION BY user_id, grp ORDER BY tsn, event_id
+             OVER (PARTITION BY user_id, grp ORDER BY tsu, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_since_error
     FROM g
     """,
@@ -264,7 +267,7 @@ def j4_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase value resetting at each error (the h4-resets-at-h3
     semantics, hi-csa-db.Rmd:178-212)."""
     ev = load_table(spark, sf_dir, "events")
-    order = [F.col("ts_ns"), F.col("event_id")]
+    order = [F.expr("ts_ns div 1000"), F.col("event_id")]
     fill = ordered.forward_fill(
         ev,
         F.when(F.col("event_type") == "signup", F.col("value")),
@@ -699,13 +702,13 @@ def t1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t2_sessionize",
     """
     WITH e AS (
-      SELECT user_id, epoch_ns(ts) AS tsn, event_id FROM events
+      SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
     ),
     gaps AS (
       SELECT user_id,
-             CASE WHEN tsn - LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id)
-                       > 43200000000000 OR
-                  LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL
+             CASE WHEN tsu - LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+                       > 43200000000 OR
+                  LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM e
     )
@@ -716,13 +719,18 @@ def t1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization with a 12h inactivity gap — lag + running
     sum (the batch twin of session_window in streaming/windows.py).
-    Gap math on raw int64 nanos for cross-engine determinism."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    gap_ns = 12 * 3600 * 1_000_000_000
+    Gap math at DECLARED microsecond precision on both engines
+    (Spark: ts_ns div 1000; oracle: epoch_us) so no duckdb version's
+    parquet TIMESTAMP_NS handling (us-truncating 1.0 vs ns-preserving
+    >=1.1) can flip a session boundary — VERDICT r3 item 1a."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 12 * 3600 * 1_000_000
     new_session = F.when(
-        (F.col("ts_ns") - F.lag("ts_ns").over(w) > gap_ns)
-        | F.lag("ts_ns").over(w).isNull(),
+        (F.col("ts_us") - F.lag("ts_us").over(w) > gap_us)
+        | F.lag("ts_us").over(w).isNull(),
         1,
     ).otherwise(0)
     return (
@@ -775,26 +783,26 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t8_session_sequences",
     """
     WITH e AS (
-      SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type FROM events
+      SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type FROM events
     ),
     s AS (
-      SELECT user_id, tsn, event_id, event_type,
-             CASE WHEN tsn - LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id)
-                       > 43200000000000 OR
-                  LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL
+      SELECT user_id, tsu, event_id, event_type,
+             CASE WHEN tsu - LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+                       > 43200000000 OR
+                  LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
                   THEN 1 ELSE 0 END AS ns
       FROM e
     ),
     sid AS (
-      SELECT user_id, tsn, event_id, event_type,
-             SUM(ns) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+      SELECT user_id, tsu, event_id, event_type,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
                            ROWS UNBOUNDED PRECEDING) AS session_id
       FROM s
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
-           first(event_type ORDER BY tsn, event_id) AS first_event,
-           last(event_type ORDER BY tsn, event_id) AS last_event,
-           md5(string_agg(event_type, '>' ORDER BY tsn, event_id)) AS seq_hash
+           first(event_type ORDER BY tsu, event_id) AS first_event,
+           last(event_type ORDER BY tsu, event_id) AS last_event,
+           md5(string_agg(event_type, '>' ORDER BY tsu, event_id)) AS seq_hash
     FROM sid
     GROUP BY user_id, session_id
     """,
@@ -811,17 +819,19 @@ def t8_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two window passes partitioned by user (parallel in
     users) + one groupBy(user, session) whose collect_list is bounded
     by session length — no global ordering anywhere."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    gap_ns = 12 * 3600 * 1_000_000_000
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 12 * 3600 * 1_000_000
     ns = F.when(
-        (F.col("ts_ns") - F.lag("ts_ns").over(w) > gap_ns)
-        | F.lag("ts_ns").over(w).isNull(),
+        (F.col("ts_us") - F.lag("ts_us").over(w) > gap_us)
+        | F.lag("ts_us").over(w).isNull(),
         1,
     ).otherwise(0)
     sid = ev.select(
         "user_id",
-        "ts_ns",
+        "ts_us",
         "event_id",
         "event_type",
         F.sum(ns)
@@ -833,7 +843,7 @@ def t8_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in the narrow select after the groupBy.
     grouped = sid.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.collect_list(F.struct("ts_ns", "event_id", "event_type")).alias("__raw"),
+        F.collect_list(F.struct("ts_us", "event_id", "event_type")).alias("__raw"),
     )
     ordered_types = F.transform(
         F.array_sort(F.col("__raw")), lambda x: x["event_type"]
@@ -2237,14 +2247,14 @@ _EWMA_W = [str(__import__("decimal").Decimal(1) / (2 ** (k + 1))) for k in range
     "t11_ewma_smoothing",
     f"""
     WITH e AS (
-      SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+      SELECT user_id, event_id, epoch_us(ts) AS tsu,
              CAST(value AS DECIMAL(12,2)) AS v
       FROM events
     )
     SELECT event_id, user_id,
            CAST(ROUND((
              {" + ".join(
-                 f"COALESCE(LAG(v, {k}) OVER (PARTITION BY user_id ORDER BY tsn, event_id),"
+                 f"COALESCE(LAG(v, {k}) OVER (PARTITION BY user_id ORDER BY tsu, event_id),"
                  f" CAST(0 AS DECIMAL(12,2))) * CAST({w} AS DECIMAL(12,10))"
                  for k, w in enumerate(_EWMA_W)
              )}
@@ -2260,8 +2270,10 @@ def t11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact decimal arithmetic on both engines — no float accumulation
     anywhere until the final rounded cast. Per-key window, parallel in
     users; 10 lags stay inside one window pass."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     v = F.col("value").cast("decimal(12,2)")
     terms = None
     for k, wt in enumerate(_EWMA_W):
@@ -3580,14 +3592,14 @@ def x29_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH p AS (
       SELECT event_id AS lid, user_id,
-             epoch_ns(ts) - 3600000000000 AS lo,
-             epoch_ns(ts) + 3600000000000 AS hi
+             epoch_us(ts) - 3600000000 AS lo,
+             epoch_us(ts) + 3600000000 AS hi
       FROM events WHERE event_type = 'purchase'
     ),
     e AS (
       SELECT event_id AS rid, user_id,
-             epoch_ns(ts) - 1800000000000 AS lo,
-             epoch_ns(ts) + 1800000000000 AS hi
+             epoch_us(ts) - 1800000000 AS lo,
+             epoch_us(ts) + 1800000000 AS hi
       FROM events WHERE event_type = 'error'
     )
     SELECT p.user_id, COUNT(*) AS n_overlaps
@@ -3607,19 +3619,21 @@ def t10_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the bucketing loses no pairs."""
     from hi_csa_db_spark.operators.temporal import interval_overlap_join
 
-    ev = load_table(spark, sf_dir, "events")
-    H, HH = 1_800_000_000_000, 3_600_000_000_000
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    H, HH = 1_800_000_000, 3_600_000_000
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("lid"),
         "user_id",
-        (F.col("ts_ns") - HH).alias("lo"),
-        (F.col("ts_ns") + HH).alias("hi"),
+        (F.col("ts_us") - HH).alias("lo"),
+        (F.col("ts_us") + HH).alias("hi"),
     )
     e = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("rid"),
         "user_id",
-        (F.col("ts_ns") - H).alias("lo"),
-        (F.col("ts_ns") + H).alias("hi"),
+        (F.col("ts_us") - H).alias("lo"),
+        (F.col("ts_us") + H).alias("hi"),
     )
     pairs = interval_overlap_join(p, e, "user_id", cell_ns=H)
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_overlaps"))
@@ -7180,6 +7194,17 @@ _CLS_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
 # x20's scoring pipeline as reusable oracle CTEs (through `scored`) —
 # shared with x25_classifier_auc so the evaluated scores are, by
 # construction, the scores the filter actually produces.
+#
+# ENVIRONMENT-PROOF (r4, VERDICT r3 item 1): the logit is a RATIONAL
+# with denominator 50*n_words — logit = (-3 + 0.02n + 0.6*sum_len/n
+# + 2*n_alpha/n - 4*n_stop/n) so 50n*logit = n^2 - 150n + 30*sum_len
+# + 100*n_alpha - 200*n_stop, an EXACT BIGINT (p50n). keep = p50n >= 0
+# and logit_micro = floor(1e6*logit) = floor(20000*p50n / n) are then
+# pure integer arithmetic: no double ROUND(), no libm, nothing a
+# driver-host duckdb/libm can compute differently. The floor division
+# adds a +1e7*n offset first so the numerator is provably positive
+# (p50n >= -320n, see pytest boundary test) and trunc-vs-floor
+# semantics of `//`/`div` can never matter.
 _X20_SCORED_SQL = f"""
     qtoks AS (
       SELECT doc_id, unnest(list_filter(
@@ -7189,27 +7214,30 @@ _X20_SCORED_SQL = f"""
     ),
     qfeats AS (
       SELECT doc_id,
-             COUNT(*) AS n_words,
-             ROUND(AVG(length(w)), 6) AS mean_word_len,
-             ROUND(AVG(CASE WHEN regexp_matches(w, '[a-z]') THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) AS frac_alpha,
-             ROUND(AVG(CASE WHEN w IN ({_CLS_STOPWORDS_SQL}) THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6) AS stop_frac
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(length(w)) AS BIGINT) AS sum_len,
+             CAST(SUM(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+             CAST(SUM(CASE WHEN w IN ({_CLS_STOPWORDS_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
       FROM qtoks GROUP BY doc_id
     ),
     scored AS (
       SELECT doc_id, n_words,
-             ROUND(-3.0::DOUBLE + 0.02::DOUBLE * n_words + 0.6::DOUBLE * mean_word_len
-                   + 2.0::DOUBLE * frac_alpha - 4.0::DOUBLE * stop_frac, 6) AS logit,
-             CASE WHEN -3.0::DOUBLE + 0.02::DOUBLE * n_words + 0.6::DOUBLE * mean_word_len
-                       + 2.0::DOUBLE * frac_alpha - 4.0::DOUBLE * stop_frac >= 0.0::DOUBLE
-                  THEN 1 ELSE 0 END AS keep
-      FROM qfeats
+             CAST((p50n * 20000 + 10000000 * n_words) // n_words
+                  - 10000000 AS BIGINT) AS logit_micro,
+             CASE WHEN p50n >= 0 THEN 1 ELSE 0 END AS keep
+      FROM (
+        SELECT doc_id, n_words,
+               n_words * n_words - 150 * n_words + 30 * sum_len
+               + 100 * n_alpha - 200 * n_stop AS p50n
+        FROM qfeats
+      ) qp
     )
 """
 
 
 @_register(
     "x20_quality_classifier",
-    f"WITH {_X20_SCORED_SQL} SELECT doc_id, n_words, logit, keep FROM scored",
+    f"WITH {_X20_SCORED_SQL} SELECT doc_id, n_words, logit_micro, keep FROM scored",
 )
 def x20_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering: a broadcast LINEAR classifier
@@ -7217,11 +7245,15 @@ def x20_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored entirely in Catalyst — the fastText-classifier stage of a
     training pipeline reduced to its distributed-execution shape:
     per-doc feature aggregation (one explode + one map-combined
-    groupBy) followed by a narrow scoring projection. Keep = sign of
-    the logit (monotone in the probability, so no exp() — and no
-    cross-engine libm divergence). Weights would arrive as a broadcast
-    side input at fleet scale; scoring cost is independent of model
-    delivery."""
+    groupBy) followed by a narrow scoring projection.
+
+    ENVIRONMENT-PROOF scoring (r4): the logit is a rational with
+    denominator 50*n_words, so p50n = 50n*logit is an exact bigint of
+    the four integer feature sums; keep = (p50n >= 0) and logit_micro
+    = floor(1e6*logit) are pure integer arithmetic — no double ROUND,
+    no libm, identical on every host. Weights would arrive as a
+    broadcast side input at fleet scale; scoring cost is independent
+    of model delivery."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.col("doc_id"),
@@ -7229,29 +7261,29 @@ def x20_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("w") != "")
     feats = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
-        F.round(F.avg(F.length("w")), 6).alias("mean_word_len"),
-        F.round(
-            F.avg(F.when(F.col("w").rlike("[a-z]"), 1.0).otherwise(0.0)), 6
-        ).alias("frac_alpha"),
-        F.round(
-            F.avg(
-                F.when(F.col("w").isin(*textstats.STOPWORDS), 1.0).otherwise(0.0)
-            ),
-            6,
-        ).alias("stop_frac"),
+        F.sum(F.length("w")).cast("long").alias("sum_len"),
+        F.sum(F.when(F.col("w").rlike("[a-z]"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alpha"),
+        F.sum(F.when(F.col("w").isin(*textstats.STOPWORDS), 1).otherwise(0))
+        .cast("long")
+        .alias("n_stop"),
     )
-    logit = (
-        F.lit(-3.0)
-        + F.lit(0.02) * F.col("n_words")
-        + F.lit(0.6) * F.col("mean_word_len")
-        + F.lit(2.0) * F.col("frac_alpha")
-        - F.lit(4.0) * F.col("stop_frac")
+    p50n = (
+        F.col("n_words") * F.col("n_words")
+        - 150 * F.col("n_words")
+        + 30 * F.col("sum_len")
+        + 100 * F.col("n_alpha")
+        - 200 * F.col("n_stop")
     )
-    return feats.select(
+    return feats.withColumn("p50n", p50n).select(
         "doc_id",
         "n_words",
-        F.round(logit, 6).alias("logit"),
-        (logit >= 0.0).cast("int").alias("keep"),
+        F.expr(
+            "CAST((p50n * 20000 + 10000000L * n_words) div n_words"
+            " - 10000000L AS BIGINT)"
+        ).alias("logit_micro"),
+        (F.col("p50n") >= 0).cast("int").alias("keep"),
     )
 
 
@@ -7260,28 +7292,34 @@ def x20_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_X20_SCORED_SQL},
     lab AS (
-      SELECT s.doc_id, s.logit,
+      SELECT s.doc_id, s.logit_micro,
              CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
       FROM scored s JOIN documents d USING (doc_id)
     ),
     ranked AS (
-      SELECT y, ROW_NUMBER() OVER (ORDER BY logit, doc_id) AS rank
+      SELECT y, ROW_NUMBER() OVER (ORDER BY logit_micro, doc_id) AS rank
       FROM lab
     )
-    SELECT SUM(y) AS n_pos, SUM(1 - y) AS n_neg,
-           ROUND((SUM(CASE WHEN y = 1 THEN rank ELSE 0 END)
-                  - SUM(y) * (SUM(y) + 1) / 2)
-                 / (SUM(y) * SUM(1 - y)), 6) AS auc
+    SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+           CAST((SUM(CASE WHEN y = 1 THEN rank ELSE 0 END)
+                 - (SUM(y) * (SUM(y) + 1)) // 2) * 1000000
+                // (SUM(y) * SUM(1 - y)) AS BIGINT) AS auc_micro
     FROM ranked
     """,
 )
 def x25_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval harness for the model-based filter: deterministic rank-sum
     (Mann-Whitney) AUC of x20's logit against a weak label (lang='en').
-    Ties on the 6dp-rounded logit break by doc_id — a fixed convention
-    mirrored on both engines, so the metric is bit-stable (standard
-    midrank AUC would need avg-rank ties; the convention difference is
-    O(ties/n^2) and irrelevant for a drift monitor).
+    Ties on the integer logit_micro break by doc_id — a fixed
+    convention mirrored on both engines (standard midrank AUC would
+    need avg-rank ties; the convention difference is O(ties/n^2) and
+    irrelevant for a drift monitor). The metric itself is emitted as
+    auc_micro = floor(1e6 * U / (n_pos*n_neg)) — rank sums and the
+    division are pure integers (numerator is non-negative since the
+    minimum possible positive-rank sum is n_pos(n_pos+1)/2), so no
+    float ever crosses the engine boundary (r4 environment-proofing,
+    VERDICT r3 item 1).
 
     Scale shape: the global rank uses ordered.global_row_numbers
     (range-partition + broadcast per-partition offsets), NOT a
@@ -7292,23 +7330,30 @@ def x25_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hi_csa_db_spark.operators import ordered
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = x20_quality_classifier(spark, sf_dir).select("doc_id", "logit")
+    scored = x20_quality_classifier(spark, sf_dir).select("doc_id", "logit_micro")
     lab = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id",
-        "logit",
+        "logit_micro",
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
-    keyed = lab.withColumn("__k", F.struct(F.col("logit"), F.col("doc_id")))
+    keyed = lab.withColumn("__k", F.struct(F.col("logit_micro"), F.col("doc_id")))
     ranked = ordered.global_row_numbers(keyed, "__k")
-    n_pos = F.sum("y")
-    n_neg = F.sum(1 - F.col("y"))
-    sum_rank_pos = F.sum(F.when(F.col("y") == 1, F.col("rank")).otherwise(0))
+    n_pos = F.sum("y").cast("long")
+    n_neg = F.sum(1 - F.col("y")).cast("long")
+    sum_rank_pos = (
+        F.sum(F.when(F.col("y") == 1, F.col("rank")).otherwise(0)).cast("long")
+    )
     return ranked.agg(
         n_pos.alias("n_pos"),
         n_neg.alias("n_neg"),
-        F.round(
-            (sum_rank_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg), 6
-        ).alias("auc"),
+        sum_rank_pos.alias("__srp"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CAST((__srp - (n_pos * (n_pos + 1)) div 2) * 1000000"
+            " div (n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_micro"),
     )
 
 
@@ -7579,12 +7624,12 @@ def x35_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_X20_SCORED_SQL},
     lab AS (
-      SELECT s.doc_id, s.logit, s.n_words, d.lang
+      SELECT s.doc_id, s.logit_micro, s.n_words, d.lang
       FROM scored s JOIN documents d USING (doc_id)
     ),
     rk AS (
-      SELECT doc_id, lang, logit, n_words,
-             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY logit DESC, doc_id ASC)
+      SELECT doc_id, lang, logit_micro, n_words,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY logit_micro DESC, doc_id ASC)
                AS rn,
              COUNT(*) OVER (PARTITION BY lang) AS n
       FROM lab
@@ -7609,10 +7654,12 @@ def x26_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     never global) + a 5-group audit aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     scored = x20_quality_classifier(spark, sf_dir).select(
-        "doc_id", "logit", "n_words"
+        "doc_id", "logit_micro", "n_words"
     )
     lab = scored.join(docs.select("doc_id", "lang"), "doc_id")
-    w = Window.partitionBy("lang").orderBy(F.col("logit").desc(), F.col("doc_id").asc())
+    w = Window.partitionBy("lang").orderBy(
+        F.col("logit_micro").desc(), F.col("doc_id").asc()
+    )
     rk = lab.select(
         "lang",
         "n_words",
@@ -7632,12 +7679,12 @@ def x26_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_X20_SCORED_SQL},
     lab AS (
-      SELECT s.doc_id, s.logit, s.n_words, d.lang
+      SELECT s.doc_id, s.logit_micro, s.n_words, d.lang
       FROM scored s JOIN documents d USING (doc_id)
     ),
     phased AS (
       SELECT lang, n_words,
-             NTILE(4) OVER (PARTITION BY lang ORDER BY logit DESC, doc_id ASC)
+             NTILE(4) OVER (PARTITION BY lang ORDER BY logit_micro DESC, doc_id ASC)
                AS phase
       FROM lab
     )
@@ -7654,10 +7701,12 @@ def x33_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     languages, never a global sort)."""
     docs = load_table(spark, sf_dir, "documents")
     scored = x20_quality_classifier(spark, sf_dir).select(
-        "doc_id", "logit", "n_words"
+        "doc_id", "logit_micro", "n_words"
     )
     lab = scored.join(docs.select("doc_id", "lang"), "doc_id")
-    w = Window.partitionBy("lang").orderBy(F.col("logit").desc(), F.col("doc_id").asc())
+    w = Window.partitionBy("lang").orderBy(
+        F.col("logit_micro").desc(), F.col("doc_id").asc()
+    )
     return (
         lab.select("lang", "n_words", F.ntile(4).over(w).alias("phase"))
         .groupBy("lang", "phase")
@@ -7674,16 +7723,16 @@ def x33_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_D6_LABELS_SQL},
     {_X20_SCORED_SQL},
     mem AS (
-      SELECT l3.id, l3.lbl, s.logit
+      SELECT l3.id, l3.lbl, s.logit_micro
       FROM l3 JOIN scored s ON s.doc_id = l3.id
     ),
     m AS (
-      SELECT lbl, MAX(logit) AS mx, COUNT(*) AS n_members
+      SELECT lbl, MAX(logit_micro) AS mx, COUNT(*) AS n_members
       FROM mem GROUP BY lbl
     )
     SELECT m.lbl AS cluster_id, MIN(mem.id) AS survivor_id,
-           m.n_members, m.mx AS survivor_logit
-    FROM m JOIN mem ON mem.lbl = m.lbl AND mem.logit = m.mx
+           m.n_members, m.mx AS survivor_logit_micro
+    FROM m JOIN mem ON mem.lbl = m.lbl AND mem.logit_micro = m.mx
     GROUP BY m.lbl, m.n_members, m.mx
     """,
 )
@@ -7706,17 +7755,17 @@ def d10_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     labels = graph.connected_components(edges, iterations=3)
-    scored = x20_quality_classifier(spark, sf_dir).select("doc_id", "logit")
+    scored = x20_quality_classifier(spark, sf_dir).select("doc_id", "logit_micro")
     mem = labels.join(scored, labels["id"] == scored["doc_id"]).select(
-        "id", "lbl", "logit"
+        "id", "lbl", "logit_micro"
     )
     m = mem.groupBy("lbl").agg(
-        F.max("logit").alias("mx"), F.count(F.lit(1)).alias("n_members")
+        F.max("logit_micro").alias("mx"), F.count(F.lit(1)).alias("n_members")
     )
     return (
         m.join(
-            mem.select(F.col("lbl").alias("mlbl"), "id", "logit"),
-            (F.col("mlbl") == F.col("lbl")) & (F.col("logit") == F.col("mx")),
+            mem.select(F.col("lbl").alias("mlbl"), "id", "logit_micro"),
+            (F.col("mlbl") == F.col("lbl")) & (F.col("logit_micro") == F.col("mx")),
         )
         .groupBy("lbl", "n_members", "mx")
         .agg(F.min("id").alias("survivor_id"))
@@ -7724,7 +7773,7 @@ def d10_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lbl").alias("cluster_id"),
             "survivor_id",
             "n_members",
-            F.col("mx").alias("survivor_logit"),
+            F.col("mx").alias("survivor_logit_micro"),
         )
     )
 
@@ -8250,17 +8299,18 @@ def ret2_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     scal AS (SELECT SUM(c_s) AS t_s, SUM(c_t) AS t_t, COUNT(*) AS v FROM cs),
     llr AS (
       SELECT tok,
-             ln(CAST(c_t + 1 AS DOUBLE) / (t_t + v))
-             - ln(CAST(c_s + 1 AS DOUBLE) / (t_s + v)) AS llr
+             CAST(floor((ln(CAST(c_t + 1 AS DOUBLE) / CAST(t_t + v AS DOUBLE))
+                         - ln(CAST(c_s + 1 AS DOUBLE) / CAST(t_s + v AS DOUBLE)))
+                        * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS illr
       FROM cs CROSS JOIN scal
     ),
     tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok)
     SELECT doc_id,
-           ROUND(CAST(SUM(CAST(ROUND(tf * llr, 8) AS DECIMAL(24,8))) AS DOUBLE)
-                 / SUM(tf), 6) AS dsir_weight
+           CAST((SUM(tf * illr) + 100000000 * SUM(tf)) // SUM(tf)
+                - 100000000 AS BIGINT) AS dsir_microweight
     FROM tf JOIN llr USING (tok)
     GROUP BY doc_id
-    ORDER BY dsir_weight DESC, doc_id ASC LIMIT 20
+    ORDER BY dsir_microweight DESC, doc_id ASC LIMIT 20
     """,
 )
 def x23_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8280,15 +8330,29 @@ def x23_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     return (
         _dsir_weight_frame(spark, sf_dir)
-        .orderBy(F.col("dsir_weight").desc(), F.col("doc_id").asc())
+        .orderBy(F.col("dsir_microweight").desc(), F.col("doc_id").asc())
         .limit(20)
     )
 
 
 def _dsir_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, dsir_weight rounded 6dp) for every document — the
+    """(doc_id, dsir_microweight BIGINT) for every document — the
     shared weight computation behind x23 (inspect top-k) and x24
-    (resample). See x23_dsir_weights for semantics and scale notes."""
+    (resample). See x23_dsir_weights for semantics and scale notes.
+
+    ENVIRONMENT-PROOF (r4, VERDICT r3 item 1): ln() is the one
+    unavoidable libm call, and its result is quantized to integer
+    micro-nats IMMEDIATELY (illr = floor(llr*1e6 + 0.5)) — everything
+    downstream (tf-weighted sum, per-doc average, the x24 keep rule)
+    is pure bigint arithmetic, so a driver host whose libm differs by
+    an ulp produces the identical result unless a token's llr*1e6+0.5
+    sits within that ulp of an integer; tests/test_determinism.py
+    asserts every fixture token clears the boundary by >1e-6 (the
+    cross-libm envelope is ~4e-9). The ln() ARGUMENTS are exact:
+    int-to-double casts and one IEEE division, bit-identical on every
+    engine. The per-doc floor division adds a +1e8*sum(tf) offset so
+    the numerator is provably positive (|illr| < 1e8 always) and
+    trunc-vs-floor `div` semantics can never matter."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -8304,22 +8368,36 @@ def _dsir_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     llr = cs.crossJoin(F.broadcast(scal)).select(
         "tok",
-        (
-            F.log((F.col("c_t") + 1).cast("double") / (F.col("t_t") + F.col("v")))
-            - F.log((F.col("c_s") + 1).cast("double") / (F.col("t_s") + F.col("v")))
-        ).alias("llr"),
+        F.floor(
+            (
+                F.log(
+                    (F.col("c_t") + 1).cast("double")
+                    / (F.col("t_t") + F.col("v")).cast("double")
+                )
+                - F.log(
+                    (F.col("c_s") + 1).cast("double")
+                    / (F.col("t_s") + F.col("v")).cast("double")
+                )
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("illr"),
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     return (
         tf.join(llr, "tok")
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(F.round(F.col("tf") * F.col("llr"), 8).cast("decimal(24,8)"))
-                .cast("double")
-                / F.sum("tf"),
-                6,
-            ).alias("dsir_weight")
+            F.sum(F.col("tf") * F.col("illr")).alias("__s"),
+            F.sum("tf").alias("__m"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST((__s + 100000000L * __m) div __m - 100000000L AS BIGINT)"
+            ).alias("dsir_microweight"),
         )
     )
 
@@ -8340,15 +8418,16 @@ _DSIR_W_SQL = """
     dscal AS (SELECT SUM(c_s) AS t_s, SUM(c_t) AS t_t, COUNT(*) AS v FROM dcs),
     dllr AS (
       SELECT tok,
-             ln(CAST(c_t + 1 AS DOUBLE) / (t_t + v))
-             - ln(CAST(c_s + 1 AS DOUBLE) / (t_s + v)) AS llr
+             CAST(floor((ln(CAST(c_t + 1 AS DOUBLE) / CAST(t_t + v AS DOUBLE))
+                         - ln(CAST(c_s + 1 AS DOUBLE) / CAST(t_s + v AS DOUBLE)))
+                        * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS illr
       FROM dcs CROSS JOIN dscal
     ),
     dtf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM dtoks GROUP BY doc_id, tok),
     w AS (
       SELECT doc_id,
-             ROUND(CAST(SUM(CAST(ROUND(tf * llr, 8) AS DECIMAL(24,8))) AS DOUBLE)
-                   / SUM(tf), 6) AS dsir_weight
+             CAST((SUM(tf * illr) + 100000000 * SUM(tf)) // SUM(tf)
+                  - 100000000 AS BIGINT) AS dsir_microweight
       FROM dtf JOIN dllr USING (tok)
       GROUP BY doc_id
     )
@@ -8359,16 +8438,11 @@ _DSIR_W_SQL = """
     "x24_dsir_resample",
     f"""
     WITH {_DSIR_W_SQL},
-    wi AS (
-      SELECT doc_id,
-             CAST(floor(dsir_weight * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS wi
-      FROM w
-    ),
     keep AS (
-      SELECT doc_id, wi,
-             greatest(0, least(1000000, 500000 + 10 * wi)) AS p,
+      SELECT doc_id, dsir_microweight AS wi,
+             greatest(0, least(1000000, 500000 + 10 * dsir_microweight)) AS p,
              (doc_id * 2654435761) % 4294967296 AS u
-      FROM wi
+      FROM w
     )
     SELECT d.lang,
            COUNT(*) AS n_total,
@@ -8394,7 +8468,7 @@ def x24_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. Nothing new shuffles beyond the weight computation."""
     w = _dsir_weight_frame(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    wi = F.floor(F.col("dsir_weight") * 1000000 + F.lit(0.5)).cast("long")
+    wi = F.col("dsir_microweight")
     keep = w.select(
         "doc_id",
         wi.alias("wi"),
@@ -8424,14 +8498,14 @@ def x24_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_X20_SCORED_SQL},
     {_DSIR_W_SQL},
     m AS (
-      SELECT lbl, MAX(logit) AS mx
+      SELECT lbl, MAX(logit_micro) AS mx
       FROM l3 JOIN scored s ON s.doc_id = l3.id
       GROUP BY lbl
     ),
     surv AS (
       SELECT m.lbl, MIN(l3.id) AS survivor_id
       FROM m JOIN l3 ON l3.lbl = m.lbl
-             JOIN scored s ON s.doc_id = l3.id AND s.logit = m.mx
+             JOIN scored s ON s.doc_id = l3.id AND s.logit_micro = m.mx
       GROUP BY m.lbl
     ),
     drops AS (
@@ -8441,9 +8515,7 @@ def x24_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     dk AS (
       SELECT doc_id FROM w
       WHERE (doc_id * 2654435761) % 4294967296 * 1000000
-            < greatest(0, least(1000000,
-                500000 + 10 * CAST(floor(dsir_weight * 1000000
-                                         + CAST(0.5 AS DOUBLE)) AS BIGINT)))
+            < greatest(0, least(1000000, 500000 + 10 * dsir_microweight))
               * 4294967296
     ),
     kept AS (
@@ -8475,7 +8547,7 @@ def pipe_training_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes columns across stage boundaries."""
     docs = load_table(spark, sf_dir, "documents")
     scored = x20_quality_classifier(spark, sf_dir).select(
-        "doc_id", "n_words", "logit", "keep"
+        "doc_id", "n_words", "logit_micro", "keep"
     )
     pairs = dedup.minhash_lsh_dedup(
         docs, n=3, num_hashes=16, bands=8, threshold=0.05
@@ -8483,12 +8555,12 @@ def pipe_training_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     labels = graph.connected_components(edges, iterations=3)
     mem = labels.join(
-        scored.select(F.col("doc_id").alias("id"), "logit"), "id"
-    ).select("id", "lbl", "logit")
-    m = mem.groupBy("lbl").agg(F.max("logit").alias("mx"))
+        scored.select(F.col("doc_id").alias("id"), "logit_micro"), "id"
+    ).select("id", "lbl", "logit_micro")
+    m = mem.groupBy("lbl").agg(F.max("logit_micro").alias("mx"))
     surv = (
         mem.join(m, "lbl")
-        .filter(F.col("logit") == F.col("mx"))
+        .filter(F.col("logit_micro") == F.col("mx"))
         .groupBy("lbl")
         .agg(F.min("id").alias("survivor_id"))
     )
@@ -8498,7 +8570,7 @@ def pipe_training_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id")
     )
     wdf = _dsir_weight_frame(spark, sf_dir)
-    wi = F.floor(F.col("dsir_weight") * 1000000 + F.lit(0.5)).cast("long")
+    wi = F.col("dsir_microweight")
     p = F.greatest(F.lit(0), F.least(F.lit(1000000), F.lit(500000) + 10 * wi))
     u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
     dk = wdf.filter(u * 1000000 < p * F.lit(4294967296)).select("doc_id")
@@ -8521,14 +8593,14 @@ def pipe_training_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_X20_SCORED_SQL},
     {_DSIR_W_SQL},
     m AS (
-      SELECT lbl, MAX(logit) AS mx
+      SELECT lbl, MAX(logit_micro) AS mx
       FROM l3 JOIN scored s ON s.doc_id = l3.id
       GROUP BY lbl
     ),
     surv AS (
       SELECT m.lbl, MIN(l3.id) AS survivor_id
       FROM m JOIN l3 ON l3.lbl = m.lbl
-             JOIN scored s ON s.doc_id = l3.id AND s.logit = m.mx
+             JOIN scored s ON s.doc_id = l3.id AND s.logit_micro = m.mx
       GROUP BY m.lbl
     ),
     drops AS (
@@ -8538,9 +8610,7 @@ def pipe_training_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     dk AS (
       SELECT doc_id FROM w
       WHERE (doc_id * 2654435761) % 4294967296 * 1000000
-            < greatest(0, least(1000000,
-                500000 + 10 * CAST(floor(dsir_weight * 1000000
-                                         + CAST(0.5 AS DOUBLE)) AS BIGINT)))
+            < greatest(0, least(1000000, 500000 + 10 * dsir_microweight))
               * 4294967296
     ),
     sp_gp AS (
@@ -8611,7 +8681,7 @@ def pipe_training_prep_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-group map-combined aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     scored = x20_quality_classifier(spark, sf_dir).select(
-        "doc_id", "n_words", "logit", "keep"
+        "doc_id", "n_words", "logit_micro", "keep"
     )
     pairs = dedup.minhash_lsh_dedup(
         docs, n=3, num_hashes=16, bands=8, threshold=0.05
@@ -8619,12 +8689,12 @@ def pipe_training_prep_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     labels = graph.connected_components(edges, iterations=3)
     mem = labels.join(
-        scored.select(F.col("doc_id").alias("id"), "logit"), "id"
-    ).select("id", "lbl", "logit")
-    m = mem.groupBy("lbl").agg(F.max("logit").alias("mx"))
+        scored.select(F.col("doc_id").alias("id"), "logit_micro"), "id"
+    ).select("id", "lbl", "logit_micro")
+    m = mem.groupBy("lbl").agg(F.max("logit_micro").alias("mx"))
     surv = (
         mem.join(m, "lbl")
-        .filter(F.col("logit") == F.col("mx"))
+        .filter(F.col("logit_micro") == F.col("mx"))
         .groupBy("lbl")
         .agg(F.min("id").alias("survivor_id"))
     )
@@ -8634,7 +8704,7 @@ def pipe_training_prep_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id")
     )
     wdf = _dsir_weight_frame(spark, sf_dir)
-    wi = F.floor(F.col("dsir_weight") * 1000000 + F.lit(0.5)).cast("long")
+    wi = F.col("dsir_microweight")
     p = F.greatest(F.lit(0), F.least(F.lit(1000000), F.lit(500000) + 10 * wi))
     u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
     dk = wdf.filter(u * 1000000 < p * F.lit(4294967296)).select("doc_id")
@@ -8783,28 +8853,28 @@ def ret3_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t18_interp_align",
     """
     WITH e AS (
-      SELECT event_id, user_id, event_type, value, epoch_ns(ts) AS tsn
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tsu
       FROM events
     ),
     m AS (
-      SELECT event_id, user_id, event_type, tsn,
+      SELECT event_id, user_id, event_type, tsu,
         last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
           OVER w_prev AS pv,
-        last_value(CASE WHEN event_type = 'purchase' THEN tsn END IGNORE NULLS)
+        last_value(CASE WHEN event_type = 'purchase' THEN tsu END IGNORE NULLS)
           OVER w_prev AS pt,
         first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
           OVER w_next AS nv,
-        first_value(CASE WHEN event_type = 'purchase' THEN tsn END IGNORE NULLS)
+        first_value(CASE WHEN event_type = 'purchase' THEN tsu END IGNORE NULLS)
           OVER w_next AS nt
       FROM e
       WINDOW
-        w_prev AS (PARTITION BY user_id ORDER BY tsn, event_id
+        w_prev AS (PARTITION BY user_id ORDER BY tsu, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        w_next AS (PARTITION BY user_id ORDER BY tsn, event_id
+        w_next AS (PARTITION BY user_id ORDER BY tsu, event_id
                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
     )
     SELECT event_id, user_id,
-           ROUND(pv + (nv - pv) * (CAST(tsn - pt AS DOUBLE)
+           ROUND(pv + (nv - pv) * (CAST(tsu - pt AS DOUBLE)
                                    / CAST(nt - pt AS DOUBLE)), 6) AS interp_value
     FROM m
     WHERE event_type = 'click' AND pv IS NOT NULL AND nv IS NOT NULL
@@ -8825,7 +8895,13 @@ def t18_interp_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     in double — bit-identical across engines; 6dp rounding pins the
     hash."""
     ev = load_table(spark, sf_dir, "events")
-    base = ev.select("event_id", "user_id", "event_type", "value", F.col("ts_ns").alias("tsn"))
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("ts_ns div 1000").alias("tsn"),
+    )
     w_prev = (
         Window.partitionBy("user_id")
         .orderBy("tsn", "event_id")
@@ -9407,11 +9483,11 @@ def x40_source_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     "t19_temporal_split",
     """
     WITH e AS (
-      SELECT event_id, event_type, epoch_ns(ts) AS tsn FROM events
+      SELECT event_id, event_type, epoch_us(ts) AS tsu FROM events
     ),
     r AS (
       SELECT event_type,
-             ROW_NUMBER() OVER (ORDER BY tsn) AS rank,
+             ROW_NUMBER() OVER (ORDER BY tsu, event_id) AS rank,
              COUNT(*) OVER () AS n
       FROM e
     )
@@ -9437,7 +9513,13 @@ def t19_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hi_csa_db_spark.operators import ordered
 
     ev = load_table(spark, sf_dir, "events")
-    e = ev.select("event_id", "event_type", F.col("ts_ns").alias("tsn"))
+    e = ev.select(
+        "event_id",
+        "event_type",
+        F.struct(
+            F.expr("ts_ns div 1000").alias("tsu"), F.col("event_id").alias("eid")
+        ).alias("tsn"),
+    )
     ranked = ordered.global_row_numbers(e, "tsn")
     n1 = ranked.agg(F.count(F.lit(1)).alias("n"))
     return (

@@ -117,4 +117,11 @@ def test_quality_classifier_keep_matches_logit_sign(spark, sf_dir):
 
     rows = entrymod.queries()["x20_quality_classifier"](spark, sf_dir).collect()
     for r in rows:
-        assert r.keep == (1 if r.logit >= 0 else 0)
+        # keep = sign of the EXACT rational logit; the integer
+        # micro-logit is floor(1e6*logit), so keep==1 implies
+        # logit_micro >= 0 and keep==0 implies logit_micro <= 0
+        # (floor of a negative rational can land on 0 only at 0).
+        if r.keep == 1:
+            assert r.logit_micro >= 0
+        else:
+            assert r.logit_micro <= 0

@@ -78,6 +78,9 @@ def table_fingerprint(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    from hi_csa_db_spark.envinfo import env_fingerprint
+
+    print(f"env: {env_fingerprint()}")
     spark = _vanilla_spark()
     con = duckdb.connect()
     for t in TABLES:
