@@ -34,9 +34,17 @@ from pyspark.sql import functions as F
 
 
 def _bit_positions(key: Column, m_bits: int, k_hashes: int) -> list[Column]:
-    """The k bit positions of ``key``: pmod(xxhash64(key, seed_i), m)."""
+    """The k bit positions of ``key``: pmod(xxhash64(key, seed_i), m).
+
+    The key is cast to STRING first: xxhash64 hashes the PHYSICAL
+    type, so an int build side probed with a bigint column would set
+    and test different bits — silent false negatives, breaking the
+    'false negatives are impossible' contract. Hashing the canonical
+    string form makes build and probe agree for any numeric/string
+    key type pairing (ADVICE r3)."""
+    ks = key.cast("string")
     return [
-        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k_hashes)
+        F.pmod(F.xxhash64(ks, F.lit(i)), F.lit(m_bits)) for i in range(k_hashes)
     ]
 
 
@@ -75,11 +83,14 @@ def bloom_might_contain(
     shift amounts while the position is data-dependent."""
     cond = None
     for i in range(k_hashes):
+        # CAST to STRING mirrors _bit_positions — build and probe must
+        # hash the same canonical form regardless of column type.
+        hashed = f"xxhash64(CAST({probe_col} AS STRING), {i})"
         hit = F.expr(
             f"(shiftright(coalesce(element_at(bloom, "
-            f"CAST(pmod(xxhash64({probe_col}, {i}), {m_bits}) div 64 AS INT)), "
+            f"CAST(pmod({hashed}, {m_bits}) div 64 AS INT)), "
             f"CAST(0 AS BIGINT)), "
-            f"CAST(pmod(xxhash64({probe_col}, {i}), {m_bits}) % 64 AS INT)) & 1) = 1"
+            f"CAST(pmod({hashed}, {m_bits}) % 64 AS INT)) & 1) = 1"
         )
         cond = hit if cond is None else (cond & hit)
     return cond

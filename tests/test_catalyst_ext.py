@@ -46,13 +46,42 @@ def test_upperfold_rule_rewrites_plan():
 
 
 def test_jar_rebuild_reproducible(tmp_path):
+    """The committed binary jar must be exactly what the embedded Java
+    source produces — same .class entry list, same class bytes — so
+    the artifact cannot drift from (or smuggle anything beyond) the
+    source in the repo (ADVICE r3). Zip metadata (timestamps,
+    MANIFEST Created-By) is legitimately unstable, so the comparison
+    is per-.class-entry content, not whole-file bytes."""
     import shutil
+    import zipfile
 
     import pytest
 
     if shutil.which("javac") is None:
         pytest.skip("no JDK")
+    from hi_csa_db_spark.functions import catalyst_ext
     from hi_csa_db_spark.functions.catalyst_ext import build_jar
 
     out = build_jar(str(tmp_path / "ext.jar"))
     assert os.path.getsize(out) > 1000
+
+    committed = os.path.join(
+        os.path.dirname(catalyst_ext.__file__), "..", "jars", "upperfold-ext.jar"
+    )
+
+    def class_entries(path):
+        with zipfile.ZipFile(path) as z:
+            return {
+                n: z.read(n) for n in z.namelist() if n.endswith(".class")
+            }
+
+    rebuilt = class_entries(out)
+    shipped = class_entries(committed)
+    assert sorted(rebuilt) == sorted(shipped), (
+        f"class list drift: rebuilt={sorted(rebuilt)} shipped={sorted(shipped)}"
+    )
+    for name in rebuilt:
+        assert rebuilt[name] == shipped[name], (
+            f"{name}: committed jar bytes differ from the embedded source's "
+            "output — re-run build_jar over jars/upperfold-ext.jar"
+        )

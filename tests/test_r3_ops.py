@@ -152,3 +152,18 @@ def test_bloom_merge_equals_rebuild(spark):
     ]
     rebuilt = build_bloom(k1.unionByName(k2).distinct(), "k").collect()[0]["bloom"]
     assert dict(merged) == dict(rebuilt)
+
+
+def test_bloom_mixed_key_types_no_false_negatives(spark):
+    """ADVICE r3: xxhash64 hashes the physical type, so an INT build
+    side probed by a BIGINT column used to set/test different bits —
+    silent false negatives before the exact recheck. The canonical
+    string-cast inside _bit_positions/bloom_might_contain makes the
+    pairing type-proof; this pins it with int keys vs bigint probe."""
+    probe = spark.range(0, 2000).select(F.col("id").alias("k"))  # bigint
+    keys = (
+        spark.range(0, 2000, 7)
+        .select(F.col("id").cast("int").alias("kk"))  # int build side
+    )
+    got = sorted(r.k for r in bloom_semi_join(probe, keys, "k", "kk").collect())
+    assert got == list(range(0, 2000, 7))

@@ -125,3 +125,164 @@ def test_empty_range_needs_schema(spark):
         values_to_dataframe(spark, {"values": []})
     df = values_to_dataframe(spark, {"values": []}, target_schema="a string")
     assert df.count() == 0 and df.columns == ["a"]
+
+
+# ---------------------------------------------------------------------------
+# OAuth token flow (VERDICT r3 item 6 — parity with gs4_auth's token
+# acquisition/refresh, as a non-interactive refresh-token grant)
+# ---------------------------------------------------------------------------
+
+
+class _OAuthHandler(BaseHTTPRequestHandler):
+    """One server speaking both halves of the OAuth-protected API:
+    POST /token mints access tokens tok-1, tok-2, ...; GET values
+    requires the CURRENT token and can be told to reject the first
+    token forever (simulating expiry server-side)."""
+
+    tokens_minted: int = 0
+    token_calls: list[dict] = []
+    value_calls: list[str] = []
+    expire_first_token: bool = False
+    expires_in: int = 3600
+
+    def do_POST(self):  # noqa: N802
+        n = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(n).decode()
+        type(self).token_calls.append(dict(p.split("=", 1) for p in body.split("&")))
+        type(self).tokens_minted += 1
+        payload = {
+            "access_token": f"tok-{type(self).tokens_minted}",
+            "expires_in": type(self).expires_in,
+            "token_type": "Bearer",
+        }
+        out = json.dumps(payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(out)
+
+    def do_GET(self):  # noqa: N802
+        auth = self.headers.get("Authorization") or ""
+        type(self).value_calls.append(auth)
+        current = f"Bearer tok-{type(self).tokens_minted}"
+        rejected = auth != current or (
+            type(self).expire_first_token and auth == "Bearer tok-1"
+        )
+        if rejected:
+            self.send_response(401)
+            self.end_headers()
+            return
+        out = json.dumps(PAYLOAD).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(out)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def oauth_server():
+    _OAuthHandler.tokens_minted = 0
+    _OAuthHandler.token_calls = []
+    _OAuthHandler.value_calls = []
+    _OAuthHandler.expire_first_token = False
+    _OAuthHandler.expires_in = 3600
+    srv = HTTPServer(("127.0.0.1", 0), _OAuthHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}", _OAuthHandler
+    srv.shutdown()
+
+
+def _provider(base):
+    from hi_csa_db_spark.sources.sheets_rest import OAuthTokenProvider
+
+    return OAuthTokenProvider(
+        client_id="cid",
+        client_secret="csec",
+        refresh_token="rtok",
+        token_endpoint=f"{base}/token",
+    )
+
+
+def test_oauth_acquires_token_with_refresh_grant(oauth_server):
+    base, h = oauth_server
+    prov = _provider(base)
+    payload = fetch_values("sid", "Sheet1!A1:D4", endpoint=base, token_provider=prov)
+    assert payload["values"][0][0] == "Practice"
+    # exactly one token POST, correct grant fields, Bearer used on GET
+    assert h.tokens_minted == 1
+    assert h.token_calls[0]["grant_type"] == "refresh_token"
+    assert h.token_calls[0]["refresh_token"] == "rtok"
+    assert h.token_calls[0]["client_id"] == "cid"
+    assert h.value_calls == ["Bearer tok-1"]
+
+
+def test_oauth_caches_token_across_fetches(oauth_server):
+    base, h = oauth_server
+    prov = _provider(base)
+    fetch_values("sid", "r1", endpoint=base, token_provider=prov)
+    fetch_values("sid", "r2", endpoint=base, token_provider=prov)
+    assert h.tokens_minted == 1  # no re-mint while unexpired
+
+
+def test_oauth_refreshes_near_expiry(oauth_server):
+    base, h = oauth_server
+    h.expires_in = 30  # inside the 60s skew window: treat as expired
+    prov = _provider(base)
+    fetch_values("sid", "r1", endpoint=base, token_provider=prov)
+    fetch_values("sid", "r2", endpoint=base, token_provider=prov)
+    assert h.tokens_minted == 2  # every fetch re-mints under the skew
+
+
+def test_oauth_401_refresh_200_path(oauth_server):
+    """The r3-verdict 'Done' criterion: a 401 on a live token forces
+    one refresh and the retry succeeds with the new token."""
+    base, h = oauth_server
+    h.expire_first_token = True  # server revokes tok-1 immediately
+    prov = _provider(base)
+    payload = fetch_values("sid", "r1", endpoint=base, token_provider=prov)
+    assert payload["values"][1][0] == "till"
+    assert h.tokens_minted == 2
+    assert h.value_calls == ["Bearer tok-1", "Bearer tok-2"]
+    assert prov.refresh_count == 2  # initial mint + the 401-forced one
+
+
+def test_oauth_second_401_raises(oauth_server):
+    import urllib.error
+
+    base, h = oauth_server
+    h.expire_first_token = True
+
+    class _AlwaysStale(_provider(base).__class__):
+        pass
+
+    prov = _provider(base)
+    # Sabotage: make every minted token look like tok-1 to the server
+    # by freezing tokens_minted bumps? Simpler: revoke-all server.
+    orig_do_get = h.do_GET
+
+    def reject_all(self):
+        type(self).value_calls.append(self.headers.get("Authorization") or "")
+        self.send_response(401)
+        self.end_headers()
+
+    h.do_GET = reject_all
+    try:
+        with pytest.raises(urllib.error.HTTPError):
+            fetch_values("sid", "r1", endpoint=base, token_provider=prov)
+    finally:
+        h.do_GET = orig_do_get
+    # refreshed exactly once before giving up
+    assert prov.refresh_count == 2
+
+
+def test_oauth_end_to_end_dataframe(oauth_server, spark):
+    base, h = oauth_server
+    df = read_sheet_rest(
+        spark, "sid", "Sheet1!A1:D4", endpoint=base, token_provider=_provider(base)
+    )
+    assert df.count() == 3
+    assert "practice" in df.columns
