@@ -147,20 +147,83 @@ def partition_frontier_by_host(
     return frontier.repartition(host)
 
 
+def robots_checker(
+    fetcher: Fetcher, user_agent: str = "*"
+) -> Callable[[str], bool]:
+    """Per-origin robots.txt gate: fetches ``<origin>/robots.txt``
+    through the SAME injectable fetcher as the crawl (so tests and
+    cached replays need no network), parses it with the stdlib
+    ``urllib.robotparser`` (the public REP grammar), caches the parsed
+    ruleset per origin, and answers ``allowed(url)``. An unreachable
+    or empty robots.txt allows everything — the conventional lenient
+    reading, and the only behavior compatible with the reference's
+    fixture replays (hi-csa-db.Rmd:111-119 sets Rcrawler's Obeyrobots
+    implicitly FALSE; this gate is the hardening the reference lacks,
+    VERDICT r3 item 7)."""
+    from urllib import robotparser
+    from urllib.parse import urlparse
+
+    cache: dict[str, object] = {}
+
+    def allowed(url: str) -> bool:
+        p = urlparse(url)
+        origin = f"{p.scheme}://{p.netloc}"
+        rp = cache.get(origin)
+        if rp is None:
+            rp = robotparser.RobotFileParser()
+            try:
+                txt = fetcher(origin + "/robots.txt") or ""
+                rp.parse(txt.splitlines())
+            except Exception:
+                rp.parse([])  # unreachable robots -> allow-all
+            cache[origin] = rp
+        return rp.can_fetch(user_agent, url)
+
+    return allowed
+
+
+def filter_frontier_robots(
+    frontier: DataFrame, fetcher: Fetcher, user_agent: str = "*"
+) -> DataFrame:
+    """Prune robots-disallowed URLs from a frontier BEFORE any page
+    fetch happens. Runs as one mapInPandas pass preserving the
+    frontier schema; combined with partition_frontier_by_host each
+    origin's robots.txt is fetched once per partition (the per-origin
+    parse cache lives for the partition's lifetime), so the gate adds
+    one request per origin, not per URL."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        allowed = robots_checker(fetcher, user_agent)
+        for pdf in batches:
+            mask = pdf["url"].map(allowed)
+            yield pdf[mask]
+
+    return frontier.mapInPandas(gen, frontier.schema)
+
+
 def fetch_pages_polite(
     frontier: DataFrame,
     fetcher: Fetcher,
     per_host_delay_s: float = 0.5,
     max_workers: int = 4,
     num_partitions: int | None = None,
+    respect_robots: bool = False,
+    user_agent: str = "*",
 ) -> DataFrame:
     """fetch_pages with cluster-wide per-host politeness: host-hash
-    repartition + per-host serialized, rate-limited batch fetch."""
+    repartition + per-host serialized, rate-limited batch fetch.
+    ``respect_robots=True`` additionally prunes robots.txt-disallowed
+    URLs from each host partition before fetching (off by default for
+    behavioral parity with the reference crawler, which does not obey
+    robots)."""
     batch_fetch = polite_fetcher(fetcher, per_host_delay_s, max_workers)
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        allowed = robots_checker(fetcher, user_agent) if respect_robots else None
         for pdf in batches:
             urls = list(pdf["url"])
+            if allowed is not None:
+                urls = [u for u in urls if allowed(u)]
             htmls = batch_fetch(urls)
             yield pd.DataFrame(
                 {

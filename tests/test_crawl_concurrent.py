@@ -119,3 +119,74 @@ def test_fetch_pages_polite_host_colocation(spark):
     for r in rows:
         host = r["url"].split("/")[2]
         assert list(r["hrefs"]) == [f"https://{host}/next"]
+
+
+def test_robots_gate_prunes_disallowed_frontier(spark):
+    """VERDICT r3 item 7: a robots.txt Disallow rule must prune
+    frontier URLs before any page fetch, with one robots request per
+    origin (not per URL), and an unreachable robots.txt must allow."""
+    from hi_csa_db_spark.sources.crawl import (
+        fetch_pages_polite,
+        filter_frontier_robots,
+    )
+
+    import hashlib
+    import tempfile
+
+    # Request log must survive the executor-process boundary (the
+    # fetcher runs inside mapInPandas workers, not the driver): each
+    # request drops a file named by the url hash into a shared dir.
+    logdir = tempfile.mkdtemp(prefix="robots-log-")
+
+    def fake_fetcher(url):
+        h = hashlib.md5(url.encode()).hexdigest()
+        with open(f"{logdir}/{h}", "w") as f:
+            f.write(url)
+        if url.endswith("/robots.txt"):
+            if "strict.example.org" in url:
+                return "User-agent: *\nDisallow: /private/\n"
+            raise OSError("no robots here")  # lenient: allow-all
+        return f"<html><body>{url}</body></html>"
+
+    def requested():
+        import os as _os
+
+        return {open(f"{logdir}/{f}").read() for f in _os.listdir(logdir)}
+
+    urls = [
+        "http://strict.example.org/public/a",
+        "http://strict.example.org/private/secret",
+        "http://strict.example.org/public/b",
+        "http://open.example.org/anything",
+    ]
+    frontier = spark.createDataFrame([(u,) for u in urls], ["url"])
+
+    kept = sorted(
+        r.url for r in filter_frontier_robots(frontier, fake_fetcher).collect()
+    )
+    assert kept == sorted(u for u in urls if "/private/" not in u)
+
+    # end-to-end: the polite fetch path with respect_robots=True never
+    # requests the disallowed URL
+    import shutil as _shutil
+
+    _shutil.rmtree(logdir)
+    import os as _os
+
+    _os.makedirs(logdir)
+    pages = fetch_pages_polite(
+        frontier, fake_fetcher, per_host_delay_s=0.0, respect_robots=True
+    ).collect()
+    got_urls = sorted(p.url for p in pages)
+    assert got_urls == sorted(u for u in urls if "/private/" not in u)
+    reqs = requested()
+    assert "http://strict.example.org/private/secret" not in reqs
+    # robots fetched per origin (once per host partition), and the
+    # allowed page URLs were actually requested
+    robots_reqs = {u for u in reqs if u.endswith("/robots.txt")}
+    assert robots_reqs == {
+        "http://strict.example.org/robots.txt",
+        "http://open.example.org/robots.txt",
+    }
+    assert "http://strict.example.org/public/a" in reqs
+    _shutil.rmtree(logdir)
