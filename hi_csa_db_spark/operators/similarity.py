@@ -499,7 +499,16 @@ def mmr_rerank(
             .select(
                 F.lit(step).alias("rank"),
                 F.col("pid").alias("sel_id"),
-                F.round("score", 6).alias("score"),
+                # floor-form rounding, NOT F.round: MMR scores are
+                # 0.5*(rel - s) over the 1e-6-rounded rel/sim grid, so
+                # half of them sit EXACTLY on the 5e-7 rounding
+                # boundary — BigDecimal-style vs multiply-style ROUND
+                # implementations can disagree there. floor(x*1e6+0.5)
+                # /1e6 is pinned to IEEE ops, bit-identical on every
+                # engine and host (found by tools/boundary_sweep.py).
+                (F.floor(F.col("score") * 1000000 + F.lit(0.5)) / 1000000).alias(
+                    "score"
+                ),
             )
             .localCheckpoint(eager=False)
         )

@@ -10926,9 +10926,10 @@ def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
              AND p.vec_id <> (SELECT vec_id FROM s2)),
     s3 AS (SELECT vec_id, score FROM c3
            ORDER BY score DESC, vec_id ASC LIMIT 1)
-    SELECT 1 AS rank, vec_id, ROUND(score, 6) AS score FROM s1
-    UNION ALL SELECT 2, vec_id, ROUND(score, 6) FROM s2
-    UNION ALL SELECT 3, vec_id, ROUND(score, 6) FROM s3
+    SELECT 1 AS rank, vec_id, floor(score * 1000000 + 0.5) / 1000000 AS score
+    FROM s1
+    UNION ALL SELECT 2, vec_id, floor(score * 1000000 + 0.5) / 1000000 FROM s2
+    UNION ALL SELECT 3, vec_id, floor(score * 1000000 + 0.5) / 1000000 FROM s3
     """,
 )
 def ret4_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -158,3 +158,32 @@ def test_env_fingerprint_emittable():
     fp = env_fingerprint()
     for key in ("duckdb", "pyspark", "python", "timezone", "cpus", "platform"):
         assert key in fp and fp[key]
+
+
+def test_round_boundary_stability_prefix():
+    """Every oracle in the driver-facing 50-query prefix (plus the
+    changed-block tail) must be stable when every ROUND input is
+    perturbed by more than the cross-host skew envelope — i.e. no
+    compared value sits close enough to a rounding boundary for a
+    driver host's libm/ROUND implementation to flip it. See
+    tools/boundary_sweep.py for the envelope argument."""
+    import re
+    import subprocess
+    import sys as _sys
+
+    import __spark_entry__ as m
+
+    prefix = [
+        q
+        for q in list(m.queries())[:59]
+        if q in m.oracle_sql()
+        and re.search(r"\bROUND\s*\(", m.oracle_sql()[q], re.IGNORECASE)
+    ]
+    r = subprocess.run(
+        [_sys.executable, "tools/boundary_sweep.py", SF01] + prefix,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
