@@ -150,9 +150,25 @@ def kmeans_iterate(
     dims = assigned.select(
         "centroid_id", F.posexplode(vec_col).alias("dim", "val")
     )
-    means = dims.groupBy("centroid_id", "dim").agg(F.avg("val").alias("m"))
+    # EXACT quantized-Lloyd mean (r4, cross-engine determinism): each
+    # element is quantized to integer micro-units FIRST (bit-identical
+    # floor of identical doubles on every host/engine), summed as
+    # bigint, and floor-divided (positive-offset trick) — so the new
+    # centroid is a pure function of the assignment with no float
+    # accumulation order anywhere. This is what lets ml_kmeans carry a
+    # full value oracle (the previous float avg() was engine-specific
+    # and forced a rows-only check).
+    q = F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5)).cast("long")
+    means = dims.groupBy("centroid_id", "dim").agg(
+        F.sum(q).alias("__sq"), F.count(F.lit(1)).alias("__n")
+    )
+    mv = (
+        F.expr("(__sq + 100000000L * __n) div __n - 100000000L").cast("double")
+        / 1000000
+    )
     return (
-        means.groupBy("centroid_id")
+        means.select("centroid_id", "dim", mv.alias("m"))
+        .groupBy("centroid_id")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("dim", "m"))
@@ -160,9 +176,7 @@ def kmeans_iterate(
         )
         .select(
             "centroid_id",
-            F.transform(F.col("__dm"), lambda s: s["m"].cast("float")).alias(
-                vec_col
-            ),
+            F.transform(F.col("__dm"), lambda s: s["m"]).alias(vec_col),
         )
     )
 

@@ -4221,14 +4221,73 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=8, 2 iterations) over the embeddings table,
     expressed in DataFrame ops: posexplode to (vec, dim, val), cosine
-    assignment against broadcast centroids, per-(cluster, dim) means
-    rebuilt into centroid arrays. Rows-only check (float means are
-    engine-specific); the unit test asserts the clustering partitions
-    the corpus."""
+    assignment against broadcast centroids, per-(cluster, dim)
+    QUANTIZED-EXACT means (integer micro-units, no float accumulation
+    order) rebuilt into centroid arrays. Value-oracled since r4 (was
+    rows-only while the means were float avg()): the oracle unrolls
+    both Lloyd rounds as chained CTEs with the identical quantized
+    mean and the identical (cos desc, cid asc) argmax."""
     from hi_csa_db_spark.operators.similarity import kmeans_clusters
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_clusters(emb, k=8, iterations=2)
+
+
+def _kmeans_oracle() -> str:
+    """Both Lloyd rounds unrolled as chained CTEs, mirroring
+    kmeans_iterate's quantized-exact mean and ivf_assign's
+    (cos desc, cid asc) argmax — same _cos_sql macro the green s1/s2
+    oracles use, so the cosine fold parity is already driver-proven."""
+
+    def assign(src_emb, cents, out):
+        return f"""
+    {out}_s AS (
+      SELECT e.vec_id, c.cid,
+             ROUND({_cos_sql('e.embedding', 'c.cv')}, 6) AS cs
+      FROM {src_emb} e CROSS JOIN {cents} c
+    ),
+    {out} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cid ASC) AS rn
+        FROM {out}_s) t
+      WHERE rn = 1
+    )"""
+
+    def recompute(assign_cte, out):
+        return f"""
+    {out}_d AS (
+      SELECT a.cid, r.dim,
+             CAST(floor(CAST(e.embedding[CAST(r.dim AS INT)] AS DOUBLE)
+                        * 1000000 + 0.5) AS BIGINT) AS q
+      FROM {assign_cte} a JOIN emb e USING (vec_id),
+           LATERAL (SELECT unnest(range(1, 65)) AS dim) r
+    ),
+    {out}_m AS (
+      SELECT cid, dim,
+             CAST((SUM(q) + 100000000 * COUNT(*)) // COUNT(*)
+                  - 100000000 AS DOUBLE) / 1000000 AS mv
+      FROM {out}_d GROUP BY cid, dim
+    ),
+    {out} AS (
+      SELECT cid, list(mv ORDER BY dim) AS cv FROM {out}_m GROUP BY cid
+    )"""
+
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, embedding AS cv FROM emb WHERE vec_id < 8),
+    {assign('emb', 'c0', 'a1')},
+    {recompute('a1', 'c1')},
+    {assign('emb', 'c1', 'a2')},
+    {recompute('a2', 'c2')},
+    {assign('emb', 'c2', 'a3')}
+    SELECT cid AS cluster_id, COUNT(*) AS n_members
+    FROM a3 GROUP BY cid
+    """
+
+
+_ORACLES["ml_kmeans"] = _kmeans_oracle()
 
 
 @_register(
@@ -5320,7 +5379,17 @@ def j5_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("stream_stream_join")
+@_register(
+    "stream_stream_join",
+    """
+    SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS p_user
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+     AND epoch_us(c.ts) < epoch_us(p.ts)
+    """,
+)
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (purchases x preceding-
     hour clicks per user) — join state bounded by watermark+interval."""
@@ -6038,7 +6107,40 @@ def mm7_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_register("stream_incremental_dedup")
+@_register(
+    "stream_incremental_dedup",
+    f"""
+    WITH {_SHINGLE_SQL},
+    n AS (SELECT CAST(floor(COUNT(*) * 0.8) AS BIGINT) AS split FROM documents),
+    seeds AS (SELECT unnest(range(0, 16)) AS seed),
+    hh AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h1,
+             CAST('0x' || substring(md5(shingle), 16, 12) AS BIGINT) * 2 + 1 AS h2
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, seed,
+             MIN((h1 + seed * h2) % 1152921504606846976) AS mh
+      FROM hh CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             md5(band::VARCHAR || '|' || string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bkey
+      FROM (SELECT doc_id, seed, mh, seed // 2 AS band FROM mh)
+      GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      CROSS JOIN n
+      WHERE a.doc_id >= n.split AND b.doc_id < n.split
+    )
+    SELECT id_new, COUNT(*) AS n_dup_candidates
+    FROM cand GROUP BY id_new
+    """,
+)
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus-ingest dedup: new docs minhash-signed PER ROW
     (narrow array expression — no stateful agg), band-exploded, and
@@ -6051,7 +6153,15 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.incremental_dedup_stream(spark, sf_dir)
 
 
-@_register("stream_hourly_counts")
+@_register(
+    "stream_hourly_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window streaming aggregation, executed with
     Trigger.AvailableNow against the events fixture (real streaming
@@ -6061,7 +6171,32 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.hourly_counts(spark, sf_dir)
 
 
-@_register("stream_session_windows")
+@_register(
+    "stream_session_windows",
+    """
+    WITH e AS (
+      SELECT user_id, ts, epoch_us(ts) AS tsu, event_id FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, tsu, event_id,
+             CASE WHEN tsu - LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+                       >= 43200000000 OR
+                  LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS ns
+      FROM e
+    ),
+    sid AS (
+      SELECT user_id, ts,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sid GROUP BY user_id, sid
+    """,
+)
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window() stateful streaming aggregation (12h gap)."""
     from hi_csa_db_spark.streaming import windows
@@ -6069,7 +6204,24 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.session_windows(spark, sf_dir)
 
 
-@_register("stream_sliding_counts")
+@_register(
+    "stream_sliding_counts",
+    """
+    WITH w AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type, value
+      FROM events
+      UNION ALL
+      SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                      '%Y-%m-%d %H:%M:%S'),
+             event_type, value
+      FROM events
+    )
+    SELECT win_start, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (hopping) watermarked window aggregation: 2h windows
     advancing every 1h — each event counted in two windows."""
@@ -6078,7 +6230,13 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.sliding_counts(spark, sf_dir)
 
 
-@_register("stream_dedup_watermark")
+@_register(
+    "stream_dedup_watermark",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n
+    FROM events GROUP BY event_type
+    """,
+)
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark on (user_id, event_type) — the
     streaming twin of the dedup tier (state expires with the watermark,
@@ -6088,7 +6246,39 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.dedup_within_watermark(spark, sf_dir)
 
 
-@_register("stream_ohlc_daily")
+@_register(
+    "stream_ohlc_daily",
+    """
+    WITH b AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             epoch_us(ts) AS ts_us, event_id,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ),
+    o AS (
+      SELECT day, v AS open FROM (
+        SELECT day, v, ROW_NUMBER() OVER (PARTITION BY day
+               ORDER BY ts_us ASC, event_id ASC) AS rn FROM b) t
+      WHERE rn = 1
+    ),
+    c AS (
+      SELECT day, v AS close FROM (
+        SELECT day, v, ROW_NUMBER() OVER (PARTITION BY day
+               ORDER BY ts_us DESC, event_id DESC) AS rn FROM b) t
+      WHERE rn = 1
+    ),
+    hl AS (
+      SELECT day, COUNT(*) AS n, MAX(v) AS high, MIN(v) AS low
+      FROM b GROUP BY day
+    )
+    SELECT hl.day, n,
+           ROUND(CAST(open AS DOUBLE), 2) AS open,
+           ROUND(CAST(high AS DOUBLE), 2) AS high,
+           ROUND(CAST(low AS DOUBLE), 2) AS low,
+           ROUND(CAST(close AS DOUBLE), 2) AS close
+    FROM hl JOIN o USING (day) JOIN c USING (day)
+    """,
+)
 def stream_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t17's one-pass OHLC (struct-argmin/argmax with deterministic
     tie-breaks) run UNDER THE STREAMING PLANNER in a watermarked 1-day
@@ -6100,15 +6290,30 @@ def stream_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.ohlc_daily(spark, sf_dir)
 
 
-@_register("stream_stateful_totals")
+@_register(
+    "stream_stateful_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
     running totals carried across micro-batches in explicit state —
     the engine's escape hatch for semantics built-in windows can't
-    express (SURVEY.md section 2.9)."""
+    express (SURVEY.md section 2.9). Value-oracled since r4: the state
+    accumulates INTEGER CENTS (exact, order-proof), and update-mode
+    re-emissions reduce to the final state per user (n_events is
+    monotone, so max_by is the last state) before comparing against
+    the plain per-user SQL totals."""
     from hi_csa_db_spark.streaming import stateful
 
-    return stateful.user_running_totals(spark, sf_dir)
+    raw = stateful.user_running_totals(spark, sf_dir)
+    return raw.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -11013,16 +11218,65 @@ def x43_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("x44_ffd_packing")
+@_register(
+    "x44_ffd_packing",
+    """
+    WITH RECURSIVE
+    fsized AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+      FROM documents
+    ),
+    ford AS (
+      SELECT source, n,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, doc_id ASC) AS i
+      FROM fsized
+    ),
+    fcnt AS (SELECT source, COUNT(*) AS m FROM ford GROUP BY source),
+    fst AS (
+      SELECT source, CAST(0 AS BIGINT) AS i,
+             CAST([] AS BIGINT[]) AS fills, CAST([] AS BIGINT[]) AS ndocs
+      FROM fcnt
+      UNION ALL
+      SELECT source, i + 1,
+             CASE WHEN bpos = 0 THEN list_append(fills, n)
+                  ELSE list_concat(list_concat(fills[1:bpos-1], [fills[bpos] + n]),
+                                   fills[bpos+1:len(fills)]) END,
+             CASE WHEN bpos = 0 THEN list_append(ndocs, CAST(1 AS BIGINT))
+                  ELSE list_concat(list_concat(ndocs[1:bpos-1], [ndocs[bpos] + 1]),
+                                   ndocs[bpos+1:len(ndocs)]) END
+      FROM (
+        SELECT fst.source, fst.i, fst.fills, fst.ndocs, o.n,
+               CASE WHEN o.n <= 512 THEN
+                 COALESCE(list_position(
+                   list_transform(range(1, len(fst.fills) + 1),
+                                  j -> CASE WHEN fst.fills[j] + o.n <= 512
+                                       THEN 1 ELSE 0 END), 1), 0)
+               ELSE 0 END AS bpos
+        FROM fst JOIN ford o ON o.source = fst.source AND o.i = fst.i + 1
+      ) step
+    ),
+    ffinal AS (
+      SELECT fst.source, fst.fills, fst.ndocs
+      FROM fst JOIN fcnt USING (source) WHERE fst.i = fcnt.m
+    )
+    SELECT source, j - 1 AS bin_id, ndocs[CAST(j AS INT)] AS n_docs,
+           fills[CAST(j AS INT)] AS bin_tokens
+    FROM ffinal, LATERAL (SELECT unnest(range(1, len(fills) + 1)) AS j) r
+    """,
+)
 def x44_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing sequence packing (operators/packing.py):
     per-source FFD bin assignment via applyInPandas — the sequential-
     per-group packer that beats x16's prefix-sum chunking on stranded
-    budget (FFD <= 11/9·OPT + 1 bins). Rows-only driver check: FFD's
-    loop-carried bin state is not oracle-dialect-expressible; the
-    exact assignment is pinned against a brute-force Python twin in
-    tests/test_r3_ops.py. Output: per (source, bin) doc count and
-    fill."""
+    budget (FFD <= 11/9·OPT + 1 bins). Value-oracled since r4 (was
+    rows-only): the loop-carried bin state replays in DuckDB as a
+    recursive CTE over (fills, ndocs) list pairs — one step per item
+    in (n desc, doc_id) order, first-fit via list_position over the
+    fills list (see the x27 recursive-replay idiom). The exact
+    assignment is additionally pinned against a brute-force Python
+    twin in tests/test_r3_ops.py. Output: per (source, bin) doc count
+    and fill."""
     from hi_csa_db_spark.operators.packing import pack_ffd
 
     docs = load_table(spark, sf_dir, "documents")

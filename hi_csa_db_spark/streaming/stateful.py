@@ -38,7 +38,7 @@ RUNNING_SCHEMA = StructType(
     ]
 )
 
-STATE_SCHEMA = "n BIGINT, total DOUBLE"
+STATE_SCHEMA = "n BIGINT, cents BIGINT"
 
 
 def _update_user_totals(
@@ -46,13 +46,20 @@ def _update_user_totals(
     batches: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
+    # State carries INTEGER CENTS, not a float accumulator: the fixture
+    # values are 2-decimal money, so the running total is exact and
+    # identical whatever order batches/rows arrive in — which is what
+    # lets the streaming run be value-checked against a plain SQL
+    # oracle (r4; was rows-only while the state was a float sum).
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        # per-ROW cents before summing (a float sum of many 2-decimal
+        # doubles is not exact; per-row *100-and-round is)
+        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+    state.update((n, cents))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
     )
 
 

@@ -139,7 +139,12 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            # DECIMAL sum (not float) so the value is exact and
+            # identical to the batch/DuckDB twin regardless of
+            # accumulation order — value-oracled since r4
+            F.sum(F.col("value").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
@@ -283,12 +288,20 @@ def ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.min(F.struct(F.col("ts_ns"), F.col("event_id"), v.alias("v"))).alias(
-                "__o"
-            ),
-            F.max(F.struct(F.col("ts_ns"), F.col("event_id"), v.alias("v"))).alias(
-                "__c"
-            ),
+            F.min(
+                F.struct(
+                    F.expr("ts_ns div 1000").alias("ts_us"),
+                    F.col("event_id"),
+                    v.alias("v"),
+                )
+            ).alias("__o"),
+            F.max(
+                F.struct(
+                    F.expr("ts_ns div 1000").alias("ts_us"),
+                    F.col("event_id"),
+                    v.alias("v"),
+                )
+            ).alias("__c"),
             F.max(v).alias("__high"),
             F.min(v).alias("__low"),
         )
