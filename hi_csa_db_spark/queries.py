@@ -12168,9 +12168,10 @@ def a11_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 43 never-driver-sampled full-oracle component proofs — every one
 # verified green by tools/check_oracle.py in a VANILLA session at
 # sf0.01 before being placed here. Directly after slot 50: the
-# banked greens whose outputs changed in the r4 integer rewrite
-# (schema or values), so they re-prove first if the driver ever
-# samples deeper; unchanged banked greens fill the tail.
+# banked greens whose outputs/values changed in the r4 integer
+# rewrite or the rows-only->full-oracle conversions (streams, FFD,
+# k-means) re-prove directly after slot 50 if the driver ever samples
+# deeper; unchanged banked greens fill the tail.
 _PRIORITY = (
     "t2_sessionize",
     "t8_session_sequences",
@@ -12222,6 +12223,16 @@ _PRIORITY = (
     "stats_cohen_kappa",
     "a11_cms_heavy_hitters",
     "f16_jvm_fnv_hash",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_dedup_watermark",
+    "stream_stream_join",
+    "stream_ohlc_daily",
+    "stream_hourly_counts",
+    "stream_stateful_totals",
+    "stream_incremental_dedup",
+    "ml_kmeans",
+    "x44_ffd_packing",
     "x20_quality_classifier",
     "x23_dsir_weights",
     "d10_quality_survivors",
@@ -12252,9 +12263,6 @@ _PRIORITY = (
     "asof_purchase_click",
     "range_error_clicks",
     "f_variant_props",
-    "stream_hourly_counts",
-    "stream_stateful_totals",
-    "stream_incremental_dedup",
     "mm2_media_dedup",
     "mm4_feature_knn",
     "mm5_codec_roundtrip",
@@ -12269,7 +12277,6 @@ _PRIORITY = (
     "d15_sorted_neighborhood",
     "graph_hits",
     "sq_group_by_all",
-    "x44_ffd_packing",
     "q4_priority_count",
     "q12_late_priority_split",
     "q16_supplier_part_counts",
@@ -12293,22 +12300,17 @@ _PRIORITY = (
     "x17_domain_mixture",
     "x18_global_shuffle_order",
     "pipe_training_prep_v2",
-    "stream_session_windows",
-    "stream_dedup_watermark",
-    "stream_stream_join",
     "graph_pagerank",
     "graph_components",
     "agg_pandas_median",
     "d9_incremental_lsh",
     "d5_embedding_neardup",
-    "ml_kmeans",
     "x7_posexplode",
     "x8_bigram_counts",
     "a6_conditional_agg",
     "g3_cube_orders",
     "g4_pivot_status",
     "g5_unpivot",
-    "stream_sliding_counts",
     "mm3_frame_sample_plan",
     "a7_argmax",
     "stats_chi2_assoc",
@@ -12419,7 +12421,6 @@ _PRIORITY = (
     "x6_tfidf_topk",
     "a2_a4_distinct_and_maxlen",
     "html_parse_sectionize",
-    "stream_ohlc_daily",
     "x19_chunk_dedup",
     "sem1_semdedup_survivors",
     "x21_temperature_mixture",
