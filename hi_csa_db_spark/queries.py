@@ -4627,6 +4627,99 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "a12_hll_deterministic",
+    """
+    WITH h AS (
+      SELECT l_returnflag,
+             CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 2)
+                  AS BIGINT) AS bucket,
+             CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 3, 13)
+                  AS BIGINT) AS rem,
+             l_orderkey
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, bucket,
+             MAX(CASE WHEN rem = 0 THEN 50
+                      ELSE least(53 - length(bin(rem)), 50) END) AS m
+      FROM h GROUP BY l_returnflag, bucket
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(1 AS BIGINT) << (50 - m)) AS BIGINT)
+             + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 50) AS ssum
+      FROM r GROUP BY l_returnflag
+    ),
+    x AS (SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact
+          FROM lineitem GROUP BY l_returnflag)
+    SELECT s.l_returnflag,
+           CAST(floor((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                      * CAST(CAST(1 AS BIGINT) << 50 AS DOUBLE)
+                      / CAST(ssum AS DOUBLE)) AS BIGINT) AS hll_estimate,
+           CAST(n_exact AS BIGINT) AS n_exact
+    FROM s JOIN x USING (l_returnflag)
+    """,
+)
+def a12_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC HyperLogLog (Flajolet et al. 2007) built from
+    md5 hashes and pure integer register math — the cross-engine-
+    reproducible complement to sketch_cardinality's engine-internal
+    HLL++ (whose estimates cannot be oracle-compared by construction).
+
+    Layout: bucket = first md5 byte (m=256 registers), remainder = the
+    next 52 bits; register = max rank (leading-zero count + 1, capped
+    at 50 so the harmonic term stays an exact bigint power of two).
+    The harmonic sum is computed EXACTLY as sum(2^(50-M)) in bigint —
+    no float accumulation — and the single float step (alpha * m^2 /
+    S) is IEEE ops on exact inputs, bit-identical on every engine. Raw
+    estimate, no small-range correction (that branch needs ln(); the
+    exact twin n_exact rides along for calibration). Determinism
+    means the sketch is mergeable AND replayable: a re-run, a
+    different host, or the DuckDB oracle produces the identical
+    registers and estimate.
+
+    Scale shape: one map-side-combined (flag, bucket) max aggregate —
+    256 rows per group survive the shuffle; the estimate is a 256-row
+    reduction. The n_exact column is the expensive exact distinct —
+    kept here for audit; production uses the sketch alone."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 2), 16, 10)
+        .cast("long")
+        .alias("bucket"),
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 3, 13), 16, 10)
+        .cast("long")
+        .alias("rem"),
+    )
+    rank = F.when(F.col("rem") == 0, F.lit(50)).otherwise(
+        F.least(F.lit(53) - F.length(F.expr("bin(rem)")), F.lit(50))
+    )
+    regs = h.groupBy("l_returnflag", "bucket").agg(F.max(rank).alias("m"))
+    ssum = regs.groupBy("l_returnflag").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - m AS INT))"))
+            + (256 - F.count(F.lit(1))) * F.expr("shiftleft(CAST(1 AS BIGINT), 50)")
+        )
+        .cast("long")
+        .alias("ssum")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_exact")
+    )
+    est = F.floor(
+        (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0)))
+        * F.lit(65536.0)
+        * F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 50) AS DOUBLE)")
+        / F.col("ssum").cast("double")
+    ).cast("long")
+    return ssum.join(exact, "l_returnflag").select(
+        "l_returnflag", est.alias("hll_estimate"), "n_exact"
+    )
+
+
 @_register("sketch_hll_merge")
 def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (hll_sketch_agg/hll_union_agg): distinct
@@ -12223,6 +12316,7 @@ _PRIORITY = (
     "stats_cohen_kappa",
     "a11_cms_heavy_hitters",
     "f16_jvm_fnv_hash",
+    "a12_hll_deterministic",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

@@ -187,3 +187,21 @@ def test_round_boundary_stability_prefix():
         cwd="/root/repo",
     )
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+
+
+def test_deterministic_hll_accuracy(spark):
+    """a12's raw HLL estimate (m=256, sigma ~= 1.04/sqrt(256) = 6.5%)
+    must land within 20% of the exact distinct count on real fixture
+    groups — determinism alone is not enough, the sketch has to be a
+    usable cardinality estimate."""
+    import __spark_entry__ as m
+
+    rows = m.queries()["a12_hll_deterministic"](spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert r.n_exact > 0
+        assert abs(r.hll_estimate - r.n_exact) <= 0.2 * r.n_exact, (
+            r.l_returnflag,
+            r.hll_estimate,
+            r.n_exact,
+        )
