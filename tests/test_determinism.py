@@ -205,3 +205,110 @@ def test_deterministic_hll_accuracy(spark):
             r.hll_estimate,
             r.n_exact,
         )
+
+
+def test_logit_micro_matches_exact_rational():
+    """Property: the offset floor-division form used by x20 computes
+    EXACTLY floor(1e6 * logit) of the exact rational logit =
+    (-3 + 0.02n + 0.6*sl/n + 2*na/n - 4*ns/n), for any feasible
+    feature combination — the invariant the whole integer rewrite
+    rests on."""
+    from fractions import Fraction
+
+    from hypothesis import given, strategies as st
+
+    @given(
+        n=st.integers(min_value=1, max_value=200_000),
+        data=st.data(),
+    )
+    def check(n, data):
+        sum_len = data.draw(st.integers(min_value=n, max_value=60 * n))
+        n_alpha = data.draw(st.integers(min_value=0, max_value=n))
+        n_stop = data.draw(st.integers(min_value=0, max_value=n))
+        p50n = n * n - 150 * n + 30 * sum_len + 100 * n_alpha - 200 * n_stop
+        a = p50n * 20000 + 10_000_000 * n
+        assert a > 0  # the offset precondition
+        got = a // n - 10_000_000
+        logit = (
+            Fraction(-3)
+            + Fraction(2, 100) * n
+            + Fraction(6, 10) * Fraction(sum_len, n)
+            + 2 * Fraction(n_alpha, n)
+            - 4 * Fraction(n_stop, n)
+        )
+        import math
+
+        assert got == math.floor(logit * 1_000_000)
+        # keep = sign of the exact rational
+        assert (p50n >= 0) == (logit >= 0)
+
+    check()
+
+
+def test_dsir_microweight_matches_exact_floor():
+    """Property: the +1e8*m offset floor-division in
+    _dsir_weight_frame computes exactly floor(sum(tf*illr)/sum(tf))
+    for any mix of positive/negative integer micro-nats."""
+    import math
+
+    from hypothesis import given, strategies as st
+
+    @given(
+        terms=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=1000),      # tf
+                st.integers(min_value=-40_000_000, max_value=40_000_000),  # illr
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def check(terms):
+        s = sum(tf * il for tf, il in terms)
+        m = sum(tf for tf, _ in terms)
+        got = (s + 100_000_000 * m) // m - 100_000_000
+        assert got == math.floor(s / m) or got == s // m  # floor div exact
+        assert got == s // m  # python // is floor for ints
+
+    check()
+
+
+def test_hll_register_merge_is_union(spark):
+    """a12's registers are max-per-bucket of a deterministic hash, so
+    OR-merging two shards' registers (elementwise max) must equal the
+    registers of the union — the monoid property that makes the
+    deterministic sketch incrementally maintainable."""
+    from pyspark.sql import functions as F
+
+    from hi_csa_db_spark.catalog import load_table
+
+    li = load_table(spark, SF01, "lineitem").limit(20000)
+
+    def regs(df):
+        h = df.select(
+            F.conv(
+                F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 2), 16, 10
+            )
+            .cast("long")
+            .alias("bucket"),
+            F.conv(
+                F.substring(F.md5(F.col("l_orderkey").cast("string")), 3, 13), 16, 10
+            )
+            .cast("long")
+            .alias("rem"),
+        )
+        rank = F.when(F.col("rem") == 0, F.lit(50)).otherwise(
+            F.least(F.lit(53) - F.length(F.expr("bin(rem)")), F.lit(50))
+        )
+        return {
+            r.bucket: r.m
+            for r in h.groupBy("bucket").agg(F.max(rank).alias("m")).collect()
+        }
+
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    ra, rb, rall = regs(a), regs(b), regs(li)
+    merged = {
+        k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+    }
+    assert merged == rall
