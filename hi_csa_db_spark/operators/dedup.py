@@ -336,9 +336,14 @@ def jaccard_pairs(
         # join below the set aggregate) and value-exactness with an
         # ultra-hot shingle present.
         # The shingle stream feeds THREE consumers (df count, rare set
-        # aggregate, hot semi-join) plus sizes; lazily checkpoint it so
-        # tokenize+explode runs once, not four times, per job.
-        sh = shingle_df.localCheckpoint(eager=False)
+        # aggregate, hot semi-join) plus sizes; repartition it BY
+        # SHINGLE and lazily checkpoint, so (a) tokenize+explode runs
+        # once, not four times, and (b) both shingle-keyed groupBys
+        # reuse the stored hash partitioning — Catalyst elides their
+        # exchanges (the broadcast anti/semi joins preserve the
+        # distribution), leaving the pair-generation shuffle as the
+        # only full exchange of this stage.
+        sh = shingle_df.repartition(F.col("shingle")).localCheckpoint(eager=False)
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         hot_list = dfreq.filter(F.col("__df") > max_df).select("shingle")
         rare_sets = (
