@@ -5,6 +5,9 @@ on DuckDB over the same parquet fixtures, then compares row count,
 column names, and an order-insensitive canonical value hash.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+With SPARK_GRAFT_ORACLE_JSON=<path> set, also writes a JSON file in
+the driver's CORRECTNESS_r{N}.json shape (rows/schema/hash per query)
+so local and driver runs diff mechanically.
 """
 
 from __future__ import annotations
@@ -90,6 +93,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failed = []
+    report: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -104,6 +108,10 @@ def main():
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            report[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             rel = con.sql(oracles[name])
@@ -131,6 +139,22 @@ def main():
             failed.append(name)
         else:
             print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+        report[name] = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": sorted(scols_l) == sorted(dcols),
+            "hash_match": sh == dh,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": None,
+        }
+    import json
+    import os as _os
+
+    out_path = _os.environ.get("SPARK_GRAFT_ORACLE_JSON")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"json report: {out_path}")
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     sys.exit(1 if failed else 0)
 
