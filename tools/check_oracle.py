@@ -86,6 +86,19 @@ def main():
     print(f"env: {env_fingerprint()}")
     spark = _vanilla_spark()
     con = duckdb.connect()
+    # Local-sweep robustness only (the driver harness owns its own
+    # connection): the composed pipe oracles spill past duckdb's
+    # default in-memory temp space at sf0.1 (r3 NOTES addendum) — give
+    # the oracle a disk temp dir and a bounded memory budget so the
+    # 10x-scale stress sweep measures VALUE parity, not RAM.
+    try:
+        import os as _os
+
+        _os.makedirs("/tmp/duckdb_oracle_tmp", exist_ok=True)
+        con.execute("PRAGMA temp_directory='/tmp/duckdb_oracle_tmp'")
+        con.execute("PRAGMA memory_limit='24GB'")
+    except Exception:
+        pass
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
