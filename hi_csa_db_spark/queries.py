@@ -1551,15 +1551,23 @@ def x4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "x5_fingerprints",
     """
+    WITH fcp AS (
+      SELECT doc_id,
+             list_transform(string_split(rpad(text, CAST(greatest(length(text), 8) AS INT), ' '), ''),
+                            c -> CAST(ascii(c) AS BIGINT)) AS cps
+      FROM documents
+    )
     SELECT doc_id, unnest(list_sort(
-      list_transform(range(1, greatest(length(text) - 7, 1) + 1),
-                     i -> md5(substring(text, i::INT, 8)))
+      list_transform(range(1, len(cps) - 7 + 1),
+                     i -> (((((((cps[i] * 31 + cps[i+1]) * 31 + cps[i+2]) * 31 + cps[i+3]) * 31 + cps[i+4]) * 31 + cps[i+5]) * 31 + cps[i+6]) * 31 + cps[i+7]) % 1000000007)
     )[1:5]) AS fp
-    FROM documents
+    FROM fcp
     """,
 )
 def x5_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-min content fingerprints (winnowing-style) over char 8-grams."""
+    """k-min ROLLING-HASH fingerprints (winnowing, Schleimer 2003)
+    over char 8-grams — base-31 polynomial mod 1e9+7, pure bigint
+    arithmetic on both engines (r4: was md5-per-gram)."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.fingerprints(docs, k=8, keep=5)
 
