@@ -12325,6 +12325,7 @@ _PRIORITY = (
     "a11_cms_heavy_hitters",
     "f16_jvm_fnv_hash",
     "a12_hll_deterministic",
+    "x5_fingerprints",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
@@ -12512,7 +12513,6 @@ _PRIORITY = (
     "x2_lang_id",
     "x3_quality_score",
     "x4_token_stats",
-    "x5_fingerprints",
     "set_intersect_nations",
     "set_ops_all_multiset",
     "set_except_nations",
