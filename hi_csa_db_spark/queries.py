@@ -10926,6 +10926,137 @@ def s7_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "s8_pq_topk",
+    f"""
+    WITH cb AS (
+      SELECT list(v ORDER BY i) AS cbs FROM (
+        SELECT vec_id AS i, embedding AS v FROM embeddings
+        WHERE vec_id > 0 ORDER BY vec_id LIMIT 16)
+    ),
+    dist AS (
+      SELECT e.vec_id, t.m, t.j,
+        CAST(floor(list_aggregate(list_transform(range(1, 9), i ->
+            (e.embedding[t.m*8+i]::DOUBLE - cb.cbs[t.j+1][t.m*8+i]::DOUBLE)
+          * (e.embedding[t.m*8+i]::DOUBLE - cb.cbs[t.j+1][t.m*8+i]::DOUBLE)),
+          'sum') * 1000000) AS BIGINT) AS dmic
+      FROM embeddings e CROSS JOIN cb,
+           LATERAL (SELECT m.x AS m, j.x AS j
+                    FROM (SELECT unnest(range(0, 8)) AS x) m,
+                         (SELECT unnest(range(0, 16)) AS x) j) t
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dmic ASC, j ASC) AS rn
+        FROM dist) WHERE rn = 1
+    ),
+    adc AS (SELECT m, j, dmic FROM dist WHERE vec_id = 0),
+    approx AS (
+      SELECT c.vec_id, SUM(a.dmic) AS approx_dist_micro
+      FROM codes c JOIN adc a ON a.m = c.m AND a.j = c.code
+      WHERE c.vec_id <> 0
+      GROUP BY c.vec_id
+    ),
+    cand AS (SELECT vec_id, approx_dist_micro FROM approx
+             ORDER BY approx_dist_micro ASC, vec_id ASC LIMIT 50),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT cand.vec_id,
+           CAST(cand.approx_dist_micro AS BIGINT) AS approx_dist_micro,
+           ROUND({_cos_sql('e.embedding', 'qv.qe')}, 6) AS cos_sim
+    FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id CROSS JOIN qv
+    ORDER BY cos_sim DESC, cand.vec_id ASC LIMIT 10
+    """,
+)
+def s8_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_topk; Jegou 2011):
+    8 subspaces x 16 anchor centroids, integer-micro ADC lookup-table
+    candidate scoring, exact cosine rerank of the top-50. Fifth ANN
+    family beside brute force (s1), IVF (s2), sign-bit Hamming (s4),
+    and SQ8 (s7); at scale the 4-bit codes are 64x lighter to scan
+    than float32 and the ADC scan is integer adds + array lookups.
+    Extension surface next to BASELINE.json's ANN mandate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, query_id=0, k=10, candidates=50)
+
+
+def _s9_oracle_sql() -> str:
+    """Compose the brute-force (s1), IVF (s2), SQ8 (s7), and PQ (s8)
+    oracles (verbatim, as scoped subqueries) into a recall@10 report —
+    the ret2/x49 composition idiom, so the audit's ground truth IS the
+    already-proven per-family oracle."""
+    return f"""
+    WITH exact AS (SELECT vec_id FROM ({_ORACLES["s1_cosine_topk"]}) t),
+    fam AS (
+      SELECT 'ivf' AS family, vec_id FROM ({_ORACLES["s2_ivf_topk"]}) t
+      UNION ALL
+      SELECT 'sq8' AS family, vec_id FROM ({_ORACLES["s7_sq8_topk"]}) t
+      UNION ALL
+      SELECT 'pq' AS family, vec_id FROM ({_ORACLES["s8_pq_topk"]}) t
+    )
+    SELECT f.family, COUNT(*) AS k_returned,
+           CAST(COALESCE(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 END), 0)
+                AS BIGINT) AS n_hits,
+           CAST(COALESCE(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 END), 0)
+                * 10 AS BIGINT) AS recall_pct
+    FROM fam f LEFT JOIN exact e ON e.vec_id = f.vec_id
+    GROUP BY f.family
+    """
+
+
+@_register("s9_ann_recall_report", _s9_oracle_sql())
+def s9_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall audit: each approximate family's top-10 for query 0
+    scored against the brute-force exact top-10 (recall@10) — the
+    evaluation every ANN deployment ships with before trading exact
+    scans for codes/buckets (the d14 calibration idiom applied to the
+    similarity tier). All-integer output (hit counts, recall in whole
+    percent), so the report is engine-portable by construction.
+
+    Scale shape: each family subplan keeps its own (already audited)
+    shape; the report adds one union of 3x10 id rows, a broadcast-size
+    left join against the 10-row exact set, and a 3-group aggregate —
+    negligible over the family scans themselves."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, query_id=0, k=10).select(
+        "vec_id", F.lit(1).alias("__hit")
+    )
+    fams = [
+        (
+            "ivf",
+            similarity.ivf_topk(
+                emb, query_id=0, k=10, n_centroids=8, n_probe=2
+            ).select("vec_id"),
+        ),
+        (
+            "sq8",
+            similarity.sq8_topk(emb, query_id=0, k=10, candidates=50).select(
+                "vec_id"
+            ),
+        ),
+        (
+            "pq",
+            similarity.pq_topk(emb, query_id=0, k=10, candidates=50).select(
+                "vec_id"
+            ),
+        ),
+    ]
+    marked = None
+    for fam_name, df in fams:
+        r = df.select(F.lit(fam_name).alias("family"), "vec_id")
+        marked = r if marked is None else marked.unionByName(r)
+    return (
+        marked.join(F.broadcast(exact), "vec_id", "left")
+        .groupBy("family")
+        .agg(
+            F.count(F.lit(1)).alias("k_returned"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+        .withColumn("recall_pct", (F.col("n_hits") * 10).cast("bigint"))
+    )
+
+
+@_register(
     "x42_perplexity_buckets",
     """
     WITH toks AS (
@@ -12326,6 +12457,8 @@ _PRIORITY = (
     "f16_jvm_fnv_hash",
     "a12_hll_deterministic",
     "x5_fingerprints",
+    "s8_pq_topk",
+    "s9_ann_recall_report",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

@@ -74,6 +74,8 @@ FLOAT_SENSITIVE = [
     "x47_priority_dedup",
     "stats_gini",
     "x46_ngram_novelty",
+    # round-4 (this session) additions
+    "s8_pq_topk",
 ]
 
 

@@ -1,0 +1,108 @@
+"""Round-4 (second session) operator tests: PQ ANN + recall audit."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hi_csa_db_spark.operators import similarity
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+
+
+def test_pq_anchor_vector_has_zero_distance(spark):
+    """A corpus vector identical to the query quantizes to the same
+    codes, so its ADC distance is exactly 0 and it ranks first."""
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(1, 30)]
+    q = rows[4][1]  # vec 5's vector, duplicated as the query (id 0)
+    emb = _emb(spark, [(0, q)] + rows)
+    out = similarity.pq_topk(
+        emb, query_id=0, k=5, candidates=10, n_sub=4, n_cent=8
+    ).collect()
+    assert out[0]["vec_id"] == 5
+    assert out[0]["approx_dist_micro"] == 0
+    assert out[0]["cos_sim"] == 1.0
+
+
+def test_pq_codes_match_numpy_argmin(spark):
+    """PQ candidate ordering equals a numpy replay of the anchor
+    codebook -> argmin encode -> ADC lookup pipeline."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim, n_sub, n_cent = 16, 4, 8
+    vecs = rng.uniform(-1, 1, size=(40, dim)).astype(np.float32)
+    emb = _emb(spark, [(i, list(map(float, v))) for i, v in enumerate(vecs)])
+
+    cb = vecs[1 : n_cent + 1]  # anchors: ids 1..n_cent
+    dp = dim // n_sub
+
+    def dists_micro(v):
+        out = []
+        for m in range(n_sub):
+            for j in range(n_cent):
+                d = 0.0
+                for i in range(dp):
+                    t = float(v[m * dp + i]) - float(cb[j][m * dp + i])
+                    d += t * t
+                out.append(int(np.floor(d * 1_000_000)))
+        return out
+
+    codes = {}
+    for vid, v in enumerate(vecs):
+        dm = dists_micro(v)
+        codes[vid] = [
+            min(range(n_cent), key=lambda j: (dm[m * n_cent + j], j))
+            for m in range(n_sub)
+        ]
+    qd = dists_micro(vecs[0])
+    approx = {
+        vid: sum(qd[m * n_cent + codes[vid][m]] for m in range(n_sub))
+        for vid in codes
+        if vid != 0
+    }
+    want = sorted(approx, key=lambda vid: (approx[vid], vid))[:12]
+
+    got = (
+        similarity.pq_topk(
+            emb, query_id=0, k=12, candidates=12, n_sub=n_sub, n_cent=n_cent
+        )
+        .select("vec_id", "approx_dist_micro")
+        .collect()
+    )
+    assert {r["vec_id"] for r in got} == set(want)
+    for r in got:
+        assert r["approx_dist_micro"] == approx[r["vec_id"]]
+
+
+def test_pq_full_candidates_equals_bruteforce_topk(spark):
+    """With candidates = corpus size, PQ's rerank IS the brute-force
+    cosine top-k (the sketch prunes candidates, never the answer)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    emb = _emb(spark, rows)
+    exact = similarity.cosine_topk(emb, query_id=0, k=5).collect()
+    pq = similarity.pq_topk(
+        emb, query_id=0, k=5, candidates=39, n_sub=4, n_cent=8
+    ).collect()
+    assert [r["vec_id"] for r in pq] == [r["vec_id"] for r in exact]
+    assert [r["cos_sim"] for r in pq] == [r["cos_sim"] for r in exact]
+
+
+def test_ann_recall_report_counts(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["s9_ann_recall_report"](spark, sf_dir).collect()
+    by_fam = {r["family"]: r for r in rows}
+    assert set(by_fam) == {"ivf", "sq8", "pq"}
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["k_returned"] <= 10
+        assert r["recall_pct"] == r["n_hits"] * 10
