@@ -317,3 +317,53 @@ def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
             F.coalesce("auth", F.lit(0)).cast("bigint").alias("auth"),
         )
     )
+
+
+def sssp(
+    edges: DataFrame,
+    source: int,
+    iterations: int = 3,
+) -> DataFrame:
+    """Single-source shortest paths by synchronous Bellman-Ford
+    relaxation over INTEGER edge weights — the sixth iterative-graph
+    pattern in this module: per-node MIN over (dist[src] + w), next to
+    value propagation (pagerank), min-label propagation (components),
+    peeling (k-core), argmax relabeling (label_propagation), and
+    double propagation (hits).
+
+    ``edges``: (src, dst, w) with non-negative bigint weights (parallel
+    edges collapse to their min). Returns (id, dist): the exact
+    minimum total weight over paths of at most ``iterations`` edges
+    from ``source`` — equal to the true shortest path wherever the
+    hop-diameter from the source is within the round budget (the
+    driver fixes rounds so the oracle can unroll them as CTEs).
+
+    Per round: one frontier-side join against the cached edge layout +
+    one (id) min-aggregate — both shuffled on the node key; integer
+    sums/mins make every distance engine-portable (no float path
+    accumulation). At cluster scale the edge table is bucketed by src
+    (SCALE.md) so the relaxation join is shuffle-free on the edge
+    side; a localCheckpoint per round stops lineage growth.
+    """
+    e = _iter_layout(
+        edges.groupBy("src", "dst").agg(F.min("w").alias("w")), "src"
+    )
+    dist = (
+        e.sparkSession.range(1)
+        .select(
+            F.lit(source).cast("bigint").alias("id"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+    )
+    for _ in range(iterations):
+        relaxed = (
+            dist.join(e, dist["id"] == e["src"])
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

@@ -10879,6 +10879,57 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "graph_sssp",
+    """
+    WITH e0 AS (
+      SELECT l_partkey AS src, 1000000 + l_suppkey AS dst,
+             MIN(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100
+                      AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    e AS (SELECT src, dst, MIN(w) AS w FROM (
+            SELECT src, dst, w FROM e0
+            UNION ALL SELECT dst, src, w FROM e0) GROUP BY src, dst),
+    d0 AS (SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
+    d1 AS (SELECT id, MIN(dist) AS dist FROM (
+            SELECT id, dist FROM d0
+            UNION ALL SELECT e.dst, d0.dist + e.w FROM d0 JOIN e ON e.src = d0.id)
+           GROUP BY id),
+    d2 AS (SELECT id, MIN(dist) AS dist FROM (
+            SELECT id, dist FROM d1
+            UNION ALL SELECT e.dst, d1.dist + e.w FROM d1 JOIN e ON e.src = d1.id)
+           GROUP BY id),
+    d3 AS (SELECT id, MIN(dist) AS dist FROM (
+            SELECT id, dist FROM d2
+            UNION ALL SELECT e.dst, d2.dist + e.w FROM d2 JOIN e ON e.src = d2.id)
+           GROUP BY id)
+    SELECT id, CAST(dist AS BIGINT) AS dist FROM d3
+    """,
+)
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (graph.sssp): 3 rounds of
+    synchronous Bellman-Ford relaxation from part 1 over the
+    UNDIRECTED part<->supplier graph, edge weight = min line
+    extended-price in exact integer cents. Distances are bigint sums
+    of mins — engine-portable, no float path accumulation. Oracle:
+    the three relaxation rounds unrolled as chained CTEs (the
+    graph_hits/graph_kcore idiom). Sixth iterative-graph pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (
+        F.col("l_extendedprice").cast("decimal(15,2)") * 100
+    ).cast("bigint")
+    fwd = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+        cents.alias("w"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return graph.sssp(edges, source=1, iterations=3)
+
+
+@_register(
     "s7_sq8_topk",
     f"""
     WITH dims AS (
@@ -12459,6 +12510,7 @@ _PRIORITY = (
     "x5_fingerprints",
     "s8_pq_topk",
     "s9_ann_recall_report",
+    "graph_sssp",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

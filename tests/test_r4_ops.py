@@ -106,3 +106,26 @@ def test_ann_recall_report_counts(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_hits"] <= r["k_returned"] <= 10
         assert r["recall_pct"] == r["n_hits"] * 10
+
+
+def test_sssp_hand_computed(spark):
+    """Diamond graph with a tempting-but-heavier direct edge."""
+    from hi_csa_db_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 2), (3, 2, 3), (2, 4, 1), (3, 4, 100), (5, 6, 1)],
+        "src long, dst long, w long",
+    )
+    got = {r["id"]: r["dist"] for r in graph.sssp(edges, source=1, iterations=3).collect()}
+    # 1->3 = 2; 1->3->2 = 5 (beats direct 10); 1->3->2->4 = 6 (beats 102)
+    assert got == {1: 0, 2: 5, 3: 2, 4: 6}
+
+
+def test_sssp_parallel_edges_collapse_to_min(spark):
+    from hi_csa_db_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2, 7), (1, 2, 4), (2, 3, 1)], "src long, dst long, w long"
+    )
+    got = {r["id"]: r["dist"] for r in graph.sssp(edges, source=1, iterations=2).collect()}
+    assert got == {1: 0, 2: 4, 3: 5}
