@@ -104,3 +104,52 @@ def check_fk(
         F.col("__n").alias("n_checked"),
         F.col("__v").alias("n_violations"),
     )
+
+
+def column_profile(df: DataFrame, cols) -> DataFrame:
+    """Per-column completeness/cardinality/bounds profile — the
+    ``describe`` report every pipeline runs before trusting a new
+    table drop: (column, n_rows, n_null, n_distinct, min_val, max_val).
+
+    ``cols``: (name, typed expression, render) triples. Stats are
+    computed on the TYPED expression (numeric min is numeric, not
+    lexicographic); ``render`` maps the min/max results to an
+    engine-portable string (decimals for floats, ISO dates) so the
+    unpivoted report has one uniform column type.
+
+    Shape: ONE aggregate pass over the table computing every column's
+    stats side by side, then an unpivot of the single result row into
+    one output row per column (driver-size data). The multi-column
+    COUNT(DISTINCT) does use Catalyst's Expand (one input replica per
+    distinct aggregate) — the standard profiling trade; at 100 TB
+    profile in column groups or swap exact distinct for HLL (a12) if
+    the expand dominates.
+    """
+    aggs = []
+    for name, expr, _render in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{name}"),
+            (F.count(F.lit(1)) - F.count(expr)).alias(f"__null_{name}"),
+            F.countDistinct(expr).alias(f"__dist_{name}"),
+            F.min(expr).alias(f"__min_{name}"),
+            F.max(expr).alias(f"__max_{name}"),
+        ]
+    one = df.agg(*aggs)
+    packed = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("column"),
+                        F.col(f"__n_{name}").cast("bigint").alias("n_rows"),
+                        F.col(f"__null_{name}").cast("bigint").alias("n_null"),
+                        F.col(f"__dist_{name}").cast("bigint").alias("n_distinct"),
+                        render(F.col(f"__min_{name}")).alias("min_val"),
+                        render(F.col(f"__max_{name}")).alias("max_val"),
+                    )
+                    for name, _, render in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return packed.select("p.*")

@@ -285,3 +285,54 @@ def repetition_stats(
             F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
         )
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer fertility per language — the tokenizer-evaluation
+    stat (subword tokens per whitespace word, bytes per subword
+    token) that decides whether a tokenizer under-serves a language
+    before any training run. Ratios are exact integer micro-units
+    (sum*1e6 div sum — floor division over bigint sums, no float).
+
+    Shape: one narrow per-doc projection (counts inside whole-stage
+    codegen) + one hash aggregate on the tiny language key."""
+    t = F.col(text_col)
+    per_doc = docs.select(
+        F.col(lang_col),
+        F.size(tokenize(t)).cast("bigint").alias("__ws"),
+        F.size(
+            F.expr(
+                f"regexp_extract_all({text_col}, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\\\s]', 0)"
+            )
+        )
+        .cast("bigint")
+        .alias("__rt"),
+        F.octet_length(t).cast("bigint").alias("__b"),
+    )
+    return (
+        per_doc.groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__ws").alias("ws_tokens"),
+            F.sum("__rt").alias("regex_tokens"),
+            F.sum("__b").alias("bytes_total"),
+        )
+        .select(
+            lang_col,
+            "n_docs",
+            "ws_tokens",
+            "regex_tokens",
+            "bytes_total",
+            F.expr("(regex_tokens * 1000000) div nullif(ws_tokens, 0)")
+            .cast("bigint")
+            .alias("fertility_micro"),
+            F.expr("(bytes_total * 1000000) div nullif(regex_tokens, 0)")
+            .cast("bigint")
+            .alias("bytes_per_token_micro"),
+        )
+    )

@@ -4728,6 +4728,92 @@ def a12_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "a13_quantile_sketch",
+    """
+    WITH c AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS c
+      FROM orders
+    ),
+    s AS (SELECT k, c FROM c
+          WHERE CAST('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 4)
+                     AS BIGINT) < 4096),
+    rs AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, k) AS r FROM s),
+    ns AS (SELECT COUNT(*) AS n FROM s),
+    re AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, k) AS r FROM c),
+    ne AS (SELECT COUNT(*) AS n FROM c),
+    q AS (SELECT unnest(range(1, 10)) AS decile),
+    a AS (SELECT q.decile, rs.c AS approx_cents
+          FROM q CROSS JOIN ns JOIN rs ON rs.r = (q.decile * ns.n + 9) // 10),
+    e AS (SELECT q.decile, re.c AS exact_cents
+          FROM q CROSS JOIN ne JOIN re ON re.r = (q.decile * ne.n + 9) // 10)
+    SELECT CAST(a.decile AS BIGINT) AS decile, a.approx_cents, e.exact_cents,
+           CAST(a.approx_cents - e.exact_cents AS BIGINT) AS err_cents
+    FROM a JOIN e USING (decile)
+    """,
+)
+def a13_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC sampled-quantile sketch with an exact-error
+    audit — the portable complement of sketch_quantiles'
+    engine-internal approx_percentile (the a12 idiom applied to
+    quantiles): keep ~1/16 of orders by an md5 keep rule (the same
+    hash both engines compute bit-for-bit), take the sample's deciles
+    by exact integer rank (position ceil(q*n/10) in (cents, key)
+    order), and report them against the full-data exact deciles.
+
+    Every compared value is integer cents picked by integer rank —
+    no estimator float, no libm. Scale shape: both rank passes use
+    ordered.global_row_numbers (range partition + broadcast offsets,
+    never a single-partition window); the sample pass reads 1/16 of
+    the rows; targets are a 9-row broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)").alias(
+            "c"
+        ),
+    )
+
+    def ranked_with_targets(df: DataFrame):
+        keyed = df.select(
+            "c", F.struct(F.col("c").alias("c"), F.col("k").alias("k")).alias("__key")
+        )
+        ranked = ordered.global_row_numbers(keyed, "__key")
+        n = df.agg(F.count(F.lit(1)).alias("n"))
+        targets = n.select(
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("decile"), "n"
+        ).select(
+            "decile",
+            F.expr("(decile * n + 9) div 10").alias("__tgt"),
+        )
+        return ranked.join(
+            F.broadcast(targets), ranked["rank"] == targets["__tgt"]
+        ).select("decile", "c")
+
+    keep = (
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 4), 16, 10).cast(
+            "bigint"
+        )
+        < 4096
+    )
+    approx = ranked_with_targets(cents.filter(keep)).withColumnRenamed(
+        "c", "approx_cents"
+    )
+    exact = ranked_with_targets(cents).withColumnRenamed("c", "exact_cents")
+    return (
+        approx.join(exact, "decile")
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "approx_cents",
+            "exact_cents",
+            (F.col("approx_cents") - F.col("exact_cents"))
+            .cast("bigint")
+            .alias("err_cents"),
+        )
+    )
+
+
 @_register("sketch_hll_merge")
 def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (hll_sketch_agg/hll_union_agg): distinct
@@ -11833,6 +11919,196 @@ def dq5_dead_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dq6_column_profile",
+    """
+    WITH one AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) - COUNT(o_orderkey) AS nu_k, COUNT(DISTINCT o_orderkey) AS d_k,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS mn_k, CAST(MAX(o_orderkey) AS VARCHAR) AS mx_k,
+             COUNT(*) - COUNT(o_custkey) AS nu_c, COUNT(DISTINCT o_custkey) AS d_c,
+             CAST(MIN(o_custkey) AS VARCHAR) AS mn_c, CAST(MAX(o_custkey) AS VARCHAR) AS mx_c,
+             COUNT(*) - COUNT(o_orderstatus) AS nu_s, COUNT(DISTINCT o_orderstatus) AS d_s,
+             MIN(o_orderstatus) AS mn_s, MAX(o_orderstatus) AS mx_s,
+             COUNT(*) - COUNT(o_totalprice) AS nu_t, COUNT(DISTINCT o_totalprice) AS d_t,
+             CAST(CAST(MIN(o_totalprice) AS DECIMAL(15,2)) AS VARCHAR) AS mn_t,
+             CAST(CAST(MAX(o_totalprice) AS DECIMAL(15,2)) AS VARCHAR) AS mx_t,
+             COUNT(*) - COUNT(o_orderdate) AS nu_d, COUNT(DISTINCT o_orderdate) AS d_d,
+             CAST(MIN(o_orderdate) AS VARCHAR) AS mn_d, CAST(MAX(o_orderdate) AS VARCHAR) AS mx_d,
+             COUNT(*) - COUNT(o_orderpriority) AS nu_p, COUNT(DISTINCT o_orderpriority) AS d_p,
+             MIN(o_orderpriority) AS mn_p, MAX(o_orderpriority) AS mx_p
+      FROM orders
+    )
+    SELECT t.* FROM one, LATERAL (
+      SELECT 'o_orderkey' AS "column", one.n AS n_rows, CAST(one.nu_k AS BIGINT) AS n_null,
+             CAST(one.d_k AS BIGINT) AS n_distinct, one.mn_k AS min_val, one.mx_k AS max_val
+      UNION ALL SELECT 'o_custkey', one.n, one.nu_c, one.d_c, one.mn_c, one.mx_c
+      UNION ALL SELECT 'o_orderstatus', one.n, one.nu_s, one.d_s, one.mn_s, one.mx_s
+      UNION ALL SELECT 'o_totalprice', one.n, one.nu_t, one.d_t, one.mn_t, one.mx_t
+      UNION ALL SELECT 'o_orderdate', one.n, one.nu_d, one.d_d, one.mn_d, one.mx_d
+      UNION ALL SELECT 'o_orderpriority', one.n, one.nu_p, one.d_p, one.mn_p, one.mx_p
+    ) t
+    """,
+)
+def dq6_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling report (expectations.column_profile) over
+    orders: completeness (null count), cardinality (exact distinct),
+    and bounds per column in ONE aggregate pass, unpivoted to a row
+    per column. Numeric bounds stay numeric for the min/max and are
+    rendered to portable strings after aggregation (decimals for the
+    double column, ISO for the date). The discovery-side complement
+    of dq1's rule checks: profile first, then write the rules."""
+    from hi_csa_db_spark.operators import expectations
+
+    o = load_table(spark, sf_dir, "orders")
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    dec_str = lambda c: c.cast("decimal(15,2)").cast("string")  # noqa: E731
+    return expectations.column_profile(
+        o,
+        [
+            ("o_orderkey", F.col("o_orderkey"), as_str),
+            ("o_custkey", F.col("o_custkey"), as_str),
+            ("o_orderstatus", F.col("o_orderstatus"), as_str),
+            ("o_totalprice", F.col("o_totalprice"), dec_str),
+            ("o_orderdate", F.col("o_orderdate"), as_str),
+            ("o_orderpriority", F.col("o_orderpriority"), as_str),
+        ],
+    )
+
+
+@_register(
+    "x51_domain_cap",
+    """
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rnk
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rnk <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+           CAST(SUM(CASE WHEN rnk > 40 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_docs,
+           CAST(SUM(CASE WHEN rnk <= 40 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM r GROUP BY source
+    """,
+)
+def x51_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap — the CommonCrawl-style curation
+    rule that stops one prolific domain dominating the mix: rank each
+    source's documents by quality proxy (n_chars DESC, doc_id
+    tie-break) and keep at most 40; report kept/dropped counts and
+    kept volume per source. Deterministic integer ranking — no float.
+
+    Scale shape: ONE window pass partitioned by source (parallel in
+    domains; a skewed mega-domain is bounded by the cap itself at the
+    output, and the rank-window's group is the domain's doc count —
+    salt or pre-aggregate per (domain, shard) if one domain exceeds a
+    partition at 100 TB) + one per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    r = docs.select("source", "n_chars", F.row_number().over(w).alias("rnk"))
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("rnk") <= 40, 1).otherwise(0))
+        .cast("bigint")
+        .alias("kept_docs"),
+        F.sum(F.when(F.col("rnk") > 40, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_docs"),
+        F.sum(F.when(F.col("rnk") <= 40, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
+
+
+@_register(
+    "x50_tokenizer_fertility",
+    r"""
+    WITH d AS (
+      SELECT lang,
+             len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS wst,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS rt,
+             strlen(text) AS b
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(wst) AS BIGINT) AS ws_tokens,
+           CAST(SUM(rt) AS BIGINT) AS regex_tokens,
+           CAST(SUM(b) AS BIGINT) AS bytes_total,
+           CAST((SUM(rt) * 1000000) // NULLIF(SUM(wst), 0) AS BIGINT)
+             AS fertility_micro,
+           CAST((SUM(b) * 1000000) // NULLIF(SUM(rt), 0) AS BIGINT)
+             AS bytes_per_token_micro
+    FROM d GROUP BY lang
+    """,
+)
+def x50_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (textstats.tokenizer_fertility):
+    subword-proxy tokens per whitespace word and bytes per token, as
+    exact integer micro-ratios of bigint sums — the
+    which-languages-does-the-tokenizer-under-serve report that gates
+    tokenizer/vocab choices before a training run."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.tokenizer_fertility(docs)
+
+
+@_register(
+    "t24_markov_transitions",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type FROM events
+    ),
+    p AS (
+      SELECT event_type AS to_event,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY tsu, event_id) AS from_event
+      FROM e
+    ),
+    c AS (SELECT from_event, to_event, COUNT(*) AS n_trans
+          FROM p WHERE from_event IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_event, SUM(n_trans) AS tot FROM c GROUP BY 1)
+    SELECT c.from_event, c.to_event, CAST(c.n_trans AS BIGINT) AS n_trans,
+           CAST((c.n_trans * 1000000) // t.tot AS BIGINT) AS p_micro
+    FROM c JOIN t USING (from_event)
+    """,
+)
+def t24_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: count
+    consecutive event-type pairs per user (ordered at declared-us
+    precision with event_id tie-break — the t2/t8 contract), then the
+    per-source transition probability as an exact integer micro-share
+    (cnt*1e6 div total — floor division, no float ratio). The
+    behavior-model twin of t8's sequence materialization: t8 ships
+    the sequences, this ships their summary dynamics.
+
+    Scale shape: one user-partitioned window pass (parallel in users)
+    + one (from,to) hash aggregate whose cardinality is |event_types|^2
+    (tiny), + a window sum over that tiny matrix. Nothing global."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("to_event"),
+        F.lag("event_type").over(w).alias("from_event"),
+    ).filter(F.col("from_event").isNotNull())
+    counts = pairs.groupBy("from_event", "to_event").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    return counts.select(
+        "from_event",
+        "to_event",
+        F.col("n_trans").cast("bigint").alias("n_trans"),
+        F.expr("(n_trans * 1000000) div sum(n_trans) over (partition by from_event)")
+        .cast("bigint")
+        .alias("p_micro"),
+    )
+
+
+@_register(
     "t23_burstiness",
     """
     WITH daily AS (
@@ -12511,6 +12787,11 @@ _PRIORITY = (
     "s8_pq_topk",
     "s9_ann_recall_report",
     "graph_sssp",
+    "dq6_column_profile",
+    "t24_markov_transitions",
+    "x50_tokenizer_fertility",
+    "x51_domain_cap",
+    "a13_quantile_sketch",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
