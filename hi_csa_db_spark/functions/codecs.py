@@ -539,3 +539,77 @@ def decode_gif(payload: bytes) -> np.ndarray:
         else:
             raise UnsupportedMedia(f"gif: unexpected block 0x{b:02x}")
     raise UnsupportedMedia("gif: no image data")
+
+
+# ---------------------------------------------------------------------------
+# IVF video container (the simple container for VP8/VP9/AV1 streams;
+# public layout: 32-byte "DKIF" file header, then per frame a 12-byte
+# header [u32le size, u64le pts] + payload)
+# ---------------------------------------------------------------------------
+
+
+def encode_ivf(
+    frames: list[tuple[int, bytes]],
+    width: int,
+    height: int,
+    fourcc: bytes = b"AV01",
+    timebase: tuple[int, int] = (1, 25),
+) -> bytes:
+    """Encode (pts, payload) frames into a real IVF container."""
+    num, den = timebase
+    out = bytearray()
+    out += struct.pack(
+        "<4sHH4sHHIII4x",
+        b"DKIF",
+        0,
+        32,
+        fourcc,
+        width,
+        height,
+        den,
+        num,
+        len(frames),
+        # 4x pad = unused trailing field
+    )
+    for pts, payload in frames:
+        out += struct.pack("<IQ", len(payload), pts)
+        out += payload
+    return bytes(out)
+
+
+def parse_ivf(payload: bytes) -> dict:
+    """Parse an IVF container back to header fields + (pts, payload)
+    frames; validates magic, header size, and frame-length bounds."""
+    if len(payload) < 32 or payload[:4] != b"DKIF":
+        raise UnsupportedMedia("ivf: bad magic")
+    (
+        _magic,
+        version,
+        hdr_size,
+        fourcc,
+        width,
+        height,
+        den,
+        num,
+        n_frames,
+    ) = struct.unpack("<4sHH4sHHIII", payload[:28])
+    if version != 0 or hdr_size != 32:
+        raise UnsupportedMedia("ivf: unsupported header")
+    frames = []
+    off = hdr_size
+    for _ in range(n_frames):
+        if off + 12 > len(payload):
+            raise UnsupportedMedia("ivf: truncated frame header")
+        size, pts = struct.unpack("<IQ", payload[off : off + 12])
+        off += 12
+        if off + size > len(payload):
+            raise UnsupportedMedia("ivf: truncated frame payload")
+        frames.append((pts, payload[off : off + size]))
+        off += size
+    return {
+        "fourcc": fourcc,
+        "width": width,
+        "height": height,
+        "timebase": (num, den),
+        "frames": frames,
+    }

@@ -6289,6 +6289,40 @@ def mm7_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_spectral_stats(load_table(spark, sf_dir, "documents"))
 
 
+@_register(
+    "mm10_video_framesample",
+    """
+    WITH v AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents),
+    s AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n), i -> 10 + (doc_id + 7*i) % 50) AS sizes
+      FROM v
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS INT) AS n_frames,
+           CAST(list_aggregate(sizes, 'sum') AS BIGINT) AS payload_bytes,
+           CAST(32 + n*12 + list_aggregate(sizes, 'sum') AS BIGINT)
+             AS container_bytes,
+           CAST((n + 1) // 2 AS INT) AS sampled_frames,
+           CAST(list_aggregate(list_transform(range(0, n),
+                  i -> CASE WHEN i % 2 = 0 THEN 10 + (doc_id + 7*i) % 50
+                       ELSE 0 END), 'sum') AS BIGINT) AS sampled_bytes,
+           1 AS parse_ok
+    FROM s
+    """,
+)
+def mm10_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IVF video-container codec (multimodal.video_frame_stats):
+    id-derived frame streams packed into the DKIF container layout,
+    parsed back with bounds validation, every-2nd-frame sampling —
+    the video-modality plumbing (container, frame index, sampling
+    stride) proven end to end by a closed-form oracle; pixel decode of
+    real video codecs stays behind the documented decode dispatch."""
+    from hi_csa_db_spark.operators.multimodal import video_frame_stats
+
+    return video_frame_stats(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming (rows-only checks — not expressible in batch SQL)
 # ---------------------------------------------------------------------------
@@ -12792,6 +12826,7 @@ _PRIORITY = (
     "x50_tokenizer_fertility",
     "x51_domain_cap",
     "a13_quantile_sketch",
+    "mm10_video_framesample",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

@@ -129,3 +129,36 @@ def test_sssp_parallel_edges_collapse_to_min(spark):
     )
     got = {r["id"]: r["dist"] for r in graph.sssp(edges, source=1, iterations=2).collect()}
     assert got == {1: 0, 2: 4, 3: 5}
+
+
+def test_ivf_container_roundtrip_and_validation():
+    from hi_csa_db_spark.functions import codecs
+
+    frames = [(0, b"k" * 20), (40, b"p" * 7), (80, b"")]
+    p = codecs.encode_ivf(frames, 320, 180, fourcc=b"VP90", timebase=(1, 30))
+    d = codecs.parse_ivf(p)
+    assert d["fourcc"] == b"VP90"
+    assert (d["width"], d["height"]) == (320, 180)
+    assert d["timebase"] == (1, 30)
+    assert d["frames"] == frames
+    assert len(p) == 32 + sum(12 + len(b) for _, b in frames)
+
+    import pytest as _pytest
+
+    with _pytest.raises(codecs.UnsupportedMedia):
+        codecs.parse_ivf(b"RIFF" + p[4:])  # bad magic
+    with _pytest.raises(codecs.UnsupportedMedia):
+        codecs.parse_ivf(p[:-3])  # truncated payload
+
+
+def test_video_frame_stats_sampling(spark, sf_dir):
+    from hi_csa_db_spark.operators.multimodal import video_frame_stats
+    from hi_csa_db_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    rows = video_frame_stats(docs).collect()
+    assert all(r["parse_ok"] == 1 for r in rows)
+    for r in rows:
+        assert r["n_frames"] == 3 + r["media_id"] % 5
+        assert r["sampled_frames"] == (r["n_frames"] + 1) // 2
+        assert r["container_bytes"] == 32 + 12 * r["n_frames"] + r["payload_bytes"]
