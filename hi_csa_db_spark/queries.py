@@ -12391,6 +12391,103 @@ def u13_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "u14_corpus_diff",
+    """
+    WITH new_v AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+    old_v AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' OLD' ELSE text END) AS h
+      FROM documents WHERE doc_id % 10 <> 3
+      UNION ALL
+      SELECT doc_id + 1000000, source, md5('retired')
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    d AS (
+      SELECT COALESCE(n.source, o.source) AS source,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN n.h <> o.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM new_v n FULL OUTER JOIN old_v o ON n.doc_id = o.doc_id
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unchanged
+    FROM d GROUP BY source
+    """,
+)
+def u14_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vintage diff audit — the what-changed-between-drops
+    report every recurring ingest publishes: FULL OUTER join of two
+    corpus snapshots on doc_id, rows classified added / removed /
+    changed (content md5 differs) / unchanged, rolled up per source.
+    The old vintage is synthesized deterministically from the same
+    fixture (every 5th doc edited, every 10th-mod-3 missing, phantom
+    retired rows), so the classification logic is oracle-exact.
+
+    Scale shape: one equi-join on the id + one tiny per-source
+    aggregate; only (id, source, 16-byte hash) shuffles — never text.
+    At 100 TB both sides are id-bucketed parquet (SCALE.md), making
+    the diff join shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_v = docs.select("doc_id", "source", F.md5("text").alias("h"))
+    old_v = (
+        docs.filter(F.col("doc_id") % 10 != 3)
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" OLD"))
+                ).otherwise(F.col("text"))
+            ).alias("h"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "source",
+                F.md5(F.lit("retired")).alias("h"),
+            )
+        )
+    )
+    n = new_v.select(
+        F.col("doc_id"), F.col("source").alias("__ns"), F.col("h").alias("__nh")
+    )
+    o = old_v.select(
+        F.col("doc_id"), F.col("source").alias("__os"), F.col("h").alias("__oh")
+    )
+    status = (
+        F.when(F.col("__oh").isNull(), "added")
+        .when(F.col("__nh").isNull(), "removed")
+        .when(F.col("__nh") != F.col("__oh"), "changed")
+        .otherwise("unchanged")
+    )
+    d = n.join(o, "doc_id", "full_outer").select(
+        F.coalesce("__ns", "__os").alias("source"), status.alias("status")
+    )
+    return d.groupBy("source").agg(
+        F.sum(F.when(F.col("status") == "added", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+        F.sum(F.when(F.col("status") == "removed", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(F.when(F.col("status") == "changed", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_changed"),
+        F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unchanged"),
+    )
+
+
+@_register(
     "sq_group_by_all",
     """
     SELECT o_orderpriority, o_orderstatus,
@@ -12855,6 +12952,7 @@ _PRIORITY = (
     "a13_quantile_sketch",
     "mm10_video_framesample",
     "sq_lateral_topk",
+    "u14_corpus_diff",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

@@ -162,3 +162,42 @@ def test_video_frame_stats_sampling(spark, sf_dir):
         assert r["n_frames"] == 3 + r["media_id"] % 5
         assert r["sampled_frames"] == (r["n_frames"] + 1) // 2
         assert r["container_bytes"] == 32 + 12 * r["n_frames"] + r["payload_bytes"]
+
+
+def test_column_profile_nulls_and_distinct(spark):
+    from hi_csa_db_spark.operators.expectations import column_profile
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "x int, s string"
+    )
+    out = {
+        r["column"]: r
+        for r in column_profile(
+            df,
+            [
+                ("x", F.col("x"), lambda c: c.cast("string")),
+                ("s", F.col("s"), lambda c: c.cast("string")),
+            ],
+        ).collect()
+    }
+    assert out["x"]["n_rows"] == 4 and out["x"]["n_null"] == 1
+    assert out["x"]["n_distinct"] == 3
+    assert out["x"]["min_val"] == "1" and out["x"]["max_val"] == "3"
+    assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_val"] == "a" and out["s"]["max_val"] == "b"
+
+
+def test_tokenizer_fertility_empty_text_guard(spark):
+    from hi_csa_db_spark.operators.textstats import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [(1, "xx", ""), (2, "xx", ""), (3, "yy", "one two three")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["lang"]: r for r in tokenizer_fertility(df).collect()}
+    # zero whitespace/regex tokens must yield NULL ratios, not a crash
+    assert out["xx"]["ws_tokens"] == 0
+    assert out["xx"]["fertility_micro"] is None
+    assert out["xx"]["bytes_per_token_micro"] is None
+    assert out["yy"]["fertility_micro"] == 1_000_000  # 3 pieces / 3 words
