@@ -12059,6 +12059,85 @@ def x51_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x52_token_budget_select",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS toks,
+             len(list_distinct(list_filter(string_split(trim(text), ' '),
+                                           x -> x <> ''))) AS dtoks
+      FROM documents
+    ),
+    q AS (SELECT doc_id, source, toks,
+                 (dtoks * 1000000) // toks AS qm
+          FROM t WHERE toks > 0),
+    b AS (SELECT CAST(SUM(toks) // 5 AS BIGINT) AS budget FROM q),
+    r AS (SELECT source, toks,
+                 SUM(toks) OVER (ORDER BY qm DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+          FROM q)
+    SELECT r.source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(r.toks) AS BIGINT) AS tokens_kept,
+           b.budget AS budget_tokens
+    FROM r CROSS JOIN b WHERE r.cum <= b.budget
+    GROUP BY r.source, b.budget
+    """,
+)
+def x52_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-aware corpus selection: order documents by an
+    integer quality key (lexical diversity, distinct-tokens-per-token
+    in exact micro-units) and keep the prefix whose cumulative token
+    count fits a 20%-of-corpus budget — the compute-budget curation
+    step that picks WHICH documents to spend training tokens on.
+
+    Scale shape: the cumulative-token rule runs on
+    ordered.global_prefix_sums (range partition + broadcast offsets —
+    never a single-partition running-sum window); the budget is a
+    1-row broadcast; the keep test and the quality key are pure
+    integer, so the selected set is engine- and host-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("toks"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("dtoks"),
+    ).filter(F.col("toks") > 0)
+    q = q.select(
+        "doc_id",
+        "source",
+        "toks",
+        F.expr("(dtoks * 1000000) div toks").alias("qm"),
+    )
+    budget = q.agg(F.expr("CAST(SUM(toks) div 5 AS BIGINT)").alias("budget"))
+    # descending quality via a negated struct component (struct keys
+    # range-partition lexicographically; global_prefix_sums orders ASC)
+    keyed = q.select(
+        "source",
+        "toks",
+        F.struct((-F.col("qm")).alias("nq"), F.col("doc_id").alias("k")).alias(
+            "__key"
+        ),
+    )
+    cum = ordered.global_prefix_sums(keyed, "__key", ["toks"])
+    return (
+        cum.crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_toks") <= F.col("budget"))
+        .groupBy("source", "budget")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+            F.sum("toks").cast("bigint").alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            "n_docs_kept",
+            "tokens_kept",
+            F.col("budget").alias("budget_tokens"),
+        )
+    )
+
+
+@_register(
     "x50_tokenizer_fertility",
     r"""
     WITH d AS (
@@ -12953,6 +13032,7 @@ _PRIORITY = (
     "mm10_video_framesample",
     "sq_lateral_topk",
     "u14_corpus_diff",
+    "x52_token_budget_select",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

@@ -76,6 +76,8 @@ FLOAT_SENSITIVE = [
     "x46_ngram_novelty",
     # round-4 (this session) additions
     "s8_pq_topk",
+    "a13_quantile_sketch",
+    "x52_token_budget_select",
 ]
 
 
