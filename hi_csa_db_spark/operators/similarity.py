@@ -534,6 +534,84 @@ def mmr_rerank(
     return out.select("rank", F.col("sel_id").alias(id_col), "score")
 
 
+def _pq_dist_micro(vec: Column, cent: Column, m: Column, dim_per_c: Column) -> Column:
+    """Squared L2 distance between subspace m of vec and of cent,
+    floored to integer micro-units (the ONE float->int crossing).
+    +/-/* IEEE arithmetic in a fixed left-fold order — no libm — so
+    the result is bit-identical on every engine and host."""
+    d = F.aggregate(
+        F.sequence(F.lit(0), dim_per_c - 1),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (
+            F.element_at(vec, m * dim_per_c + i + 1).cast("double")
+            - F.element_at(cent, m * dim_per_c + i + 1).cast("double")
+        )
+        * (
+            F.element_at(vec, m * dim_per_c + i + 1).cast("double")
+            - F.element_at(cent, m * dim_per_c + i + 1).cast("double")
+        ),
+    )
+    return F.floor(d * 1000000).cast("bigint")
+
+
+def _pq_adc_row(vec: Column, n_sub: int, n_cent: int, cb_col: str = "__cb") -> Column:
+    """Flat n_sub*n_cent array of integer micro distances from each
+    subspace of ``vec`` to every centroid of the broadcast codebook
+    column ``cb_col``."""
+    dim_per_c = (F.size(vec) / n_sub).cast("int")
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            lambda m: F.transform(
+                F.sequence(F.lit(0), F.lit(n_cent - 1)),
+                lambda j: _pq_dist_micro(
+                    vec, F.element_at(cb_col, j + 1), m, dim_per_c
+                ),
+            ),
+        )
+    )
+
+
+def _pq_codes(dists: Column, n_sub: int, n_cent: int) -> Column:
+    """n_sub codes: integer argmin centroid per subspace — first
+    position of the subspace-slice minimum, so the lowest centroid
+    index wins ties (array_position returns the FIRST match).
+    ``dists`` must be a plain column reference (see pq_topk)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda m: (
+            F.array_position(
+                F.slice(dists, m * n_cent + 1, n_cent),
+                F.array_min(F.slice(dists, m * n_cent + 1, n_cent)),
+            )
+            - 1
+        ).cast("int"),
+    )
+
+
+def _pq_anchors(
+    embeddings: DataFrame, query_id: int, n_cent: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Anchor codebook: the n_cent full vectors with the smallest ids
+    > query_id, as ONE broadcast row ordered by id."""
+    return (
+        embeddings.filter(F.col(id_col) > query_id)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_cent)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+                    )
+                ),
+                lambda s: s["v"],
+            ).alias("__cb")
+        )
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_id: int = 0,
@@ -575,87 +653,22 @@ def pq_topk(
     engine- and host-portable; the rerank rounds cosine to 6 dp like
     every similarity op here.
     """
-    # Anchor codebook: n_cent full vectors as one broadcast row,
-    # ordered by id so centroid j is deterministic.
-    anchors = (
-        embeddings.filter(F.col(id_col) > query_id)
-        .orderBy(F.col(id_col).asc())
-        .limit(n_cent)
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-                    )
-                ),
-                lambda s: s["v"],
-            ).alias("__cb")
-        )
-    )
+    anchors = _pq_anchors(embeddings, query_id, n_cent, id_col, vec_col)
 
-    def _dist_micro(vec: Column, cent: Column, m: Column, dim_per_c: Column) -> Column:
-        """Squared L2 distance between subspace m of vec and of cent,
-        floored to integer micro-units (the ONE float->int crossing)."""
-        d = F.aggregate(
-            F.sequence(F.lit(0), dim_per_c - 1),
-            F.lit(0.0),
-            lambda acc, i: acc
-            + (
-                F.element_at(vec, m * dim_per_c + i + 1).cast("double")
-                - F.element_at(cent, m * dim_per_c + i + 1).cast("double")
-            )
-            * (
-                F.element_at(vec, m * dim_per_c + i + 1).cast("double")
-                - F.element_at(cent, m * dim_per_c + i + 1).cast("double")
-            ),
-        )
-        return F.floor(d * 1000000).cast("bigint")
-
-    def _adc_row(vec: Column) -> Column:
-        """Flat n_sub*n_cent array of integer micro distances from
-        each subspace of ``vec`` to every centroid."""
-        dim_per_c = (F.size(vec) / n_sub).cast("int")
-        return F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_sub - 1)),
-                lambda m: F.transform(
-                    F.sequence(F.lit(0), F.lit(n_cent - 1)),
-                    lambda j: _dist_micro(
-                        vec, F.element_at("__cb", j + 1), m, dim_per_c
-                    ),
-                ),
-            )
-        )
-
-    def _codes(dists: Column) -> Column:
-        """n_sub codes: integer argmin centroid per subspace — first
-        position of the subspace-slice minimum, so the lowest centroid
-        index wins ties (array_position returns the FIRST match).
-        ``dists`` must be a plain column reference (see below)."""
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(n_sub - 1)),
-            lambda m: (
-                F.array_position(
-                    F.slice(dists, m * n_cent + 1, n_cent),
-                    F.array_min(F.slice(dists, m * n_cent + 1, n_cent)),
-                )
-                - 1
-            ).cast("int"),
-        )
-
-    # __dists is materialized as its own projection so _codes reads a
-    # COLUMN REFERENCE: inlining _adc_row(vec) into _codes would embed
-    # a copy of the full n_sub*n_cent distance computation at every
-    # element_at site (measured 10x slowdown from the duplicated
-    # interpreted-HOF trees; CollapseProject keeps the split because
-    # the expensive expression is referenced more than once).
+    # __dists is materialized as its own projection so _pq_codes reads
+    # a COLUMN REFERENCE: inlining _pq_adc_row(vec) into the codes
+    # expression would embed a copy of the full n_sub*n_cent distance
+    # computation at every element_at site (measured 10x slowdown from
+    # the duplicated interpreted-HOF trees; CollapseProject keeps the
+    # split because the expensive expression is referenced more than
+    # once).
     corpus = (
         embeddings.crossJoin(F.broadcast(anchors))
-        .withColumn("__dists", _adc_row(F.col(vec_col)))
+        .withColumn("__dists", _pq_adc_row(F.col(vec_col), n_sub, n_cent))
         .select(
             F.col(id_col),
             F.col(vec_col),
-            _codes(F.col("__dists")).alias("__code"),
+            _pq_codes(F.col("__dists"), n_sub, n_cent).alias("__code"),
         )
     )
     # ADC lookup table from the query row: one broadcast row.
@@ -664,7 +677,7 @@ def pq_topk(
         .crossJoin(F.broadcast(anchors))
         .select(
             F.col(vec_col).alias("__qv"),
-            _adc_row(F.col(vec_col)).alias("__adc"),
+            _pq_adc_row(F.col(vec_col), n_sub, n_cent).alias("__adc"),
         )
     )
     approx = (
@@ -683,6 +696,105 @@ def pq_topk(
                 ),
             ).alias("approx_dist_micro"),
         )
+    )
+    cand = approx.orderBy(
+        F.col("approx_dist_micro").asc(), F.col(id_col).asc()
+    ).limit(candidates)
+    return (
+        cand.select(
+            F.col(id_col),
+            "approx_dist_micro",
+            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    candidates: int = 50,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ composite ANN — the canonical billion-scale index layout
+    (FAISS IVFPQ; Jegou 2011 section V): a coarse quantizer prunes the
+    corpus to ``n_probe`` inverted lists, and product-quantization ADC
+    ranks only the surviving bucket members; the exact cosine rerank
+    touches just ``candidates`` rows. Composes the two independently
+    proven stages (ivf_assign/probe from ivf_topk, codes/ADC from
+    pq_topk) into ONE lazy plan. Codes here quantize the RAW vectors
+    against the shared anchor codebook — production IVFPQ encodes
+    per-bucket residuals, which changes only the encode input, not the
+    bucket-prune x ADC-scan x rerank shape proven here.
+
+    Scale: the scan cost is (corpus/n_centroids)*n_probe rows of
+    4-bit codes — bucket pruning multiplied by the 64x lighter PQ
+    scan; at 100 TB the codes live in a codes column of a
+    bucketed-by-centroid table so probes prune at scan time
+    (SCALE.md) and the ADC pass reads no float vectors at all.
+
+    Determinism: bucket assignment ranks 6dp-rounded cosines with
+    centroid-id tie-break (ivf_assign semantics); codes/ADC are the
+    integer-micro pq_topk contract; candidate rank is (integer ADC,
+    id). Engine- and host-portable end to end."""
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col)
+    )
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "centroid_id",
+            F.round(cosine(F.col(vec_col), F.col("__q")), 6).alias("__cs"),
+        )
+        .orderBy(F.col("__cs").desc(), F.col("centroid_id").asc())
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    bucket = assigned.join(F.broadcast(probe), "centroid_id").select(id_col)
+
+    anchors = _pq_anchors(embeddings, query_id, n_cent, id_col, vec_col)
+    members = (
+        embeddings.join(bucket, id_col, "left_semi")
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(anchors))
+        .withColumn("__dists", _pq_adc_row(F.col(vec_col), n_sub, n_cent))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            _pq_codes(F.col("__dists"), n_sub, n_cent).alias("__code"),
+        )
+    )
+    qrow = (
+        embeddings.filter(F.col(id_col) == query_id)
+        .crossJoin(F.broadcast(anchors))
+        .select(
+            F.col(vec_col).alias("__qv"),
+            _pq_adc_row(F.col(vec_col), n_sub, n_cent).alias("__adc"),
+        )
+    )
+    approx = members.crossJoin(F.broadcast(qrow)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__qv"),
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, m: acc
+            + F.element_at(
+                "__adc", m * n_cent + F.element_at(F.col("__code"), m + 1) + 1
+            ),
+        ).alias("approx_dist_micro"),
     )
     cand = approx.orderBy(
         F.col("approx_dist_micro").asc(), F.col(id_col).asc()

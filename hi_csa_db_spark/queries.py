@@ -11175,6 +11175,87 @@ def _s9_oracle_sql() -> str:
     """
 
 
+def _s10_oracle_sql() -> str:
+    """IVFPQ oracle: s2's coarse assign/probe/bucket CTEs composed
+    with s8's codebook/encode/ADC CTEs, the ADC scan restricted to
+    bucket members — the same two proven stages the engine composes."""
+    return f"""
+    WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
+                   FROM embeddings WHERE vec_id < 8),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_cos_sql('e.embedding', 'c.cv')}, 6) DESC,
+                          c.centroid_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT centroid_id FROM (
+        SELECT c.centroid_id, ROUND({_cos_sql('c.cv', 'q.qv')}, 6) AS cs
+        FROM cents c CROSS JOIN q
+      ) ORDER BY cs DESC, centroid_id ASC LIMIT 2
+    ),
+    bucket AS (SELECT vec_id FROM assigned JOIN probe USING (centroid_id)),
+    cb AS (
+      SELECT list(v ORDER BY i) AS cbs FROM (
+        SELECT vec_id AS i, embedding AS v FROM embeddings
+        WHERE vec_id > 0 ORDER BY vec_id LIMIT 16)
+    ),
+    dist AS (
+      SELECT e.vec_id, t.m, t.j,
+        CAST(floor(list_aggregate(list_transform(range(1, 9), i ->
+            (e.embedding[t.m*8+i]::DOUBLE - cb.cbs[t.j+1][t.m*8+i]::DOUBLE)
+          * (e.embedding[t.m*8+i]::DOUBLE - cb.cbs[t.j+1][t.m*8+i]::DOUBLE)),
+          'sum') * 1000000) AS BIGINT) AS dmic
+      FROM embeddings e CROSS JOIN cb,
+           LATERAL (SELECT m.x AS m, j.x AS j
+                    FROM (SELECT unnest(range(0, 8)) AS x) m,
+                         (SELECT unnest(range(0, 16)) AS x) j) t
+      WHERE e.vec_id = 0 OR e.vec_id IN (SELECT vec_id FROM bucket)
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dmic ASC, j ASC) AS rn
+        FROM dist) WHERE rn = 1
+    ),
+    adc AS (SELECT m, j, dmic FROM dist WHERE vec_id = 0),
+    approx AS (
+      SELECT c.vec_id, SUM(a.dmic) AS approx_dist_micro
+      FROM codes c JOIN adc a ON a.m = c.m AND a.j = c.code
+      WHERE c.vec_id <> 0
+      GROUP BY c.vec_id
+    ),
+    cand AS (SELECT vec_id, approx_dist_micro FROM approx
+             ORDER BY approx_dist_micro ASC, vec_id ASC LIMIT 50),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT cand.vec_id,
+           CAST(cand.approx_dist_micro AS BIGINT) AS approx_dist_micro,
+           ROUND({_cos_sql('e.embedding', 'qv.qe')}, 6) AS cos_sim
+    FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id CROSS JOIN qv
+    ORDER BY cos_sim DESC, cand.vec_id ASC LIMIT 10
+    """
+
+
+@_register("s10_ivfpq_topk", _s10_oracle_sql())
+def s10_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composite ANN (similarity.ivfpq_topk) — the canonical
+    billion-scale layout (FAISS IVFPQ): coarse-quantizer bucket
+    pruning (2 of 8 lists probed) times the 64x-lighter PQ ADC scan,
+    exact cosine rerank of the top-50. Composes the proven s2 and s8
+    stages in ONE lazy plan; raw-vector codes against the shared
+    anchor codebook (production encodes per-bucket residuals — same
+    shape, different encode input, documented in the operator)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(emb, query_id=0, k=10, candidates=50)
+
+
 @_register("s9_ann_recall_report", _s9_oracle_sql())
 def s9_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN recall audit: each approximate family's top-10 for query 0
@@ -13033,6 +13114,7 @@ _PRIORITY = (
     "sq_lateral_topk",
     "u14_corpus_diff",
     "x52_token_budget_select",
+    "s10_ivfpq_topk",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

@@ -78,6 +78,7 @@ FLOAT_SENSITIVE = [
     "s8_pq_topk",
     "a13_quantile_sketch",
     "x52_token_budget_select",
+    "s10_ivfpq_topk",
 ]
 
 

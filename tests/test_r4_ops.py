@@ -201,3 +201,51 @@ def test_tokenizer_fertility_empty_text_guard(spark):
     assert out["xx"]["fertility_micro"] is None
     assert out["xx"]["bytes_per_token_micro"] is None
     assert out["yy"]["fertility_micro"] == 1_000_000  # 3 pieces / 3 words
+
+
+def test_ivfpq_probe_all_equals_pq(spark):
+    """With every coarse list probed, IVFPQ's pruning is a no-op and
+    the result must equal plain PQ (same codebook, same ADC)."""
+    import random
+
+    rng = random.Random(19)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    emb = _emb(spark, rows)
+    pq = similarity.pq_topk(
+        emb, query_id=0, k=8, candidates=20, n_sub=4, n_cent=8
+    ).collect()
+    ivfpq = similarity.ivfpq_topk(
+        emb,
+        query_id=0,
+        k=8,
+        candidates=20,
+        n_centroids=4,
+        n_probe=4,  # probe ALL lists
+        n_sub=4,
+        n_cent=8,
+    ).collect()
+    assert [tuple(r) for r in ivfpq] == [tuple(r) for r in pq]
+
+
+def test_ivfpq_members_come_from_probed_buckets(spark):
+    """Every IVFPQ result id must belong to one of the probed lists."""
+    import random
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    emb = _emb(spark, rows)
+    from pyspark.sql import functions as F
+
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    assigned = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign(emb, cents).collect()
+    }
+    out = similarity.ivfpq_topk(
+        emb, query_id=0, k=8, candidates=20, n_centroids=4, n_probe=2,
+        n_sub=4, n_cent=8,
+    ).collect()
+    probed = {assigned[r["vec_id"]] for r in out}
+    assert len(probed) <= 2
