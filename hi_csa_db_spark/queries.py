@@ -11151,6 +11151,46 @@ def s8_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, query_id=0, k=10, candidates=50)
 
 
+def _ret5_oracle_sql() -> str:
+    """Compose ret1 (BM25 pool) and s1 (dense positives) verbatim into
+    the hard-negative mining twin."""
+    return f"""
+    WITH bm AS (SELECT * FROM ({_ORACLES["ret1_bm25_topk"]}) t),
+    pos AS (SELECT vec_id AS doc_id FROM ({_ORACLES["s1_cosine_topk"]}) t
+            ORDER BY cos_sim DESC, vec_id ASC LIMIT 3),
+    neg AS (SELECT doc_id, bm25 FROM bm
+            WHERE doc_id NOT IN (SELECT doc_id FROM pos))
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+             AS neg_rank,
+           doc_id, bm25
+    FROM neg
+    """
+
+
+@_register("ret5_hard_negatives", _ret5_oracle_sql())
+def ret5_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: the
+    lexically-confusable pool (BM25 top-10, ret1) minus the dense
+    positives (cosine top-3, s1 — vec_id = doc_id in the fixtures),
+    re-ranked by BM25 — the docs a bi-encoder most needs as negatives
+    because a keyword matcher scores them high while the embedding
+    space says they are not relevant (the ANCE/DPR data-prep step).
+    Composes two proven retrievers in one lazy plan (the ret2 idiom);
+    the re-rank window runs over <= 10 surviving rows."""
+    bm = ret1_bm25_topk(spark, sf_dir)
+    pos = (
+        s1_cosine_topk(spark, sf_dir)
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(3)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    neg = bm.join(F.broadcast(pos), "doc_id", "left_anti")
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return neg.select(
+        F.row_number().over(w).cast("bigint").alias("neg_rank"), "doc_id", "bm25"
+    )
+
+
 def _s9_oracle_sql() -> str:
     """Compose the brute-force (s1), IVF (s2), SQ8 (s7), and PQ (s8)
     oracles (verbatim, as scoped subqueries) into a recall@10 report —
@@ -13115,6 +13155,7 @@ _PRIORITY = (
     "u14_corpus_diff",
     "x52_token_budget_select",
     "s10_ivfpq_topk",
+    "ret5_hard_negatives",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
