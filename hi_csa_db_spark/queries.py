@@ -12131,6 +12131,139 @@ def dq6_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x53_span_corruption",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok, t.pos
+      FROM documents,
+      LATERAL (
+        SELECT unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+                 AS tok,
+               generate_subscripts(list_filter(string_split(trim(text), ' '),
+                                               x -> x <> ''), 1) - 1 AS pos
+      ) t
+    ),
+    m AS (
+      SELECT doc_id, tok, pos,
+             CAST('0x' || substring(md5(doc_id || ':' || pos), 1, 2)
+                  AS INT) % 5 = 0 AS masked
+      FROM toks
+    ),
+    s AS (
+      SELECT doc_id, tok, pos, masked,
+             CASE WHEN masked AND NOT COALESCE(
+                    LAG(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+                  THEN 1 ELSE 0 END AS span_start
+      FROM m
+    ),
+    sid AS (
+      SELECT doc_id, tok, pos, masked,
+             span_start,
+             SUM(span_start) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) - 1 AS span_id
+      FROM s
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN NOT masked THEN tok
+                           WHEN span_start = 1 THEN '<X' || span_id || '>'
+                      END, ' ' ORDER BY pos) AS input_text,
+           string_agg(CASE WHEN masked AND span_start = 1
+                           THEN '<X' || span_id || '> ' || tok
+                           WHEN masked THEN tok
+                      END, ' ' ORDER BY pos) AS target_text,
+           CAST(COALESCE(MAX(span_id) + 1, 0) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_masked_tokens
+    FROM sid GROUP BY doc_id
+    """,
+)
+def x53_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption data prep (Raffel et al. 2020): mask
+    ~20% of tokens by a DETERMINISTIC md5 keep rule on (doc_id, pos)
+    — the same hash both engines compute bit-for-bit — merge adjacent
+    masked tokens into spans, and emit the (input_text with <Xn>
+    sentinels, target_text with sentinel-prefixed spans) training
+    pair plus span/mask counts. The denoising-objective twin of x27's
+    BPE tokenize: x27 makes the tokens, this makes the objective.
+
+    Scale shape: one explode + two doc-partitioned window passes
+    (parallel in docs) + one per-doc ordered aggregate — the t8
+    sequence-materialization shape; nothing global, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokenize(F.col("text"))).alias("pos", "tok"),
+    )
+    masked = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("pos"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 5
+        == 0
+    )
+    m = toks.select("doc_id", "tok", "pos", masked.alias("masked"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    span_start = F.when(
+        F.col("masked") & ~F.coalesce(F.lag("masked").over(w), F.lit(False)), 1
+    ).otherwise(0)
+    s = m.select("doc_id", "tok", "pos", "masked", span_start.alias("span_start"))
+    sid = s.select(
+        "doc_id",
+        "tok",
+        "pos",
+        "masked",
+        "span_start",
+        (
+            F.sum("span_start").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - 1
+        ).alias("span_id"),
+    )
+    inp_piece = F.when(~F.col("masked"), F.col("tok")).when(
+        F.col("span_start") == 1,
+        F.concat(F.lit("<X"), F.col("span_id").cast("string"), F.lit(">")),
+    )
+    tgt_piece = (
+        F.when(
+            F.col("masked") & (F.col("span_start") == 1),
+            F.concat(
+                F.lit("<X"), F.col("span_id").cast("string"), F.lit("> "), F.col("tok")
+            ),
+        )
+        .when(F.col("masked"), F.col("tok"))
+    )
+    grouped = sid.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("pos", inp_piece.alias("ip"), tgt_piece.alias("tp"))
+            )
+        ).alias("__raw"),
+        (F.coalesce(F.max("span_id") + 1, F.lit(0))).cast("bigint").alias("n_spans"),
+        F.sum(F.when(F.col("masked"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_masked_tokens"),
+    )
+    join_pieces = lambda fld: F.array_join(  # noqa: E731
+        F.filter(
+            F.transform(F.col("__raw"), lambda x: x[fld]), lambda p: p.isNotNull()
+        ),
+        " ",
+    )
+    return grouped.select(
+        "doc_id",
+        F.when(F.size("__raw") > 0, join_pieces("ip")).alias("input_text"),
+        F.when(F.col("n_masked_tokens") > 0, join_pieces("tp")).alias("target_text"),
+        "n_spans",
+        "n_masked_tokens",
+    )
+
+
+@_register(
     "x51_domain_cap",
     """
     WITH r AS (
@@ -13156,6 +13289,7 @@ _PRIORITY = (
     "x52_token_budget_select",
     "s10_ivfpq_topk",
     "ret5_hard_negatives",
+    "x53_span_corruption",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
