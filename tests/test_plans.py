@@ -105,6 +105,7 @@ _NLJ_ALLOWED = {
     "s9_ann_recall_report",  # composes s1/s2/s7/s8 subplans (their 1-row broadcasts)
     "x52_token_budget_select",  # 1-row token-budget broadcast
     "s10_ivfpq_topk",  # 1-row query/codebook/ADC broadcasts (s2 x s8 composition)
+    "ret5_hard_negatives",  # composes ret1/s1 subplans (their 1-row broadcasts)
     "ret4_mmr_rerank",  # 1-row greedy-pick broadcasts per MMR round
     "a11_cms_heavy_hitters",  # 1-row total/500 threshold broadcast
     "t21_rfm_segmentation",  # 1-row max-orderdate broadcast
