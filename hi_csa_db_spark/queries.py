@@ -12852,33 +12852,6 @@ def sq_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQ_LATERAL_SQL = """
-    SELECT n_name, t.c_name,
-           CAST(CAST(t.c_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT) AS acct_cents
-    FROM nation,
-    LATERAL (
-      SELECT c_name, c_acctbal FROM customer
-      WHERE c_nationkey = n_nationkey
-      ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
-    ) t
-"""
-
-
-@_register("sq_lateral_topk", _SQ_LATERAL_SQL)
-def sq_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated LATERAL subquery with per-row ORDER BY/LIMIT — the
-    top-N-per-group shape through the SQL FRONT-END (Spark 3.4+
-    lateral joins; DuckDB LATERAL): each nation row drives a top-2
-    customers-by-balance probe. The SAME SQL text runs verbatim on
-    both engines (the sq_group_by_all idiom). Catalyst decorrelates
-    the lateral into a ranked join, so the executed plan is the same
-    window/row_number shape as a3's — per-group, never a driver loop;
-    money in exact integer cents, custkey tie-break."""
-    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(_SQ_LATERAL_SQL)
-
-
 @_register(
     "t21_rfm_segmentation",
     """
@@ -13284,7 +13257,6 @@ _PRIORITY = (
     "x51_domain_cap",
     "a13_quantile_sketch",
     "mm10_video_framesample",
-    "sq_lateral_topk",
     "u14_corpus_diff",
     "x52_token_budget_select",
     "s10_ivfpq_topk",
