@@ -12111,7 +12111,13 @@ def dq6_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per column. Numeric bounds stay numeric for the min/max and are
     rendered to portable strings after aggregation (decimals for the
     double column, ISO for the date). The discovery-side complement
-    of dq1's rule checks: profile first, then write the rules."""
+    of dq1's rule checks: profile first, then write the rules.
+
+    Supersedes profile_columns' shape (kept: banked driver-green):
+    that early query scans once PER numeric column and unions the
+    1-row results; this one profiles six mixed-type columns in a
+    single aggregate pass through the reusable
+    expectations.column_profile operator."""
     from hi_csa_db_spark.operators import expectations
 
     o = load_table(spark, sf_dir, "orders")
@@ -12763,6 +12769,11 @@ def u14_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     The old vintage is synthesized deterministically from the same
     fixture (every 5th doc edited, every 10th-mod-3 missing, phantom
     retired rows), so the classification logic is oracle-exact.
+
+    Complements u6_snapshot_diff, which emits the ROW-LEVEL changelog
+    (native column comparison, unchanged rows dropped — the CDC feed);
+    this is the drop-level AUDIT: content identity by md5 so text
+    never shuffles, unchanged counted, rolled up per source.
 
     Scale shape: one equi-join on the id + one tiny per-source
     aggregate; only (id, source, 16-byte hash) shuffles — never text.
