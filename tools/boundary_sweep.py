@@ -117,6 +117,15 @@ def main():
 
     oracles = entrymod.oracle_sql()
     con = duckdb.connect()
+    # Same spill discipline as check_oracle: bound memory and pin the
+    # temp dir OUTSIDE the repo — without temp_directory set, duckdb
+    # spills to cwd/.tmp and an sf0.1 stress sweep can fill the disk
+    # with stranded duckdb_temp_storage-*.tmp files (observed: 74 GB).
+    import os as _os
+
+    _os.makedirs("/tmp/duckdb_oracle_tmp", exist_ok=True)
+    con.execute("PRAGMA temp_directory='/tmp/duckdb_oracle_tmp'")
+    con.execute("PRAGMA memory_limit='24GB'")
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
