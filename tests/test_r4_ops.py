@@ -249,3 +249,68 @@ def test_ivfpq_members_come_from_probed_buckets(spark):
     ).collect()
     probed = {assigned[r["vec_id"]] for r in out}
     assert len(probed) <= 2
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+_vec = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+    min_size=8,
+    max_size=8,
+).filter(lambda v: any(abs(x) > 1e-3 for x in v))  # cosine needs norm > 0
+_corpus = st.lists(_vec, min_size=10, max_size=18)
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(_corpus)
+def test_pq_prunes_candidates_never_answers(spark, vecs):
+    """Property: with candidates = corpus size, PQ returns exactly the
+    brute-force cosine top-k — the sketch prunes candidate generation,
+    never the final ranking (the a11/a13 exactness contract)."""
+    emb = _emb(spark, list(enumerate(vecs)))
+    k = 4
+    exact = similarity.cosine_topk(emb, query_id=0, k=k).collect()
+    pq = similarity.pq_topk(
+        emb, query_id=0, k=k, candidates=len(vecs) - 1, n_sub=2, n_cent=4
+    ).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in pq] == [
+        (r["vec_id"], r["cos_sim"]) for r in exact
+    ]
+
+
+_wedges = st.lists(
+    st.tuples(
+        st.integers(1, 6), st.integers(1, 6), st.integers(1, 20)
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(_wedges)
+def test_sssp_matches_bellman_ford_reference(spark, edges):
+    """Property: graph.sssp equals a literal Bellman-Ford reference
+    loop with the same bounded round count, on random small graphs."""
+    from hi_csa_db_spark.operators import graph
+
+    rounds = 3
+    dist = {1: 0}
+    emap = {}
+    for s, d, w in edges:
+        emap[(s, d)] = min(w, emap.get((s, d), w))
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for (s, d), w in emap.items():
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["id"]: r["dist"] for r in graph.sssp(df, source=1, iterations=rounds).collect()}
+    assert got == dist
