@@ -969,7 +969,7 @@ _SHINGLE_SQL = """
         x -> x <> '') AS toks
       FROM documents
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
@@ -1155,48 +1155,56 @@ _D6_LABELS_SQL = f"""
              CAST('0x' || substring(md5(shingle), 16, 12) AS BIGINT) * 2 + 1 AS h2
       FROM sh
     ),
-    mh AS (
+    -- AS MATERIALIZED on every multiply-referenced stage: DuckDB
+    -- inlines plain CTEs at each reference, and the l1/l2/l3 label
+    -- chain references its predecessor twice while the composite
+    -- pipelines reference l3 three times — without the fences the
+    -- minhash/intersection subtree is re-evaluated up to ~24x
+    -- (observed: 74 GB of temp spill at sf0.1; with fences the whole
+    -- sweep fits in memory). Values are unchanged — materialization
+    -- is an evaluation fence, not a semantic change.
+    mh AS MATERIALIZED (
       SELECT doc_id, seed,
              MIN((h1 + seed * h2) % 1152921504606846976) AS mh
       FROM hh CROSS JOIN seeds GROUP BY doc_id, seed
     ),
-    bands AS (
+    bands AS MATERIALIZED (
       SELECT doc_id, band,
              md5(band::VARCHAR || '|' || string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bkey
       FROM (SELECT doc_id, seed, mh, seed // 2 AS band FROM mh)
       GROUP BY doc_id, band
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
                                AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
+    sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ic
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT c.id_a, c.id_b
       FROM cand c JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
                   JOIN sizes sa ON sa.doc_id = c.id_a
                   JOIN sizes sb ON sb.doc_id = c.id_b
       WHERE i.ic / (sa.sz + sb.sz - i.ic) >= 0.05
     ),
-    ud AS (SELECT id_a AS src, id_b AS dst FROM pairs
+    ud AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
            UNION ALL SELECT id_b, id_a FROM pairs),
-    nodes AS (SELECT DISTINCT src AS id FROM ud),
-    l0 AS (SELECT id, id AS lbl FROM nodes),
-    l1 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM ud),
+    l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
+    l1 AS MATERIALIZED (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
            FROM nodes n JOIN l0 s ON s.id = n.id
            LEFT JOIN ud e ON e.src = n.id LEFT JOIN l0 nb ON nb.id = e.dst
            GROUP BY n.id, s.lbl),
-    l2 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+    l2 AS MATERIALIZED (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
            FROM nodes n JOIN l1 s ON s.id = n.id
            LEFT JOIN ud e ON e.src = n.id LEFT JOIN l1 nb ON nb.id = e.dst
            GROUP BY n.id, s.lbl),
-    l3 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+    l3 AS MATERIALIZED (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
            FROM nodes n JOIN l2 s ON s.id = n.id
            LEFT JOIN ud e ON e.src = n.id LEFT JOIN l2 nb ON nb.id = e.dst
            GROUP BY n.id, s.lbl)
@@ -7646,7 +7654,7 @@ _X20_SCORED_SQL = f"""
              CAST(SUM(CASE WHEN w IN ({_CLS_STOPWORDS_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
       FROM qtoks GROUP BY doc_id
     ),
-    scored AS (
+    scored AS MATERIALIZED (
       SELECT doc_id, n_words,
              CAST((p50n * 20000 + 10000000 * n_words) // n_words
                   - 10000000 AS BIGINT) AS logit_micro,
@@ -8887,7 +8895,7 @@ def _dsir_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the x23 weight pipeline as reusable oracle CTEs (through `w`)
 _DSIR_W_SQL = """
-    dtoks AS (
+    dtoks AS MATERIALIZED (
       SELECT doc_id, lang, unnest(list_filter(
         string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
         x -> x <> '')) AS tok
@@ -8907,7 +8915,7 @@ _DSIR_W_SQL = """
       FROM dcs CROSS JOIN dscal
     ),
     dtf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM dtoks GROUP BY doc_id, tok),
-    w AS (
+    w AS MATERIALIZED (
       SELECT doc_id,
              CAST((SUM(tf * illr) + 100000000 * SUM(tf)) // SUM(tf)
                   - 100000000 AS BIGINT) AS dsir_microweight
