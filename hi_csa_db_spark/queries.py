@@ -5015,6 +5015,95 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stats_spearman",
+    """
+    WITH p AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS xc,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS yc
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ),
+    vx AS (SELECT xc, COUNT(*) AS cnt FROM p GROUP BY xc),
+    cx AS (SELECT xc,
+                  2 * SUM(cnt) OVER (ORDER BY xc ROWS UNBOUNDED PRECEDING)
+                  - cnt + 1 AS drx
+           FROM vx),
+    vy AS (SELECT yc, COUNT(*) AS cnt FROM p GROUP BY yc),
+    cy AS (SELECT yc,
+                  2 * SUM(cnt) OVER (ORDER BY yc ROWS UNBOUNDED PRECEDING)
+                  - cnt + 1 AS dry
+           FROM vy),
+    r AS (SELECT cx.drx, cy.dry FROM p JOIN cx USING (xc) JOIN cy USING (yc)),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(drx) AS HUGEINT) AS sx,
+             CAST(SUM(dry) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(drx AS HUGEINT) * drx) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(dry AS HUGEINT) * dry) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(drx AS HUGEINT) * dry) AS HUGEINT) AS sxy
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+    FROM m
+    """,
+)
+def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of order value vs the customer's
+    account balance — the monotone-association statistic (rank-based,
+    outlier-robust) beside stats_linreg's value-based Pearson. Ties
+    are EXACT: each value carries its DOUBLED average rank
+    (2*cum - cnt + 1 over the per-value count table — an integer even
+    for .5 average ranks), so all five moment sums are exact integers
+    on both engines; floats appear only in the single final
+    division/sqrt (IEEE correctly-rounded ops, not libm), rounded
+    once to 6dp.
+
+    Scale shape: the per-value count tables ride
+    ordered.global_prefix_sums (range partition + broadcast offsets —
+    never a single-partition window over the pair table); rank
+    lookup is two equi-joins on the value key; the moment pass is one
+    map-combined aggregate. Integer envelope: bigint moment sums are
+    exact to ~6e7 pairs, then the decimal(38,0) cross products to
+    ~1e8 (document per-SF before raising)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pairs = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)").alias(
+            "xc"
+        ),
+        F.expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "yc"
+        ),
+    )
+
+    def dranks(col: str, out: str) -> DataFrame:
+        vals = pairs.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        cum = ordered.global_prefix_sums(vals, col, ["cnt"])
+        return cum.select(
+            col, (2 * F.col("cum_cnt") - F.col("cnt") + 1).alias(out)
+        )
+
+    r = pairs.join(dranks("xc", "drx"), "xc").join(dranks("yc", "dry"), "yc")
+    m = r.agg(
+        F.count(F.lit(1)).cast("decimal(9,0)").alias("n"),
+        F.sum("drx").cast("decimal(16,0)").alias("sx"),
+        F.sum("dry").cast("decimal(16,0)").alias("sy"),
+        F.sum(F.col("drx") * F.col("drx")).cast("decimal(25,0)").alias("sxx"),
+        F.sum(F.col("dry") * F.col("dry")).cast("decimal(25,0)").alias("syy"),
+        F.sum(F.col("drx") * F.col("dry")).cast("decimal(25,0)").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(num / (F.sqrt(d1) * F.sqrt(d2)), 6).alias("spearman_rho"),
+    )
+
+
+@_register(
     "stats_linreg",
     """
     WITH s AS (
@@ -13281,6 +13370,7 @@ _PRIORITY = (
     "s10_ivfpq_topk",
     "ret5_hard_negatives",
     "x53_span_corruption",
+    "stats_spearman",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

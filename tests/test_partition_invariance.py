@@ -79,6 +79,7 @@ FLOAT_SENSITIVE = [
     "a13_quantile_sketch",
     "x52_token_budget_select",
     "s10_ivfpq_topk",
+    "stats_spearman",
 ]
 
 
