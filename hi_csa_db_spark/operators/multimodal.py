@@ -554,3 +554,61 @@ def video_frame_stats(
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.select(id_col).mapInPandas(gen, VIDEO_STATS_SCHEMA)
+
+
+PATCH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("patch_row", IntegerType()),
+        StructField("patch_col", IntegerType()),
+        StructField("patch_index", IntegerType()),
+        StructField("mean_milli", LongType()),
+    ]
+)
+
+
+def image_patches(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """ViT-style patch extraction through the REAL image codec: per
+    row a 16x16 image with pixel (y,x) = (id + 3y + 7x) % 256 is
+    BMP-encoded and decoded back on the executors (codecs.encode_bmp /
+    decode_bmp — stride, BGR order, and row flip all live), then cut
+    into the 4x4 grid of 4x4-px patches and flattened to one row per
+    patch with its SEQUENCE POSITION (patch_index = row*4 + col) and
+    integer-milli mean intensity — the image-to-patch-sequence
+    transform a vision-transformer data pipeline runs, with the codec
+    round trip proven because every mean is predictable from the id
+    in closed form (the mm5 idiom at patch granularity).
+
+    Arrow-batched mapInPandas; pixels never leave executors; the
+    patch fan-out (16 rows/image) happens inside the UDF batch, so no
+    shuffle carries pixel data."""
+    import numpy as np
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hi_csa_db_spark.functions import codecs
+
+        cols = [f.name for f in PATCH_SCHEMA.fields]
+        yy, xx = np.mgrid[0:16, 0:16]
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                plane = ((i + 3 * yy + 7 * xx) % 256).astype(np.uint8)
+                img = np.stack([plane, plane, plane], axis=2)
+                out = codecs.decode_bmp(codecs.encode_bmp(img))
+                for pr in range(4):
+                    for pc in range(4):
+                        patch = out[pr * 4 : pr * 4 + 4, pc * 4 : pc * 4 + 4, 0]
+                        s = int(patch.astype(np.int64).sum())
+                        rows.append(
+                            {
+                                "media_id": i,
+                                "patch_row": pr,
+                                "patch_col": pc,
+                                "patch_index": pr * 4 + pc,
+                                "mean_milli": (s * 1000) // 16,
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col).mapInPandas(gen, PATCH_SCHEMA)

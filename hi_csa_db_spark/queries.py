@@ -6387,6 +6387,35 @@ def mm7_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "mm11_image_patches",
+    """
+    SELECT doc_id AS media_id,
+           CAST(t.pr AS INT) AS patch_row,
+           CAST(t.pc AS INT) AS patch_col,
+           CAST(t.pr * 4 + t.pc AS INT) AS patch_index,
+           CAST((list_aggregate(flatten(list_transform(range(0, 4), dy ->
+                  list_transform(range(0, 4), dx ->
+                    (doc_id + 3*(t.pr*4+dy) + 7*(t.pc*4+dx)) % 256))),
+                'sum') * 1000) // 16 AS BIGINT) AS mean_milli
+    FROM documents,
+    LATERAL (SELECT p.x AS pr, q.x AS pc
+             FROM (SELECT unnest(range(0, 4)) AS x) p,
+                  (SELECT unnest(range(0, 4)) AS x) q) t
+    """,
+)
+def mm11_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patchify through the real BMP codec
+    (multimodal.image_patches): 16x16 id-derived image -> encode ->
+    decode -> 4x4 grid of 4x4 patches -> (sequence position, integer
+    milli mean) per patch; the oracle predicts every patch mean in
+    closed form, so the codec round trip and the patch indexing are
+    both value-checked through the distributed plan."""
+    from hi_csa_db_spark.operators.multimodal import image_patches
+
+    return image_patches(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
     "mm10_video_framesample",
     """
     WITH v AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents),
@@ -13371,6 +13400,7 @@ _PRIORITY = (
     "ret5_hard_negatives",
     "x53_span_corruption",
     "stats_spearman",
+    "mm11_image_patches",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
