@@ -67,3 +67,48 @@ def test_binaryfile_media_ingest(spark, tmp_path):
     got = {r.content_hash for r in feats.collect()}
     want = {hashlib.md5(p).hexdigest() for p in payloads.values()}
     assert got == want
+
+
+def test_jsonl_ingest_with_corrupt_record_quarantine(spark, tmp_path):
+    """JSON-lines ingest contract: schema-on-read with PERMISSIVE bad-
+    line capture (the _corrupt_record quarantine every JSONL feed
+    needs) vs DROPMALFORMED's silent filter."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = str(tmp_path / "ev.jsonl")
+    lines = [
+        '{"id": 1, "v": 2.5}',
+        '{"id": 2, "v": -1.0}',
+        "THIS IS NOT JSON",
+        '{"id": 3, "v": 0.25}',
+    ]
+    with open(p, "w") as f:
+        f.write("\n".join(lines))
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", DoubleType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    perm = spark.read.schema(schema).option("mode", "PERMISSIVE").json(p)
+    good = perm.filter(F.col("_corrupt_record").isNull())
+    bad = perm.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r["id"] for r in good.collect()) == [1, 2, 3]
+    assert [r["_corrupt_record"] for r in bad.collect()] == ["THIS IS NOT JSON"]
+
+    dropped = (
+        spark.read.schema(
+            StructType([StructField("id", LongType()), StructField("v", DoubleType())])
+        )
+        .option("mode", "DROPMALFORMED")
+        .json(p)
+    )
+    assert dropped.count() == 3
