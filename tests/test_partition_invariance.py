@@ -80,6 +80,7 @@ FLOAT_SENSITIVE = [
     "x52_token_budget_select",
     "s10_ivfpq_topk",
     "stats_spearman",
+    "x51_domain_cap",
 ]
 
 
