@@ -5,10 +5,13 @@ hash-mismatch on the driver: a libm ulp (or ROUND-implementation
 difference) flips a value sitting on a quantization boundary. The
 integer rewrites killed the known cases; this tool hunts the class.
 
-Method: every ``ROUND(expr, k)`` in an oracle's SQL is rewritten to
-``ROUND((expr) + (delta), k)`` and the query is run twice, with +delta
-and -delta. The probe is tiered by what skew can actually reach a
-ROUND input on a different host:
+Method: every ``ROUND(expr, k)`` in an oracle's SQL (nested ones
+included) is rewritten to ``ROUND(((expr)*(1+delta)) + (delta), k)``
+and the query is run twice, with +delta and -delta — a RELATIVE term
+(host skew scales with ulp(value), so an absolute-only probe is
+absorbed bit-for-bit at money-sum magnitudes) plus an ABSOLUTE term
+(so values near zero are still moved). The probe is tiered by what
+skew can actually reach a ROUND input on a different host:
 
 - queries whose SQL calls libm transcendentals (ln/exp/pow): skew up
   to ~1e-12 absolute after typical tf/count amplification of the
@@ -45,9 +48,18 @@ from hi_csa_db_spark.catalog import TABLES
 
 
 def perturb_rounds(sql: str, delta: float) -> str:
-    """Rewrite every ROUND(expr, k) to ROUND((expr) + (delta), k) by
-    paren matching (handles nesting; inner ROUNDs get perturbed too,
-    which only strengthens the test)."""
+    """Rewrite every ROUND(expr, k) to
+    ROUND(((expr) * (1 + delta)) + (delta), k) by paren matching.
+
+    The perturbation carries BOTH a relative and an absolute term
+    because cross-host skew does: libm/arithmetic error is relative
+    (~ulp(value), so an absolute 1e-15 would be absorbed without a
+    trace for values above ~9 — double rounding makes x + 1e-15 == x
+    bit-for-bit at money-sum magnitudes), while near zero only the
+    absolute term still moves the value. Scanning resumes INSIDE the
+    rewritten expression (pos = start), so nested ROUNDs — e.g.
+    chi2's per-cell ROUND(...,8) inside the outer ROUND(...,6) — are
+    perturbed too."""
     out = sql
     pos = 0
     pat = re.compile(r"\bROUND\s*\(", re.IGNORECASE)
@@ -75,9 +87,10 @@ def perturb_rounds(sql: str, delta: float) -> str:
         end = i - 1  # index of the matching ')'
         expr_end = last_comma if last_comma != -1 else end
         inner = out[start:expr_end]
-        replacement = f"({inner}) + ({delta!r})"
+        replacement = f"(({inner}) * (1 + {delta!r})) + ({delta!r})"
         out = out[:start] + replacement + out[expr_end:]
-        pos = start + len(replacement)
+        # resume just inside the rewrite so nested ROUNDs are visited
+        pos = start
 
 
 def run(con, sql: str):
@@ -106,6 +119,16 @@ SAFE_EXACT = {
         "EWMA terms are DECIMAL products of powers-of-two weights; "
         "sums terminate at >=7dp and ROUND runs on the DECIMAL type "
         "exactly on both engines"
+    ),
+    "mm6_jpeg_roundtrip": (
+        "JPEG quantization rounds run on exact small rationals "
+        "(8*(c-128)/9 of integer pixel classes) — IEEE basic ops, "
+        "bit-identical on every host, no libm; values landing exactly "
+        "on .5 land there everywhere, and the half-rounding agreement "
+        "between the codec and DuckDB is hash-verified over ALL 256 "
+        "pixel classes at three SFs. The relative probe moves these "
+        "exact values off their construction, which the real "
+        "comparison never does"
     ),
 }
 
@@ -140,7 +163,11 @@ def main():
         if name in SAFE_EXACT:
             print(f"skip {name}: exact-decimal rounds ({SAFE_EXACT[name][:40]}...)")
             continue
-        uses_libm = bool(re.search(r"\b(ln|log|log2|log10|exp|pow|power)\s*\(", sql))
+        uses_libm = bool(
+            re.search(
+                r"\b(ln|log|log2|log10|exp|pow|power)\s*\(", sql, re.IGNORECASE
+            )
+        )
         delta = 1e-12 if uses_libm else 1e-15
         try:
             hi = run(con, perturb_rounds(sql, delta))
