@@ -33,16 +33,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _bit_positions(key: Column, m_bits: int, k_hashes: int) -> list[Column]:
-    """The k bit positions of ``key``: pmod(xxhash64(key, seed_i), m).
+def _canon_key_sql(expr_sql: str) -> str:
+    """Canonical hash form of a key expression, shared VERBATIM by the
+    build and probe sides: xxhash64 hashes the physical type, so the
+    two sides must agree on one rendering of equal VALUES, not equal
+    types. A plain string cast only unifies integer widths — int 1
+    probed as double renders '1.0' (or '1.00' as decimal), hashing
+    different bits and silently dropping present keys. Routing every
+    numeric through DECIMAL(38,18) first renders int 1, bigint 1,
+    double 1.0, and decimal 1.00 identically; TRY_CAST falls back to
+    the raw string form for non-numeric keys (and for numerics beyond
+    the decimal(38,18) range ~1e20 — equal values fall back
+    identically unless one side is float and the other decimal AT
+    that magnitude, which is outside the supported key envelope)."""
+    return (
+        f"coalesce(CAST(TRY_CAST({expr_sql} AS DECIMAL(38,18)) AS STRING), "
+        f"CAST({expr_sql} AS STRING))"
+    )
 
-    The key is cast to STRING first: xxhash64 hashes the PHYSICAL
-    type, so an int build side probed with a bigint column would set
-    and test different bits — silent false negatives, breaking the
-    'false negatives are impossible' contract. Hashing the canonical
-    string form makes build and probe agree for any numeric/string
-    key type pairing (ADVICE r3)."""
-    ks = key.cast("string")
+
+def _bit_positions(key_sql: str, m_bits: int, k_hashes: int) -> list[Column]:
+    """The k bit positions of the key expression (SQL text form):
+    pmod(xxhash64(canonical(key), seed_i), m)."""
+    ks = F.expr(_canon_key_sql(key_sql))
     return [
         F.pmod(F.xxhash64(ks, F.lit(i)), F.lit(m_bits)) for i in range(k_hashes)
     ]
@@ -59,7 +72,7 @@ def build_bloom(
     the filter is assembled distributed and never materializes as
     driver-side Python objects."""
     pos = keys.select(
-        F.explode(F.array(*_bit_positions(F.col(key_col), m_bits, k_hashes))).alias(
+        F.explode(F.array(*_bit_positions(key_col, m_bits, k_hashes))).alias(
             "pos"
         )
     )
@@ -83,9 +96,9 @@ def bloom_might_contain(
     shift amounts while the position is data-dependent."""
     cond = None
     for i in range(k_hashes):
-        # CAST to STRING mirrors _bit_positions — build and probe must
-        # hash the same canonical form regardless of column type.
-        hashed = f"xxhash64(CAST({probe_col} AS STRING), {i})"
+        # the same canonical form as _bit_positions — build and probe
+        # must hash one rendering of equal values regardless of type
+        hashed = f"xxhash64({_canon_key_sql(probe_col)}, {i})"
         hit = F.expr(
             f"(shiftright(coalesce(element_at(bloom, "
             f"CAST(pmod({hashed}, {m_bits}) div 64 AS INT)), "

@@ -105,27 +105,55 @@ def polite_fetcher(
     the crawler courtesy contract (one polite stream per origin) that
     per-worker delays cannot give — a worker pool can still hammer one
     host from every slot at once."""
+    import threading
     import time
     from concurrent.futures import ThreadPoolExecutor
     from urllib.parse import urlparse
 
+    # The per-host clock PERSISTS across fetch_batch calls (and is
+    # lock-serialized), so every request the returned callable ever
+    # issues to one host — page batches, the robots.txt probe, the
+    # next micro-batch — honors one shared interval. A per-call clock
+    # would let each new batch's first request (and any out-of-band
+    # fetch like robots.txt) fire with zero delay at an already-hot
+    # host. The lock/clock containers are LAZY-INITIALIZED on first
+    # use: the callable is captured in mapInPandas closures and
+    # threading.Lock objects cannot be pickled, so they must be born
+    # on the executor, after deserialization (first fetch_batch call
+    # runs single-threaded, before the worker pool spawns).
+    state: dict = {}
+
+    def _ensure_state() -> None:
+        if "meta_lock" not in state:
+            state["meta_lock"] = threading.Lock()
+            state["last_by_host"] = {}
+            state["host_locks"] = {}
+
+    def _lock_of(host: str) -> threading.Lock:
+        with state["meta_lock"]:
+            return state["host_locks"].setdefault(host, threading.Lock())
+
     def fetch_batch(urls: list[str]) -> list[str]:
+        _ensure_state()
         by_host: dict[str, list[tuple[int, str]]] = {}
         for i, u in enumerate(urls):
             by_host.setdefault(urlparse(u).netloc, []).append((i, u))
         results: list[str] = [""] * len(urls)
+        last_by_host = state["last_by_host"]
 
-        def run_host(items: list[tuple[int, str]]) -> None:
-            last = 0.0
-            for idx, u in items:
-                wait = per_host_delay_s - (time.monotonic() - last)
-                if last and wait > 0:
-                    time.sleep(wait)
-                results[idx] = fetcher(u)
-                last = time.monotonic()
+        def run_host(host_items: tuple[str, list[tuple[int, str]]]) -> None:
+            host, items = host_items
+            with _lock_of(host):
+                for idx, u in items:
+                    last = last_by_host.get(host, 0.0)
+                    wait = per_host_delay_s - (time.monotonic() - last)
+                    if last and wait > 0:
+                        time.sleep(wait)
+                    results[idx] = fetcher(u)
+                    last_by_host[host] = time.monotonic()
 
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
-            list(pool.map(run_host, by_host.values()))
+            list(pool.map(run_host, by_host.items()))
         return results
 
     return fetch_batch
@@ -219,7 +247,14 @@ def fetch_pages_polite(
     batch_fetch = polite_fetcher(fetcher, per_host_delay_s, max_workers)
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        allowed = robots_checker(fetcher, user_agent) if respect_robots else None
+        # robots.txt probes ride the SAME per-host limiter as the page
+        # fetches (polite_fetcher's clock persists across calls) — the
+        # politeness gate must not itself hit the host unthrottled
+        allowed = (
+            robots_checker(lambda u: batch_fetch([u])[0], user_agent)
+            if respect_robots
+            else None
+        )
         for pdf in batches:
             urls = list(pdf["url"])
             if allowed is not None:

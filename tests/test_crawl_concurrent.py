@@ -190,3 +190,29 @@ def test_robots_gate_prunes_disallowed_frontier(spark):
     }
     assert "http://strict.example.org/public/a" in reqs
     _shutil.rmtree(logdir)
+
+
+def test_polite_clock_persists_across_batches_and_robots():
+    """The per-host interval must hold across SEPARATE fetch_batch
+    calls — that is what makes the robots.txt probe (issued as its own
+    1-URL batch) rate-limited against the page fetches that follow."""
+    import time
+
+    from hi_csa_db_spark.sources.crawl import polite_fetcher
+
+    calls = []
+
+    def fk(u):
+        calls.append((u, time.monotonic()))
+        return "<html></html>"
+
+    bf = polite_fetcher(fk, per_host_delay_s=0.15, max_workers=2)
+    bf(["http://h1.example.org/robots.txt"])  # the robots probe
+    bf(["http://h1.example.org/a", "http://h2.example.org/b"])
+    by_host = {}
+    for u, t in calls:
+        by_host.setdefault(u.split("/")[2], []).append(t)
+    gaps = [b - a for a, b in zip(by_host["h1.example.org"], by_host["h1.example.org"][1:])]
+    assert all(g >= 0.14 for g in gaps), gaps
+    # the other host was not delayed by h1's clock
+    assert len(by_host["h2.example.org"]) == 1

@@ -314,3 +314,28 @@ def test_sssp_matches_bellman_ford_reference(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long, w long")
     got = {r["id"]: r["dist"] for r in graph.sssp(df, source=1, iterations=rounds).collect()}
     assert got == dist
+
+
+def test_bloom_float_vs_int_keys_no_false_negatives(spark):
+    """Equal VALUES with different numeric types (int build, double
+    probe) must agree through the canonical key form — a plain string
+    cast renders 1 vs 1.0 and silently drops present keys."""
+    from pyspark.sql import functions as F
+
+    from hi_csa_db_spark.operators.bloomjoin import bloom_semi_join
+
+    probe = spark.range(0, 500).select(F.col("id").cast("double").alias("k"))
+    keys = spark.range(0, 500, 7).select(F.col("id").cast("int").alias("kk"))
+    got = sorted(int(r.k) for r in bloom_semi_join(probe, keys, "k", "kk").collect())
+    assert got == list(range(0, 500, 7))
+
+
+def test_bloom_decimal_vs_bigint_keys_no_false_negatives(spark):
+    from pyspark.sql import functions as F
+
+    from hi_csa_db_spark.operators.bloomjoin import bloom_semi_join
+
+    probe = spark.range(0, 300).select(F.col("id").cast("decimal(10,2)").alias("k"))
+    keys = spark.range(0, 300, 11).select(F.col("id").alias("kk"))
+    got = sorted(int(r.k) for r in bloom_semi_join(probe, keys, "k", "kk").collect())
+    assert got == list(range(0, 300, 11))

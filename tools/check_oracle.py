@@ -118,6 +118,14 @@ def main():
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
             failed.append(name)
+            # hard failures must still appear in the JSON report — a
+            # mechanical diff keyed on present names would otherwise
+            # read a crash as "not sampled" instead of red
+            report[name] = {
+                "rows_match": False, "schema_match": None, "hash_match": None,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark_error: {str(ex)[:300]}",
+            }
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
@@ -133,6 +141,11 @@ def main():
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             failed.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": f"duckdb_error: {str(ex)[:300]}",
+            }
             continue
         scols_l = [c.lower() for c in scols]
         problems = []
