@@ -654,16 +654,33 @@ def pq_topk(
     every similarity op here.
     """
     anchors = _pq_anchors(embeddings, query_id, n_cent, id_col, vec_col)
+    corpus = _pq_encode(embeddings, anchors, n_sub, n_cent, id_col, vec_col)
+    qrow = _pq_query_row(embeddings, anchors, query_id, n_sub, n_cent,
+                         id_col, vec_col)
+    return _pq_adc_rank(
+        corpus.filter(F.col(id_col) != query_id), qrow,
+        n_sub, n_cent, candidates, k, id_col, vec_col,
+    )
 
-    # __dists is materialized as its own projection so _pq_codes reads
-    # a COLUMN REFERENCE: inlining _pq_adc_row(vec) into the codes
-    # expression would embed a copy of the full n_sub*n_cent distance
-    # computation at every element_at site (measured 10x slowdown from
-    # the duplicated interpreted-HOF trees; CollapseProject keeps the
-    # split because the expensive expression is referenced more than
-    # once).
-    corpus = (
-        embeddings.crossJoin(F.broadcast(anchors))
+
+def _pq_encode(
+    df: DataFrame,
+    anchors: DataFrame,
+    n_sub: int,
+    n_cent: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, __code) for every row of ``df`` against the broadcast
+    anchor codebook. __dists is materialized as its own projection so
+    _pq_codes reads a COLUMN REFERENCE: inlining _pq_adc_row(vec) into
+    the codes expression would embed a copy of the full n_sub*n_cent
+    distance computation at every element_at site (measured 10x
+    slowdown from the duplicated interpreted-HOF trees;
+    CollapseProject keeps the split because the expensive expression
+    is referenced more than once)."""
+    return (
+        df.crossJoin(F.broadcast(anchors))
         .withColumn("__dists", _pq_adc_row(F.col(vec_col), n_sub, n_cent))
         .select(
             F.col(id_col),
@@ -671,8 +688,20 @@ def pq_topk(
             _pq_codes(F.col("__dists"), n_sub, n_cent).alias("__code"),
         )
     )
-    # ADC lookup table from the query row: one broadcast row.
-    qrow = (
+
+
+def _pq_query_row(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    query_id: int,
+    n_sub: int,
+    n_cent: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The query's ADC lookup table (+ its raw vector for the exact
+    rerank) as ONE broadcast row."""
+    return (
         embeddings.filter(F.col(id_col) == query_id)
         .crossJoin(F.broadcast(anchors))
         .select(
@@ -680,22 +709,35 @@ def pq_topk(
             _pq_adc_row(F.col(vec_col), n_sub, n_cent).alias("__adc"),
         )
     )
-    approx = (
-        corpus.filter(F.col(id_col) != query_id)
-        .crossJoin(F.broadcast(qrow))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("__qv"),
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(n_sub - 1)),
-                F.lit(0).cast("bigint"),
-                lambda acc, m: acc
-                + F.element_at(
-                    "__adc", m * n_cent + F.element_at(F.col("__code"), m + 1) + 1
-                ),
-            ).alias("approx_dist_micro"),
-        )
+
+
+def _pq_adc_rank(
+    corpus: DataFrame,
+    qrow: DataFrame,
+    n_sub: int,
+    n_cent: int,
+    candidates: int,
+    k: int,
+    id_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer ADC candidate ranking + exact cosine rerank — the tail
+    shared by pq_topk (full corpus) and ivfpq_topk (bucket members):
+    approx = sum over subspaces of the broadcast table entry at the
+    row's code, top ``candidates`` by (integer ADC, id), top ``k`` by
+    6dp cosine."""
+    approx = corpus.crossJoin(F.broadcast(qrow)).select(
+        F.col(id_col),
+        F.col("__qv"),
+        F.col(vec_col).alias("__vec"),
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, m: acc
+            + F.element_at(
+                "__adc", m * n_cent + F.element_at(F.col("__code"), m + 1) + 1
+            ),
+        ).alias("approx_dist_micro"),
     )
     cand = approx.orderBy(
         F.col("approx_dist_micro").asc(), F.col(id_col).asc()
@@ -704,7 +746,7 @@ def pq_topk(
         cand.select(
             F.col(id_col),
             "approx_dist_micro",
-            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos_sim"),
+            F.round(cosine(F.col("__vec"), F.col("__qv")), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -728,10 +770,12 @@ def ivfpq_topk(
     corpus to ``n_probe`` inverted lists, and product-quantization ADC
     ranks only the surviving bucket members; the exact cosine rerank
     touches just ``candidates`` rows. Composes the two independently
-    proven stages (ivf_assign/probe from ivf_topk, codes/ADC from
-    pq_topk) into ONE lazy plan. Codes here quantize the RAW vectors
-    against the shared anchor codebook — production IVFPQ encodes
-    per-bucket residuals, which changes only the encode input, not the
+    proven stages — ivf_assign/probe (ivf_topk) and the SHARED
+    _pq_encode/_pq_query_row/_pq_adc_rank helpers (pq_topk) — into
+    ONE lazy plan, so the PQ machinery cannot drift between the plain
+    and bucketed paths. Codes here quantize the RAW vectors against
+    the shared anchor codebook — production IVFPQ encodes per-bucket
+    residuals, which changes only the encode input, not the
     bucket-prune x ADC-scan x rerank shape proven here.
 
     Scale: the scan cost is (corpus/n_centroids)*n_probe rows of
@@ -741,9 +785,8 @@ def ivfpq_topk(
     (SCALE.md) and the ADC pass reads no float vectors at all.
 
     Determinism: bucket assignment ranks 6dp-rounded cosines with
-    centroid-id tie-break (ivf_assign semantics); codes/ADC are the
-    integer-micro pq_topk contract; candidate rank is (integer ADC,
-    id). Engine- and host-portable end to end."""
+    centroid-id tie-break (ivf_assign semantics); codes/ADC/rank are
+    the integer-micro pq_topk contract. Engine- and host-portable."""
     cents = embeddings.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col)
     )
@@ -764,47 +807,15 @@ def ivfpq_topk(
     bucket = assigned.join(F.broadcast(probe), "centroid_id").select(id_col)
 
     anchors = _pq_anchors(embeddings, query_id, n_cent, id_col, vec_col)
-    members = (
-        embeddings.join(bucket, id_col, "left_semi")
-        .filter(F.col(id_col) != query_id)
-        .crossJoin(F.broadcast(anchors))
-        .withColumn("__dists", _pq_adc_row(F.col(vec_col), n_sub, n_cent))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            _pq_codes(F.col("__dists"), n_sub, n_cent).alias("__code"),
-        )
+    members = _pq_encode(
+        embeddings.join(bucket, id_col, "left_semi").filter(
+            F.col(id_col) != query_id
+        ),
+        anchors, n_sub, n_cent, id_col, vec_col,
     )
-    qrow = (
-        embeddings.filter(F.col(id_col) == query_id)
-        .crossJoin(F.broadcast(anchors))
-        .select(
-            F.col(vec_col).alias("__qv"),
-            _pq_adc_row(F.col(vec_col), n_sub, n_cent).alias("__adc"),
-        )
+    qrow = _pq_query_row(
+        embeddings, anchors, query_id, n_sub, n_cent, id_col, vec_col
     )
-    approx = members.crossJoin(F.broadcast(qrow)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("__qv"),
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(n_sub - 1)),
-            F.lit(0).cast("bigint"),
-            lambda acc, m: acc
-            + F.element_at(
-                "__adc", m * n_cent + F.element_at(F.col("__code"), m + 1) + 1
-            ),
-        ).alias("approx_dist_micro"),
-    )
-    cand = approx.orderBy(
-        F.col("approx_dist_micro").asc(), F.col(id_col).asc()
-    ).limit(candidates)
-    return (
-        cand.select(
-            F.col(id_col),
-            "approx_dist_micro",
-            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
-        .limit(k)
+    return _pq_adc_rank(
+        members, qrow, n_sub, n_cent, candidates, k, id_col, vec_col
     )

@@ -11222,10 +11222,12 @@ def s7_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.sq8_topk(emb, query_id=0, k=10, candidates=50)
 
 
-@_register(
-    "s8_pq_topk",
-    f"""
-    WITH cb AS (
+def _pq_oracle_tail(dist_where: str = "") -> str:
+    """The PQ codebook/encode/ADC/candidate/rerank CTE block, shared
+    VERBATIM by the plain (s8) and bucket-restricted (s10) oracles —
+    one definition, so the two replays cannot drift (mirrors the
+    shared _pq_encode/_pq_adc_rank helpers on the Spark side)."""
+    return f"""cb AS (
       SELECT list(v ORDER BY i) AS cbs FROM (
         SELECT vec_id AS i, embedding AS v FROM embeddings
         WHERE vec_id > 0 ORDER BY vec_id LIMIT 16)
@@ -11240,6 +11242,7 @@ def s7_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            LATERAL (SELECT m.x AS m, j.x AS j
                     FROM (SELECT unnest(range(0, 8)) AS x) m,
                          (SELECT unnest(range(0, 16)) AS x) j) t
+      {dist_where}
     ),
     codes AS (
       SELECT vec_id, m, j AS code FROM (
@@ -11262,9 +11265,10 @@ def s7_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(cand.approx_dist_micro AS BIGINT) AS approx_dist_micro,
            ROUND({_cos_sql('e.embedding', 'qv.qe')}, 6) AS cos_sim
     FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id CROSS JOIN qv
-    ORDER BY cos_sim DESC, cand.vec_id ASC LIMIT 10
-    """,
-)
+    ORDER BY cos_sim DESC, cand.vec_id ASC LIMIT 10"""
+
+
+@_register("s8_pq_topk", f"WITH {_pq_oracle_tail()}")
 def s8_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (similarity.pq_topk; Jegou 2011):
     8 subspaces x 16 anchor centroids, integer-micro ADC lookup-table
@@ -11342,9 +11346,10 @@ def _s9_oracle_sql() -> str:
 
 
 def _s10_oracle_sql() -> str:
-    """IVFPQ oracle: s2's coarse assign/probe/bucket CTEs composed
-    with s8's codebook/encode/ADC CTEs, the ADC scan restricted to
-    bucket members — the same two proven stages the engine composes."""
+    """IVFPQ oracle: s2's coarse assign/probe/bucket CTEs prepended to
+    the SHARED PQ tail (_pq_oracle_tail) with the ADC scan restricted
+    to bucket members — the same two proven stages the engine
+    composes, from the same SQL definitions."""
     return f"""
     WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
                    FROM embeddings WHERE vec_id < 8),
@@ -11367,45 +11372,9 @@ def _s10_oracle_sql() -> str:
       ) ORDER BY cs DESC, centroid_id ASC LIMIT 2
     ),
     bucket AS (SELECT vec_id FROM assigned JOIN probe USING (centroid_id)),
-    cb AS (
-      SELECT list(v ORDER BY i) AS cbs FROM (
-        SELECT vec_id AS i, embedding AS v FROM embeddings
-        WHERE vec_id > 0 ORDER BY vec_id LIMIT 16)
-    ),
-    dist AS (
-      SELECT e.vec_id, t.m, t.j,
-        CAST(floor(list_aggregate(list_transform(range(1, 9), i ->
-            (e.embedding[t.m*8+i]::DOUBLE - cb.cbs[t.j+1][t.m*8+i]::DOUBLE)
-          * (e.embedding[t.m*8+i]::DOUBLE - cb.cbs[t.j+1][t.m*8+i]::DOUBLE)),
-          'sum') * 1000000) AS BIGINT) AS dmic
-      FROM embeddings e CROSS JOIN cb,
-           LATERAL (SELECT m.x AS m, j.x AS j
-                    FROM (SELECT unnest(range(0, 8)) AS x) m,
-                         (SELECT unnest(range(0, 16)) AS x) j) t
-      WHERE e.vec_id = 0 OR e.vec_id IN (SELECT vec_id FROM bucket)
-    ),
-    codes AS (
-      SELECT vec_id, m, j AS code FROM (
-        SELECT vec_id, m, j,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, m
-                                  ORDER BY dmic ASC, j ASC) AS rn
-        FROM dist) WHERE rn = 1
-    ),
-    adc AS (SELECT m, j, dmic FROM dist WHERE vec_id = 0),
-    approx AS (
-      SELECT c.vec_id, SUM(a.dmic) AS approx_dist_micro
-      FROM codes c JOIN adc a ON a.m = c.m AND a.j = c.code
-      WHERE c.vec_id <> 0
-      GROUP BY c.vec_id
-    ),
-    cand AS (SELECT vec_id, approx_dist_micro FROM approx
-             ORDER BY approx_dist_micro ASC, vec_id ASC LIMIT 50),
-    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-    SELECT cand.vec_id,
-           CAST(cand.approx_dist_micro AS BIGINT) AS approx_dist_micro,
-           ROUND({_cos_sql('e.embedding', 'qv.qe')}, 6) AS cos_sim
-    FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id CROSS JOIN qv
-    ORDER BY cos_sim DESC, cand.vec_id ASC LIMIT 10
+    {_pq_oracle_tail(
+        "WHERE e.vec_id = 0 OR e.vec_id IN (SELECT vec_id FROM bucket)"
+    )}
     """
 
 
