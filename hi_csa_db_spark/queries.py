@@ -1238,6 +1238,71 @@ def d6_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "d19_soft_dedup_weights",
+    f"""
+    WITH {_D6_LABELS_SQL},
+    sz AS (SELECT lbl, COUNT(*) AS csz FROM l3 GROUP BY lbl),
+    docw AS (
+      SELECT d.doc_id,
+             COALESCE(sz.csz, 1) AS cluster_size,
+             CAST(1000000 // COALESCE(sz.csz, 1) AS BIGINT) AS weight_micro
+      FROM documents d
+      LEFT JOIN l3 ON l3.id = d.doc_id
+      LEFT JOIN sz ON sz.lbl = l3.lbl
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           weight_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(weight_micro) AS BIGINT) AS total_weight_micro
+    FROM docw GROUP BY cluster_size, weight_micro
+    """,
+)
+def d19_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication: instead of dropping near-duplicates, each
+    document is down-weighted by 1/cluster_size (exact integer
+    micro-weight, 1e6 div size) so every duplicate CLUSTER contributes
+    one document's worth of training signal — the loss-weighting
+    alternative to d6's hard survivor selection, preferred when
+    near-dups carry complementary fragments. Composes the proven d2
+    pair detection + connected components; docs in no cluster weight
+    1.0. Output is the (cluster_size, weight) histogram with total
+    retained weight — the audit that shows how much effective data
+    survives the down-weighting.
+
+    Scale shape: everything up to the labels is the d6 plan; the
+    weight is a narrow map over a left join on doc_id; the audit is a
+    tiny aggregate. At 100 TB the per-doc weight column would be
+    persisted next to the corpus for the training loader to consume."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=8, threshold=0.05
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = graph.connected_components(edges, iterations=3)
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("csz"))
+    docw = (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .join(sizes, "lbl", "left")
+        .select(
+            F.coalesce("csz", F.lit(1)).alias("cluster_size"),
+            F.expr("CAST(1000000 div COALESCE(csz, 1) AS BIGINT)").alias(
+                "weight_micro"
+            ),
+        )
+    )
+    return docw.groupBy("cluster_size", "weight_micro").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("weight_micro").cast("bigint").alias("total_weight_micro"),
+    ).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "weight_micro",
+        "n_docs",
+        "total_weight_micro",
+    )
+
+
+@_register(
     "d3_ngram_jaccard_topk",
     f"""
     WITH {_SHINGLE_SQL},
@@ -13370,6 +13435,7 @@ _PRIORITY = (
     "x53_span_corruption",
     "stats_spearman",
     "mm11_image_patches",
+    "d19_soft_dedup_weights",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
