@@ -367,3 +367,89 @@ def sssp(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def mst_boruvka(
+    edges: DataFrame,
+    rounds: int = 2,
+    cc_iterations: int = 3,
+) -> DataFrame:
+    """Boruvka minimum-spanning-forest rounds — the seventh
+    iterative-graph pattern: per round every COMPONENT selects its
+    minimum outgoing edge (cheapest-link hooking), the selections
+    join the forest, and components merge. Returns
+    (round, a, b, w): the undirected edges selected in each round,
+    canonicalized as a = min endpoint, b = max endpoint.
+
+    Determinism: integer weights with the TOTAL edge order
+    (w, a, b) as the selection key — a consistent tie-break makes
+    Boruvka cycle-free without distinct-weight assumptions, and the
+    selected set is a pure function of the edge list. Component
+    labels between rounds come from the bounded min-label propagation
+    (``connected_components``, ``cc_iterations`` rounds) — exact for
+    selection-forest diameter <= cc_iterations, and the SAME bounded
+    function the SQL oracle unrolls, so engine and oracle agree by
+    construction (the graph_kcore/hits bounded-rounds idiom).
+
+    Scale shape per round: one labels join + one per-component
+    row_number window (group size = component's incident edges) + a
+    distinct over the tiny selection; the label refresh is the
+    components propagation over the selected FOREST (edges <= nodes,
+    far smaller than the input graph). Edge layout is cached once
+    (_iter_layout)."""
+    canon = _iter_layout(
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w")),
+        "a",
+    )
+    ud = canon.select("a", "b", "w", F.col("a").alias("u")).unionByName(
+        canon.select("a", "b", "w", F.col("b").alias("u"))
+    )
+    nodes = (
+        canon.select(F.col("a").alias("id"))
+        .unionByName(canon.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    labels = nodes.select("id", F.col("id").alias("lbl"))
+    out = None
+    forest = None
+    for rnd in range(1, rounds + 1):
+        lu = labels.select(F.col("id").alias("u"), F.col("lbl").alias("__lu"))
+        lo = labels.select(
+            F.col("id").alias("__other"), F.col("lbl").alias("__lo")
+        )
+        el = (
+            ud.withColumn(
+                "__other",
+                F.when(F.col("u") == F.col("a"), F.col("b")).otherwise(F.col("a")),
+            )
+            .join(lu, "u")
+            .join(lo, "__other")
+            .filter(F.col("__lu") != F.col("__lo"))
+        )
+        win = Window.partitionBy("__lu").orderBy("w", "a", "b")
+        sel = (
+            el.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") == 1)
+            .select("a", "b", "w")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        tagged = sel.select(F.lit(rnd).alias("round"), "a", "b", "w")
+        out = tagged if out is None else out.unionByName(tagged)
+        forest = sel if forest is None else forest.unionByName(sel).distinct()
+        cc = connected_components(
+            forest.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            iterations=cc_iterations,
+        )
+        labels = (
+            nodes.join(cc, "id", "left")
+            .select("id", F.coalesce("lbl", F.col("id")).alias("lbl"))
+        )
+    return out

@@ -11241,6 +11241,82 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "graph_mst",
+    """
+    WITH e0 AS MATERIALIZED (
+      SELECT l_partkey AS a, 1000000 + l_suppkey AS b,
+             MIN(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100
+                      AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ud AS MATERIALIZED (
+      SELECT a, b, w, a AS u, b AS o FROM e0
+      UNION ALL SELECT a, b, w, b, a FROM e0
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT DISTINCT a, b, w FROM (
+        SELECT a, b, w,
+               ROW_NUMBER() OVER (PARTITION BY u ORDER BY w, a, b) AS rn
+        FROM ud) WHERE rn = 1
+    ),
+    f1 AS MATERIALIZED (SELECT a AS src, b AS dst FROM sel1
+                        UNION ALL SELECT b, a FROM sel1),
+    n1 AS MATERIALIZED (SELECT DISTINCT src AS id FROM f1),
+    c0 AS MATERIALIZED (SELECT id, id AS lbl FROM n1),
+    c1 AS MATERIALIZED (
+      SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+      FROM n1 n JOIN c0 s ON s.id = n.id
+      LEFT JOIN f1 e ON e.src = n.id LEFT JOIN c0 nb ON nb.id = e.dst
+      GROUP BY n.id, s.lbl),
+    c2 AS MATERIALIZED (
+      SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+      FROM n1 n JOIN c1 s ON s.id = n.id
+      LEFT JOIN f1 e ON e.src = n.id LEFT JOIN c1 nb ON nb.id = e.dst
+      GROUP BY n.id, s.lbl),
+    c3 AS MATERIALIZED (
+      SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+      FROM n1 n JOIN c2 s ON s.id = n.id
+      LEFT JOIN f1 e ON e.src = n.id LEFT JOIN c2 nb ON nb.id = e.dst
+      GROUP BY n.id, s.lbl),
+    lab AS MATERIALIZED (
+      SELECT nn.u AS id, COALESCE(c3.lbl, nn.u) AS lbl
+      FROM (SELECT DISTINCT u FROM ud) nn LEFT JOIN c3 ON c3.id = nn.u
+    ),
+    sel2 AS MATERIALIZED (
+      SELECT DISTINCT a, b, w FROM (
+        SELECT ud.a, ud.b, ud.w,
+               ROW_NUMBER() OVER (PARTITION BY la.lbl
+                                  ORDER BY ud.w, ud.a, ud.b) AS rn
+        FROM ud JOIN lab la ON la.id = ud.u JOIN lab lb ON lb.id = ud.o
+        WHERE la.lbl <> lb.lbl) WHERE rn = 1
+    )
+    SELECT CAST(1 AS INT) AS round, a, b, w FROM sel1
+    UNION ALL
+    SELECT CAST(2 AS INT), a, b, w FROM sel2
+    """,
+)
+def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boruvka minimum-spanning-forest rounds (graph.mst_boruvka)
+    over the part<->supplier graph with exact integer-cents weights:
+    per round every component hooks its minimum outgoing edge under
+    the total (w, a, b) order (cycle-free without distinct-weight
+    assumptions), selections merge components via the bounded
+    min-label propagation. Seventh iterative-graph pattern; the
+    oracle unrolls both rounds + the 3-round component chain as CTEs
+    (the graph_hits/graph_kcore idiom)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (
+        F.col("l_extendedprice").cast("decimal(15,2)") * 100
+    ).cast("bigint")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+        cents.alias("w"),
+    )
+    return graph.mst_boruvka(edges, rounds=2, cc_iterations=3)
+
+
+@_register(
     "s7_sq8_topk",
     f"""
     WITH dims AS (
@@ -13436,6 +13512,7 @@ _PRIORITY = (
     "stats_spearman",
     "mm11_image_patches",
     "d19_soft_dedup_weights",
+    "graph_mst",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

@@ -339,3 +339,41 @@ def test_bloom_decimal_vs_bigint_keys_no_false_negatives(spark):
     keys = spark.range(0, 300, 11).select(F.col("id").alias("kk"))
     got = sorted(int(r.k) for r in bloom_semi_join(probe, keys, "k", "kk").collect())
     assert got == list(range(0, 300, 11))
+
+
+def test_mst_boruvka_hand_computed(spark):
+    """Two triangles bridged by one heavy edge: round 1 hooks each
+    node's cheapest edge; round 2 adds the bridge between the merged
+    components. Total selected = the true MST."""
+    from hi_csa_db_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 1), (2, 3, 2), (1, 3, 9),       # triangle A
+            (4, 5, 1), (5, 6, 2), (4, 6, 9),       # triangle B
+            (3, 4, 5),                              # the bridge
+        ],
+        "src long, dst long, w long",
+    )
+    rows = graph.mst_boruvka(edges, rounds=2, cc_iterations=3).collect()
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r["round"], set()).add((r["a"], r["b"], r["w"]))
+    assert by_round[1] == {(1, 2, 1), (2, 3, 2), (4, 5, 1), (5, 6, 2)}
+    assert by_round[2] == {(3, 4, 5)}
+    # MST weight of this graph is 1+2+1+2+5 = 11
+    assert sum(w for sel in by_round.values() for (_, _, w) in sel) == 11
+
+
+def test_mst_boruvka_tie_break_is_cycle_free(spark):
+    """Equal weights everywhere: the (w, a, b) total order must still
+    produce an acyclic selection covering the graph."""
+    from hi_csa_db_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 3), (3, 4, 3), (4, 1, 3)],
+        "src long, dst long, w long",
+    )
+    rows = graph.mst_boruvka(edges, rounds=2, cc_iterations=3).collect()
+    sel = {(r["a"], r["b"]) for r in rows}
+    assert len(sel) == 3  # spanning tree of 4 nodes, no 4th (cycle) edge
