@@ -13428,6 +13428,480 @@ def a11_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Session-r4c batch: referential-integrity DQ profile, chi-square and
+# grid-exact Kendall association stats, stratified sampling, Heaps-law
+# vocabulary growth
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dq7_referential_integrity",
+    """
+    WITH e1 AS (
+      SELECT 'lineitem->orders' AS edge,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS child_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                WHERE l.l_orderkey = o.o_orderkey)) AS unreferenced_parents
+    ),
+    e2 AS (
+      SELECT 'lineitem->part' AS edge,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS child_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey)) AS orphan_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM part p
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                WHERE l.l_partkey = p.p_partkey)) AS unreferenced_parents
+    ),
+    e3 AS (
+      SELECT 'orders->customer' AS edge,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS child_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)) AS orphan_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey)) AS unreferenced_parents
+    ),
+    e4 AS (
+      SELECT 'events->customer' AS edge,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS child_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = e.user_id)) AS orphan_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM events e
+                                WHERE e.user_id = c.c_custkey)) AS unreferenced_parents
+    )
+    SELECT * FROM e1 UNION ALL SELECT * FROM e2
+    UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+    """,
+)
+def dq7_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity profile: for each FK edge of
+    the star schema (lineitem->orders, lineitem->part,
+    orders->customer, events->customer), report child cardinality,
+    orphan children (FK value with no parent row), and unreferenced
+    parents (parent key no child ever cites) — the containment audit a
+    DQ gate runs before joining 100 TB fact data against dimensions.
+
+    Scale shape: ONE pass per edge — child keys pre-aggregated to
+    (key, count), full-outer-joined to the distinct parent keys, then
+    a scalar aggregate; the shuffle is on the join key (what the
+    downstream join would shuffle anyway) and carries counts, not
+    rows. No anti-join per metric: all three metrics fall out of the
+    same outer join."""
+
+    def edge(
+        child: DataFrame, ckey: str, parent: DataFrame, pkey: str, name: str
+    ) -> DataFrame:
+        ck = child.groupBy(F.col(ckey).alias("k")).agg(
+            F.count(F.lit(1)).alias("cn")
+        )
+        pk = parent.select(F.col(pkey).alias("k")).distinct().withColumn(
+            "p", F.lit(1)
+        )
+        j = ck.join(pk, "k", "full_outer")
+        return j.agg(
+            F.coalesce(F.sum("cn"), F.lit(0)).cast("bigint").alias("child_rows"),
+            F.coalesce(F.sum(F.when(F.col("p").isNull(), F.col("cn"))), F.lit(0))
+            .cast("bigint")
+            .alias("orphan_rows"),
+            F.sum(F.when(F.col("cn").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("unreferenced_parents"),
+        ).select(
+            F.lit(name).alias("edge"),
+            "child_rows",
+            "orphan_rows",
+            "unreferenced_parents",
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        edge(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionAll(edge(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+        .unionAll(edge(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionAll(edge(ev, "user_id", c, "c_custkey", "events->customer"))
+    )
+
+
+@_register(
+    "stats_chi2_independence",
+    """
+    WITH p AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ),
+    ob AS (SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS obs FROM p GROUP BY seg, pri),
+    rt AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS r FROM p GROUP BY seg),
+    ct AS (SELECT pri, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY pri),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+    terms AS (
+      SELECT CAST(ROUND(
+               CAST(CAST(obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c AS DOUBLE)
+               * CAST(CAST(obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE), 8)
+             AS DECIMAL(28,8)) AS term
+      FROM ob JOIN rt USING (seg) JOIN ct USING (pri) CROSS JOIN nn
+    ),
+    dof AS (
+      SELECT ((SELECT COUNT(*) FROM rt) - 1) * ((SELECT COUNT(*) FROM ct) - 1) AS d
+    )
+    SELECT (SELECT n FROM nn) AS n_pairs,
+           CAST((SELECT d FROM dof) AS BIGINT) AS dof,
+           ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2_stat
+    FROM terms
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between customer market
+    segment and order priority — the categorical-association statistic
+    beside stats_linreg (Pearson) and stats_spearman (rank).
+
+    Cross-engine determinism: every contingency count is an exact
+    integer; the per-cell statistic (O*N - R*C)^2 / (N*R*C) touches
+    floats only in one IEEE multiply and one IEEE division of exactly
+    rounded integer-valued doubles (no libm), each term is rounded to
+    8dp and summed as DECIMAL (order-independent), and the statistic
+    is rounded once at the end.
+
+    Scale shape: three map-combined aggregates over the joined fact
+    (cells, row margins, column margins — 25/5/5 groups), broadcast
+    re-joined; nothing after the first groupBy touches row-scale
+    data. Integer envelope: HUGEINT/DECIMAL(38) cross products hold
+    to ~1e19 pairs."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+    )
+    ob = p.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("obs"))
+    rt = p.groupBy("seg").agg(F.count(F.lit(1)).alias("r"))
+    ct = p.groupBy("pri").agg(F.count(F.lit(1)).alias("c"))
+    nn = p.agg(F.count(F.lit(1)).alias("n"))
+    num = (
+        F.col("obs").cast("decimal(38,0)") * F.col("n")
+        - F.col("r").cast("decimal(38,0)") * F.col("c")
+    ).cast("double")
+    den = (
+        F.col("n").cast("decimal(38,0)") * F.col("r") * F.col("c")
+    ).cast("double")
+    terms = (
+        ob.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "pri")
+        .crossJoin(F.broadcast(nn))
+        .select(F.round(num * num / den, 8).cast("decimal(28,8)").alias("term"))
+    )
+    dof = (
+        rt.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(F.broadcast(ct.agg(F.count(F.lit(1)).alias("nc"))))
+        .select(((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"))
+    )
+    return (
+        terms.agg(F.sum("term").alias("s"))
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(dof))
+        .select(
+            F.col("n").alias("n_pairs"),
+            "dof",
+            F.round(F.col("s").cast("double"), 6).alias("chi2_stat"),
+        )
+    )
+
+
+@_register(
+    "stats_kendall_grid",
+    """
+    WITH p AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS xc,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS yc
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+    vx AS (SELECT xc, COUNT(*) AS cnt FROM p GROUP BY xc),
+    cx AS (SELECT xc, SUM(cnt) OVER (ORDER BY xc ROWS UNBOUNDED PRECEDING) AS cum
+           FROM vx),
+    bx AS (SELECT xc, CAST((10 * cum + n - 1) // n AS INT) AS dx
+           FROM cx CROSS JOIN nn),
+    vy AS (SELECT yc, COUNT(*) AS cnt FROM p GROUP BY yc),
+    cy AS (SELECT yc, SUM(cnt) OVER (ORDER BY yc ROWS UNBOUNDED PRECEDING) AS cum
+           FROM vy),
+    by_ AS (SELECT yc, CAST((10 * cum + n - 1) // n AS INT) AS dy
+            FROM cy CROSS JOIN nn),
+    g AS (
+      SELECT dx, dy, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM p JOIN bx USING (xc) JOIN by_ USING (yc) GROUP BY dx, dy
+    ),
+    conc AS (
+      SELECT COALESCE(CAST(SUM(CAST(a.cnt AS HUGEINT) * b.cnt) AS HUGEINT),
+                      0) AS cc
+      FROM g a JOIN g b ON b.dx > a.dx AND b.dy > a.dy
+    ),
+    disc AS (
+      SELECT COALESCE(CAST(SUM(CAST(a.cnt AS HUGEINT) * b.cnt) AS HUGEINT),
+                      0) AS dd
+      FROM g a JOIN g b ON b.dx > a.dx AND b.dy < a.dy
+    ),
+    mx AS (SELECT dx, CAST(SUM(cnt) AS HUGEINT) AS tx FROM g GROUP BY dx),
+    my AS (SELECT dy, CAST(SUM(cnt) AS HUGEINT) AS ty FROM g GROUP BY dy),
+    tt AS (
+      SELECT (SELECT CAST(n AS HUGEINT) * (n - 1) // 2 FROM nn) AS n0,
+             (SELECT SUM(tx * (tx - 1) // 2) FROM mx) AS n1,
+             (SELECT SUM(ty * (ty - 1) // 2) FROM my) AS n2,
+             (SELECT cc FROM conc) AS c, (SELECT dd FROM disc) AS d
+    )
+    SELECT (SELECT n FROM nn) AS n_pairs,
+           ROUND(CAST(c - d AS DOUBLE)
+                 / (sqrt(CAST(n0 - n1 AS DOUBLE))
+                    * sqrt(CAST(n0 - n2 AS DOUBLE))), 6) AS kendall_tau_b
+    FROM tt
+    """,
+)
+def stats_kendall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b of order value vs customer balance over
+    DECILE-BUCKETED values — the concordance statistic made
+    shuffle-bounded: raw Kendall needs all O(n^2) pair comparisons
+    (or a distributed merge-sort inversion count); bucketing each
+    axis to 10 rank-deciles reduces concordant/discordant counting to
+    an exact computation over a <=100-cell contingency grid (tau-b of
+    the bucketed variables, with the bucket-tie correction in the
+    denominator). Every grid count, concordant product sum, and tie
+    term is an exact integer on both engines; floats appear only in
+    the final sqrt/division (IEEE, no libm), rounded once to 6dp.
+
+    Scale shape: decile assignment rides the per-value count table +
+    ordered.global_prefix_sums (range partition + broadcast offsets,
+    never a global single-partition window); the grid is built by one
+    map-combined groupBy; the grid self-joins are broadcast joins of
+    a 100-row frame. Integer envelope: concordant/discordant product
+    sums ride DECIMAL(38); the bigint tie terms n0/n1/n2 are exact to
+    ~4e9 rows (n*(n-1) < 2^63) — widen to decimal beyond."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pairs = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)").alias(
+            "xc"
+        ),
+        F.expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "yc"
+        ),
+    )
+    nn = pairs.agg(F.count(F.lit(1)).alias("n"))
+
+    def buckets(col: str, out: str) -> DataFrame:
+        vals = pairs.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        cum = ordered.global_prefix_sums(vals, col, ["cnt"])
+        return cum.crossJoin(F.broadcast(nn)).select(
+            col,
+            F.expr("CAST((10 * cum_cnt + n - 1) div n AS INT)").alias(out),
+        )
+
+    g = (
+        pairs.join(buckets("xc", "dx"), "xc")
+        .join(buckets("yc", "dy"), "yc")
+        .groupBy("dx", "dy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a, b = g.alias("a"), g.alias("b")
+    prod = (F.col("a.cnt").cast("decimal(38,0)") * F.col("b.cnt")).alias("pr")
+    conc = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.dx") > F.col("a.dx")) & (F.col("b.dy") > F.col("a.dy")),
+        )
+        .select(prod)
+        .agg(F.coalesce(F.sum("pr"), F.lit(0).cast("decimal(38,0)")).alias("c"))
+    )
+    disc = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.dx") > F.col("a.dx")) & (F.col("b.dy") < F.col("a.dy")),
+        )
+        .select(prod)
+        .agg(F.coalesce(F.sum("pr"), F.lit(0).cast("decimal(38,0)")).alias("d"))
+    )
+    n1 = (
+        g.groupBy("dx")
+        .agg(F.sum("cnt").cast("bigint").alias("tx"))
+        .agg(F.sum(F.expr("tx * (tx - 1) div 2")).cast("bigint").alias("n1"))
+    )
+    n2 = (
+        g.groupBy("dy")
+        .agg(F.sum("cnt").cast("bigint").alias("ty"))
+        .agg(F.sum(F.expr("ty * (ty - 1) div 2")).cast("bigint").alias("n2"))
+    )
+    n0 = nn.select(
+        F.expr("CAST(n * (n - 1) div 2 AS BIGINT)").alias("n0"),
+        F.col("n"),
+    )
+    return (
+        conc.crossJoin(F.broadcast(disc))
+        .crossJoin(F.broadcast(n0))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            F.col("n").alias("n_pairs"),
+            F.round(
+                (F.col("c") - F.col("d")).cast("double")
+                / (
+                    F.sqrt((F.col("n0") - F.col("n1")).cast("double"))
+                    * F.sqrt((F.col("n0") - F.col("n2")).cast("double"))
+                ),
+                6,
+            ).alias("kendall_tau_b"),
+        )
+    )
+
+
+@_register(
+    "x53_stratified_sample",
+    """
+    WITH r AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS rk
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS sample_rank
+    FROM r WHERE rk <= 40
+    """,
+)
+def x53_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with exact per-stratum counts: keep the
+    first min(40, |stratum|) documents of each language by md5(doc_id)
+    rank — the deterministic equivalent of per-stratum uniform
+    sampling (the hash is the uniform variate, as in x29's weighted
+    sampler), used to build evaluation slices with guaranteed
+    per-language representation.
+
+    Scale shape: one window pass PARTITIONED by stratum (parallel
+    across strata, never global) + a rank filter; no sort of the full
+    corpus, no collect. Skewed strata parallelize at the partition
+    level; within a hot stratum the window is a single partition —
+    for pathological single-stratum corpora, switch to
+    ordered.global_row_numbers keyed on the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 40)
+        .select("lang", "doc_id", F.col("rk").cast("bigint").alias("sample_rank"))
+    )
+
+
+@_register(
+    "x54_heaps_law",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    rk AS (
+      SELECT doc_id, len(toks) AS n_toks,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS r
+      FROM d
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM d),
+    dd AS (
+      SELECT doc_id, n_toks, CAST((10 * r + nd - 1) // nd AS INT) AS dec
+      FROM rk CROSS JOIN nn
+    ),
+    firsts AS (
+      SELECT tok, MIN(dec) AS first_dec
+      FROM (
+        SELECT unnest(list_distinct(toks)) AS tok, dec
+        FROM d JOIN dd USING (doc_id)
+      ) GROUP BY tok
+    ),
+    newv AS (SELECT first_dec AS dec, CAST(COUNT(*) AS BIGINT) AS nv
+             FROM firsts GROUP BY first_dec),
+    dt AS (SELECT dec, CAST(SUM(n_toks) AS BIGINT) AS toks,
+                  CAST(COUNT(*) AS BIGINT) AS docs
+           FROM dd GROUP BY dec)
+    SELECT a.dec AS decile,
+           CAST(SUM(b.docs) AS BIGINT) AS cum_docs,
+           CAST(SUM(b.toks) AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(nb.nv, 0)) AS BIGINT) AS cum_vocab
+    FROM dt a JOIN dt b ON b.dec <= a.dec
+    LEFT JOIN newv nb ON nb.dec = b.dec
+    GROUP BY a.dec
+    """,
+)
+def x54_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: stream the corpus in doc_id
+    order and report, at each tenth of the corpus, cumulative
+    documents, cumulative tokens, and cumulative DISTINCT vocabulary —
+    the sublinear vocab-vs-tokens curve that tells a tokenizer-training
+    pipeline when vocabulary has saturated.
+
+    Determinism: a token's first occurrence is attributed to the
+    decile of its minimum doc rank; every output is an exact integer.
+
+    Scale shape: doc ranks ride ordered.global_row_numbers (range
+    partition + broadcast offsets); first-occurrence is one
+    groupBy(token) MIN over per-doc DISTINCT tokens (array_distinct
+    before explode — the d3 idiom that keeps the shuffle narrow); the
+    cumulative step is a triangular join over the 10-row decile frame
+    (broadcast), never a global window."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.array_distinct(tokenize(F.lower(strip_punct(F.col("text"))))).alias(
+            "dtoks"
+        ),
+        F.size(tokenize(F.lower(strip_punct(F.col("text"))))).alias("n_toks"),
+    )
+    rk = ordered.global_row_numbers(d.select("doc_id", "n_toks"), "doc_id")
+    nn = d.agg(F.count(F.lit(1)).alias("nd"))
+    dd = rk.crossJoin(F.broadcast(nn)).select(
+        "doc_id",
+        "n_toks",
+        F.expr("CAST((10 * rank + nd - 1) div nd AS INT)").alias("dec"),
+    )
+    firsts = (
+        d.select("doc_id", F.explode("dtoks").alias("tok"))
+        .join(dd.select("doc_id", "dec"), "doc_id")
+        .groupBy("tok")
+        .agg(F.min("dec").alias("dec"))
+    )
+    newv = firsts.groupBy("dec").agg(F.count(F.lit(1)).alias("nv"))
+    per_dec = (
+        dd.groupBy("dec")
+        .agg(
+            F.sum("n_toks").cast("bigint").alias("toks"),
+            F.count(F.lit(1)).alias("docs"),
+        )
+        .join(newv, "dec", "left")
+        .select(
+            "dec", "toks", "docs", F.coalesce(F.col("nv"), F.lit(0)).alias("nv")
+        )
+    )
+    a = per_dec.select(F.col("dec").alias("decile"))
+    b = per_dec.select(
+        F.col("dec").alias("bdec"), "toks", "docs", "nv"
+    )
+    return (
+        a.join(F.broadcast(b), F.col("bdec") <= F.col("decile"))
+        .groupBy("decile")
+        .agg(
+            F.sum("docs").cast("bigint").alias("cum_docs"),
+            F.sum("toks").cast("bigint").alias("cum_tokens"),
+            F.sum("nv").cast("bigint").alias("cum_vocab"),
+        )
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
