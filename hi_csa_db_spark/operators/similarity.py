@@ -18,7 +18,7 @@ probes prune partitions at scan time.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hi_csa_db_spark.functions.vectors import cosine
@@ -128,6 +128,82 @@ def ivf_topk(
         .select(F.col(id_col), cosine(F.col(vec_col), F.col("__q")).alias("cos_sim"))
     )
     return _ranked(scored, k, id_col)
+
+
+def ivf_knn_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kNN JOIN: for EVERY query vector, its top-k corpus neighbors by
+    cosine — the batch analogue of ivf_topk (which serves one query).
+    This is the all-queries-at-once shape a retrieval/labeling
+    pipeline runs: embed a query set, join each to its nearest
+    corpus docs.
+
+    ``queries`` must carry ``(id_col, vec_col)``; corpus = all of
+    ``embeddings``. Self-matches (same id) are excluded.
+
+    Plan (the 100 TB shape): corpus vectors are assigned to their
+    nearest coarse centroid ONCE (ivf_assign — one shuffle); each
+    query ranks the broadcast centroid table and keeps its n_probe
+    nearest (per-query window, parallel across queries); candidates
+    come from ONE equi-join on centroid_id — never query x corpus.
+    The query vector rides the probe rows (a few hundred bytes) so
+    candidate scoring needs no second shuffle of the query side; the
+    corpus side joins its vectors back by id. Final top-k is a
+    per-query window (parallel in queries). Skewed buckets are AQE's
+    skew-join case; at fleet scale the corpus would be WRITTEN
+    bucketed by centroid so the candidate join prunes at scan time.
+
+    Determinism: centroid ranks and final ranks use cosine rounded to
+    6dp with id tiebreaks — stable across engines.
+    """
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__c")
+    )
+    assigned = ivf_assign(embeddings, cents.select("centroid_id", F.col("__c").alias(vec_col)), id_col, vec_col)
+    qw = Window.partitionBy("qid").orderBy(
+        F.col("__cs").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("__q"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "qid",
+            "__q",
+            "centroid_id",
+            F.round(cosine(F.col("__q"), F.col("__c")), 6).alias("__cs"),
+        )
+        .withColumn("__rn", F.row_number().over(qw))
+        .filter(F.col("__rn") <= n_probe)
+        .select("qid", "__q", "centroid_id")
+    )
+    cand = probes.join(assigned, "centroid_id").filter(
+        F.col(id_col) != F.col("qid")
+    )
+    scored = cand.join(embeddings.select(id_col, vec_col), id_col).select(
+        "qid",
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__q")), 6).alias("cos_sim"),
+    )
+    rw = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(rw))
+        .filter(F.col("__rk") <= k)
+        .select(
+            "qid",
+            F.col(id_col).alias("neighbor_id"),
+            "cos_sim",
+            F.col("__rk").cast("bigint").alias("rank"),
+        )
+    )
 
 
 def kmeans_iterate(

@@ -13764,7 +13764,7 @@ def stats_kendall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "x53_stratified_sample",
+    "x55_stratified_sample",
     """
     WITH r AS (
       SELECT lang, doc_id,
@@ -13778,7 +13778,7 @@ def stats_kendall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r WHERE rk <= 40
     """,
 )
-def x53_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x55_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling with exact per-stratum counts: keep the
     first min(40, |stratum|) documents of each language by md5(doc_id)
     rank — the deterministic equivalent of per-stratum uniform
@@ -13804,7 +13804,7 @@ def x53_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "x54_heaps_law",
+    "x56_heaps_law",
     f"""
     WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     rk AS (
@@ -13838,7 +13838,7 @@ def x53_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY a.dec
     """,
 )
-def x54_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x56_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary-growth curve: stream the corpus in doc_id
     order and report, at each tenth of the corpus, cumulative
     documents, cumulative tokens, and cumulative DISTINCT vocabulary —
@@ -13900,6 +13900,217 @@ def x54_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nv").cast("bigint").alias("cum_vocab"),
         )
     )
+
+
+@_register(
+    "pipe_training_prep_v5",
+    f"""
+    WITH {_D6_LABELS_SQL},
+    {_X20_SCORED_SQL},
+    {_DSIR_W_SQL},
+    qgate AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT s.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY d.lang
+                                  ORDER BY s.logit_micro DESC, s.doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY d.lang) AS n
+        FROM scored s JOIN documents d USING (doc_id)
+      ) WHERE rn * 10 <= n * 4
+    ),
+    m AS (
+      SELECT lbl, MAX(logit_micro) AS mx
+      FROM l3 JOIN scored s ON s.doc_id = l3.id
+      GROUP BY lbl
+    ),
+    surv AS (
+      SELECT m.lbl, MIN(l3.id) AS survivor_id
+      FROM m JOIN l3 ON l3.lbl = m.lbl
+             JOIN scored s ON s.doc_id = l3.id AND s.logit_micro = m.mx
+      GROUP BY m.lbl
+    ),
+    drops AS (
+      SELECT l3.id FROM l3 JOIN surv ON surv.lbl = l3.lbl
+      WHERE l3.id <> surv.survivor_id
+    ),
+    dk AS (
+      SELECT doc_id FROM w
+      WHERE (doc_id * 2654435761) % 4294967296 * 1000000
+            < greatest(0, least(1000000, 500000 + 10 * dsir_microweight))
+              * 4294967296
+    ),
+    kept AS (
+      SELECT d.doc_id, d.text, s.n_words
+      FROM documents d
+      JOIN scored s ON s.doc_id = d.doc_id
+      JOIN qgate qg ON qg.doc_id = d.doc_id
+      JOIN dk ON dk.doc_id = d.doc_id
+      LEFT JOIN drops dr ON dr.id = d.doc_id
+      WHERE dr.id IS NULL
+    )
+    SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)
+                    % 2147483647) AS BIGINT) AS content_checksum
+    FROM kept GROUP BY 1
+    """,
+)
+def pipe_training_prep_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus pipeline v5: v3's stage chain with the ABSOLUTE quality
+    gate swapped for x26's per-language QUANTILE gate (keep the top
+    40% of each language slice by classifier logit). An absolute logit
+    threshold drifts as the corpus mix shifts between crawls; the
+    per-slice quantile self-calibrates — this is the v3 composition a
+    production pipeline would actually run on a moving corpus. Stages:
+    per-lang quantile filter (x26's integer rank*10 <= n*4 rule) ->
+    best-quality near-dup survivor (d10) -> DSIR resample (x24) ->
+    x35-style shard manifest.
+
+    Scale: the gate is one window pass partitioned by lang (parallel
+    across slices) feeding a semi-join; everything else inherits
+    v3/v4's proven stage contracts; manifest is a 16-group
+    map-combined aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = x20_quality_classifier(spark, sf_dir).select(
+        "doc_id", "n_words", "logit_micro"
+    )
+    lab = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    qw = Window.partitionBy("lang").orderBy(
+        F.col("logit_micro").desc(), F.col("doc_id").asc()
+    )
+    qgate = (
+        lab.select(
+            "doc_id",
+            F.row_number().over(qw).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+        )
+        .filter(F.col("rn") * 10 <= F.col("n") * 4)
+        .select("doc_id")
+    )
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=8, threshold=0.05
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = graph.connected_components(edges, iterations=3)
+    mem = labels.join(
+        scored.select(F.col("doc_id").alias("id"), "logit_micro"), "id"
+    ).select("id", "lbl", "logit_micro")
+    m = mem.groupBy("lbl").agg(F.max("logit_micro").alias("mx"))
+    surv = (
+        mem.join(m, "lbl")
+        .filter(F.col("logit_micro") == F.col("mx"))
+        .groupBy("lbl")
+        .agg(F.min("id").alias("survivor_id"))
+    )
+    drops = (
+        labels.join(surv, "lbl")
+        .filter(F.col("id") != F.col("survivor_id"))
+        .select("id")
+    )
+    wdf = _dsir_weight_frame(spark, sf_dir)
+    wi = F.col("dsir_microweight")
+    p = F.greatest(F.lit(0), F.least(F.lit(1000000), F.lit(500000) + 10 * wi))
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    dk = wdf.filter(u * 1000000 < p * F.lit(4294967296)).select("doc_id")
+    kept = (
+        docs.select("doc_id", "text")
+        .join(scored.select("doc_id", "n_words"), "doc_id")
+        .join(qgate, "doc_id")
+        .join(dk, "doc_id")
+        .join(drops, F.col("doc_id") == drops["id"], "left_anti")
+    )
+    shard = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("long")
+    fp = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+        % 2147483647
+    )
+    return (
+        kept.select(
+            shard.alias("shard"),
+            F.col("n_words"),
+            fp.alias("fp"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_tokens"),
+            F.sum("fp").alias("content_checksum"),
+        )
+    )
+
+
+@_register(
+    "s11_knn_join",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qv
+      FROM embeddings WHERE vec_id % 97 = 3
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_cos_sql('e.embedding', 'c.cv')}, 6) DESC,
+                          c.centroid_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT qid, centroid_id FROM (
+        SELECT q.qid, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY ROUND({_cos_sql('c.cv', 'q.qv')}, 6) DESC,
+                          c.centroid_id ASC
+               ) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id
+      FROM probes p JOIN assigned a USING (centroid_id)
+      WHERE a.vec_id <> p.qid
+    ),
+    scored AS (
+      SELECT c.qid, c.vec_id,
+             ROUND({_cos_sql('e.embedding', 'q.qv')}, 6) AS cos_sim
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.vec_id
+      JOIN q ON q.qid = c.qid
+    )
+    SELECT qid, vec_id AS neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def s11_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed kNN JOIN: every 97th vector is a query; each gets
+    its top-3 corpus neighbors by cosine, with candidates drawn only
+    from the 2 IVF buckets nearest the query — the batch
+    embed-and-retrieve shape (labeling by nearest neighbors, dense
+    retrieval for a query set) where per-query brute force would be
+    |Q| x |corpus|.
+
+    Scale shape (operators/similarity.ivf_knn_join): one corpus
+    assignment shuffle, a per-query probe window over the broadcast
+    centroid table, ONE candidate equi-join on centroid_id (the query
+    vector rides the probe row — no second query-side shuffle), and a
+    per-query top-k window. Never query x corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 97 == 3)
+    return similarity.ivf_knn_join(emb, q, k=3, n_centroids=8, n_probe=2)
 
 
 # Exposure order. The driver's correctness gate samples a 50-query
@@ -13987,6 +14198,13 @@ _PRIORITY = (
     "mm11_image_patches",
     "d19_soft_dedup_weights",
     "graph_mst",
+    "dq7_referential_integrity",
+    "stats_chi2_independence",
+    "stats_kendall_grid",
+    "x55_stratified_sample",
+    "x56_heaps_law",
+    "s11_knn_join",
+    "pipe_training_prep_v5",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
