@@ -14113,6 +14113,154 @@ def s11_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_knn_join(emb, q, k=3, n_centroids=8, n_probe=2)
 
 
+@_register(
+    "j10_fuzzy_neighbor_join",
+    """
+    WITH v AS (
+      SELECT p_partkey, p_name,
+             unnest(list_distinct(list_transform(
+               range(0, length(p_name) + 1),
+               i -> CASE WHEN i = 0 THEN p_name
+                    ELSE substr(p_name, 1, i - 1)
+                         || substr(p_name, i + 1, length(p_name)) END
+             ))) AS variant
+      FROM part
+    ),
+    cand AS (
+      SELECT DISTINCT a.p_partkey AS ka, a.p_name AS na,
+                      b.p_partkey AS kb, b.p_name AS nb
+      FROM v a JOIN v b ON a.variant = b.variant AND a.p_partkey <> b.p_partkey
+    ),
+    ok AS (
+      SELECT ka, kb FROM cand WHERE levenshtein(na, nb) = 1
+    )
+    SELECT ka AS p_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_typo_neighbors,
+           CAST(MIN(kb) AS BIGINT) AS nearest_neighbor_key
+    FROM ok GROUP BY ka
+    """,
+)
+def j10_fuzzy_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join at edit distance 1 via SymSpell-style
+    DELETION-NEIGHBORHOOD blocking: each name emits itself plus every
+    single-character deletion; two names within one edit (insert,
+    delete, or substitute) provably share a variant, so the candidate
+    equi-join on the variant key is a SUPERSET of the truth, and the
+    exact levenshtein verify runs only on candidates — the d2/a11
+    candidates-then-exact pattern applied to approximate string
+    matching (typo clusters, near-duplicate entity names). Output:
+    per part, how many distance-1 neighbors it has and the smallest
+    neighboring key.
+
+    Scale shape: the variant fan-out is ~len+1 rows per name (narrow,
+    map-side); candidate generation is ONE equi-join on the variant
+    hash — never name x name; the verify touches only candidate
+    pairs. The oracle replays the same lossless blocking (a brute
+    theta-join would be quadratic at sf0.1+); blocking = brute force
+    is pinned by a pytest at sf0.001."""
+    part = load_table(spark, sf_dir, "part")
+    v = part.select(
+        "p_partkey",
+        "p_name",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, length(p_name)), i -> "
+                    "CASE WHEN i = 0 THEN p_name "
+                    "ELSE concat(substring(p_name, 1, i - 1), "
+                    "substring(p_name, i + 1, length(p_name))) END)"
+                )
+            )
+        ).alias("variant"),
+    )
+    a = v.select(
+        F.col("variant"),
+        F.col("p_partkey").alias("ka"),
+        F.col("p_name").alias("na"),
+    )
+    b = v.select(
+        F.col("variant"),
+        F.col("p_partkey").alias("kb"),
+        F.col("p_name").alias("nb"),
+    )
+    cand = (
+        a.join(b, "variant")
+        .filter(F.col("ka") != F.col("kb"))
+        .select("ka", "na", "kb", "nb")
+        .distinct()
+    )
+    ok = cand.filter(F.levenshtein("na", "nb") == 1)
+    return ok.groupBy(F.col("ka").alias("p_partkey")).agg(
+        F.count(F.lit(1)).alias("n_typo_neighbors"),
+        F.min("kb").alias("nearest_neighbor_key"),
+    )
+
+
+@_register(
+    "q_skyline_pareto",
+    """
+    SELECT p.p_partkey, p.p_size,
+           CAST(CAST(p.p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS price_cents
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_size >= p.p_size
+        AND q.p_retailprice <= p.p_retailprice
+        AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice)
+    )
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) operator: parts not dominated on
+    (bigger size, cheaper price) — no other part is at least as large
+    AND at most as expensive with one strict. The classic
+    multi-criteria shortlist operator (Borzsonyi et al., ICDE 2001).
+
+    Scale shape: for 2-D skylines dominance collapses to a PREFIX-MIN
+    — a part is dominated iff (min price over strictly larger sizes)
+    <= its price, or (min price within its own size) < its price. So
+    the plan is: one map-combined groupBy to the per-size min-price
+    table (|distinct sizes| rows), a broadcast triangular join for
+    the strictly-larger prefix min, and one broadcast semi-filter
+    back over the fact — never part x part. The oracle states the
+    NOT EXISTS dominance definition directly; the prefix-min
+    rewrite's equality to it is the value check. Prices compare as
+    exact integer cents on both engines."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.expr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "price_cents"
+        ),
+    )
+    ps = part.groupBy("p_size").agg(F.min("price_cents").alias("mp"))
+    bigger = (
+        ps.select(F.col("p_size").alias("s"))
+        .join(
+            F.broadcast(ps.select(F.col("p_size").alias("s2"), "mp")),
+            F.col("s2") > F.col("s"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.min("mp").alias("m1"))
+    )
+    dom = (
+        ps.select(F.col("p_size").alias("s"), F.col("mp").alias("m0"))
+        .join(F.broadcast(bigger), "s")
+    )
+    return (
+        part.join(
+            F.broadcast(dom), part["p_size"] == F.col("s")
+        )
+        .filter(
+            (F.col("m1").isNull() | (F.col("m1") > F.col("price_cents")))
+            & (F.col("m0") >= F.col("price_cents"))
+        )
+        .select("p_partkey", "p_size", "price_cents")
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
