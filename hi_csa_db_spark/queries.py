@@ -14261,6 +14261,132 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "t25_debounce",
+    """
+    WITH o AS (
+      SELECT event_type, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_us IS NULL
+                          OR ts_us - prev_us >= 3600000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN prev_us IS NOT NULL
+                          AND ts_us - prev_us < 3600000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_collapsed
+    FROM o GROUP BY event_type
+    """,
+)
+def t25_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: collapse bursts — an event repeats its
+    (user, type) predecessor within an hour, so only the burst's
+    FIRST event survives (the lag-gap form of debouncing; the
+    keep-first-of-island rule t2's sessionizer generalizes). Reports
+    per event type how many events a debounced pipeline would keep
+    vs collapse.
+
+    Determinism: event time compares at DECLARED microsecond
+    precision on both engines (`ts_ns div 1000` vs `epoch_us`), ties
+    broken by event_id — the r4 rule that killed the t2/t8
+    driver-red class.
+
+    Scale shape: one lag window partitioned by (user, type) —
+    parallel in users — plus a 5-group map-combined aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        us.asc(), F.col("event_id").asc()
+    )
+    o = ev.select(
+        "event_type", us.alias("ts_us"), F.lag(us).over(w).alias("prev_us")
+    )
+    fresh = F.col("prev_us").isNull() | (
+        F.col("ts_us") - F.col("prev_us") >= 3_600_000_000
+    )
+    return o.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(fresh, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(~fresh, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_collapsed"),
+    )
+
+
+# Benford first-digit expectation, micro-probabilities of log10(1+1/d)
+# for d=1..9 hardcoded as LITERALS (public constants; no runtime libm).
+_BENFORD_MICRO = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+_BENFORD_VALUES_SQL = ", ".join(
+    f"({d + 1}, {p})" for d, p in enumerate(_BENFORD_MICRO)
+)
+
+
+@_register(
+    "stats_benford",
+    f"""
+    WITH exp_p AS (SELECT * FROM (VALUES {_BENFORD_VALUES_SQL}) t(digit, p_micro)),
+    obs AS (
+      SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100
+                                   AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM orders GROUP BY 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders)
+    SELECT e.digit,
+           COALESCE(o.n_obs, 0) AS n_obs,
+           CAST(n * e.p_micro AS BIGINT) AS expected_micro,
+           CAST(COALESCE(o.n_obs, 0) * 1000000 - n * e.p_micro AS BIGINT)
+             AS deviation_micro
+    FROM exp_p e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN nn
+    """,
+)
+def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed leading-
+    digit counts vs the Benford expectation — the classic anomaly/
+    fraud screen for monetary columns in a DQ suite. The expected
+    probabilities log10(1+1/d) are PUBLIC CONSTANTS embedded as
+    integer micro-probability literals in both dialects, so no libm
+    call exists at runtime and every output column is an exact
+    integer (deviation_micro = 1e6*obs - n*p_micro).
+
+    Scale shape: first digit extracted from the exact cents integer
+    (never float formatting); one 9-group map-combined aggregate +
+    a broadcast join against the 9-row constant table."""
+    o = load_table(spark, sf_dir, "orders")
+    exp_p = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_MICRO)], "digit int, p_micro long"
+    )
+    obs = (
+        o.select(
+            F.expr(
+                "CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(15,2)) "
+                "* 100 AS BIGINT) AS STRING), 1, 1) AS INT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    nn = o.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        exp_p.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
+            (F.col("n") * F.col("p_micro")).cast("bigint").alias("expected_micro"),
+            (
+                F.coalesce(F.col("n_obs"), F.lit(0)) * F.lit(1000000)
+                - F.col("n") * F.col("p_micro")
+            )
+            .cast("bigint")
+            .alias("deviation_micro"),
+        )
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -14353,6 +14479,10 @@ _PRIORITY = (
     "x56_heaps_law",
     "s11_knn_join",
     "pipe_training_prep_v5",
+    "j10_fuzzy_neighbor_join",
+    "q_skyline_pareto",
+    "t25_debounce",
+    "stats_benford",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
