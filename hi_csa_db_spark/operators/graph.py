@@ -369,6 +369,64 @@ def sssp(
     return dist
 
 
+def landmark_closeness(
+    edges: DataFrame,
+    landmarks: list[int],
+    iterations: int = 3,
+) -> DataFrame:
+    """Landmark closeness centrality by MULTI-SOURCE synchronous BFS —
+    the eighth iterative-graph pattern: one state table keyed
+    (landmark, node) carries ALL sources through the same per-round
+    join, so k landmarks cost one traversal, not k (the standard
+    approximation of closeness at graph scale: exact all-pairs is
+    quadratic, landmark BFS is k·E).
+
+    ``edges``: (src, dst), treated as directed (pass both directions
+    for undirected graphs). Returns per landmark: nodes reached
+    within ``iterations`` hops, total hop distance, and
+    closeness_micro = floor(1e6*(reached-1)/total_dist) — all exact
+    integers (the bounded-horizon closeness the oracle can replay by
+    unrolling rounds).
+
+    Per round: one frontier join against the cached edge layout + one
+    (landmark, node) min-aggregate; the landmark key rides the
+    shuffle for free. localCheckpoint per round stops lineage growth
+    (the _iter_layout contract).
+    """
+    e = _iter_layout(edges.select("src", "dst").distinct(), "src")
+    spark = e.sparkSession
+    d = spark.createDataFrame(
+        [(lm, lm, 0) for lm in landmarks], "lm long, id long, dist long"
+    )
+    for _ in range(iterations):
+        nxt = d.join(e, d["id"] == e["src"]).select(
+            "lm", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist")
+        )
+        d = (
+            d.unionByName(nxt)
+            .groupBy("lm", "id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        d.groupBy("lm")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("dist").cast("bigint").alias("total_dist"),
+        )
+        .select(
+            F.col("lm").alias("landmark"),
+            "n_reached",
+            "total_dist",
+            F.expr(
+                "CAST(CASE WHEN total_dist > 0 THEN "
+                "(n_reached - 1) * 1000000 div total_dist "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("closeness_micro"),
+        )
+    )
+
+
 def mst_boruvka(
     edges: DataFrame,
     rounds: int = 2,

@@ -273,3 +273,35 @@ def test_referential_integrity_clean_fixtures(spark, sf_dir):
     for edge, r in out.items():
         assert r["orphan_rows"] == 0, edge
         assert r["child_rows"] > 0, edge
+
+
+# ---------------------------------------------------------------------------
+# graph: landmark closeness on a hand-computed path graph
+# ---------------------------------------------------------------------------
+
+
+def test_landmark_closeness_path_graph(spark):
+    from hi_csa_db_spark.operators import graph
+
+    fwd = [(i, i + 1) for i in range(1, 5)]  # path 1-2-3-4-5
+    edges = spark.createDataFrame(
+        fwd + [(b, a) for a, b in fwd], "src long, dst long"
+    )
+    out = {
+        r["landmark"]: (r["n_reached"], r["total_dist"], r["closeness_micro"])
+        for r in graph.landmark_closeness(edges, [1, 5], iterations=3).collect()
+    }
+    # 3 hops from an end of the path reach 4 nodes at distances 0+1+2+3
+    assert out == {1: (4, 6, 500000), 5: (4, 6, 500000)}
+
+
+def test_landmark_closeness_isolated_landmark(spark):
+    from hi_csa_db_spark.operators import graph
+
+    edges = spark.createDataFrame([(10, 11), (11, 10)], "src long, dst long")
+    out = {
+        r["landmark"]: (r["n_reached"], r["total_dist"], r["closeness_micro"])
+        for r in graph.landmark_closeness(edges, [99], iterations=2).collect()
+    }
+    # landmark with no outgoing edges reaches only itself; guard emits 0
+    assert out == {99: (1, 0, 0)}
