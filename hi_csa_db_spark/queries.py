@@ -13688,13 +13688,21 @@ def stats_kendall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~4e9 rows (n*(n-1) < 2^63) — widen to decimal beyond."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    pairs = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
-        F.expr("CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)").alias(
-            "xc"
-        ),
-        F.expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
-            "yc"
-        ),
+    pairs = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)"
+            ).alias("xc"),
+            F.expr(
+                "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            ).alias("yc"),
+        )
+        # The pair frame fans out to five consumers (count, two bucket
+        # branches, the grid join's probe); materialize it once so the
+        # join/scan subtree isn't re-evaluated per branch (the
+        # global_row_numbers branch-fan-out rule).
+        .localCheckpoint(eager=False)
     )
     nn = pairs.agg(F.count(F.lit(1)).alias("n"))
 
@@ -13711,6 +13719,10 @@ def stats_kendall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(buckets("yc", "dy"), "yc")
         .groupBy("dx", "dy")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # <=100-row grid, referenced by four consumers (conc, disc,
+        # and both tie-term margins) — materialize instead of
+        # re-deriving the bucket joins per reference.
+        .localCheckpoint(eager=False)
     )
     a, b = g.alias("a"), g.alias("b")
     prod = (F.col("a.cnt").cast("decimal(38,0)") * F.col("b.cnt")).alias("pr")
@@ -13861,7 +13873,10 @@ def x56_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dtoks"
         ),
         F.size(tokenize(F.lower(strip_punct(F.col("text"))))).alias("n_toks"),
-    )
+        # tokenized once, fanned out to the rank branch, the count,
+        # and the first-occurrence explode — materialize the tokenize
+        # pass instead of re-running it per consumer.
+    ).localCheckpoint(eager=False)
     rk = ordered.global_row_numbers(d.select("doc_id", "n_toks"), "doc_id")
     nn = d.agg(F.count(F.lit(1)).alias("nd"))
     dd = rk.crossJoin(F.broadcast(nn)).select(

@@ -138,6 +138,18 @@ EXTRA = [
     "x46_ngram_novelty",
     "t21_rfm_segmentation",
     "stats_gini",
+    # round-4 session-3 additions
+    "dq7_referential_integrity",
+    "stats_chi2_independence",
+    "stats_kendall_grid",
+    "x55_stratified_sample",
+    "x56_heaps_law",
+    "s11_knn_join",
+    "j10_fuzzy_neighbor_join",
+    "q_skyline_pareto",
+    "t25_debounce",
+    "stats_benford",
+    "graph_closeness",
 ]
 
 
