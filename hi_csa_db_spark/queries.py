@@ -14461,6 +14461,39 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.landmark_closeness(edges, landmarks=[1, 2, 3, 4], iterations=3)
 
 
+@_register(
+    "stream_debounce",
+    """
+    WITH o AS (
+      SELECT event_type, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_us IS NULL
+                          OR ts_us - prev_us >= 3600000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN prev_us IS NOT NULL
+                          AND ts_us - prev_us < 3600000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_collapsed
+    FROM o GROUP BY event_type
+    """,
+)
+def stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t25's debounce under the STREAMING planner: a burst is exactly
+    one session_window('1 hour') group — the lag-chain keep rule and
+    session merging both break where the gap to the predecessor
+    reaches the threshold — so kept == session count per (user, type)
+    and the oracle is t25's lag SQL VERBATIM (the strongest kind of
+    streaming value oracle: a different engine, a different plan
+    shape, the same exact integers)."""
+    from hi_csa_db_spark.streaming import windows
+
+    return windows.debounce_sessions(spark, sf_dir)
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -14558,6 +14591,7 @@ _PRIORITY = (
     "t25_debounce",
     "stats_benford",
     "graph_closeness",
+    "stream_debounce",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

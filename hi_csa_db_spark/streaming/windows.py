@@ -86,6 +86,37 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(windowed, "stream_session_windows", "complete")
 
 
+def debounce_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming debounce — the streaming twin of batch t25: a burst
+    (same user+type events each within an hour of the previous) is
+    exactly ONE session_window('1 hour') group, so kept-events ==
+    session count and collapsed == events - sessions. The lag-chain
+    rule and session merging provably coincide: both break where the
+    gap to the predecessor is >= the threshold (Spark sessions span
+    [start, last+gap), timestamps compare at microsecond precision on
+    both engines).
+
+    The per-(user, type, session) counts come from the watermarked
+    streaming aggregation; the 5-row per-type rollup is a batch
+    aggregate over the memory sink (the report step a foreachBatch
+    sink would run)."""
+    ev = read_events_stream(spark, sf_dir)
+    windowed = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "1 hour"), "user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_in_burst"))
+        .select("user_id", "event_type", "n_in_burst")
+    )
+    sink = _run_to_memory(windowed, "stream_debounce", "complete")
+    return sink.groupBy("event_type").agg(
+        F.sum("n_in_burst").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        (F.sum("n_in_burst") - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_collapsed"),
+    )
+
+
 def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with an event-time interval bound:
     each purchase matched to the same user's clicks in the preceding

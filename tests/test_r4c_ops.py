@@ -305,3 +305,17 @@ def test_landmark_closeness_isolated_landmark(spark):
     }
     # landmark with no outgoing edges reaches only itself; guard emits 0
     assert out == {99: (1, 0, 0)}
+
+
+# ---------------------------------------------------------------------------
+# streaming: debounce twin equals the batch lag rule
+# ---------------------------------------------------------------------------
+
+
+def test_stream_debounce_equals_batch_t25(spark, sf_dir):
+    """Session-window burst counting under the streaming planner must
+    reproduce the batch lag-chain debounce EXACTLY (same thresholds,
+    same microsecond precision)."""
+    batch = {tuple(r) for r in queries.t25_debounce(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in queries.stream_debounce(spark, sf_dir).collect()}
+    assert stream == batch
