@@ -14494,6 +14494,152 @@ def stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.debounce_sessions(spark, sf_dir)
 
 
+@_register(
+    "t26_rolling_median",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    contrib AS (
+      SELECT d + CAST(i AS INT) * INTERVAL 1 DAY AS anchor, d, cents
+      FROM daily, UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS t(i)
+    ),
+    ranked AS (
+      SELECT anchor, cents,
+             ROW_NUMBER() OVER (PARTITION BY anchor
+                                ORDER BY cents ASC, d ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY anchor) AS n7
+      FROM contrib
+    ),
+    med AS (
+      SELECT anchor, cents AS med_cents FROM ranked WHERE rn = 4 AND n7 = 7
+    )
+    SELECT strftime(daily.d, '%Y-%m-%d') AS day,
+           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(med_cents / 100.0, 2) AS median7
+    FROM daily JOIN med ON med.anchor = CAST(daily.d AS TIMESTAMP)
+    """,
+)
+def t26_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day ROLLING MEDIAN of daily revenue (full windows only) — the
+    robust companion to t16's rolling mean: the median ignores a
+    single anomalous day that drags the mean, which is why monitoring
+    baselines prefer it. Median of 7 = the 4th-smallest, selected by
+    an integer rank (cents asc, day tie-break) — no percentile
+    interpolation, so the value is one of the exact input integers on
+    both engines.
+
+    Scale shape: t16's calendar BAND JOIN (each day feeds its 7
+    anchors, one shuffle by date) + a per-anchor rank window over
+    exactly 7 rows (parallel in anchors, never a global window)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+        ).alias("cents")
+    )
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("i"), "d", "cents"
+    ).select(F.date_add(F.col("d"), F.col("i")).alias("anchor"), "d", "cents")
+    w = Window.partitionBy("anchor").orderBy(
+        F.col("cents").asc(), F.col("d").asc()
+    )
+    ranked = contrib.select(
+        "anchor",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("anchor")).alias("n7"),
+    )
+    med = ranked.filter((F.col("rn") == 4) & (F.col("n7") == 7)).select(
+        "anchor", F.col("cents").alias("med_cents")
+    )
+    return daily.join(med, daily["d"] == med["anchor"]).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("med_cents") / 100.0, 2).alias("median7"),
+    )
+
+
+@_register(
+    "x57_term_lift",
+    f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents
+    ),
+    t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_docs FROM t GROUP BY tok),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    co AS (
+      SELECT a.tok AS ta, b.tok AS tb, CAST(COUNT(*) AS BIGINT) AS n_co
+      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok HAVING COUNT(*) >= 5
+    )
+    SELECT ta, tb, n_co,
+           CAST(n_co * n * 1000000 // (fa.n_docs * fb.n_docs) AS BIGINT)
+             AS lift_micro
+    FROM co JOIN df fa ON fa.tok = ta JOIN df fb ON fb.tok = tb CROSS JOIN nn
+    ORDER BY lift_micro DESC, ta ASC, tb ASC LIMIT 20
+    """,
+)
+def x57_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-association mining (market-basket lift over document
+    vocabularies): for co-occurring token pairs with support >= 5
+    docs, lift = P(a,b)/(P(a)P(b)) as the exact integer
+    lift_micro = floor(1e6 * co*N / (df_a*df_b)) — the association
+    signal PMI ranks by, WITHOUT the log (log is monotone, so the
+    lift ordering IS the PMI ordering and no libm crosses the engine
+    boundary). Top-20 associated pairs.
+
+    Scale shape: per-doc DISTINCT tokens (array_distinct before
+    explode), pair generation via ONE self-equi-join on doc_id
+    (fan-out bounded by per-doc vocabulary, the d2 candidate
+    discipline), support filter BEFORE the lift join; doc frequencies
+    broadcast back onto the surviving pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.array_distinct(tokenize(F.lower(strip_punct(F.col("text"))))).alias(
+            "toks"
+        ),
+    ).localCheckpoint(eager=False)
+    t = d.select("doc_id", F.explode("toks").alias("tok"))
+    df_ = t.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs"))
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    a = t.select("doc_id", F.col("tok").alias("ta"))
+    b = t.select("doc_id", F.col("tok").alias("tb"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 5)
+    )
+    return (
+        co.join(
+            F.broadcast(df_.select(F.col("tok").alias("ta"), F.col("n_docs").alias("fa"))),
+            "ta",
+        )
+        .join(
+            F.broadcast(df_.select(F.col("tok").alias("tb"), F.col("n_docs").alias("fb"))),
+            "tb",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "ta",
+            "tb",
+            "n_co",
+            F.expr("CAST(n_co * n * 1000000 div (fa * fb) AS BIGINT)").alias(
+                "lift_micro"
+            ),
+        )
+        .orderBy(F.col("lift_micro").desc(), F.col("ta").asc(), F.col("tb").asc())
+        .limit(20)
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -14592,6 +14738,8 @@ _PRIORITY = (
     "stats_benford",
     "graph_closeness",
     "stream_debounce",
+    "t26_rolling_median",
+    "x57_term_lift",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
