@@ -612,3 +612,60 @@ def image_patches(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.select(id_col).mapInPandas(gen, PATCH_SCHEMA)
+
+
+AUGMENT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("whole_mean_milli", LongType()),
+        StructField("crop_mean_milli", LongType()),
+        StructField("flip_edge_mean_milli", LongType()),
+    ]
+)
+
+
+def image_augmentations(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Augmentation kernels through the REAL image codec: the 16x16
+    id-derived image is BMP-encoded and decoded back (mm5/mm11
+    contract), then HORIZONTALLY FLIPPED and CENTER-CROPPED on the
+    decoded array — the two bread-and-butter vision augmentations —
+    and each variant is summarized by an integer-milli mean the
+    oracle predicts in closed form from the pixel formula (whole
+    image; the 8x8 center crop; column 0 of the flipped image, which
+    must equal column 15 of the original — the value proof that the
+    flip actually reindexed pixels).
+
+    Arrow-batched mapInPandas; flip/crop run on executor-local numpy
+    arrays, only (id, three bigints) ever shuffle."""
+    import numpy as np
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hi_csa_db_spark.functions import codecs
+
+        cols = [f.name for f in AUGMENT_SCHEMA.fields]
+        yy, xx = np.mgrid[0:16, 0:16]
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                plane = ((i + 3 * yy + 7 * xx) % 256).astype(np.uint8)
+                img = np.stack([plane, plane, plane], axis=2)
+                out = codecs.decode_bmp(codecs.encode_bmp(img))[:, :, 0]
+                flipped = out[:, ::-1]
+                crop = out[4:12, 4:12]
+                rows.append(
+                    {
+                        "media_id": i,
+                        "whole_mean_milli": (int(out.astype(np.int64).sum()) * 1000)
+                        // 256,
+                        "crop_mean_milli": (int(crop.astype(np.int64).sum()) * 1000)
+                        // 64,
+                        "flip_edge_mean_milli": (
+                            int(flipped[:, 0].astype(np.int64).sum()) * 1000
+                        )
+                        // 16,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col).mapInPandas(gen, AUGMENT_SCHEMA)

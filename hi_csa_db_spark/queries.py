@@ -14640,6 +14640,77 @@ def x57_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "mm12_augmentations",
+    """
+    SELECT doc_id AS media_id,
+           CAST((list_aggregate(flatten(list_transform(range(0, 16), y ->
+                  list_transform(range(0, 16), x ->
+                    (doc_id + 3*y + 7*x) % 256))), 'sum') * 1000)
+                // 256 AS BIGINT) AS whole_mean_milli,
+           CAST((list_aggregate(flatten(list_transform(range(4, 12), y ->
+                  list_transform(range(4, 12), x ->
+                    (doc_id + 3*y + 7*x) % 256))), 'sum') * 1000)
+                // 64 AS BIGINT) AS crop_mean_milli,
+           CAST((list_aggregate(list_transform(range(0, 16), y ->
+                    (doc_id + 3*y + 105) % 256), 'sum') * 1000)
+                // 16 AS BIGINT) AS flip_edge_mean_milli
+    FROM documents
+    """,
+)
+def mm12_augmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision augmentations (horizontal flip + center crop) through
+    the real BMP codec (multimodal.image_augmentations): every
+    variant's integer-milli mean is predicted in closed form by the
+    oracle — flip is proven by its column 0 equalling the original's
+    column 15 (x=15 -> 7x=105), crop by the exact 8x8 center sum —
+    so the augmentation plumbing (decode, reindex, slice) is
+    value-checked through the distributed plan, not just shape-checked."""
+    from hi_csa_db_spark.operators.multimodal import image_augmentations
+
+    return image_augmentations(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dq8_freshness",
+    """
+    WITH m AS (
+      SELECT event_type, CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_event_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT CAST(MAX(epoch_us(ts)) AS BIGINT) AS gmx FROM events)
+    SELECT event_type, n_events, last_event_us,
+           CAST((gmx - last_event_us) // 1000000 AS BIGINT) AS staleness_sec
+    FROM m CROSS JOIN g
+    """,
+)
+def dq8_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness/timeliness audit: per event stream, the last event
+    time and its staleness against the newest event anywhere — the
+    is-this-feed-still-alive check a DQ suite runs before trusting an
+    incremental load. Declared-microsecond times (the t2/t8 precision
+    contract); staleness in whole seconds is an integer floor-div.
+
+    Scale shape: one map-combined MAX per stream + a 1-row broadcast
+    of the global max."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    m = ev.groupBy("event_type").agg(
+        F.max(us).alias("last_event_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    g = ev.agg(F.max(us).alias("gmx"))
+    return m.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        "last_event_us",
+        F.expr("CAST((gmx - last_event_us) div 1000000 AS BIGINT)").alias(
+            "staleness_sec"
+        ),
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -14740,6 +14811,8 @@ _PRIORITY = (
     "stream_debounce",
     "t26_rolling_median",
     "x57_term_lift",
+    "mm12_augmentations",
+    "dq8_freshness",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
