@@ -14711,6 +14711,78 @@ def dq8_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x58_calibration_bins",
+    f"""
+    WITH {_X20_SCORED_SQL},
+    lab AS (
+      SELECT s.doc_id, s.logit_micro,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    rk AS (
+      SELECT y, logit_micro,
+             ROW_NUMBER() OVER (ORDER BY logit_micro DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER () AS n
+      FROM lab
+    ),
+    binned AS (
+      SELECT CAST((10 * rn + n - 1) // n AS INT) AS score_decile, y, logit_micro
+      FROM rk
+    )
+    SELECT score_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_micro,
+           CAST(MIN(logit_micro) AS BIGINT) AS min_logit_micro,
+           CAST(MAX(logit_micro) AS BIGINT) AS max_logit_micro
+    FROM binned GROUP BY score_decile
+    """,
+)
+def x58_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration (reliability) table: x20's logit ranked
+    into score deciles (best first), each reporting its positive rate
+    against the weak label (lang='en') plus its logit range — the
+    monotone-calibration audit that pairs with x25's AUC (AUC says
+    the ranking discriminates; this table says WHERE the scores are
+    over/under-confident). Pure integer outputs (rank deciles,
+    counts, micro rates) — no probability transform, no libm.
+
+    Scale shape: the global score rank rides
+    ordered.global_row_numbers (range partition + broadcast offsets,
+    never a single-partition window); the rest is one 10-group
+    map-combined aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = x20_quality_classifier(spark, sf_dir).select(
+        "doc_id", "logit_micro"
+    )
+    lab = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "logit_micro",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        # DESC rank via an order-reversing struct key, the x52 idiom:
+        F.struct(
+            (-F.col("logit_micro")).alias("neg"), F.col("doc_id").alias("id")
+        ).alias("__k"),
+    )
+    rk = ordered.global_row_numbers(lab, "__k")
+    nn = lab.agg(F.count(F.lit(1)).alias("n"))
+    binned = rk.crossJoin(F.broadcast(nn)).select(
+        "y",
+        "logit_micro",
+        F.expr("CAST((10 * rank + n - 1) div n AS INT)").alias("score_decile"),
+    )
+    return binned.groupBy("score_decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.expr("CAST(SUM(y) * 1000000 div COUNT(1) AS BIGINT)").alias(
+            "pos_rate_micro"
+        ),
+        F.min("logit_micro").alias("min_logit_micro"),
+        F.max("logit_micro").alias("max_logit_micro"),
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -14813,6 +14885,7 @@ _PRIORITY = (
     "x57_term_lift",
     "mm12_augmentations",
     "dq8_freshness",
+    "x58_calibration_bins",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
