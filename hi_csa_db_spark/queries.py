@@ -14783,6 +14783,257 @@ def x58_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "t27_autocorrelation",
+    """
+    WITH d AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n FROM events
+    ),
+    counts AS (SELECT day_n, COUNT(*) AS n FROM d GROUP BY day_n),
+    span AS (SELECT MIN(day_n) AS d0, MAX(day_n) AS d1 FROM d),
+    grid AS (SELECT unnest(generate_series(d0, d1)) AS day_n FROM span),
+    filled AS (
+      SELECT g.day_n, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      FROM grid g LEFT JOIN counts c USING (day_n)
+    ),
+    lags AS (SELECT unnest([1, 2, 3, 7]) AS lag),
+    pairs AS (
+      SELECT l.lag, a.n AS xa, b.n AS xb
+      FROM filled a CROSS JOIN lags l
+      JOIN filled b ON b.day_n = a.day_n + l.lag
+    ),
+    m AS (
+      SELECT lag, COUNT(*) AS np, SUM(xa) AS sx, SUM(xb) AS sy,
+             SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy, SUM(xa * xb) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, CAST(np AS BIGINT) AS n_pairs,
+           CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+           CASE WHEN np * sxx - sx * sx = 0 OR np * syy - sy * sy = 0 THEN NULL
+                ELSE ROUND(CAST(np * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(np * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(np * syy - sy * sy AS DOUBLE))), 6)
+           END AS r_autocorr
+    FROM m
+    """,
+)
+def t27_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k = 1, 2, 3, 7) of the daily event-count
+    series — the seasonality probe behind t14's day-of-week profile
+    (lag 7 should dominate if the fixture has weekly structure).
+    Missing days are materialized as zeros (t3's grid idiom) so the
+    series is contiguous and both engines agree on what "lag" means.
+
+    Determinism: the Pearson terms are the n-scaled INTEGER moment
+    cross-sums (np*sxy - sx*sy over exact bigint counts, the x40/
+    stats_linreg idiom) carried in DECIMAL(38,0) on the Spark side so
+    no product can overflow at any scale; the only float ops are
+    sqrt/divide of exact integers — IEEE correctly-rounded, so both
+    engines produce bit-identical doubles before the 6dp ROUND.
+
+    Scale shape: one map-combined groupBy(day) (days are tiny —
+    365/year no matter how many events), a 1-row span broadcast, and
+    a broadcast self-join of the daily series against 4 lag offsets.
+    Reference: extends the §2.8 temporal tier (Rmd's date handling);
+    the statistic itself is public textbook (Box–Jenkins ACF)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(F.expr("ts_ns div 1000 div 86400000000").alias("day_n"))
+    counts = d.groupBy("day_n").agg(F.count(F.lit(1)).alias("n"))
+    span = d.agg(F.min("day_n").alias("d0"), F.max("day_n").alias("d1"))
+    grid = span.select(F.explode(F.sequence("d0", "d1")).alias("day_n"))
+    filled = grid.join(counts, ["day_n"], "left").select(
+        "day_n", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
+    lags = spark.createDataFrame([(1,), (2,), (3,), (7,)], ["lag"])
+    a = filled.select(F.col("day_n").alias("da"), F.col("n").alias("xa"))
+    b = filled.select(F.col("day_n").alias("db"), F.col("n").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.col("db") == F.col("da") + F.col("lag"))
+    )
+    dec = "decimal(38,0)"
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(dec).alias("np"),
+        F.sum("xa").cast(dec).alias("sx"),
+        F.sum("xb").cast(dec).alias("sy"),
+        F.sum(F.col("xa") * F.col("xa")).cast(dec).alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast(dec).alias("syy"),
+        F.sum(F.col("xa") * F.col("xb")).cast(dec).alias("sxy"),
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("np").cast("bigint").alias("n_pairs"),
+        F.col("sx").cast("bigint").alias("sum_x"),
+        F.col("sy").cast("bigint").alias("sum_y"),
+        F.expr(
+            "CASE WHEN np * sxx - sx * sx = 0 OR np * syy - sy * sy = 0 THEN NULL"
+            " ELSE ROUND(CAST(np * sxy - sx * sy AS DOUBLE)"
+            " / (sqrt(CAST(np * sxx - sx * sx AS DOUBLE))"
+            " * sqrt(CAST(np * syy - sy * sy AS DOUBLE))), 6) END"
+        ).alias("r_autocorr"),
+    )
+
+
+@_register(
+    "stats_mannwhitney",
+    """
+    WITH o AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g1
+      FROM orders
+    ),
+    byv AS (SELECT cents, SUM(g1) AS c1, COUNT(*) AS ct FROM o GROUP BY cents),
+    cum AS (
+      SELECT c1, ct, SUM(ct) OVER (ORDER BY cents) AS cum_ct FROM byv
+    ),
+    agg AS (
+      SELECT SUM(c1) AS n1, SUM(ct) AS n,
+             SUM(c1 * (2 * (cum_ct - ct) + ct + 1)) AS two_r1,
+             SUM(ct * ct * ct - ct) AS tie
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n - n1 AS BIGINT) AS n2,
+           CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           ROUND((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * (n - n1) AS DOUBLE))
+                 / (2 * sqrt(CAST(n1 * (n - n1) AS DOUBLE) / CAST(12 AS DOUBLE)
+                             * (CAST(n + 1 AS DOUBLE)
+                                - CAST(tie AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)))), 6)
+             AS z_score
+    FROM agg
+    """,
+)
+def stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test: do finished ('F') orders have a
+    different totalprice distribution than open ones? The
+    nonparametric two-sample sibling of x25's rank-sum AUC (U and AUC
+    share the rank-sum core; this emits the test statistic + normal
+    z with the exact tie correction).
+
+    Determinism: money goes through the _disc_price cents rule
+    (DECIMAL(15,2)*100 — Spark's double->long cast truncates, DuckDB
+    rounds); average ranks over ties are carried DOUBLED so every
+    rank sum is an exact integer (2·R1 = Σ c1·(2·cum_before + ct + 1));
+    U is emitted as the integer 2·U1; the z-score's sqrt/divides run
+    on exact integers — IEEE-identical on both engines before the
+    6dp ROUND.
+
+    Scale shape: one groupBy(cents) (bounded by distinct prices),
+    then the cumulative tie-ladder rides ordered.global_prefix_sums —
+    range partition + broadcast offsets, never a single-partition
+    window (the oracle's OVER (ORDER BY cents) is the semantic spec
+    only). Public method: Mann & Whitney 1947; tie correction per
+    standard texts."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(15,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("o_orderstatus") == "F").cast("bigint").alias("g1"),
+    )
+    byv = o.groupBy("cents").agg(
+        F.sum("g1").alias("c1"), F.count(F.lit(1)).alias("ct")
+    )
+    cum = ordered.global_prefix_sums(byv, "cents", ["ct"])
+    agg = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("ct").alias("n"),
+        F.sum(
+            F.col("c1")
+            * (2 * (F.col("cum_ct") - F.col("ct")) + F.col("ct") + 1)
+        ).alias("two_r1"),
+        F.sum(
+            F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct")
+        ).alias("tie"),
+    )
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        (F.col("n") - F.col("n1")).cast("bigint").alias("n2"),
+        (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1))
+        .cast("bigint")
+        .alias("u1_x2"),
+        F.expr(
+            "ROUND((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * (n - n1) AS DOUBLE))"
+            " / (2 * sqrt(CAST(n1 * (n - n1) AS DOUBLE) / CAST(12 AS DOUBLE)"
+            " * (CAST(n + 1 AS DOUBLE)"
+            " - CAST(tie AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)))), 6)"
+        ).alias("z_score"),
+    )
+
+
+@_register(
+    "x59_length_buckets",
+    """
+    WITH t AS (
+      SELECT len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+               AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT n_tokens,
+             CASE WHEN n_tokens <= 16 THEN 16
+                  WHEN n_tokens <= 32 THEN 32
+                  WHEN n_tokens <= 64 THEN 64
+                  WHEN n_tokens <= 128 THEN 128
+                  WHEN n_tokens <= 256 THEN 256
+                  WHEN n_tokens <= 512 THEN 512
+                  WHEN n_tokens <= 1024 THEN 1024
+                  ELSE 2048 END AS bucket
+      FROM t
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens,
+           CAST((bucket * COUNT(*) - SUM(n_tokens)) * 1000000
+                // (bucket * COUNT(*)) AS BIGINT) AS waste_micro,
+           CAST((COUNT(*) + 31) // 32 AS BIGINT) AS n_batches_b32
+    FROM b GROUP BY bucket
+    """,
+)
+def x59_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: docs assigned to power-of-two
+    token-length buckets (the dynamic-batching layout trainers use to
+    bound padding), reporting per bucket the doc count, real vs
+    padded token totals, the padding-waste rate in integer micros,
+    and how many batches of 32 the bucket fills. Pure integers
+    end-to-end (floor-div waste rate — no float anywhere).
+
+    Scale shape: a narrow per-row token count + CASE ladder, then ONE
+    map-combined aggregate over <= 8 groups; nothing shuffles more
+    than 8 rows. The bucket ladder is shared text between both
+    dialects, so the assignment rule cannot drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.size(tokenize(F.col("text"))).alias("n_tokens"))
+    ladder = (
+        "CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32"
+        " WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128"
+        " WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512"
+        " WHEN n_tokens <= 1024 THEN 1024 ELSE 2048 END"
+    )
+    b = t.select("n_tokens", F.expr(ladder).alias("bucket"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "total_tokens",
+            (F.col("bucket") * F.col("n_docs"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+            F.expr(
+                "CAST((bucket * n_docs - total_tokens) * 1000000"
+                " div (bucket * n_docs) AS BIGINT)"
+            ).alias("waste_micro"),
+            F.expr("CAST((n_docs + 31) div 32 AS BIGINT)").alias(
+                "n_batches_b32"
+            ),
+        )
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -14886,6 +15137,9 @@ _PRIORITY = (
     "mm12_augmentations",
     "dq8_freshness",
     "x58_calibration_bins",
+    "t27_autocorrelation",
+    "stats_mannwhitney",
+    "x59_length_buckets",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

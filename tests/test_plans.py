@@ -112,6 +112,18 @@ _NLJ_ALLOWED = {
     "stats_gini",  # global_row_numbers' 1-row offset broadcast
     "dq4_skew_report",  # 1-row key-stats broadcast
     "d18_dedup_cluster_stats",  # 1-row doc-total broadcast
+    "dq8_freshness",  # 1-row global-max-timestamp broadcast
+    "t27_autocorrelation",  # 4-row lag-offset + daily-series broadcasts
+    "stats_mannwhitney",  # global_prefix_sums' 1-row offset broadcast
+    "pipe_training_prep_v5",  # composes x20/quantile-gate 1-row broadcasts
+    "q_skyline_pareto",  # triangular broadcast join over |distinct sizes| rows
+    "s11_knn_join",  # centroid/query-side tiny broadcasts
+    "stats_benford",  # 9-row digit table + 1-row total broadcasts
+    "stats_chi2_independence",  # 25/5/5-group margin + 1-row broadcasts
+    "stats_kendall_grid",  # grid-bucket broadcasts + 1-row offset broadcast
+    "x56_heaps_law",  # decile-threshold broadcast theta join (10 rows)
+    "x57_term_lift",  # tiny term-df broadcasts + 1-row total
+    "x58_calibration_bins",  # 1-row doc-count broadcast
 }
 
 
