@@ -15034,6 +15034,70 @@ def x59_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "j11_bucketed_join",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j11_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join via bucketed table layout: orders
+    and lineitem are written ONCE as bucketed-and-sorted tables
+    (bucketBy(8, orderkey) + sortBy, one file per bucket), then the
+    join reads both sides already co-partitioned on the join key — no
+    Exchange on either input (tests/test_plans.py pins the plan with
+    broadcast disabled). The result is value-identical to the plain
+    parquet join (the oracle proves it), so this is purely a physical
+    layout win.
+
+    This is THE 100 TB pattern for repeated fact-fact joins (SCALE.md):
+    pay one bucketed write, then every subsequent join on the key is
+    shuffle-free regardless of data size — the Spark-native equivalent
+    of the reference keeping its tables keyed on orderkey. The write
+    is per-process idempotent (skipped when the table already exists);
+    the bucketed copies live under /tmp, never in the repo.
+    Reference: hi-csa-db.Rmd keeps RDS tables re-joined by key across
+    chunks; bucketing is the Spark-first re-expression of that reuse."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:10]
+    db = f"bkt_{tag}"
+    loc = f"/tmp/spark_graft_buckets/{tag}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    for tbl, src, key in (
+        ("orders_b", "orders", "o_orderkey"),
+        ("lineitem_b", "lineitem", "l_orderkey"),
+    ):
+        if not spark.catalog.tableExists(f"{db}.{tbl}"):
+            (
+                load_table(spark, sf_dir, src)
+                .repartition(8, F.col(key))  # one file per bucket
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(f"{db}.{tbl}")
+            )
+    o = spark.table(f"{db}.orders_b").select("o_orderkey", "o_orderpriority")
+    li = spark.table(f"{db}.lineitem_b").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+        )
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -15140,6 +15204,7 @@ _PRIORITY = (
     "t27_autocorrelation",
     "stats_mannwhitney",
     "x59_length_buckets",
+    "j11_bucketed_join",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

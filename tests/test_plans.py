@@ -154,6 +154,24 @@ def test_fact_fact_join_shuffles_when_too_big_to_broadcast(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
+def test_bucketed_join_has_no_exchange_on_inputs(spark, sf_dir):
+    # j11: both sides bucketed+sorted on the join key -> the sort-merge
+    # join reads co-located buckets directly; the ONLY exchange in the
+    # whole plan is the final 5-group aggregation shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "j11_bucketed_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    assert "Bucketed: true" in plan, plan
+    # formatted explain prints each node twice (tree + detail section);
+    # count distinct Exchange NODES via their detail headers
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 1, f"expected only the agg exchange, got {n_exchange}:\n{plan}"
+
+
 def test_edit_distance_is_banded_equi_join(spark, sf_dir):
     # d8 scale guard: length-band blocking makes the pair join an
     # equi-join on the band key — never a nested loop over the full
