@@ -669,3 +669,75 @@ def image_augmentations(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.select(id_col).mapInPandas(gen, AUGMENT_SCHEMA)
+
+
+VAD_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("silent_frames", IntegerType()),
+        StructField("active_frames", IntegerType()),
+        StructField("first_active_frame", IntegerType()),
+        StructField("speech_ratio_micro", LongType()),
+    ]
+)
+
+
+def audio_vad(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Energy-based voice-activity detection through the REAL WAV
+    codec (mm7's audio twin of the mm5/mm6 image-codec proofs): per
+    row, a 2048-sample 8 kHz signal with an id-derived number of
+    LEADING SILENT frames (1 + id % 4 frames of exact zeros, then a
+    bin-aligned sine) is 16-bit-PCM encoded (codecs.encode_wav),
+    decoded back, framed at 256 samples, and each frame's INTEGER
+    energy (sum of squared int16 values — exact, because float32
+    represents every int16/32768 exactly) is compared against the 1 %
+    full-scale threshold 256·327². Zero frames survive the PCM round
+    trip as exact zeros and tone frames carry ~8.8e10 energy, so the
+    detected silent-prefix length must equal the synthesized one —
+    the oracle predicts every output from the id alone, value-checking
+    the synthesis, WAV round trip, framing, and energy gate through
+    the distributed plan.
+
+    Arrow-batched mapInPandas; audio payloads never leave executors."""
+    import numpy as np
+
+    N, RATE, FRAME = 2048, 8000, 256
+    THRESH = FRAME * 327 * 327  # 1% full-scale RMS gate
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hi_csa_db_spark.functions import codecs
+
+        cols = [f.name for f in VAD_SCHEMA.fields]
+        n = np.arange(N)
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                k = 10 + i % 100
+                start = FRAME * (1 + i % 4)
+                sig = 0.8 * np.sin(2.0 * np.pi * k * n / N)
+                sig[:start] = 0.0
+                samples, rate = codecs.decode_wav(
+                    codecs.encode_wav(sig, rate=RATE)
+                )
+                ints = np.rint(samples[:, 0] * 32768.0).astype(np.int64)
+                frames = ints.reshape(-1, FRAME)
+                energy = (frames * frames).sum(axis=1)
+                active = energy > THRESH
+                n_frames = int(len(energy))
+                n_active = int(active.sum())
+                first = int(np.argmax(active)) if n_active else -1
+                rows.append(
+                    {
+                        "media_id": i,
+                        "n_frames": n_frames,
+                        "silent_frames": n_frames - n_active,
+                        "active_frames": n_active,
+                        "first_active_frame": first,
+                        "speech_ratio_micro": n_active * 1000000 // n_frames,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col).mapInPandas(gen, VAD_SCHEMA)
