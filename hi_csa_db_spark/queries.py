@@ -15203,6 +15203,187 @@ def x61_rouge_bigram_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x62_split_leakage",
+    f"""
+    WITH {_SHINGLE_SQL},
+    seeds AS (SELECT unnest(range(0, 16)) AS seed),
+    hh AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h1,
+             CAST('0x' || substring(md5(shingle), 16, 12) AS BIGINT) * 2 + 1 AS h2
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, seed,
+             MIN((h1 + seed * h2) % 1152921504606846976) AS mh
+      FROM hh CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             md5(band::VARCHAR || '|' || string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bkey
+      FROM (SELECT doc_id, seed, mh, seed // 2 AS band FROM mh)
+      GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                               AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ic
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b, ROUND(i.ic / (sa.sz + sb.sz - i.ic), 6) AS jaccard
+      FROM cand c JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+                  JOIN sizes sa ON sa.doc_id = c.id_a
+                  JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE i.ic / (sa.sz + sb.sz - i.ic) >= 0.05
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT p.id_a, p.id_b, p.jaccard, sa.split AS split_a, sb.split AS split_b,
+           CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END AS leaks
+    FROM pairs p JOIN sp sa ON sa.doc_id = p.id_a
+                 JOIN sp sb ON sb.doc_id = p.id_b
+    """,
+)
+def x62_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: every MinHash-LSH near-dup pair (the
+    d2 chain, threshold 0.05) labelled with the hash-split membership
+    (sample_train_split's md5-nibble rule) of BOTH sides — a pair
+    whose members land in different splits leaks eval signal into
+    training (the contamination mode n-gram decontamination x14
+    can't see once docs are paraphrased). The output is the full
+    labelled pair table; `leaks=1` rows are the audit hits a real
+    pipeline would quarantine before publishing a split manifest.
+
+    Scale shape: exactly d2's banded LSH candidate generation +
+    candidate-only verification (never all-pairs), then two narrow
+    equi-joins against the (doc_id, split) projection — the split
+    label is a pure md5 function of the id, so the join adds no new
+    shuffle key."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=8, threshold=0.05
+    )
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib.isin(*list("0123456789ab")), F.lit("train"))
+        .when(nib.isin("c", "d"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    sp = docs.select("doc_id", split.alias("split"))
+    sa = sp.select(
+        F.col("doc_id").alias("__ida"), F.col("split").alias("split_a")
+    )
+    sb = sp.select(
+        F.col("doc_id").alias("__idb"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, pairs["id_a"] == F.col("__ida"))
+        .join(sb, pairs["id_b"] == F.col("__idb"))
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).cast("int").alias("leaks"),
+        )
+    )
+
+
+@_register(
+    "er2_blocking_recall",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), 1, 24) AS key
+      FROM documents
+    ),
+    truth AS (
+      SELECT COUNT(*) AS n_keys,
+             SUM(ct * (ct - 1) // 2) AS true_pairs,
+             MAX(ct) AS max_group
+      FROM (SELECT key, COUNT(*) AS ct FROM k GROUP BY key)
+    ),
+    r AS (
+      SELECT doc_id, key, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rnk
+      FROM k
+    ),
+    found AS (
+      SELECT COUNT(*) AS found_pairs
+      FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+      WHERE a.key = b.key
+    )
+    SELECT CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(max_group AS INT) AS max_group,
+           CAST(true_pairs AS BIGINT) AS true_pairs,
+           CAST(found_pairs AS BIGINT) AS found_pairs,
+           CAST(CASE WHEN true_pairs = 0 THEN 1000000
+                     ELSE found_pairs * 1000000 // true_pairs END AS BIGINT)
+             AS recall_micro
+    FROM truth CROSS JOIN found
+    """,
+)
+def er2_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit (pairs completeness): how many of the
+    TRUE duplicate pairs (same normalized 24-char blocking key —
+    countable per key group as C(ct,2), no pair explosion) does d15's
+    sorted-neighborhood window-3 blocking actually surface? Equal
+    keys sort adjacent, so missed pairs are exactly those > 3 apart
+    inside one key group — the audit that tells you the window is too
+    small BEFORE a production linkage run silently drops matches.
+    Recall is an integer micro ratio; everything else is counts.
+
+    Scale shape: ground truth is ONE groupBy(key) aggregate (never
+    materializing pairs); the found side reuses the d15 rank+offset
+    equi-join (n·window candidates); both reduce to 1-row frames
+    joined by broadcast."""
+    from hi_csa_db_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(F.lower(strip_punct(F.col("text"))), 1, 24)
+    k = docs.select("doc_id", key.alias("key"))
+    truth = (
+        k.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(
+                F.expr("ct * (ct - 1) div 2")
+            ).alias("true_pairs"),
+            F.max("ct").alias("max_group"),
+        )
+    )
+    found = (
+        sorted_neighborhood_pairs(docs, key, id_col="doc_id", window=3)
+        .filter(F.col("a_key") == F.col("b_key"))
+        .agg(F.count(F.lit(1)).alias("found_pairs"))
+    )
+    return truth.crossJoin(F.broadcast(found)).select(
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        F.col("max_group").cast("int").alias("max_group"),
+        F.col("true_pairs").cast("bigint").alias("true_pairs"),
+        F.col("found_pairs").cast("bigint").alias("found_pairs"),
+        F.expr(
+            "CAST(CASE WHEN true_pairs = 0 THEN 1000000"
+            " ELSE found_pairs * 1000000 div true_pairs END AS BIGINT)"
+        ).alias("recall_micro"),
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -15312,6 +15493,8 @@ _PRIORITY = (
     "j11_bucketed_join",
     "mm13_audio_vad",
     "x61_rouge_bigram_recall",
+    "x62_split_leakage",
+    "er2_blocking_recall",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

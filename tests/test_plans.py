@@ -124,6 +124,7 @@ _NLJ_ALLOWED = {
     "x56_heaps_law",  # decile-threshold broadcast theta join (10 rows)
     "x57_term_lift",  # tiny term-df broadcasts + 1-row total
     "x58_calibration_bins",  # 1-row doc-count broadcast
+    "er2_blocking_recall",  # 1-row truth x 1-row found broadcast
 }
 
 
