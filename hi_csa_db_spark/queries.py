@@ -15384,6 +15384,112 @@ def er2_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "t28_stl_decompose",
+    """
+    WITH d AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n FROM events
+    ),
+    counts AS (SELECT day_n, COUNT(*) AS n FROM d GROUP BY day_n),
+    span AS (SELECT MIN(day_n) AS d0, MAX(day_n) AS d1 FROM d),
+    grid AS (SELECT unnest(generate_series(d0, d1)) AS day_n FROM span),
+    daily AS (
+      SELECT g.day_n, CAST(COALESCE(c.n, 0) AS BIGINT) AS v
+      FROM grid g LEFT JOIN counts c USING (day_n)
+    ),
+    contrib AS (
+      SELECT day_n + i AS anchor, v
+      FROM daily, UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS t(i)
+    ),
+    win AS (
+      SELECT anchor, SUM(v) AS sum7, COUNT(*) AS n7 FROM contrib GROUP BY anchor
+    ),
+    det AS (
+      SELECT daily.day_n, daily.v,
+             CAST(sum7 * 1000000 // 7 AS BIGINT) AS trend_micro,
+             CAST(daily.v * 1000000 - sum7 * 1000000 // 7 AS BIGINT) AS det_micro
+      FROM daily JOIN win ON win.anchor = daily.day_n
+      WHERE n7 = 7
+    ),
+    seas AS (
+      SELECT day_n % 7 AS dow,
+             CAST((SUM(det_micro) + 1000000000000 * COUNT(*)) // COUNT(*)
+                  - 1000000000000 AS BIGINT) AS seasonal_micro
+      FROM det GROUP BY 1
+    )
+    SELECT det.day_n, CAST(det.v AS BIGINT) AS n_events,
+           det.trend_micro, s.seasonal_micro,
+           CAST(det.det_micro - s.seasonal_micro AS BIGINT) AS resid_micro
+    FROM det JOIN seas s ON s.dow = det.day_n % 7
+    """,
+)
+def t28_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of the daily event-count
+    series: trend = centered 7-day moving average (t16's calendar
+    band join — each day contributes to its 7 anchors, one
+    groupBy(anchor), never a single-partition global window),
+    seasonal = day-of-week mean of the detrended series, residual =
+    the rest. The screening input for anomaly tiers that must not
+    flag weekly rhythm as outliers.
+
+    Every value is integer micros. The one subtle rule: seasonal
+    means can be NEGATIVE, and Spark's `div` truncates toward zero
+    while DuckDB's `//` floors — so the mean is computed as
+    (sum + 10^12·n) div n - 10^12, keeping the numerator positive
+    where truncation and floor agree. Gap days are materialized as
+    zeros (t3's grid) so both engines window the same series.
+
+    Scale shape: the daily series is tiny at any corpus size (one row
+    per calendar day); all joins after the first groupBy(day) are
+    effectively broadcast-scale."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(F.expr("ts_ns div 1000 div 86400000000").alias("day_n"))
+    counts = d.groupBy("day_n").agg(F.count(F.lit(1)).alias("n"))
+    span = d.agg(F.min("day_n").alias("d0"), F.max("day_n").alias("d1"))
+    grid = span.select(F.explode(F.sequence("d0", "d1")).alias("day_n"))
+    daily = grid.join(counts, ["day_n"], "left").select(
+        "day_n", F.coalesce("n", F.lit(0)).cast("bigint").alias("v")
+    )
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("i"), "day_n", "v"
+    ).select((F.col("day_n") + F.col("i")).alias("anchor"), "v")
+    win = contrib.groupBy("anchor").agg(
+        F.sum("v").alias("sum7"), F.count(F.lit(1)).alias("n7")
+    )
+    det = (
+        daily.join(win, daily["day_n"] == win["anchor"])
+        .filter(F.col("n7") == 7)
+        .select(
+            "day_n",
+            "v",
+            F.expr("CAST(sum7 * 1000000 div 7 AS BIGINT)").alias(
+                "trend_micro"
+            ),
+            F.expr(
+                "CAST(v * 1000000 - sum7 * 1000000 div 7 AS BIGINT)"
+            ).alias("det_micro"),
+        )
+    )
+    seas = det.groupBy((F.col("day_n") % 7).alias("dow")).agg(
+        F.expr(
+            "CAST((SUM(det_micro) + 1000000000000 * COUNT(1)) div COUNT(1)"
+            " - 1000000000000 AS BIGINT)"
+        ).alias("seasonal_micro")
+    )
+    return (
+        det.join(F.broadcast(seas), det["day_n"] % 7 == seas["dow"])
+        .select(
+            "day_n",
+            F.col("v").cast("bigint").alias("n_events"),
+            "trend_micro",
+            "seasonal_micro",
+            (F.col("det_micro") - F.col("seasonal_micro"))
+            .cast("bigint")
+            .alias("resid_micro"),
+        )
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -15495,6 +15601,7 @@ _PRIORITY = (
     "x61_rouge_bigram_recall",
     "x62_split_leakage",
     "er2_blocking_recall",
+    "t28_stl_decompose",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
