@@ -15490,6 +15490,60 @@ def t28_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "u15_schema_evolution",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_lang,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id >= 250 THEN lang END) AS BIGINT)
+             AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def u15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution ingest: two parquet snapshot vintages of the
+    documents table — an old one WITHOUT the lang column and a new
+    one WITH it — are appended into one dataset directory, then read
+    back with mergeSchema=true; old rows surface lang=NULL. The
+    oracle recomputes the same aggregates from the unevolved source
+    table, so the merge must preserve every row and null exactly the
+    pre-evolution rows (n_with_lang counts non-null langs on the
+    Spark side but the id-split rule on the oracle side — they can
+    only agree if the evolution semantics are right).
+
+    This is the 100 TB reality of long-lived datasets: columns get
+    added mid-corpus, and the reader — not a rewrite of petabytes of
+    old files — reconciles vintages. The snapshot write is
+    per-process idempotent and lives under /tmp.
+
+    Scale shape: footer-only schema merge, then one map-combined
+    aggregate; count(DISTINCT lang) is per-group with bounded
+    cardinality."""
+    import hashlib
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:10]
+    loc = f"/tmp/spark_graft_evolution/{tag}"
+    if not os.path.exists(loc):
+        docs.filter(F.col("doc_id") < 250).select(
+            "doc_id", "source", "n_chars"
+        ).write.mode("append").parquet(loc)
+        docs.filter(F.col("doc_id") >= 250).select(
+            "doc_id", "source", "n_chars", "lang"
+        ).write.mode("append").parquet(loc)
+    merged = spark.read.option("mergeSchema", "true").parquet(loc)
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("lang").cast("bigint").alias("n_with_lang"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -15602,6 +15656,7 @@ _PRIORITY = (
     "x62_split_leakage",
     "er2_blocking_recall",
     "t28_stl_decompose",
+    "u15_schema_evolution",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
