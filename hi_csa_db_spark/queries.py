@@ -15654,6 +15654,105 @@ def pipe_training_prep_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dq9_join_fanout",
+    """
+    WITH ca AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+    cb AS (SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY 1),
+    prod AS (
+      SELECT ca.k, ca.c * cb.c AS fanout
+      FROM ca JOIN cb ON ca.k = cb.k
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_join_keys,
+           CAST(SUM(fanout) AS BIGINT) AS predicted_rows,
+           CAST(MAX(fanout) AS BIGINT) AS max_key_fanout,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+             AS actual_rows
+    FROM prod
+    """,
+)
+def dq9_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-fanout audit: the exact output cardinality of a join,
+    PREDICTED from per-key counts alone (Σ |A_k|·|B_k| — two
+    aggregates and a key join, never the joined rows) beside the
+    ACTUAL joined row count, plus the worst single-key fanout. The
+    pre-flight check a pipeline runs before an expensive join to
+    catch key-explosion (a skewed or wrongly-grained key) while it is
+    still cheap to catch — at 100 TB the predictor costs two
+    map-combined aggregates; the join it guards costs a full
+    fact-fact shuffle. predicted_rows == actual_rows is the built-in
+    proof of the identity.
+
+    Scale shape: groupBy per side (map-combined), a key-count join
+    (bounded by distinct keys), and the guarded join itself only for
+    the audit's verification column."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ca = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_a")
+    )
+    cb = c.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_b")
+    )
+    prod = ca.join(cb, "k").select(
+        "k", (F.col("c_a") * F.col("c_b")).alias("fanout")
+    )
+    pred = prod.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_join_keys"),
+        F.sum("fanout").cast("bigint").alias("predicted_rows"),
+        F.max("fanout").cast("bigint").alias("max_key_fanout"),
+    )
+    actual = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
+    )
+    return pred.crossJoin(F.broadcast(actual))
+
+
+@_register(
+    "x63_source_diversity",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS ct FROM documents GROUP BY source),
+    t AS (SELECT SUM(ct) AS n, SUM(ct * ct) AS sq, COUNT(*) AS k FROM c)
+    SELECT CAST(k AS BIGINT) AS n_sources,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST((n * n - sq) * 1000000 // (n * n) AS BIGINT)
+             AS gini_simpson_micro,
+           CAST(n * n * 1000 // sq AS BIGINT) AS effective_sources_milli
+    FROM t
+    """,
+)
+def x63_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture diversity: Gini-Simpson index (probability two
+    random docs come from different sources, 1 - Σp²) and the inverse
+    Simpson "effective source count" — the log-free diversity metrics
+    for a training mixture (entropy needs libm; these are exact
+    integer rationals of source counts, the stats_benford/x57 idiom).
+    A corpus dominated by one crawl shows effective_sources ≈ 1
+    however many sources nominally exist — the signal x51's domain
+    cap acts on.
+
+    Scale shape: one map-combined groupBy(source) then a 1-row
+    integer reduction."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ct"))
+    return c.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ct").alias("n"),
+        F.sum(F.col("ct") * F.col("ct")).alias("sq"),
+    ).select(
+        F.col("k").cast("bigint").alias("n_sources"),
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.expr(
+            "CAST((n * n - sq) * 1000000 div (n * n) AS BIGINT)"
+        ).alias("gini_simpson_micro"),
+        F.expr("CAST(n * n * 1000 div sq AS BIGINT)").alias(
+            "effective_sources_milli"
+        ),
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -15768,6 +15867,8 @@ _PRIORITY = (
     "t28_stl_decompose",
     "u15_schema_evolution",
     "pipe_training_prep_v6",
+    "dq9_join_fanout",
+    "x63_source_diversity",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

@@ -125,6 +125,7 @@ _NLJ_ALLOWED = {
     "x57_term_lift",  # tiny term-df broadcasts + 1-row total
     "x58_calibration_bins",  # 1-row doc-count broadcast
     "er2_blocking_recall",  # 1-row truth x 1-row found broadcast
+    "dq9_join_fanout",  # 1-row predicted x 1-row actual broadcast
 }
 
 
