@@ -15753,6 +15753,203 @@ def x63_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STL_SQL = """
+    d AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n FROM events
+    ),
+    counts AS (SELECT day_n, COUNT(*) AS n FROM d GROUP BY day_n),
+    span AS (SELECT MIN(day_n) AS d0, MAX(day_n) AS d1 FROM d),
+    grid AS (SELECT unnest(generate_series(d0, d1)) AS day_n FROM span),
+    daily AS (
+      SELECT g.day_n, CAST(COALESCE(c.n, 0) AS BIGINT) AS v
+      FROM grid g LEFT JOIN counts c USING (day_n)
+    ),
+    contrib AS (
+      SELECT day_n + i AS anchor, v
+      FROM daily, UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS t(i)
+    ),
+    win AS (
+      SELECT anchor, SUM(v) AS sum7, COUNT(*) AS n7 FROM contrib GROUP BY anchor
+    ),
+    det AS (
+      SELECT daily.day_n, daily.v,
+             CAST(sum7 * 1000000 // 7 AS BIGINT) AS trend_micro,
+             CAST(daily.v * 1000000 - sum7 * 1000000 // 7 AS BIGINT) AS det_micro
+      FROM daily JOIN win ON win.anchor = daily.day_n
+      WHERE n7 = 7
+    ),
+    seas AS (
+      SELECT day_n % 7 AS dow,
+             CAST((SUM(det_micro) + 1000000000000 * COUNT(*)) // COUNT(*)
+                  - 1000000000000 AS BIGINT) AS seasonal_micro
+      FROM det GROUP BY 1
+    ),
+    stl AS (
+      SELECT det.day_n, det.v, det.trend_micro, s.seasonal_micro,
+             CAST(det.det_micro - s.seasonal_micro AS BIGINT) AS resid_micro
+      FROM det JOIN seas s ON s.dow = det.day_n % 7
+    )
+"""
+
+
+@_register(
+    "t29_seasonal_anomaly",
+    f"""
+    WITH {_STL_SQL},
+    mom AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(resid_micro AS DECIMAL(38,0))) AS s,
+             SUM(CAST(resid_micro AS DECIMAL(38,0))
+                 * CAST(resid_micro AS DECIMAL(38,0))) AS ss
+      FROM stl
+    )
+    SELECT day_n, CAST(v AS BIGINT) AS n_events, resid_micro,
+           CASE WHEN (CAST(n AS DECIMAL(38,0)) * CAST(resid_micro AS DECIMAL(38,0)) - s)
+                     * (CAST(n AS DECIMAL(38,0)) * CAST(resid_micro AS DECIMAL(38,0)) - s)
+                     > 4 * (CAST(n AS DECIMAL(38,0)) * ss - s * s)
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM stl CROSS JOIN mom
+    """,
+)
+def t29_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly flags: a day is anomalous when its
+    t28 residual sits more than 2 sigma from the residual mean — the
+    screen that does NOT flag weekly rhythm (t7's plain z-score on the
+    raw series would). The 2-sigma test is the EXACT integer
+    cross-multiplication (n·r - S)² > 4·(n·SS - S²) in
+    DECIMAL(38,0) — no float mean, no float sigma, no sqrt — so both
+    engines decide every boundary identically (the x26/x52 integer
+    keep-rule idiom applied to a variance test).
+
+    Scale shape: t28's chain (daily series is calendar-bounded) plus
+    one 1-row moment broadcast."""
+    stl = t28_stl_decompose(spark, sf_dir).select(
+        "day_n", F.col("n_events").alias("v"), "resid_micro"
+    )
+    dec = "decimal(38,0)"
+    mom = stl.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("resid_micro").cast(dec)).alias("s"),
+        F.sum(
+            F.col("resid_micro").cast(dec) * F.col("resid_micro").cast(dec)
+        ).alias("ss"),
+    )
+    return stl.crossJoin(F.broadcast(mom)).select(
+        "day_n",
+        F.col("v").cast("bigint").alias("n_events"),
+        "resid_micro",
+        F.expr(
+            "CASE WHEN (CAST(n AS DECIMAL(38,0)) * CAST(resid_micro AS DECIMAL(38,0)) - s)"
+            " * (CAST(n AS DECIMAL(38,0)) * CAST(resid_micro AS DECIMAL(38,0)) - s)"
+            " > 4 * (CAST(n AS DECIMAL(38,0)) * ss - s * s)"
+            " THEN 1 ELSE 0 END"
+        ).alias("is_anomaly"),
+    )
+
+
+@_register(
+    "t30_growth_streaks",
+    """
+    WITH d AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n FROM events
+    ),
+    counts AS (SELECT day_n, COUNT(*) AS n FROM d GROUP BY day_n),
+    span AS (SELECT MIN(day_n) AS d0, MAX(day_n) AS d1 FROM d),
+    grid AS (SELECT unnest(generate_series(d0, d1)) AS day_n FROM span),
+    daily AS (
+      SELECT g.day_n, CAST(COALESCE(c.n, 0) AS BIGINT) AS v
+      FROM grid g LEFT JOIN counts c USING (day_n)
+    ),
+    dirs AS (
+      SELECT a.day_n,
+             CASE WHEN a.v > b.v THEN 'up'
+                  WHEN a.v < b.v THEN 'down'
+                  ELSE 'flat' END AS dir
+      FROM daily a JOIN daily b ON b.day_n = a.day_n - 1
+    ),
+    cums AS (
+      SELECT day_n, dir,
+             SUM(CASE WHEN dir = 'up' THEN 1 ELSE 0 END)
+               OVER (ORDER BY day_n) AS cu,
+             SUM(CASE WHEN dir = 'down' THEN 1 ELSE 0 END)
+               OVER (ORDER BY day_n) AS cd,
+             SUM(CASE WHEN dir = 'flat' THEN 1 ELSE 0 END)
+               OVER (ORDER BY day_n) AS cf
+      FROM dirs
+    ),
+    isl AS (
+      SELECT dir,
+             day_n - CASE dir WHEN 'up' THEN cu WHEN 'down' THEN cd
+                              ELSE cf END AS grp,
+             COUNT(*) AS len
+      FROM cums GROUP BY 1, 2
+    )
+    SELECT dir, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS INT) AS max_len,
+           CAST(SUM(len) AS BIGINT) AS total_days
+    FROM isl GROUP BY dir
+    """,
+)
+def t30_growth_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Momentum streaks: maximal runs of consecutive up / down / flat
+    days in the daily event-count series (gap days filled as zeros so
+    "consecutive" is calendar truth) — the growth-streak KPI behind
+    "N days of uninterrupted growth" dashboards, and the island
+    pattern (x19/d13) applied to a derived SIGN series instead of raw
+    positions.
+
+    Island key without any per-direction window: ONE pass of
+    ordered.global_prefix_sums carries three direction indicators;
+    a run of consecutive same-direction days has constant
+    day_n - own_cum (days are dense after gap fill), so streaks are
+    a plain groupBy. The oracle's OVER (ORDER BY day_n) states the
+    same cumulation as the semantic spec.
+
+    Scale shape: daily series is calendar-bounded; the prefix-sum
+    pass is the range-partitioned primitive, never a single-partition
+    window."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(F.expr("ts_ns div 1000 div 86400000000").alias("day_n"))
+    counts = d.groupBy("day_n").agg(F.count(F.lit(1)).alias("n"))
+    span = d.agg(F.min("day_n").alias("d0"), F.max("day_n").alias("d1"))
+    grid = span.select(F.explode(F.sequence("d0", "d1")).alias("day_n"))
+    daily = grid.join(counts, ["day_n"], "left").select(
+        "day_n", F.coalesce("n", F.lit(0)).cast("bigint").alias("v")
+    )
+    prev = daily.select(
+        (F.col("day_n") + 1).alias("day_n"), F.col("v").alias("pv")
+    )
+    dirs = daily.join(prev, "day_n").select(
+        "day_n",
+        F.when(F.col("v") > F.col("pv"), "up")
+        .when(F.col("v") < F.col("pv"), "down")
+        .otherwise("flat")
+        .alias("dir"),
+        (F.col("v") > F.col("pv")).cast("bigint").alias("iu"),
+        (F.col("v") < F.col("pv")).cast("bigint").alias("idn"),
+        (F.col("v") == F.col("pv")).cast("bigint").alias("ifl"),
+    )
+    cums = ordered.global_prefix_sums(dirs, "day_n", ["iu", "idn", "ifl"])
+    isl = (
+        cums.select(
+            "dir",
+            (
+                F.col("day_n")
+                - F.when(F.col("dir") == "up", F.col("cum_iu"))
+                .when(F.col("dir") == "down", F.col("cum_idn"))
+                .otherwise(F.col("cum_ifl"))
+            ).alias("grp"),
+        )
+        .groupBy("dir", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return isl.groupBy("dir").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("int").alias("max_len"),
+        F.sum("len").cast("bigint").alias("total_days"),
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -15869,6 +16066,8 @@ _PRIORITY = (
     "pipe_training_prep_v6",
     "dq9_join_fanout",
     "x63_source_diversity",
+    "t29_seasonal_anomaly",
+    "t30_growth_streaks",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

@@ -126,6 +126,7 @@ _NLJ_ALLOWED = {
     "x58_calibration_bins",  # 1-row doc-count broadcast
     "er2_blocking_recall",  # 1-row truth x 1-row found broadcast
     "dq9_join_fanout",  # 1-row predicted x 1-row actual broadcast
+    "t29_seasonal_anomaly",  # 1-row residual-moment broadcast
 }
 
 
