@@ -150,6 +150,19 @@ EXTRA = [
     "t25_debounce",
     "stats_benford",
     "graph_closeness",
+    # round-4 session-4 additions
+    "j11_bucketed_join",
+    "t27_autocorrelation",
+    "stats_mannwhitney",
+    "x59_length_buckets",
+    "t28_stl_decompose",
+    "x61_rouge_bigram_recall",
+    "x62_split_leakage",
+    "er2_blocking_recall",
+    "u15_schema_evolution",
+    "pipe_training_prep_v6",
+    "dq9_join_fanout",
+    "t30_growth_streaks",
 ]
 
 
