@@ -15950,6 +15950,198 @@ def t30_growth_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "graph_random_walks",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+      FROM lineitem WHERE l_partkey < 200
+    ),
+    ud AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    starts AS (SELECT DISTINCT src AS walk_id FROM e0 WHERE src < 50),
+    s1 AS (
+      SELECT walk_id, n1 FROM (
+        SELECT s.walk_id, e.dst AS n1,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.walk_id
+                 ORDER BY md5(CAST(s.walk_id AS VARCHAR) || '|1|' || CAST(e.dst AS VARCHAR)), e.dst
+               ) AS rn
+        FROM starts s JOIN ud e ON e.src = s.walk_id
+      ) WHERE rn = 1
+    ),
+    s2 AS (
+      SELECT walk_id, n1, n2 FROM (
+        SELECT w.walk_id, w.n1, e.dst AS n2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY w.walk_id
+                 ORDER BY md5(CAST(w.walk_id AS VARCHAR) || '|2|' || CAST(e.dst AS VARCHAR)), e.dst
+               ) AS rn
+        FROM s1 w JOIN ud e ON e.src = w.n1
+      ) WHERE rn = 1
+    )
+    SELECT CAST(walk_id AS BIGINT) AS walk_id,
+           CAST(walk_id AS BIGINT) AS n0,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+    FROM s2
+    """,
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus (node2vec/DeepWalk training
+    prep, 9th iterative-graph pattern): from each start node, two
+    walk steps over the undirected part-supplier graph, each step
+    choosing the neighbor with the smallest md5(walk|step|neighbor) —
+    a hash-seeded uniform choice that is a pure function of
+    (walk, step, candidate), so the walk corpus is reproducible
+    across engines, runs, and partitionings (the x29 deterministic-
+    uniform idiom applied to graph sampling).
+
+    Scale shape: each step is one equi-join frontier ⋈ edges plus a
+    per-walk argmin (min over a struct key — the a7 pattern, computed
+    here inside a per-walk aggregate, no global window); k steps = k
+    such rounds, the BFS/sssp iteration layout. The oracle replays
+    both steps as windowed CTE rounds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter(F.col("l_partkey") < 200)
+        .select(
+            F.col("l_partkey").alias("src"),
+            (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ud = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    starts = (
+        e0.filter(F.col("src") < 50).select(F.col("src").alias("walk_id")).distinct()
+    )
+
+    def step(frontier: DataFrame, cur: str, step_no: int, out: str) -> DataFrame:
+        key = F.md5(
+            F.concat_ws(
+                "|",
+                F.col("walk_id").cast("string"),
+                F.lit(str(step_no)),
+                F.col("dst").cast("string"),
+            )
+        )
+        cand = frontier.join(ud, frontier[cur] == ud["src"]).select(
+            frontier["*"],
+            F.struct(key.alias("k"), F.col("dst").alias("d")).alias("__c"),
+        )
+        gcols = [c for c in frontier.columns]
+        return (
+            cand.groupBy(*gcols)
+            .agg(F.min("__c").alias("__m"))
+            .select(*gcols, F.col("__m.d").alias(out))
+        )
+
+    w1 = step(starts.select("walk_id", F.col("walk_id").alias("n0")), "n0", 1, "n1")
+    w2 = step(w1, "n1", 2, "n2")
+    return w2.select(
+        F.col("walk_id").cast("bigint").alias("walk_id"),
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+    )
+
+
+@_register(
+    "mm14_phash_neardup",
+    """
+    WITH g AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+    bits AS (
+      SELECT g.doc_id,
+             CASE WHEN ((k*31 + (x.x+1)*7 + y.y*13) % 256)
+                       > ((k*31 + x.x*7 + y.y*13) % 256)
+                  THEN CAST(1 AS BIGINT) << (y.y*7 + x.x)
+                  ELSE CAST(0 AS BIGINT) END AS bit
+      FROM g
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y
+      CROSS JOIN (SELECT unnest(range(0, 7)) AS x) x
+    ),
+    ph AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS phash
+           FROM bits GROUP BY doc_id),
+    grp AS (SELECT phash, COUNT(*) AS n_docs FROM ph GROUP BY phash),
+    bv AS (
+      SELECT phash, b, (phash >> (14 * CAST(b AS INT))) & 16383 AS v
+      FROM grp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
+    ),
+    cand AS (
+      SELECT DISTINCT a.phash AS pa, b.phash AS pb
+      FROM bv a JOIN bv b ON a.b = b.b AND a.v = b.v AND a.phash < b.phash
+    ),
+    near AS (
+      SELECT pa, pb, bit_count(xor(pa, pb)) AS hamming
+      FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+    )
+    SELECT n.pa AS phash_a, n.pb AS phash_b,
+           CAST(n.hamming AS INT) AS hamming,
+           CAST(ga.n_docs AS BIGINT) AS docs_a,
+           CAST(gb.n_docs AS BIGINT) AS docs_b
+    FROM near n JOIN grp ga ON ga.phash = n.pa
+                JOIN grp gb ON gb.phash = n.pb
+    """,
+)
+def mm14_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image linking: mm9 groups exact dHash matches;
+    this links DISTINCT hash clusters within Hamming distance 3 —
+    re-encoded/slightly-retouched images that exact grouping misses.
+    Hashes come through the real BMP codec (multimodal.
+    perceptual_dhash); candidate pairs come from 4 x 14-bit band
+    buckets (pigeonhole: <= 3 differing bits must leave one band
+    intact, so banding is LOSSLESS at this threshold — the d4/s4
+    contract applied to perceptual hashes), then the exact
+    bit_count(xor) verify. Never all-pairs: candidates are per-bucket
+    squares over distinct-hash clusters.
+
+    The oracle predicts every hash from the id (mm9's closed form)
+    and replays the same banding, so codec, hashing, banding, and
+    Hamming verify are all value-checked."""
+    from hi_csa_db_spark.operators.multimodal import perceptual_dhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    ph = perceptual_dhash(docs)
+    grp = ph.groupBy("phash").agg(F.count(F.lit(1)).alias("n_docs"))
+    bv = grp.select(
+        "phash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b ->"
+                " struct(b AS b, shiftright(phash, 14 * b) & 16383 AS v))"
+            )
+        ).alias("bv"),
+    ).select("phash", F.col("bv.b").alias("b"), F.col("bv.v").alias("v"))
+    a = bv.select(
+        F.col("phash").alias("pa"), "b", "v"
+    )
+    b = bv.select(F.col("phash").alias("pb"), "b", "v")
+    cand = (
+        a.join(b, ["b", "v"])
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    near = cand.select(
+        "pa",
+        "pb",
+        F.expr("CAST(bit_count(pa ^ pb) AS INT)").alias("hamming"),
+    ).filter(F.col("hamming") <= 3)
+    ga = grp.select(F.col("phash").alias("pa"), F.col("n_docs").alias("docs_a"))
+    gb = grp.select(F.col("phash").alias("pb"), F.col("n_docs").alias("docs_b"))
+    return (
+        near.join(ga, "pa")
+        .join(gb, "pb")
+        .select(
+            F.col("pa").alias("phash_a"),
+            F.col("pb").alias("phash_b"),
+            "hamming",
+            F.col("docs_a").cast("bigint").alias("docs_a"),
+            F.col("docs_b").cast("bigint").alias("docs_b"),
+        )
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -16068,6 +16260,8 @@ _PRIORITY = (
     "x63_source_diversity",
     "t29_seasonal_anomaly",
     "t30_growth_streaks",
+    "graph_random_walks",
+    "mm14_phash_neardup",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
