@@ -1,0 +1,102 @@
+"""Unit pins for the round-4 session-4 operators: partition
+invariance of the new global-ordering consumers, the audio-VAD
+closed form, and mm14's pigeonhole-lossless Hamming banding."""
+
+import itertools
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# partition invariance: outputs must not depend on input layout
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["t30_growth_streaks", "graph_random_walks", "stats_mannwhitney"],
+)
+def test_partition_invariance_via_shuffle_partitions(spark, sf_dir, name):
+    fn = entrymod.queries()[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    a = _rows(fn(spark, sf_dir))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# audio VAD closed form
+# ---------------------------------------------------------------------------
+
+
+def test_audio_vad_silent_prefix_closed_form(spark):
+    from hi_csa_db_spark.operators.multimodal import audio_vad
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    got = {r["media_id"]: r for r in audio_vad(docs).collect()}
+    for i in range(8):
+        s = 1 + i % 4
+        r = got[i]
+        assert r["n_frames"] == 8
+        assert r["silent_frames"] == s, i
+        assert r["active_frames"] == 8 - s
+        assert r["first_active_frame"] == s
+        assert r["speech_ratio_micro"] == (8 - s) * 1000000 // 8
+
+
+# ---------------------------------------------------------------------------
+# mm14: banding at hamming <= 3 is lossless (pigeonhole) vs brute force
+# ---------------------------------------------------------------------------
+
+
+def _phash(k: int) -> int:
+    h = 0
+    for y in range(8):
+        for x in range(7):
+            if ((k * 31 + (x + 1) * 7 + y * 13) % 256) > (
+                (k * 31 + x * 7 + y * 13) % 256
+            ):
+                h |= 1 << (y * 7 + x)
+    return h
+
+
+def test_phash_banding_lossless_at_threshold_3():
+    hashes = sorted({_phash(k) for k in range(50)})
+    brute = set()
+    for a, b in itertools.combinations(hashes, 2):
+        if bin(a ^ b).count("1") <= 3:
+            brute.add((a, b))
+    banded = set()
+    for a, b in itertools.combinations(hashes, 2):
+        x = a ^ b
+        if any(((x >> (14 * i)) & 16383) == 0 for i in range(4)) and bin(
+            x
+        ).count("1") <= 3:
+            banded.add((a, b))
+    assert banded == brute and brute  # lossless AND non-vacuous
+
+
+def test_mm14_matches_brute_force(spark, sf_dir):
+    got = {
+        (r["phash_a"], r["phash_b"])
+        for r in entrymod.queries()["mm14_phash_neardup"](spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = [r[0] for r in docs.select("doc_id").collect()]
+    hashes = sorted({_phash(i % 50) for i in ids})
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(hashes, 2)
+        if bin(a ^ b).count("1") <= 3
+    }
+    assert got == want
