@@ -152,7 +152,83 @@ class Corpus:
         kept = self._docs.join(b, "doc_id")
         return self._with(kept, f"keep_perplexity_buckets{buckets}[x42]")
 
+    def weight_soft_dedup(
+        self, n: int = 3, num_hashes: int = 16, bands: int = 8,
+        threshold: float = 0.05,
+    ) -> "Corpus":
+        """SOFT dedup (d19): attach a ``weight_micro`` column
+        (1e6 div near-dup-cluster size) instead of dropping rows —
+        every duplicate cluster contributes one document's worth of
+        training signal, complementary fragments survive."""
+        from hi_csa_db_spark.operators import dedup, graph
+
+        pairs = dedup.minhash_lsh_dedup(
+            self._docs, n=n, num_hashes=num_hashes, bands=bands,
+            threshold=threshold,
+        )
+        edges = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        labels = graph.connected_components(edges, iterations=3)
+        sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("__csz"))
+        weighted = (
+            self._docs.join(
+                labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+            )
+            .join(sizes, "lbl", "left")
+            .drop("lbl")
+            .withColumn(
+                "weight_micro",
+                F.expr("CAST(1000000 div COALESCE(__csz, 1) AS BIGINT)"),
+            )
+            .drop("__csz")
+        )
+        return self._with(weighted, "weight_soft_dedup[d19]")
+
     # -- terminal reports -------------------------------------------------
+
+    def plan_length_batches(self, batch: int = 32) -> DataFrame:
+        """Terminal: x59/pipe_v6 length-bucket batch planning — docs
+        grouped into power-of-two token buckets with doc counts, raw
+        vs weight-scaled token totals (weight_micro defaults to 1e6
+        when weight_soft_dedup hasn't run), and batch counts."""
+        from hi_csa_db_spark.functions.text import tokenize
+
+        d = self._docs
+        if "weight_micro" not in d.columns:
+            d = d.withColumn("weight_micro", F.lit(1000000).cast("bigint"))
+        t = d.select(
+            "weight_micro", F.size(tokenize(F.col("text"))).alias("n_tokens")
+        )
+        ladder = (
+            "CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32"
+            " WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128"
+            " WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512"
+            " WHEN n_tokens <= 1024 THEN 1024 ELSE 2048 END"
+        )
+        b = t.select("weight_micro", "n_tokens", F.expr(ladder).alias("bucket"))
+        return (
+            b.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("weight_micro").cast("bigint").alias("weight_sum_micro"),
+                F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                F.sum(F.col("weight_micro") * F.col("n_tokens"))
+                .cast("bigint")
+                .alias("weighted_tokens_micro"),
+                F.expr(
+                    f"CAST((COUNT(1) + {batch - 1}) div {batch} AS BIGINT)"
+                ).alias(f"n_batches_b{batch}"),
+            )
+            .select(
+                F.col("bucket").cast("int").alias("bucket"),
+                "n_docs",
+                "weight_sum_micro",
+                "total_tokens",
+                "weighted_tokens_micro",
+                f"n_batches_b{batch}",
+            )
+        )
 
     def pack_ffd(self, budget: int = 512) -> DataFrame:
         """Terminal: first-fit-decreasing context packing of the

@@ -100,3 +100,18 @@ def test_mm14_matches_brute_force(spark, sf_dir):
         if bin(a ^ b).count("1") <= 3
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Corpus API: weight_soft_dedup().plan_length_batches() == pipe_v6
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_soft_weight_batch_plan_equals_pipe_v6(spark, sf_dir):
+    from hi_csa_db_spark.corpus import Corpus
+
+    api = _rows(
+        Corpus.load(spark, sf_dir).weight_soft_dedup().plan_length_batches()
+    )
+    query = _rows(entrymod.queries()["pipe_training_prep_v6"](spark, sf_dir))
+    assert api == query
