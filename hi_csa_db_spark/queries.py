@@ -16142,6 +16142,170 @@ def mm14_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x65_quality_length_bias",
+    f"""
+    WITH {_X20_SCORED_SQL},
+    b AS (
+      SELECT logit_micro, n_words,
+             CASE WHEN n_words <= 16 THEN 16
+                  WHEN n_words <= 32 THEN 32
+                  WHEN n_words <= 64 THEN 64
+                  WHEN n_words <= 128 THEN 128
+                  WHEN n_words <= 256 THEN 256
+                  WHEN n_words <= 512 THEN 512
+                  WHEN n_words <= 1024 THEN 1024
+                  ELSE 2048 END AS bucket
+      FROM scored
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST((SUM(logit_micro) + 10000000000 * COUNT(*)) // COUNT(*)
+                - 10000000000 AS BIGINT) AS mean_logit_micro,
+           CAST(MIN(logit_micro) AS BIGINT) AS min_logit_micro,
+           CAST(MAX(logit_micro) AS BIGINT) AS max_logit_micro,
+           CAST(SUM(CASE WHEN logit_micro >= 0 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS keep_rate_micro
+    FROM b GROUP BY bucket
+    """,
+)
+def x65_quality_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-bias audit: x20's quality logit profiled across the
+    x59 length buckets — if mean logit (or keep rate) climbs
+    monotonically with length, the "quality" classifier is mostly a
+    length detector and will skew the surviving corpus long (the
+    companion diagnostic to x58's calibration bins, cutting by an
+    input feature instead of by score rank). All-integer outputs;
+    means of SIGNED logits use the positive-offset floor-div (t28's
+    rule: Spark `div` truncates, DuckDB `//` floors — offset keeps
+    numerators positive where they agree; |mean logit| < 1e10 micro
+    by the x20 construction).
+
+    Scale shape: x20's one explode + map-combined feature aggregate,
+    then ONE <= 8-group aggregate. Nothing new shuffles."""
+    scored = x20_quality_classifier(spark, sf_dir).select(
+        "logit_micro", F.col("n_words").alias("n_tokens")
+    )
+    ladder = (
+        "CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32"
+        " WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128"
+        " WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512"
+        " WHEN n_tokens <= 1024 THEN 1024 ELSE 2048 END"
+    )
+    b = scored.select("logit_micro", F.expr(ladder).alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr(
+            "CAST((SUM(logit_micro) + 10000000000 * COUNT(1)) div COUNT(1)"
+            " - 10000000000 AS BIGINT)"
+        ).alias("mean_logit_micro"),
+        F.min("logit_micro").cast("bigint").alias("min_logit_micro"),
+        F.max("logit_micro").cast("bigint").alias("max_logit_micro"),
+        F.expr(
+            "CAST(SUM(CASE WHEN logit_micro >= 0 THEN 1 ELSE 0 END) * 1000000"
+            " div COUNT(1) AS BIGINT)"
+        ).alias("keep_rate_micro"),
+    ).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_docs",
+        "mean_logit_micro",
+        "min_logit_micro",
+        "max_logit_micro",
+        "keep_rate_micro",
+    )
+
+
+@_register(
+    "t31_forecast_error",
+    """
+    WITH d AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n FROM events
+    ),
+    counts AS (SELECT day_n, COUNT(*) AS n FROM d GROUP BY day_n),
+    span AS (SELECT MIN(day_n) AS d0, MAX(day_n) AS d1 FROM d),
+    grid AS (SELECT unnest(generate_series(d0, d1)) AS day_n FROM span),
+    daily AS (
+      SELECT g.day_n, CAST(COALESCE(c.n, 0) AS BIGINT) AS v
+      FROM grid g LEFT JOIN counts c USING (day_n)
+    ),
+    f AS (
+      SELECT a.day_n, a.v AS actual, n1.v AS naive1, n7.v AS naive7
+      FROM daily a
+      JOIN daily n1 ON n1.day_n = a.day_n - 1
+      JOIN daily n7 ON n7.day_n = a.day_n - 7
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(actual) AS sa,
+             SUM(abs(actual - naive1)) AS ae1,
+             SUM(abs(actual - naive7)) AS ae7,
+             SUM((actual - naive1) * (actual - naive1)) AS se1,
+             SUM((actual - naive7) * (actual - naive7)) AS se7
+      FROM f
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(ae1 * 1000000 // sa AS BIGINT) AS wape1_micro,
+           CAST(ae7 * 1000000 // sa AS BIGINT) AS wape7_micro,
+           CAST(se1 AS BIGINT) AS sse1,
+           CAST(se7 AS BIGINT) AS sse7,
+           CASE WHEN ae1 = 0 THEN NULL
+                ELSE CAST(ae7 * 1000000 // ae1 AS BIGINT) END
+             AS mase7v1_micro
+    FROM m
+    """,
+)
+def t31_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation: WAPE, SSE, and the MASE-style
+    ratio for the two standard naive forecasts of the daily event
+    count — yesterday (naive-1) and same-day-last-week (naive-7). If
+    wape7 < wape1 the series has real weekly structure (t27's lag-7
+    signal expressed as a forecasting win). All metrics are exact
+    integer rationals in micros — |errors| and squares of bigint
+    counts, floor-div ratios; no float anywhere.
+
+    Scale shape: the daily series is calendar-bounded; the two lag
+    joins are self equi-joins on day offsets; one 1-row reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(F.expr("ts_ns div 1000 div 86400000000").alias("day_n"))
+    counts = d.groupBy("day_n").agg(F.count(F.lit(1)).alias("n"))
+    span = d.agg(F.min("day_n").alias("d0"), F.max("day_n").alias("d1"))
+    grid = span.select(F.explode(F.sequence("d0", "d1")).alias("day_n"))
+    daily = grid.join(counts, ["day_n"], "left").select(
+        "day_n", F.coalesce("n", F.lit(0)).cast("bigint").alias("v")
+    )
+    n1 = daily.select((F.col("day_n") + 1).alias("day_n"), F.col("v").alias("naive1"))
+    n7 = daily.select((F.col("day_n") + 7).alias("day_n"), F.col("v").alias("naive7"))
+    f = (
+        daily.withColumnRenamed("v", "actual")
+        .join(n1, "day_n")
+        .join(n7, "day_n")
+    )
+    m = f.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("actual").alias("sa"),
+        F.sum(F.abs(F.col("actual") - F.col("naive1"))).alias("ae1"),
+        F.sum(F.abs(F.col("actual") - F.col("naive7"))).alias("ae7"),
+        F.sum(
+            (F.col("actual") - F.col("naive1"))
+            * (F.col("actual") - F.col("naive1"))
+        ).alias("se1"),
+        F.sum(
+            (F.col("actual") - F.col("naive7"))
+            * (F.col("actual") - F.col("naive7"))
+        ).alias("se7"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr("CAST(ae1 * 1000000 div sa AS BIGINT)").alias("wape1_micro"),
+        F.expr("CAST(ae7 * 1000000 div sa AS BIGINT)").alias("wape7_micro"),
+        F.col("se1").cast("bigint").alias("sse1"),
+        F.col("se7").cast("bigint").alias("sse7"),
+        F.expr(
+            "CASE WHEN ae1 = 0 THEN NULL"
+            " ELSE CAST(ae7 * 1000000 div ae1 AS BIGINT) END"
+        ).alias("mase7v1_micro"),
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -16262,6 +16426,8 @@ _PRIORITY = (
     "t30_growth_streaks",
     "graph_random_walks",
     "mm14_phash_neardup",
+    "x65_quality_length_bias",
+    "t31_forecast_error",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
