@@ -16306,6 +16306,128 @@ def t31_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "s12_filtered_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND({_cos_sql('e.embedding', 'q.qv')}, 6) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0 AND e.label = 3
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+)
+def s12_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: cosine top-k restricted to a metadata
+    predicate (label = 3) — the retrieval shape every RAG stack needs
+    ("nearest docs WITHIN this tenant/language/date range"). The
+    filter is applied BEFORE any scoring, so it pushes down to the
+    parquet scan (pinned in test_plans.py) and the similarity pass
+    touches only the qualifying fraction — pre-filtering, the honest
+    strategy when the predicate is selective; the IVF variants (s2,
+    s10, s11) are the post-filter complements when it is not.
+
+    Scoring is Catalyst higher-order functions over the broadcast
+    query vector; top-k is TakeOrderedAndProject on the 6dp-rounded
+    score with id tie-break (the s1 determinism contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    filtered = emb.filter((F.col("label") == 3) & (F.col("vec_id") != 0))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__q")
+    )
+    scored = filtered.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        F.round(similarity.cosine(F.col("embedding"), F.col("__q")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(
+        10
+    )
+
+
+@_register(
+    "a14_grouped_median",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS pri,
+             CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    byv AS (SELECT pri, cents, COUNT(*) AS ct FROM o GROUP BY pri, cents),
+    cum AS (
+      SELECT pri, cents, ct,
+             SUM(ct) OVER (PARTITION BY pri ORDER BY cents) AS cw,
+             SUM(ct) OVER (PARTITION BY pri) AS tot
+      FROM byv
+    )
+    SELECT pri AS o_orderpriority,
+           CAST(MIN(tot) AS BIGINT) AS n_orders,
+           CAST(MIN(CASE WHEN 2 * cw >= tot THEN cents END) AS BIGINT)
+             AS median_cents
+    FROM cum GROUP BY pri
+    """,
+)
+def a14_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (lower median, an actual data value —
+    no interpolation): order totalprice cents per priority class.
+    The grouped counterpart of a9's weighted median, selected by the
+    same integer rule (smallest value whose within-group cumulative
+    weight satisfies 2·cw >= total).
+
+    Scale shape: the oracle's per-group windows are the semantic
+    spec; the plan computes per-group cumulatives WITHOUT
+    partition-per-group windows (5 groups would mean 5-way skew):
+    ONE global_prefix_sums over the (pri, cents) struct order, then
+    per-group start offsets (|groups| rows) subtracted via broadcast
+    join — every stage parallel regardless of group sizes."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_totalprice").cast("decimal(15,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    byv = o.groupBy("pri", "cents").agg(F.count(F.lit(1)).alias("ct"))
+    keyed = byv.select(
+        F.struct(F.col("pri").alias("p"), F.col("cents").alias("c")).alias(
+            "__k"
+        ),
+        "pri",
+        "cents",
+        "ct",
+    )
+    g = ordered.global_prefix_sums(keyed, "__k", ["ct"])
+    tots = byv.groupBy("pri").agg(F.sum("ct").alias("tot"))
+    # start offset of each group in the global (pri, cents) order =
+    # total count of all lexicographically smaller groups (tiny
+    # triangular broadcast join over |groups| rows)
+    offs = (
+        tots.alias("a")
+        .join(
+            F.broadcast(tots.alias("b")),
+            F.col("b.pri") < F.col("a.pri"),
+            "left",
+        )
+        .groupBy(F.col("a.pri").alias("pri"), F.col("a.tot").alias("tot"))
+        .agg(F.coalesce(F.sum("b.tot"), F.lit(0)).alias("off"))
+    )
+    wg = g.join(F.broadcast(offs), "pri").select(
+        "pri",
+        "cents",
+        "tot",
+        (F.col("cum_ct") - F.col("off")).alias("cw"),
+    )
+    return (
+        wg.filter(2 * F.col("cw") >= F.col("tot"))
+        .groupBy(F.col("pri").alias("o_orderpriority"))
+        .agg(
+            F.min("tot").cast("bigint").alias("n_orders"),
+            F.min("cents").cast("bigint").alias("median_cents"),
+        )
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -16428,6 +16550,8 @@ _PRIORITY = (
     "mm14_phash_neardup",
     "x65_quality_length_bias",
     "t31_forecast_error",
+    "s12_filtered_topk",
+    "a14_grouped_median",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

@@ -127,6 +127,8 @@ _NLJ_ALLOWED = {
     "er2_blocking_recall",  # 1-row truth x 1-row found broadcast
     "dq9_join_fanout",  # 1-row predicted x 1-row actual broadcast
     "t29_seasonal_anomaly",  # 1-row residual-moment broadcast
+    "s12_filtered_topk",  # 1-row query-vector broadcast (the s1 shape)
+    "a14_grouped_median",  # triangular broadcast join over |groups| rows
 }
 
 
@@ -173,6 +175,13 @@ def test_bucketed_join_has_no_exchange_on_inputs(spark, sf_dir):
     # count distinct Exchange NODES via their detail headers
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchange <= 1, f"expected only the agg exchange, got {n_exchange}:\n{plan}"
+
+
+def test_filtered_ann_pushes_predicate_to_scan(spark, sf_dir):
+    # s12: the metadata filter must reach the parquet scan so the
+    # similarity pass only ever reads the qualifying fraction
+    plan = _plan(spark, sf_dir, "s12_filtered_topk")
+    assert re.search(r"PushedFilters:.*EqualTo\(label,3\)", plan), plan
 
 
 def test_edit_distance_is_banded_equi_join(spark, sf_dir):
