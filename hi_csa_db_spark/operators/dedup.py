@@ -597,6 +597,72 @@ def minhash_lsh_dedup(
     )
 
 
+def minhash_lsh_pairs_micro(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """minhash_lsh_dedup's candidate chain, but scoring every LSH
+    candidate with the EXACT INTEGER micro-Jaccard
+    (ic·1e6 floor-div union) and no threshold — for consumers that
+    bucket or compare the score against integer thresholds (x66) and
+    must agree bit-for-bit with an integer-arithmetic oracle (a
+    rounded float Jaccard differs from the floor by 1 micro on
+    round-up, which can cross a threshold).
+
+    Returns (id_a, id_b, j_micro). Same scale contract as
+    minhash_lsh_dedup: banded candidates, candidate-only verify."""
+    sh = shingles(docs, id_col, text_col, n)
+    m = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(m, 16, 12), 16, 10).cast("long") * 2 + 1
+    base = sh.select(
+        F.col(id_col), F.col("shingle"), h1.alias("__h1"), h2.alias("__h2")
+    )
+    aggs = [
+        F.min((F.col("__h1") + F.lit(i) * F.col("__h2")) % F.lit(2**60)).alias(
+            f"__mh{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    per_doc = (
+        base.groupBy(id_col)
+        .agg(*aggs, F.collect_set("shingle").alias("__shs"))
+        .cache()
+    )
+    sigs = per_doc.select(
+        id_col,
+        F.array(*[F.col(f"__mh{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    sa = per_doc.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("__sh_a"))
+    sb = per_doc.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("__sh_b"))
+    ic = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("bigint")
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            ic.alias("__ic"),
+            (
+                F.size("__sh_a").cast("bigint")
+                + F.size("__sh_b").cast("bigint")
+            ).alias("__szsum"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "CAST(__ic * 1000000 div (__szsum - __ic) AS BIGINT)"
+            ).alias("j_micro"),
+        )
+    )
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",

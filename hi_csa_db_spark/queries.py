@@ -16428,6 +16428,267 @@ def a14_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x66_threshold_sensitivity",
+    f"""
+    WITH {_SHINGLE_SQL},
+    seeds AS (SELECT unnest(range(0, 16)) AS seed),
+    hh AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h1,
+             CAST('0x' || substring(md5(shingle), 16, 12) AS BIGINT) * 2 + 1 AS h2
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, seed,
+             MIN((h1 + seed * h2) % 1152921504606846976) AS mh
+      FROM hh CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             md5(band::VARCHAR || '|' || string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bkey
+      FROM (SELECT doc_id, seed, mh, seed // 2 AS band FROM mh)
+      GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                               AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ic
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT c.id_a, c.id_b,
+             i.ic * 1000000 // (sa.sz + sb.sz - i.ic) AS j_micro
+      FROM cand c JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+                  JOIN sizes sa ON sa.doc_id = c.id_a
+                  JOIN sizes sb ON sb.doc_id = c.id_b
+    ),
+    thr AS (SELECT unnest([50000, 100000, 200000, 400000]) AS thr_micro)
+    SELECT CAST(thr_micro AS BIGINT) AS thr_micro,
+           CAST(COUNT(CASE WHEN j_micro >= thr_micro THEN 1 END) AS BIGINT)
+             AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN j_micro >= thr_micro THEN id_a END)
+                + COUNT(DISTINCT CASE WHEN j_micro >= thr_micro THEN id_b END)
+                AS BIGINT) AS doc_slots
+    FROM thr LEFT JOIN jp ON true
+    GROUP BY thr_micro
+    """,
+)
+def x66_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold sensitivity: how many near-dup pairs (and how
+    many affected doc slots) survive at Jaccard thresholds 0.05 /
+    0.1 / 0.2 / 0.4 — computed from ONE LSH candidate table scored
+    once in integer micro-Jaccard, then bucketed against a broadcast
+    threshold list. The tuning table you read before committing to a
+    threshold corpus-wide (d14 calibrates the ESTIMATOR; this shows
+    the decision's blast radius).
+
+    Scale shape: d2's banded candidate generation + one scoring pass;
+    the threshold fan-out is a 4-row broadcast over the scored pairs
+    (never re-scoring per threshold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs_micro(
+        docs, n=3, num_hashes=16, bands=8
+    ).withColumnRenamed("j_micro", "__jm")
+    thr = spark.createDataFrame(
+        [(50000,), (100000,), (200000,), (400000,)], ["thr_micro"]
+    )
+    lab = pairs.crossJoin(F.broadcast(thr))
+    return lab.groupBy("thr_micro").agg(
+        F.count(F.when(F.col("__jm") >= F.col("thr_micro"), 1)).cast(
+            "bigint"
+        ).alias("n_pairs"),
+        (
+            F.countDistinct(
+                F.when(F.col("__jm") >= F.col("thr_micro"), F.col("id_a"))
+            )
+            + F.countDistinct(
+                F.when(F.col("__jm") >= F.col("thr_micro"), F.col("id_b"))
+            )
+        ).cast("bigint").alias("doc_slots"),
+    ).select(
+        F.col("thr_micro").cast("bigint").alias("thr_micro"),
+        "n_pairs",
+        "doc_slots",
+    )
+
+
+@_register(
+    "graph_clustering_coeff",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 120
+    ),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t FROM pairs e1
+      JOIN pairs e2 ON e2.p1 = e1.p2
+      JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    ),
+    deg AS (
+      SELECT id, COUNT(*) AS d FROM (
+        SELECT p1 AS id FROM pairs UNION ALL SELECT p2 FROM pairs
+      ) GROUP BY id
+    ),
+    wed AS (SELECT SUM(d * (d - 1) // 2) AS w FROM deg)
+    SELECT CAST(t AS BIGINT) AS n_triangles,
+           CAST(w AS BIGINT) AS n_wedges,
+           CAST(3 * t * 1000000 // w AS BIGINT) AS clustering_micro
+    FROM tri CROSS JOIN wed
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity): 3·triangles /
+    wedges over the co-purchase graph — graph_triangles' count put in
+    context (how triangle-dense is the graph relative to its degree
+    structure). Wedges come from ONE degree aggregate (Σ d(d-1)/2,
+    never materializing the wedge pairs); the ratio is an integer
+    micro floor-div.
+
+    Scale shape: the triangle join is graph_triangles' ordered-edge
+    multi-way equi-join (edges bucketed by p1 at fleet scale); the
+    wedge side adds only a degree groupBy."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 120)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "o").filter(F.col("p1") < F.col("p2")).select("p1", "p2").distinct()
+    )
+    e2 = pairs.select(F.col("p1").alias("p2"), F.col("p2").alias("p3"))
+    e3 = pairs.select(F.col("p1").alias("p1x"), F.col("p2").alias("p3x"))
+    tri = (
+        pairs.join(e2, "p2")
+        .join(e3, (F.col("p1") == F.col("p1x")) & (F.col("p3") == F.col("p3x")))
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg = (
+        pairs.select(F.col("p1").alias("id"))
+        .unionAll(pairs.select(F.col("p2").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("w")
+    )
+    return tri.crossJoin(F.broadcast(wed)).select(
+        F.col("t").cast("bigint").alias("n_triangles"),
+        F.col("w").cast("bigint").alias("n_wedges"),
+        F.expr("CAST(3 * t * 1000000 div w AS BIGINT)").alias(
+            "clustering_micro"
+        ),
+    )
+
+
+@_register(
+    "stats_runs_test",
+    """
+    WITH d AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n FROM events
+    ),
+    counts AS (SELECT day_n, COUNT(*) AS n FROM d GROUP BY day_n),
+    span AS (SELECT MIN(day_n) AS d0, MAX(day_n) AS d1 FROM d),
+    grid AS (SELECT unnest(generate_series(d0, d1)) AS day_n FROM span),
+    daily AS (
+      SELECT g.day_n, CAST(COALESCE(c.n, 0) AS BIGINT) AS v
+      FROM grid g LEFT JOIN counts c USING (day_n)
+    ),
+    dirs AS (
+      SELECT a.day_n, CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS up
+      FROM daily a JOIN daily b ON b.day_n = a.day_n - 1
+      WHERE a.v <> b.v
+    ),
+    flips AS (
+      SELECT COUNT(*) AS r FROM dirs a JOIN dirs b ON b.day_n = (
+        SELECT MAX(day_n) FROM dirs WHERE day_n < a.day_n
+      ) WHERE a.up <> b.up
+    ),
+    m AS (SELECT SUM(up) AS n1, COUNT(*) - SUM(up) AS n2 FROM dirs)
+    SELECT CAST(n1 AS BIGINT) AS n_up, CAST(n2 AS BIGINT) AS n_down,
+           CAST(r + 1 AS BIGINT) AS n_runs,
+           ROUND((CAST(r + 1 AS DOUBLE)
+                  - (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     / CAST(n1 + n2 AS DOUBLE) + 1))
+                 / sqrt(2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        * (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                           - CAST(n1 + n2 AS DOUBLE))
+                        / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                           * CAST(n1 + n2 - 1 AS DOUBLE))), 6) AS z_score
+    FROM flips CROSS JOIN m
+    """,
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily up/down sign sequence
+    (flat days removed, the standard treatment): too FEW runs means
+    trending, too MANY means oscillation — the randomness check
+    behind t30's streak report. Runs are counted as sign flips
+    between CONSECUTIVE surviving days + 1 (a nearest-predecessor
+    self-join, no window); n1/n2/R are exact integers and the normal
+    z is IEEE ops on exact integers rounded at 6dp.
+
+    Scale shape: calendar-bounded series; the predecessor lookup is
+    a correlated min/max over the tiny dirs frame on the oracle side
+    and a prefix-rank equi-join on the Spark side — both linear."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(F.expr("ts_ns div 1000 div 86400000000").alias("day_n"))
+    counts = d.groupBy("day_n").agg(F.count(F.lit(1)).alias("n"))
+    span = d.agg(F.min("day_n").alias("d0"), F.max("day_n").alias("d1"))
+    grid = span.select(F.explode(F.sequence("d0", "d1")).alias("day_n"))
+    daily = grid.join(counts, ["day_n"], "left").select(
+        "day_n", F.coalesce("n", F.lit(0)).cast("bigint").alias("v")
+    )
+    prev = daily.select(
+        (F.col("day_n") + 1).alias("day_n"), F.col("v").alias("pv")
+    )
+    dirs = (
+        daily.join(prev, "day_n")
+        .filter(F.col("v") != F.col("pv"))
+        .select(
+            "day_n", (F.col("v") > F.col("pv")).cast("bigint").alias("up")
+        )
+    )
+    ranked = ordered.global_row_numbers(dirs, "day_n")
+    succ = ranked.select(
+        (F.col("rank") - 1).alias("rank"), F.col("up").alias("up_next")
+    )
+    flips = (
+        ranked.join(succ, "rank")
+        .agg(
+            F.sum(
+                (F.col("up") != F.col("up_next")).cast("bigint")
+            ).alias("r")
+        )
+    )
+    m = dirs.agg(
+        F.sum("up").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("up")).alias("n2"),
+    )
+    return flips.crossJoin(F.broadcast(m)).select(
+        F.col("n1").cast("bigint").alias("n_up"),
+        F.col("n2").cast("bigint").alias("n_down"),
+        (F.col("r") + 1).cast("bigint").alias("n_runs"),
+        F.expr(
+            "ROUND((CAST(r + 1 AS DOUBLE)"
+            " - (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+            " / CAST(n1 + n2 AS DOUBLE) + 1))"
+            " / sqrt(2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+            " * (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+            " - CAST(n1 + n2 AS DOUBLE))"
+            " / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)"
+            " * CAST(n1 + n2 - 1 AS DOUBLE))), 6)"
+        ).alias("z_score"),
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -16552,6 +16813,9 @@ _PRIORITY = (
     "t31_forecast_error",
     "s12_filtered_topk",
     "a14_grouped_median",
+    "x66_threshold_sensitivity",
+    "graph_clustering_coeff",
+    "stats_runs_test",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

@@ -129,6 +129,9 @@ _NLJ_ALLOWED = {
     "t29_seasonal_anomaly",  # 1-row residual-moment broadcast
     "s12_filtered_topk",  # 1-row query-vector broadcast (the s1 shape)
     "a14_grouped_median",  # triangular broadcast join over |groups| rows
+    "x66_threshold_sensitivity",  # 4-row threshold-list broadcast
+    "graph_clustering_coeff",  # 1-row triangles x 1-row wedges broadcast
+    "stats_runs_test",  # 1-row flips x 1-row margins broadcast
 }
 
 
