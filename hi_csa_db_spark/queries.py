@@ -16689,6 +16689,188 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "t32_dau_wau_stickiness",
+    """
+    WITH d AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n
+      FROM events
+    ),
+    dau AS (
+      SELECT day_n, COUNT(DISTINCT user_id) AS dau FROM d GROUP BY day_n
+    ),
+    wau AS (
+      SELECT day_n // 7 AS week_n, COUNT(DISTINCT user_id) AS wau
+      FROM d GROUP BY 1
+    ),
+    wk AS (
+      SELECT day_n // 7 AS week_n, SUM(dau) AS sum_dau, COUNT(*) AS n_days
+      FROM dau GROUP BY 1
+    )
+    SELECT w.week_n, CAST(wk.n_days AS INT) AS n_days,
+           CAST(wk.sum_dau AS BIGINT) AS sum_dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           CAST(wk.sum_dau * 1000000 // (wk.n_days * w.wau) AS BIGINT)
+             AS stickiness_micro
+    FROM wau w JOIN wk ON wk.week_n = w.week_n
+    """,
+)
+def t32_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU engagement ("stickiness"): per calendar week, the sum
+    of daily distinct users, the weekly distinct users, and mean-DAU /
+    WAU as an integer micro ratio — the product-analytics staple that
+    needs distinct aggregation at two granularities. Declared-us day
+    numbers (the t2/t8 precision contract).
+
+    Scale shape: two exact countDistinct aggregates — each shuffles
+    (day, user) / (week, user) once with map-side partial dedup; the
+    week rollup of daily distincts is a tiny second aggregate. At
+    100 TB the exact distincts would ride the a12 deterministic-HLL
+    register table instead; the exact form is the oracle-checkable
+    contract."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.expr("ts_ns div 1000 div 86400000000").alias("day_n")
+    )
+    dau = d.groupBy("day_n").agg(F.countDistinct("user_id").alias("dau"))
+    wau = d.groupBy(F.expr("day_n div 7").alias("week_n")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    wk = dau.groupBy(F.expr("day_n div 7").alias("week_n")).agg(
+        F.sum("dau").alias("sum_dau"), F.count(F.lit(1)).alias("n_days")
+    )
+    return wau.join(wk, "week_n").select(
+        "week_n",
+        F.col("n_days").cast("int").alias("n_days"),
+        F.col("sum_dau").cast("bigint").alias("sum_dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        F.expr(
+            "CAST(sum_dau * 1000000 div (n_days * wau) AS BIGINT)"
+        ).alias("stickiness_micro"),
+    )
+
+
+@_register(
+    "x67_token_frequency_spectrum",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM toks
+      ) WHERE shingle <> ''
+    ),
+    tf AS (SELECT shingle AS w, COUNT(*) AS c FROM sh GROUP BY shingle),
+    spec AS (
+      SELECT CASE WHEN c <= 5 THEN CAST(c AS VARCHAR) ELSE '6+' END AS freq_class,
+             COUNT(*) AS n_types, SUM(c) AS n_tokens
+      FROM tf GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_types) AS v, SUM(n_tokens) AS t FROM spec)
+    SELECT freq_class,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types * 1000000 // v AS BIGINT) AS type_share_micro,
+           CAST(n_tokens * 1000000 // t AS BIGINT) AS token_share_micro
+    FROM spec CROSS JOIN tot
+    """,
+)
+def x67_token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle frequency-of-frequencies spectrum (Zipf companion to
+    x56's Heaps growth): how many distinct 3-gram shingle types have
+    document frequency exactly 1..5 (hapax, dis legomena, ...) vs the
+    6+ head, with each class's share of types and of occurrence mass —
+    the table behind Good-Turing smoothing, and the empirical basis
+    for d3/d12's hot-shingle df caps (how much of the index the rare
+    tail really is). All integers and floor-div micro shares.
+
+    Scale shape: the d2 shingle index aggregated once (map-combined),
+    one <= 6-group spectrum aggregate, a 1-row total broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, "doc_id", "text", 3)
+    tf = sh.groupBy(F.col("shingle").alias("w")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    spec = tf.groupBy(
+        F.when(F.col("c") <= 5, F.col("c").cast("string"))
+        .otherwise(F.lit("6+"))
+        .alias("freq_class")
+    ).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").alias("n_tokens"),
+    )
+    tot = spec.agg(
+        F.sum("n_types").alias("v"), F.sum("n_tokens").alias("t")
+    )
+    return spec.crossJoin(F.broadcast(tot)).select(
+        "freq_class",
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr("CAST(n_types * 1000000 div v AS BIGINT)").alias(
+            "type_share_micro"
+        ),
+        F.expr("CAST(n_tokens * 1000000 div t AS BIGINT)").alias(
+            "token_share_micro"
+        ),
+    )
+
+
+@_register(
+    "d20_lsh_s_curve",
+    """
+    WITH g AS (SELECT unnest(range(1, 20)) AS i),
+    j AS (SELECT i, CAST(i AS DOUBLE) / 20 AS jac FROM g),
+    y1 AS (SELECT i, jac, 1 - jac * jac AS y FROM j),
+    y2 AS (SELECT i, jac, y * y AS y2 FROM y1),
+    y4 AS (SELECT i, jac, y2 * y2 AS y4 FROM y2),
+    p AS (SELECT i, jac, 1 - y4 * y4 AS p_cand FROM y4)
+    SELECT CAST(i * 50000 AS BIGINT) AS jaccard_micro,
+           ROUND(p_cand, 6) AS p_candidate,
+           CASE WHEN p_cand >= 0.5 THEN 1 ELSE 0 END AS above_half
+    FROM p
+    """,
+)
+def d20_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH design S-curve for the repo's 16-hash / 8-band / 2-row
+    geometry: P(candidate | jaccard j) = 1 - (1 - j^2)^8 on a
+    0.05-step grid — the table d2/d9/x62/x66 are tuned from, and the
+    closed form d14's empirical calibration is checked against. The
+    curve's 0.5 crossing (~0.35) is the geometry's effective
+    threshold.
+
+    Determinism: inputs are the exact rationals i/20 and the 8th
+    power is EXPLICIT repeated squaring (y->y2->y4->y8) — pure
+    correctly-rounded IEEE multiplies on both engines, never the
+    libm pow() path whose last ulp is host-dependent — so the doubles
+    are bit-identical before the 6dp ROUND (boundary_sweep-stable).
+
+    Scale: 19 rows of arithmetic — the planning table is free; its
+    value is pinning the geometry's semantics next to the operators
+    that rely on it."""
+    g = spark.range(1, 20).select(F.col("id").cast("int").alias("i"))
+    jac = (F.col("i").cast("double") / 20).alias("jac")
+    p = (
+        g.select("i", jac)
+        .select("i", "jac", (F.lit(1.0) - F.col("jac") * F.col("jac")).alias("y"))
+        .select("i", "jac", (F.col("y") * F.col("y")).alias("y2"))
+        .select("i", "jac", (F.col("y2") * F.col("y2")).alias("y4"))
+        .select("i", "jac", (F.lit(1.0) - F.col("y4") * F.col("y4")).alias("p_cand"))
+    )
+    return p.select(
+        (F.col("i").cast("bigint") * 50000).alias("jaccard_micro"),
+        F.round("p_cand", 6).alias("p_candidate"),
+        (F.col("p_cand") >= 0.5).cast("int").alias("above_half"),
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -16816,6 +16998,9 @@ _PRIORITY = (
     "x66_threshold_sensitivity",
     "graph_clustering_coeff",
     "stats_runs_test",
+    "t32_dau_wau_stickiness",
+    "x67_token_frequency_spectrum",
+    "d20_lsh_s_curve",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

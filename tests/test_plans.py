@@ -132,6 +132,7 @@ _NLJ_ALLOWED = {
     "x66_threshold_sensitivity",  # 4-row threshold-list broadcast
     "graph_clustering_coeff",  # 1-row triangles x 1-row wedges broadcast
     "stats_runs_test",  # 1-row flips x 1-row margins broadcast
+    "x67_token_frequency_spectrum",  # 1-row totals broadcast
 }
 
 
