@@ -133,6 +133,7 @@ _NLJ_ALLOWED = {
     "graph_clustering_coeff",  # 1-row triangles x 1-row wedges broadcast
     "stats_runs_test",  # 1-row flips x 1-row margins broadcast
     "x67_token_frequency_spectrum",  # 1-row totals broadcast
+    "s13_recall_vs_probes",  # centroid/query/probe-list tiny broadcasts
 }
 
 
