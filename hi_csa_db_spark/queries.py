@@ -17062,6 +17062,71 @@ def s13_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dq10_sequence_gaps",
+    """
+    WITH k AS (SELECT DISTINCT o_orderkey AS id FROM orders),
+    r AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rnk FROM k),
+    isl AS (
+      SELECT id - rnk AS grp, MIN(id) AS lo, MAX(id) AS hi, COUNT(*) AS n
+      FROM r GROUP BY 1
+    ),
+    nxt AS (
+      SELECT a.hi AS gap_start_after, b.lo AS gap_end_before,
+             b.lo - a.hi - 1 AS missing
+      FROM isl a JOIN isl b ON b.lo = (
+        SELECT MIN(lo) FROM isl WHERE lo > a.hi
+      )
+    )
+    SELECT gap_start_after, gap_end_before, CAST(missing AS BIGINT) AS missing
+    FROM nxt ORDER BY gap_start_after LIMIT 20
+    """,
+)
+def dq10_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit: the first 20 holes in the orderkey id
+    space (contiguous-run islands via the id − rank key, then
+    consecutive-island pairing) — the surrogate-key integrity check
+    that catches dropped extraction batches: a gap of exactly one
+    batch size is a smoking gun. TPC-H orderkeys are deliberately
+    sparse (only 1 in 4 low ids used), so the fixture genuinely
+    exercises the island logic.
+
+    Scale shape: ranks ride ordered.global_row_numbers (range
+    partition + broadcast offsets); islands are one groupBy; the
+    island successor pairing is a rank+1 equi-join over the (small)
+    island table, never a correlated subquery (the oracle's
+    correlated MIN is the semantic spec)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id")
+    ).distinct()
+    r = ordered.global_row_numbers(o, "id")
+    isl = (
+        r.select((F.col("id") - F.col("rank")).alias("grp"), "id")
+        .groupBy("grp")
+        .agg(
+            F.min("id").alias("lo"),
+            F.max("id").alias("hi"),
+        )
+    )
+    ir = ordered.global_row_numbers(isl.select("lo", "hi"), "lo")
+    succ = ir.select(
+        (F.col("rank") - 1).alias("rank"),
+        F.col("lo").alias("next_lo"),
+    )
+    return (
+        ir.join(succ, "rank")
+        .select(
+            F.col("hi").alias("gap_start_after"),
+            F.col("next_lo").alias("gap_end_before"),
+            (F.col("next_lo") - F.col("hi") - 1).cast("bigint").alias(
+                "missing"
+            ),
+        )
+        .orderBy("gap_start_after")
+        .limit(20)
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -17194,6 +17259,7 @@ _PRIORITY = (
     "d20_lsh_s_curve",
     "u16_ivm_join_counts",
     "s13_recall_vs_probes",
+    "dq10_sequence_gaps",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

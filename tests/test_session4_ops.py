@@ -115,3 +115,31 @@ def test_corpus_soft_weight_batch_plan_equals_pipe_v6(spark, sf_dir):
     )
     query = _rows(entrymod.queries()["pipe_training_prep_v6"](spark, sf_dir))
     assert api == query
+
+
+# ---------------------------------------------------------------------------
+# dq10: the fixture key space is dense (0 gaps is the RIGHT answer there —
+# verified by the oracle); prove detection on synthetic gappy ids
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_gap_islands_detect_synthetic_gaps(spark):
+    from pyspark.sql import functions as F
+
+    from hi_csa_db_spark.operators import ordered
+
+    ids = [1, 2, 3, 7, 8, 20, 21, 22, 40]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    r = ordered.global_row_numbers(df, "id")
+    isl = (
+        r.select((F.col("id") - F.col("rank")).alias("grp"), "id")
+        .groupBy("grp")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+    )
+    ir = ordered.global_row_numbers(isl.select("lo", "hi"), "lo")
+    succ = ir.select((F.col("rank") - 1).alias("rank"), F.col("lo").alias("next_lo"))
+    gaps = sorted(
+        (r["hi"], r["next_lo"], r["next_lo"] - r["hi"] - 1)
+        for r in ir.join(succ, "rank").collect()
+    )
+    assert gaps == [(3, 7, 3), (8, 20, 11), (22, 40, 17)]
