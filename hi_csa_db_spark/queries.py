@@ -17127,6 +17127,72 @@ def dq10_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x68_prefix_cache_stats",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_filter(string_split(trim(text), ' '), x -> x <> '')[1:16],
+               ' ')) AS pfx
+      FROM documents
+    ),
+    g AS (SELECT pfx, COUNT(*) AS n FROM t GROUP BY pfx),
+    tot AS (
+      SELECT SUM(n) AS docs, COUNT(*) AS prefixes,
+             SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS docs_in_shared,
+             MAX(n) AS max_cluster
+      FROM g
+    )
+    SELECT CAST(docs AS BIGINT) AS n_docs,
+           CAST(prefixes AS BIGINT) AS n_prefixes,
+           CAST(docs_in_shared AS BIGINT) AS docs_in_shared,
+           CAST(max_cluster AS BIGINT) AS max_cluster,
+           CAST((docs - prefixes) * 1000000 // docs AS BIGINT)
+             AS cache_hit_micro
+    FROM tot
+    """,
+)
+def x68_prefix_cache_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache planning: group documents by the md5 of their
+    first 16 whitespace tokens — the shared-prefix clusters a
+    KV-cache/prefix-caching serving layer can reuse. cache_hit_micro
+    = (docs − distinct prefixes)/docs is the upper-bound hit rate if
+    every repeated prefix is served from cache; max_cluster flags the
+    template prefix worth pinning. All integers.
+
+    Scale shape: one narrow per-row slice+hash, one
+    groupBy(prefix-hash) with map-side combine, one 1-row reduction —
+    the d1 exact-dedup shape applied to prefixes instead of whole
+    docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = F.md5(
+        F.concat_ws(
+            " ", F.slice(tokenize(F.col("text")), 1, 16)
+        )
+    )
+    g = docs.select(pfx.alias("pfx")).groupBy("pfx").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = g.agg(
+        F.sum("n").alias("docs"),
+        F.count(F.lit(1)).alias("prefixes"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias(
+            "docs_in_shared"
+        ),
+        F.max("n").alias("max_cluster"),
+    )
+    return tot.select(
+        F.col("docs").cast("bigint").alias("n_docs"),
+        F.col("prefixes").cast("bigint").alias("n_prefixes"),
+        F.col("docs_in_shared").cast("bigint").alias("docs_in_shared"),
+        F.col("max_cluster").cast("bigint").alias("max_cluster"),
+        F.expr(
+            "CAST((docs - prefixes) * 1000000 div docs AS BIGINT)"
+        ).alias("cache_hit_micro"),
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -17260,6 +17326,7 @@ _PRIORITY = (
     "u16_ivm_join_counts",
     "s13_recall_vs_probes",
     "dq10_sequence_gaps",
+    "x68_prefix_cache_stats",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
