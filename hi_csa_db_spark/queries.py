@@ -17193,6 +17193,59 @@ def x68_prefix_cache_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "mm15_video_keyframes",
+    """
+    WITH v AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents),
+    s AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n), fi ->
+               (10 + (doc_id + 7*fi) % 50) * ((doc_id*31 + fi*7) % 256)
+               + (10 + (doc_id + 7*fi) % 50)
+                 * (10 + (doc_id + 7*fi) % 50 - 1) // 2
+               - 256 * greatest(0, (10 + (doc_id + 7*fi) % 50)
+                                   - (256 - (doc_id*31 + fi*7) % 256))
+             ) AS sums,
+             list_transform(range(0, n), fi -> 10 + (doc_id + 7*fi) % 50)
+               AS sizes
+      FROM v
+    ),
+    k AS (
+      SELECT doc_id, n, sizes,
+             list_transform(range(1, n + 1), ix ->
+               CASE WHEN ix = 1 THEN 1
+                    WHEN abs(sums[CAST(ix AS INT)] - sums[CAST(ix AS INT) - 1])
+                         > 500 THEN 1
+                    ELSE 0 END) AS kfs
+      FROM s
+    )
+    SELECT doc_id AS media_id, CAST(n AS INT) AS n_frames,
+           CAST(list_aggregate(kfs, 'sum') AS INT) AS n_keyframes,
+           CAST(list_aggregate(list_transform(range(1, n + 1),
+                  ix -> kfs[CAST(ix AS INT)]
+                        * (CAST(1 AS BIGINT) << CAST(ix - 1 AS INT))),
+                'sum') AS BIGINT) AS keyframe_bits,
+           CAST(list_aggregate(sizes, 'sum') AS BIGINT) AS total_bytes
+    FROM k
+    """,
+)
+def mm15_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection through the real IVF/DKIF container
+    (multimodal.video_keyframes): frames whose exact byte-sum jumps
+    more than 500 from their predecessor are keyframes (frame 0
+    always) — the scene segmentation a video pipeline runs BEFORE
+    sampling, completing the video story (mm10 samples every k-th
+    frame blindly; this samples where content changes). The synthetic
+    payload byte sums have a closed form (arithmetic series mod 256,
+    wrapping at most once: S = L·c + L(L−1)/2 − 256·wrapped), so the
+    oracle predicts the keyframe bitmask from the id alone — the
+    container round trip and the diff rule are value-checked through
+    the distributed plan."""
+    from hi_csa_db_spark.operators.multimodal import video_keyframes
+
+    return video_keyframes(load_table(spark, sf_dir, "documents"))
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -17327,6 +17380,7 @@ _PRIORITY = (
     "s13_recall_vs_probes",
     "dq10_sequence_gaps",
     "x68_prefix_cache_stats",
+    "mm15_video_keyframes",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
