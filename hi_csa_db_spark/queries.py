@@ -17246,6 +17246,105 @@ def mm15_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_keyframes(load_table(spark, sf_dir, "documents"))
 
 
+@_register(
+    "stats_poisson_bootstrap",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS id,
+             CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    reps AS (SELECT unnest(range(0, 16)) AS b),
+    m AS (
+      SELECT b, SUM(w) AS n_eff, SUM(w * cents) AS sum_cents
+      FROM (
+        SELECT b, cents,
+               CASE
+                 WHEN CAST('0x' || substring(
+                   md5(CAST(b AS VARCHAR) || '|' || CAST(id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 1000 < 368 THEN 0
+                 WHEN CAST('0x' || substring(
+                   md5(CAST(b AS VARCHAR) || '|' || CAST(id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 1000 < 736 THEN 1
+                 WHEN CAST('0x' || substring(
+                   md5(CAST(b AS VARCHAR) || '|' || CAST(id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 1000 < 920 THEN 2
+                 ELSE 3 END AS w
+        FROM o CROSS JOIN reps
+      ) GROUP BY b
+    )
+    SELECT CAST(b AS INT) AS replicate,
+           CAST(n_eff AS BIGINT) AS n_eff,
+           CAST(sum_cents * 1000 // n_eff AS BIGINT) AS mean_milli_cents
+    FROM m
+    """,
+)
+def stats_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON bootstrap (the cluster-scale bootstrap: per-row
+    replicate weights instead of with-replacement draws, so each
+    replicate is one weighted aggregate over a single scan — the
+    standard trick for resampling data too big to sample by index):
+    16 deterministic replicates of the mean order value, each row's
+    weight drawn from an integer-threshold Poisson(1) approximation
+    (P(0)=P(1)=.368, P(2)=.184, P(3)=.08) seeded by
+    md5(replicate|id). The replicate spread is the uncertainty
+    estimate a significance gate (t7/t9/stats_* family) consumes.
+
+    All-integer outputs (exact cents sums, floor-div milli means);
+    membership is a pure hash function of (replicate, id) — stable
+    across engines, runs, and partitionings (the x29/sample_* idiom).
+
+    Scale shape: ONE scan fanned 16x by a tiny broadcast (or
+    equivalently 16 conditional aggregates); no shuffle bigger than
+    16 groups."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_totalprice").cast("decimal(15,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    reps = spark.range(0, 16).select(F.col("id").alias("b"))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("b").cast("string"), F.col("id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    w = (
+        F.when(h < 368, 0)
+        .when(h < 736, 1)
+        .when(h < 920, 2)
+        .otherwise(3)
+    )
+    lab = o.crossJoin(F.broadcast(reps)).select(
+        "b", "cents", w.alias("w")
+    )
+    return (
+        lab.groupBy("b")
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.sum(F.col("w") * F.col("cents")).alias("sum_cents"),
+        )
+        .select(
+            F.col("b").cast("int").alias("replicate"),
+            F.col("n_eff").cast("bigint").alias("n_eff"),
+            F.expr("CAST(sum_cents * 1000 div n_eff AS BIGINT)").alias(
+                "mean_milli_cents"
+            ),
+        )
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -17381,6 +17480,7 @@ _PRIORITY = (
     "dq10_sequence_gaps",
     "x68_prefix_cache_stats",
     "mm15_video_keyframes",
+    "stats_poisson_bootstrap",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

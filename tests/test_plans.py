@@ -134,6 +134,7 @@ _NLJ_ALLOWED = {
     "stats_runs_test",  # 1-row flips x 1-row margins broadcast
     "x67_token_frequency_spectrum",  # 1-row totals broadcast
     "s13_recall_vs_probes",  # centroid/query/probe-list tiny broadcasts
+    "stats_poisson_bootstrap",  # 16-row replicate-list broadcast
 }
 
 
