@@ -17567,6 +17567,125 @@ def a15_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm.join(chk, "event_type")
 
 
+@_register(
+    "u17_jsonl_roundtrip",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+    FROM events GROUP BY event_type
+    """,
+)
+def u17_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines as a source format: the events table is exported
+    once to JSONL (timestamps carried as declared-microsecond
+    integers — JSON has no timestamp type, so the t2/t8 precision
+    contract IS the serialization), read back with
+    spark.read.json + an explicit schema (schema-on-read, no
+    inference pass at scale), and aggregated; the oracle recomputes
+    from the original parquet, so the JSON writer/reader round trip
+    must preserve every row, type, and microsecond. Covers the
+    third interchange format beside parquet/ORC (sources tier) the
+    way u15 covers schema drift.
+
+    Scale shape: one partitioned JSONL write (per-process idempotent,
+    under /tmp), then an ordinary map-combined aggregate; the
+    explicit schema avoids Spark's whole-file inference scan."""
+    import hashlib
+    import os
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:10]
+    loc = f"/tmp/spark_graft_jsonl/{tag}"
+    if not os.path.exists(loc):
+        ev.select(
+            "event_id",
+            "event_type",
+            F.col("value"),
+            F.expr("ts_ns div 1000").alias("ts_us"),
+        ).write.mode("overwrite").json(loc)
+    back = spark.read.schema(
+        "event_id bigint, event_type string, value double, ts_us bigint"
+    ).json(loc)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+        F.max("ts_us").cast("bigint").alias("last_us"),
+    )
+
+
+@_register(
+    "x69_mixture_drift",
+    """
+    WITH d AS (
+      SELECT source,
+             CAST(epoch_us(ts) // 86400000000 // 7 AS BIGINT) AS week_n
+      FROM events e JOIN documents doc ON doc.doc_id = e.event_id % 500
+    ),
+    sw AS (SELECT source, week_n, COUNT(*) AS n FROM d GROUP BY 1, 2),
+    wt AS (SELECT week_n, SUM(n) AS wn FROM sw GROUP BY week_n),
+    sh AS (
+      SELECT sw.source, sw.week_n,
+             sw.n * 1000000 // wt.wn AS share_micro
+      FROM sw JOIN wt USING (week_n)
+    ),
+    pairs AS (
+      SELECT a.source,
+             abs(a.share_micro - b.share_micro) AS swing
+      FROM sh a JOIN sh b ON b.source = a.source AND b.week_n = a.week_n - 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(MAX(swing) AS BIGINT) AS max_swing_micro,
+           CAST(SUM(swing) // COUNT(*) AS BIGINT) AS mean_swing_micro
+    FROM pairs GROUP BY source
+    """,
+)
+def x69_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture stationarity audit: each source's weekly share of the
+    event-linked corpus, and its week-over-week swing (max + mean, in
+    integer micros) — the drift alarm for a training mixture that is
+    supposed to be stationary (dq2's PSI compares two snapshots; this
+    tracks the full weekly trajectory). Events are linked to
+    documents by the fixture's id rule, making the share series
+    deterministic.
+
+    Scale shape: one (source, week) aggregate, a |weeks|-row total
+    join, and a week-minus-one self equi-join — no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    d = ev.select((F.col("event_id") % 500).alias("doc_id"),
+                  F.expr("ts_ns div 1000 div 86400000000 div 7").alias("week_n")
+                  ).join(docs, "doc_id")
+    sw = d.groupBy("source", "week_n").agg(F.count(F.lit(1)).alias("n"))
+    wt = sw.groupBy("week_n").agg(F.sum("n").alias("wn"))
+    sh = sw.join(wt, "week_n").select(
+        "source",
+        "week_n",
+        F.expr("n * 1000000 div wn").alias("share_micro"),
+    )
+    b = sh.select(
+        F.col("source").alias("source"),
+        (F.col("week_n") + 1).alias("week_n"),
+        F.col("share_micro").alias("prev_share"),
+    )
+    pairs = sh.join(b, ["source", "week_n"]).select(
+        "source",
+        F.abs(F.col("share_micro") - F.col("prev_share")).alias("swing"),
+    )
+    return pairs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.max("swing").cast("bigint").alias("max_swing_micro"),
+        F.expr("CAST(SUM(swing) div COUNT(1) AS BIGINT)").alias(
+            "mean_swing_micro"
+        ),
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -17706,6 +17825,8 @@ _PRIORITY = (
     "graph_ppr",
     "t33_seasonality_strength",
     "a15_bitmap_distinct",
+    "u17_jsonl_roundtrip",
+    "x69_mixture_drift",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
