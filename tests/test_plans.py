@@ -190,6 +190,14 @@ def test_filtered_ann_pushes_predicate_to_scan(spark, sf_dir):
     assert re.search(r"PushedFilters:.*EqualTo\(label,3\)", plan), plan
 
 
+def test_partitioned_layout_prunes_at_listing(spark, sf_dir):
+    # u18: the day filter must resolve to PartitionFilters (directory
+    # pruning), never a row-level Filter over the partition column
+    plan = _plan(spark, sf_dir, "u18_partition_pruned_read")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day_n" in m.group(1), plan
+
+
 def test_edit_distance_is_banded_equi_join(spark, sf_dir):
     # d8 scale guard: length-band blocking makes the pair join an
     # equi-join on the band key — never a nested loop over the full
