@@ -163,6 +163,14 @@ EXTRA = [
     "pipe_training_prep_v6",
     "dq9_join_fanout",
     "t30_growth_streaks",
+    "s12_filtered_topk",
+    "a14_grouped_median",
+    "s13_recall_vs_probes",
+    "u16_ivm_join_counts",
+    "a15_bitmap_distinct",
+    "graph_ppr",
+    "stats_poisson_bootstrap",
+    "u18_partition_pruned_read",
 ]
 
 
