@@ -17745,6 +17745,187 @@ def u18_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "graph_matching",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 120) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 120) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    h0 AS (
+      SELECT p1, p2,
+             md5(CAST(p1 AS VARCHAR) || '|' || CAST(p2 AS VARCHAR)) AS h
+      FROM e0
+    ),
+    nm1 AS (
+      SELECT id, MIN(h) AS mh FROM (
+        SELECT p1 AS id, h FROM h0 UNION ALL SELECT p2, h FROM h0
+      ) GROUP BY id
+    ),
+    m1 AS (
+      SELECT e.p1, e.p2 FROM h0 e
+      JOIN nm1 a ON a.id = e.p1 AND a.mh = e.h
+      JOIN nm1 b ON b.id = e.p2 AND b.mh = e.h
+    ),
+    matched1 AS (SELECT p1 AS id FROM m1 UNION SELECT p2 FROM m1),
+    h1 AS (
+      SELECT e.p1, e.p2, e.h FROM h0 e
+      WHERE e.p1 NOT IN (SELECT id FROM matched1)
+        AND e.p2 NOT IN (SELECT id FROM matched1)
+    ),
+    nm2 AS (
+      SELECT id, MIN(h) AS mh FROM (
+        SELECT p1 AS id, h FROM h1 UNION ALL SELECT p2, h FROM h1
+      ) GROUP BY id
+    ),
+    m2 AS (
+      SELECT e.p1, e.p2 FROM h1 e
+      JOIN nm2 a ON a.id = e.p1 AND a.mh = e.h
+      JOIN nm2 b ON b.id = e.p2 AND b.mh = e.h
+    )
+    SELECT p1, p2, 1 AS round FROM m1
+    UNION ALL SELECT p1, p2, 2 FROM m2
+    """,
+)
+def graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed greedy maximal matching (Israeli-Itai style,
+    determinized), 11th iterative-graph pattern and the canonical
+    HASH SYMMETRY-BREAKING round: an edge joins the matching when its
+    md5 priority is the minimum at BOTH endpoints — all such edges
+    are independent by construction, so each round is one
+    per-node-min aggregate + one two-sided equality join, fully
+    parallel with no sequential tie-breaking. Two rounds unrolled;
+    matched nodes leave the frontier between rounds (the k-core
+    peeling layout). Matching feeds pair-assignment workloads
+    (contrastive pair mining, record-linkage arbitration) where each
+    item may be used once.
+
+    Determinism: md5 edge priorities are distinct with overwhelming
+    margin on the fixture (and the per-node MIN is total-ordered by
+    the hex string), so both engines pick identical edges."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 120)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+        .select(
+            "p1",
+            "p2",
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("p1").cast("string"), F.col("p2").cast("string")
+                )
+            ).alias("h"),
+        )
+    )
+    out = None
+    cur = edges
+    for rnd in (1, 2):
+        ends = cur.select(F.col("p1").alias("id"), "h").unionAll(
+            cur.select(F.col("p2").alias("id"), "h")
+        )
+        nmin = ends.groupBy("id").agg(F.min("h").alias("mh"))
+        na = nmin.select(F.col("id").alias("p1"), F.col("mh").alias("ma"))
+        nb = nmin.select(F.col("id").alias("p2"), F.col("mh").alias("mb"))
+        m = (
+            cur.join(na, "p1")
+            .join(nb, "p2")
+            .filter((F.col("h") == F.col("ma")) & (F.col("h") == F.col("mb")))
+            .select("p1", "p2")
+        )
+        mm = m.select("p1", "p2", F.lit(rnd).alias("round"))
+        out = mm if out is None else out.unionAll(mm)
+        matched = m.select(F.col("p1").alias("id")).unionAll(
+            m.select(F.col("p2").alias("id"))
+        ).distinct()
+        cur = (
+            cur.join(matched, cur["p1"] == matched["id"], "left_anti")
+            .join(matched, cur["p2"] == matched["id"], "left_anti")
+        )
+    return out
+
+
+@_register(
+    "a16_bitmap_set_ops",
+    """
+    WITH w AS (
+      SELECT event_type, user_id // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type, user_id // 32
+    ),
+    p AS (
+      SELECT word,
+             COALESCE(MAX(CASE WHEN event_type = 'click' THEN bits END), 0) AS cb,
+             COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN bits END), 0) AS pb
+      FROM w GROUP BY word
+    )
+    SELECT CAST(SUM(bit_count(cb)) AS BIGINT) AS clickers,
+           CAST(SUM(bit_count(pb)) AS BIGINT) AS purchasers,
+           CAST(SUM(bit_count(cb & pb)) AS BIGINT) AS both_users,
+           CAST(SUM(bit_count(cb | pb)) AS BIGINT) AS either_users,
+           CAST(SUM(bit_count(cb & pb)) * 1000000
+                // SUM(bit_count(cb | pb)) AS BIGINT) AS overlap_jaccard_micro
+    FROM p
+    """,
+)
+def a16_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via bitmap SET OPERATIONS (a15's words turned
+    into an algebra): clickers ∩ purchasers and ∪ computed as
+    word-wise AND/OR of the 32-bit user bitmaps — exact distinct set
+    arithmetic without ever shuffling user-id pairs, the
+    roaring-bitmap audience-segmentation pattern. Jaccard overlap as
+    an integer micro ratio.
+
+    Scale shape: one bitmap aggregate per segment (map-side bit_or
+    combine), one word-aligned pivot join, popcount rollup — the
+    set-op cost is |id_range|/32 longs regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = ev.groupBy(
+        "event_type", F.expr("user_id div 32").alias("word")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))"
+        ).alias("bits")
+    )
+    p = w.groupBy("word").agg(
+        F.coalesce(
+            F.max(F.when(F.col("event_type") == "click", F.col("bits"))),
+            F.lit(0),
+        ).alias("cb"),
+        F.coalesce(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("bits"))),
+            F.lit(0),
+        ).alias("pb"),
+    )
+    return p.agg(
+        F.sum(F.bit_count("cb")).cast("bigint").alias("clickers"),
+        F.sum(F.bit_count("pb")).cast("bigint").alias("purchasers"),
+        F.sum(F.bit_count(F.col("cb").bitwiseAND(F.col("pb"))))
+        .cast("bigint")
+        .alias("both_users"),
+        F.sum(F.bit_count(F.col("cb").bitwiseOR(F.col("pb"))))
+        .cast("bigint")
+        .alias("either_users"),
+    ).select(
+        "clickers",
+        "purchasers",
+        "both_users",
+        "either_users",
+        F.expr(
+            "CAST(both_users * 1000000 div either_users AS BIGINT)"
+        ).alias("overlap_jaccard_micro"),
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -17887,6 +18068,8 @@ _PRIORITY = (
     "u17_jsonl_roundtrip",
     "x69_mixture_drift",
     "u18_partition_pruned_read",
+    "graph_matching",
+    "a16_bitmap_set_ops",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
