@@ -17926,6 +17926,145 @@ def a16_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "u19_multi_format_union",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id % 3 = 0 THEN 'parquet'
+                                    WHEN doc_id % 3 = 1 THEN 'orc'
+                                    ELSE 'jsonl' END) AS INT) AS n_formats
+    FROM documents GROUP BY source
+    """,
+)
+def u19_multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyglot-lake read: one logical documents dataset stored in
+    THREE physical formats (a parquet slice, an ORC slice, a JSONL
+    slice — the realistic state of a long-lived lake mid-migration),
+    unified by unionByName into a single frame and aggregated; the
+    oracle recomputes from the single-format source, so each format's
+    writer/reader round trip must preserve every row. Extends u15's
+    schema drift and u17's JSON contract to format heterogeneity.
+
+    Scale shape: three scans (each pruned/filtered independently —
+    format-specific pushdown still applies per leg) + one
+    map-combined aggregate; the union is a plan-level concat, not a
+    shuffle."""
+    import hashlib
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:10]
+    loc = f"/tmp/spark_graft_polyglot/{tag}"
+    if not os.path.exists(loc):
+        docs.filter(F.col("doc_id") % 3 == 0).write.mode("overwrite").parquet(
+            f"{loc}/p"
+        )
+        docs.filter(F.col("doc_id") % 3 == 1).write.mode("overwrite").orc(
+            f"{loc}/o"
+        )
+        docs.filter(F.col("doc_id") % 3 == 2).write.mode("overwrite").json(
+            f"{loc}/j"
+        )
+    schema = "doc_id bigint, source string, n_chars bigint"
+    uni = (
+        spark.read.parquet(f"{loc}/p")
+        .unionByName(spark.read.orc(f"{loc}/o"))
+        .unionByName(spark.read.schema(schema).json(f"{loc}/j"))
+    )
+    fmt = (
+        F.when(F.col("doc_id") % 3 == 0, "parquet")
+        .when(F.col("doc_id") % 3 == 1, "orc")
+        .otherwise("jsonl")
+    )
+    return uni.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct(fmt).cast("int").alias("n_formats"),
+    )
+
+
+@_register(
+    "stats_theil_sen",
+    """
+    WITH d AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n FROM events
+    ),
+    counts AS (SELECT day_n, COUNT(*) AS n FROM d GROUP BY day_n),
+    span AS (SELECT MIN(day_n) AS d0, MAX(day_n) AS d1 FROM d),
+    grid AS (SELECT unnest(generate_series(d0, d1)) AS day_n FROM span),
+    daily AS (
+      SELECT g.day_n, CAST(COALESCE(c.n, 0) AS BIGINT) AS v
+      FROM grid g LEFT JOIN counts c USING (day_n)
+    ),
+    slopes AS (
+      SELECT CAST((b.v - a.v) * 1000000 AS HUGEINT)
+               // CAST(b.day_n - a.day_n AS HUGEINT) AS s
+      FROM daily a JOIN daily b ON b.day_n > a.day_n
+    ),
+    byv AS (SELECT s, COUNT(*) AS ct FROM slopes GROUP BY s),
+    cum AS (SELECT s, ct, SUM(ct) OVER (ORDER BY s) AS cw,
+                   SUM(ct) OVER () AS tot
+            FROM byv)
+    SELECT CAST(MIN(tot) AS BIGINT) AS n_pairs,
+           CAST(MIN(CASE WHEN 2 * cw >= tot THEN s END) AS BIGINT)
+             AS slope_micro_per_day
+    FROM cum
+    """,
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the MEDIAN of all pairwise day-slopes
+    of the daily event-count series — the outlier-proof alternative
+    to stats_linreg's least squares (one corrupted day moves OLS,
+    not the slope median). Slopes are integer micro/day floor-divs;
+    negative numerators make `div` vs `//` diverge, so BOTH sides
+    use true floor semantics (HUGEINT `//` in the oracle; Spark
+    floor-div via the offset rule on the signed numerator). The
+    median is the a9/a14 integer rank rule (2·cw >= total), an
+    actual slope value — no interpolation.
+
+    Scale shape: the daily series is calendar-bounded, so pairwise
+    slopes are |days|²/2 — bounded by the calendar, not the corpus;
+    the median rank rides global_prefix_sums, never a
+    single-partition window."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(F.expr("ts_ns div 1000 div 86400000000").alias("day_n"))
+    counts = d.groupBy("day_n").agg(F.count(F.lit(1)).alias("n"))
+    span = d.agg(F.min("day_n").alias("d0"), F.max("day_n").alias("d1"))
+    grid = span.select(F.explode(F.sequence("d0", "d1")).alias("day_n"))
+    daily = grid.join(counts, ["day_n"], "left").select(
+        "day_n", F.coalesce("n", F.lit(0)).cast("bigint").alias("v")
+    )
+    a = daily.select(F.col("day_n").alias("da"), F.col("v").alias("va"))
+    b = daily.select(F.col("day_n").alias("db"), F.col("v").alias("vb"))
+    # floor division with a possibly-negative numerator: offset by a
+    # large positive multiple of the denominator so truncation == floor
+    # on both engines (the t28 rule, per-pair denominator)
+    slopes = (
+        a.join(F.broadcast(b), F.col("db") > F.col("da"))
+        .select(
+            F.expr(
+                "((vb - va) * 1000000 + 1000000000000 * (db - da))"
+                " div (db - da) - 1000000000000"
+            ).alias("s")
+        )
+    )
+    byv = slopes.groupBy("s").agg(F.count(F.lit(1)).alias("ct"))
+    cum = ordered.global_prefix_sums(byv, "s", ["ct"])
+    tot = byv.agg(F.sum("ct").alias("tot"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("cum_ct") >= F.col("tot"))
+        .agg(
+            F.min("tot").cast("bigint").alias("n_pairs"),
+            F.min("s").cast("bigint").alias("slope_micro_per_day"),
+        )
+    )
+
+
 # Exposure order. The driver's correctness gate samples a 50-query
 # prefix of the registry (dict order), and greens from past rounds
 # are banked, so each round the prefix is composed of (a) queries
@@ -18070,6 +18209,8 @@ _PRIORITY = (
     "u18_partition_pruned_read",
     "graph_matching",
     "a16_bitmap_set_ops",
+    "u19_multi_format_union",
+    "stats_theil_sen",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

@@ -135,6 +135,7 @@ _NLJ_ALLOWED = {
     "x67_token_frequency_spectrum",  # 1-row totals broadcast
     "s13_recall_vs_probes",  # centroid/query/probe-list tiny broadcasts
     "stats_poisson_bootstrap",  # 16-row replicate-list broadcast
+    "stats_theil_sen",  # calendar-bounded daily-series pair broadcast
 }
 
 
