@@ -18063,6 +18063,91 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("s").cast("bigint").alias("slope_micro_per_day"),
         )
     )
+@_register(
+    "w11_grouped_percentiles",
+    """
+    WITH o AS (
+      SELECT event_type AS grp,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    byv AS (SELECT grp, cents, COUNT(*) AS ct FROM o GROUP BY grp, cents),
+    cum AS (
+      SELECT grp, cents, ct,
+             SUM(ct) OVER (PARTITION BY grp ORDER BY cents) AS cw,
+             SUM(ct) OVER (PARTITION BY grp) AS tot
+      FROM byv
+    )
+    SELECT grp AS event_type,
+           CAST(MIN(tot) AS BIGINT) AS n_events,
+           CAST(MIN(CASE WHEN 10 * cw >= tot THEN cents END) AS BIGINT) AS p10_cents,
+           CAST(MIN(CASE WHEN 2 * cw >= tot THEN cents END) AS BIGINT) AS p50_cents,
+           CAST(MIN(CASE WHEN 10 * cw >= 9 * tot THEN cents END) AS BIGINT) AS p90_cents
+    FROM cum GROUP BY grp
+    """,
+)
+def w11_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (p10/p50/p90 of event value per
+    stream) by the integer rank rule k·cw >= q·tot — actual data
+    values, no interpolation, a14's grouped-median machinery
+    generalized to any quantile set: ONE global_prefix_sums over the
+    (group, value) struct order + per-group offsets via a broadcast
+    triangular join — never a partition-per-group window (the
+    oracle's per-group windows are the semantic spec). The
+    latency-percentile / SLA report shape at corpus scale.
+
+    All integer: cents values, counts, rank tests."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    byv = o.groupBy("grp", "cents").agg(F.count(F.lit(1)).alias("ct"))
+    keyed = byv.select(
+        F.struct(F.col("grp").alias("g"), F.col("cents").alias("c")).alias(
+            "__k"
+        ),
+        "grp",
+        "cents",
+        "ct",
+    )
+    g = ordered.global_prefix_sums(keyed, "__k", ["ct"])
+    tots = byv.groupBy("grp").agg(F.sum("ct").alias("tot"))
+    offs = (
+        tots.alias("a")
+        .join(
+            F.broadcast(tots.alias("b")),
+            F.col("b.grp") < F.col("a.grp"),
+            "left",
+        )
+        .groupBy(F.col("a.grp").alias("grp"), F.col("a.tot").alias("tot"))
+        .agg(F.coalesce(F.sum("b.tot"), F.lit(0)).alias("off"))
+    )
+    wg = g.join(F.broadcast(offs), "grp").select(
+        "grp",
+        "cents",
+        "tot",
+        (F.col("cum_ct") - F.col("off")).alias("cw"),
+    )
+    return (
+        wg.groupBy(F.col("grp").alias("event_type"))
+        .agg(
+            F.min("tot").cast("bigint").alias("n_events"),
+            F.min(
+                F.when(10 * F.col("cw") >= F.col("tot"), F.col("cents"))
+            )
+            .cast("bigint")
+            .alias("p10_cents"),
+            F.min(F.when(2 * F.col("cw") >= F.col("tot"), F.col("cents")))
+            .cast("bigint")
+            .alias("p50_cents"),
+            F.min(
+                F.when(10 * F.col("cw") >= 9 * F.col("tot"), F.col("cents"))
+            )
+            .cast("bigint")
+            .alias("p90_cents"),
+        )
+    )
 
 
 # Exposure order. The driver's correctness gate samples a 50-query
@@ -18211,6 +18296,7 @@ _PRIORITY = (
     "a16_bitmap_set_ops",
     "u19_multi_format_union",
     "stats_theil_sen",
+    "w11_grouped_percentiles",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

@@ -136,6 +136,7 @@ _NLJ_ALLOWED = {
     "s13_recall_vs_probes",  # centroid/query/probe-list tiny broadcasts
     "stats_poisson_bootstrap",  # 16-row replicate-list broadcast
     "stats_theil_sen",  # calendar-bounded daily-series pair broadcast
+    "w11_grouped_percentiles",  # triangular broadcast join over |groups| rows
 }
 
 
