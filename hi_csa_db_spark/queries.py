@@ -15023,9 +15023,13 @@ def x59_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") * F.col("n_docs"))
             .cast("bigint")
             .alias("padded_tokens"),
+            # numerator can be NEGATIVE in the overflow 2048 bucket
+            # (docs longer than the cap): offset rule so Spark's
+            # truncating `div` equals the oracle's floor
             F.expr(
-                "CAST((bucket * n_docs - total_tokens) * 1000000"
-                " div (bucket * n_docs) AS BIGINT)"
+                "CAST(((bucket * n_docs - total_tokens) * 1000000"
+                " + 1000000000000 * (bucket * n_docs))"
+                " div (bucket * n_docs) - 1000000000000 AS BIGINT)"
             ).alias("waste_micro"),
             F.expr("CAST((n_docs + 31) div 32 AS BIGINT)").alias(
                 "n_batches_b32"
@@ -15529,12 +15533,17 @@ def u15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:10]
     loc = f"/tmp/spark_graft_evolution/{tag}"
     if not os.path.exists(loc):
+        # stage both vintages, then one atomic rename — a crash between
+        # the two appends must never leave a half-evolved dataset that a
+        # same-process retry would silently reuse
+        stage = f"{loc}.tmp"
         docs.filter(F.col("doc_id") < 250).select(
             "doc_id", "source", "n_chars"
-        ).write.mode("append").parquet(loc)
+        ).write.mode("overwrite").parquet(stage)
         docs.filter(F.col("doc_id") >= 250).select(
             "doc_id", "source", "n_chars", "lang"
-        ).write.mode("append").parquet(loc)
+        ).write.mode("append").parquet(stage)
+        os.rename(stage, loc)
     merged = spark.read.option("mergeSchema", "true").parquet(loc)
     return merged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -16499,7 +16508,7 @@ def x66_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(50000,), (100000,), (200000,), (400000,)], ["thr_micro"]
     )
     lab = pairs.crossJoin(F.broadcast(thr))
-    return lab.groupBy("thr_micro").agg(
+    agg = lab.groupBy("thr_micro").agg(
         F.count(F.when(F.col("__jm") >= F.col("thr_micro"), 1)).cast(
             "bigint"
         ).alias("n_pairs"),
@@ -16511,10 +16520,14 @@ def x66_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("__jm") >= F.col("thr_micro"), F.col("id_b"))
             )
         ).cast("bigint").alias("doc_slots"),
-    ).select(
+    )
+    # a pair-free corpus must still report every threshold row (the
+    # oracle's thr LEFT JOIN pairs shape): re-anchor on the threshold
+    # list and zero-fill
+    return thr.join(agg, "thr_micro", "left").select(
         F.col("thr_micro").cast("bigint").alias("thr_micro"),
-        "n_pairs",
-        "doc_slots",
+        F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.coalesce("doc_slots", F.lit(0)).cast("bigint").alias("doc_slots"),
     )
 
 
@@ -16663,8 +16676,9 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips = (
         ranked.join(succ, "rank")
         .agg(
-            F.sum(
-                (F.col("up") != F.col("up_next")).cast("bigint")
+            F.coalesce(
+                F.sum((F.col("up") != F.col("up_next")).cast("bigint")),
+                F.lit(0),
             ).alias("r")
         )
     )

@@ -143,3 +143,24 @@ def test_sequence_gap_islands_detect_synthetic_gaps(spark):
         for r in ir.join(succ, "rank").collect()
     )
     assert gaps == [(3, 7, 3), (8, 20, 11), (22, 40, 17)]
+
+
+# ---------------------------------------------------------------------------
+# x66: a pair-free corpus must still emit all four threshold rows
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_sensitivity_pair_free_corpus(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta", "en", "s0", 30),
+            (1, "one two three four five six seven", "en", "s1", 30),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = entrymod.queries()["x66_threshold_sensitivity"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 4
+    assert all(r["n_pairs"] == 0 and r["doc_slots"] == 0 for r in out)
