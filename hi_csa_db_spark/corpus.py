@@ -193,6 +193,7 @@ class Corpus:
         vs weight-scaled token totals (weight_micro defaults to 1e6
         when weight_soft_dedup hasn't run), and batch counts."""
         from hi_csa_db_spark.functions.text import tokenize
+        from hi_csa_db_spark.queries import _BUCKET_LADDER_SQL
 
         d = self._docs
         if "weight_micro" not in d.columns:
@@ -200,13 +201,9 @@ class Corpus:
         t = d.select(
             "weight_micro", F.size(tokenize(F.col("text"))).alias("n_tokens")
         )
-        ladder = (
-            "CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32"
-            " WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128"
-            " WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512"
-            " WHEN n_tokens <= 1024 THEN 1024 ELSE 2048 END"
+        b = t.select(
+            "weight_micro", "n_tokens", F.expr(_BUCKET_LADDER_SQL).alias("bucket")
         )
-        b = t.select("weight_micro", "n_tokens", F.expr(ladder).alias("bucket"))
         return (
             b.groupBy("bucket")
             .agg(

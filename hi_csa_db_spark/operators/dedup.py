@@ -530,98 +530,28 @@ def plan_lsh_bands(
     return best[1], best[2]
 
 
-def minhash_lsh_dedup(
+def _lsh_scored_candidates(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    num_hashes: int = 16,
-    bands: int | None = None,
-    threshold: float = 0.5,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle -> minhash -> LSH -> verify.
-
-    Returns verified near-duplicate pairs (id_a, id_b, jaccard) with
-    exact Jaccard >= threshold among LSH candidates. ``bands=None``
-    derives the band geometry from the threshold (plan_lsh_bands);
-    for the defaults (16 hashes, t=0.5) that's the classic 8x2.
-    """
-    if bands is None:
-        bands, _rows = plan_lsh_bands(num_hashes, threshold)
-    # FUSED signature+set aggregation: the minhash minima AND the
-    # per-doc shingle set (needed by the exact-Jaccard verify) come out
-    # of ONE groupBy over the shingle index, so the index is shuffled
-    # once instead of twice (separate signature and collect_set
-    # passes). Map-side partial aggregation still applies to every
-    # column: each partition reduces to one row per doc before the
-    # exchange. The per-doc table (signatures + sets) is the natural
-    # checkpoint/materialization boundary at cluster scale.
+    """Shared core of the MinHash-LSH near-dup family: FUSED
+    signature+set aggregation (the minhash minima AND the per-doc
+    shingle set come out of ONE groupBy over the shingle index, so the
+    index is shuffled once), banded candidate generation, and the
+    per-candidate exact counts. Returns
+    (id_a, id_b, __ic, __szsum) — intersection size and size sum —
+    from which the float-Jaccard (minhash_lsh_dedup) and the
+    integer-micro (minhash_lsh_pairs_micro) scores both derive, so
+    the hash family / band geometry can never drift between them."""
     sh = shingles(docs, id_col, text_col, n)
     m = F.md5(F.col("shingle"))
     h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
     h2 = F.conv(F.substring(m, 16, 12), 16, 10).cast("long") * 2 + 1
     base = sh.select(F.col(id_col), F.col("shingle"), h1.alias("__h1"), h2.alias("__h2"))
-    aggs = [
-        F.min((F.col("__h1") + F.lit(i) * F.col("__h2")) % F.lit(2**60)).alias(
-            f"__mh{i}"
-        )
-        for i in range(num_hashes)
-    ]
-    per_doc = (
-        base.groupBy(id_col)
-        .agg(*aggs, F.collect_set("shingle").alias("__shs"))
-        .cache()
-    )
-    sigs = per_doc.select(
-        id_col,
-        F.array(*[F.col(f"__mh{i}") for i in range(num_hashes)]).alias("sig"),
-    )
-    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
-    sa = per_doc.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("__sh_a"))
-    sb = per_doc.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("__sh_b"))
-    inter_cnt = F.size(F.array_intersect("__sh_a", "__sh_b"))
-    verified = (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                inter_cnt
-                / (F.size("__sh_a") + F.size("__sh_b") - inter_cnt)
-            ).alias("jaccard"),
-        )
-    )
-    return verified.filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
-
-
-def minhash_lsh_pairs_micro(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 8,
-) -> DataFrame:
-    """minhash_lsh_dedup's candidate chain, but scoring every LSH
-    candidate with the EXACT INTEGER micro-Jaccard
-    (ic·1e6 floor-div union) and no threshold — for consumers that
-    bucket or compare the score against integer thresholds (x66) and
-    must agree bit-for-bit with an integer-arithmetic oracle (a
-    rounded float Jaccard differs from the floor by 1 micro on
-    round-up, which can cross a threshold).
-
-    Returns (id_a, id_b, j_micro). Same scale contract as
-    minhash_lsh_dedup: banded candidates, candidate-only verify."""
-    sh = shingles(docs, id_col, text_col, n)
-    m = F.md5(F.col("shingle"))
-    h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(m, 16, 12), 16, 10).cast("long") * 2 + 1
-    base = sh.select(
-        F.col(id_col), F.col("shingle"), h1.alias("__h1"), h2.alias("__h2")
-    )
     aggs = [
         F.min((F.col("__h1") + F.lit(i) * F.col("__h2")) % F.lit(2**60)).alias(
             f"__mh{i}"
@@ -653,13 +583,64 @@ def minhash_lsh_pairs_micro(
                 + F.size("__sh_b").cast("bigint")
             ).alias("__szsum"),
         )
-        .select(
-            "id_a",
-            "id_b",
-            F.expr(
-                "CAST(__ic * 1000000 div (__szsum - __ic) AS BIGINT)"
-            ).alias("j_micro"),
-        )
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> LSH -> verify.
+
+    Returns verified near-duplicate pairs (id_a, id_b, jaccard) with
+    exact Jaccard >= threshold among LSH candidates. ``bands=None``
+    derives the band geometry from the threshold (plan_lsh_bands);
+    for the defaults (16 hashes, t=0.5) that's the classic 8x2.
+    """
+    if bands is None:
+        bands, _rows = plan_lsh_bands(num_hashes, threshold)
+    scored = _lsh_scored_candidates(docs, id_col, text_col, n, num_hashes, bands)
+    verified = scored.select(
+        "id_a",
+        "id_b",
+        (F.col("__ic") / (F.col("__szsum") - F.col("__ic"))).alias("jaccard"),
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def minhash_lsh_pairs_micro(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """minhash_lsh_dedup's candidate chain, but scoring every LSH
+    candidate with the EXACT INTEGER micro-Jaccard
+    (ic·1e6 floor-div union) and no threshold — for consumers that
+    bucket or compare the score against integer thresholds (x66) and
+    must agree bit-for-bit with an integer-arithmetic oracle (a
+    rounded float Jaccard differs from the floor by 1 micro on
+    round-up, which can cross a threshold).
+
+    Returns (id_a, id_b, j_micro). Same scale contract as
+    minhash_lsh_dedup: banded candidates, candidate-only verify."""
+    return _lsh_scored_candidates(
+        docs, id_col, text_col, n, num_hashes, bands
+    ).select(
+        "id_a",
+        "id_b",
+        F.expr(
+            "CAST(__ic * 1000000 div (__szsum - __ic) AS BIGINT)"
+        ).alias("j_micro"),
     )
 
 

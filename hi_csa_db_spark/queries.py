@@ -14783,24 +14783,56 @@ def x58_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "t27_autocorrelation",
-    """
-    WITH d AS (
+# Shared gap-filled daily event-count series (t27/t28/t30/t31/
+# stats_runs_test/stats_theil_sen): missing calendar days materialize
+# as zeros so every temporal statistic windows the same series. The
+# oracle twin is _DAILY_SQL; this is the Spark side.
+_DAILY_SQL = """
+    d AS (
       SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n FROM events
     ),
     counts AS (SELECT day_n, COUNT(*) AS n FROM d GROUP BY day_n),
     span AS (SELECT MIN(day_n) AS d0, MAX(day_n) AS d1 FROM d),
     grid AS (SELECT unnest(generate_series(d0, d1)) AS day_n FROM span),
-    filled AS (
-      SELECT g.day_n, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    daily AS (
+      SELECT g.day_n, CAST(COALESCE(c.n, 0) AS BIGINT) AS v
       FROM grid g LEFT JOIN counts c USING (day_n)
-    ),
+    )
+"""
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(F.expr("ts_ns div 1000 div 86400000000").alias("day_n"))
+    counts = d.groupBy("day_n").agg(F.count(F.lit(1)).alias("n"))
+    span = d.agg(F.min("day_n").alias("d0"), F.max("day_n").alias("d1"))
+    grid = span.select(F.explode(F.sequence("d0", "d1")).alias("day_n"))
+    return grid.join(counts, ["day_n"], "left").select(
+        "day_n", F.coalesce("n", F.lit(0)).cast("bigint").alias("v")
+    )
+
+
+# Shared power-of-two length-bucket ladder (x59 / x65 / pipe_v6 /
+# Corpus.plan_length_batches): ONE text for both dialects so the
+# bucket boundaries can never drift between the batching table, the
+# bias audit, and the composite.
+_BUCKET_LADDER_SQL = (
+    "CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32"
+    " WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128"
+    " WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512"
+    " WHEN n_tokens <= 1024 THEN 1024 ELSE 2048 END"
+)
+
+
+@_register(
+    "t27_autocorrelation",
+    f"""
+    WITH{_DAILY_SQL},
     lags AS (SELECT unnest([1, 2, 3, 7]) AS lag),
     pairs AS (
-      SELECT l.lag, a.n AS xa, b.n AS xb
-      FROM filled a CROSS JOIN lags l
-      JOIN filled b ON b.day_n = a.day_n + l.lag
+      SELECT l.lag, a.v AS xa, b.v AS xb
+      FROM daily a CROSS JOIN lags l
+      JOIN daily b ON b.day_n = a.day_n + l.lag
     ),
     m AS (
       SELECT lag, COUNT(*) AS np, SUM(xa) AS sx, SUM(xb) AS sy,
@@ -14836,13 +14868,8 @@ def t27_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast self-join of the daily series against 4 lag offsets.
     Reference: extends the §2.8 temporal tier (Rmd's date handling);
     the statistic itself is public textbook (Box–Jenkins ACF)."""
-    ev = load_table(spark, sf_dir, "events")
-    d = ev.select(F.expr("ts_ns div 1000 div 86400000000").alias("day_n"))
-    counts = d.groupBy("day_n").agg(F.count(F.lit(1)).alias("n"))
-    span = d.agg(F.min("day_n").alias("d0"), F.max("day_n").alias("d1"))
-    grid = span.select(F.explode(F.sequence("d0", "d1")).alias("day_n"))
-    filled = grid.join(counts, ["day_n"], "left").select(
-        "day_n", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    filled = _daily_series(spark, sf_dir).select(
+        "day_n", F.col("v").alias("n")
     )
     lags = spark.createDataFrame([(1,), (2,), (3,), (7,)], ["lag"])
     a = filled.select(F.col("day_n").alias("da"), F.col("n").alias("xa"))
@@ -14961,22 +14988,14 @@ def stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "x59_length_buckets",
-    """
+    f"""
     WITH t AS (
       SELECT len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
                AS n_tokens
       FROM documents
     ),
     b AS (
-      SELECT n_tokens,
-             CASE WHEN n_tokens <= 16 THEN 16
-                  WHEN n_tokens <= 32 THEN 32
-                  WHEN n_tokens <= 64 THEN 64
-                  WHEN n_tokens <= 128 THEN 128
-                  WHEN n_tokens <= 256 THEN 256
-                  WHEN n_tokens <= 512 THEN 512
-                  WHEN n_tokens <= 1024 THEN 1024
-                  ELSE 2048 END AS bucket
+      SELECT n_tokens, {_BUCKET_LADDER_SQL} AS bucket
       FROM t
     )
     SELECT CAST(bucket AS INT) AS bucket,
@@ -15003,13 +15022,7 @@ def x59_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     dialects, so the assignment rule cannot drift."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(F.size(tokenize(F.col("text"))).alias("n_tokens"))
-    ladder = (
-        "CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32"
-        " WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128"
-        " WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512"
-        " WHEN n_tokens <= 1024 THEN 1024 ELSE 2048 END"
-    )
-    b = t.select("n_tokens", F.expr(ladder).alias("bucket"))
+    b = t.select("n_tokens", F.expr(_BUCKET_LADDER_SQL).alias("bucket"))
     return (
         b.groupBy("bucket")
         .agg(
@@ -15390,17 +15403,8 @@ def er2_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "t28_stl_decompose",
-    """
-    WITH d AS (
-      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n FROM events
-    ),
-    counts AS (SELECT day_n, COUNT(*) AS n FROM d GROUP BY day_n),
-    span AS (SELECT MIN(day_n) AS d0, MAX(day_n) AS d1 FROM d),
-    grid AS (SELECT unnest(generate_series(d0, d1)) AS day_n FROM span),
-    daily AS (
-      SELECT g.day_n, CAST(COALESCE(c.n, 0) AS BIGINT) AS v
-      FROM grid g LEFT JOIN counts c USING (day_n)
-    ),
+    f"""
+    WITH{_DAILY_SQL},
     contrib AS (
       SELECT day_n + i AS anchor, v
       FROM daily, UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS t(i)
@@ -15446,14 +15450,7 @@ def t28_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the daily series is tiny at any corpus size (one row
     per calendar day); all joins after the first groupBy(day) are
     effectively broadcast-scale."""
-    ev = load_table(spark, sf_dir, "events")
-    d = ev.select(F.expr("ts_ns div 1000 div 86400000000").alias("day_n"))
-    counts = d.groupBy("day_n").agg(F.count(F.lit(1)).alias("n"))
-    span = d.agg(F.min("day_n").alias("d0"), F.max("day_n").alias("d1"))
-    grid = span.select(F.explode(F.sequence("d0", "d1")).alias("day_n"))
-    daily = grid.join(counts, ["day_n"], "left").select(
-        "day_n", F.coalesce("n", F.lit(0)).cast("bigint").alias("v")
-    )
+    daily = _daily_series(spark, sf_dir)
     contrib = daily.select(
         F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("i"), "day_n", "v"
     ).select((F.col("day_n") + F.col("i")).alias("anchor"), "v")
@@ -15572,15 +15569,7 @@ def u15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     b AS (
-      SELECT w.weight_micro, tk.n_tokens,
-             CASE WHEN n_tokens <= 16 THEN 16
-                  WHEN n_tokens <= 32 THEN 32
-                  WHEN n_tokens <= 64 THEN 64
-                  WHEN n_tokens <= 128 THEN 128
-                  WHEN n_tokens <= 256 THEN 256
-                  WHEN n_tokens <= 512 THEN 512
-                  WHEN n_tokens <= 1024 THEN 1024
-                  ELSE 2048 END AS bucket
+      SELECT w.weight_micro, tk.n_tokens, {_BUCKET_LADDER_SQL} AS bucket
       FROM w JOIN tk USING (doc_id)
     )
     SELECT CAST(bucket AS INT) AS bucket,
@@ -15613,54 +15602,12 @@ def pipe_training_prep_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical contract to d19 (banded candidate generation,
     bounded component rounds) plus x59's map-combined bucket
     aggregate; nothing new shuffles."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_dedup(
-        docs, n=3, num_hashes=16, bands=8, threshold=0.05
-    )
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    labels = graph.connected_components(edges, iterations=3)
-    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("csz"))
-    w = (
-        docs.select("doc_id")
-        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
-        .join(sizes, "lbl", "left")
-        .select(
-            "doc_id",
-            F.expr("CAST(1000000 div COALESCE(csz, 1) AS BIGINT)").alias(
-                "weight_micro"
-            ),
-        )
-    )
-    tk = docs.select(
-        "doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens")
-    )
-    ladder = (
-        "CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32"
-        " WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128"
-        " WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512"
-        " WHEN n_tokens <= 1024 THEN 1024 ELSE 2048 END"
-    )
-    b = w.join(tk, "doc_id").select(
-        "weight_micro", "n_tokens", F.expr(ladder).alias("bucket")
-    )
-    return b.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("weight_micro").cast("bigint").alias("weight_sum_micro"),
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        F.sum(F.col("weight_micro") * F.col("n_tokens"))
-        .cast("bigint")
-        .alias("weighted_tokens_micro"),
-        F.expr("CAST((COUNT(1) + 31) div 32 AS BIGINT)").alias(
-            "n_batches_b32"
-        ),
-    ).select(
-        F.col("bucket").cast("int").alias("bucket"),
-        "n_docs",
-        "weight_sum_micro",
-        "total_tokens",
-        "weighted_tokens_micro",
-        "n_batches_b32",
-    )
+    from hi_csa_db_spark.corpus import Corpus
+
+    # the fluent API IS the implementation (review finding: the chain
+    # was duplicated inline; tests/test_session4_ops.py pins equality,
+    # the oracle pins values)
+    return Corpus.load(spark, sf_dir).weight_soft_dedup().plan_length_batches()
 
 
 @_register(
@@ -15762,17 +15709,8 @@ def x63_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STL_SQL = """
-    d AS (
-      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n FROM events
-    ),
-    counts AS (SELECT day_n, COUNT(*) AS n FROM d GROUP BY day_n),
-    span AS (SELECT MIN(day_n) AS d0, MAX(day_n) AS d1 FROM d),
-    grid AS (SELECT unnest(generate_series(d0, d1)) AS day_n FROM span),
-    daily AS (
-      SELECT g.day_n, CAST(COALESCE(c.n, 0) AS BIGINT) AS v
-      FROM grid g LEFT JOIN counts c USING (day_n)
-    ),
+_STL_SQL = f"""
+{_DAILY_SQL},
     contrib AS (
       SELECT day_n + i AS anchor, v
       FROM daily, UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS t(i)
@@ -15858,17 +15796,8 @@ def t29_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "t30_growth_streaks",
-    """
-    WITH d AS (
-      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n FROM events
-    ),
-    counts AS (SELECT day_n, COUNT(*) AS n FROM d GROUP BY day_n),
-    span AS (SELECT MIN(day_n) AS d0, MAX(day_n) AS d1 FROM d),
-    grid AS (SELECT unnest(generate_series(d0, d1)) AS day_n FROM span),
-    daily AS (
-      SELECT g.day_n, CAST(COALESCE(c.n, 0) AS BIGINT) AS v
-      FROM grid g LEFT JOIN counts c USING (day_n)
-    ),
+    f"""
+    WITH{_DAILY_SQL},
     dirs AS (
       SELECT a.day_n,
              CASE WHEN a.v > b.v THEN 'up'
@@ -15917,14 +15846,7 @@ def t30_growth_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: daily series is calendar-bounded; the prefix-sum
     pass is the range-partitioned primitive, never a single-partition
     window."""
-    ev = load_table(spark, sf_dir, "events")
-    d = ev.select(F.expr("ts_ns div 1000 div 86400000000").alias("day_n"))
-    counts = d.groupBy("day_n").agg(F.count(F.lit(1)).alias("n"))
-    span = d.agg(F.min("day_n").alias("d0"), F.max("day_n").alias("d1"))
-    grid = span.select(F.explode(F.sequence("d0", "d1")).alias("day_n"))
-    daily = grid.join(counts, ["day_n"], "left").select(
-        "day_n", F.coalesce("n", F.lit(0)).cast("bigint").alias("v")
-    )
+    daily = _daily_series(spark, sf_dir)
     prev = daily.select(
         (F.col("day_n") + 1).alias("day_n"), F.col("v").alias("pv")
     )
@@ -16156,15 +16078,8 @@ def mm14_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_X20_SCORED_SQL},
     b AS (
-      SELECT logit_micro, n_words,
-             CASE WHEN n_words <= 16 THEN 16
-                  WHEN n_words <= 32 THEN 32
-                  WHEN n_words <= 64 THEN 64
-                  WHEN n_words <= 128 THEN 128
-                  WHEN n_words <= 256 THEN 256
-                  WHEN n_words <= 512 THEN 512
-                  WHEN n_words <= 1024 THEN 1024
-                  ELSE 2048 END AS bucket
+      SELECT logit_micro, n_words AS n_tokens,
+             {_BUCKET_LADDER_SQL} AS bucket
       FROM scored
     )
     SELECT CAST(bucket AS INT) AS bucket,
@@ -16195,13 +16110,7 @@ def x65_quality_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = x20_quality_classifier(spark, sf_dir).select(
         "logit_micro", F.col("n_words").alias("n_tokens")
     )
-    ladder = (
-        "CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32"
-        " WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128"
-        " WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512"
-        " WHEN n_tokens <= 1024 THEN 1024 ELSE 2048 END"
-    )
-    b = scored.select("logit_micro", F.expr(ladder).alias("bucket"))
+    b = scored.select("logit_micro", F.expr(_BUCKET_LADDER_SQL).alias("bucket"))
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.expr(
@@ -16226,17 +16135,8 @@ def x65_quality_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "t31_forecast_error",
-    """
-    WITH d AS (
-      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n FROM events
-    ),
-    counts AS (SELECT day_n, COUNT(*) AS n FROM d GROUP BY day_n),
-    span AS (SELECT MIN(day_n) AS d0, MAX(day_n) AS d1 FROM d),
-    grid AS (SELECT unnest(generate_series(d0, d1)) AS day_n FROM span),
-    daily AS (
-      SELECT g.day_n, CAST(COALESCE(c.n, 0) AS BIGINT) AS v
-      FROM grid g LEFT JOIN counts c USING (day_n)
-    ),
+    f"""
+    WITH{_DAILY_SQL},
     f AS (
       SELECT a.day_n, a.v AS actual, n1.v AS naive1, n7.v AS naive7
       FROM daily a
@@ -16273,14 +16173,7 @@ def t31_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the daily series is calendar-bounded; the two lag
     joins are self equi-joins on day offsets; one 1-row reduction."""
-    ev = load_table(spark, sf_dir, "events")
-    d = ev.select(F.expr("ts_ns div 1000 div 86400000000").alias("day_n"))
-    counts = d.groupBy("day_n").agg(F.count(F.lit(1)).alias("n"))
-    span = d.agg(F.min("day_n").alias("d0"), F.max("day_n").alias("d1"))
-    grid = span.select(F.explode(F.sequence("d0", "d1")).alias("day_n"))
-    daily = grid.join(counts, ["day_n"], "left").select(
-        "day_n", F.coalesce("n", F.lit(0)).cast("bigint").alias("v")
-    )
+    daily = _daily_series(spark, sf_dir)
     n1 = daily.select((F.col("day_n") + 1).alias("day_n"), F.col("v").alias("naive1"))
     n7 = daily.select((F.col("day_n") + 7).alias("day_n"), F.col("v").alias("naive7"))
     f = (
@@ -16604,17 +16497,8 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "stats_runs_test",
-    """
-    WITH d AS (
-      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n FROM events
-    ),
-    counts AS (SELECT day_n, COUNT(*) AS n FROM d GROUP BY day_n),
-    span AS (SELECT MIN(day_n) AS d0, MAX(day_n) AS d1 FROM d),
-    grid AS (SELECT unnest(generate_series(d0, d1)) AS day_n FROM span),
-    daily AS (
-      SELECT g.day_n, CAST(COALESCE(c.n, 0) AS BIGINT) AS v
-      FROM grid g LEFT JOIN counts c USING (day_n)
-    ),
+    f"""
+    WITH{_DAILY_SQL},
     dirs AS (
       SELECT a.day_n, CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS up
       FROM daily a JOIN daily b ON b.day_n = a.day_n - 1
@@ -16651,14 +16535,7 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: calendar-bounded series; the predecessor lookup is
     a correlated min/max over the tiny dirs frame on the oracle side
     and a prefix-rank equi-join on the Spark side — both linear."""
-    ev = load_table(spark, sf_dir, "events")
-    d = ev.select(F.expr("ts_ns div 1000 div 86400000000").alias("day_n"))
-    counts = d.groupBy("day_n").agg(F.count(F.lit(1)).alias("n"))
-    span = d.agg(F.min("day_n").alias("d0"), F.max("day_n").alias("d1"))
-    grid = span.select(F.explode(F.sequence("d0", "d1")).alias("day_n"))
-    daily = grid.join(counts, ["day_n"], "left").select(
-        "day_n", F.coalesce("n", F.lit(0)).cast("bigint").alias("v")
-    )
+    daily = _daily_series(spark, sf_dir)
     prev = daily.select(
         (F.col("day_n") + 1).alias("day_n"), F.col("v").alias("pv")
     )
@@ -18003,17 +17880,8 @@ def u19_multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "stats_theil_sen",
-    """
-    WITH d AS (
-      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n FROM events
-    ),
-    counts AS (SELECT day_n, COUNT(*) AS n FROM d GROUP BY day_n),
-    span AS (SELECT MIN(day_n) AS d0, MAX(day_n) AS d1 FROM d),
-    grid AS (SELECT unnest(generate_series(d0, d1)) AS day_n FROM span),
-    daily AS (
-      SELECT g.day_n, CAST(COALESCE(c.n, 0) AS BIGINT) AS v
-      FROM grid g LEFT JOIN counts c USING (day_n)
-    ),
+    f"""
+    WITH{_DAILY_SQL},
     slopes AS (
       SELECT CAST((b.v - a.v) * 1000000 AS HUGEINT)
                // CAST(b.day_n - a.day_n AS HUGEINT) AS s
@@ -18044,14 +17912,7 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     slopes are |days|²/2 — bounded by the calendar, not the corpus;
     the median rank rides global_prefix_sums, never a
     single-partition window."""
-    ev = load_table(spark, sf_dir, "events")
-    d = ev.select(F.expr("ts_ns div 1000 div 86400000000").alias("day_n"))
-    counts = d.groupBy("day_n").agg(F.count(F.lit(1)).alias("n"))
-    span = d.agg(F.min("day_n").alias("d0"), F.max("day_n").alias("d1"))
-    grid = span.select(F.explode(F.sequence("d0", "d1")).alias("day_n"))
-    daily = grid.join(counts, ["day_n"], "left").select(
-        "day_n", F.coalesce("n", F.lit(0)).cast("bigint").alias("v")
-    )
+    daily = _daily_series(spark, sf_dir)
     a = daily.select(F.col("day_n").alias("da"), F.col("v").alias("va"))
     b = daily.select(F.col("day_n").alias("db"), F.col("v").alias("vb"))
     # floor division with a possibly-negative numerator: offset by a
