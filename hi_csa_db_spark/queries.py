@@ -17938,6 +17938,8 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("s").cast("bigint").alias("slope_micro_per_day"),
         )
     )
+
+
 @_register(
     "w11_grouped_percentiles",
     """
@@ -18022,6 +18024,79 @@ def w11_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("p90_cents"),
         )
+    )
+@_register(
+    "dq11_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS k,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT))
+               AS line_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    o AS (
+      SELECT o_orderkey AS k, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+               AS hdr_cents
+      FROM orders
+    ),
+    j AS (
+      SELECT o.o_orderstatus, o.hdr_cents,
+             COALESCE(li.line_cents, 0) AS line_cents,
+             abs(o.hdr_cents - COALESCE(li.line_cents, 0)) AS adiff
+      FROM o LEFT JOIN li ON li.k = o.k
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN adiff > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatched,
+           CAST(MAX(adiff) AS BIGINT) AS max_abs_diff_cents,
+           CAST(SUM(adiff) AS BIGINT) AS total_abs_diff_cents
+    FROM j GROUP BY o_orderstatus
+    """,
+)
+def dq11_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail money reconciliation: each order's header total
+    against the sum of its line extended prices - the classic
+    cross-table consistency audit (billing header drifting from its
+    lines is how real pipelines lose money silently). Reports, per
+    order status, how many orders disagree beyond a cent and by how
+    much; orders with no lines reconcile against zero. Whatever the
+    fixture's generator chose, both engines must agree on the exact
+    integer-cents discrepancy profile.
+
+    Scale shape: one map-combined per-order line aggregate, one
+    header equi-join (both sides keyed on orderkey — bucketed layout
+    makes it shuffle-free, the j11 pattern), one |status| rollup."""
+    li = load_table(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(15,2)") * 100).cast(
+                "bigint"
+            )
+        ).alias("line_cents")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(15,2)") * 100)
+        .cast("bigint")
+        .alias("hdr_cents"),
+    )
+    j = o.join(li, "k", "left").select(
+        "o_orderstatus",
+        F.abs(
+            F.col("hdr_cents") - F.coalesce("line_cents", F.lit(0))
+        ).alias("adiff"),
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum((F.col("adiff") > 1).cast("bigint"))
+        .cast("bigint")
+        .alias("n_mismatched"),
+        F.max("adiff").cast("bigint").alias("max_abs_diff_cents"),
+        F.sum("adiff").cast("bigint").alias("total_abs_diff_cents"),
     )
 
 
@@ -18172,6 +18247,7 @@ _PRIORITY = (
     "u19_multi_format_union",
     "stats_theil_sen",
     "w11_grouped_percentiles",
+    "dq11_reconciliation",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
