@@ -164,3 +164,57 @@ def test_threshold_sensitivity_pair_free_corpus(spark, tmp_path):
     ).collect()
     assert len(out) == 4
     assert all(r["n_pairs"] == 0 and r["doc_slots"] == 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# a14/w11 grouped-quantile machinery vs a brute-force python oracle
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_median_offsets_match_bruteforce(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hi_csa_db_spark.operators import ordered
+
+    rng = random.Random(11)
+    rows = [
+        (f"g{rng.randint(0, 3)}", rng.randint(1, 40) * 100)
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "pri string, cents long")
+    byv = df.groupBy("pri", "cents").agg(F.count(F.lit(1)).alias("ct"))
+    keyed = byv.select(
+        F.struct(F.col("pri").alias("p"), F.col("cents").alias("c")).alias("__k"),
+        "pri", "cents", "ct",
+    )
+    g = ordered.global_prefix_sums(keyed, "__k", ["ct"])
+    tots = byv.groupBy("pri").agg(F.sum("ct").alias("tot"))
+    offs = (
+        tots.alias("a")
+        .join(F.broadcast(tots.alias("b")), F.col("b.pri") < F.col("a.pri"), "left")
+        .groupBy(F.col("a.pri").alias("pri"), F.col("a.tot").alias("tot"))
+        .agg(F.coalesce(F.sum("b.tot"), F.lit(0)).alias("off"))
+    )
+    wg = g.join(F.broadcast(offs), "pri").select(
+        "pri", "cents", "tot", (F.col("cum_ct") - F.col("off")).alias("cw")
+    )
+    got = {
+        r["pri"]: r["m"]
+        for r in wg.filter(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("pri")
+        .agg(F.min("cents").alias("m"))
+        .collect()
+    }
+    # brute force: lower median = element at index ceil(n/2)-1 of the
+    # sorted values (the smallest v with 2*rank(v) >= n)
+    import collections
+
+    vals = collections.defaultdict(list)
+    for p, c in rows:
+        vals[p].append(c)
+    want = {
+        p: sorted(v)[(len(v) + 1) // 2 - 1] for p, v in vals.items()
+    }
+    assert got == want
