@@ -18098,6 +18098,78 @@ def dq11_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("adiff").cast("bigint").alias("max_abs_diff_cents"),
         F.sum("adiff").cast("bigint").alias("total_abs_diff_cents"),
     )
+@_register(
+    "t34_sliding_distinct",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n
+      FROM events
+    ),
+    span AS (SELECT MIN(day_n) AS d0, MAX(day_n) AS d1 FROM d),
+    anchors AS (
+      SELECT DISTINCT day_n + i AS anchor
+      FROM d, UNNEST([0, 1, 2, 3, 4, 5, 6]) AS t(i)
+    ),
+    sel AS (
+      SELECT anchor FROM anchors CROSS JOIN span
+      WHERE anchor >= d0 + 6 AND anchor <= d1
+    )
+    -- deliberately the NAIVE definition (window re-scan + true
+    -- COUNT DISTINCT): the engine's bitmap-merge plan must equal it
+    SELECT s.anchor AS window_end_day,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS distinct_users_7d
+    FROM sel s JOIN d ON d.day_n BETWEEN s.anchor - 6 AND s.anchor
+    GROUP BY s.anchor
+    """,
+)
+def t34_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 7-day sliding distinct users — the query that is easy to
+    ask and brutal to run naively (distinct is not subtractable, so a
+    naive plan re-scans 7 days per window). Solution: per-day user
+    BITMAPS (a15's 32-bit words) are MERGEABLE — each day's words
+    contribute to the 7 windows they influence (t16's calendar band
+    join), bit_or merges them per window, popcount finishes. One
+    shuffle of day-level words fanned 7x, never a re-scan; windows
+    with fewer than 7 days of history are dropped on both sides.
+
+    At 100 TB the day-level bitmap table is the materialized
+    intermediate (tiny: id_range/32 longs per day), and ANY window
+    length reuses it — the exact-arithmetic counterpart of merging
+    HLL registers (a12), with no estimation error."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.expr("ts_ns div 1000 div 86400000000").alias("day_n")
+    ).distinct()
+    w = d.groupBy("day_n", F.expr("user_id div 32").alias("word")).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))"
+        ).alias("bits")
+    )
+    span = d.agg(F.min("day_n").alias("d0"), F.max("day_n").alias("d1"))
+    contrib = w.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day_n",
+        "word",
+        "bits",
+    ).select((F.col("day_n") + F.col("i")).alias("anchor"), "word", "bits")
+    merged = contrib.groupBy("anchor", "word").agg(
+        F.expr("bit_or(bits)").alias("bits")
+    )
+    out = merged.groupBy("anchor").agg(
+        F.sum(F.bit_count("bits")).alias("wau7")
+    )
+    return (
+        out.crossJoin(F.broadcast(span))
+        .filter(
+            (F.col("anchor") >= F.col("d0") + 6)
+            & (F.col("anchor") <= F.col("d1"))
+        )
+        .select(
+            F.col("anchor").alias("window_end_day"),
+            F.col("wau7").cast("bigint").alias("distinct_users_7d"),
+        )
+    )
 
 
 # Exposure order. The driver's correctness gate samples a 50-query
@@ -18248,6 +18320,7 @@ _PRIORITY = (
     "stats_theil_sen",
     "w11_grouped_percentiles",
     "dq11_reconciliation",
+    "t34_sliding_distinct",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

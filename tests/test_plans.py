@@ -137,6 +137,7 @@ _NLJ_ALLOWED = {
     "stats_poisson_bootstrap",  # 16-row replicate-list broadcast
     "stats_theil_sen",  # calendar-bounded daily-series pair broadcast
     "w11_grouped_percentiles",  # triangular broadcast join over |groups| rows
+    "t34_sliding_distinct",  # 1-row span broadcast window filter
 }
 
 
