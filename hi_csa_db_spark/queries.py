@@ -18170,6 +18170,42 @@ def t34_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wau7").cast("bigint").alias("distinct_users_7d"),
         )
     )
+@_register(
+    "stream_sliding_distinct",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n
+      FROM events
+    ),
+    span AS (SELECT MIN(day_n) AS d0, MAX(day_n) AS d1 FROM d),
+    anchors AS (
+      SELECT DISTINCT day_n + i AS anchor
+      FROM d, UNNEST([0, 1, 2, 3, 4, 5, 6]) AS t(i)
+    ),
+    sel AS (
+      SELECT anchor FROM anchors CROSS JOIN span
+      WHERE anchor >= d0 + 6 AND anchor <= d1
+    )
+    SELECT s.anchor AS window_end_day,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS distinct_users_7d
+    FROM sel s JOIN d ON d.day_n BETWEEN s.anchor - 6 AND s.anchor
+    GROUP BY s.anchor
+    """,
+)
+def stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of t34: the day-level user bitmaps are
+    maintained by a real Structured Streaming aggregate (state store,
+    Trigger.AvailableNow), then band-joined/OR-merged/popcounted.
+    bit_or's idempotency means duplicate replays cannot corrupt the
+    result — the rare aggregate that is exactly-once BY ALGEBRA, not
+    by delivery guarantees (streaming/windows.py::sliding_distinct).
+    Oracle: the naive window re-scan COUNT DISTINCT definition, same
+    as batch t34 — a THIRD independent computation of the same
+    integers."""
+    from hi_csa_db_spark.streaming import windows
+
+    return windows.sliding_distinct(spark, sf_dir)
 
 
 # Exposure order. The driver's correctness gate samples a 50-query
@@ -18321,6 +18357,7 @@ _PRIORITY = (
     "w11_grouped_percentiles",
     "dq11_reconciliation",
     "t34_sliding_distinct",
+    "stream_sliding_distinct",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

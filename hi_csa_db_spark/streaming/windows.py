@@ -346,3 +346,51 @@ def ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(windowed, "stream_ohlc_daily", "complete")
+
+
+def sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of batch t34: EXACT 7-day sliding distinct
+    users maintained as a STREAMING day-level bitmap aggregate
+    (groupBy(day, word) + bit_or through the state store, complete
+    mode), then the calendar band join + OR-merge + popcount epilogue
+    over the materialized bitmap table. The deep property: bit_or is
+    COMMUTATIVE, ASSOCIATIVE, AND IDEMPOTENT, so the result is
+    independent of micro-batch boundaries AND of duplicate replays —
+    this aggregate does not even need exactly-once delivery to be
+    exact (stronger than counts, which idempotency does not cover)."""
+    ev = read_events_stream(spark, sf_dir)
+    day = F.expr("ts_ns div 1000 div 86400000000")
+    w = (
+        ev.select(day.alias("day_n"), "user_id")
+        .groupBy("day_n", F.expr("user_id div 32").alias("word"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))"
+            ).alias("bits")
+        )
+    )
+    words = _run_to_memory(w, "stream_sliding_distinct_words", "complete")
+    span = words.agg(F.min("day_n").alias("d0"), F.max("day_n").alias("d1"))
+    contrib = words.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day_n",
+        "word",
+        "bits",
+    ).select((F.col("day_n") + F.col("i")).alias("anchor"), "word", "bits")
+    merged = contrib.groupBy("anchor", "word").agg(
+        F.expr("bit_or(bits)").alias("bits")
+    )
+    out = merged.groupBy("anchor").agg(
+        F.sum(F.bit_count("bits")).alias("wau7")
+    )
+    return (
+        out.crossJoin(F.broadcast(span))
+        .filter(
+            (F.col("anchor") >= F.col("d0") + 6)
+            & (F.col("anchor") <= F.col("d1"))
+        )
+        .select(
+            F.col("anchor").alias("window_end_day"),
+            F.col("wau7").cast("bigint").alias("distinct_users_7d"),
+        )
+    )
