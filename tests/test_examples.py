@@ -41,3 +41,15 @@ def test_rag_retrieval_pipeline_runs(sf_dir):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "rag pipeline complete" in r.stdout
+
+
+def test_analytics_observability_runs(sf_dir):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "analytics_observability.py"),
+         sf_dir],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "analytics observability complete" in r.stdout
+    assert "predicted=actual=" in r.stdout
