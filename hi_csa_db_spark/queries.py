@@ -18206,6 +18206,143 @@ def stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hi_csa_db_spark.streaming import windows
 
     return windows.sliding_distinct(spark, sf_dir)
+@_register(
+    "dq12_pk_uniqueness",
+    """
+    SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_dup_rows
+    FROM orders
+    UNION ALL
+    SELECT 'customer', COUNT(*), COUNT(DISTINCT c_custkey),
+           COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer
+    UNION ALL
+    SELECT 'part', COUNT(*), COUNT(DISTINCT p_partkey),
+           COUNT(*) - COUNT(DISTINCT p_partkey) FROM part
+    UNION ALL
+    SELECT 'supplier', COUNT(*), COUNT(DISTINCT s_suppkey),
+           COUNT(*) - COUNT(DISTINCT s_suppkey) FROM supplier
+    UNION ALL
+    SELECT 'documents', COUNT(*), COUNT(DISTINCT doc_id),
+           COUNT(*) - COUNT(DISTINCT doc_id) FROM documents
+    UNION ALL
+    SELECT 'events', COUNT(*), COUNT(DISTINCT event_id),
+           COUNT(*) - COUNT(DISTINCT event_id) FROM events
+    """,
+)
+def dq12_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across every keyed fixture table
+    in ONE result: row count vs distinct key count per table — the
+    first DQ gate any ingest runs (a duplicated key breaks every
+    downstream join's cardinality; dq9 predicts the blast radius,
+    this catches the cause). The clean fixture's zeros are the
+    verified answer (the dq7/dq10 clean-pin pattern).
+
+    Scale shape: one map-combined count+distinct per table, unioned —
+    each leg shuffles only its partial aggregates."""
+    parts = []
+    for tbl, key in (
+        ("orders", "o_orderkey"),
+        ("customer", "c_custkey"),
+        ("part", "p_partkey"),
+        ("supplier", "s_suppkey"),
+        ("documents", "doc_id"),
+        ("events", "event_id"),
+    ):
+        t = load_table(spark, sf_dir, tbl)
+        parts.append(
+            t.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct(key).cast("bigint").alias("n_keys"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                "n_rows",
+                "n_keys",
+                (F.col("n_rows") - F.col("n_keys"))
+                .cast("bigint")
+                .alias("n_dup_rows"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@_register(
+    "x70_vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS w
+      FROM documents
+    ),
+    tf AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    rk AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rnk,
+             SUM(c) OVER () AS tot
+      FROM tf
+    ),
+    cum AS (
+      SELECT rnk, tot, SUM(c) OVER (ORDER BY rnk) AS cc FROM rk
+    ),
+    ns AS (SELECT unnest([1, 2, 5, 10, 20]) AS topn)
+    SELECT CAST(n.topn AS INT) AS topn,
+           CAST(MAX(CASE WHEN cum.rnk <= n.topn THEN cum.cc END) AS BIGINT)
+             AS covered_tokens,
+           CAST(MAX(cum.tot) AS BIGINT) AS total_tokens,
+           CAST(MAX(CASE WHEN cum.rnk <= n.topn THEN cum.cc END) * 1000000
+                // MAX(cum.tot) AS BIGINT) AS coverage_micro
+    FROM ns n JOIN cum ON cum.rnk <= n.topn
+    GROUP BY n.topn
+    """,
+)
+def x70_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what share of all token occurrences
+    the top-N most frequent types cover (N = 1/2/5/10/20) — the
+    how-big-must-the-vocab-be table tokenizer training reads first
+    (x67's spectrum shows the tail's shape; this shows the head's
+    reach). Integer occurrence counts, rank via the count-desc
+    (count, word) total order, floor-div micro coverage.
+
+    Scale shape: one token-count aggregate, a global rank over
+    DISTINCT TYPES (bounded by vocabulary, not corpus — rides
+    ordered.global_row_numbers with a struct key), cumulative counts
+    via global_prefix_sums, then a 5-row broadcast threshold probe."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokenize(F.lower(strip_punct(F.col("text"))))
+    tf = (
+        docs.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    keyed = tf.select(
+        F.struct((-F.col("c")).alias("nc"), F.col("w").alias("w")).alias(
+            "__k"
+        ),
+        "c",
+    )
+    cum = ordered.global_prefix_sums(keyed, "__k", ["c"])
+    tot = tf.agg(F.sum("c").alias("tot"))
+    rk = ordered.global_row_numbers(
+        cum.select("__k", F.col("cum_c").alias("cc")), "__k"
+    )
+    ns = spark.createDataFrame([(1,), (2,), (5,), (10,), (20,)], ["topn"])
+    probe = (
+        ns.crossJoin(F.broadcast(rk.filter(F.col("rank") <= 20)))
+        .filter(F.col("rank") <= F.col("topn"))
+        .groupBy("topn")
+        .agg(F.max("cc").alias("covered_tokens"))
+    )
+    return probe.crossJoin(F.broadcast(tot)).select(
+        F.col("topn").cast("int").alias("topn"),
+        F.col("covered_tokens").cast("bigint").alias("covered_tokens"),
+        F.col("tot").cast("bigint").alias("total_tokens"),
+        F.expr(
+            "CAST(covered_tokens * 1000000 div tot AS BIGINT)"
+        ).alias("coverage_micro"),
+    )
 
 
 # Exposure order. The driver's correctness gate samples a 50-query
@@ -18358,6 +18495,8 @@ _PRIORITY = (
     "dq11_reconciliation",
     "t34_sliding_distinct",
     "stream_sliding_distinct",
+    "dq12_pk_uniqueness",
+    "x70_vocab_coverage",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
