@@ -171,6 +171,14 @@ EXTRA = [
     "graph_ppr",
     "stats_poisson_bootstrap",
     "u18_partition_pruned_read",
+    "t34_sliding_distinct",
+    "dq11_reconciliation",
+    "dq12_pk_uniqueness",
+    "x70_vocab_coverage",
+    "graph_matching",
+    "u19_multi_format_union",
+    "stats_theil_sen",
+    "w11_grouped_percentiles",
 ]
 
 
