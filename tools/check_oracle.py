@@ -173,6 +173,19 @@ def main():
             "oracle_rows": len(drows),
             "err": None,
         }
+        # cache hygiene for FULL-registry sweeps: 340 queries of
+        # accumulated .cache() frames + streaming memory-sink tables
+        # overflow the vanilla session's default 1g single-JVM heap
+        # around query ~150 (observed: generic collect/parquet errors
+        # on the LSH-cached family, reproducible at the same sweep
+        # position, green in isolation). The driver's gate runs only a
+        # 50-query prefix and never hits this; clearing between
+        # queries keeps the local sweep's memory flat without touching
+        # any compared value.
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
     import json
     import os as _os
 
