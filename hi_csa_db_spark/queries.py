@@ -18343,6 +18343,89 @@ def x70_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(covered_tokens * 1000000 div tot AS BIGINT)"
         ).alias("coverage_micro"),
     )
+@_register(
+    "t35_retention_downsample",
+    """
+    WITH d AS (
+      SELECT event_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n
+      FROM events
+    ),
+    mx AS (SELECT MAX(day_n) AS dmax FROM d),
+    aged AS (
+      SELECT event_id, day_n,
+             least((dmax - day_n) // 7, 6) AS age_weeks
+      FROM d CROSS JOIN mx
+    ),
+    kept AS (
+      SELECT age_weeks, day_n, event_id,
+             CASE WHEN CAST('0x' || substring(
+                    md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  % (1 << CAST(age_weeks AS INT)) = 0
+                  THEN 1 ELSE 0 END AS keep
+      FROM aged
+    )
+    SELECT CAST(age_weeks AS INT) AS age_weeks,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(1000000 // (1 << CAST(age_weeks AS INT)) AS BIGINT)
+             AS target_rate_micro,
+           CAST(SUM(keep) * 1000000 // COUNT(*) AS BIGINT)
+             AS actual_rate_micro
+    FROM kept GROUP BY age_weeks
+    """,
+)
+def t35_retention_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Age-tiered retention downsampling: keep ALL of the newest
+    week, 1/2 of the next, 1/4 of the one after ... 1/64 beyond —
+    the halving retention ladder observability stores apply to event
+    history. Membership is the deterministic hash keep rule
+    (md5(event_id) mod 2^age == 0 — a pure function of the id, the
+    x29/sample_* idiom), so the sample is reproducible across
+    engines, reruns, and re-shards, and an event's fate only ever
+    changes when it ages into the next tier. Reports kept vs target
+    rate per tier — the audit that shows the hash rule tracking its
+    nominal rate.
+
+    Scale shape: a 1-row max-day broadcast, a narrow per-row keep
+    rule (pushable to the scan), one <= 7-group aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id", F.expr("ts_ns div 1000 div 86400000000").alias("day_n")
+    )
+    mx = d.agg(F.max("day_n").alias("dmax"))
+    aged = d.crossJoin(F.broadcast(mx)).select(
+        "event_id",
+        F.least(
+            F.expr("(dmax - day_n) div 7"), F.lit(6)
+        ).alias("age_weeks"),
+    )
+    kept = aged.select(
+        "age_weeks",
+        F.expr(
+            "CAST(CASE WHEN CAST(conv(substring(md5(CAST(event_id AS STRING)),"
+            " 1, 8), 16, 10) AS BIGINT)"
+            " % shiftleft(CAST(1 AS BIGINT), CAST(age_weeks AS INT)) = 0"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("keep"),
+    )
+    return kept.groupBy("age_weeks").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        F.expr(
+            "CAST(1000000 div (CAST(1 AS BIGINT) << CAST(age_weeks AS INT))"
+            " AS BIGINT)"
+        ).alias("target_rate_micro"),
+        F.expr("CAST(SUM(keep) * 1000000 div COUNT(1) AS BIGINT)").alias(
+            "actual_rate_micro"
+        ),
+    ).select(
+        F.col("age_weeks").cast("int").alias("age_weeks"),
+        "n_events",
+        "n_kept",
+        "target_rate_micro",
+        "actual_rate_micro",
+    )
 
 
 # Exposure order. The driver's correctness gate samples a 50-query
@@ -18497,6 +18580,7 @@ _PRIORITY = (
     "stream_sliding_distinct",
     "dq12_pk_uniqueness",
     "x70_vocab_coverage",
+    "t35_retention_downsample",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

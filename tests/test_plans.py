@@ -139,6 +139,7 @@ _NLJ_ALLOWED = {
     "w11_grouped_percentiles",  # triangular broadcast join over |groups| rows
     "t34_sliding_distinct",  # 1-row span broadcast window filter
     "x70_vocab_coverage",  # 5-row topn-list + 1-row total broadcasts
+    "t35_retention_downsample",  # 1-row max-day broadcast
 }
 
 
