@@ -18426,6 +18426,81 @@ def t35_retention_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_rate_micro",
         "actual_rate_micro",
     )
+@_register(
+    "u20_time_travel",
+    """
+    WITH v0 AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT))
+               AS cents
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderpriority
+    ),
+    v1 AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT))
+               AS cents
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT v1.o_orderpriority,
+           CAST(v0.n AS BIGINT) AS v0_rows,
+           CAST(v1.n AS BIGINT) AS v1_rows,
+           CAST(v1.cents - v0.cents AS BIGINT) AS appended_cents
+    FROM v1 JOIN v0 ON v0.o_orderpriority = v1.o_orderpriority
+    """,
+)
+def u20_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID TIME TRAVEL through the driver gate: an orders table is
+    committed to the txlog format in two versions (v0 = even
+    orderkeys, v1 = append of the odd ones), then BOTH snapshots are
+    read back — version 0 by explicit time travel, v1 as latest —
+    and compared per priority class. The oracle recomputes both
+    states from the source rule, so manifest pinning must isolate
+    each snapshot exactly (a v0 read that sees any v1 file breaks the
+    row counts; a v1 read that re-reads v0 files twice breaks the
+    cents). Surfaces sources/txlog.py's snapshot isolation the way
+    u16 surfaces IVM — through the value gate, not just pytest.
+
+    The write is per-process idempotent under /tmp; reads resolve ONE
+    manifest each (O(1) metadata, the Delta/Iceberg contract)."""
+    import hashlib
+    import os
+
+    from hi_csa_db_spark.sources import txlog
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_timetravel/{tag}"
+    if txlog.current_version(path) is None:
+        txlog.write_table(o.filter(F.col("o_orderkey") % 2 == 0), path)
+        txlog.write_table(
+            o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append"
+        )
+    cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("bigint")
+
+    def snap(version):
+        return (
+            txlog.read_table(spark, path, version=version)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(cents).alias("cents"),
+            )
+        )
+
+    v0 = snap(0).select(
+        F.col("o_orderpriority").alias("p0"),
+        F.col("n").alias("v0_rows"),
+        F.col("cents").alias("c0"),
+    )
+    v1 = snap(None)
+    return v1.join(v0, v1["o_orderpriority"] == v0["p0"]).select(
+        "o_orderpriority",
+        "v0_rows",
+        F.col("n").alias("v1_rows"),
+        (F.col("cents") - F.col("c0")).cast("bigint").alias("appended_cents"),
+    )
 
 
 # Exposure order. The driver's correctness gate samples a 50-query
@@ -18581,6 +18656,7 @@ _PRIORITY = (
     "dq12_pk_uniqueness",
     "x70_vocab_coverage",
     "t35_retention_downsample",
+    "u20_time_travel",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
