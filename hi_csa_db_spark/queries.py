@@ -18501,6 +18501,75 @@ def u20_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("v1_rows"),
         (F.col("cents") - F.col("c0")).cast("bigint").alias("appended_cents"),
     )
+@_register(
+    "j13_nullsafe_join",
+    """
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_custkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders
+    ),
+    b AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 89 = 0 THEN NULL ELSE c_custkey END AS k
+      FROM customer
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM a JOIN b ON a.k = b.k)
+        AS matched_regular,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM a JOIN b
+        ON a.k IS NOT DISTINCT FROM b.k) AS matched_nullsafe,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM a WHERE k IS NULL)
+        * (SELECT CAST(COUNT(*) AS BIGINT) FROM b WHERE k IS NULL)
+        AS null_x_null_pairs
+    """,
+)
+def j13_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe join semantics made explicit: the same key join run
+    with ordinary equality (NULL never matches — the silent row-loss
+    mode when a dirty key column holds NULLs) and with Spark's `<=>`
+    (IS NOT DISTINCT FROM), whose difference must equal EXACTLY
+    |a NULLs| x |b NULLs| — the identity the result carries as its
+    own proof. The dirty keys are derived deterministically from the
+    fixture (every 97th/89th key nulled).
+
+    Scale note: `<=>` keys hash NULL as a regular value, so the
+    null-safe join stays a hash equi-join — but ALL null rows land in
+    ONE bucket, the skew to salt (j5) when null rates are high."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % 97 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("ka")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 89 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("kb")
+    )
+    reg = o.join(c, F.col("ka") == F.col("kb")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("matched_regular")
+    )
+    ns = o.join(c, F.col("ka").eqNullSafe(F.col("kb"))).agg(
+        F.count(F.lit(1)).cast("bigint").alias("matched_nullsafe")
+    )
+    an = o.filter(F.col("ka").isNull()).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    bn = c.filter(F.col("kb").isNull()).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    return (
+        reg.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(an))
+        .crossJoin(F.broadcast(bn))
+        .select(
+            "matched_regular",
+            "matched_nullsafe",
+            (F.col("na") * F.col("nb")).cast("bigint").alias(
+                "null_x_null_pairs"
+            ),
+        )
+    )
 
 
 # Exposure order. The driver's correctness gate samples a 50-query
@@ -18657,6 +18726,7 @@ _PRIORITY = (
     "x70_vocab_coverage",
     "t35_retention_downsample",
     "u20_time_travel",
+    "j13_nullsafe_join",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

@@ -140,6 +140,7 @@ _NLJ_ALLOWED = {
     "t34_sliding_distinct",  # 1-row span broadcast window filter
     "x70_vocab_coverage",  # 5-row topn-list + 1-row total broadcasts
     "t35_retention_downsample",  # 1-row max-day broadcast
+    "j13_nullsafe_join",  # four 1-row count broadcasts
 }
 
 
