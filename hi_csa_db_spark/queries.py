@@ -18570,6 +18570,89 @@ def j13_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+@_register(
+    "stats_wilcoxon",
+    f"""
+    WITH{_DAILY_SQL},
+    pairs AS (
+      SELECT a.v - b.v AS d
+      FROM daily a JOIN daily b ON b.day_n = a.day_n - 7
+    ),
+    nz AS (
+      SELECT abs(d) AS ad, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+      FROM pairs WHERE d <> 0
+    ),
+    byv AS (
+      SELECT ad, SUM(pos) AS cpos, COUNT(*) AS ct FROM nz GROUP BY ad
+    ),
+    cum AS (
+      SELECT cpos, ct, SUM(ct) OVER (ORDER BY ad) AS cw FROM byv
+    ),
+    agg AS (
+      SELECT SUM(ct) AS n,
+             SUM(cpos * (2 * (cw - ct) + ct + 1)) AS w2,
+             SUM(ct * ct * ct - ct) AS tie
+      FROM cum
+    )
+    SELECT CAST(n AS BIGINT) AS n_nonzero,
+           CAST(w2 AS BIGINT) AS w_plus_x2,
+           ROUND(CAST(2 * w2 - n * (n + 1) AS DOUBLE)
+                 / (4 * sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tie AS DOUBLE)
+                             / CAST(48 AS DOUBLE))), 6) AS z_score
+    FROM agg
+    """,
+)
+def stats_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on the week-over-week daily-count
+    differences (paired samples: each day vs itself 7 days earlier) —
+    is the series systematically shifting, beyond what t31's WAPE
+    magnitude says? Completes the nonparametric pair with
+    stats_mannwhitney (unpaired) using the identical doubled-rank
+    construction: zero differences drop (standard treatment),
+    |d| ranks carry DOUBLED average ranks so the positive rank sum
+    W+ is the exact integer w2 = 2·W+, ties corrected exactly, and z
+    is IEEE ops on exact integers at 6dp.
+
+    Scale shape: the pairing is the t31 lag-7 self equi-join over the
+    calendar-bounded series; the rank ladder rides
+    ordered.global_prefix_sums (the oracle window is the semantic
+    spec)."""
+    daily = _daily_series(spark, sf_dir)
+    prev = daily.select(
+        (F.col("day_n") + 7).alias("day_n"), F.col("v").alias("pv")
+    )
+    nz = (
+        daily.join(prev, "day_n")
+        .select((F.col("v") - F.col("pv")).alias("d"))
+        .filter(F.col("d") != 0)
+        .select(
+            F.abs(F.col("d")).alias("ad"),
+            (F.col("d") > 0).cast("bigint").alias("pos"),
+        )
+    )
+    byv = nz.groupBy("ad").agg(
+        F.sum("pos").alias("cpos"), F.count(F.lit(1)).alias("ct")
+    )
+    cum = ordered.global_prefix_sums(byv, "ad", ["ct"])
+    agg = cum.agg(
+        F.sum("ct").alias("n"),
+        F.sum(
+            F.col("cpos")
+            * (2 * (F.col("cum_ct") - F.col("ct")) + F.col("ct") + 1)
+        ).alias("w2"),
+        F.sum(
+            F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct")
+        ).alias("tie"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_nonzero"),
+        F.col("w2").cast("bigint").alias("w_plus_x2"),
+        F.expr(
+            "ROUND(CAST(2 * w2 - n * (n + 1) AS DOUBLE)"
+            " / (4 * sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tie AS DOUBLE)"
+            " / CAST(48 AS DOUBLE))), 6)"
+        ).alias("z_score"),
+    )
 
 
 # Exposure order. The driver's correctness gate samples a 50-query
@@ -18727,6 +18810,7 @@ _PRIORITY = (
     "t35_retention_downsample",
     "u20_time_travel",
     "j13_nullsafe_join",
+    "stats_wilcoxon",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
