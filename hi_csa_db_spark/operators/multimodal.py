@@ -627,6 +627,77 @@ def video_keyframes(
     return docs.select(id_col).mapInPandas(gen, KEYFRAME_SCHEMA)
 
 
+TEMPO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_beats", IntegerType()),
+        StructField("period_frames", IntegerType()),
+        StructField("bpm_milli", LongType()),
+    ]
+)
+
+
+def audio_tempo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Beat-period (tempo) detection through the REAL WAV codec: a
+    4096-sample click track with id-derived period P = 512·(1+id%4)
+    samples (each click one 128-sample tone burst, beats aligned to
+    the frame grid) is PCM-encoded/decoded, framed at 128 samples,
+    reduced to a binary energy envelope, and the period recovered as
+    the smallest candidate lag maximizing the envelope
+    autocorrelation Σ e_f·e_{f+L} — the onset-autocorrelation tempo
+    estimator in its integer-exact form. Because a true period p
+    scores nb−L/p at its multiples, the smallest argmax IS p, so the
+    oracle predicts every output from the id alone (the mm7/mm13
+    proof pattern: synthesis, codec round trip, framing, envelope,
+    and the estimator all value-checked distributedly)."""
+    import numpy as np
+
+    N, RATE, FRAME = 4096, 8000, 128
+    THRESH = FRAME * 327 * 327
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hi_csa_db_spark.functions import codecs
+
+        cols = [f.name for f in TEMPO_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                P = 512 * (1 + i % 4)
+                sig = np.zeros(N)
+                t = np.arange(FRAME)
+                burst = 0.9 * np.sin(2.0 * np.pi * 400.0 * t / RATE)
+                for start in range(0, N, P):
+                    sig[start : start + FRAME] = burst[: N - start][:FRAME]
+                samples, _rate = codecs.decode_wav(
+                    codecs.encode_wav(sig, rate=RATE)
+                )
+                ints = np.rint(samples[:, 0] * 32768.0).astype(np.int64)
+                frames = ints.reshape(-1, FRAME)
+                energy = (frames * frames).sum(axis=1)
+                env = (energy > THRESH).astype(np.int64)
+                nf = len(env)
+                best_lag, best_score = 0, -1
+                for lag in (4, 8, 12, 16):
+                    score = int((env[: nf - lag] * env[lag:]).sum())
+                    if score > best_score:
+                        best_score, best_lag = score, lag
+                rows.append(
+                    {
+                        "media_id": i,
+                        "n_frames": nf,
+                        "n_beats": int(env.sum()),
+                        "period_frames": best_lag,
+                        "bpm_milli": 60 * RATE * 1000
+                        // (FRAME * best_lag),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col).mapInPandas(gen, TEMPO_SCHEMA)
+
+
 PATCH_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

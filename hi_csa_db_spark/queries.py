@@ -18653,6 +18653,29 @@ def stats_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(48 AS DOUBLE))), 6)"
         ).alias("z_score"),
     )
+@_register(
+    "mm16_audio_tempo",
+    """
+    SELECT doc_id AS media_id,
+           CAST(32 AS INT) AS n_frames,
+           CAST((4096 - 1) // (512 * (1 + doc_id % 4)) + 1 AS INT) AS n_beats,
+           CAST(4 * (1 + doc_id % 4) AS INT) AS period_frames,
+           CAST(480000000 // (128 * 4 * (1 + doc_id % 4)) AS BIGINT)
+             AS bpm_milli
+    FROM documents
+    """,
+)
+def mm16_audio_tempo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tempo estimation through the real WAV codec
+    (multimodal.audio_tempo): an id-derived click track's beat period
+    is recovered by integer envelope autocorrelation — the smallest
+    argmax lag is provably the true period (multiples score strictly
+    lower) — so beats, period, and milli-BPM are all predicted from
+    the id alone. Completes the audio feature tier: mm7 spectrum,
+    mm13 activity, mm16 rhythm."""
+    from hi_csa_db_spark.operators.multimodal import audio_tempo
+
+    return audio_tempo(load_table(spark, sf_dir, "documents"))
 
 
 # Exposure order. The driver's correctness gate samples a 50-query
@@ -18811,6 +18834,7 @@ _PRIORITY = (
     "u20_time_travel",
     "j13_nullsafe_join",
     "stats_wilcoxon",
+    "mm16_audio_tempo",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
