@@ -18676,6 +18676,78 @@ def mm16_audio_tempo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hi_csa_db_spark.operators.multimodal import audio_tempo
 
     return audio_tempo(load_table(spark, sf_dir, "documents"))
+@_register(
+    "x73_langid_confusion",
+    f"""
+    WITH markers AS (SELECT * FROM (VALUES {_MARKER_VALUES}) t(tok, lang)),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS tok
+      FROM documents
+    ),
+    scores AS (
+      SELECT t.doc_id, m.lang, COUNT(*) AS hits
+      FROM toks t JOIN markers m ON t.tok = m.tok
+      GROUP BY t.doc_id, m.lang
+    ),
+    best AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    ),
+    lab AS (
+      SELECT d.lang AS declared, COALESCE(b.lang, 'und') AS predicted
+      FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM lab)
+    SELECT declared, predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN declared = predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           (SELECT CAST(SUM(CASE WHEN l2.declared = l2.predicted THEN 1
+                                 ELSE 0 END) * 1000000 // MAX(t.n) AS BIGINT)
+            FROM lab l2 CROSS JOIN tot t) AS overall_accuracy_micro
+    FROM lab GROUP BY declared, predicted
+    """,
+)
+def x73_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: x2's marker-token predictor
+    cross-tabulated against the fixture's DECLARED language label,
+    with the overall accuracy (integer micro) repeated on every cell
+    — the eval table that turns x2 from a feature into a measured
+    classifier (which languages it confuses, and how often). The
+    per-cell n_correct column doubles as the diagonal indicator.
+
+    Scale shape: x2's broadcast marker join + per-doc argmax, one
+    |langs|² confusion aggregate, a 1-row accuracy broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = textstats.lang_id(docs).select(
+        "doc_id", F.col("predicted_lang").alias("predicted")
+    )
+    lab = docs.select("doc_id", F.col("lang").alias("declared")).join(
+        pred, "doc_id"
+    )
+    acc = lab.agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN declared = predicted THEN 1 ELSE 0 END)"
+            " * 1000000 div COUNT(1) AS BIGINT)"
+        ).alias("overall_accuracy_micro")
+    )
+    return (
+        lab.groupBy("declared", "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                (F.col("declared") == F.col("predicted")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .crossJoin(F.broadcast(acc))
+    )
 
 
 # Exposure order. The driver's correctness gate samples a 50-query
@@ -18835,6 +18907,7 @@ _PRIORITY = (
     "j13_nullsafe_join",
     "stats_wilcoxon",
     "mm16_audio_tempo",
+    "x73_langid_confusion",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

@@ -141,6 +141,7 @@ _NLJ_ALLOWED = {
     "x70_vocab_coverage",  # 5-row topn-list + 1-row total broadcasts
     "t35_retention_downsample",  # 1-row max-day broadcast
     "j13_nullsafe_join",  # four 1-row count broadcasts
+    "x73_langid_confusion",  # 1-row accuracy broadcast
 }
 
 
