@@ -18748,6 +18748,56 @@ def x73_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(acc))
     )
+@_register(
+    "t36_peak_detection",
+    f"""
+    WITH{_DAILY_SQL},
+    peaks AS (
+      SELECT c.day_n, c.v,
+             c.v - greatest(l.v, r.v) AS prominence
+      FROM daily c
+      JOIN daily l ON l.day_n = c.day_n - 1
+      JOIN daily r ON r.day_n = c.day_n + 1
+      WHERE c.v > l.v AND c.v > r.v
+    )
+    SELECT day_n, CAST(v AS BIGINT) AS n_events,
+           CAST(prominence AS BIGINT) AS prominence
+    FROM peaks
+    ORDER BY prominence DESC, day_n ASC
+    LIMIT 10
+    """,
+)
+def t36_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection on the daily series: strict local maxima (both
+    calendar neighbors lower — gap days count as zero, so isolated
+    spikes rank correctly) with integer prominence v − max(neighbors),
+    top-10 by prominence — the spike-triage list an on-call dashboard
+    shows next to t29's seasonally-adjusted anomalies (t29 flags
+    deviation from rhythm; this ranks raw spikes).
+
+    Scale shape: two day-offset self equi-joins on the
+    calendar-bounded series + TakeOrderedAndProject."""
+    daily = _daily_series(spark, sf_dir)
+    left = daily.select(
+        (F.col("day_n") + 1).alias("day_n"), F.col("v").alias("lv")
+    )
+    right = daily.select(
+        (F.col("day_n") - 1).alias("day_n"), F.col("v").alias("rv")
+    )
+    return (
+        daily.join(left, "day_n")
+        .join(right, "day_n")
+        .filter((F.col("v") > F.col("lv")) & (F.col("v") > F.col("rv")))
+        .select(
+            "day_n",
+            F.col("v").cast("bigint").alias("n_events"),
+            (F.col("v") - F.greatest("lv", "rv"))
+            .cast("bigint")
+            .alias("prominence"),
+        )
+        .orderBy(F.col("prominence").desc(), F.col("day_n").asc())
+        .limit(10)
+    )
 
 
 # Exposure order. The driver's correctness gate samples a 50-query
@@ -18908,6 +18958,7 @@ _PRIORITY = (
     "stats_wilcoxon",
     "mm16_audio_tempo",
     "x73_langid_confusion",
+    "t36_peak_detection",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",
