@@ -18798,6 +18798,129 @@ def t36_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("prominence").desc(), F.col("day_n").asc())
         .limit(10)
     )
+@_register(
+    "x74_crosslingual_vocab_overlap",
+    """
+    WITH v AS (
+      SELECT DISTINCT lang, w FROM (
+        SELECT lang, unnest(list_filter(
+          string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+          x -> x <> '')) AS w
+        FROM documents
+      )
+    ),
+    sizes AS (SELECT lang, COUNT(*) AS sz FROM v GROUP BY lang),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS ic
+      FROM v a JOIN v b ON a.w = b.w AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT i.lang_a, i.lang_b,
+           CAST(sa.sz AS BIGINT) AS vocab_a,
+           CAST(sb.sz AS BIGINT) AS vocab_b,
+           CAST(i.ic AS BIGINT) AS shared,
+           CAST(i.ic * 1000000 // (sa.sz + sb.sz - i.ic) AS BIGINT)
+             AS jaccard_micro
+    FROM inter i JOIN sizes sa ON sa.lang = i.lang_a
+                 JOIN sizes sb ON sb.lang = i.lang_b
+    """,
+)
+def x74_crosslingual_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual vocabulary overlap: distinct-type Jaccard between
+    every language pair — the shared-subword signal that decides
+    whether languages can share a tokenizer vocabulary (high overlap
+    = one multilingual vocab; low = per-language budgets, the x17/x51
+    mixture decisions upstream). Integer type counts and floor-div
+    micro Jaccard; pair generation is the d2-style shared-token
+    equi-join over per-language DISTINCT vocabularies (bounded by
+    vocab, not corpus), never a lang x lang cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokenize(F.lower(strip_punct(F.col("text"))))
+    v = (
+        docs.select("lang", F.explode(t).alias("w"))
+        .distinct()
+    )
+    sizes = v.groupBy("lang").agg(F.count(F.lit(1)).alias("sz"))
+    a = v.select(F.col("lang").alias("lang_a"), "w")
+    b = v.select(F.col("lang").alias("lang_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("ic"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("sz").alias("vocab_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("sz").alias("vocab_b"))
+    return (
+        inter.join(sa, "lang_a")
+        .join(sb, "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.col("vocab_a").cast("bigint").alias("vocab_a"),
+            F.col("vocab_b").cast("bigint").alias("vocab_b"),
+            F.col("ic").cast("bigint").alias("shared"),
+            F.expr(
+                "CAST(ic * 1000000 div (vocab_a + vocab_b - ic) AS BIGINT)"
+            ).alias("jaccard_micro"),
+        )
+    )
+
+
+@_register(
+    "t37_dow_hour_heatmap",
+    """
+    WITH e AS (
+      SELECT epoch_us(ts) // 86400000000 % 7 AS dow,
+             epoch_us(ts) % 86400000000 // 3600000000 AS hod,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM e)
+    SELECT CAST(dow AS INT) AS dow, CAST(hod AS INT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS value_cents,
+           (SELECT CAST(COUNT(*) * 1000000 // MAX(t.n) AS BIGINT)
+            FROM e e2 CROSS JOIN tot t
+            WHERE e2.dow = e.dow AND e2.hod = e.hod) AS share_micro
+    FROM e GROUP BY dow, hod
+    """,
+)
+def t37_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap (<= 168 cells with
+    counts, exact cents volume, and integer-micro share of total) —
+    the capacity-planning grid that t14's day profile and t1's hourly
+    counts each show one axis of. Times are pure integer arithmetic
+    on declared-microsecond epochs (day-number mod 7 and
+    microsecond-of-day floor-div — no calendar/timezone functions on
+    either engine).
+
+    Scale shape: one map-combined <= 168-group aggregate + a 1-row
+    total broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr("ts_ns div 1000 div 86400000000 % 7").alias("dow"),
+        F.expr("ts_ns div 1000 % 86400000000 div 3600000000").alias("hod"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    tot = e.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        e.groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("value_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            F.col("hod").cast("int").alias("hour_of_day"),
+            "n_events",
+            "value_cents",
+            F.expr("CAST(n_events * 1000000 div n AS BIGINT)").alias(
+                "share_micro"
+            ),
+        )
+    )
 
 
 # Exposure order. The driver's correctness gate samples a 50-query
@@ -18959,6 +19082,8 @@ _PRIORITY = (
     "mm16_audio_tempo",
     "x73_langid_confusion",
     "t36_peak_detection",
+    "x74_crosslingual_vocab_overlap",
+    "t37_dow_hour_heatmap",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_watermark",

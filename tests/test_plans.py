@@ -142,6 +142,7 @@ _NLJ_ALLOWED = {
     "t35_retention_downsample",  # 1-row max-day broadcast
     "j13_nullsafe_join",  # four 1-row count broadcasts
     "x73_langid_confusion",  # 1-row accuracy broadcast
+    "t37_dow_hour_heatmap",  # 1-row total broadcast
 }
 
 
