@@ -712,7 +712,8 @@ def t1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_session
       FROM e
     )
-    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
     FROM gaps GROUP BY user_id
     """,
 )
@@ -795,8 +796,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sid AS (
       SELECT user_id, tsu, event_id, event_type,
-             SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
       FROM s
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -2761,7 +2763,7 @@ def d12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, COUNT(*) AS n_spans,
            MAX(span_len) AS max_span_tokens,
-           SUM(span_len) AS covered_tokens,
+           CAST(SUM(span_len) AS BIGINT) AS covered_tokens,
            n_tokens
     FROM spans GROUP BY doc_id, n_tokens
     """,
@@ -3169,7 +3171,7 @@ def f15_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_docs,
            COUNT(DISTINCT lang) AS n_langs,
            COUNT(DISTINCT source) AS n_sources,
-           SUM(n_toks) AS total_ws_tokens,
+           CAST(SUM(n_toks) AS BIGINT) AS total_ws_tokens,
            ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS mean_doc_chars,
            ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 4) AS frac_en,
@@ -3815,10 +3817,10 @@ def u7_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            COUNT(*) AS n,
-           SUM(CASE WHEN ROUND(abs(e.value - m.med)
+           CAST(SUM(CASE WHEN ROUND(abs(e.value - m.med)
                               / (CAST(1.4826 AS DOUBLE) * d.mad), 6)
                          > CAST(3.0 AS DOUBLE)
-                    THEN 1 ELSE 0 END) AS n_outliers,
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            ROUND(ANY_VALUE(m.med), 6) AS med,
            ROUND(ANY_VALUE(d.mad), 6) AS mad
     FROM events e JOIN med m ON m.event_type = e.event_type
@@ -5655,7 +5657,7 @@ def f_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
            meta['brand'][1] AS brand_val,
            array_to_string(map_keys(meta), ',') AS keys_csv,
            array_to_string(map_values(meta), ',') AS vals_csv,
-           cardinality(meta) AS n_entries
+           CAST(cardinality(meta) AS BIGINT) AS n_entries
     FROM m
     """,
 )
@@ -8310,8 +8312,10 @@ def x35_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_total,
-           SUM(CASE WHEN rn * 10 <= n * 4 THEN 1 ELSE 0 END) AS n_kept,
-           SUM(CASE WHEN rn * 10 <= n * 4 THEN n_words ELSE 0 END) AS kept_tokens
+           CAST(SUM(CASE WHEN rn * 10 <= n * 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rn * 10 <= n * 4 THEN n_words ELSE 0 END)
+                AS BIGINT) AS kept_tokens
     FROM rk GROUP BY lang
     """,
 )
@@ -8362,7 +8366,8 @@ def x26_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS phase
       FROM lab
     )
-    SELECT lang, phase, COUNT(*) AS n_docs, SUM(n_words) AS phase_tokens
+    SELECT lang, phase, COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS phase_tokens
     FROM phased GROUP BY lang, phase
     """,
 )
@@ -9120,9 +9125,10 @@ _DSIR_W_SQL = """
     )
     SELECT d.lang,
            COUNT(*) AS n_total,
-           SUM(CASE WHEN u * 1000000 < p * 4294967296 THEN 1 ELSE 0 END) AS n_kept,
-           SUM(CASE WHEN u * 1000000 < p * 4294967296 THEN wi ELSE 0 END)
-             AS kept_microweight_sum
+           CAST(SUM(CASE WHEN u * 1000000 < p * 4294967296 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN u * 1000000 < p * 4294967296 THEN wi ELSE 0 END)
+                AS BIGINT) AS kept_microweight_sum
     FROM keep JOIN documents d USING (doc_id)
     GROUP BY d.lang
     """,
@@ -9200,7 +9206,8 @@ def x24_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN drops dr ON dr.id = d.doc_id
       WHERE dr.id IS NULL
     )
-    SELECT lang, COUNT(*) AS n_kept, SUM(n_words) AS kept_tokens
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(n_words) AS BIGINT) AS kept_tokens
     FROM kept GROUP BY lang
     """,
 )

@@ -137,6 +137,22 @@ def main():
         try:
             rel = con.sql(oracles[name])
             dcols = [c.lower() for c in rel.columns]
+            # OUTPUT SCHEMA RULE fast-fail (r4 verdict): the driver's
+            # pandas canonicalization degrades HUGEINT (and maps
+            # UBIGINT to uint64 vs Spark's signed long) even though
+            # OUR fetchall() path below would absorb it — so a typed
+            # relation with those families must fail HERE, locally,
+            # not in the next driver round.
+            banned = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, rel.types)
+                if any(b in str(t).upper() for b in ("HUGEINT", "UBIGINT"))
+            ]
+            if banned:
+                raise RuntimeError(
+                    f"oracle surfaces driver-lossy integer types {banned} "
+                    "— CAST the output aggregate to BIGINT"
+                )
             drows = rel.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
