@@ -530,6 +530,55 @@ def plan_lsh_bands(
     return best[1], best[2]
 
 
+def band_plan_table(spark, num_hashes: int = 16, grid: int = 20) -> DataFrame:
+    """The LSH S-curve P(candidate | jaccard) for EVERY power-of-two
+    (bands, rows_per_band) factorization of ``num_hashes``, on a
+    ``1/grid``-step Jaccard grid — the distributed, oracle-checkable
+    generalization of d20's single-geometry curve and the scoring table
+    behind the threshold-driven planner (d21): given a target
+    threshold, the geometry minimizing S-curve error mass is read off
+    this table (plan_lsh_bands is the closed-form driver-side
+    shortcut; this table is the engine-checked ground truth).
+
+    Determinism contract (cross-engine, host-independent): grid points
+    are exact rationals i/grid; j^r and (1-j^r)^b are EXPLICIT
+    repeated-squaring ladders (pure correctly-rounded IEEE multiplies,
+    never libm pow), and the probability is surfaced as
+    floor(p*1e6 + 0.5) — an exact integer micro, so downstream sums
+    are order-independent bigint arithmetic.
+
+    Scale: |log2(num_hashes)+1| geometries x (grid-1) points of
+    literal-range arithmetic — the planning table is free; callers
+    join it broadcast."""
+    kmax = num_hashes.bit_length() - 1
+    if 2**kmax != num_hashes:
+        raise ValueError("num_hashes must be a power of two")
+    geo = spark.createDataFrame(
+        [(num_hashes // (2**k), 2**k) for k in range(kmax + 1)],
+        "bands int, rows_per_band int",
+    )
+    pts = spark.range(1, grid).select(
+        F.col("id").cast("int").alias("i"),
+        (F.col("id").cast("double") / grid).alias("jp0"),
+    )
+    for k in range(1, kmax + 1):
+        pts = pts.withColumn(f"jp{k}", F.col(f"jp{k-1}") * F.col(f"jp{k-1}"))
+    e = geo.crossJoin(pts)  # tiny literal-range NLJ, broadcast by design
+    jr = F.when(F.col("rows_per_band") == 1, F.col("jp0"))
+    for k in range(1, kmax + 1):
+        jr = jr.when(F.col("rows_per_band") == 2**k, F.col(f"jp{k}"))
+    e = e.select(
+        "bands", "rows_per_band", "i", (F.lit(1.0) - jr).alias("yp0")
+    )
+    for k in range(1, kmax + 1):
+        e = e.withColumn(f"yp{k}", F.col(f"yp{k-1}") * F.col(f"yp{k-1}"))
+    yb = F.when(F.col("bands") == 1, F.col("yp0"))
+    for k in range(1, kmax + 1):
+        yb = yb.when(F.col("bands") == 2**k, F.col(f"yp{k}"))
+    p_micro = F.floor((F.lit(1.0) - yb) * 1000000 + F.lit(0.5)).cast("bigint")
+    return e.select("bands", "rows_per_band", "i", p_micro.alias("p_micro"))
+
+
 def _lsh_scored_candidates(
     docs: DataFrame,
     id_col: str,

@@ -22,6 +22,9 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -18930,375 +18933,334 @@ def t37_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Exposure order. The driver's correctness gate samples a 50-query
-# prefix of the registry (dict order), and greens from past rounds
-# are banked, so each round the prefix is composed of (a) queries
-# whose results changed this round (must re-prove) and (b) queries
-# that have never had a driver row. Round-4 prefix: the six r03
-# driver-reds (environment-proofed: integer micro-logit / micro-nat
-# DSIR / declared-us timestamps), the newly value-oracled x27, then
-# 43 never-driver-sampled full-oracle component proofs — every one
-# verified green by tools/check_oracle.py in a VANILLA session at
-# sf0.01 before being placed here. Directly after slot 50: the
-# banked greens whose outputs/values changed in the r4 integer
-# rewrite or the rows-only->full-oracle conversions (streams, FFD,
-# k-means) re-prove directly after slot 50 if the driver ever samples
-# deeper; unchanged banked greens fill the tail.
-_PRIORITY = (
-    "t2_sessionize",
-    "t8_session_sequences",
-    "x24_dsir_resample",
-    "x25_classifier_auc",
-    "x26_quality_quantile_filter",
-    "pipe_training_prep_v3",
-    "x27_bpe_tokenize",
-    "dq1_expectations",
-    "dq2_psi_drift",
-    "dq4_skew_report",
-    "dq5_dead_letters",
-    "d13_dup_spans",
-    "d14_minhash_calibration",
-    "d17_line_dedup",
-    "d18_dedup_cluster_stats",
-    "x34_bpe_train_4rounds",
-    "x35_shard_manifest",
-    "x36_syllable_complexity",
-    "x37_density_filter",
-    "x38_k_anonymity",
-    "x40_source_normalized_quality",
-    "x41_winsorize",
-    "x43_cdc_chunk_dedup",
-    "x46_ngram_novelty",
-    "x47_priority_dedup",
-    "x49_gate_ablation",
-    "ret2_rrf_fusion",
-    "ret3_phrase_search",
-    "ret4_mmr_rerank",
-    "t15_cusum_changepoint",
-    "t16_trend_ma7",
-    "t17_ohlc_daily",
-    "t18_interp_align",
-    "t19_temporal_split",
-    "t20_attribution",
-    "t21_rfm_segmentation",
-    "t22_hazard_table",
-    "t23_burstiness",
-    "er1_entity_resolution",
-    "s4_hamming_topk",
-    "s6_srp_lsh_pairs",
-    "graph_labelprop",
-    "graph_assortativity",
-    "graph_jaccard_neighbors",
-    "u10_cdc_apply",
-    "u13_scd2_point_in_time",
-    "stats_gini",
-    "stats_cohen_kappa",
-    "a11_cms_heavy_hitters",
-    "f16_jvm_fnv_hash",
-    "a12_hll_deterministic",
-    "x5_fingerprints",
-    "s8_pq_topk",
-    "s9_ann_recall_report",
-    "graph_sssp",
-    "dq6_column_profile",
-    "t24_markov_transitions",
-    "x50_tokenizer_fertility",
-    "x51_domain_cap",
-    "a13_quantile_sketch",
-    "mm10_video_framesample",
-    "u14_corpus_diff",
-    "x52_token_budget_select",
-    "s10_ivfpq_topk",
-    "ret5_hard_negatives",
-    "x53_span_corruption",
-    "stats_spearman",
-    "mm11_image_patches",
-    "d19_soft_dedup_weights",
-    "graph_mst",
-    "dq7_referential_integrity",
-    "stats_chi2_independence",
-    "stats_kendall_grid",
-    "x55_stratified_sample",
-    "x56_heaps_law",
-    "s11_knn_join",
-    "pipe_training_prep_v5",
-    "j10_fuzzy_neighbor_join",
-    "q_skyline_pareto",
-    "t25_debounce",
-    "stats_benford",
-    "graph_closeness",
-    "stream_debounce",
-    "t26_rolling_median",
-    "x57_term_lift",
-    "mm12_augmentations",
-    "dq8_freshness",
-    "x58_calibration_bins",
-    "t27_autocorrelation",
-    "stats_mannwhitney",
-    "x59_length_buckets",
-    "j11_bucketed_join",
-    "mm13_audio_vad",
-    "x61_rouge_bigram_recall",
-    "x62_split_leakage",
-    "er2_blocking_recall",
-    "t28_stl_decompose",
-    "u15_schema_evolution",
-    "pipe_training_prep_v6",
-    "dq9_join_fanout",
-    "x63_source_diversity",
-    "t29_seasonal_anomaly",
-    "t30_growth_streaks",
-    "graph_random_walks",
-    "mm14_phash_neardup",
-    "x65_quality_length_bias",
-    "t31_forecast_error",
-    "s12_filtered_topk",
-    "a14_grouped_median",
-    "x66_threshold_sensitivity",
-    "graph_clustering_coeff",
-    "stats_runs_test",
-    "t32_dau_wau_stickiness",
-    "x67_token_frequency_spectrum",
-    "d20_lsh_s_curve",
-    "u16_ivm_join_counts",
-    "s13_recall_vs_probes",
-    "dq10_sequence_gaps",
-    "x68_prefix_cache_stats",
-    "mm15_video_keyframes",
-    "stats_poisson_bootstrap",
-    "graph_ppr",
-    "t33_seasonality_strength",
-    "a15_bitmap_distinct",
-    "u17_jsonl_roundtrip",
-    "x69_mixture_drift",
-    "u18_partition_pruned_read",
-    "graph_matching",
-    "a16_bitmap_set_ops",
-    "u19_multi_format_union",
-    "stats_theil_sen",
-    "w11_grouped_percentiles",
-    "dq11_reconciliation",
-    "t34_sliding_distinct",
-    "stream_sliding_distinct",
-    "dq12_pk_uniqueness",
-    "x70_vocab_coverage",
-    "t35_retention_downsample",
-    "u20_time_travel",
-    "j13_nullsafe_join",
-    "stats_wilcoxon",
-    "mm16_audio_tempo",
-    "x73_langid_confusion",
-    "t36_peak_detection",
-    "x74_crosslingual_vocab_overlap",
-    "t37_dow_hour_heatmap",
-    "stream_session_windows",
-    "stream_sliding_counts",
-    "stream_dedup_watermark",
-    "stream_stream_join",
-    "stream_ohlc_daily",
+@_register(
+    "d21_band_planner",
+    """
+    WITH g AS (SELECT unnest(range(1, 20)) AS i),
+    geo AS (SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+            AS v(bands, rows_per_band)),
+    jg AS (SELECT i, CAST(i AS DOUBLE) / 20 AS jp0 FROM g),
+    j1 AS (SELECT i, jp0, jp0 * jp0 AS jp1 FROM jg),
+    j2 AS (SELECT i, jp0, jp1, jp1 * jp1 AS jp2 FROM j1),
+    j3 AS (SELECT i, jp0, jp1, jp2, jp2 * jp2 AS jp3 FROM j2),
+    j4 AS (SELECT i, jp0, jp1, jp2, jp3, jp3 * jp3 AS jp4 FROM j3),
+    e AS (
+      SELECT geo.bands, geo.rows_per_band, j4.i,
+             1 - CASE geo.rows_per_band
+                   WHEN 1 THEN jp0 WHEN 2 THEN jp1 WHEN 4 THEN jp2
+                   WHEN 8 THEN jp3 ELSE jp4 END AS yp0
+      FROM geo CROSS JOIN j4
+    ),
+    y1 AS (SELECT bands, rows_per_band, i, yp0, yp0 * yp0 AS yp1 FROM e),
+    y2 AS (SELECT bands, rows_per_band, i, yp0, yp1, yp1 * yp1 AS yp2 FROM y1),
+    y3 AS (SELECT bands, rows_per_band, i, yp0, yp1, yp2, yp2 * yp2 AS yp3
+           FROM y2),
+    y4 AS (SELECT bands, rows_per_band, i, yp0, yp1, yp2, yp3, yp3 * yp3 AS yp4
+           FROM y3),
+    p AS (
+      SELECT bands, rows_per_band, i,
+             CAST(FLOOR((1 - CASE bands
+                    WHEN 1 THEN yp0 WHEN 2 THEN yp1 WHEN 4 THEN yp2
+                    WHEN 8 THEN yp3 ELSE yp4 END) * 1000000 + 0.5)
+               AS BIGINT) AS p_micro
+      FROM y4
+    ),
+    t AS (SELECT unnest([4, 7, 10, 14]) AS ti),
+    err AS (
+      SELECT t.ti, p.bands, p.rows_per_band,
+             CAST(SUM(CASE WHEN p.i < t.ti THEN p.p_micro
+                           ELSE 1000000 - p.p_micro END) AS BIGINT)
+               AS err_micro
+      FROM t CROSS JOIN p GROUP BY t.ti, p.bands, p.rows_per_band
+    ),
+    best AS (
+      SELECT ti, bands, rows_per_band, err_micro,
+             ROW_NUMBER() OVER (PARTITION BY ti
+                                ORDER BY err_micro ASC, bands ASC) AS rk
+      FROM err
+    )
+    SELECT CAST(ti AS BIGINT) * 50000 AS target_micro,
+           CAST(bands AS INT) AS bands,
+           CAST(rows_per_band AS INT) AS rows_per_band,
+           err_micro
+    FROM best WHERE rk = 1
+    """,
+)
+def d21_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-driven MinHash band planning (VERDICT r5 item 6): for
+    each target Jaccard threshold (0.20 / 0.35 / 0.50 / 0.70), pick
+    the (bands, rows_per_band) factorization of the repo's 16-hash
+    budget whose LSH S-curve has the LEAST error mass against the
+    ideal step filter — error mass = sum over the d20 Jaccard grid of
+    P(candidate) below the threshold (false candidates, wasted
+    verification) plus 1-P(candidate) at/above it (missed near-dups).
+    This is the engine-checked planner behind dedup.plan_lsh_bands'
+    closed-form shortcut: d2/d9's 8x2 geometry should win (only) the
+    0.35 target — its S-curve crosses 1/2 near (1/8)^(1/2) ≈ 0.35 —
+    while tighter thresholds plan more rows per band and looser ones
+    more bands, and the chosen geometry's err_micro quantifies the
+    trade the operator is making.
+
+    Determinism: dedup.band_plan_table's contract — exact rational
+    grid points, explicit repeated-squaring (never libm pow), floor
+    integer-micro probabilities — then pure bigint error sums and a
+    (err, bands) ordered rank, so both engines agree bit-for-bit.
+
+    Scale: the whole planning table is |geometries| x 19 literal rows
+    — free at any corpus size; it never touches data."""
+    pts = dedup.band_plan_table(spark, num_hashes=16, grid=20)
+    targets = spark.createDataFrame([(4,), (7,), (10,), (14,)], "ti int")
+    err = (
+        targets.crossJoin(pts)
+        .select(
+            "ti",
+            "bands",
+            "rows_per_band",
+            F.when(F.col("i") < F.col("ti"), F.col("p_micro"))
+            .otherwise(F.lit(1000000) - F.col("p_micro"))
+            .alias("e"),
+        )
+        .groupBy("ti", "bands", "rows_per_band")
+        .agg(F.sum("e").cast("bigint").alias("err_micro"))
+    )
+    w = Window.partitionBy("ti").orderBy(
+        F.col("err_micro").asc(), F.col("bands").asc()
+    )
+    return (
+        err.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            (F.col("ti").cast("bigint") * 50000).alias("target_micro"),
+            F.col("bands").cast("int").alias("bands"),
+            F.col("rows_per_band").cast("int").alias("rows_per_band"),
+            "err_micro",
+        )
+    )
+
+
+@_register(
+    "pipe_training_prep_v7",
+    f"""
+    WITH {_X20_SCORED_SQL},
+    lab AS (
+      SELECT s.doc_id, s.logit_micro, s.n_words, d.lang, d.text
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    rk AS (
+      SELECT doc_id, lang, text, n_words,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY logit_micro DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM lab
+    ),
+    gated AS (
+      SELECT doc_id, lang, text, n_words FROM rk WHERE rn * 10 <= n * 4
+    ),
+    uniq AS (
+      SELECT lang, md5(text) AS ch,
+             CAST(COUNT(*) AS BIGINT) AS grp,
+             MIN(n_words) AS n_words
+      FROM gated GROUP BY lang, md5(text)
+    )
+    SELECT lang,
+           CAST(SUM(grp) AS BIGINT) AS n_gated,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(grp) - COUNT(*) AS BIGINT) AS n_dups,
+           CAST(SUM(n_words) AS BIGINT) AS kept_tokens,
+           CAST((SUM(n_words) + 4095) // 4096 AS BIGINT) AS n_batches_4k
+    FROM uniq GROUP BY lang
+    """,
+)
+def pipe_training_prep_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-prep composite v7 (VERDICT r5 item 6): the per-language
+    QUANTILE gate meets exact content dedup and batch planning — x26's
+    self-calibrating keep rule (top 40% of each language slice by
+    classifier logit, pure integer rank test) selects the training
+    pool, the pool is exact-deduped on content hash (md5(text), d1
+    semantics: one survivor per identical text within a language), and
+    the per-language audit reports what a loader schedules from: gated
+    count, unique count, duplicates absorbed, surviving token mass,
+    and 4096-token batch count. v3-v6 compose the CLASSIFIER-cutoff /
+    soft-dedup variants; v7 pins the quantile-gated + hard-exact-dedup
+    pipeline shape — the common "top-q% then dedup" recipe — as one
+    lazy oracle-proven plan.
+
+    All-integer outputs (counts, token sums, ceil-div batches); the
+    gate is x26's rank*10 <= n*4 integer test, so no float percentile
+    boundary exists on either engine.
+
+    Scale: x20's one explode + map-combined groupBy, one window pass
+    partitioned by lang (parallel in slices, never global), one
+    groupBy(lang, content-hash) whose combine collapses duplicates
+    map-side, and a <=5-group audit. Catalyst prunes text out of every
+    stage except the hash input."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = x20_quality_classifier(spark, sf_dir).select(
+        "doc_id", "logit_micro", "n_words"
+    )
+    lab = scored.join(docs.select("doc_id", "lang", "text"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("logit_micro").desc(), F.col("doc_id").asc()
+    )
+    rk = lab.select(
+        "lang",
+        "text",
+        "n_words",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    gated = rk.filter(F.col("rn") * 10 <= F.col("n") * 4)
+    uniq = gated.groupBy("lang", F.md5("text").alias("ch")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("grp"),
+        F.min("n_words").alias("n_words"),
+    )
+    return (
+        uniq.groupBy("lang")
+        .agg(
+            F.sum("grp").cast("bigint").alias("n_gated"),
+            F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+            F.sum("n_words").cast("bigint").alias("kept_tokens"),
+        )
+        .select(
+            "lang",
+            "n_gated",
+            "n_unique",
+            (F.col("n_gated") - F.col("n_unique"))
+            .cast("bigint")
+            .alias("n_dups"),
+            "kept_tokens",
+            F.expr("CAST((kept_tokens + 4095) div 4096 AS BIGINT)").alias(
+                "n_batches_4k"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-sample exposure order -- DERIVED, not hand-maintained.
+#
+# The driver's correctness gate samples a 50-query PREFIX of the
+# registry (dict order) each round, and greens are banked across
+# rounds, so the prefix must ROTATE: re-proofs first, then queries
+# that have never had a driver row, banked greens last. Round 5
+# shipped a hand-written tuple and forgot to rotate it (VERDICT r5
+# item 1), spending 44 of 50 driver slots re-proving banked greens.
+# The order is therefore now derived from the shipped
+# CORRECTNESS_r*.json artifacts at the repo root, so skipping the
+# rotation is structurally impossible:
+#
+#   1. _NEEDS_REPROOF -- queries whose oracle/query text changed after
+#      their last driver green, or that were driver-red and have been
+#      fixed since. Hand-maintained, kept small, entries removed once
+#      a green driver row lands (driver_green_names() then classifies
+#      them as banked automatically, but pruning keeps intent clear).
+#   2. Never-driver-green queries: _FLAGSHIPS first (one
+#      representative per major family, so a single rotated round
+#      proves breadth), then full-oracle names in registry
+#      (insertion) order -- oldest-registered first, which gives the
+#      remaining never-sampled names a deterministic, TERMINATING
+#      schedule across future rounds (~44 per round after the
+#      re-proof slots), then rows-only names (weaker driver check, so
+#      they spend prefix slots last).
+#   3. Banked greens, registry order.
+#
+# tests/test_priority_rotation.py pins this: while never-green names
+# remain, the top-50 prefix contains no green-and-unchanged name, the
+# ordering is deterministic, and the derivation tolerates missing
+# artifacts (fresh clone => everything rotates to the front).
+
+_NEEDS_REPROOF = (
+    # Round 5 changed these three oracles' SQL text (HUGEINT->BIGINT
+    # casts on SUMs) after their last driver green, so the banked
+    # green no longer covers the current oracle string.
+    "x33_curriculum_phases",
+    "t9_robust_outliers",
+    "x31_dataset_card",
+    # Driver-red in r3 (sampled-once env/timestamp semantics), fixed
+    # that same round, never driver-sampled since.
     "stream_hourly_counts",
     "stream_stateful_totals",
     "stream_incremental_dedup",
-    "ml_kmeans",
-    "x44_ffd_packing",
-    "x20_quality_classifier",
-    "x23_dsir_weights",
-    "d10_quality_survivors",
-    "pipe_training_prep_v4",
-    "d3_ngram_jaccard_topk",
-    "j4_forward_fill",
-    "t10_interval_overlap",
-    "t11_ewma_smoothing",
-    "x33_curriculum_phases",
-    "f7_json_extract",
-    "t1_tumbling_window",
-    "mm1_media_features",
-    "x10_sparse_cosine_topk",
-    "html_css_select",
-    "ret1_bm25_topk",
-    "rag1_chunk_overlap",
-    "x28_bpe_first_merges",
-    "x29_weighted_sample",
-    "x30_bpe_training_round2",
-    "graph_kcore",
-    "t3_resample_daily",
-    "t4_event_gaps",
-    "t5_funnel",
-    "t6_cohort_retention",
-    "t7_zscore_outliers",
-    "s7_sq8_topk",
-    "x42_perplexity_buckets",
-    "asof_purchase_click",
-    "range_error_clicks",
-    "f_variant_props",
-    "mm2_media_dedup",
-    "mm4_feature_knn",
-    "mm5_codec_roundtrip",
-    "mm6_jpeg_roundtrip",
-    "mm7_audio_spectral",
-    "mm8_gif_roundtrip",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_parts",
-    "q21_waiting_suppliers",
-    "j9_bloom_prune_semi",
-    "d15_sorted_neighborhood",
-    "graph_hits",
-    "sq_group_by_all",
-    "q4_priority_count",
-    "q12_late_priority_split",
-    "q16_supplier_part_counts",
-    "q20_excess_stock_suppliers",
-    "t9_robust_outliers",
-    "u7_scd2_history",
-    "x11_pii_scrub",
-    "x12_quality_rules",
-    "x13_repetition_stats",
-    "j8_nearest_click",
-    "stats_ks_test",
-    "q17_small_quantity_revenue",
-    "q22_prospect_customers",
-    "mm9_perceptual_dedup",
-    "stream_dq_gate",
-    "x14_contamination",
-    "x15_bigram_logprob",
-    "x16_context_packing",
-    "a9_weighted_median",
-    "a10_weighted_deciles",
-    "x17_domain_mixture",
-    "x18_global_shuffle_order",
-    "pipe_training_prep_v2",
+)
+
+# Never-sampled rotation leaders: one representative per major family
+# (graph iteration, ML, embedding dedup, incremental LSH, OLAP cube,
+# bucketed join, sketches, multimodal, source pruning).
+_FLAGSHIPS = (
     "graph_pagerank",
     "graph_components",
-    "agg_pandas_median",
-    "d9_incremental_lsh",
+    "ml_kmeans",
     "d5_embedding_neardup",
-    "x7_posexplode",
-    "x8_bigram_counts",
-    "a6_conditional_agg",
+    "d9_incremental_lsh",
     "g3_cube_orders",
-    "g4_pivot_status",
-    "g5_unpivot",
-    "mm3_frame_sample_plan",
-    "a7_argmax",
-    "stats_chi2_assoc",
-    "w10_rank_distributions",
-    "q19_disjunctive_revenue",
-    "sq_not_in_null_semantics",
-    "t12_time_rollup",
-    "x31_dataset_card",
-    "u8_fk_conformance",
-    "f15_table_checksum",
-    "j7_basket_pairs",
-    "s5_batch_knn",
-    "d11_normalized_dedup",
-    "x32_source_overlap",
-    "t13_ship_latency",
-    "a8_grouped_mode",
-    "d12_containment_pairs",
-    "t14_dow_seasonality",
-    "sketch_hll_merge",
-    "sketch_cardinality",
-    "sketch_quantiles",
-    "stats_moments",
-    "graph_triangles",
-    "g2_grouping_sets_orders",
-    "g6_grouping_id",
-    "w5_window_suite",
-    "w6_range_frame",
-    "w7_rank_fractions",
-    "w8_window_values",
-    "w9_ntile_quartiles",
-    "sq_scalar_subquery",
-    "sq_exists",
-    "sq_correlated_subquery",
-    "sq_recursive_cte",
-    "sq_lateral_topn",
-    "stats_linreg",
-    "stats_histogram",
-    "stats_percentiles",
-    "u5_upsert",
-    "profile_columns",
-    "sample_train_split",
-    "sample_hash_bucket",
-    "j5_salted_join",
-    "f_trycast",
-    "f_date_suite",
-    "f_date_suite2",
-    "f_string_suite",
-    "f_string_suite2",
-    "f_map_suite",
-    "f_array_suite",
-    "f_array_suite2",
-    "f_null_suite",
-    "f_bitwise",
-    "f_conditional_suite",
-    "f7b_extract_all",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q7_volume_shipping",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "pipe_training_prep",
-    "pipe_reference_replay",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "j1_lookup_join",
-    "j2_keyword_classify",
-    "j3_star_join",
-    "w2_topk_orders",
-    "w4_positional_update",
-    "p6_ordered_slice",
-    "p7_conditional_update",
-    "a1_distinct_segments",
-    "a3_first_order_per_customer",
-    "a5_group_concat",
-    "u1_db_merge",
-    "u2_union_streams",
-    "semi_suppliers_with_big_sales",
-    "anti_parts_never_ordered",
-    "g1_rollup_region_nation",
-    "f1_regex_tokenize",
-    "f5_url_absolutize",
-    "x1_token_explode_topk",
-    "graph_bfs_reachability",
-    "graph_degrees",
-    "d1_exact_dedup",
-    "d2_minhash_lsh_pairs",
-    "d6_dedup_survivors",
-    "d4_simhash",
-    "d8_edit_distance",
-    "d7_simhash_pairs",
-    "s1_cosine_topk",
-    "s2_ivf_topk",
-    "x2_lang_id",
-    "x3_quality_score",
-    "x4_token_stats",
-    "set_intersect_nations",
-    "set_ops_all_multiset",
-    "set_except_nations",
-    "f_math_suite",
-    "f6f7_brackets_and_codes",
-    "f9f10_path_segments",
-    "x9_udtf_sentences",
-    "x6_tfidf_topk",
-    "a2_a4_distinct_and_maxlen",
-    "html_parse_sectionize",
-    "x19_chunk_dedup",
-    "sem1_semdedup_survivors",
-    "x21_temperature_mixture",
-    "x22_stratified_sample",
-    "u6_snapshot_diff",
-    "f14_url_canonicalize",
+    "j11_bucketed_join",
+    "a12_hll_deterministic",
+    "mm10_video_framesample",
+    "u18_partition_pruned_read",
 )
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def driver_green_names(root: str = _REPO_ROOT) -> set[str]:
+    """Query names with >= 1 fully-green driver row in any shipped
+    ``CORRECTNESS_r*.json`` (no error, rows match, and neither schema
+    nor hash recorded as a mismatch -- rows-only checks record null
+    hash_match and still count as their strongest-possible green).
+    Missing or unreadable artifacts contribute nothing."""
+    greens: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path, encoding="utf-8") as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("err") is not None:
+                continue
+            if (
+                row.get("rows_match")
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            ):
+                greens.add(name)
+    return greens
+
+
+def priority_order() -> tuple[str, ...]:
+    """The registry exposure order described in the block comment
+    above. Pure function of (_QUERIES, _ORACLES, _NEEDS_REPROOF,
+    _FLAGSHIPS, shipped CORRECTNESS artifacts) -- deterministic for a
+    given repo snapshot."""
+    greens = driver_green_names()
+    reproof = [n for n in _NEEDS_REPROOF if n in _QUERIES]
+    taken = set(reproof)
+    never_flagship: list[str] = []
+    never_full: list[str] = []
+    never_rows_only: list[str] = []
+    banked: list[str] = []
+    for name in _QUERIES:
+        if name in taken:
+            continue
+        if name in greens:
+            banked.append(name)
+        elif name in _FLAGSHIPS:
+            never_flagship.append(name)
+        elif name in _ORACLES:
+            never_full.append(name)
+        else:
+            never_rows_only.append(name)
+    never_flagship.sort(key=_FLAGSHIPS.index)
+    return tuple(
+        reproof + never_flagship + never_full + never_rows_only + banked
+    )
 
 
 def _ordered(d: dict) -> dict:
-    out = {name: d[name] for name in _PRIORITY if name in d}
+    order = priority_order()
+    out = {name: d[name] for name in order if name in d}
     out.update({name: v for name, v in d.items() if name not in out})
     return out
 

@@ -27,6 +27,7 @@ touches only the binder — the whole registry checks in seconds.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -38,10 +39,23 @@ from hi_csa_db_spark.catalog import TABLES
 
 SF_DIR = "/root/testdata/sf0.001"
 
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR),
+    reason=f"driver-generated testdata absent at {SF_DIR}",
+)
+
 # Integer families the driver's pandas canonicalization handles
 # exactly. Everything wider (HUGEINT) or unsigned (UBIGINT — numpy
 # uint64 vs Spark's signed long) is banned from final relations.
 _BANNED_INT = ("HUGEINT", "UHUGEINT", "UBIGINT")
+
+
+def _is_floaty(type_str: str) -> bool:
+    """Substring match, like _BANNED_INT (ADVICE r5): catches DOUBLE /
+    FLOAT nested inside LIST(...)/STRUCT(...) type strings too, so a
+    future ``LIST(DOUBLE)`` oracle column can't bypass the OUTPUT
+    SCHEMA RULE gate."""
+    return "DOUBLE" in type_str or "FLOAT" in type_str
 
 # (query -> columns) allowed to surface DOUBLE: each is a deliberately
 # rounded / exact-decimal value, proven value-hash green vs Spark.
@@ -217,7 +231,7 @@ def test_double_outputs_are_whitelisted(oracle_types):
     offenders = {}
     for name, cols in oracle_types.items():
         allowed = _DOUBLE_WHITELIST.get(name, set())
-        bad = [c for c, t in cols if t in ("DOUBLE", "FLOAT") and c not in allowed]
+        bad = [c for c, t in cols if _is_floaty(t) and c not in allowed]
         if bad:
             offenders[name] = bad
     assert not offenders, (
@@ -235,7 +249,7 @@ def test_whitelist_has_no_stale_entries(oracle_types):
         if name not in oracle_types:
             stale[name] = "query gone"
             continue
-        actual = {c for c, t in oracle_types[name] if t in ("DOUBLE", "FLOAT")}
+        actual = {c for c, t in oracle_types[name] if _is_floaty(t)}
         extra = cols - actual
         if extra:
             stale[name] = f"columns no longer DOUBLE: {sorted(extra)}"

@@ -143,6 +143,7 @@ _NLJ_ALLOWED = {
     "j13_nullsafe_join",  # four 1-row count broadcasts
     "x73_langid_confusion",  # 1-row accuracy broadcast
     "t37_dow_hour_heatmap",  # 1-row total broadcast
+    "d21_band_planner",  # 5-row geometry x 19-row grid literal broadcasts
 }
 
 

@@ -1,0 +1,128 @@
+"""Pins the derived driver-sample rotation (VERDICT r5 items 1-2).
+
+The driver's correctness gate samples a 50-query prefix of the
+registry each round and banks greens, so the prefix must rotate to
+never-sampled queries every round. Round 5 shipped a stale
+hand-written order; the order is now DERIVED from the shipped
+CORRECTNESS_r*.json artifacts (queries.priority_order), and this test
+makes a non-rotated prefix a test failure, not a judge finding.
+
+No SparkSession needed -- these are pure registry/ordering checks.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hi_csa_db_spark import queries as Q
+
+PREFIX = 50  # driver samples the first 50 registry names
+
+
+def test_prefix_never_wastes_a_slot_on_banked_greens():
+    """While never-driver-green names remain, every one of the 50
+    driver slots is either a re-proof (oracle changed / fixed-red) or
+    a never-sampled name -- never a green-and-unchanged banked name."""
+    order = Q.priority_order()
+    greens = Q.driver_green_names()
+    never_green_remaining = [n for n in order if n not in greens]
+    if len(never_green_remaining) < PREFIX - len(Q._NEEDS_REPROOF):
+        # Tail of the schedule: fewer candidates than slots; banked
+        # greens legitimately back-fill.
+        return
+    wasted = [
+        n
+        for n in order[:PREFIX]
+        if n in greens and n not in Q._NEEDS_REPROOF
+    ]
+    assert wasted == [], f"banked greens occupying driver slots: {wasted}"
+
+
+def test_reproof_names_lead_and_exist():
+    order = Q.priority_order()
+    reproof = [n for n in Q._NEEDS_REPROOF if n in Q._QUERIES]
+    assert list(order[: len(reproof)]) == reproof
+    missing = [n for n in Q._NEEDS_REPROOF if n not in Q._QUERIES]
+    assert missing == [], f"_NEEDS_REPROOF names not in registry: {missing}"
+
+
+def test_flagships_lead_the_never_sampled_block():
+    order = Q.priority_order()
+    greens = Q.driver_green_names()
+    start = len([n for n in Q._NEEDS_REPROOF if n in Q._QUERIES])
+    pending_flagships = [
+        n
+        for n in Q._FLAGSHIPS
+        if n in Q._QUERIES and n not in greens and n not in Q._NEEDS_REPROOF
+    ]
+    got = list(order[start : start + len(pending_flagships)])
+    assert got == pending_flagships
+
+
+def test_rows_only_names_sort_after_full_oracle_never_names():
+    order = Q.priority_order()
+    greens = Q.driver_green_names()
+    never = [
+        n for n in order if n not in greens and n not in Q._NEEDS_REPROOF
+    ]
+    saw_rows_only = False
+    for n in never:
+        if n not in Q._ORACLES:
+            saw_rows_only = True
+        else:
+            assert not saw_rows_only, (
+                f"full-oracle never-sampled name {n} ordered after a "
+                "rows-only name"
+            )
+
+
+def test_order_is_deterministic_and_complete():
+    a, b = Q.priority_order(), Q.priority_order()
+    assert a == b
+    assert sorted(a) == sorted(Q._QUERIES)
+    assert list(Q.queries()) == list(a)
+    assert list(Q.oracle_sql()) == [n for n in a if n in Q._ORACLES]
+
+
+def test_green_parser_matches_driver_semantics(tmp_path):
+    """driver_green_names: green = no err, rows match, and neither
+    schema nor hash recorded False (rows-only checks record null
+    hash_match). Unreadable/missing artifacts contribute nothing."""
+    rows = {
+        "full_green": {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+            "err": None,
+        },
+        "rows_only_green": {
+            "rows_match": True,
+            "schema_match": None,
+            "hash_match": None,
+            "err": None,
+        },
+        "hash_red": {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": False,
+            "err": None,
+        },
+        "errored": {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+            "err": "boom",
+        },
+        "rows_red": {
+            "rows_match": False,
+            "schema_match": True,
+            "hash_match": True,
+            "err": None,
+        },
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
+    (tmp_path / "CORRECTNESS_r02.json").write_text("{not json")
+    got = Q.driver_green_names(root=str(tmp_path))
+    assert got == {"full_green", "rows_only_green"}
+    # fresh clone: no artifacts at all -> empty greens, full rotation
+    assert Q.driver_green_names(root=str(tmp_path / "nowhere")) == set()

@@ -1,0 +1,44 @@
+"""Keeps tools/round_checklist.py's helpers honest (VERDICT r5 item 7)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+
+import round_checklist as rc
+
+
+def test_latest_round_parses_artifact_names(tmp_path):
+    for name in (
+        "BENCH_r01.json",
+        "CORRECTNESS_r01.json",
+        "BENCH_r12.json",
+        "OTHER_r99.json",  # not a round artifact
+        "BENCH_r3.txt",  # wrong extension
+    ):
+        (tmp_path / name).write_text("{}")
+    assert rc.latest_round(str(tmp_path)) == 12
+    assert rc.latest_round(str(tmp_path / "empty")) is None
+
+
+def test_doc_mentions_round(tmp_path):
+    doc = tmp_path / "NOTES.md"
+    doc.write_text("## Round 7 (2026-08-15)\nstuff\n")
+    assert rc.doc_mentions_round(str(doc), 7)
+    assert not rc.doc_mentions_round(str(doc), 8)
+    doc.write_text("bench r07 recorded\n")
+    assert rc.doc_mentions_round(str(doc), 7)
+    assert not rc.doc_mentions_round(str(tmp_path / "missing.md"), 7)
+
+
+def test_repo_artifacts_are_committed_and_documented():
+    """The live-repo invariant the tool exists to enforce."""
+    assert rc.untracked_or_dirty_artifacts() == []
+    n = rc.latest_round()
+    assert n is not None
+    for doc in ("BASELINE.md", "NOTES.md"):
+        assert rc.doc_mentions_round(os.path.join(rc.REPO, doc), n), (
+            f"{doc} lacks a round-{n} section"
+        )

@@ -137,22 +137,41 @@ def main():
         try:
             rel = con.sql(oracles[name])
             dcols = [c.lower() for c in rel.columns]
-            # OUTPUT SCHEMA RULE fast-fail (r4 verdict): the driver's
-            # pandas canonicalization degrades HUGEINT (and maps
-            # UBIGINT to uint64 vs Spark's signed long) even though
-            # OUR fetchall() path below would absorb it — so a typed
-            # relation with those families must fail HERE, locally,
-            # not in the next driver round.
             banned = [
                 f"{c}:{t}"
                 for c, t in zip(rel.columns, rel.types)
                 if any(b in str(t).upper() for b in ("HUGEINT", "UBIGINT"))
             ]
-            if banned:
-                raise RuntimeError(
-                    f"oracle surfaces driver-lossy integer types {banned} "
-                    "— CAST the output aggregate to BIGINT"
-                )
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {ex}")
+            failed.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": f"duckdb_error: {str(ex)[:300]}",
+            }
+            continue
+        # OUTPUT SCHEMA RULE fast-fail (r4 verdict): the driver's
+        # pandas canonicalization degrades HUGEINT (and maps UBIGINT
+        # to uint64 vs Spark's signed long) even though OUR fetchall()
+        # path below would absorb it — so a typed relation with those
+        # families must fail HERE, locally, not in the next driver
+        # round. Checked OUTSIDE the duckdb try so the report says
+        # schema-rule violation, not "duckdb error" (ADVICE r5).
+        if banned:
+            msg = (
+                f"oracle surfaces driver-lossy integer types {banned} "
+                "— CAST the output aggregate to BIGINT"
+            )
+            print(f"FAIL {name}: schema-rule violation: {msg}")
+            failed.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": f"schema_rule_violation: {msg[:300]}",
+            }
+            continue
+        try:
             drows = rel.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
