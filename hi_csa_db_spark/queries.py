@@ -19136,6 +19136,321 @@ def pipe_training_prep_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "graph_ppr_seed_expansion",
+    """
+    WITH edges AS (SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+                   FROM lineitem),
+    nodes AS (SELECT DISTINCT id FROM
+              (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+    deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    r0 AS (SELECT id, CASE WHEN id % 100 = 0 THEN 1000000 ELSE 0 END AS r
+           FROM nodes),
+    r1 AS (SELECT nd.id,
+             CASE WHEN nd.id % 100 = 0 THEN 150000 ELSE 0 END
+             + CAST(850000 * COALESCE(SUM(r.r // d.od), 0) // 1000000
+                 AS BIGINT) AS r
+           FROM nodes nd
+           LEFT JOIN edges e ON e.dst = nd.id
+           LEFT JOIN deg d ON d.src = e.src
+           LEFT JOIN r0 r ON r.id = e.src
+           GROUP BY nd.id),
+    r2 AS (SELECT nd.id,
+             CASE WHEN nd.id % 100 = 0 THEN 150000 ELSE 0 END
+             + CAST(850000 * COALESCE(SUM(r.r // d.od), 0) // 1000000
+                 AS BIGINT) AS r
+           FROM nodes nd
+           LEFT JOIN edges e ON e.dst = nd.id
+           LEFT JOIN deg d ON d.src = e.src
+           LEFT JOIN r1 r ON r.id = e.src
+           GROUP BY nd.id),
+    r3 AS (SELECT nd.id,
+             CASE WHEN nd.id % 100 = 0 THEN 150000 ELSE 0 END
+             + CAST(850000 * COALESCE(SUM(r.r // d.od), 0) // 1000000
+                 AS BIGINT) AS r
+           FROM nodes nd
+           LEFT JOIN edges e ON e.dst = nd.id
+           LEFT JOIN deg d ON d.src = e.src
+           LEFT JOIN r2 r ON r.id = e.src
+           GROUP BY nd.id)
+    SELECT id, r AS rank_micro,
+           CASE WHEN id % 100 = 0 THEN 1 ELSE 0 END AS is_seed
+    FROM r3 WHERE r > 0
+    """,
+)
+def graph_ppr_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set (3 fixed iterations,
+    d=0.85) over the part->supplier link graph — the seed-based
+    corpus-expansion primitive (WebText-style "pages reachable from
+    quality seeds", domain expansion from a curated allowlist): rank
+    mass teleports only to SEEDS (id % 100 == 0), so score measures
+    proximity to the seed set, not global centrality. Non-seed nodes
+    with no seed-reachable in-edges stay at exactly 0 and are
+    excluded — the expansion frontier IS the result set.
+
+    Unlike graph_pagerank's ROUND(double) ranks, PPR here is PURE
+    INTEGER micro-rank arithmetic (per-edge floor division by
+    out-degree, 85% damping as *850000 // 1000000), so both engines
+    agree bit-for-bit with no float whitelist entry.
+
+    Scale: per iteration one equi-join (ranks x out-edges) + one
+    map-combined aggregate — the iterative-join class; seeds and the
+    damping are constants, nothing collects to the driver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ce = edges.join(deg, "src")
+    teleport = F.when(F.col("id") % 100 == 0, F.lit(150000)).otherwise(
+        F.lit(0)
+    )
+    r = nodes.select(
+        "id",
+        F.when(F.col("id") % 100 == 0, F.lit(1000000))
+        .otherwise(F.lit(0))
+        .alias("r"),
+    )
+    for _ in range(3):
+        contrib = (
+            ce.join(
+                r.select(F.col("id").alias("src"), "r"), "src"
+            )
+            .select(
+                F.col("dst").alias("id"), F.expr("r div od").alias("c")
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = nodes.join(contrib, "id", "left").select(
+            "id",
+            (
+                teleport
+                + F.expr("CAST(850000 * coalesce(s, 0) div 1000000 AS BIGINT)")
+            ).alias("r"),
+        )
+    return r.filter(F.col("r") > 0).select(
+        "id",
+        F.col("r").alias("rank_micro"),
+        F.when(F.col("id") % 100 == 0, 1).otherwise(0).alias("is_seed"),
+    )
+
+
+@_register(
+    "ml_naive_bayes_model",
+    """
+    WITH toks AS (
+      SELECT d.lang, unnest(list_filter(
+        string_split(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS w
+      FROM documents d
+    ),
+    cnt_wc AS (SELECT lang, w, COUNT(*) AS c FROM toks GROUP BY lang, w),
+    tot_c AS (SELECT lang, COUNT(*) AS tc FROM toks GROUP BY lang),
+    cnt_w AS (SELECT w, COUNT(*) AS cw FROM toks GROUP BY w),
+    gl AS (SELECT COUNT(*) AS tot, COUNT(DISTINCT w) AS v FROM toks),
+    prior AS (
+      SELECT lang, CAST(COUNT(*) * 1000000 //
+               (SELECT COUNT(*) FROM documents) AS BIGINT) AS prior_micro
+      FROM documents GROUP BY lang
+    ),
+    p AS (
+      SELECT wc.lang, wc.w,
+             CAST((wc.c + 1) * 1000000 // (tc.tc + g.v) AS BIGINT)
+               AS p_wc_micro,
+             CAST((cw.cw + 1) * 1000000 // (g.tot + g.v) AS BIGINT)
+               AS p_w_micro
+      FROM cnt_wc wc
+      JOIN tot_c tc ON tc.lang = wc.lang
+      JOIN cnt_w cw ON cw.w = wc.w
+      CROSS JOIN gl g
+    ),
+    ranked AS (
+      SELECT lang, w, p_wc_micro,
+             CAST(p_wc_micro * 1000 // p_w_micro AS BIGINT) AS lift_milli,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY p_wc_micro * 1000 // p_w_micro DESC, w ASC) AS rk
+      FROM p
+    )
+    SELECT r.lang, CAST(r.rk AS INT) AS rk, r.w AS token,
+           r.p_wc_micro, r.lift_milli, pr.prior_micro
+    FROM ranked r JOIN prior pr ON pr.lang = r.lang
+    WHERE r.rk <= 5
+    """,
+)
+def ml_naive_bayes_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes TRAINING as pure distributed
+    aggregates — the quality/domain-classifier training step of a data
+    pipeline (the fastText stage) reduced to its Spark shape: class
+    priors, Laplace-smoothed token likelihoods p(w|lang) =
+    (c_wc+1)/(tot_c+V), and per-class discriminative vocabulary
+    (top-5 tokens by lift = p(w|c)/p(w)). The model IS the output
+    table — scoring new docs is a broadcast join of exactly this
+    relation (x20 demonstrates the scoring shape with fixed weights).
+
+    Determinism: every probability is an exact integer micro (bigint
+    floor division of count ratios — no libm log on either engine);
+    ranking is (lift desc, token asc), so top-5 sets are stable.
+
+    Scale: three map-combined count aggregates over one tokenize +
+    explode (the x2/x20 stream), a likelihood join keyed on (token)
+    bounded by vocab x classes, one 1-row (total, vocab) broadcast,
+    and a per-class window over vocab-sized slices."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(tokenize(F.lower(strip_punct(F.col("text"))))).alias("w"),
+    ).filter(F.col("w") != "")
+    cnt_wc = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot_c = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("tc"))
+    cnt_w = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    glob = toks.agg(
+        F.count(F.lit(1)).alias("tot"), F.countDistinct("w").alias("v")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    prior = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            F.expr("CAST(nc * 1000000 div nd AS BIGINT)").alias(
+                "prior_micro"
+            ),
+        )
+    )
+    p = (
+        cnt_wc.join(F.broadcast(tot_c), "lang")
+        .join(cnt_w, "w")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "lang",
+            "w",
+            F.expr("CAST((c + 1) * 1000000 div (tc + v) AS BIGINT)").alias(
+                "p_wc_micro"
+            ),
+            F.expr(
+                "CAST((cw + 1) * 1000000 div (tot + v) AS BIGINT)"
+            ).alias("p_w_micro"),
+        )
+    )
+    lift = F.expr("CAST(p_wc_micro * 1000 div p_w_micro AS BIGINT)")
+    w = Window.partitionBy("lang").orderBy(
+        lift.desc(), F.col("w").asc()
+    )
+    ranked = p.select(
+        "lang",
+        "w",
+        "p_wc_micro",
+        lift.alias("lift_milli"),
+        F.row_number().over(w).alias("rk"),
+    ).filter(F.col("rk") <= 5)
+    return ranked.join(F.broadcast(prior), "lang").select(
+        "lang",
+        F.col("rk").cast("int").alias("rk"),
+        F.col("w").alias("token"),
+        "p_wc_micro",
+        "lift_milli",
+        "prior_micro",
+    )
+
+
+@_register(
+    "t38_watermark_planner",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) + (event_id * 2654435761) % 4294967296 % 300000000
+               AS arr
+      FROM events
+    ),
+    w AS (
+      SELECT us,
+             MAX(us) OVER (PARTITION BY user_id ORDER BY arr ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS mx
+      FROM e
+    ),
+    l AS (SELECT greatest(COALESCE(mx - us, 0), 0) AS late FROM w),
+    g AS (SELECT unnest([10, 30, 60, 120, 300]) AS wsec)
+    SELECT CAST(g.wsec AS INT) AS watermark_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN l.late > g.wsec * 1000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN l.late > g.wsec * 1000000 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS drop_micro
+    FROM g CROSS JOIN l GROUP BY g.wsec
+    """,
+)
+def t38_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay planning for the streaming surface: how many
+    events would each candidate ``withWatermark`` delay (10/30/60/120/
+    300 s) DROP as too-late? Lateness is measured against the running
+    max event-time of each key's ARRIVAL stream — arrival order is a
+    deterministic simulated network delay (0-300 s, the x24-style
+    integer hash of event_id) on top of event time, since the fixture
+    stream arrives perfectly ordered. The planner output is the
+    state-size-vs-completeness trade the stream_* operators' watermark
+    is chosen from: pick the smallest delay whose drop rate is
+    acceptable (drop_micro is exact integer millionths).
+
+    Determinism: integer microsecond epochs (declared-us, never engine
+    timestamp arithmetic), an integer hash delay, and a per-key window
+    ordered (arr, event_id) — no ties, no floats.
+
+    Scale: one window pass PARTITIONED BY user (parallel per key,
+    never a global sort — mirroring per-key streaming state), then a
+    5-row broadcast grid join and a map-combined 5-group aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("us"),
+    ).withColumn(
+        "arr",
+        F.col("us")
+        + (F.col("event_id") * 2654435761) % 4294967296 % 300000000,
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("arr").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.greatest(
+        F.coalesce(F.max("us").over(win) - F.col("us"), F.lit(0)), F.lit(0)
+    )
+    lat = e.select(late.alias("late"))
+    grid = spark.createDataFrame(
+        [(10,), (30,), (60,), (120,), (300,)], "wsec int"
+    )
+    dropped = F.sum(
+        F.when(F.col("late") > F.col("wsec").cast("bigint") * 1000000, 1)
+        .otherwise(0)
+    )
+    return (
+        lat.crossJoin(F.broadcast(grid))
+        .groupBy("wsec")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dropped.cast("bigint").alias("n_dropped"),
+        )
+        .select(
+            F.col("wsec").cast("int").alias("watermark_s"),
+            "n_events",
+            "n_dropped",
+            F.expr(
+                "CAST(n_dropped * 1000000 div n_events AS BIGINT)"
+            ).alias("drop_micro"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #

@@ -144,6 +144,8 @@ _NLJ_ALLOWED = {
     "x73_langid_confusion",  # 1-row accuracy broadcast
     "t37_dow_hour_heatmap",  # 1-row total broadcast
     "d21_band_planner",  # 5-row geometry x 19-row grid literal broadcasts
+    "ml_naive_bayes_model",  # 1-row (total, vocab) + doc-count broadcasts
+    "t38_watermark_planner",  # 5-row watermark-grid broadcast
 }
 
 
