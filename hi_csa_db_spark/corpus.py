@@ -141,6 +141,34 @@ class Corpus:
         kept = self._docs.join(dk, "doc_id")
         return self._with(kept, "resample_dsir[x24]")
 
+    def gate_quantile(self, keep_permille: int = 400) -> "Corpus":
+        """Keep the top ``keep_permille``/1000 of each language slice
+        by classifier logit (x26's self-calibrating quantile gate).
+        Pure integer keep rule — rank*1000 <= slice_count*permille
+        over a deterministic (logit desc, doc_id) per-slice rank — so
+        no float percentile boundary exists; the threshold
+        self-adjusts as the corpus mix shifts (an absolute logit
+        cutoff drifts). One window pass partitioned by lang: parallel
+        in slices, never global."""
+        from pyspark.sql import Window
+
+        from hi_csa_db_spark import queries as q
+
+        scored = q.x20_quality_classifier(self.spark, self.sf_dir).select(
+            "doc_id", "logit_micro"
+        )
+        lab = self._docs.join(scored, "doc_id")
+        w = Window.partitionBy("lang").orderBy(
+            F.col("logit_micro").desc(), F.col("doc_id").asc()
+        )
+        ranked = lab.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+        )
+        kept = ranked.filter(
+            F.col("__rn") * 1000 <= F.col("__n") * keep_permille
+        ).drop("__rn", "__n", "logit_micro")
+        return self._with(kept, f"gate_quantile[{keep_permille}|x26]")
+
     def keep_perplexity_buckets(self, buckets: tuple[str, ...] = ("head",)) -> "Corpus":
         """Keep only the named CCNet-style perplexity buckets (x42's
         per-source corpus-bigram-LM terciles; default: head only)."""

@@ -77,3 +77,32 @@ def test_corpus_perplexity_bucket_and_ffd_pack(spark, sf_dir):
     for sizes in fills.values():
         assert sum(sizes) <= 512 or len(sizes) == 1
     assert "keep_perplexity_buckets('head',)[x42]" in c.provenance()
+
+
+def test_gate_quantile_matches_pipe_v7_unique_counts(spark, sf_dir):
+    """gate_quantile(400) + dedup_exact reproduces pipe_v7's per-lang
+    unique-survivor counts (the composite's n_unique column)."""
+    api = (
+        Corpus.load(spark, sf_dir)
+        .gate_quantile(keep_permille=400)
+        .dedup_exact()
+        .df()
+        .groupBy("lang")
+        .count()
+    )
+    ref = q.pipe_training_prep_v7(spark, sf_dir).select("lang", "n_unique")
+    got = {r["lang"]: r["count"] for r in api.collect()}
+    want = {r["lang"]: r["n_unique"] for r in ref.collect()}
+    assert got == want
+
+
+def test_gate_quantile_provenance_and_monotonicity(spark, sf_dir):
+    c = Corpus.load(spark, sf_dir).gate_quantile()
+    assert c.provenance() == ["gate_quantile[400|x26]"]
+    n0 = Corpus.load(spark, sf_dir).df().count()
+    n1 = c.df().count()
+    # top-40% per slice: strictly fewer rows, never empty
+    assert 0 < n1 < n0
+    # tighter gate keeps fewer
+    n_tight = Corpus.load(spark, sf_dir).gate_quantile(100).df().count()
+    assert n_tight <= n1
