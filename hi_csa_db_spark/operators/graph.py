@@ -122,6 +122,67 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank_micro(
+    edges: DataFrame,
+    seed_pred,
+    iterations: int = 3,
+) -> DataFrame:
+    """Personalized PageRank with PURE INTEGER micro-rank arithmetic:
+    (id, rank_micro). ``seed_pred`` is a Column predicate over ``id``
+    selecting the seed set; teleport mass (15%) goes ONLY to seeds, so
+    rank measures proximity to the seeds — the corpus-expansion /
+    domain-allowlist-growth primitive — not global centrality.
+
+    r_0(v)      = [v in S] * 1_000_000
+    r_{k+1}(v)  = [v in S] * 150_000
+                  + (850_000 * sum over u->v of (r_k(u) div od(u)))
+                    div 1_000_000
+
+    All floor divisions on bigints, so both engines (and any host)
+    agree bit-for-bit — unlike pagerank's ROUND(double) ranks, no
+    float whitelist entry is needed. Same iterative-join shape and
+    cached hash layout as pagerank (_iter_layout): per iteration one
+    equi-join + one map-combined aggregate; at cluster scale the
+    bucketed-by-src edge table makes the join shuffle-free on the
+    edge side."""
+    edges = _iter_layout(edges.select("src", "dst").distinct(), "src")
+    nodes = _iter_layout(
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct(),
+        "id",
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ce = _iter_layout(edges.join(outdeg, "src"), "src")
+    teleport = F.when(seed_pred(F.col("id")), F.lit(150000)).otherwise(
+        F.lit(0)
+    )
+    ranks = nodes.select(
+        "id",
+        F.when(seed_pred(F.col("id")), F.lit(1000000))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("r"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            ce.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), F.expr("r div od").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, "id", "left").select(
+            "id",
+            (
+                teleport
+                + F.expr(
+                    "CAST(850000 * coalesce(s, 0) div 1000000 AS BIGINT)"
+                )
+            ).alias("r"),
+        )
+    return ranks.select("id", F.col("r").alias("rank_micro"))
+
+
 def connected_components(edges: DataFrame, iterations: int = 3) -> DataFrame:
     """Label propagation toward connected components: (id, lbl).
 

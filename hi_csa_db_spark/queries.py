@@ -19200,44 +19200,13 @@ def graph_ppr_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = li.select(
         F.col("l_partkey").alias("src"),
         (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
-    ).distinct()
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    ce = edges.join(deg, "src")
-    teleport = F.when(F.col("id") % 100 == 0, F.lit(150000)).otherwise(
-        F.lit(0)
+    ranks = graph.personalized_pagerank_micro(
+        edges, seed_pred=lambda c: c % 100 == 0, iterations=3
     )
-    r = nodes.select(
+    return ranks.filter(F.col("rank_micro") > 0).select(
         "id",
-        F.when(F.col("id") % 100 == 0, F.lit(1000000))
-        .otherwise(F.lit(0))
-        .alias("r"),
-    )
-    for _ in range(3):
-        contrib = (
-            ce.join(
-                r.select(F.col("id").alias("src"), "r"), "src"
-            )
-            .select(
-                F.col("dst").alias("id"), F.expr("r div od").alias("c")
-            )
-            .groupBy("id")
-            .agg(F.sum("c").alias("s"))
-        )
-        r = nodes.join(contrib, "id", "left").select(
-            "id",
-            (
-                teleport
-                + F.expr("CAST(850000 * coalesce(s, 0) div 1000000 AS BIGINT)")
-            ).alias("r"),
-        )
-    return r.filter(F.col("r") > 0).select(
-        "id",
-        F.col("r").alias("rank_micro"),
+        "rank_micro",
         F.when(F.col("id") % 100 == 0, 1).otherwise(0).alias("is_seed"),
     )
 

@@ -72,3 +72,37 @@ def test_pagerank_star_graph(spark):
     assert abs(ranks[1] - (base + 0.85 * 3 * base)) < 1e-12
     # total mass leaks (a is a sink) but stays positive and bounded
     assert 0 < sum(ranks.values()) <= 1.0
+
+
+def test_ppr_micro_star_graph(spark):
+    """Hand-checkable PPR: star 1->{2,3,4}, seed node 2 only.
+    r0 = {2: 1_000_000}; node 1 has od=3 but rank 0 at every step, so
+    2 keeps only its teleport after iteration 1; nothing flows to
+    3/4 (their rank is exactly 0 -> excluded by the >0 convention in
+    the query; the operator itself returns them as 0)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["src", "dst"]
+    )
+    out = {
+        r.id: r.rank_micro
+        for r in graph.personalized_pagerank_micro(
+            edges, seed_pred=lambda c: c == 2, iterations=3
+        ).collect()
+    }
+    assert out == {1: 0, 2: 150000, 3: 0, 4: 0}
+
+
+def test_ppr_micro_seed_chain_propagates(spark):
+    """Chain seed->a->b: after 3 iterations the seed's mass reaches b
+    attenuated by 0.85 per hop (integer floor at each step)."""
+    edges = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    out = {
+        r.id: r.rank_micro
+        for r in graph.personalized_pagerank_micro(
+            edges, seed_pred=lambda c: c == 0, iterations=3
+        ).collect()
+    }
+    # r1: 0 -> 150000 (teleport), 1 -> 850000*1000000 div 1e6 = 850000
+    # r2: 1 <- 850000*150000 div 1e6 = 127500; 2 <- 850000*850000 div 1e6 = 722500
+    # r3: 1 <- 127500; 2 <- 850000*127500 div 1e6 = 108375
+    assert out == {0: 150000, 1: 127500, 2: 108375}
