@@ -19420,6 +19420,157 @@ def t38_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "t39_session_gap_planner",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    l AS (
+      SELECT us - LAG(us) OVER (PARTITION BY user_id
+                                ORDER BY us ASC, event_id ASC) AS gap
+      FROM e
+    ),
+    u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM events),
+    g AS (SELECT unnest([60, 300, 900, 1800, 3600]) AS gsec)
+    SELECT CAST(g.gsec AS INT) AS gap_s,
+           u.nu AS n_users,
+           CAST(SUM(CASE WHEN l.gap > CAST(g.gsec AS BIGINT) * 1000000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+           CAST(u.nu + SUM(CASE WHEN l.gap > CAST(g.gsec AS BIGINT) * 1000000
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM g CROSS JOIN l CROSS JOIN u
+    GROUP BY g.gsec, u.nu
+    """,
+)
+def t39_session_gap_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-gap planning for t2's sessionizer: how many sessions
+    does each candidate inactivity gap (1/5/15/30/60 min) produce?
+    Per user, the inter-event gap distribution is computed once (one
+    LAG window pass partitioned by user, ordered (ts, event_id) so
+    ties can't flip engines), then every candidate gap reads its
+    session count off the same pass: a session starts at each user's
+    first event plus every gap exceeding the candidate. The planner
+    output is the elbow curve a pipeline picks its session timeout
+    from — the batch twin of choosing
+    ``session_window(gap)`` before deploying the stream.
+
+    Determinism: integer microsecond epochs (declared-us), integer
+    gap comparisons, no floats anywhere.
+
+    Scale: one per-key window pass (parallel in users, never global),
+    a 5-row broadcast grid, and a map-combined 5-group aggregate —
+    the gap distribution is never materialized per candidate."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    gaps = e.select((F.col("us") - F.lag("us").over(w)).alias("gap"))
+    nu = ev.agg(F.countDistinct("user_id").cast("bigint").alias("nu"))
+    grid = spark.createDataFrame(
+        [(60,), (300,), (900,), (1800,), (3600,)], "gsec int"
+    )
+    over = F.sum(
+        F.when(F.col("gap") > F.col("gsec").cast("bigint") * 1000000, 1)
+        .otherwise(0)
+    ).cast("bigint")
+    return (
+        gaps.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(nu))
+        .groupBy("gsec", "nu")
+        .agg(over.alias("n_boundaries"))
+        .select(
+            F.col("gsec").cast("int").alias("gap_s"),
+            F.col("nu").alias("n_users"),
+            "n_boundaries",
+            (F.col("nu") + F.col("n_boundaries"))
+            .cast("bigint")
+            .alias("n_sessions"),
+        )
+    )
+
+
+@_register(
+    "u21_compaction_plan",
+    """
+    WITH sh AS (
+      SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  AS BIGINT) AS shard,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    m AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM sh GROUP BY shard
+    ),
+    p AS (
+      SELECT shard, n_docs, total_chars,
+             COALESCE(SUM(total_chars) OVER (ORDER BY shard ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM m
+    )
+    SELECT CAST(cb // 100000 AS BIGINT) AS merge_group,
+           CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(MIN(shard) AS BIGINT) AS min_shard,
+           CAST(MAX(shard) AS BIGINT) AS max_shard,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(total_chars) AS BIGINT) AS total_chars
+    FROM p GROUP BY CAST(cb // 100000 AS BIGINT)
+    """,
+)
+def u21_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the lakehouse maintenance op:
+    x35's 16 deterministic export shards are coalesced into merge
+    groups of ~100k chars by CLOSED-FORM prefix-sum binning
+    (merge_group = floor(cumulative-bytes-before / target)), the
+    parallelizable alternative to the sequential greedy packer: every
+    shard's group is a pure function of the prefix sum, so the plan is
+    one distributed prefix-sum pass + a map, identical no matter how
+    the manifest is partitioned (contrast x44's FFD, which trades this
+    closed form for tighter bins). Groups can overshoot the target by
+    at most one shard — the standard compaction contract (a merge
+    never splits a file).
+
+    The ordered prefix sum runs over the MANIFEST (one row per shard
+    — 16 here, thousands at fleet scale), never over documents; at
+    cluster scale it goes through ordered.global_prefix_sums' range
+    partition + broadcast offsets, so no data-sized global window
+    exists (the manifest aggregate itself is map-combined)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("bigint")
+        .alias("shard"),
+        F.length("text").alias("n_chars"),
+    )
+    m = sh.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    w = (
+        Window.orderBy(F.col("shard").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = m.select(
+        "shard",
+        "n_docs",
+        "total_chars",
+        F.coalesce(F.sum("total_chars").over(w), F.lit(0)).alias("cb"),
+    )
+    grp = F.expr("CAST(cb div 100000 AS BIGINT)")
+    return p.groupBy(grp.alias("merge_group")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.min("shard").cast("bigint").alias("min_shard"),
+        F.max("shard").cast("bigint").alias("max_shard"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_chars").cast("bigint").alias("total_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #

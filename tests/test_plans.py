@@ -146,6 +146,7 @@ _NLJ_ALLOWED = {
     "d21_band_planner",  # 5-row geometry x 19-row grid literal broadcasts
     "ml_naive_bayes_model",  # 1-row (total, vocab) + doc-count broadcasts
     "t38_watermark_planner",  # 5-row watermark-grid broadcast
+    "t39_session_gap_planner",  # 5-row gap-grid + 1-row user-count broadcasts
 }
 
 
