@@ -19571,6 +19571,85 @@ def u21_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "u22_zorder_layout",
+    """
+    WITH e AS (
+      SELECT user_id % 256 AS ub,
+             (epoch_us(ts) // 3600000000) % 256 AS hb
+      FROM events
+    ),
+    a1 AS (SELECT ub, hb, (ub | (ub << 4)) & 3855 AS ua,
+                          (hb | (hb << 4)) & 3855 AS ha FROM e),
+    a2 AS (SELECT ub, hb, (ua | (ua << 2)) & 13107 AS ua,
+                          (ha | (ha << 2)) & 13107 AS ha FROM a1),
+    a3 AS (SELECT ub, hb, (ua | (ua << 1)) & 21845 AS ua,
+                          (ha | (ha << 1)) & 21845 AS ha FROM a2),
+    z AS (SELECT ub, hb, (ua << 1) | ha AS zv FROM a3)
+    SELECT CAST(zv // 4096 AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ub) AS BIGINT) AS ub_min,
+           CAST(MAX(ub) AS BIGINT) AS ub_max,
+           CAST(MIN(hb) AS BIGINT) AS hb_min,
+           CAST(MAX(hb) AS BIGINT) AS hb_max,
+           CAST((MAX(ub) - MIN(ub) + 1) * (MAX(hb) - MIN(hb) + 1)
+             AS BIGINT) AS span_product
+    FROM z GROUP BY CAST(zv // 4096 AS BIGINT)
+    """,
+)
+def u22_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout for multi-dimensional file
+    pruning — the lakehouse OPTIMIZE ZORDER BY op: events are keyed by
+    the bit-interleave of (user_id byte, hour byte), so files cut
+    along z-ranges stay range-bounded in BOTH dimensions at once.
+    The audit groups by the top-4 z bits (16 "files") and reports each
+    dimension's min/max plus their span product: every bucket's
+    product is <= 4096 (each dim's top-2 bits are pinned inside a
+    bucket, so spans are <= 64) vs 65536 for a single-dim sort's
+    unsorted dimension — the min/max skipping-stats pruning proof,
+    carried as the result's own columns.
+
+    Bit spreading is the classic mask ladder ((x | x<<4) & 0x0F0F,
+    then 0x3333, then 0x5555) — pure integer shifts/ands identical on
+    both engines; the hour key is declared-us epoch arithmetic.
+
+    Scale: a narrow map to compute z, then one map-combined 16-group
+    aggregate. In production the z value feeds repartitionByRange +
+    sortWithinPartitions before the write; the audit here is the
+    planning/verification table for that layout decision."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        (F.col("user_id") % 256).alias("ub"),
+        F.expr("ts_ns div 1000 div 3600000000 % 256").alias("hb"),
+    )
+    def spread(c: str) -> Column:
+        x = F.expr(f"({c} | shiftleft({c}, 4)) & 3855")
+        x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(13107))
+        x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(21845))
+        return x
+
+    z = e.select(
+        "ub",
+        "hb",
+        (F.shiftleft(spread("ub"), 1).bitwiseOR(spread("hb"))).alias("zv"),
+    )
+    return z.groupBy(
+        F.expr("CAST(zv div 4096 AS BIGINT)").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ub").cast("bigint").alias("ub_min"),
+        F.max("ub").cast("bigint").alias("ub_max"),
+        F.min("hb").cast("bigint").alias("hb_min"),
+        F.max("hb").cast("bigint").alias("hb_max"),
+        (
+            (F.max("ub") - F.min("ub") + 1)
+            * (F.max("hb") - F.min("hb") + 1)
+        )
+        .cast("bigint")
+        .alias("span_product"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #
