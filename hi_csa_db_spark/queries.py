@@ -19650,6 +19650,165 @@ def u22_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "t40_auto_gap_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    l AS (
+      SELECT user_id, event_id, us,
+             us - LAG(us) OVER (PARTITION BY user_id
+                                ORDER BY us ASC, event_id ASC) AS gap
+      FROM e
+    ),
+    u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM events),
+    g AS (SELECT unnest([60, 300, 900, 1800, 3600]) AS gsec),
+    cand AS (
+      SELECT g.gsec,
+             CAST(SUM(CASE WHEN l.gap > CAST(g.gsec AS BIGINT) * 1000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM g CROSS JOIN l GROUP BY g.gsec
+    ),
+    fl AS (SELECT nb AS nb_f FROM cand WHERE gsec = 3600),
+    chosen AS (
+      SELECT MIN(cand.gsec) AS gap_s
+      FROM cand CROSS JOIN fl CROSS JOIN u
+      WHERE (u.nu + cand.nb) * 10 <= (u.nu + fl.nb_f) * 11
+    ),
+    flags AS (
+      SELECT l.user_id, l.event_id, l.us,
+             CASE WHEN l.gap IS NULL
+                    OR l.gap > CAST(c.gap_s AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM l CROSS JOIN chosen c
+    ),
+    sid AS (
+      SELECT user_id,
+             SUM(is_start) OVER (PARTITION BY user_id
+                                 ORDER BY us ASC, event_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS s
+      FROM flags
+    ),
+    sess AS (
+      SELECT user_id, s, COUNT(*) AS len FROM sid GROUP BY user_id, s
+    )
+    SELECT CAST(c.gap_s AS INT) AS gap_s,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(sess.len) AS BIGINT) AS n_events,
+           CAST(MAX(sess.len) AS BIGINT) AS max_session_events,
+           CAST(SUM(sess.len) * 1000 // COUNT(*) AS BIGINT)
+             AS avg_session_events_milli
+    FROM sess CROSS JOIN chosen c GROUP BY c.gap_s
+    """,
+)
+def t40_auto_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-TUNING sessionization: the inactivity gap is chosen FROM
+    THE DATA inside the same lazy plan — t39's planner table is
+    computed, the smallest candidate gap already within 10% of the
+    largest candidate's session count is selected (the
+    diminishing-returns elbow, as the exact integer test
+    (nu+nb_g)*10 <= (nu+nb_3600)*11 — always satisfiable at the
+    largest candidate, so no fallback branch), and the events
+    are sessionized with that gap — planner and executor fused, no
+    ``collect()`` round-trip to the driver between them (the
+    data-dependent parameter is a 1-row broadcast, exactly like the
+    classify.py threshold pattern but without even the 1-row
+    collect). Output is the session audit under the auto-chosen gap:
+    count, total events, longest session, average length in exact
+    milli-events.
+
+    Determinism: t39's integer gap machinery + an integer budget rule
+    + a (us, event_id)-ordered running sum for session ids — no
+    floats, no ties.
+
+    Scale: two per-user window passes (LAG for gaps, running SUM for
+    session ids — both parallel in users), one 5-group candidate
+    aggregate, a 1-row chosen-gap broadcast, and a map-combined
+    session-length aggregate. The planner costs one extra 5-group
+    aggregate on top of the sessionize the pipeline was running
+    anyway."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    l = e.withColumn("gap", F.col("us") - F.lag("us").over(w))
+    nu = ev.agg(F.countDistinct("user_id").cast("bigint").alias("nu"))
+    grid = spark.createDataFrame(
+        [(60,), (300,), (900,), (1800,), (3600,)], "gsec int"
+    )
+    cand = (
+        l.crossJoin(F.broadcast(grid))
+        .groupBy("gsec")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("gap") > F.col("gsec").cast("bigint") * 1000000, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("nb")
+        )
+    )
+    floor_nb = cand.filter(F.col("gsec") == 3600).select(
+        F.col("nb").alias("nb_f")
+    )
+    chosen = (
+        cand.crossJoin(F.broadcast(floor_nb))
+        .crossJoin(F.broadcast(nu))
+        .filter(
+            (F.col("nu") + F.col("nb")) * 10
+            <= (F.col("nu") + F.col("nb_f")) * 11
+        )
+        .agg(F.min("gsec").alias("gap_s"))
+    )
+    flags = l.crossJoin(F.broadcast(chosen)).select(
+        "user_id",
+        "event_id",
+        "us",
+        "gap_s",
+        F.when(
+            F.col("gap").isNull()
+            | (F.col("gap") > F.col("gap_s").cast("bigint") * 1000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sid = flags.select(
+        "user_id", "gap_s", F.sum("is_start").over(wsum).alias("s")
+    )
+    sess = sid.groupBy("user_id", "gap_s", "s").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        sess.groupBy("gap_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("len").cast("bigint").alias("n_events"),
+            F.max("len").cast("bigint").alias("max_session_events"),
+        )
+        .select(
+            F.col("gap_s").cast("int").alias("gap_s"),
+            "n_sessions",
+            "n_events",
+            "max_session_events",
+            F.expr(
+                "CAST(n_events * 1000 div n_sessions AS BIGINT)"
+            ).alias("avg_session_events_milli"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #

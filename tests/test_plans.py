@@ -147,6 +147,7 @@ _NLJ_ALLOWED = {
     "ml_naive_bayes_model",  # 1-row (total, vocab) + doc-count broadcasts
     "t38_watermark_planner",  # 5-row watermark-grid broadcast
     "t39_session_gap_planner",  # 5-row gap-grid + 1-row user-count broadcasts
+    "t40_auto_gap_sessionize",  # grid/floor/user-count/chosen-gap 1-row broadcasts
 }
 
 
