@@ -53,3 +53,16 @@ def test_analytics_observability_runs(sf_dir):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "analytics observability complete" in r.stdout
     assert "predicted=actual=" in r.stdout
+
+
+def test_parameter_planning_runs(sf_dir):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "parameter_planning.py"),
+         sf_dir],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "jaccard target 0.35: 8 bands x 2 rows" in r.stdout
+    assert "auto-chosen gap:" in r.stdout
+    assert r.stdout.strip().endswith("OK")
