@@ -83,3 +83,52 @@ def test_kmeans_partitions_corpus(spark, sf_dir):
     assert len(clusters) <= 8
     assert sum(r.n_members for r in clusters) == n
     assert all(r.n_members > 0 for r in clusters)
+
+
+def test_band_plan_table_matches_closed_form(spark):
+    """band_plan_table's integer micro-probabilities must equal the
+    closed form floor(1e6*(1-(1-j^r)^b)+0.5) computed in Python (same
+    repeated-squaring order), for every geometry of a 16-hash budget."""
+    from hi_csa_db_spark.operators.dedup import band_plan_table
+
+    rows = band_plan_table(spark, num_hashes=16, grid=20).collect()
+    assert len(rows) == 5 * 19  # 5 geometries x 19 grid points
+    for r in rows:
+        j = r["i"] / 20
+        jr = j
+        k = r["rows_per_band"]
+        while k > 1:
+            jr *= jr
+            k //= 2
+        y = 1.0 - jr
+        b = r["bands"]
+        while b > 1:
+            y *= y
+            b //= 2
+        import math
+
+        want = math.floor((1.0 - y) * 1000000 + 0.5)
+        assert r["p_micro"] == want, (r["bands"], r["rows_per_band"], r["i"])
+
+
+def test_band_plan_table_monotone_and_bounded(spark):
+    """For a fixed geometry, P(candidate) is nondecreasing in jaccard
+    and stays in [0, 1e6]; num_hashes must be a power of two."""
+    import pytest as _pytest
+
+    from hi_csa_db_spark.operators.dedup import band_plan_table
+
+    rows = band_plan_table(spark, num_hashes=8, grid=10).collect()
+    by_geo = {}
+    for r in rows:
+        by_geo.setdefault((r["bands"], r["rows_per_band"]), []).append(
+            (r["i"], r["p_micro"])
+        )
+    assert set(by_geo) == {(8, 1), (4, 2), (2, 4), (1, 8)}
+    for pts in by_geo.values():
+        pts.sort()
+        ps = [p for _, p in pts]
+        assert all(0 <= p <= 1000000 for p in ps)
+        assert ps == sorted(ps)
+    with _pytest.raises(ValueError):
+        band_plan_table(spark, num_hashes=12)
