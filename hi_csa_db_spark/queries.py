@@ -19809,6 +19809,48 @@ def t40_auto_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "graph_components_star",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+      FROM lineitem WHERE l_partkey < 200),
+    ud AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    nodes AS (SELECT DISTINCT src AS id FROM ud),
+    r AS (
+      SELECT id, id AS lbl FROM nodes
+      UNION
+      SELECT ud.src AS id, r.lbl FROM ud JOIN r ON r.id = ud.dst
+    )
+    SELECT id, CAST(MIN(lbl) AS BIGINT) AS lbl FROM r GROUP BY id
+    """,
+)
+def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT connected components (min-reachable-id labels) via
+    pointer-jumping label propagation — the O(log diameter) fixpoint
+    algorithm (hash-to-min / alternating-star family), against an
+    oracle that computes the TRUE components by recursive-CTE
+    transitive closure, so this pins exactness, not a bounded
+    propagation radius (graph_components deliberately pins the cheap
+    3-iteration approximation; this is its convergence-guaranteed
+    sibling for graphs whose diameter is unknown — the safe default
+    when near-dup chains can be long).
+
+    Scale: rounds grow as log2(diameter) (10 covers diameter 1024);
+    each round is one edge join + a map-combined min + a nodes-sized
+    label self-join on the cached _iter_layout — the label table
+    never exceeds |nodes| rows, and the recursive closure exists only
+    on the oracle side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_partkey") < 200).select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+    )
+    return graph.connected_components_fixpoint(edges, rounds=10).select(
+        "id", F.col("lbl").cast("bigint").alias("lbl")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #

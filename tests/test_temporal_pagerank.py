@@ -106,3 +106,34 @@ def test_ppr_micro_seed_chain_propagates(spark):
     # r2: 1 <- 850000*150000 div 1e6 = 127500; 2 <- 850000*850000 div 1e6 = 722500
     # r3: 1 <- 127500; 2 <- 850000*127500 div 1e6 = 108375
     assert out == {0: 150000, 1: 127500, 2: 108375}
+
+
+def test_components_fixpoint_converges_where_labelprop_cannot(spark):
+    """20-node chain (diameter 19): plain 3-iteration label prop can
+    only propagate the min label 3 hops, so the far end still carries
+    a non-zero label; the pointer-jumping fixpoint (rounds=10 covers
+    diameter 2^10) labels the WHOLE chain 0."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], ["src", "dst"]
+    )
+    plain = {
+        r.id: r.lbl
+        for r in graph.connected_components(chain, iterations=3).collect()
+    }
+    assert plain[19] != 0  # approximation, by design
+    fix = {
+        r.id: r.lbl
+        for r in graph.connected_components_fixpoint(chain, rounds=10).collect()
+    }
+    assert set(fix.values()) == {0}
+
+
+def test_components_fixpoint_two_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["src", "dst"]
+    )
+    fix = {
+        r.id: r.lbl
+        for r in graph.connected_components_fixpoint(edges, rounds=4).collect()
+    }
+    assert fix == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
