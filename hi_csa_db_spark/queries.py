@@ -11784,10 +11784,8 @@ def t20_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "er1_entity_resolution",
-    """
-    WITH k AS (
+_ER1_CLUSTER_SQL = """
+    k AS (
       SELECT doc_id, n_chars,
              substr(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), 1, 24) AS key
       FROM documents
@@ -11814,7 +11812,14 @@ def t20_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     l3 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
            FROM nodes n JOIN l2 s ON s.id = n.id
            LEFT JOIN ud e ON e.src = n.id LEFT JOIN l2 nb ON nb.id = e.dst
-           GROUP BY n.id, s.lbl),
+           GROUP BY n.id, s.lbl)
+"""
+
+
+@_register(
+    "er1_entity_resolution",
+    f"""
+    WITH {_ER1_CLUSTER_SQL},
     m AS (SELECT l3.id, l3.lbl, k.n_chars FROM l3 JOIN k ON k.doc_id = l3.id),
     ranked AS (
       SELECT lbl, id, n_chars,
@@ -19848,6 +19853,145 @@ def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return graph.connected_components_fixpoint(edges, rounds=10).select(
         "id", F.col("lbl").cast("bigint").alias("lbl")
+    )
+
+
+@_register(
+    "er3_golden_record",
+    f"""
+    WITH {_ER1_CLUSTER_SQL},
+    mem AS (
+      SELECT COALESCE(l3.lbl, d.doc_id) AS lbl, d.doc_id, d.lang, d.source,
+             d.n_chars
+      FROM documents d LEFT JOIN l3 ON l3.id = d.doc_id
+    ),
+    best AS (
+      SELECT lbl, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lbl
+                                ORDER BY n_chars DESC, doc_id ASC) AS sr
+      FROM mem
+    ),
+    lmode AS (
+      SELECT lbl, lang,
+             ROW_NUMBER() OVER (PARTITION BY lbl
+                                ORDER BY COUNT(*) DESC, lang ASC) AS lr
+      FROM mem GROUP BY lbl, lang
+    ),
+    smode AS (
+      SELECT lbl, source,
+             ROW_NUMBER() OVER (PARTITION BY lbl
+                                ORDER BY COUNT(*) DESC, source ASC) AS sr2
+      FROM mem GROUP BY lbl, source
+    ),
+    agg AS (
+      SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM mem GROUP BY lbl
+    )
+    SELECT a.lbl AS cluster, a.n_members,
+           b.doc_id AS survivor_id,
+           lm.lang AS lang_canon,
+           sm.source AS source_canon,
+           a.total_chars, a.n_sources
+    FROM agg a
+    JOIN best b ON b.lbl = a.lbl AND b.sr = 1
+    JOIN lmode lm ON lm.lbl = a.lbl AND lm.lr = 1
+    JOIN smode sm ON sm.lbl = a.lbl AND sm.sr2 = 1
+    WHERE a.n_members > 1
+    """,
+)
+def er3_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution SURVIVORSHIP: one golden record per
+    multi-member cluster, each ATTRIBUTE merged by its own
+    deterministic rule — the MDM step after er1's match/cluster:
+    survivor_id = longest text (id ties), lang/source = per-cluster
+    MODE (count desc, value asc — exact integer rule, no sampling),
+    total_chars = exact sum, n_sources = provenance width. er1 keeps
+    one ROW; this merges the FIELDS, which is what a master-data
+    pipeline actually publishes. Clusters are er1's (sorted-
+    neighborhood blocking -> edit-distance match -> 3-round integer
+    min-label), singletons excluded (nothing to merge).
+
+    Scale: inherits er1's blocking-bounded match; survivorship adds
+    per-cluster windows and map-combined aggregates, all keyed on the
+    cluster label — nothing quadratic, no driver round-trip."""
+    from hi_csa_db_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(F.lower(strip_punct(F.col("text"))), 1, 24)
+    pairs = (
+        sorted_neighborhood_pairs(docs, key, id_col="doc_id", window=3)
+        .filter(F.levenshtein("a_key", "b_key") <= 6)
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    labels = graph.connected_components(pairs, iterations=3)
+    mem = (
+        docs.select("doc_id", "lang", "source", "n_chars")
+        .join(labels, docs["doc_id"] == labels["id"], "left")
+        .select(
+            F.coalesce("lbl", F.col("doc_id")).alias("lbl"),
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    wb = Window.partitionBy("lbl").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    best = (
+        mem.withColumn("sr", F.row_number().over(wb))
+        .filter(F.col("sr") == 1)
+        .select("lbl", F.col("doc_id").alias("survivor_id"))
+    )
+    lmode = (
+        mem.groupBy("lbl", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "lr",
+            F.row_number().over(
+                Window.partitionBy("lbl").orderBy(
+                    F.col("c").desc(), F.col("lang").asc()
+                )
+            ),
+        )
+        .filter(F.col("lr") == 1)
+        .select("lbl", F.col("lang").alias("lang_canon"))
+    )
+    smode = (
+        mem.groupBy("lbl", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "sr2",
+            F.row_number().over(
+                Window.partitionBy("lbl").orderBy(
+                    F.col("c").desc(), F.col("source").asc()
+                )
+            ),
+        )
+        .filter(F.col("sr2") == 1)
+        .select("lbl", F.col("source").alias("source_canon"))
+    )
+    agg = mem.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    return (
+        agg.filter(F.col("n_members") > 1)
+        .join(best, "lbl")
+        .join(lmode, "lbl")
+        .join(smode, "lbl")
+        .select(
+            F.col("lbl").alias("cluster"),
+            "n_members",
+            "survivor_id",
+            "lang_canon",
+            "source_canon",
+            "total_chars",
+            "n_sources",
+        )
     )
 
 
