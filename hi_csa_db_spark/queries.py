@@ -25,6 +25,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -20010,9 +20011,10 @@ def er3_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 #   1. _NEEDS_REPROOF -- queries whose oracle/query text changed after
 #      their last driver green, or that were driver-red and have been
-#      fixed since. Hand-maintained, kept small, entries removed once
-#      a green driver row lands (driver_green_names() then classifies
-#      them as banked automatically, but pruning keeps intent clear).
+#      fixed since. Hand-maintained map name -> round of the change; a
+#      name leaves the front AUTOMATICALLY once any artifact from a
+#      LATER round records it green (so a proven re-proof can't waste
+#      next round's slots even if nobody edits this map).
 #   2. Never-driver-green queries: _FLAGSHIPS first (one
 #      representative per major family, so a single rotated round
 #      proves breadth), then full-oracle names in registry
@@ -20028,19 +20030,21 @@ def er3_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ordering is deterministic, and the derivation tolerates missing
 # artifacts (fresh clone => everything rotates to the front).
 
-_NEEDS_REPROOF = (
+_NEEDS_REPROOF = {
     # Round 5 changed these three oracles' SQL text (HUGEINT->BIGINT
     # casts on SUMs) after their last driver green, so the banked
-    # green no longer covers the current oracle string.
-    "x33_curriculum_phases",
-    "t9_robust_outliers",
-    "x31_dataset_card",
+    # green no longer covers the current oracle string: a green from
+    # round > 5 retires each entry.
+    "x33_curriculum_phases": 5,
+    "t9_robust_outliers": 5,
+    "x31_dataset_card": 5,
     # Driver-red in r3 (sampled-once env/timestamp semantics), fixed
-    # that same round, never driver-sampled since.
-    "stream_hourly_counts",
-    "stream_stateful_totals",
-    "stream_incremental_dedup",
-)
+    # that same round, never driver-sampled since: green from
+    # round > 3 retires.
+    "stream_hourly_counts": 3,
+    "stream_stateful_totals": 3,
+    "stream_incremental_dedup": 3,
+}
 
 # Never-sampled rotation leaders: one representative per major family
 # (graph iteration, ML, embedding dedup, incremental LSH, OLAP cube,
@@ -20061,14 +20065,22 @@ _FLAGSHIPS = (
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def driver_green_names(root: str = _REPO_ROOT) -> set[str]:
+def driver_green_names(
+    root: str = _REPO_ROOT, after_round: int = 0
+) -> set[str]:
     """Query names with >= 1 fully-green driver row in any shipped
     ``CORRECTNESS_r*.json`` (no error, rows match, and neither schema
     nor hash recorded as a mismatch -- rows-only checks record null
     hash_match and still count as their strongest-possible green).
-    Missing or unreadable artifacts contribute nothing."""
+    ``after_round`` restricts to artifacts from STRICTLY LATER rounds
+    (used to retire _NEEDS_REPROOF entries only once the post-change
+    driver has confirmed them). Missing or unreadable artifacts
+    contribute nothing."""
     greens: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+        if m is None or int(m.group(1)) <= after_round:
+            continue
         try:
             with open(path, encoding="utf-8") as fh:
                 rows = json.load(fh)
@@ -20094,7 +20106,11 @@ def priority_order() -> tuple[str, ...]:
     _FLAGSHIPS, shipped CORRECTNESS artifacts) -- deterministic for a
     given repo snapshot."""
     greens = driver_green_names()
-    reproof = [n for n in _NEEDS_REPROOF if n in _QUERIES]
+    reproof = [
+        n
+        for n, since in _NEEDS_REPROOF.items()
+        if n in _QUERIES and n not in driver_green_names(after_round=since)
+    ]
     taken = set(reproof)
     never_flagship: list[str] = []
     never_full: list[str] = []

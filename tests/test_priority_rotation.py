@@ -38,18 +38,57 @@ def test_prefix_never_wastes_a_slot_on_banked_greens():
     assert wasted == [], f"banked greens occupying driver slots: {wasted}"
 
 
+def _pending_reproof():
+    return [
+        n
+        for n, since in Q._NEEDS_REPROOF.items()
+        if n in Q._QUERIES
+        and n not in Q.driver_green_names(after_round=since)
+    ]
+
+
 def test_reproof_names_lead_and_exist():
     order = Q.priority_order()
-    reproof = [n for n in Q._NEEDS_REPROOF if n in Q._QUERIES]
+    reproof = _pending_reproof()
     assert list(order[: len(reproof)]) == reproof
     missing = [n for n in Q._NEEDS_REPROOF if n not in Q._QUERIES]
     assert missing == [], f"_NEEDS_REPROOF names not in registry: {missing}"
 
 
+def test_reproof_retires_once_a_later_round_confirms(tmp_path, monkeypatch):
+    """A reproof name green in an artifact from a round AFTER its
+    change leaves the front automatically — proven greens can't waste
+    the next round's slots even if nobody prunes the map."""
+    import json
+
+    green = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "err": None,
+    }
+    name = next(iter(Q._NEEDS_REPROOF))
+    since = Q._NEEDS_REPROOF[name]
+    (tmp_path / f"CORRECTNESS_r{since:02d}.json").write_text(
+        json.dumps({name: green})
+    )
+    # green only in the change round itself -> still pending
+    assert name not in Q.driver_green_names(
+        root=str(tmp_path), after_round=since
+    )
+    (tmp_path / f"CORRECTNESS_r{since + 1:02d}.json").write_text(
+        json.dumps({name: green})
+    )
+    # green in a later round -> retired
+    assert name in Q.driver_green_names(
+        root=str(tmp_path), after_round=since
+    )
+
+
 def test_flagships_lead_the_never_sampled_block():
     order = Q.priority_order()
     greens = Q.driver_green_names()
-    start = len([n for n in Q._NEEDS_REPROOF if n in Q._QUERIES])
+    start = len(_pending_reproof())
     pending_flagships = [
         n
         for n in Q._FLAGSHIPS
