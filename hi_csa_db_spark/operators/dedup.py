@@ -563,7 +563,9 @@ def band_plan_table(spark, num_hashes: int = 16, grid: int = 20) -> DataFrame:
     )
     for k in range(1, kmax + 1):
         pts = pts.withColumn(f"jp{k}", F.col(f"jp{k-1}") * F.col(f"jp{k-1}"))
-    e = geo.crossJoin(pts)  # tiny literal-range NLJ, broadcast by design
+    # tiny literal-range join; broadcast the grid side explicitly so
+    # the plan is a BroadcastNestedLoopJoin, not a CartesianProduct
+    e = geo.crossJoin(F.broadcast(pts))
     jr = F.when(F.col("rows_per_band") == 1, F.col("jp0"))
     for k in range(1, kmax + 1):
         jr = jr.when(F.col("rows_per_band") == 2**k, F.col(f"jp{k}"))

@@ -19017,7 +19017,7 @@ def d21_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = dedup.band_plan_table(spark, num_hashes=16, grid=20)
     targets = spark.createDataFrame([(4,), (7,), (10,), (14,)], "ti int")
     err = (
-        targets.crossJoin(pts)
+        targets.crossJoin(F.broadcast(pts))
         .select(
             "ti",
             "bands",
@@ -19185,14 +19185,18 @@ def pipe_training_prep_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_ppr_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Personalized PageRank from a seed set (3 fixed iterations,
-    d=0.85) over the part->supplier link graph — the seed-based
-    corpus-expansion primitive (WebText-style "pages reachable from
-    quality seeds", domain expansion from a curated allowlist): rank
-    mass teleports only to SEEDS (id % 100 == 0), so score measures
-    proximity to the seed set, not global centrality. Non-seed nodes
-    with no seed-reachable in-edges stay at exactly 0 and are
-    excluded — the expansion frontier IS the result set.
+    """Personalized PageRank from a seed SET (3 fixed iterations,
+    d=0.85) over the FULL directed part->supplier graph — the
+    seed-based corpus-expansion primitive (WebText-style "pages
+    reachable from quality seeds", domain expansion from a curated
+    allowlist): rank mass teleports only to SEEDS (id % 100 == 0), so
+    score measures proximity to the seed set, not global centrality.
+    Complements graph_ppr (single-node teleport, undirected 200-part
+    subgraph, 2 unrolled rounds): this is the multi-seed, whole-graph
+    variant routed through the reusable cached-layout operator, and
+    the seed set is a predicate, not one id. Non-seed nodes with no
+    seed-reachable in-edges stay at exactly 0 and are excluded — the
+    expansion frontier IS the result set.
 
     Unlike graph_pagerank's ROUND(double) ranks, PPR here is PURE
     INTEGER micro-rank arithmetic (per-edge floor division by
@@ -19937,6 +19941,12 @@ def er3_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_chars",
         )
+        # four survivorship branches (best/lang-mode/source-mode/agg)
+        # consume this frame; without truncation each branch re-runs
+        # the whole blocking+clustering lineage (observed: 12 scans /
+        # 45 shuffles in the plan report). One lazy checkpoint makes
+        # the expensive derivation run once.
+        .localCheckpoint(eager=False)
     )
     wb = Window.partitionBy("lbl").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()

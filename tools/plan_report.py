@@ -179,6 +179,18 @@ EXTRA = [
     "u19_multi_format_union",
     "stats_theil_sen",
     "w11_grouped_percentiles",
+    # round-6 additions: the planning tier + new operators
+    "d21_band_planner",
+    "pipe_training_prep_v7",
+    "graph_ppr_seed_expansion",
+    "ml_naive_bayes_model",
+    "t38_watermark_planner",
+    "t39_session_gap_planner",
+    "t40_auto_gap_sessionize",
+    "u21_compaction_plan",
+    "u22_zorder_layout",
+    "graph_components_star",
+    "er3_golden_record",
 ]
 
 
