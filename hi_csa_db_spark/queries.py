@@ -20006,6 +20006,129 @@ def er3_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x75_rake_keyphrases",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '') AS ws
+      FROM documents
+    ),
+    tk AS (
+      SELECT doc_id, s['p'] AS p, s['w'] AS w
+      FROM (
+        SELECT doc_id, unnest(list_transform(
+          range(1, len(ws) + 1), i -> {{'p': i, 'w': ws[i]}})) AS s
+        FROM t
+      )
+    ),
+    ns AS (
+      SELECT doc_id, p, w,
+             p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      FROM tk WHERE w NOT IN ({_CLS_STOPWORDS_SQL})
+    ),
+    phr AS (
+      SELECT doc_id, grp, string_agg(w, ' ' ORDER BY p) AS phrase,
+             COUNT(*) AS len
+      FROM ns GROUP BY doc_id, grp
+    ),
+    words AS (
+      SELECT ns.doc_id, ns.grp, ns.w, phr.len
+      FROM ns JOIN phr USING (doc_id, grp)
+    ),
+    wsc AS (
+      SELECT w, CAST(SUM(len) * 1000 // COUNT(*) AS BIGINT) AS score_milli
+      FROM words GROUP BY w
+    ),
+    occ AS (
+      SELECT words.doc_id, words.grp,
+             CAST(SUM(wsc.score_milli) AS BIGINT) AS ps
+      FROM words JOIN wsc ON wsc.w = words.w
+      GROUP BY words.doc_id, words.grp
+    ),
+    fin AS (
+      SELECT phr.phrase,
+             CAST(MIN(phr.len) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(MIN(occ.ps) AS BIGINT) AS score_milli
+      FROM occ JOIN phr USING (doc_id, grp) GROUP BY phr.phrase
+    )
+    SELECT phrase, n_words, n_occurrences, score_milli
+    FROM fin ORDER BY score_milli DESC, phrase ASC LIMIT 10
+    """,
+)
+def x75_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al.'s Rapid Automatic
+    Keyword Extraction) — the unsupervised corpus-labeling primitive:
+    candidate phrases are maximal runs of non-stopword tokens
+    (gaps-and-islands segmentation: position minus per-doc rank of
+    non-stop tokens — one window pass, no UDF), each word scores
+    degree/frequency (degree = total length of phrases it appears in),
+    and a phrase scores the sum of its words. Top-10 phrases
+    corpus-wide by score, with occurrence counts — the tag cloud /
+    topic-seed table next to x6's TF-IDF terms (RAKE rewards
+    multi-word collocations where TF-IDF scores words alone).
+
+    Determinism: integer milli word scores (SUM(len)*1000 div count);
+    phrase assembly is position-ordered on both engines; final order
+    (score desc, phrase asc) over distinct phrase text.
+
+    Scale: one tokenize+posexplode stream, one per-doc window for
+    segmentation, two map-combined aggregates (phrase build, word
+    stats), a vocab-keyed join, and a global top-10 —
+    TakeOrderedAndProject, never a full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.filter(
+        tokenize(F.lower(strip_punct(F.col("text")))), lambda x: x != ""
+    )
+    tk = docs.select(
+        "doc_id", F.posexplode(arr).alias("p", "w")
+    )
+    ns = tk.filter(~F.col("w").isin(*textstats.STOPWORDS)).withColumn(
+        "grp",
+        F.col("p")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("p").asc())
+        ),
+    )
+    phr = ns.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("p", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("len"),
+    )
+    words = ns.select("doc_id", "grp", "w").join(
+        phr.select("doc_id", "grp", "len"), ["doc_id", "grp"]
+    )
+    wsc = words.groupBy("w").agg(
+        F.expr("CAST(SUM(len) * 1000 div COUNT(1) AS BIGINT)").alias(
+            "score_milli"
+        )
+    )
+    occ = (
+        words.join(wsc, "w")
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("score_milli").cast("bigint").alias("ps"))
+    )
+    fin = (
+        occ.join(phr, ["doc_id", "grp"])
+        .groupBy("phrase")
+        .agg(
+            F.min("len").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("ps").cast("bigint").alias("score_milli"),
+        )
+    )
+    return fin.orderBy(
+        F.col("score_milli").desc(), F.col("phrase").asc()
+    ).limit(10)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #
