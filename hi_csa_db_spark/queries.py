@@ -20129,6 +20129,91 @@ def x75_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
 
 
+@_register(
+    "f18_soundex_blocks",
+    """
+    WITH w1 AS (
+      SELECT doc_id,
+             (list_filter(
+               string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+               x -> x <> ''))[1] AS w
+      FROM documents
+    ),
+    d0 AS (
+      SELECT doc_id, w,
+             translate(substr(w, 2),
+                       'bfpvcgjkqsxzdtlmnraeiouyhw0123456789',
+                       '111122222222334556000000000000000000') AS d
+      FROM w1 WHERE w IS NOT NULL AND w <> ''
+    ),
+    d1 AS (
+      SELECT doc_id, w,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(d,
+          '1{2,}', '1', 'g'), '2{2,}', '2', 'g'), '3{2,}', '3', 'g'),
+          '4{2,}', '4', 'g'), '5{2,}', '5', 'g'), '6{2,}', '6', 'g') AS d
+      FROM d0
+    ),
+    code AS (
+      SELECT doc_id, w,
+             upper(substr(w, 1, 1))
+               || substr(replace(d, '0', '') || '000', 1, 3) AS sdx
+      FROM d1
+    )
+    SELECT sdx, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_tokens
+    FROM code GROUP BY sdx HAVING COUNT(*) >= 2
+    """,
+)
+def f18_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic (soundex) BLOCKING — the classic entity-resolution
+    blocking key family beside d15's sorted-neighborhood and j10's
+    fuzzy-neighbor: each document's lead token is coded
+    first-letter + 3 consonant-class digits, and blocks of >= 2 docs
+    (the candidate-pair generators) are audited with member and
+    distinct-token counts. SIMPLIFIED soundex, implemented as the
+    IDENTICAL translate + per-digit run-collapse + zero-strip chain on
+    both engines (RE2 has no backreferences, so runs collapse with six
+    fixed '<d>{2,}' passes; the official adjacent-to-first-letter and
+    h/w-separator rules are deliberately omitted) — engine-built-in
+    soundex() variants differ in exactly those edge rules, which is
+    why neither is used.
+
+    Scale: a narrow string map + one map-combined aggregate keyed on
+    the 4-char code; at fleet scale the code is the block key of the
+    subsequent pair join, bounding candidates by block size like
+    every other blocking op here."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(
+        tokenize(F.lower(strip_punct(F.col("text")))), lambda x: x != ""
+    )[0]
+    w1 = docs.select("doc_id", w.alias("w")).filter(
+        F.col("w").isNotNull() & (F.col("w") != "")
+    )
+    d = F.translate(
+        F.expr("substr(w, 2)"),
+        "bfpvcgjkqsxzdtlmnraeiouyhw0123456789",
+        "111122222222334556000000000000000000",
+    )
+    for digit in "123456":
+        d = F.regexp_replace(d, digit + "{2,}", digit)
+    sdx = F.concat(
+        F.upper(F.substring("w", 1, 1)),
+        F.substring(
+            F.concat(F.replace(d, F.lit("0"), F.lit("")), F.lit("000")), 1, 3
+        ),
+    )
+    return (
+        w1.select("w", sdx.alias("sdx"))
+        .groupBy("sdx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("w").cast("bigint").alias("n_distinct_tokens"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #
