@@ -20214,6 +20214,96 @@ def f18_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "t41_cohort_ltv",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    c AS (SELECT o_custkey, MIN(wk) AS c0 FROM o GROUP BY o_custkey),
+    j AS (
+      SELECT c.c0 AS cohort_week, o.wk - c.c0 AS week_offset,
+             o.o_custkey, o.cents
+      FROM o JOIN c ON c.o_custkey = o.o_custkey
+      WHERE o.wk - c.c0 < 8
+    ),
+    g AS (
+      SELECT cohort_week, week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+             CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      FROM j GROUP BY cohort_week, week_offset
+    )
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           n_orders, n_active, revenue_cents,
+           CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_week
+             ORDER BY week_offset ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_revenue_cents
+    FROM g
+    """,
+)
+def t41_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    week, revenue accumulated across their first 8 weekly offsets —
+    the money sibling of t6's retention counts (t6 answers "do they
+    come back", this answers "what are they worth by week N", the
+    payback-period table subscription/acquisition decisions read).
+    Exact integer money (decimal cents) and integer epoch-week
+    arithmetic on both engines; the cumulative sum runs per cohort
+    over <= 8 offset rows, never over raw orders.
+
+    Scale: two map-combined aggregates (first-order week, per-cell
+    rollup) + an equi-join on customer + a cohort-partitioned window
+    over the tiny aggregated grid."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(datediff(o_orderdate, DATE '1970-01-01') div 7 AS BIGINT)"
+        ).alias("wk"),
+        (F.col("o_totalprice").cast("decimal(15,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    c = o.groupBy("o_custkey").agg(F.min("wk").alias("c0"))
+    j = (
+        o.join(c, "o_custkey")
+        .select(
+            F.col("c0").alias("cohort_week"),
+            (F.col("wk") - F.col("c0")).alias("week_offset"),
+            "o_custkey",
+            "cents",
+        )
+        .filter(F.col("week_offset") < 8)
+    )
+    g = j.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy(F.col("week_offset").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        F.col("cohort_week").cast("bigint").alias("cohort_week"),
+        F.col("week_offset").cast("bigint").alias("week_offset"),
+        "n_orders",
+        "n_active",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("bigint").alias(
+            "cum_revenue_cents"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #
