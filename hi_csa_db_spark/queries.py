@@ -20304,6 +20304,103 @@ def t41_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dq13_volume_anomaly",
+    """
+    WITH d AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, epoch_us(ts) // 86400000000
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(n) AS BIGINT) AS tot,
+             CAST(SUM(n * n) AS BIGINT) AS sq
+      FROM d GROUP BY event_type
+    ),
+    j AS (
+      SELECT d.event_type, d.day, d.n,
+             (d.n * s.n_days - s.tot) AS dev, s.n_days,
+             9 * (s.n_days * s.sq - s.tot * s.tot) AS thr3,
+             4 * (s.n_days * s.sq - s.tot * s.tot) AS thr2,
+             ROW_NUMBER() OVER (PARTITION BY d.event_type
+               ORDER BY (d.n * s.n_days - s.tot)
+                        * (d.n * s.n_days - s.tot) DESC, d.day ASC) AS rk
+      FROM d JOIN s ON s.event_type = d.event_type
+    )
+    SELECT event_type, CAST(day AS BIGINT) AS worst_day, n AS worst_n,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(dev * dev AS BIGINT) AS dev_sq_scaled,
+           CAST(thr3 AS BIGINT) AS thr3_scaled,
+           CAST(CASE WHEN dev * dev > thr2 THEN 1 ELSE 0 END AS INT)
+             AS breach_2sigma,
+           CAST(CASE WHEN dev * dev > thr3 THEN 1 ELSE 0 END AS INT)
+             AS breach_3sigma
+    FROM j WHERE rk = 1
+    """,
+)
+def dq13_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume control chart — the DQ monitor that catches a broken
+    producer BEFORE values are inspected: each event type\'s WORST
+    deviation day (daily count vs its own mean) is reported with the
+    2-sigma and 3-sigma control-limit verdicts, the test done ENTIRELY
+    IN INTEGERS by clearing denominators:
+    |x - S/D| > k*sqrt((SQ - S^2/D)/D)  <=>
+    (x*D - S)^2 > k^2*(D*SQ - S^2) — no float mean, no sqrt,
+    identical on both engines and any host. Reporting the worst day
+    per type (instead of only breaches) keeps the chart non-vacuous
+    on healthy streams: the monitor\'s output is the margin, not just
+    an empty alarm list. Complements t29 (value anomalies) and dq8
+    (freshness): row-VOLUME drift is the first thing a dead or
+    duplicated upstream shows.
+
+    Scale: one map-combined (type, day) count, one <= |types| stats
+    aggregate broadcast back, a per-type window over day rows — two
+    narrow passes over counts, never the events twice."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.expr("ts_ns div 1000 div 86400000000").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("tot"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sq"),
+    )
+    j = d.join(F.broadcast(s), "event_type")
+    dev = F.col("n") * F.col("n_days") - F.col("tot")
+    var_s = F.col("n_days") * F.col("sq") - F.col("tot") * F.col("tot")
+    w = Window.partitionBy("event_type").orderBy(
+        (dev * dev).desc(), F.col("day").asc()
+    )
+    ranked = j.select(
+        "event_type",
+        "day",
+        "n",
+        "n_days",
+        (dev * dev).alias("dev_sq_scaled"),
+        (9 * var_s).alias("thr3"),
+        (4 * var_s).alias("thr2"),
+        F.row_number().over(w).alias("rk"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("day").cast("bigint").alias("worst_day"),
+        F.col("n").alias("worst_n"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("dev_sq_scaled").cast("bigint").alias("dev_sq_scaled"),
+        F.col("thr3").cast("bigint").alias("thr3_scaled"),
+        (F.col("dev_sq_scaled") > F.col("thr2")).cast("int").alias(
+            "breach_2sigma"
+        ),
+        (F.col("dev_sq_scaled") > F.col("thr3")).cast("int").alias(
+            "breach_3sigma"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #
