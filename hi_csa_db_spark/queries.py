@@ -20343,7 +20343,7 @@ def t41_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dq13_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume control chart — the DQ monitor that catches a broken
-    producer BEFORE values are inspected: each event type\'s WORST
+    producer BEFORE values are inspected: each event type's WORST
     deviation day (daily count vs its own mean) is reported with the
     2-sigma and 3-sigma control-limit verdicts, the test done ENTIRELY
     IN INTEGERS by clearing denominators:
@@ -20351,7 +20351,7 @@ def dq13_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x*D - S)^2 > k^2*(D*SQ - S^2) — no float mean, no sqrt,
     identical on both engines and any host. Reporting the worst day
     per type (instead of only breaches) keeps the chart non-vacuous
-    on healthy streams: the monitor\'s output is the margin, not just
+    on healthy streams: the monitor's output is the margin, not just
     an empty alarm list. Complements t29 (value anomalies) and dq8
     (freshness): row-VOLUME drift is the first thing a dead or
     duplicated upstream shows.
