@@ -20401,6 +20401,85 @@ def dq13_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x76_boilerplate_strip",
+    """
+    WITH lines AS (
+      SELECT doc_id, md5(l) AS lh, length(l) AS chars FROM (
+        SELECT doc_id, unnest(string_split(text, '. ')) AS l FROM documents
+      ) WHERE l <> ''
+    ),
+    df_ AS (SELECT lh, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY lh),
+    per_doc AS (
+      SELECT l.doc_id,
+             CAST(SUM(l.chars) AS BIGINT) AS chars_before,
+             CAST(SUM(CASE WHEN d.df < 3 THEN l.chars ELSE 0 END) AS BIGINT)
+               AS chars_after
+      FROM lines l JOIN df_ d ON d.lh = l.lh
+      GROUP BY l.doc_id
+    )
+    SELECT doc.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.chars_before) AS BIGINT) AS chars_before,
+           CAST(SUM(p.chars_after) AS BIGINT) AS chars_after,
+           CAST((SUM(p.chars_before) - SUM(p.chars_after)) * 1000000
+                // SUM(p.chars_before) AS BIGINT) AS saved_micro
+    FROM per_doc p JOIN documents doc ON doc.doc_id = p.doc_id
+    GROUP BY doc.source
+    """,
+)
+def x76_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL (the action to d17's detection): lines
+    appearing in >= 3 distinct documents are stripped, and the
+    per-source savings audit reports exactly how many characters the
+    cleanup reclaims (saved_micro = exact integer millionths) — the
+    CCNet/corpus-cleanup step that runs between scraping and
+    training, sized per source so the noisiest feeds are visible.
+
+    Scale: d17's contract — one line-hash aggregate over the
+    Zipf-small distinct-line keyspace, a doc rollup, and a <= |sources|
+    audit aggregate; the cleaned text itself is a filter over the
+    same exploded stream at write time (never materialized here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), "\\. ")).alias("l")
+        )
+        .filter(F.col("l") != "")
+        .select("doc_id", F.md5("l").alias("lh"), F.length("l").alias("chars"))
+    )
+    df_ = lines.groupBy("lh").agg(F.countDistinct("doc_id").alias("df"))
+    per_doc = (
+        lines.join(df_, "lh")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("chars").cast("bigint").alias("chars_before"),
+            F.sum(F.when(F.col("df") < 3, F.col("chars")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_after"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("chars_before").cast("bigint").alias("chars_before"),
+            F.sum("chars_after").cast("bigint").alias("chars_after"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "chars_before",
+            "chars_after",
+            F.expr(
+                "CAST((chars_before - chars_after) * 1000000 "
+                "div chars_before AS BIGINT)"
+            ).alias("saved_micro"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #
