@@ -191,6 +191,11 @@ EXTRA = [
     "u22_zorder_layout",
     "graph_components_star",
     "er3_golden_record",
+    "x75_rake_keyphrases",
+    "f18_soundex_blocks",
+    "t41_cohort_ltv",
+    "dq13_volume_anomaly",
+    "x76_boilerplate_strip",
 ]
 
 
