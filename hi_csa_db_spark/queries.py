@@ -20480,6 +20480,139 @@ def x76_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x78_dedup_mixture_shift",
+    f"""
+    WITH {_D6_LABELS_SQL},
+    drops AS (SELECT id FROM l3 WHERE id <> lbl),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM documents),
+    keptt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS na
+      FROM documents d LEFT JOIN drops x ON x.id = d.doc_id
+      WHERE x.id IS NULL
+    ),
+    per AS (
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_before,
+             CAST(SUM(CASE WHEN x.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after
+      FROM documents d LEFT JOIN drops x ON x.id = d.doc_id
+      GROUP BY d.source
+    )
+    SELECT per.source, per.n_before, per.n_after,
+           CAST(per.n_before * 1000000 // tot.nb AS BIGINT)
+             AS share_before_micro,
+           CAST(per.n_after * 1000000 // keptt.na AS BIGINT)
+             AS share_after_micro,
+           CAST(per.n_after * 1000000 // keptt.na
+                - per.n_before * 1000000 // tot.nb AS BIGINT)
+             AS shift_micro
+    FROM per CROSS JOIN tot CROSS JOIN keptt
+    """,
+)
+def x78_dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How dedup RESHAPES the training mixture: per-source corpus
+    shares before vs after d6's hard near-dup collapse, with the
+    signed shift in exact integer millionths — the audit that catches
+    dedup silently starving a domain (duplicate-heavy sources lose
+    share by construction; the training-mix owner needs to see by how
+    much BEFORE x17's mixture weights are fit on the deduped corpus).
+    Composes the proven d2/d6 cluster machinery (survivor = cluster
+    min id; singletons untouched) with a two-sided share audit.
+
+    Scale: inherits d6's banded-LSH contract; the audit adds one
+    anti-join-shaped left join, a <= |sources| aggregate, and two
+    1-row total broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=8, threshold=0.05
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = graph.connected_components(edges, iterations=3)
+    drops = labels.filter(F.col("id") != F.col("lbl")).select("id")
+    tagged = docs.select("doc_id", "source").join(
+        drops, docs["doc_id"] == drops["id"], "left"
+    )
+    per = tagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before"),
+        F.sum(F.when(F.col("id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_after"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    kept = tagged.filter(F.col("id").isNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("na")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(kept))
+        .select(
+            "source",
+            "n_before",
+            "n_after",
+            F.expr("CAST(n_before * 1000000 div nb AS BIGINT)").alias(
+                "share_before_micro"
+            ),
+            F.expr("CAST(n_after * 1000000 div na AS BIGINT)").alias(
+                "share_after_micro"
+            ),
+            F.expr(
+                "CAST(n_after * 1000000 div na "
+                "- n_before * 1000000 div nb AS BIGINT)"
+            ).alias("shift_micro"),
+        )
+    )
+
+
+@_register(
+    "t42_outage_intervals",
+    """
+    WITH e AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us FROM events
+    ),
+    l AS (
+      SELECT event_type, us,
+             LAG(us) OVER (PARTITION BY event_type
+                           ORDER BY us ASC, event_id ASC) AS prev_us
+      FROM e
+    )
+    SELECT event_type,
+           CAST(prev_us AS BIGINT) AS start_us,
+           CAST(us AS BIGINT) AS end_us,
+           CAST(us - prev_us AS BIGINT) AS gap_us
+    FROM l WHERE us - prev_us > 7200000000
+    """,
+)
+def t42_outage_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outage detection — the inverse of sessionization: within each
+    event type's stream, any silence longer than 2 hours is an outage
+    interval (start, end, duration in exact integer microseconds),
+    the incident list an on-call reads next to dq8's current
+    staleness (dq8 answers "how far behind are we NOW"; this answers
+    "when did the feed go quiet, and for how long, historically").
+
+    Determinism: declared-us epochs, (ts, event_id)-ordered LAG — no
+    ties, no floats. Scale: one window pass partitioned by type
+    (parallel per stream, never global) + an integer filter."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", "event_id", F.expr("ts_ns div 1000").alias("us")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    l = e.withColumn("prev_us", F.lag("us").over(w))
+    return (
+        l.filter(F.col("us") - F.col("prev_us") > 7200000000)
+        .select(
+            "event_type",
+            F.col("prev_us").cast("bigint").alias("start_us"),
+            F.col("us").cast("bigint").alias("end_us"),
+            (F.col("us") - F.col("prev_us")).cast("bigint").alias("gap_us"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #

@@ -148,6 +148,7 @@ _NLJ_ALLOWED = {
     "t38_watermark_planner",  # 5-row watermark-grid broadcast
     "t39_session_gap_planner",  # 5-row gap-grid + 1-row user-count broadcasts
     "t40_auto_gap_sessionize",  # grid/floor/user-count/chosen-gap 1-row broadcasts
+    "x78_dedup_mixture_shift",  # 1-row before/after total broadcasts
 }
 
 
