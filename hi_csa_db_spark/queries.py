@@ -20530,8 +20530,12 @@ def x78_dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     labels = graph.connected_components(edges, iterations=3)
     drops = labels.filter(F.col("id") != F.col("lbl")).select("id")
-    tagged = docs.select("doc_id", "source").join(
-        drops, docs["doc_id"] == drops["id"], "left"
+    # two consumers (per-source rollup + kept total) would re-run the
+    # whole LSH+components derivation; truncate once (the er3 pattern)
+    tagged = (
+        docs.select("doc_id", "source")
+        .join(drops, docs["doc_id"] == drops["id"], "left")
+        .localCheckpoint(eager=False)
     )
     per = tagged.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_before"),

@@ -196,6 +196,8 @@ EXTRA = [
     "t41_cohort_ltv",
     "dq13_volume_anomaly",
     "x76_boilerplate_strip",
+    "x78_dedup_mixture_shift",
+    "t42_outage_intervals",
 ]
 
 
