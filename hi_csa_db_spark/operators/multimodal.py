@@ -883,3 +883,74 @@ def audio_vad(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.select(id_col).mapInPandas(gen, VAD_SCHEMA)
+
+
+TRIM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples_before", IntegerType()),
+        StructField("n_samples_after", IntegerType()),
+        StructField("bytes_before", LongType()),
+        StructField("bytes_after", LongType()),
+        StructField("saved_micro", LongType()),
+    ]
+)
+
+
+def audio_silence_trim(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Silence TRIMMING — the action to audio_vad's detection: the
+    same id-derived signal (leading silent prefix of 1 + id % 4
+    256-sample frames, then a bin-aligned tone) is WAV-encoded,
+    decoded, energy-gated per frame, CUT at the first active frame,
+    and the trimmed audio is RE-ENCODED through the codec; the audit
+    row carries the before/after sample and byte counts (44-byte
+    header + 2 bytes/sample) and exact-integer savings. Every value
+    is predictable from the id alone, so the oracle value-checks the
+    full encode -> decode -> gate -> trim -> re-encode chain — real
+    output bytes, not just detection flags — through the distributed
+    plan. The storage-savings step an audio pipeline runs before
+    archiving voice data.
+
+    Arrow-batched mapInPandas; audio payloads never leave executors."""
+    import numpy as np
+
+    N, RATE, FRAME = 2048, 8000, 256
+    THRESH = FRAME * 327 * 327
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hi_csa_db_spark.functions import codecs
+
+        cols = [f.name for f in TRIM_SCHEMA.fields]
+        n = np.arange(N)
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                k = 10 + i % 100
+                start = FRAME * (1 + i % 4)
+                sig = 0.8 * np.sin(2.0 * np.pi * k * n / N)
+                sig[:start] = 0.0
+                wav = codecs.encode_wav(sig, rate=RATE)
+                samples, rate = codecs.decode_wav(wav)
+                ints = np.rint(samples[:, 0] * 32768.0).astype(np.int64)
+                frames = ints.reshape(-1, FRAME)
+                energy = (frames * frames).sum(axis=1)
+                active = energy > THRESH
+                first = int(np.argmax(active)) if active.any() else len(energy)
+                trimmed = samples[first * FRAME :, 0]
+                out = codecs.encode_wav(trimmed, rate=rate)
+                rows.append(
+                    {
+                        "media_id": i,
+                        "n_samples_before": int(len(ints)),
+                        "n_samples_after": int(len(trimmed)),
+                        "bytes_before": len(wav),
+                        "bytes_after": len(out),
+                        "saved_micro": (len(wav) - len(out))
+                        * 1000000
+                        // len(wav),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col).mapInPandas(gen, TRIM_SCHEMA)

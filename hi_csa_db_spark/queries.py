@@ -20617,6 +20617,35 @@ def t42_outage_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "mm17_silence_trim",
+    """
+    SELECT doc_id AS media_id,
+           CAST(2048 AS INT) AS n_samples_before,
+           CAST(2048 - 256 * (1 + doc_id % 4) AS INT) AS n_samples_after,
+           CAST(44 + 2 * 2048 AS BIGINT) AS bytes_before,
+           CAST(44 + 2 * (2048 - 256 * (1 + doc_id % 4)) AS BIGINT)
+             AS bytes_after,
+           CAST(2 * 256 * (1 + doc_id % 4) * 1000000 // (44 + 2 * 2048)
+             AS BIGINT) AS saved_micro
+    FROM documents
+    """,
+)
+def mm17_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence trimming through the real WAV codec — the ACTION to
+    mm13's VAD detection: the id-derived silent prefix is cut at the
+    first energy-active frame and the remainder RE-ENCODED, so the
+    audited byte counts come from real encoder output (44-byte header
+    + 2 bytes/sample), and the oracle predicts every one of them from
+    the id alone — value-checking encode -> decode -> gate -> trim ->
+    re-encode end to end (operators/multimodal.audio_silence_trim).
+    The storage-savings step before archiving voice data, sized in
+    exact integer millionths."""
+    from hi_csa_db_spark.operators.multimodal import audio_silence_trim
+
+    return audio_silence_trim(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #
