@@ -20646,6 +20646,48 @@ def mm17_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_silence_trim(load_table(spark, sf_dir, "documents"))
 
 
+@_register(
+    "x79_gate_length_grid",
+    f"""
+    WITH {_X20_SCORED_SQL},
+    b AS (
+      SELECT s.keep, s.n_words AS n_tokens FROM scored s
+    )
+    SELECT CAST({_BUCKET_LADDER_SQL} AS INT) AS bucket,
+           CAST(keep AS INT) AS keep,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM b GROUP BY {_BUCKET_LADDER_SQL}, keep
+    """,
+)
+def x79_gate_length_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the quality gate removes, BY LENGTH: the x20 keep/drop
+    decision crossed with x59's power-of-two token buckets — the
+    audit that catches a classifier silently nuking one length band
+    (length-correlated features make gates length-biased; a training
+    mix needs long documents to survive). Each (bucket, keep) cell
+    carries doc and token counts, so both the document-level and the
+    token-mass view of the bias are read off one table.
+
+    Scale: x20's one explode + map-combined groupBy, then a narrow
+    bucket map and a <= 16-group aggregate — nothing new shuffles."""
+    scored = x20_quality_classifier(spark, sf_dir).select(
+        "keep", F.col("n_words").alias("n_tokens")
+    )
+    return (
+        scored.select(
+            F.expr(_BUCKET_LADDER_SQL).cast("int").alias("bucket"),
+            F.col("keep").cast("int").alias("keep"),
+            "n_tokens",
+        )
+        .groupBy("bucket", "keep")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #
