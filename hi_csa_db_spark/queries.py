@@ -20688,6 +20688,152 @@ def x79_gate_length_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "s14_mips_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, ROUND({_DOT.format(a='e.embedding', b='q.qv')}, 6) AS dot
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY dot DESC, vec_id ASC LIMIT 10
+    """,
+)
+def s14_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum INNER-PRODUCT search top-k — the recommendation /
+    retrieval scoring s1's cosine deliberately is not: the raw dot
+    product rewards large-norm vectors (popularity-correlated in
+    learned embedding spaces), so MIPS and cosine rank DIFFERENT
+    neighbors whenever norms vary, and serving systems need both.
+    Same execution contract as s1: broadcast query vector, zip_with
+    dot inside whole-stage codegen (no UDF), 6-dp round + id tiebreak
+    for cross-engine-stable top-k, TakeOrderedAndProject — no corpus
+    shuffle. (At scale, MIPS bucketing reduces to the s2/s6 machinery
+    via the standard norm-augmentation transform; the brute-force
+    baseline here is the recall ground truth for it.)"""
+    from hi_csa_db_spark.functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__q")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot(F.col("embedding"), F.col("__q")), 6).alias("dot"),
+        )
+        .orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "x80_eval_decontam",
+    """
+    WITH evald AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    eg AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest(list_transform(
+          range(1, greatest(len(ws) - 4, 0) + 1),
+          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+               || ws[i+3] || ' ' || ws[i+4])) AS g
+        FROM (SELECT list_filter(
+                string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                x -> x <> '') AS ws
+              FROM evald)
+        WHERE len(ws) >= 5
+      )
+    ),
+    cg AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(ws) - 4, 0) + 1),
+          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+               || ws[i+3] || ' ' || ws[i+4])) AS g
+        FROM (SELECT doc_id, list_filter(
+                string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                x -> x <> '') AS ws
+              FROM corpus)
+        WHERE len(ws) >= 5
+      )
+    ),
+    hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg ON eg.g = cg.g)
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END) * 1000000
+                // COUNT(*) AS BIGINT) AS removed_micro
+    FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id
+    GROUP BY c.source
+    """,
+)
+def x80_eval_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set DECONTAMINATION (the action to x14's measurement):
+    corpus documents sharing ANY 5-gram with the held-out eval split
+    (doc_id % 97 == 0, x14's split) are dropped, and the per-source
+    removal audit reports how much each feed loses in exact integer
+    millionths — the GPT-3-style n-gram decontamination pass every
+    training corpus runs so benchmark numbers stay meaningful. x14
+    measures eval-side contamination fractions; this executes the
+    corpus-side drop and sizes its cost.
+
+    Scale: both sides shingle once (x14's 5-gram stream); the overlap
+    is an equi-join on the gram keyed by the (small) DISTINCT
+    eval-gram set — broadcast at fleet scale — followed by a distinct
+    on hit doc ids and a <= |sources| audit aggregate. Nothing is
+    quadratic; the corpus text is never compared pairwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    evald = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    def grams(df: DataFrame, with_id: bool):
+        toks = F.filter(
+            tokenize(F.lower(strip_punct(F.col("text")))), lambda x: x != ""
+        )
+        # rows are pre-filtered to size >= 5, so 0..size-5 is the full
+        # 5-gram start range
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 5),
+            lambda i: F.concat_ws(
+                " ",
+                toks[i],
+                toks[i + 1],
+                toks[i + 2],
+                toks[i + 3],
+                toks[i + 4],
+            ),
+        )
+        cols = (["doc_id"] if with_id else []) + [F.explode(g).alias("g")]
+        return df.filter(F.size(toks) >= 5).select(*cols)
+
+    eg = grams(evald, with_id=False).distinct()
+    cg = grams(corpus, with_id=True)
+    hits = cg.join(eg, "g").select("doc_id").distinct()
+    tagged = corpus.select("doc_id", "source").join(
+        hits.withColumnRenamed("doc_id", "hid"),
+        F.col("doc_id") == F.col("hid"),
+        "left",
+    )
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("hid").isNull(), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(F.when(F.col("hid").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.expr(
+            "CAST(SUM(CASE WHEN hid IS NULL THEN 0 ELSE 1 END) * 1000000 "
+            "div COUNT(1) AS BIGINT)"
+        ).alias("removed_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #

@@ -149,6 +149,7 @@ _NLJ_ALLOWED = {
     "t39_session_gap_planner",  # 5-row gap-grid + 1-row user-count broadcasts
     "t40_auto_gap_sessionize",  # grid/floor/user-count/chosen-gap 1-row broadcasts
     "x78_dedup_mixture_shift",  # 1-row before/after total broadcasts
+    "s14_mips_topk",  # 1-row query-vector broadcast (the s1 shape)
 }
 
 

@@ -198,6 +198,10 @@ EXTRA = [
     "x76_boilerplate_strip",
     "x78_dedup_mixture_shift",
     "t42_outage_intervals",
+    "mm17_silence_trim",
+    "x79_gate_length_grid",
+    "s14_mips_topk",
+    "x80_eval_decontam",
 ]
 
 
