@@ -51,6 +51,28 @@ def latest_round(repo: str = REPO) -> int | None:
     return max(rounds) if rounds else None
 
 
+def latest_committed_round(repo: str = REPO) -> int | None:
+    """Latest round N whose BENCH/CORRECTNESS artifact is TRACKED in
+    git. The driver writes round-N artifacts AFTER the builder's final
+    commit, so the working tree legitimately holds artifacts for a
+    round that no committed doc can mention yet (VERDICT r6 item 2) --
+    documentation requirements therefore key off the committed set,
+    not the on-disk set."""
+    out = subprocess.run(
+        ["git", "ls-files"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    rounds = [
+        int(m.group(1))
+        for line in out.splitlines()
+        if (m := re.fullmatch(r"(?:BENCH|CORRECTNESS)_r(\d+)\.json", line))
+    ]
+    return max(rounds) if rounds else None
+
+
 def doc_mentions_round(path: str, n: int) -> bool:
     if not os.path.exists(path):
         return False
@@ -67,7 +89,7 @@ def main() -> int:
             "uncommitted BENCH/CORRECTNESS artifacts:\n  "
             + "\n  ".join(dirty)
         )
-    n = latest_round()
+    n = latest_committed_round()
     if n is not None:
         for doc in ("BASELINE.md", "NOTES.md"):
             if not doc_mentions_round(os.path.join(REPO, doc), n):
