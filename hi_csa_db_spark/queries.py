@@ -22,7 +22,10 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import functools
 import glob
+import hashlib
+import inspect
 import json
 import os
 import re
@@ -19240,11 +19243,9 @@ def graph_ppr_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY lang
     ),
     p AS (
-      SELECT wc.lang, wc.w,
+      SELECT wc.lang, wc.w, wc.c, cw.cw, tc.tc, g.tot, g.v,
              CAST((wc.c + 1) * 1000000 // (tc.tc + g.v) AS BIGINT)
-               AS p_wc_micro,
-             CAST((cw.cw + 1) * 1000000 // (g.tot + g.v) AS BIGINT)
-               AS p_w_micro
+               AS p_wc_micro
       FROM cnt_wc wc
       JOIN tot_c tc ON tc.lang = wc.lang
       JOIN cnt_w cw ON cw.w = wc.w
@@ -19252,9 +19253,12 @@ def graph_ppr_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
       SELECT lang, w, p_wc_micro,
-             CAST(p_wc_micro * 1000 // p_w_micro AS BIGINT) AS lift_milli,
+             CAST(CAST(c + 1 AS HUGEINT) * (tot + v) * 1000
+                  // (CAST(cw + 1 AS HUGEINT) * (tc + v)) AS BIGINT)
+               AS lift_milli,
              ROW_NUMBER() OVER (PARTITION BY lang
-               ORDER BY p_wc_micro * 1000 // p_w_micro DESC, w ASC) AS rk
+               ORDER BY CAST(c + 1 AS HUGEINT) * (tot + v) * 1000
+                  // (CAST(cw + 1 AS HUGEINT) * (tc + v)) DESC, w ASC) AS rk
       FROM p
     )
     SELECT r.lang, CAST(r.rk AS INT) AS rk, r.w AS token,
@@ -19311,15 +19315,28 @@ def ml_naive_bayes_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             "w",
+            "c",
+            "cw",
+            "tc",
+            "tot",
+            "v",
             F.expr("CAST((c + 1) * 1000000 div (tc + v) AS BIGINT)").alias(
                 "p_wc_micro"
             ),
-            F.expr(
-                "CAST((cw + 1) * 1000000 div (tot + v) AS BIGINT)"
-            ).alias("p_w_micro"),
         )
     )
-    lift = F.expr("CAST(p_wc_micro * 1000 div p_w_micro AS BIGINT)")
+    # lift = p(w|c)/p(w) with CLEARED denominators (ADVICE r6): the
+    # old p_wc_micro*1000 div p_w_micro floors p_w_micro to 0 for
+    # hapax tokens once corpus tokens exceed ~1e6/(cw+1) -- ANSI Spark
+    # then throws DIVIDE_BY_ZERO while DuckDB //0 yields NULL. The
+    # exact form (c+1)(tot+v)*1000 div ((cw+1)(tc+v)) has no
+    # intermediate that can floor to a zero divisor; int128
+    # (DECIMAL(38,0) here, HUGEINT in the oracle) keeps the product
+    # exact at any corpus size, final value cast back to BIGINT.
+    lift = F.expr(
+        "CAST(CAST(c + 1 AS DECIMAL(38,0)) * (tot + v) * 1000"
+        " div (CAST(cw + 1 AS DECIMAL(38,0)) * (tc + v)) AS BIGINT)"
+    )
     w = Window.partitionBy("lang").orderBy(
         lift.desc(), F.col("w").asc()
     )
@@ -20882,6 +20899,11 @@ _NEEDS_REPROOF = {
     "stream_hourly_counts": 3,
     "stream_stateful_totals": 3,
     "stream_incremental_dedup": 3,
+    # Round 6 rewrote er1's registered oracle into the
+    # _ER1_CLUSTER_SQL f-string after its r3 green (ADVICE r6 medium:
+    # semantically identical and locally green, but the banked green
+    # predates the current text): green from round > 6 retires.
+    "er1_entity_resolution": 6,
 }
 
 # Never-sampled rotation leaders: one representative per major family
@@ -20903,21 +20925,17 @@ _FLAGSHIPS = (
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def driver_green_names(
-    root: str = _REPO_ROOT, after_round: int = 0
-) -> set[str]:
-    """Query names with >= 1 fully-green driver row in any shipped
-    ``CORRECTNESS_r*.json`` (no error, rows match, and neither schema
-    nor hash recorded as a mismatch -- rows-only checks record null
-    hash_match and still count as their strongest-possible green).
-    ``after_round`` restricts to artifacts from STRICTLY LATER rounds
-    (used to retire _NEEDS_REPROOF entries only once the post-change
-    driver has confirmed them). Missing or unreadable artifacts
-    contribute nothing."""
-    greens: set[str] = set()
+def _parse_correctness_artifacts(root: str) -> tuple:
+    """One pass over every shipped ``CORRECTNESS_r*.json``: ((round,
+    frozenset-of-green-names), ...) sorted by round. A green row has
+    no error, matching rows, and neither schema nor hash recorded as
+    a mismatch (rows-only checks record null hash_match and still
+    count as their strongest-possible green). Missing or unreadable
+    artifacts contribute nothing."""
+    out = []
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
-        if m is None or int(m.group(1)) <= after_round:
+        if m is None:
             continue
         try:
             with open(path, encoding="utf-8") as fh:
@@ -20926,30 +20944,124 @@ def driver_green_names(
             continue
         if not isinstance(rows, dict):
             continue
-        for name, row in rows.items():
-            if not isinstance(row, dict) or row.get("err") is not None:
-                continue
-            if (
-                row.get("rows_match")
-                and row.get("schema_match") is not False
-                and row.get("hash_match") is not False
-            ):
-                greens.add(name)
+        greens = frozenset(
+            name
+            for name, row in rows.items()
+            if isinstance(row, dict)
+            and row.get("err") is None
+            and row.get("rows_match")
+            and row.get("schema_match") is not False
+            and row.get("hash_match") is not False
+        )
+        out.append((int(m.group(1)), greens))
+    return tuple(sorted(out))
+
+
+@functools.lru_cache(maxsize=1)
+def _repo_artifacts_cached() -> tuple:
+    return _parse_correctness_artifacts(_REPO_ROOT)
+
+
+def _greens_by_round(root: str = _REPO_ROOT) -> tuple:
+    """Artifact parse, cached per process for the (immutable) repo
+    snapshot root only -- priority_order() runs on every queries()/
+    oracle_sql() call and was re-globbing and re-parsing every
+    artifact each time (ADVICE r6: O(entries x artifacts) file I/O).
+    Non-default roots (tests' tmp dirs) always re-read."""
+    if root == _REPO_ROOT:
+        return _repo_artifacts_cached()
+    return _parse_correctness_artifacts(root)
+
+
+def driver_green_names(
+    root: str = _REPO_ROOT, after_round: int = 0
+) -> set[str]:
+    """Query names with >= 1 fully-green driver row in any shipped
+    ``CORRECTNESS_r*.json`` from a round STRICTLY LATER than
+    ``after_round`` (used to retire _NEEDS_REPROOF entries only once
+    the post-change driver has confirmed them)."""
+    greens: set[str] = set()
+    for rnd, names in _greens_by_round(root):
+        if rnd > after_round:
+            greens.update(names)
     return greens
+
+
+def driver_green_rounds(root: str = _REPO_ROOT) -> dict[str, int]:
+    """name -> latest round with a fully-green driver row."""
+    latest: dict[str, int] = {}
+    for rnd, names in _greens_by_round(root):
+        for name in names:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def query_text_hash(name: str) -> str | None:
+    """Stable digest of the (query fn source, oracle SQL) pair.
+
+    The banked-green bookkeeping below treats a driver green as
+    covering the query only while this hash matches the one recorded
+    when the green was banked -- so ANY text edit to a banked query or
+    its oracle auto-rotates it back into the driver-sample prefix
+    without anyone remembering to touch _NEEDS_REPROOF (ADVICE r6
+    medium: er1's oracle was rewritten with no reproof entry).
+    Returns None when the source is unavailable (builtins, exec'd
+    defs) -- such names are conservatively treated as never banked.
+    """
+    fn = _QUERIES.get(name)
+    if fn is None:
+        return None
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return None
+    sql = _ORACLES.get(name, "")
+    return hashlib.sha256(
+        (src + "\x00" + sql).encode("utf-8")
+    ).hexdigest()[:16]
+
+
+_BANKED_HASHES_PATH = os.path.join(
+    _REPO_ROOT, "tools", "banked_hashes.json"
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _banked_hashes(path: str = _BANKED_HASHES_PATH) -> dict:
+    """The committed manifest name -> {"hash", "round"} recording the
+    query/oracle text each driver green actually tested. Written only
+    by tools/update_banked_hashes.py (run at round start, once fresh
+    driver artifacts exist); an entry older than the query's current
+    text makes the green stale. Missing file => empty (fresh clone:
+    everything rotates to the front, same as no artifacts)."""
+    try:
+        with open(path, encoding="utf-8") as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    return data if isinstance(data, dict) else {}
 
 
 def priority_order() -> tuple[str, ...]:
     """The registry exposure order described in the block comment
-    above. Pure function of (_QUERIES, _ORACLES, _NEEDS_REPROOF,
-    _FLAGSHIPS, shipped CORRECTNESS artifacts) -- deterministic for a
-    given repo snapshot."""
+    above, with one addition since round 6: a driver green only BANKS
+    a query while the current (fn source, oracle SQL) text hash still
+    matches the hash recorded in tools/banked_hashes.json at banking
+    time -- an edited-but-green query rotates back to the front
+    (`stale` slice, right after the hand-maintained _NEEDS_REPROOF
+    entries) instead of silently keeping its stale green. Pure
+    function of (_QUERIES, _ORACLES, _NEEDS_REPROOF, _FLAGSHIPS,
+    shipped CORRECTNESS artifacts, banked_hashes.json) --
+    deterministic for a given repo snapshot."""
     greens = driver_green_names()
+    banked_h = _banked_hashes()
     reproof = [
         n
         for n, since in _NEEDS_REPROOF.items()
         if n in _QUERIES and n not in driver_green_names(after_round=since)
     ]
     taken = set(reproof)
+    stale: list[str] = []
     never_flagship: list[str] = []
     never_full: list[str] = []
     never_rows_only: list[str] = []
@@ -20958,7 +21070,14 @@ def priority_order() -> tuple[str, ...]:
         if name in taken:
             continue
         if name in greens:
-            banked.append(name)
+            rec = banked_h.get(name)
+            if (
+                isinstance(rec, dict)
+                and rec.get("hash") == query_text_hash(name)
+            ):
+                banked.append(name)
+            else:
+                stale.append(name)
         elif name in _FLAGSHIPS:
             never_flagship.append(name)
         elif name in _ORACLES:
@@ -20967,7 +21086,12 @@ def priority_order() -> tuple[str, ...]:
             never_rows_only.append(name)
     never_flagship.sort(key=_FLAGSHIPS.index)
     return tuple(
-        reproof + never_flagship + never_full + never_rows_only + banked
+        reproof
+        + stale
+        + never_flagship
+        + never_full
+        + never_rows_only
+        + banked
     )
 
 

@@ -165,3 +165,91 @@ def test_green_parser_matches_driver_semantics(tmp_path):
     assert got == {"full_green", "rows_only_green"}
     # fresh clone: no artifacts at all -> empty greens, full rotation
     assert Q.driver_green_names(root=str(tmp_path / "nowhere")) == set()
+
+
+def test_text_hash_staleness_rotates_banked_green_to_front(monkeypatch):
+    """ADVICE r6 (medium): an edit to a banked-green query's fn source
+    or oracle SQL must auto-rotate it into the driver prefix without a
+    hand-added _NEEDS_REPROOF entry. Simulated by desyncing one
+    manifest hash."""
+    greens = Q.driver_green_names()
+    banked_now = [
+        n
+        for n in Q.priority_order()
+        if n in greens and n not in Q._NEEDS_REPROOF
+    ]
+    assert banked_now, "need at least one banked green to test with"
+    victim = banked_now[-1]
+    manifest = dict(Q._banked_hashes())
+    assert manifest[victim]["hash"] == Q.query_text_hash(victim)
+    # Desync: pretend the banked green tested different text.
+    manifest[victim] = {"hash": "deadbeefdeadbeef", "round": 1}
+    monkeypatch.setattr(Q, "_banked_hashes", lambda *a: manifest)
+    order = Q.priority_order()
+    reproof = _pending_reproof()
+    # victim leads the stale slice, right after the hand-map entries
+    assert order[len(reproof)] == victim
+    assert victim in order[:PREFIX]
+
+
+def test_green_without_manifest_entry_is_not_banked(monkeypatch):
+    """A green name absent from banked_hashes.json (e.g. freshly green
+    in the newest artifact, before the round-start refresh) rotates
+    forward rather than silently banking."""
+    greens = Q.driver_green_names()
+    banked_now = [
+        n
+        for n in Q.priority_order()
+        if n in greens and n not in Q._NEEDS_REPROOF
+    ]
+    victim = banked_now[0]
+    manifest = {k: v for k, v in Q._banked_hashes().items() if k != victim}
+    monkeypatch.setattr(Q, "_banked_hashes", lambda *a: manifest)
+    order = Q.priority_order()
+    assert order[len(_pending_reproof())] == victim
+
+
+def test_manifest_covers_every_driver_green_with_current_text():
+    """The committed manifest is current: every driver-green registry
+    name has an entry at its latest green round. (If this fails, run
+    tools/update_banked_hashes.py -- the round-start refresh.)"""
+    manifest = Q._banked_hashes()
+    latest = Q.driver_green_rounds()
+    missing = [
+        n
+        for n, rnd in latest.items()
+        if n in Q._QUERIES
+        and (
+            n not in manifest
+            or manifest[n].get("round", 0) < rnd
+        )
+    ]
+    assert missing == [], (
+        f"banked_hashes.json stale for {missing[:10]}; run "
+        "tools/update_banked_hashes.py"
+    )
+
+
+def test_query_text_hash_reflects_oracle_and_source():
+    name = next(iter(Q._ORACLES))
+    h = Q.query_text_hash(name)
+    assert h is not None and len(h) == 16
+    # deterministic
+    assert h == Q.query_text_hash(name)
+    assert Q.query_text_hash("no_such_query") is None
+
+
+def test_update_tool_never_rebanks_without_newer_driver_round(tmp_path):
+    """refresh() keeps an entry whose recorded round >= the latest
+    green round -- so a mid-round edit cannot be re-banked against the
+    old green by re-running the tool."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import update_banked_hashes as ub
+
+    updated, kept, behind = ub.refresh(dry_run=True)
+    assert updated == 0 and behind == []
+    assert kept == len(
+        [n for n in Q.driver_green_rounds() if n in Q._QUERIES]
+    )

@@ -94,6 +94,15 @@ def main() -> int:
         for doc in ("BASELINE.md", "NOTES.md"):
             if not doc_mentions_round(os.path.join(REPO, doc), n):
                 problems.append(f"{doc} has no round-{n} section")
+    # banked_hashes.json must cover every driver-green name at its
+    # latest green round (rotation staleness gate, ADVICE r6 medium).
+    rc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "update_banked_hashes.py"), "--check"],
+        capture_output=True,
+        text=True,
+    )
+    if rc.returncode != 0:
+        problems.append(rc.stdout.strip() or "banked_hashes.json stale")
     if problems:
         print("ROUND CHECKLIST FAIL")
         for p in problems:

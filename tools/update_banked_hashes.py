@@ -1,0 +1,78 @@
+"""Refresh tools/banked_hashes.json from shipped driver artifacts.
+
+Run at ROUND START, right after a new ``CORRECTNESS_r{N}.json`` lands
+(the driver runs against the committed snapshot, so at that moment the
+committed query/oracle text IS the text round N's greens tested).
+For every driver-green name the tool records the CURRENT
+(fn source, oracle SQL) hash together with the latest green round —
+but only when that round is NEWER than the recorded one, so running
+the tool mid-round after editing a banked query can never re-bank the
+edited text against an old green (the edit stays stale until a later
+driver round confirms it).
+
+queries.priority_order() treats a green as banked only while the
+current hash matches this manifest; mismatches rotate to the front of
+the driver-sample prefix (ADVICE r6 medium).
+
+Usage: python tools/update_banked_hashes.py [--check]
+  --check  exit 1 if any driver-green registry name lacks a manifest
+           entry at its latest green round (round_checklist uses this
+           to force the round-start refresh).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hi_csa_db_spark import queries as Q
+
+
+def refresh(dry_run: bool = False) -> tuple[int, int, list[str]]:
+    """Returns (updated, kept, missing-at-latest-round names)."""
+    manifest = dict(Q._banked_hashes())
+    latest = Q.driver_green_rounds()
+    updated, kept, behind = 0, 0, []
+    for name, rnd in sorted(latest.items()):
+        if name not in Q._QUERIES:
+            continue  # retired/renamed query: no registry text to hash
+        rec = manifest.get(name)
+        if isinstance(rec, dict) and rec.get("round", 0) >= rnd:
+            kept += 1
+            continue
+        behind.append(name)
+        h = Q.query_text_hash(name)
+        if h is None:
+            continue
+        manifest[name] = {"hash": h, "round": rnd}
+        updated += 1
+    # Drop manifest entries for names no longer in the registry.
+    manifest = {n: r for n, r in manifest.items() if n in Q._QUERIES}
+    if not dry_run:
+        with open(Q._BANKED_HASHES_PATH, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    return updated, kept, behind
+
+
+def main() -> int:
+    check = "--check" in sys.argv
+    updated, kept, behind = refresh(dry_run=check)
+    if check:
+        if behind:
+            print(
+                f"banked_hashes.json is stale for {len(behind)} driver-green "
+                f"names (run tools/update_banked_hashes.py): {behind[:10]}"
+            )
+            return 1
+        print(f"banked_hashes.json current ({kept} entries)")
+        return 0
+    print(f"banked_hashes.json: {updated} updated, {kept} already current")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
