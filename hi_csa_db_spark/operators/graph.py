@@ -275,7 +275,7 @@ def connected_components(edges: DataFrame, iterations: int = 3) -> DataFrame:
     labels = ud.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
     )
-    for _ in range(iterations):
+    for it in range(iterations):
         nb_min = (
             ud.join(labels, ud["dst"] == labels["id"])
             .groupBy("src")
@@ -288,6 +288,17 @@ def connected_components(edges: DataFrame, iterations: int = 3) -> DataFrame:
                 F.least(F.col("lbl"), F.coalesce("__nb", F.col("lbl"))).alias("lbl"),
             )
         )
+        # labels_k feeds TWO consumers in round k+1 (the neighbor-min
+        # aggregate and the join-back), so without lineage truncation
+        # the physical plan doubles per iteration — d10's composite
+        # showed 73 Exchanges at 3 iterations from exactly this
+        # (VERDICT r6 item 4). Same per-round guard k_core/bfs use;
+        # node-sized frame, lazily materialized once per round. The
+        # LAST iteration is left un-truncated: it has no second
+        # consumer inside the loop, and keeping its real tail makes
+        # the returned plan inspectable (PLANS.md evidence).
+        if it < iterations - 1:
+            labels = labels.localCheckpoint(eager=False)
     return labels
 
 

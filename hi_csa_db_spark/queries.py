@@ -8442,8 +8442,13 @@ def d10_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     labels = graph.connected_components(edges, iterations=3)
     scored = x20_quality_classifier(spark, sf_dir).select("doc_id", "logit_micro")
-    mem = labels.join(scored, labels["id"] == scored["doc_id"]).select(
-        "id", "lbl", "logit_micro"
+    # mem feeds two consumers (the per-cluster max and the join-back);
+    # checkpoint it once so the LSH + components + scoring lineage is
+    # not re-derived per consumer (x78/er3 pattern, VERDICT r6 item 4).
+    mem = (
+        labels.join(scored, labels["id"] == scored["doc_id"])
+        .select("id", "lbl", "logit_micro")
+        .localCheckpoint(eager=False)
     )
     m = mem.groupBy("lbl").agg(
         F.max("logit_micro").alias("mx"), F.count(F.lit(1)).alias("n_members")
@@ -9178,6 +9183,55 @@ def x24_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_survivor_drops(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Shared stage chain of the pipe_v3/v4 composites: x20 quality
+    scores + the ids d10-style best-quality survivorship DROPS from
+    each near-dup cluster. Returns (scored, drops).
+
+    Every frame consumed by more than one downstream stage is lazily
+    checkpointed ONCE (scored: survivor selection + final kept join;
+    labels: membership + drop list; mem: per-cluster max + join-back)
+    — without this the composite re-derives the whole
+    LSH -> components -> scoring lineage per consumer (45 Exchanges /
+    9 parquet scans in pipe_v3's r6 plan; VERDICT r6 item 4). At
+    cluster scale each checkpoint is a doc- or cluster-sized frame
+    that must materialize anyway for its first consumer."""
+    scored = (
+        x20_quality_classifier(spark, sf_dir)
+        .select("doc_id", "n_words", "logit_micro", "keep")
+        .localCheckpoint(eager=False)
+    )
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=8, threshold=0.05
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = graph.connected_components(edges, iterations=3).localCheckpoint(
+        eager=False
+    )
+    mem = (
+        labels.join(
+            scored.select(F.col("doc_id").alias("id"), "logit_micro"), "id"
+        )
+        .select("id", "lbl", "logit_micro")
+        .localCheckpoint(eager=False)
+    )
+    m = mem.groupBy("lbl").agg(F.max("logit_micro").alias("mx"))
+    surv = (
+        mem.join(m, "lbl")
+        .filter(F.col("logit_micro") == F.col("mx"))
+        .groupBy("lbl")
+        .agg(F.min("id").alias("survivor_id"))
+    )
+    drops = (
+        labels.join(surv, "lbl")
+        .filter(F.col("id") != F.col("survivor_id"))
+        .select("id")
+    )
+    return scored, drops
+
+
 @_register(
     "pipe_training_prep_v3",
     f"""
@@ -9231,32 +9285,12 @@ def pipe_training_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: inherits each stage's contract (banded LSH, bounded label
     propagation, broadcast normalizers, integer keep rules); the
     composition adds only doc-level equi-joins and one 5-group audit
-    aggregate. One lazy plan — Catalyst sees the whole pipeline and
-    prunes columns across stage boundaries."""
+    aggregate. Shared stage outputs (scored/labels/mem) are
+    lazily checkpointed once instead of re-derived per consumer —
+    the x78/er3 pattern (VERDICT r6 item 4; was 45 Exchanges /
+    9 scans before)."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = x20_quality_classifier(spark, sf_dir).select(
-        "doc_id", "n_words", "logit_micro", "keep"
-    )
-    pairs = dedup.minhash_lsh_dedup(
-        docs, n=3, num_hashes=16, bands=8, threshold=0.05
-    )
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    labels = graph.connected_components(edges, iterations=3)
-    mem = labels.join(
-        scored.select(F.col("doc_id").alias("id"), "logit_micro"), "id"
-    ).select("id", "lbl", "logit_micro")
-    m = mem.groupBy("lbl").agg(F.max("logit_micro").alias("mx"))
-    surv = (
-        mem.join(m, "lbl")
-        .filter(F.col("logit_micro") == F.col("mx"))
-        .groupBy("lbl")
-        .agg(F.min("id").alias("survivor_id"))
-    )
-    drops = (
-        labels.join(surv, "lbl")
-        .filter(F.col("id") != F.col("survivor_id"))
-        .select("id")
-    )
+    scored, drops = _quality_survivor_drops(spark, sf_dir, docs)
     wdf = _dsir_weight_frame(spark, sf_dir)
     wi = F.col("dsir_microweight")
     p = F.greatest(F.lit(0), F.least(F.lit(1000000), F.lit(500000) + 10 * wi))
@@ -9366,31 +9400,11 @@ def pipe_training_prep_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: inherits every stage's contract; the new gate adds d13's
     linear span pass + one doc-level anti-join; the manifest is a
-    16-group map-combined aggregate."""
+    16-group map-combined aggregate. Shared stage outputs are
+    checkpointed once via _quality_survivor_drops (VERDICT r6
+    item 4)."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = x20_quality_classifier(spark, sf_dir).select(
-        "doc_id", "n_words", "logit_micro", "keep"
-    )
-    pairs = dedup.minhash_lsh_dedup(
-        docs, n=3, num_hashes=16, bands=8, threshold=0.05
-    )
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    labels = graph.connected_components(edges, iterations=3)
-    mem = labels.join(
-        scored.select(F.col("doc_id").alias("id"), "logit_micro"), "id"
-    ).select("id", "lbl", "logit_micro")
-    m = mem.groupBy("lbl").agg(F.max("logit_micro").alias("mx"))
-    surv = (
-        mem.join(m, "lbl")
-        .filter(F.col("logit_micro") == F.col("mx"))
-        .groupBy("lbl")
-        .agg(F.min("id").alias("survivor_id"))
-    )
-    drops = (
-        labels.join(surv, "lbl")
-        .filter(F.col("id") != F.col("survivor_id"))
-        .select("id")
-    )
+    scored, drops = _quality_survivor_drops(spark, sf_dir, docs)
     wdf = _dsir_weight_frame(spark, sf_dir)
     wi = F.col("dsir_microweight")
     p = F.greatest(F.lit(0), F.least(F.lit(1000000), F.lit(500000) + 10 * wi))
