@@ -47,6 +47,19 @@ HEADLINE = [
     "x5_fingerprints",
 ]
 
+# The most expensive NON-headline composites (VERDICT r6 item 7): the
+# 21-query headline set above is frozen for cross-round comparability,
+# but these are where the heaviest current code lives, so their wall
+# times are tracked round-over-round in a separate "extras" field.
+# Disable with SPARK_GRAFT_BENCH_EXTRAS=0 (they never contribute to
+# the headline "value" metric either way).
+HEAVY_EXTRAS = [
+    "d10_quality_survivors",
+    "pipe_training_prep_v3",
+    "pipe_training_prep_v7",
+    "graph_components_star",
+]
+
 
 def host_speed_probe() -> float:
     """Single-core md5 loop wall time (sec). A fixed amount of pure-CPU
@@ -100,6 +113,19 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
     total = sum(timings.values())
+    extras: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_EXTRAS", "1") != "0":
+        for name in HEAVY_EXTRAS:
+            if name not in qs:
+                continue
+            try:
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                extras[name] = round(time.time() - t0, 3)
+            except Exception:
+                extras[name] = -1.0
     print(
         json.dumps(
             {
@@ -107,6 +133,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "extras": extras,
+                "extras_total": round(sum(v for v in extras.values() if v > 0), 3),
                 "passes": 2,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "host_md5_sec": host_speed_probe(),

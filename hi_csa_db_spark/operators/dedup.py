@@ -242,6 +242,37 @@ def lsh_candidate_pairs_incremental(
     )
 
 
+def shingle_arrays(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Doc-level distinct-shingle ARRAYS: (id, __sh_arr).
+
+    The single-tokenize upstream both ``shingles`` (explode) and the
+    Jaccard size denominator (F.size) can share: a consumer that needs
+    the exploded index AND per-doc sizes lazily checkpoints THIS frame
+    once and derives both narrowly, instead of running the
+    tokenize -> transform -> array_distinct chain twice over the full
+    corpus (measured ~0.6 s of d3's 3.4 s at sf0.1)."""
+    toks = docs.select(
+        F.col(id_col),
+        tokenize(F.lower(strip_punct(F.col(text_col)))).alias("__toks"),
+    )
+    return toks.select(
+        id_col,
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size("__toks") - n, F.lit(0))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)),
+                ),
+                lambda s: s != "",
+            )
+        ).alias("__sh_arr"),
+    )
+
+
 def shingle_sizes(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:

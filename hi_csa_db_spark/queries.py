@@ -1343,10 +1343,15 @@ def d3_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the FULL shingle sets, so scores stay exact. 20 most-similar
     pairs, rank on rounded score with id tie-breaks."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs, n=3)
-    # Jaccard denominators computed pre-explode (narrow map), so the
-    # inverted index is never re-shuffled just to count per-doc sizes.
-    pairs = dedup.jaccard_pairs(sh, max_df=100, sizes=dedup.shingle_sizes(docs, n=3))
+    # One tokenize pass feeds BOTH the exploded index and the size
+    # denominators: the doc-level shingle arrays are checkpointed
+    # once, then explode and F.size are narrow derivations — the old
+    # shape ran the tokenize -> transform -> array_distinct chain
+    # twice over the corpus (VERDICT r6 item 6).
+    arrs = dedup.shingle_arrays(docs, n=3).localCheckpoint(eager=False)
+    sh = arrs.select("doc_id", F.explode("__sh_arr").alias("shingle"))
+    sizes = arrs.select("doc_id", F.size("__sh_arr").alias("sz"))
+    pairs = dedup.jaccard_pairs(sh, max_df=100, sizes=sizes)
     return (
         pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
@@ -2697,11 +2702,14 @@ def d12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ic*10 >= sz*3 (containment >= 0.3 either direction) so the filter
     never compares floats cross-engine; scores rounded for output."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs, n=3)
-    pairs = dedup.jaccard_pairs(sh, max_df=100, sizes=dedup.shingle_sizes(docs, n=3))
-    # jaccard_pairs returns inter_cnt + jaccard; recover sizes for the
-    # asymmetric scores: sz_a = inter/ (jaccard-free) — join sizes in
-    sizes = dedup.shingle_sizes(docs, n=3)
+    # One tokenize pass for the index AND every size consumer (sa and
+    # sb below are separate join branches, so an un-checkpointed sizes
+    # frame re-tokenizes the corpus per branch — 4 passes total here
+    # before this fold; same d3 pattern, VERDICT r6 item 6).
+    arrs = dedup.shingle_arrays(docs, n=3).localCheckpoint(eager=False)
+    sh = arrs.select("doc_id", F.explode("__sh_arr").alias("shingle"))
+    sizes = arrs.select("doc_id", F.size("__sh_arr").alias("sz"))
+    pairs = dedup.jaccard_pairs(sh, max_df=100, sizes=sizes)
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
     j = pairs.select("id_a", "id_b", "inter_cnt").join(sa, "id_a").join(sb, "id_b")
