@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hi_csa_db_spark.functions.vectors import cosine
+from hi_csa_db_spark.functions.vectors import cosine, dot
 
 
 def _ranked(scored: DataFrame, k: int, id_col: str) -> DataFrame:
@@ -895,3 +895,105 @@ def ivfpq_topk(
     return _pq_adc_rank(
         members, qrow, n_sub, n_cent, candidates, k, id_col, vec_col
     )
+
+
+def mips_augment(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Norm-augmentation MIPS->cosine reduction (Bachrach et al. 2014,
+    Shrivastava & Li 2014): corpus x -> [x ; sqrt(M^2 - |x|^2)] with
+    M^2 = max |x|^2, so every augmented corpus vector has norm M and
+    cosine against an augmented query [q ; 0] is x.q / (M |q|) —
+    MONOTONE in the inner product. Any cosine bucketing machinery
+    (IVF, SRP) then serves maximum-inner-product search unchanged.
+
+    Returns (id_col, vec_col, __aug) with __aug = 65-dim double array.
+
+    Determinism: |x|^2 is the engine-shared left-to-right double fold
+    ROUNDED to 6dp BEFORE the max / sqrt, and the augmented component
+    is rounded again — so both engines build bit-identical augmented
+    vectors (sqrt is exactly rounded IEEE on identical input).
+
+    Scale: one narrow norm pass + a 1-row broadcast max; no shuffle.
+    """
+    base = embeddings.select(
+        id_col,
+        vec_col,
+        F.round(dot(F.col(vec_col), F.col(vec_col)), 6).alias("__d2"),
+    )
+    m2 = base.agg(F.max("__d2").alias("__m2"))
+    return base.crossJoin(F.broadcast(m2)).select(
+        id_col,
+        vec_col,
+        F.concat(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.array(
+                F.round(
+                    F.sqrt(F.greatest(F.col("__m2") - F.col("__d2"), F.lit(0.0))),
+                    6,
+                )
+            ),
+        ).alias("__aug"),
+    )
+
+
+def mips_ivf_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed maximum-inner-product search: mips_augment's reduction
+    routed through EXACTLY the s2/ivf machinery (assign to nearest of
+    ``n_centroids`` augmented anchors, probe ``n_probe``), then exact
+    raw-vector dot rerank of bucket members only — the 100 TB path for
+    MIPS that s14's brute-force scan is the recall ground truth for.
+
+    Returns (id_col, dot) top-k by rounded dot, id tiebreak.
+
+    Scale: inherits ivf_topk's contract — one assignment shuffle,
+    broadcast probes, candidates only from probed buckets (at fleet
+    scale the corpus is written bucketed by centroid); the rerank
+    touches bucket members, never the corpus."""
+    aug = mips_augment(embeddings, id_col, vec_col)
+    aug_vecs = aug.select(id_col, F.col("__aug"))
+    cents = aug_vecs.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col("__aug")
+    )
+    assigned = ivf_assign(aug_vecs, cents, id_col, vec_col="__aug")
+    # query augments with 0, NOT sqrt(M^2 - |q|^2): [q;0].[x;s] = x.q
+    qa = embeddings.filter(F.col(id_col) == query_id).select(
+        F.concat(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.array(F.lit(0.0)),
+        ).alias("__qa")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(qa))
+        .select(
+            "centroid_id",
+            F.round(cosine(F.col("__aug"), F.col("__qa")), 6).alias("__cs"),
+        )
+        .orderBy(F.col("__cs").desc(), F.col("centroid_id").asc())
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    bucket = assigned.join(F.broadcast(probe), "centroid_id").select(id_col)
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    scored = (
+        embeddings.join(bucket, id_col, "left_semi")
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(dot(F.col(vec_col), F.col("__q")), 6).alias("dot"),
+        )
+    )
+    return scored.orderBy(F.col("dot").desc(), F.col(id_col).asc()).limit(k)

@@ -20767,6 +20767,153 @@ def s14_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOT65 = (
+    "list_aggregate(list_transform(range(1, 66), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')"
+)
+
+
+def _cos65_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT65.format(a=a, b=b)} / "
+        f"(sqrt({_DOT65.format(a=a, b=a)}) * sqrt({_DOT65.format(a=b, b=b)}))"
+    )
+
+
+_S15_BUCKET_SQL = f"""
+    d2 AS (
+      SELECT vec_id, embedding,
+             ROUND({_DOT.format(a='embedding', b='embedding')}, 6) AS d2
+      FROM embeddings
+    ),
+    m AS (SELECT MAX(d2) AS m2 FROM d2),
+    aug AS (
+      SELECT vec_id, embedding,
+             list_append(list_transform(embedding, x -> x::DOUBLE),
+                         ROUND(sqrt(greatest(m.m2 - d2.d2, 0.0)), 6)) AS av
+      FROM d2 CROSS JOIN m
+    ),
+    cents AS (SELECT vec_id AS centroid_id, av AS cv FROM aug WHERE vec_id < 8),
+    qa AS (
+      SELECT list_append(list_transform(embedding, x -> x::DOUBLE),
+                         0.0::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    q0 AS (SELECT embedding AS qv0 FROM embeddings WHERE vec_id = 0),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT a.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY ROUND({_cos65_sql('a.av', 'c.cv')}, 6) DESC,
+                          c.centroid_id ASC
+               ) AS rn
+        FROM aug a CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT centroid_id FROM (
+        SELECT c.centroid_id, ROUND({_cos65_sql('c.cv', 'qa.qv')}, 6) AS cs
+        FROM cents c CROSS JOIN qa
+      ) ORDER BY cs DESC, centroid_id ASC LIMIT 2
+    ),
+    bucket AS (SELECT vec_id FROM assigned JOIN probe USING (centroid_id))
+"""
+
+
+@_register(
+    "s15_mips_ivf_topk",
+    f"""
+    WITH {_S15_BUCKET_SQL}
+    SELECT e.vec_id, ROUND({_DOT.format(a='e.embedding', b='q0.qv0')}, 6) AS dot
+    FROM embeddings e CROSS JOIN q0
+    WHERE e.vec_id IN (SELECT vec_id FROM bucket) AND e.vec_id <> 0
+    ORDER BY dot DESC, vec_id ASC LIMIT 10
+    """,
+)
+def s15_mips_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED maximum-inner-product search — the 100 TB path s14's
+    brute-force scan is the ground truth for (its docstring's promised
+    reduction): norm-augment corpus vectors to [x ; sqrt(M^2-|x|^2)]
+    (all norms become M, so augmented cosine against [q ; 0] is
+    monotone in the raw inner product), then run EXACTLY the s2 IVF
+    machinery in the augmented space — assign to the nearest of 8
+    augmented anchors, probe the 2 nearest the augmented query — and
+    rerank bucket members by their EXACT raw dot product.
+
+    Determinism: |x|^2 and the augmented component are 6dp-rounded
+    before use (identical IEEE sqrt on identical doubles), centroid
+    assignment/probe use the rounded-cosine + id-tiebreak idiom, and
+    the final ranking is the rounded dot with id tiebreak — the same
+    boundary-audited scheme as every other ANN family.
+
+    Scale: one narrow norm pass + 1-row broadcast max (the
+    augmentation), then ivf_topk's contract verbatim — one assignment
+    shuffle, broadcast probes, candidates only from probed buckets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mips_ivf_topk(
+        emb, query_id=0, k=10, n_centroids=8, n_probe=2
+    )
+
+
+@_register(
+    "s16_mips_recall_report",
+    f"""
+    WITH {_S15_BUCKET_SQL},
+    exact AS (
+      SELECT e.vec_id
+      FROM embeddings e CROSS JOIN q0
+      WHERE e.vec_id <> 0
+      ORDER BY ROUND({_DOT.format(a='e.embedding', b='q0.qv0')}, 6) DESC,
+               e.vec_id ASC
+      LIMIT 10
+    ),
+    approx AS (
+      SELECT e.vec_id
+      FROM embeddings e CROSS JOIN q0
+      WHERE e.vec_id IN (SELECT vec_id FROM bucket) AND e.vec_id <> 0
+      ORDER BY ROUND({_DOT.format(a='e.embedding', b='q0.qv0')}, 6) DESC,
+               e.vec_id ASC
+      LIMIT 10
+    )
+    SELECT 'mips_ivf' AS family, COUNT(*) AS k_returned,
+           CAST(COALESCE(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 END), 0)
+                AS BIGINT) AS n_hits,
+           CAST(COALESCE(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 END), 0)
+                * 10 AS BIGINT) AS recall_pct
+    FROM approx a LEFT JOIN exact e ON e.vec_id = a.vec_id
+    """,
+)
+def s16_mips_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit for the bucketed MIPS path: s15's top-10 scored
+    against s14's brute-force exact top-10 — the s9 idiom applied to
+    the inner-product family, so the reduction's bucketing loss is a
+    measured, driver-checked number instead of a docstring claim.
+    All-integer output (hit count, recall in whole percent)."""
+    exact = s14_mips_topk(spark, sf_dir).select(
+        "vec_id", F.lit(1).alias("__hit")
+    )
+    approx = s15_mips_ivf_topk(spark, sf_dir).select("vec_id")
+    return (
+        approx.join(F.broadcast(exact), "vec_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("k_returned"),
+            F.coalesce(F.sum("__hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits"),
+            (F.coalesce(F.sum("__hit"), F.lit(0)) * 10)
+            .cast("bigint")
+            .alias("recall_pct"),
+        )
+        .select(
+            F.lit("mips_ivf").alias("family"),
+            "k_returned",
+            "n_hits",
+            "recall_pct",
+        )
+    )
+
+
 @_register(
     "x80_eval_decontam",
     """

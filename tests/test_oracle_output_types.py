@@ -123,6 +123,7 @@ _DOUBLE_WHITELIST: dict[str, set[str]] = {
     "s11_knn_join": {"cos_sim"},
     "s12_filtered_topk": {"cos_sim"},
     "s14_mips_topk": {"dot"},
+    "s15_mips_ivf_topk": {"dot"},
     "s1_cosine_topk": {"cos_sim"},
     "s2_ivf_topk": {"cos_sim"},
     "s5_batch_knn": {"cos_sim"},

@@ -150,6 +150,8 @@ _NLJ_ALLOWED = {
     "t40_auto_gap_sessionize",  # grid/floor/user-count/chosen-gap 1-row broadcasts
     "x78_dedup_mixture_shift",  # 1-row before/after total broadcasts
     "s14_mips_topk",  # 1-row query-vector broadcast (the s1 shape)
+    "s15_mips_ivf_topk",  # 1-row norm-max + query-vector broadcasts
+    "s16_mips_recall_report",  # composes s14/s15's 1-row broadcasts
 }
 
 
