@@ -21020,6 +21020,399 @@ def x80_eval_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "t43_markov_transitions",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+    ),
+    s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY t ASC, event_id ASC) AS prev
+      FROM e
+    ),
+    c AS (
+      SELECT prev, event_type AS next, COUNT(*) AS n
+      FROM s WHERE prev IS NOT NULL GROUP BY prev, next
+    ),
+    tot AS (SELECT prev, SUM(n) AS tn FROM c GROUP BY prev)
+    SELECT c.prev, c.next, CAST(c.n AS BIGINT) AS n_transitions,
+           CAST(c.n * 1000000 // t.tn AS BIGINT) AS p_micro
+    FROM c JOIN tot t ON t.prev = c.prev
+    """,
+)
+def t43_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | previous) as exact integer
+    millionths — the behavioral model a sessionized clickstream
+    analysis fits (and the generative twin of t5's fixed funnel: the
+    funnel checks ONE path, this measures every edge).
+
+    Determinism: per-user order is (event-time micros, event_id) so
+    simultaneous events have a total order; probabilities are floor
+    millionths of count ratios.
+
+    Scale: one user-partitioned LAG (events already shuffle by user
+    for every t-family query), one |types|^2-bounded count aggregate,
+    and a broadcast-sized row-total join — nothing global."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("t"),
+        "event_id",
+    ).withColumn(
+        "prev",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("t").asc(), F.col("event_id").asc()
+            )
+        ),
+    )
+    c = (
+        s.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.groupBy("prev").agg(F.sum("n").alias("tn"))
+    return c.join(F.broadcast(tot), "prev").select(
+        "prev",
+        "next",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.expr("CAST(n * 1000000 div tn AS BIGINT)").alias("p_micro"),
+    )
+
+
+@_register(
+    "dq14_benford_audit",
+    """
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ),
+    dg AS (
+      SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+             COUNT(*) AS n
+      FROM cents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS t FROM dg),
+    exp AS (SELECT * FROM (VALUES (1,301),(2,176),(3,125),(4,97),(5,79),
+                                  (6,67),(7,58),(8,51),(9,46)) e(digit, exp_milli))
+    SELECT d.digit, CAST(d.n AS BIGINT) AS n_orders,
+           CAST(d.n * 1000 // t.t AS BIGINT) AS obs_milli,
+           CAST(e.exp_milli AS BIGINT) AS exp_milli,
+           CAST(d.n * 1000 // t.t - e.exp_milli AS BIGINT) AS dev_milli
+    FROM dg d JOIN exp e ON e.digit = d.digit CROSS JOIN tot t
+    """,
+)
+def dq14_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data / ingestion-bug screen (synthetic or truncated
+    money columns flunk the log distribution immediately): observed
+    first-significant-digit shares vs the Benford expectation
+    log10(1+1/d), deviation in signed milli.
+
+    Determinism: amounts go through DECIMAL(14,2)*100 so the cents
+    integer is exact (never double*100 truncation); expected shares
+    are integer milli constants; observed shares floor-divide.
+
+    Scale: one narrow digit projection + a 9-group count; the total
+    is a 1-row broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.filter(F.col("o_totalprice") > 0).select(
+        F.col("o_totalprice")
+        .cast("decimal(14,2)")
+        .cast("decimal(16,2)")
+        .alias("p")
+    ).select((F.col("p") * 100).cast("bigint").alias("c"))
+    dg = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = dg.agg(F.sum("n").alias("t"))
+    exp_milli = F.expr(
+        "CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125 "
+        "WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58 "
+        "WHEN 8 THEN 51 WHEN 9 THEN 46 END"
+    )
+    return dg.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.expr("CAST(n * 1000 div t AS BIGINT)").alias("obs_milli"),
+        exp_milli.cast("bigint").alias("exp_milli"),
+        (F.expr("n * 1000 div t") - exp_milli).cast("bigint").alias("dev_milli"),
+    )
+
+
+@_register(
+    "dq15_cusum_drift",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(x) // COUNT(*) AS BIGINT) AS target,
+                 COUNT(*) AS nd FROM daily),
+    pre AS (
+      SELECT d, x,
+             SUM(x - t.target) OVER (ORDER BY d ASC
+               ROWS UNBOUNDED PRECEDING) AS s
+      FROM daily CROSS JOIN t
+    ),
+    cu AS (
+      SELECT d, x, s,
+             s - least(COALESCE(MIN(s) OVER (ORDER BY d ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0)
+               AS cusum
+      FROM pre
+    )
+    SELECT d AS day, CAST(x AS BIGINT) AS revenue_cents,
+           CAST(cusum AS BIGINT) AS cusum_cents
+    FROM cu ORDER BY cusum DESC, day ASC LIMIT 10
+    """,
+)
+def dq15_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM control chart over daily order revenue — the
+    sequential drift detector (Page's cumulative sum) re-expressed as
+    PARALLEL prefix arithmetic: the textbook recursion
+    s_k = max(0, s_{k-1} + (x_k - target)) equals
+    S_k - min(0, min_{j<k} S_j) where S is the plain prefix sum of
+    deviations, so two day-level windows replace the sequential scan
+    entirely. Top-10 drift peaks, exact integer cents throughout
+    (target = floor mean of daily cents).
+
+    Scale: the corpus-sized work is one map-combined daily aggregate;
+    both windows run over the bounded day-level series (calendar-
+    bounded row count, the t16/t26 contract), never raw orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("bigint")
+        .alias("x")
+    )
+    t = daily.agg(
+        F.expr("CAST(SUM(x) div COUNT(*) AS BIGINT)").alias("target")
+    )
+    w_all = Window.orderBy(F.col("d").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_prev = Window.orderBy(F.col("d").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pre = daily.crossJoin(F.broadcast(t)).withColumn(
+        "s", F.sum(F.col("x") - F.col("target")).over(w_all)
+    )
+    cu = pre.withColumn(
+        "cusum",
+        F.col("s")
+        - F.least(F.coalesce(F.min("s").over(w_prev), F.lit(0)), F.lit(0)),
+    )
+    return (
+        cu.select(
+            F.col("d").alias("day"),
+            F.col("x").cast("bigint").alias("revenue_cents"),
+            F.col("cusum").cast("bigint").alias("cusum_cents"),
+        )
+        .orderBy(F.col("cusum_cents").desc(), F.col("day").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "x81_cluster_safe_split",
+    f"""
+    WITH {_D6_LABELS_SQL},
+    eff AS (
+      SELECT d.doc_id, COALESCE(l3.lbl, d.doc_id) AS lbl
+      FROM documents d LEFT JOIN l3 ON l3.id = d.doc_id
+    ),
+    sp AS (
+      SELECT doc_id, lbl,
+             CASE WHEN (lbl * 2654435761) % 4294967296 < 3435973836
+                  THEN 'train'
+                  WHEN (lbl * 2654435761) % 4294967296 < 3865470566
+                  THEN 'val' ELSE 'test' END AS split,
+             CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+                  THEN 'train'
+                  WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
+                  THEN 'val' ELSE 'test' END AS naive_split
+      FROM eff
+    ),
+    leaks AS (
+      SELECT
+        CAST(SUM(CASE WHEN a.naive_split <> b.naive_split THEN 1 ELSE 0 END)
+          AS BIGINT) AS naive_leaked,
+        CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)
+          AS BIGINT) AS cluster_leaked
+      FROM pairs p
+      JOIN sp a ON a.doc_id = p.id_a
+      JOIN sp b ON b.doc_id = p.id_b
+    )
+    SELECT s.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT s.lbl) AS BIGINT) AS n_clusters,
+           l.naive_leaked AS naive_leaked_pairs,
+           l.cluster_leaked AS cluster_leaked_pairs
+    FROM sp s CROSS JOIN leaks l
+    GROUP BY s.split, l.naive_leaked, l.cluster_leaked
+    """,
+)
+def x81_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment under NEAR-DUP structure:
+    the split key is the near-dup CLUSTER label (d6's components;
+    singletons label themselves), so every member of a duplicate
+    cluster lands in the same split by construction — the eval-leak
+    class x14/x80 measure after the fact is prevented at assignment
+    time. The audit quantifies the counterfactual: the same 80/10/10
+    integer-hash rule applied naively per doc_id leaks
+    ``naive_leaked_pairs`` near-dup pairs across splits, while the
+    cluster-keyed rule's ``cluster_leaked_pairs`` is structurally 0.
+
+    Determinism: splits come from the Knuth multiplicative hash
+    against fixed 2^32 thresholds (floor(0.8/0.9 * 2^32)) — the
+    x24/x21 keep-rule idiom; all counts are exact integers.
+
+    Scale: inherits d2/d6's banded LSH + bounded label propagation;
+    the split rule is a narrow projection, the leak audit joins the
+    (already bounded) verified pair set against doc-level splits, and
+    the report is a 3-group aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=8, threshold=0.05
+    ).localCheckpoint(eager=False)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = graph.connected_components(edges, iterations=3)
+    eff = (
+        docs.select("doc_id")
+        .join(labels, docs["doc_id"] == labels["id"], "left")
+        .select("doc_id", F.coalesce("lbl", F.col("doc_id")).alias("lbl"))
+    )
+
+    def _split(col: str) -> Column:
+        u = F.pmod(F.col(col) * F.lit(2654435761), F.lit(4294967296))
+        return (
+            F.when(u < 3435973836, "train")
+            .when(u < 3865470566, "val")
+            .otherwise("test")
+        )
+
+    sp = eff.select(
+        "doc_id",
+        "lbl",
+        _split("lbl").alias("split"),
+        _split("doc_id").alias("naive_split"),
+    ).localCheckpoint(eager=False)
+    a = sp.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("split").alias("sa"),
+        F.col("naive_split").alias("na"),
+    )
+    b = sp.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("split").alias("sb"),
+        F.col("naive_split").alias("nb"),
+    )
+    leaks = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .agg(
+            F.sum(F.when(F.col("na") != F.col("nb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("naive_leaked_pairs"),
+            F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cluster_leaked_pairs"),
+        )
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("lbl").cast("bigint").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            "naive_leaked_pairs",
+            "cluster_leaked_pairs",
+        )
+    )
+
+
+@_register(
+    "ml_auc_ranking",
+    f"""
+    WITH {_X20_SCORED_SQL},
+    lab AS (
+      SELECT s.logit_micro AS sc,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    g AS (
+      SELECT sc, SUM(y) AS pos, SUM(1 - y) AS neg
+      FROM lab GROUP BY sc
+    ),
+    cum AS (
+      SELECT pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY sc ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cneg
+      FROM g
+    ),
+    agg AS (
+      SELECT SUM(2 * pos * cneg + pos * neg) AS num2,
+             SUM(pos) AS p, SUM(neg) AS n
+      FROM cum
+    )
+    SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+           CAST(num2 * 1000000 // (2 * p * n) AS BIGINT) AS auc_micro
+    FROM agg
+    """,
+)
+def ml_auc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-integer AUC (Mann-Whitney formulation) of x20's quality
+    logit against an external binary label (lang = 'en') — the
+    ranking-quality eval every trained data-filter ships with, next
+    to x73's confusion matrix and stats_mannwhitney's z: AUC =
+    P(score_pos > score_neg) + P(equal)/2, computed from per-score
+    GROUP counts — 2*AUC*P*N = sum over score groups of
+    2*pos_s*（negatives strictly below) + pos_s*neg_s — so ties are
+    handled exactly and no float enters until the final micro ratio
+    (floor division, engine-identical).
+
+    Scale: one doc-level label join + a groupBy on the score; the
+    prefix window runs over DISTINCT score values (x20's logit is a
+    ratio of small integer features — bounded cardinality), never the
+    corpus; a 1-row final aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = x20_quality_classifier(spark, sf_dir).select(
+        "doc_id", "logit_micro"
+    )
+    lab = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        F.col("logit_micro").alias("sc"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    g = lab.groupBy("sc").agg(
+        F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg")
+    )
+    w = Window.orderBy(F.col("sc").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = g.withColumn("cneg", F.coalesce(F.sum("neg").over(w), F.lit(0)))
+    return cum.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.expr(
+            "CAST(SUM(2 * pos * cneg + pos * neg) * 1000000 "
+            "div (2 * SUM(pos) * SUM(neg)) AS BIGINT)"
+        ).alias("auc_micro"),
+    ).select("n_pos", "n_neg", "auc_micro")
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #

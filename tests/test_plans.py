@@ -152,6 +152,9 @@ _NLJ_ALLOWED = {
     "s14_mips_topk",  # 1-row query-vector broadcast (the s1 shape)
     "s15_mips_ivf_topk",  # 1-row norm-max + query-vector broadcasts
     "s16_mips_recall_report",  # composes s14/s15's 1-row broadcasts
+    "dq14_benford_audit",  # 1-row total broadcast
+    "dq15_cusum_drift",  # 1-row target (mean) broadcast
+    "x81_cluster_safe_split",  # 1-row leak-count broadcast
 }
 
 

@@ -19,10 +19,26 @@ from hi_csa_db_spark import queries as Q
 PREFIX = 50  # driver samples the first 50 registry names
 
 
+def _stale_greens():
+    """Driver-green names whose current (source, oracle) text hash no
+    longer matches the banked manifest -- edited since their green,
+    so they legitimately occupy prefix slots for re-proof."""
+    manifest = Q._banked_hashes()
+    return {
+        n
+        for n in Q.driver_green_names()
+        if not (
+            isinstance(manifest.get(n), dict)
+            and manifest[n].get("hash") == Q.query_text_hash(n)
+        )
+    }
+
+
 def test_prefix_never_wastes_a_slot_on_banked_greens():
     """While never-driver-green names remain, every one of the 50
-    driver slots is either a re-proof (oracle changed / fixed-red) or
-    a never-sampled name -- never a green-and-unchanged banked name."""
+    driver slots is a re-proof (oracle changed / fixed-red), a
+    hash-stale green (text edited since its green), or a
+    never-sampled name -- never a green-AND-unchanged banked name."""
     order = Q.priority_order()
     greens = Q.driver_green_names()
     never_green_remaining = [n for n in order if n not in greens]
@@ -30,10 +46,11 @@ def test_prefix_never_wastes_a_slot_on_banked_greens():
         # Tail of the schedule: fewer candidates than slots; banked
         # greens legitimately back-fill.
         return
+    stale = _stale_greens()
     wasted = [
         n
         for n in order[:PREFIX]
-        if n in greens and n not in Q._NEEDS_REPROOF
+        if n in greens and n not in Q._NEEDS_REPROOF and n not in stale
     ]
     assert wasted == [], f"banked greens occupying driver slots: {wasted}"
 
@@ -187,9 +204,15 @@ def test_text_hash_staleness_rotates_banked_green_to_front(monkeypatch):
     monkeypatch.setattr(Q, "_banked_hashes", lambda *a: manifest)
     order = Q.priority_order()
     reproof = _pending_reproof()
-    # victim leads the stale slice, right after the hand-map entries
-    assert order[len(reproof)] == victim
-    assert victim in order[:PREFIX]
+    greens = Q.driver_green_names()
+    # victim joins the stale slice: after the hand-map entries, before
+    # the first never-green name
+    stale_region = []
+    for n in order[len(reproof):]:
+        if n not in greens:
+            break
+        stale_region.append(n)
+    assert victim in stale_region
 
 
 def test_green_without_manifest_entry_is_not_banked(monkeypatch):
