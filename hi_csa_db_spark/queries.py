@@ -21413,6 +21413,318 @@ def ml_auc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_pos", "n_neg", "auc_micro")
 
 
+@_register(
+    "t44_top_event_paths",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+    ),
+    s AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY t ASC, event_id ASC) AS p1,
+             LAG(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY t ASC, event_id ASC) AS p2
+      FROM e
+    ),
+    paths AS (
+      SELECT p2 || '>' || p1 || '>' || event_type AS path
+      FROM s WHERE p2 IS NOT NULL
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM paths GROUP BY path
+    ORDER BY n_paths DESC, path ASC LIMIT 10
+    """,
+)
+def t44_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type TRIGRAM paths across all user streams — the
+    path-mining complement to t43's first-order transition matrix
+    (a Markov chain can't see that view>click>purchase beats
+    view>view>purchase; path n-grams can). One user-partitioned
+    window carrying two LAGs, a |types|^3-bounded count, top-10 with
+    path tiebreak.
+
+    Scale: same contract as t43 — the only corpus-sized work is the
+    per-user window the t-family already shuffles for."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t").asc(), F.col("event_id").asc()
+    )
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("t"),
+        "event_id",
+    ).select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    return (
+        s.filter(F.col("p2").isNotNull())
+        .select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "dq16_k_anonymity",
+    """
+    WITH q AS (
+      SELECT source, lang,
+             length(CAST(n_chars AS VARCHAR)) AS len_digits
+      FROM documents
+    ),
+    g AS (
+      SELECT source, lang, len_digits, COUNT(*) AS gsz
+      FROM q GROUP BY source, lang, len_digits
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN gsz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(SUM(CASE WHEN gsz < 5 THEN gsz ELSE 0 END) AS BIGINT)
+             AS n_exposed_docs,
+           CAST(MIN(gsz) AS BIGINT) AS k_anonymity
+    FROM g GROUP BY source
+    """,
+)
+def dq16_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifier tuples (source, lang,
+    decimal-digit length bucket): the data-governance check a corpus
+    release runs — a doc whose QI combination is shared by fewer than
+    k=5 docs is re-identifiable from metadata alone. Reports, per
+    source, the equivalence-class count, how many classes and docs
+    fall under the k threshold, and the source's actual k (its
+    smallest class). The length bucket is LENGTH(CAST(n AS VARCHAR))
+    — an order-of-magnitude bucket with identical semantics on both
+    engines (no libm log).
+
+    Scale: two map-combined aggregations (QI classes, then per-source
+    rollup) — group cardinality is bounded by |sources| x |langs| x
+    ~7 digit buckets, never corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "source",
+        "lang",
+        F.length(F.col("n_chars").cast("string")).alias("len_digits"),
+    )
+    g = q.groupBy("source", "lang", "len_digits").agg(
+        F.count(F.lit(1)).alias("gsz")
+    )
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("gsz") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_small_groups"),
+        F.sum(F.when(F.col("gsz") < 5, F.col("gsz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_exposed_docs"),
+        F.min("gsz").cast("bigint").alias("k_anonymity"),
+    )
+
+
+@_register(
+    "ml_calibration_table",
+    f"""
+    WITH {_X20_SCORED_SQL},
+    lab AS (
+      SELECT s.logit_micro, s.keep,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    b AS (
+      SELECT CAST(floor(logit_micro / 250000.0) AS BIGINT) AS bucket,
+             keep, y
+      FROM lab
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_keep,
+           CAST(SUM(y) AS BIGINT) AS n_label,
+           CAST(SUM(keep) * 1000000 // COUNT(*) AS BIGINT) AS keep_micro,
+           CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS label_micro
+    FROM b GROUP BY bucket
+    """,
+)
+def ml_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for x20's quality classifier: docs bucketed
+    by logit (0.25-logit-wide integer bins), each bin reporting the
+    model's keep rate next to an external label's rate (lang = 'en',
+    ml_auc_ranking's probe) — the calibration curve read alongside
+    AUC before a filter threshold ships (a well-ranked but
+    mis-calibrated model gates the wrong volume). Bucket boundaries
+    use float floor on EXACT double operands (a mathematically
+    integral ratio of exact doubles is exact, so no boundary can
+    round differently cross-engine); rates are floor millionths.
+
+    Scale: one doc-level label join + a bounded-cardinality bucket
+    aggregate; nothing global."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = x20_quality_classifier(spark, sf_dir).select(
+        "doc_id", "logit_micro", "keep"
+    )
+    lab = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "logit_micro",
+        "keep",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    b = lab.select(
+        F.floor(F.col("logit_micro") / F.lit(250000.0))
+        .cast("bigint")
+        .alias("bucket"),
+        "keep",
+        "y",
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("keep").cast("bigint").alias("n_keep"),
+        F.sum("y").cast("bigint").alias("n_label"),
+        F.expr("CAST(SUM(keep) * 1000000 div COUNT(1) AS BIGINT)").alias(
+            "keep_micro"
+        ),
+        F.expr("CAST(SUM(y) * 1000000 div COUNT(1) AS BIGINT)").alias(
+            "label_micro"
+        ),
+    )
+
+
+@_register(
+    "s17_mips_recall_vs_probes",
+    f"""
+    WITH {_S15_BUCKET_SQL},
+    crank AS (
+      SELECT centroid_id,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND({_cos65_sql('c.cv', 'qa.qv')}, 6) DESC,
+                        c.centroid_id ASC
+             ) AS rk
+      FROM cents c CROSS JOIN qa
+    ),
+    truth AS (
+      SELECT e.vec_id FROM embeddings e CROSS JOIN q0
+      WHERE e.vec_id <> 0
+      ORDER BY ROUND({_DOT.format(a='e.embedding', b='q0.qv0')}, 6) DESC,
+               e.vec_id ASC
+      LIMIT 10
+    ),
+    tr AS (
+      SELECT t.vec_id, cr.rk
+      FROM truth t JOIN assigned a ON a.vec_id = t.vec_id
+      JOIN crank cr ON cr.centroid_id = a.centroid_id
+    ),
+    sizes AS (
+      SELECT cr.rk, COUNT(*) AS bucket_n
+      FROM assigned a JOIN crank cr ON cr.centroid_id = a.centroid_id
+      WHERE a.vec_id <> 0
+      GROUP BY cr.rk
+    ),
+    pr AS (SELECT unnest([1, 2, 4, 8]) AS n_probe)
+    SELECT CAST(p.n_probe AS INT) AS n_probe,
+           (SELECT CAST(COALESCE(SUM(bucket_n), 0) AS BIGINT) FROM sizes
+            WHERE rk <= p.n_probe) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tr WHERE rk <= p.n_probe)
+             AS hits_at_10,
+           (SELECT CAST(COUNT(*) * 10 AS BIGINT) FROM tr
+            WHERE rk <= p.n_probe) AS recall_pct
+    FROM pr p
+    """,
+)
+def s17_mips_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s13's IVF tuning curve for the MIPS family: recall@10 and
+    candidate volume at n_probe = 1/2/4/8 in the norm-AUGMENTED space,
+    against s14's brute-force inner-product truth — the table that
+    picks s15's probe count. Same one-assignment trick as s13: a
+    candidate outranking a true top-10 member by dot is itself in the
+    top-10 (augmented cosine is monotone in dot), so hits(n_probe) is
+    exactly |truth ∩ probed buckets|.
+
+    Scale: one augmented assignment pass + one brute truth scan (the
+    audit's cost, paid once); everything downstream is 8-row / 10-row
+    broadcasts."""
+    from hi_csa_db_spark.functions.vectors import cosine as _cos
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    aug = similarity.mips_augment(emb)
+    aug_vecs = aug.select("vec_id", "__aug")
+    cents = aug_vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("__aug").alias("cv")
+    )
+    assigned = similarity.ivf_assign(
+        aug_vecs,
+        cents.withColumnRenamed("cv", "__aug"),
+        vec_col="__aug",
+    )
+    qa = emb.filter(F.col("vec_id") == 0).select(
+        F.concat(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.array(F.lit(0.0)),
+        ).alias("qv")
+    )
+    crank = (
+        cents.crossJoin(F.broadcast(qa))
+        .select(
+            "centroid_id",
+            F.round(_cos(F.col("cv"), F.col("qv")), 6).alias("__cs"),
+        )
+        .select(
+            "centroid_id",
+            F.struct(
+                (-F.col("__cs")).alias("n"), F.col("centroid_id").alias("c")
+            ).alias("__k"),
+        )
+    )
+    crank = ordered.global_row_numbers(crank, "__k").select(
+        "centroid_id", F.col("rank").alias("rk")
+    )
+    truth = s14_mips_topk(spark, sf_dir).select("vec_id")
+    tr = (
+        truth.join(assigned, "vec_id")
+        .join(F.broadcast(crank), "centroid_id")
+        .select("vec_id", "rk")
+    )
+    sizes = (
+        assigned.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(crank), "centroid_id")
+        .groupBy("rk")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+    )
+    probes = spark.createDataFrame([(1,), (2,), (4,), (8,)], ["n_probe"])
+    cands = (
+        probes.crossJoin(F.broadcast(sizes))
+        .filter(F.col("rk") <= F.col("n_probe"))
+        .groupBy("n_probe")
+        .agg(F.sum("bucket_n").cast("bigint").alias("n_candidates"))
+    )
+    hits = (
+        probes.crossJoin(F.broadcast(tr))
+        .filter(F.col("rk") <= F.col("n_probe"))
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits_at_10"))
+    )
+    return (
+        probes.join(cands, "n_probe", "left")
+        .join(hits, "n_probe", "left")
+        .select(
+            F.col("n_probe").cast("int").alias("n_probe"),
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce("hits_at_10", F.lit(0))
+            .cast("bigint")
+            .alias("hits_at_10"),
+            (F.coalesce("hits_at_10", F.lit(0)) * 10)
+            .cast("bigint")
+            .alias("recall_pct"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #

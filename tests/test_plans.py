@@ -155,6 +155,7 @@ _NLJ_ALLOWED = {
     "dq14_benford_audit",  # 1-row total broadcast
     "dq15_cusum_drift",  # 1-row target (mean) broadcast
     "x81_cluster_safe_split",  # 1-row leak-count broadcast
+    "s17_mips_recall_vs_probes",  # s13's tiny probe-grid broadcasts
 }
 
 
