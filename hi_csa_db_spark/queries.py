@@ -21503,7 +21503,10 @@ def dq16_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fall under the k threshold, and the source's actual k (its
     smallest class). The length bucket is LENGTH(CAST(n AS VARCHAR))
     — an order-of-magnitude bucket with identical semantics on both
-    engines (no libm log).
+    engines (no libm log). Complements x38's SUPPRESSION gate (which
+    publishes only >= k groups): x38 is the release action, this is
+    the per-source risk AUDIT that decides whether the release needs
+    generalization at all.
 
     Scale: two map-combined aggregations (QI classes, then per-source
     rollup) — group cardinality is bounded by |sources| x |langs| x

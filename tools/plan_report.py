@@ -202,6 +202,18 @@ EXTRA = [
     "x79_gate_length_grid",
     "s14_mips_topk",
     "x80_eval_decontam",
+    # round-7 additions
+    "s15_mips_ivf_topk",
+    "s16_mips_recall_report",
+    "s17_mips_recall_vs_probes",
+    "t43_markov_transitions",
+    "t44_top_event_paths",
+    "dq14_benford_audit",
+    "dq15_cusum_drift",
+    "dq16_k_anonymity",
+    "x81_cluster_safe_split",
+    "ml_auc_ranking",
+    "ml_calibration_table",
 ]
 
 
@@ -220,6 +232,16 @@ def main() -> None:
         "widest ReadSchema (column pruning evidence); join strategies",
         "Catalyst chose; shuffle (Exchange) count; distinct",
         "WholeStageCodegen spans.",
+        "",
+        "Since round 7 the composite dedup pipelines lazily checkpoint",
+        "their shared stage outputs (connected-components labels, the",
+        "quality/survivor frames, d3's shingle arrays), so a composite's",
+        "reported plan is the post-checkpoint TAIL: the truncated lineage",
+        "executes exactly once inside the checkpoint instead of being",
+        "re-derived per consumer (d10 was 73 reported Exchanges before,",
+        "5 after; the checkpointed subtree itself runs ~8 more once).",
+        "Scan/pushed-filter evidence for those subtrees lives in their",
+        "component queries' rows (d2/x20/graph_components).",
         "",
         "| query | scans | pushed filters | read cols | joins | shuffles | codegen |",
         "|---|---|---|---|---|---|---|",
