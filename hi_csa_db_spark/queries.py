@@ -20914,10 +20914,46 @@ def s16_mips_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "x80_eval_decontam",
-    """
-    WITH evald AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+def _eval_split_hits(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared by x80 (decontamination audit) and x82 (ablation grid):
+    (corpus docs, contaminated corpus doc ids) under the doc_id % 97
+    held-out split — contaminated = shares ANY 5-gram with the eval
+    side. Eval grams are DISTINCT (broadcastable at fleet scale); the
+    overlap is one equi-join on the gram, never pairwise."""
+    evald = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    def grams(df: DataFrame, with_id: bool):
+        toks = F.filter(
+            tokenize(F.lower(strip_punct(F.col("text")))), lambda x: x != ""
+        )
+        # rows are pre-filtered to size >= 5, so 0..size-5 is the full
+        # 5-gram start range
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 5),
+            lambda i: F.concat_ws(
+                " ",
+                toks[i],
+                toks[i + 1],
+                toks[i + 2],
+                toks[i + 3],
+                toks[i + 4],
+            ),
+        )
+        cols = (["doc_id"] if with_id else []) + [F.explode(g).alias("g")]
+        return df.filter(F.size(toks) >= 5).select(*cols)
+
+    eg = grams(evald, with_id=False).distinct()
+    cg = grams(corpus, with_id=True)
+    hits = cg.join(eg, "g").select("doc_id").distinct()
+    return corpus, hits
+
+
+# Shared by x80 (decontamination audit) and x82 (ablation grid):
+# held-out split, distinct eval 5-grams, corpus grams, contaminated
+# corpus doc ids.
+_EVAL_GRAMS_SQL = """
+    evald AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
     corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
     eg AS (
       SELECT DISTINCT g FROM (
@@ -20946,6 +20982,13 @@ def s16_mips_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     ),
     hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg ON eg.g = cg.g)
+"""
+
+
+@_register(
+    "x80_eval_decontam",
+    f"""
+    WITH {_EVAL_GRAMS_SQL}
     SELECT c.source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
@@ -20974,32 +21017,7 @@ def x80_eval_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     on hit doc ids and a <= |sources| audit aggregate. Nothing is
     quadratic; the corpus text is never compared pairwise."""
     docs = load_table(spark, sf_dir, "documents")
-    evald = docs.filter(F.col("doc_id") % 97 == 0)
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
-
-    def grams(df: DataFrame, with_id: bool):
-        toks = F.filter(
-            tokenize(F.lower(strip_punct(F.col("text")))), lambda x: x != ""
-        )
-        # rows are pre-filtered to size >= 5, so 0..size-5 is the full
-        # 5-gram start range
-        g = F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 5),
-            lambda i: F.concat_ws(
-                " ",
-                toks[i],
-                toks[i + 1],
-                toks[i + 2],
-                toks[i + 3],
-                toks[i + 4],
-            ),
-        )
-        cols = (["doc_id"] if with_id else []) + [F.explode(g).alias("g")]
-        return df.filter(F.size(toks) >= 5).select(*cols)
-
-    eg = grams(evald, with_id=False).distinct()
-    cg = grams(corpus, with_id=True)
-    hits = cg.join(eg, "g").select("doc_id").distinct()
+    corpus, hits = _eval_split_hits(docs)
     tagged = corpus.select("doc_id", "source").join(
         hits.withColumnRenamed("doc_id", "hid"),
         F.col("doc_id") == F.col("hid"),
@@ -21725,6 +21743,185 @@ def s17_mips_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("recall_pct"),
         )
+    )
+
+
+@_register(
+    "stream_transition_counts",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+    ),
+    s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY t ASC, event_id ASC) AS prev
+      FROM e
+    )
+    SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM s WHERE prev IS NOT NULL GROUP BY prev, next
+    """,
+)
+def stream_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of t43's transition matrix core: per-user
+    last-event state (applyInPandasWithState) bridges micro-batch
+    boundaries, each batch emits additive (prev, next, count) deltas,
+    and the final groupBy-sum equals the batch LAG answer VALUE-
+    EXACTLY — proven against the same SQL oracle as the batch op.
+    The third custom-state demonstration beside running totals and
+    the incremental dedup cache: state that encodes ORDER (the last
+    event), not just an accumulator.
+
+    Scale: state is one tiny tuple per user, shuffled once on the
+    group key; each micro-batch moves only its own rows through
+    Arrow; the delta aggregate is |types|^2-bounded."""
+    from hi_csa_db_spark.streaming import stateful
+
+    raw = stateful.user_transition_counts(spark, sf_dir)
+    return raw.groupBy("prev", "next").agg(
+        F.sum("n").cast("bigint").alias("n_transitions")
+    )
+
+
+@_register(
+    "x82_ablation_grid",
+    f"""
+    WITH {_D6_LABELS_SQL},
+    {_X20_SCORED_SQL},
+    {_EVAL_GRAMS_SQL},
+    flags AS (
+      SELECT c.doc_id, s.n_words,
+             s.keep AS q_keep,
+             CASE WHEN l3.id IS NOT NULL AND l3.id <> l3.lbl
+                  THEN 0 ELSE 1 END AS dedup_keep,
+             CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END AS decontam_keep
+      FROM corpus c
+      JOIN scored s ON s.doc_id = c.doc_id
+      LEFT JOIN l3 ON l3.id = c.doc_id
+      LEFT JOIN hits h ON h.doc_id = c.doc_id
+    )
+    SELECT q_keep, dedup_keep, decontam_keep,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens
+    FROM flags GROUP BY q_keep, dedup_keep, decontam_keep
+    """,
+)
+def x82_ablation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe ABLATION GRID: every corpus doc flagged by the
+    three independent gates a training-data build composes — x20's
+    quality keep, d6-style near-dup survivorship (non-survivor
+    cluster members drop), and x80's eval decontamination — with
+    doc and token mass per cell of the 2x2x2 grid. This is the table
+    a data-recipe ablation reads before choosing which gates to ship:
+    pipe_v3 applies one fixed path through this grid; the grid prices
+    every path (including the gates' OVERLAP, which per-gate audits
+    like x79/x78 can't see).
+
+    Scale: composes three proven stages (banded LSH + bounded label
+    propagation; one scored join; one broadcastable gram join) plus
+    doc-level left joins and an 8-group aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus, hits = _eval_split_hits(docs)
+    scored = x20_quality_classifier(spark, sf_dir).select(
+        "doc_id", "n_words", "keep"
+    )
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=8, threshold=0.05
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = graph.connected_components(edges, iterations=3)
+    flags = (
+        corpus.select("doc_id")
+        .join(scored, "doc_id")
+        .join(labels, F.col("doc_id") == labels["id"], "left")
+        .join(
+            hits.withColumnRenamed("doc_id", "hid"),
+            F.col("doc_id") == F.col("hid"),
+            "left",
+        )
+        .select(
+            F.col("keep").alias("q_keep"),
+            F.when(
+                F.col("id").isNotNull() & (F.col("id") != F.col("lbl")), 0
+            )
+            .otherwise(1)
+            .alias("dedup_keep"),
+            F.when(F.col("hid").isNull(), 1).otherwise(0).alias(
+                "decontam_keep"
+            ),
+            "n_words",
+        )
+    )
+    return flags.groupBy("q_keep", "dedup_keep", "decontam_keep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_tokens"),
+    )
+
+
+@_register(
+    "u23_backfill_plan",
+    """
+    WITH e AS (
+      SELECT epoch_us(ts) AS t,
+             epoch_us(ts) + (event_id * 2654435761) % 4294967296 % 300000000
+               AS arr
+      FROM events
+    ),
+    d AS (
+      SELECT t // 86400000000 AS event_day,
+             arr // 86400000000 AS arrival_day,
+             arr - t AS delay_us
+      FROM e
+    )
+    SELECT CAST(event_day AS BIGINT) AS event_day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN arrival_day > event_day THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_late,
+           CAST(SUM(CASE WHEN arrival_day > event_day THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT) AS late_micro,
+           CAST(MAX(delay_us) // 1000000 AS BIGINT) AS max_delay_s
+    FROM d GROUP BY event_day
+    """,
+)
+def u23_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition BACKFILL planner for late-arriving data: with the
+    t38 deterministic arrival model (event time + 0-300 s hashed
+    network delay), every event-day partition reports how many of its
+    rows arrive after the day closes — the table an incremental
+    ingestion job reads to decide which closed daily partitions need
+    dynamic-partition overwrite (S8's publish mode) on each run, and
+    the batch complement of t38's streaming watermark trade-off.
+
+    Scale: one narrow delay projection + a calendar-bounded per-day
+    aggregate; pure integer micros throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.expr("ts_ns div 1000")
+    arr = t + F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(4294967296)) % F.lit(
+        300000000
+    )
+    d = ev.select(t.alias("t"), arr.alias("arr")).select(
+        F.expr("t div 86400000000").alias("event_day"),
+        F.expr("arr div 86400000000").alias("arrival_day"),
+        (F.col("arr") - F.col("t")).alias("delay_us"),
+    )
+    return d.groupBy("event_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("arrival_day") > F.col("event_day"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arrival_day > event_day THEN 1 ELSE 0 END)"
+            " * 1000000 div COUNT(1) AS BIGINT)"
+        ).alias("late_micro"),
+        F.expr("CAST(MAX(delay_us) div 1000000 AS BIGINT)").alias(
+            "max_delay_s"
+        ),
+    ).select(
+        F.col("event_day").cast("bigint").alias("event_day"),
+        "n_rows",
+        "n_late",
+        "late_micro",
+        "max_delay_s",
     )
 
 

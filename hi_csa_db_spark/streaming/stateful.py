@@ -24,6 +24,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -83,3 +84,86 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("stream_user_totals")
+
+
+TRANSITION_SCHEMA = StructType(
+    [
+        StructField("prev", StringType()),
+        StructField("next", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+TRANSITION_STATE_SCHEMA = "last_t BIGINT, last_eid BIGINT, last_type STRING"
+
+
+def _update_transitions(
+    key: tuple[Any, ...],
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user event-type transition DELTAS for this micro-batch.
+
+    State carries the user's last-seen (event-time micros, event_id,
+    type); batch rows are sorted by the same (t, event_id) total order
+    the batch twin (t43_markov_transitions) ranks by, the boundary
+    transition from the stored state is included, and the emitted rows
+    are per-batch (prev, next, count) DELTAS — additive across
+    batches, so the consumer's final groupBy-sum equals the batch
+    answer exactly. Contract (shared with every stream_* op): the
+    source arrives in event-time order across micro-batches (the
+    fixture file is globally ts-sorted; a shuffled source would need
+    a watermarked reorder buffer upstream)."""
+    pdf = pd.concat(list(batches), ignore_index=True)
+    pdf = pdf.sort_values(["t", "event_id"], kind="mergesort")
+    types = pdf["event_type"].tolist()
+    prevs = [None] + types[:-1]
+    if state.exists:
+        last_t, last_eid, last_type = state.get
+        if types:
+            prevs[0] = last_type
+    if types:
+        last = pdf.iloc[-1]
+        state.update((int(last["t"]), int(last["event_id"]), str(last["event_type"])))
+    pairs = pd.DataFrame({"prev": prevs, "next": types})
+    pairs = pairs[pairs["prev"].notna()]
+    if len(pairs) == 0:
+        yield pd.DataFrame({"prev": [], "next": [], "n": []}).astype(
+            {"prev": "object", "next": "object", "n": "int64"}
+        )
+        return
+    out = (
+        pairs.groupby(["prev", "next"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    yield out
+
+
+def user_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-order transition counts: per-user last-event
+    state bridges micro-batch boundaries; emissions are additive
+    deltas (see _update_transitions)."""
+    ev = read_events_stream(spark, sf_dir)
+    slim = ev.selectExpr(
+        "user_id",
+        "event_type",
+        "ts_ns div 1000 AS t",
+        "event_id",
+    )
+    updated = slim.groupBy("user_id").applyInPandasWithState(
+        _update_transitions,
+        TRANSITION_SCHEMA,
+        TRANSITION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        updated.writeStream.format("memory")
+        .queryName("stream_transition_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_transition_counts")
