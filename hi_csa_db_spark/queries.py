@@ -21925,6 +21925,92 @@ def u23_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "a17_audience_matrix",
+    """
+    WITH w AS (
+      SELECT event_type, user_id // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+      FROM events GROUP BY event_type, user_id // 32
+    ),
+    c AS (SELECT event_type, CAST(SUM(bit_count(bits)) AS BIGINT) AS n
+          FROM w GROUP BY event_type),
+    j AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS inter_u
+      FROM w a JOIN w b ON a.word = b.word AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+           ca.n AS n_a, cb.n AS n_b,
+           COALESCE(j.inter_u, 0) AS inter_users,
+           ca.n + cb.n - COALESCE(j.inter_u, 0) AS union_users,
+           CAST(COALESCE(j.inter_u, 0) * 1000000
+                // (ca.n + cb.n - COALESCE(j.inter_u, 0)) AS BIGINT)
+             AS jaccard_micro
+    FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+    LEFT JOIN j ON j.type_a = ca.event_type AND j.type_b = cb.event_type
+    """,
+)
+def a17_audience_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full audience-overlap MATRIX — a16's single click∩purchase
+    pair generalized to every segment pair: per (type_a < type_b),
+    exact distinct users of each side, the intersection via word-wise
+    bitmap AND, the union by inclusion-exclusion (never a word-level
+    OR, so missing words on one side need no zero-fill), and Jaccard
+    in integer millionths. The audience-segmentation cross-tab an
+    activation/retention analysis starts from.
+
+    Scale shape: ONE bitmap aggregate over the corpus feeds both the
+    per-segment counts and the pair join; the word-aligned self-join
+    is |types|² bounded per word and the final matrix is
+    |types|²-row. Zero user-id pairs are ever shuffled."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.groupBy(
+        "event_type", F.expr("user_id div 32").alias("word")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))"
+        ).alias("bits")
+    ).localCheckpoint(eager=False)
+    c = w.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n")
+    )
+    a = w.select(
+        F.col("event_type").alias("type_a"), "word", F.col("bits").alias("ba")
+    )
+    b = w.select(
+        F.col("event_type").alias("type_b"), "word", F.col("bits").alias("bb")
+    )
+    j = (
+        a.join(b, "word")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))))
+            .cast("bigint")
+            .alias("inter_u")
+        )
+    )
+    ca = c.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    cb = c.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    base = ca.crossJoin(cb).filter(F.col("type_a") < F.col("type_b"))
+    out = base.join(F.broadcast(j), ["type_a", "type_b"], "left").select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.coalesce("inter_u", F.lit(0)).cast("bigint").alias("inter_users"),
+        (F.col("n_a") + F.col("n_b") - F.coalesce("inter_u", F.lit(0)))
+        .cast("bigint")
+        .alias("union_users"),
+    )
+    return out.withColumn(
+        "jaccard_micro",
+        F.expr("CAST(inter_users * 1000000 div union_users AS BIGINT)"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #

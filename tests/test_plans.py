@@ -156,6 +156,7 @@ _NLJ_ALLOWED = {
     "dq15_cusum_drift",  # 1-row target (mean) broadcast
     "x81_cluster_safe_split",  # 1-row leak-count broadcast
     "s17_mips_recall_vs_probes",  # s13's tiny probe-grid broadcasts
+    "a17_audience_matrix",  # |types| x |types| count-row broadcast
 }
 
 
