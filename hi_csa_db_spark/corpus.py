@@ -141,6 +141,46 @@ class Corpus:
         kept = self._docs.join(dk, "doc_id")
         return self._with(kept, "resample_dsir[x24]")
 
+    def decontaminate(self) -> "Corpus":
+        """Drop the held-out eval split AND every corpus doc sharing a
+        5-gram with it (x80's GPT-3-style decontamination action)."""
+        from hi_csa_db_spark import queries as q
+
+        corpus, hits = q._eval_split_hits(self._docs)
+        kept = corpus.join(hits, "doc_id", "left_anti")
+        return self._with(kept, "decontaminate[x80]")
+
+    def assign_splits_cluster_safe(self) -> "Corpus":
+        """Add a ``split`` column (train/val/test, 80/10/10) keyed by
+        the near-dup CLUSTER label so duplicate clusters never
+        straddle splits (x81's leakage-safe rule)."""
+        from hi_csa_db_spark.operators import dedup, graph
+
+        pairs = dedup.minhash_lsh_dedup(
+            self._docs, n=3, num_hashes=16, bands=8, threshold=0.05
+        )
+        edges = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        labels = graph.connected_components(edges, iterations=3)
+        u = F.pmod(
+            F.coalesce(F.col("lbl"), F.col("doc_id")) * F.lit(2654435761),
+            F.lit(4294967296),
+        )
+        split = (
+            F.when(u < 3435973836, "train")
+            .when(u < 3865470566, "val")
+            .otherwise("test")
+        )
+        tagged = (
+            self._docs.join(
+                labels, self._docs["doc_id"] == labels["id"], "left"
+            )
+            .withColumn("split", split)
+            .drop("id", "lbl")
+        )
+        return self._with(tagged, "assign_splits_cluster_safe[x81]")
+
     def gate_quantile(self, keep_permille: int = 400) -> "Corpus":
         """Keep the top ``keep_permille``/1000 of each language slice
         by classifier logit (x26's self-calibrating quantile gate).

@@ -106,3 +106,56 @@ def test_gate_quantile_provenance_and_monotonicity(spark, sf_dir):
     # tighter gate keeps fewer
     n_tight = Corpus.load(spark, sf_dir).gate_quantile(100).df().count()
     assert n_tight <= n1
+
+
+def test_decontaminate_matches_x80_kept_counts(spark, sf_dir):
+    """decontaminate() keeps exactly x80's per-source n_kept."""
+    api = (
+        Corpus.load(spark, sf_dir)
+        .decontaminate()
+        .df()
+        .groupBy("source")
+        .count()
+    )
+    ref = q.x80_eval_decontam(spark, sf_dir).select("source", "n_kept")
+    got = {r["source"]: r["count"] for r in api.collect()}
+    want = {r["source"]: r["n_kept"] for r in ref.collect()}
+    # sources whose every doc was removed don't appear in the API frame
+    assert got == {s: n for s, n in want.items() if n > 0}
+    assert "decontaminate[x80]" in Corpus.load(
+        spark, sf_dir
+    ).decontaminate().provenance()
+
+
+def test_cluster_safe_splits_match_x81_audit(spark, sf_dir):
+    """assign_splits_cluster_safe() reproduces x81's per-split doc
+    counts, and near-dup cluster members share one split."""
+    c = Corpus.load(spark, sf_dir).assign_splits_cluster_safe()
+    api = {r["split"]: r["count"] for r in c.df().groupBy("split").count().collect()}
+    ref = {
+        r["split"]: r["n_docs"]
+        for r in q.x81_cluster_safe_split(spark, sf_dir).collect()
+    }
+    assert api == ref
+    # structural leak-freedom: every verified near-dup pair agrees
+    from hi_csa_db_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    docs = c.df().select("doc_id", "split")
+    pairs = dedup.minhash_lsh_dedup(
+        Corpus.load(spark, sf_dir).df(), n=3, num_hashes=16, bands=8,
+        threshold=0.05,
+    )
+    leaked = (
+        pairs.join(
+            docs.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert leaked == 0
