@@ -22011,6 +22011,54 @@ def a17_audience_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x83_hot_fingerprints",
+    """
+    WITH fcp AS (
+      SELECT doc_id,
+             list_transform(string_split(rpad(text, CAST(greatest(length(text), 8) AS INT), ' '), ''),
+                            c -> CAST(ascii(c) AS BIGINT)) AS cps
+      FROM documents
+    ),
+    fps AS (
+      SELECT doc_id, unnest(list_sort(
+        list_transform(range(1, len(cps) - 7 + 1),
+                       i -> (((((((cps[i] * 31 + cps[i+1]) * 31 + cps[i+2]) * 31 + cps[i+3]) * 31 + cps[i+4]) * 31 + cps[i+5]) * 31 + cps[i+6]) * 31 + cps[i+7]) % 1000000007)
+      )[1:5]) AS fp
+      FROM fcp
+    )
+    SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, fp ASC LIMIT 10
+    """,
+)
+def x83_hot_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-COPIED content blocks across the corpus: x5's winnowed
+    rolling-hash fingerprints grouped by VALUE — a fingerprint shared
+    by many docs is a license header / boilerplate block / mirrored
+    passage, the cross-corpus complement to d17's per-line dedup and
+    d13's within-doc spans (and the cheap preview of what a Lee-et-al
+    suffix-array pass would surface). Top-10 by distinct-doc count
+    with an example doc id to pull the actual text from.
+
+    Scale: the fingerprint stream is 5 longs per doc (already bounded
+    by winnowing); one map-combined distinct-count per fp and a
+    top-10 — the inverted index is never pair-expanded."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = textstats.fingerprints(docs, k=8, keep=5)
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("fp").asc())
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #
