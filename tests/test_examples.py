@@ -66,3 +66,16 @@ def test_parameter_planning_runs(sf_dir):
     assert "jaccard target 0.35: 8 bands x 2 rows" in r.stdout
     assert "auto-chosen gap:" in r.stdout
     assert r.stdout.strip().endswith("OK")
+
+
+def test_recipe_evaluation_runs(sf_dir):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "recipe_evaluation.py"),
+         sf_dir],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mips recall_pct=" in r.stdout
+    assert "cluster split leaked pairs: 0" in r.stdout
+    assert r.stdout.strip().endswith("OK")
