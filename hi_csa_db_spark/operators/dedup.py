@@ -756,17 +756,37 @@ def simhash(
         id_col,
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
     )
+    # Bit-sliced ones-counting (r7; values unchanged): instead of one
+    # SUM(±1) aggregate per bit (60 expressions per row — measured as
+    # d4's dominant cost at sf0.1, 0.76 of 2.1 s), pack THREE bit
+    # counts into 21-bit lanes of one bigint and aggregate 20 sums:
+    # lane word = (h>>b & 1) | (h>>b+1 & 1)<<21 | (h>>b+2 & 1)<<42.
+    # Each lane holds a per-doc ones-count up to 2^21-1 ≈ 2M distinct
+    # tokens/doc (a >10 MB document) before overflow — documented
+    # bound, far beyond any real doc. The sign test becomes
+    # 2*ones > n (ones = count of 1-bits, n = distinct tokens), which
+    # equals the old sum-of-±1 > 0 exactly.
+    lanes = bits // 3
     aggs = [
         F.sum(
-            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"__s{b}")
-        for b in range(bits)
-    ]
+            F.shiftright(F.col("h"), 3 * w).bitwiseAND(F.lit(1))
+            + F.shiftleft(
+                F.shiftright(F.col("h"), 3 * w + 1).bitwiseAND(F.lit(1)), 21
+            )
+            + F.shiftleft(
+                F.shiftright(F.col("h"), 3 * w + 2).bitwiseAND(F.lit(1)), 42
+            )
+        ).alias(f"__w{w}")
+        for w in range(lanes)
+    ] + [F.count(F.lit(1)).alias("__n")]
     per_doc = hashed.groupBy(id_col).agg(*aggs)
     fingerprint = None
     for b in range(bits):
+        ones = F.shiftright(F.col(f"__w{b // 3}"), 21 * (b % 3)).bitwiseAND(
+            F.lit((1 << 21) - 1)
+        )
         term = F.when(
-            F.col(f"__s{b}") > 0, F.lit(2**b).cast("long")
+            ones * 2 > F.col("__n"), F.lit(2**b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         fingerprint = term if fingerprint is None else fingerprint + term
     return per_doc.select(id_col, fingerprint.alias("simhash"))
