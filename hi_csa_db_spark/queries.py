@@ -22059,6 +22059,136 @@ def x83_hot_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ml_knn_classifier",
+    f"""
+    WITH seeds AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cv
+      FROM seeds WHERE vec_id < 40
+    ),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qv
+      FROM embeddings WHERE vec_id % 5 <> 0
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_cos_sql('e.embedding', 'c.cv')}, 6) DESC,
+                          c.centroid_id ASC
+               ) AS rn
+        FROM seeds e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT qid, centroid_id FROM (
+        SELECT q.qid, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY ROUND({_cos_sql('c.cv', 'q.qv')}, 6) DESC,
+                          c.centroid_id ASC
+               ) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id
+      FROM probes p JOIN assigned a USING (centroid_id)
+      WHERE a.vec_id <> p.qid
+    ),
+    nn AS (
+      SELECT qid, vec_id FROM (
+        SELECT c.qid, c.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.qid
+                 ORDER BY ROUND({_cos_sql('e.embedding', 'q.qv')}, 6) DESC,
+                          c.vec_id ASC
+               ) AS rk
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN q ON q.qid = c.qid
+      ) WHERE rk <= 3
+    ),
+    votes AS (
+      SELECT nn.qid, d.lang AS n_lang, COUNT(*) AS c
+      FROM nn JOIN documents d ON d.doc_id = nn.vec_id
+      GROUP BY nn.qid, d.lang
+    ),
+    pred AS (
+      SELECT qid, n_lang AS pred_lang FROM (
+        SELECT qid, n_lang,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY c DESC, n_lang ASC) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT t.lang AS true_lang, p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred p JOIN documents t ON t.doc_id = p.qid
+    GROUP BY t.lang, p.pred_lang
+    """,
+)
+def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised kNN CLASSIFICATION over the embedding space —
+    the weak-supervision labeling step of a data pipeline (label a
+    corpus from a small labeled seed set): every 5th doc keeps its
+    lang label as a SEED; each unlabeled doc takes the majority lang
+    of its top-3 seed neighbors (IVF-bucketed, s11's machinery with
+    the seed set as corpus), mode broken by (count desc, lang asc);
+    output is the confusion matrix against the held-back true labels
+    — the accuracy audit that decides whether embedding-space
+    labeling is trustworthy for the next stage (x73's idiom with a
+    LEARNED classifier instead of the marker heuristic).
+
+    Determinism: neighbor ranks use the rounded-cosine + id-tiebreak
+    idiom; the vote mode has a total order.
+
+    Scale: inherits ivf_knn_join's contract — one seed-side
+    assignment, per-query probe windows over the broadcast (40-row)
+    centroid table, one candidate equi-join; votes/confusion are
+    |langs|-bounded aggregates. Never query x corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    seeds = emb.filter(F.col("vec_id") % 5 == 0)
+    queries = emb.filter(F.col("vec_id") % 5 != 0)
+    nn = similarity.ivf_knn_join(
+        seeds, queries, k=3, n_centroids=40, n_probe=2
+    )
+    votes = (
+        nn.join(
+            docs.select(
+                F.col("doc_id").alias("neighbor_id"),
+                F.col("lang").alias("n_lang"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("qid", "n_lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("c").desc(), F.col("n_lang").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("n_lang").alias("pred_lang"))
+    )
+    return (
+        pred.join(
+            docs.select(
+                F.col("doc_id").alias("qid"), F.col("lang").alias("true_lang")
+            ),
+            "qid",
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #
