@@ -22189,6 +22189,146 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dq17_null_creep",
+    """
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CASE WHEN value IS NULL THEN 1 ELSE 0 END AS nv,
+             CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END AS np
+      FROM events
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(nv) AS BIGINT) AS null_value,
+           CAST(SUM(np) AS BIGINT) AS null_props,
+           CAST(SUM(nv) * 1000000 // COUNT(*) AS BIGINT) AS value_null_micro,
+           CAST(SUM(np) * 1000000 // COUNT(*) AS BIGINT) AS props_null_micro
+    FROM d GROUP BY day
+    """,
+)
+def dq17_null_creep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-creep monitor: per-day null/empty rates for the payload
+    columns (value, props) in exact millionths — the silent-breakage
+    class schema checks miss (the column still exists, the producer
+    just stopped filling it). Read as a series, a step change marks
+    the deploy that broke the field; complements dq8 (freshness),
+    dq13 (volume) and dq1's point-in-time expectations.
+
+    Scale: one narrow projection + a calendar-bounded per-day
+    aggregate, map-side combined."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.expr("ts_ns div 1000 div 86400000000").alias("day"),
+        F.when(F.col("value").isNull(), 1).otherwise(0).alias("nv"),
+        F.when(
+            F.col("props").isNull() | (F.col("props") == ""), 1
+        )
+        .otherwise(0)
+        .alias("np"),
+    )
+    return d.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("nv").cast("bigint").alias("null_value"),
+        F.sum("np").cast("bigint").alias("null_props"),
+        F.expr("CAST(SUM(nv) * 1000000 div COUNT(1) AS BIGINT)").alias(
+            "value_null_micro"
+        ),
+        F.expr("CAST(SUM(np) * 1000000 div COUNT(1) AS BIGINT)").alias(
+            "props_null_micro"
+        ),
+    ).select(
+        F.col("day").cast("bigint").alias("day"),
+        "n_rows",
+        "null_value",
+        "null_props",
+        "value_null_micro",
+        "props_null_micro",
+    )
+
+
+@_register(
+    "t46_wow_change",
+    """
+    WITH wk AS (
+      SELECT n.n_name,
+             CAST(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 604800000000
+               AS BIGINT) AS week_n,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
+               AS rev_cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, week_n
+    )
+    SELECT n_name, week_n, rev_cents,
+           LAG(rev_cents) OVER (PARTITION BY n_name ORDER BY week_n)
+             AS prev_cents,
+           CASE WHEN LAG(rev_cents) OVER (PARTITION BY n_name
+                                          ORDER BY week_n) > 0
+                THEN CAST((rev_cents - LAG(rev_cents) OVER (
+                       PARTITION BY n_name ORDER BY week_n)) * 10000
+                     // LAG(rev_cents) OVER (PARTITION BY n_name
+                                             ORDER BY week_n) AS BIGINT)
+                ELSE NULL END AS wow_bps
+    FROM wk
+    """,
+)
+def t46_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue change per nation in signed BASIS
+    POINTS — the growth-rate table every BI rollup ships: weekly
+    decimal-cents revenue (nation dim via broadcast join), one LAG
+    per nation series, integer floor division for the rate (NULL for
+    the first week / zero base). Complements t16's trend split and
+    t41's cohort curves with the plain period-over-period read.
+
+    Scale: corpus-sized work is one map-combined weekly aggregate;
+    the LAG runs over the |nations| x |weeks| bounded grid."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    wk = (
+        orders.join(
+            F.broadcast(
+                cust.select("c_custkey", "c_nationkey")
+            ).hint("broadcast"),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            F.expr(
+                "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                " div 604800000000 AS BIGINT)"
+            ).alias("week_n"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("week_n")
+    prev = F.lag("rev_cents").over(w)
+    return wk.select(
+        "n_name",
+        "week_n",
+        "rev_cents",
+        prev.alias("prev_cents"),
+        F.when(
+            prev > 0,
+            F.expr(
+                "CAST((rev_cents - lag(rev_cents) OVER (PARTITION BY n_name"
+                " ORDER BY week_n)) * 10000 div lag(rev_cents) OVER"
+                " (PARTITION BY n_name ORDER BY week_n) AS BIGINT)"
+            ),
+        ).alias("wow_bps"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #
