@@ -22329,6 +22329,448 @@ def t46_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "graph_link_prediction",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 120
+    ),
+    edges AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT p1 AS ctr, p2 AS nbr FROM edges
+      UNION ALL
+      SELECT p2 AS ctr, p1 AS nbr FROM edges
+    ),
+    deg AS (SELECT ctr, COUNT(*) AS d FROM adj GROUP BY ctr),
+    cand AS (
+      SELECT a.nbr AS u, b.nbr AS v, a.ctr AS w
+      FROM adj a JOIN adj b ON a.ctr = b.ctr AND a.nbr < b.nbr
+    ),
+    scored AS (
+      SELECT c.u, c.v,
+             CAST(COUNT(*) AS BIGINT) AS common_cnt,
+             CAST(SUM(1000000 // g.d) AS BIGINT) AS ra_micro
+      FROM cand c JOIN deg g ON g.ctr = c.w
+      GROUP BY c.u, c.v
+    ),
+    nonedge AS (
+      SELECT s.u, s.v, s.common_cnt, s.ra_micro
+      FROM scored s LEFT JOIN edges e ON e.p1 = s.u AND e.p2 = s.v
+      WHERE e.p1 IS NULL
+    )
+    SELECT CAST(u AS BIGINT) AS src, CAST(v AS BIGINT) AS dst,
+           common_cnt, ra_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT u, v, common_cnt, ra_micro,
+             ROW_NUMBER() OVER (ORDER BY ra_micro DESC, u ASC, v ASC) AS rnk
+      FROM nonedge
+    ) WHERE rnk <= 20
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by the resource-allocation index: for every
+    non-adjacent pair (u, v) in the co-purchase graph (parts sharing
+    an order, same subgraph as graph_triangles), score
+    RA(u, v) = sum over common neighbors w of 1/deg(w) — the
+    Zhou/Lu/Zhang predictor that outperforms plain common-neighbor
+    counts by discounting promiscuous hubs. Scores in exact integer
+    micro-units (1000000 div deg, per-neighbor floor), so both engines
+    rank identically; top-20 candidate edges with (score desc, u, v)
+    total-order tie-break.
+
+    Scale: the neighbor-pair generation is the standard wedge
+    enumeration bounded by sum(deg(w)^2) — at 100 TB the same df-cap
+    idiom as d3 bounds hub degrees before pairing. Everything else is
+    equi-joins on node ids plus one map-combined aggregate; the final
+    top-k is TakeOrderedAndProject, never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 120)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    # Shared-lineage frame (3 consumers: adj twice via self-join, the
+    # anti-join) -- lazy-checkpoint once, per the r6/r7 composite rule.
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = edges.select(
+        F.col("p1").alias("ctr"), F.col("p2").alias("nbr")
+    ).unionByName(edges.select(F.col("p2").alias("ctr"), F.col("p1").alias("nbr")))
+    deg = adj.groupBy("ctr").agg(F.count(F.lit(1)).alias("d"))
+    cand = (
+        adj.alias("a")
+        .join(
+            adj.alias("b"),
+            (F.col("a.ctr") == F.col("b.ctr")) & (F.col("a.nbr") < F.col("b.nbr")),
+        )
+        .select(
+            F.col("a.nbr").alias("u"),
+            F.col("b.nbr").alias("v"),
+            F.col("a.ctr").alias("w"),
+        )
+    )
+    scored = (
+        cand.join(deg, cand["w"] == deg["ctr"])
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_cnt"),
+            F.sum(F.expr("1000000 div d")).cast("bigint").alias("ra_micro"),
+        )
+    )
+    nonedge = scored.join(
+        edges,
+        (scored["u"] == edges["p1"]) & (scored["v"] == edges["p2"]),
+        "left_anti",
+    )
+    top = nonedge.orderBy(
+        F.col("ra_micro").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(20)
+    w20 = Window.orderBy(F.col("ra_micro").desc(), F.col("u").asc(), F.col("v").asc())
+    return top.select(
+        F.col("u").cast("bigint").alias("src"),
+        F.col("v").cast("bigint").alias("dst"),
+        "common_cnt",
+        "ra_micro",
+        F.row_number().over(w20).cast("bigint").alias("rnk"),
+    )
+
+
+@_register(
+    "a18_log_histogram_quantiles",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(FLOOR(value * 1000000) AS BIGINT) AS m
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, m,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ),
+    exact AS (
+      SELECT event_type,
+             CAST(MAX(n) AS BIGINT) AS n_rows,
+             CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN m END) AS BIGINT)
+               AS exact_p50_micro,
+             CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN m END) AS BIGINT)
+               AS exact_p90_micro,
+             CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN m END) AS BIGINT)
+               AS exact_p99_micro
+      FROM r GROUP BY event_type
+    ),
+    b AS (
+      SELECT event_type, digits, f2, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(CONCAT(CAST(f2 + 1 AS VARCHAR),
+                         REPEAT('0', GREATEST(digits - 2, 0))) AS BIGINT)
+               AS ub_micro
+      FROM (
+        SELECT event_type,
+               LENGTH(CAST(m AS VARCHAR)) AS digits,
+               CAST(SUBSTR(CAST(m AS VARCHAR), 1, 2) AS BIGINT) AS f2
+        FROM d
+      )
+      GROUP BY event_type, digits, f2
+    ),
+    cum AS (
+      SELECT event_type, ub_micro,
+             SUM(cnt) OVER (PARTITION BY event_type
+                            ORDER BY digits, f2) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM b
+    ),
+    est AS (
+      SELECT event_type,
+             CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN ub_micro END)
+               AS BIGINT) AS est_p50_micro,
+             CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN ub_micro END)
+               AS BIGINT) AS est_p90_micro,
+             CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN ub_micro END)
+               AS BIGINT) AS est_p99_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets
+      FROM cum GROUP BY event_type
+    )
+    SELECT e.event_type, x.n_rows, e.n_buckets,
+           e.est_p50_micro, x.exact_p50_micro,
+           e.est_p90_micro, x.exact_p90_micro,
+           e.est_p99_micro, x.exact_p99_micro
+    FROM est e JOIN exact x ON x.event_type = e.event_type
+    """,
+)
+def a18_log_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-bucket quantile sketch (DDSketch idea, decimal
+    flavor) with an exact audit: each value is floored to integer
+    micro-units and bucketed by its two leading decimal digits plus
+    magnitude — a fixed ~±5%-relative-error histogram whose buckets
+    are pure integer/string arithmetic (no libm log), so the sketch is
+    bit-identical on both engines AND mergeable across partitions/
+    days (bucket counts are a plain map-side-combined groupBy, the
+    property HLL/CMS give distincts/frequencies, extended here to
+    quantiles). Estimated p50/p90/p99 = upper bound of the first
+    bucket whose cumulative count reaches ceil(q*n); the exact
+    discrete quantiles computed the expensive way sit alongside, per
+    event_type, to show the error you buy.
+
+    Scale: the sketch path is one narrow projection + a bounded
+    groupBy (|types| x ~90 buckets x magnitudes) — the 100 TB path.
+    The exact columns are the AUDIT (a per-type global sort, the s9
+    recall-report idiom): at scale you ship the sketch and run the
+    audit on a sample."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", F.floor(F.col("value") * 1000000).cast("bigint").alias("m")
+    )
+    wt = Window.partitionBy("event_type").orderBy("m")
+    r = d.select(
+        "event_type",
+        "m",
+        F.row_number().over(wt).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    exact = r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.max(F.expr("CASE WHEN rn = (n + 1) div 2 THEN m END"))
+        .cast("bigint")
+        .alias("exact_p50_micro"),
+        F.max(F.expr("CASE WHEN rn = (9 * n + 9) div 10 THEN m END"))
+        .cast("bigint")
+        .alias("exact_p90_micro"),
+        F.max(F.expr("CASE WHEN rn = (99 * n + 99) div 100 THEN m END"))
+        .cast("bigint")
+        .alias("exact_p99_micro"),
+    )
+    b = (
+        d.select(
+            "event_type",
+            F.length(F.col("m").cast("string")).alias("digits"),
+            F.substring(F.col("m").cast("string"), 1, 2)
+            .cast("bigint")
+            .alias("f2"),
+        )
+        .groupBy("event_type", "digits", "f2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn(
+            "ub_micro",
+            F.concat(
+                (F.col("f2") + 1).cast("string"),
+                F.expr("repeat('0', GREATEST(digits - 2, 0))"),
+            ).cast("bigint"),
+        )
+    )
+    wb = Window.partitionBy("event_type").orderBy("digits", "f2")
+    cum = b.select(
+        "event_type",
+        "ub_micro",
+        F.sum("cnt").over(wb).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    est = cum.groupBy("event_type").agg(
+        F.min(F.expr("CASE WHEN cum >= (n + 1) div 2 THEN ub_micro END"))
+        .cast("bigint")
+        .alias("est_p50_micro"),
+        F.min(F.expr("CASE WHEN cum >= (9 * n + 9) div 10 THEN ub_micro END"))
+        .cast("bigint")
+        .alias("est_p90_micro"),
+        F.min(F.expr("CASE WHEN cum >= (99 * n + 99) div 100 THEN ub_micro END"))
+        .cast("bigint")
+        .alias("est_p99_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_rows",
+        "n_buckets",
+        "est_p50_micro",
+        "exact_p50_micro",
+        "est_p90_micro",
+        "exact_p90_micro",
+        "est_p99_micro",
+        "exact_p99_micro",
+    )
+
+
+def _trunc_cos_sql(a: str, b: str, k: int) -> str:
+    """Cosine over only the first ``k`` dims of two list columns —
+    the _DOT/_cos_sql macro with range(1, k+1); same left fold, so
+    parity holds for every prefix the Spark side slices."""
+    d = (
+        f"list_aggregate(list_transform(range(1, {k + 1}), "
+        "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')"
+    )
+    return (
+        f"{d.format(a=a, b=b)} / "
+        f"(sqrt({d.format(a=a, b=a)}) * sqrt({d.format(a=b, b=b)}))"
+    )
+
+
+def _s18_oracle() -> str:
+    fams = []
+    for k in (8, 16, 32, 64):
+        fams.append(f"""
+    fam{k} AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               ROUND({_trunc_cos_sql('e.embedding', 'q.qv', k)}, 6) AS cs
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY cs DESC, e.vec_id ASC LIMIT 10
+      )
+    )""")
+    unions = "\n      UNION ALL\n".join(
+        f"""      SELECT CAST({k} AS BIGINT) AS dims,
+             CAST((SELECT COUNT(*) FROM fam{k} f
+                   JOIN exact x ON x.vec_id = f.vec_id) AS BIGINT) AS hits"""
+        for k in (8, 16, 32, 64)
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    exact AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               ROUND({_cos_sql('e.embedding', 'q.qv')}, 6) AS cs
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY cs DESC, e.vec_id ASC LIMIT 10
+      )
+    ),{",".join(fams)}
+    SELECT dims, hits, CAST(hits * 10 AS BIGINT) AS recall_pct
+    FROM ({unions})
+    """
+
+
+@_register("s18_dim_truncation_recall", _s18_oracle())
+def s18_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation recall audit: re-rank the
+    corpus by cosine over only the first k dims (k = 8/16/32/64) and
+    score each truncated top-10 against the full-width exact top-10 —
+    the evaluation that decides how far an embedding column can be
+    truncated before retrieval quality drops (the storage/recall
+    trade every 100 TB vector corpus prices out; the s9 recall-report
+    idiom applied to width instead of ANN family). Scoring is the
+    audited zip_with/aggregate left fold over F.slice prefixes,
+    rounded to 6dp with vec_id tie-break, so both engines pick
+    identical top-k sets; hits and whole-percent recall are exact
+    integers.
+
+    Scale: four brute-force passes over the corpus, each a broadcast
+    query vector + TakeOrderedAndProject (s1's shape) — no corpus
+    shuffle; the audit joins four 10-row sets against one broadcast
+    10-row truth."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__q"))
+    exact = similarity.cosine_topk(emb, query_id=0, k=10).select(
+        "vec_id", F.lit(1).alias("__hit")
+    )
+    from hi_csa_db_spark.functions.vectors import cosine as _cos
+
+    fams = []
+    for k in (8, 16, 32, 64):
+        fam = (
+            emb.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                F.round(
+                    _cos(
+                        F.slice(F.col("embedding"), 1, k),
+                        F.slice(F.col("__q"), 1, k),
+                    ),
+                    6,
+                ).alias("cs"),
+            )
+            .orderBy(F.col("cs").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .join(F.broadcast(exact), "vec_id", "left")
+            .agg(
+                F.lit(k).cast("bigint").alias("dims"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("bigint")
+                .alias("hits"),
+            )
+        )
+        fams.append(fam)
+    out = fams[0]
+    for fam in fams[1:]:
+        out = out.unionByName(fam)
+    return out.select(
+        "dims", "hits", (F.col("hits") * 10).cast("bigint").alias("recall_pct")
+    )
+
+
+@_register(
+    "dq18_l_diversity",
+    """
+    WITH s AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 'debt'
+                  WHEN c_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END AS band
+      FROM customer
+    ),
+    cls AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT band) AS BIGINT) AS l_div
+      FROM s GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS weak_classes,
+           CAST(SUM(CASE WHEN l_div < 3 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS exposed_rows,
+           CAST(MIN(l_div) AS BIGINT) AS min_l
+    FROM cls GROUP BY c_mktsegment
+    """,
+)
+def dq18_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the companion privacy check to dq16's
+    k-anonymity: a quasi-identifier class can be large (k-anonymous)
+    yet still leak if everyone in it shares the same SENSITIVE value
+    — here the account-balance band (debt / mid / high) within each
+    (nation, market-segment) class. Reports, per segment, how many
+    classes fall below l = 3 distinct bands, how many customer rows
+    sit exposed in them, and the segment's worst class diversity.
+    Fixed integer band thresholds, so both engines bucket
+    identically; all outputs exact counts.
+
+    Scale: two map-combined aggregations; class cardinality is
+    bounded by |nations| x |segments|, never data-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    s = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("band"),
+    )
+    cls = s.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("band").cast("bigint").alias("l_div"),
+    )
+    return cls.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("l_div") < 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("weak_classes"),
+        F.sum(F.when(F.col("l_div") < 3, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("exposed_rows"),
+        F.min("l_div").cast("bigint").alias("min_l"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #
