@@ -22771,6 +22771,345 @@ def dq18_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "j14_selfjoin_size_estimate",
+    """
+    WITH counts AS (
+      SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_partkey
+    ),
+    exact AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_pairs FROM counts),
+    cells AS (
+      SELECT h.d, ((counts.key * h.a) % 4294967296) % 256 AS cell,
+             CAST(SUM(c) AS BIGINT) AS cc
+      FROM counts CROSS JOIN (VALUES (0, 2654435761), (1, 2246822519),
+                                     (2, 3266489917), (3, 668265263)) AS h(d, a)
+      GROUP BY h.d, cell
+    ),
+    ests AS (SELECT d, CAST(SUM(cc * cc) AS BIGINT) AS est FROM cells GROUP BY d),
+    best AS (SELECT CAST(MIN(est) AS BIGINT) AS cms_est FROM ests)
+    SELECT CAST(4 AS BIGINT) AS depth, CAST(256 AS BIGINT) AS width,
+           e.exact_pairs, b.cms_est,
+           CAST((b.cms_est - e.exact_pairs) * 10000 // e.exact_pairs AS BIGINT)
+             AS over_bps
+    FROM exact e CROSS JOIN best b
+    """,
+)
+def j14_selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from Count-Min sketches — the
+    planner primitive behind 'should this self-join be attempted':
+    |R join R on key| = sum over keys of c(k)^2 exactly, and the CMS
+    inner-product estimate min over rows of sum over cells of
+    cell_count^2 — computed from a depth-4 x width-256 sketch whose
+    rows use fixed odd multiplicative hash constants (Knuth/xxhash
+    primes mod 2^32), so both engines build bit-identical sketches
+    (a11's xxhash rows are Spark-only; an ESTIMATE in the output
+    needs a portable hash). CMS inner products never underestimate,
+    so over_bps quantifies exactly how pessimistic the 4 KB sketch is
+    vs the true pair count.
+
+    Scale: the sketch collapses an unbounded keyspace into 1024
+    cells (map-side combined, KB-scale shuffle) — at 100 TB you price
+    a join by merging per-partition sketches, never by counting keys;
+    the exact column is the audit, derived here from the same bounded
+    per-key count table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    exact = counts.agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_pairs")
+    )
+    hashes = [(0, 2654435761), (1, 2246822519), (2, 3266489917), (3, 668265263)]
+    cells = (
+        counts.select(
+            "c",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            F.pmod(
+                                F.pmod(F.col("key") * F.lit(a), F.lit(4294967296)),
+                                F.lit(256),
+                            ).alias("cell"),
+                        )
+                        for d, a in hashes
+                    ]
+                )
+            ).alias("h"),
+        )
+        .groupBy("h.d", "h.cell")
+        .agg(F.sum("c").cast("bigint").alias("cc"))
+    )
+    ests = cells.groupBy("d").agg(
+        F.sum(F.col("cc") * F.col("cc")).cast("bigint").alias("est")
+    )
+    best = ests.agg(F.min("est").cast("bigint").alias("cms_est"))
+    return (
+        exact.crossJoin(F.broadcast(best))
+        .select(
+            F.lit(4).cast("bigint").alias("depth"),
+            F.lit(256).cast("bigint").alias("width"),
+            "exact_pairs",
+            "cms_est",
+            F.expr(
+                "CAST((cms_est - exact_pairs) * 10000 div exact_pairs AS BIGINT)"
+            ).alias("over_bps"),
+        )
+    )
+
+
+@_register(
+    "er4_blocking_eval",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ic
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                   JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.ic / (sa.sz + sb.sz - i.ic) >= 0.05
+    ),
+    seeds AS (SELECT unnest(range(0, 16)) AS seed),
+    hh AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h1,
+             CAST('0x' || substring(md5(shingle), 16, 12) AS BIGINT) * 2 + 1 AS h2
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, seed,
+             MIN((h1 + seed * h2) % 1152921504606846976) AS mh
+      FROM hh CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             md5(band::VARCHAR || '|' ||
+                 string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bkey
+      FROM (SELECT doc_id, seed, mh, seed // 2 AS band FROM mh)
+      GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                               AND a.doc_id < b.doc_id
+    ),
+    k AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                    1, 24) AS key
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rnk FROM k
+    ),
+    w1 AS (
+      SELECT doc_id,
+             (list_filter(
+               string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                            ' '),
+               x -> x <> ''))[1] AS w
+      FROM documents
+    ),
+    sd0 AS (
+      SELECT doc_id, w,
+             translate(substr(w, 2),
+                       'bfpvcgjkqsxzdtlmnraeiouyhw0123456789',
+                       '111122222222334556000000000000000000') AS d
+      FROM w1 WHERE w IS NOT NULL AND w <> ''
+    ),
+    sd1 AS (
+      SELECT doc_id, w,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(d,
+          '1{{2,}}', '1', 'g'), '2{{2,}}', '2', 'g'), '3{{2,}}', '3', 'g'),
+          '4{{2,}}', '4', 'g'), '5{{2,}}', '5', 'g'), '6{{2,}}', '6', 'g') AS d
+      FROM sd0
+    ),
+    code AS (
+      SELECT doc_id,
+             upper(substr(w, 1, 1))
+               || substr(replace(d, '0', '') || '000', 1, 3) AS sdx
+      FROM sd1
+    ),
+    wide AS (
+      SELECT
+        (SELECT COUNT(*) FROM documents) AS n_docs,
+        (SELECT COUNT(*) FROM truth) AS truth_cnt,
+        (SELECT COUNT(*) FROM cand) AS lsh_cnt,
+        (SELECT COUNT(*) FROM truth t JOIN cand c
+           ON c.id_a = t.id_a AND c.id_b = t.id_b) AS lsh_hits,
+        (SELECT SUM(LEAST(3, (SELECT COUNT(*) FROM r) - rnk)) FROM r)
+          AS sn_cnt,
+        (SELECT COUNT(*) FROM truth t
+           JOIN r ra ON ra.doc_id = t.id_a
+           JOIN r rb ON rb.doc_id = t.id_b
+         WHERE ABS(ra.rnk - rb.rnk) <= 3) AS sn_hits,
+        (SELECT SUM(c * (c - 1) // 2) FROM
+           (SELECT COUNT(*) AS c FROM code GROUP BY sdx)) AS sdx_cnt,
+        (SELECT COUNT(*) FROM truth t
+           JOIN code ca ON ca.doc_id = t.id_a
+           JOIN code cb ON cb.doc_id = t.id_b AND cb.sdx = ca.sdx) AS sdx_hits
+    )
+    SELECT family, n_candidates, hits, truth_pairs,
+           CASE WHEN truth_pairs > 0
+                THEN CAST(hits * 10000 // truth_pairs AS BIGINT) END
+             AS recall_bps,
+           CAST(n_candidates * 1000000 // (n_docs * (n_docs - 1) // 2)
+             AS BIGINT) AS cand_ppm
+    FROM (
+      SELECT 'lsh_bands' AS family, CAST(lsh_cnt AS BIGINT) AS n_candidates,
+             CAST(lsh_hits AS BIGINT) AS hits,
+             CAST(truth_cnt AS BIGINT) AS truth_pairs, n_docs FROM wide
+      UNION ALL
+      SELECT 'sorted_neighborhood', CAST(sn_cnt AS BIGINT),
+             CAST(sn_hits AS BIGINT), CAST(truth_cnt AS BIGINT), n_docs
+      FROM wide
+      UNION ALL
+      SELECT 'soundex_block', CAST(sdx_cnt AS BIGINT),
+             CAST(sdx_hits AS BIGINT), CAST(truth_cnt AS BIGINT), n_docs
+      FROM wide
+    )
+    """,
+)
+def er4_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-strategy evaluation — the pairs-completeness /
+    reduction-ratio report every entity-resolution pipeline runs
+    before committing to a blocking key (Christen's PC/RR metrics):
+    each of the three blocking families this engine ships (d2's
+    MinHash LSH bands, d15's sorted-neighborhood rank window, f18's
+    lead-token soundex blocks) is scored against exact ground truth
+    (full inverted-index Jaccard >= 0.05, the d2 verify rule) on
+    recall of true pairs (recall_bps) and candidate volume as parts
+    per million of all n*(n-1)/2 pairs (cand_ppm). Soundex candidate
+    volume is counted from block sizes (sum of c*(c-1)/2) without
+    materializing a single pair, and hits are computed by joining the
+    bounded truth set against per-doc block keys — the same trick a
+    100 TB run would use.
+
+    Scale: shared shingle frame checkpointed once (truth + LSH
+    signatures both consume it); ground truth is the expensive audit
+    (at scale: run on a stratified sample); each family's candidate
+    generation keeps its own already-audited bounded shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, n=3).localCheckpoint(eager=False)
+    truth = (
+        dedup.jaccard_pairs(sh)
+        .filter(F.col("jaccard") >= 0.05)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=8, rows=2)
+    key = F.substring(F.lower(strip_punct(F.col("text"))), 1, 24)
+    wr = Window.orderBy(F.col("k").asc(), F.col("doc_id").asc())
+    r = (
+        docs.select("doc_id", key.alias("k"))
+        .select("doc_id", F.row_number().over(wr).alias("rnk"))
+        .localCheckpoint(eager=False)
+    )
+    w0 = F.filter(tokenize(F.lower(strip_punct(F.col("text")))), lambda x: x != "")[0]
+    w1 = docs.select("doc_id", w0.alias("w")).filter(
+        F.col("w").isNotNull() & (F.col("w") != "")
+    )
+    d = F.translate(
+        F.expr("substr(w, 2)"),
+        "bfpvcgjkqsxzdtlmnraeiouyhw0123456789",
+        "111122222222334556000000000000000000",
+    )
+    for digit in "123456":
+        d = F.regexp_replace(d, digit + "{2,}", digit)
+    sdx = F.concat(
+        F.upper(F.substring("w", 1, 1)),
+        F.substring(
+            F.concat(F.replace(d, F.lit("0"), F.lit("")), F.lit("000")), 1, 3
+        ),
+    )
+    code = w1.select("doc_id", sdx.alias("sdx")).localCheckpoint(eager=False)
+
+    n1 = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    truth_cnt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("truth_cnt"))
+    lsh_cnt = cand.agg(F.count(F.lit(1)).cast("bigint").alias("lsh_cnt"))
+    lsh_hits = (
+        truth.join(cand, ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("lsh_hits"))
+    )
+    rmax = r.agg(F.max("rnk").alias("mx"))
+    sn_cnt = (
+        r.crossJoin(F.broadcast(rmax))
+        .agg(
+            F.sum(F.least(F.lit(3), F.col("mx") - F.col("rnk")))
+            .cast("bigint")
+            .alias("sn_cnt")
+        )
+    )
+    ra = r.select(F.col("doc_id").alias("id_a"), F.col("rnk").alias("ra"))
+    rb = r.select(F.col("doc_id").alias("id_b"), F.col("rnk").alias("rb"))
+    sn_hits = (
+        truth.join(ra, "id_a")
+        .join(rb, "id_b")
+        .filter(F.abs(F.col("ra") - F.col("rb")) <= 3)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sn_hits"))
+    )
+    sdx_cnt = (
+        code.groupBy("sdx")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.expr("c * (c - 1) div 2")).cast("bigint").alias("sdx_cnt")
+        )
+    )
+    ca = code.select(F.col("doc_id").alias("id_a"), F.col("sdx").alias("sa"))
+    cb = code.select(F.col("doc_id").alias("id_b"), F.col("sdx").alias("sb"))
+    sdx_hits = (
+        truth.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(F.col("sa") == F.col("sb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sdx_hits"))
+    )
+    wide = (
+        n1.crossJoin(F.broadcast(truth_cnt))
+        .crossJoin(F.broadcast(lsh_cnt))
+        .crossJoin(F.broadcast(lsh_hits))
+        .crossJoin(F.broadcast(sn_cnt))
+        .crossJoin(F.broadcast(sn_hits))
+        .crossJoin(F.broadcast(sdx_cnt))
+        .crossJoin(F.broadcast(sdx_hits))
+        .localCheckpoint(eager=False)
+    )
+    rows = []
+    for fam, cnt, hits in (
+        ("lsh_bands", "lsh_cnt", "lsh_hits"),
+        ("sorted_neighborhood", "sn_cnt", "sn_hits"),
+        ("soundex_block", "sdx_cnt", "sdx_hits"),
+    ):
+        rows.append(
+            wide.select(
+                F.lit(fam).alias("family"),
+                F.col(cnt).alias("n_candidates"),
+                F.col(hits).alias("hits"),
+                F.col("truth_cnt").alias("truth_pairs"),
+                F.when(
+                    F.col("truth_cnt") > 0,
+                    F.expr(f"CAST({hits} * 10000 div truth_cnt AS BIGINT)"),
+                ).alias("recall_bps"),
+                F.expr(
+                    f"CAST({cnt} * 1000000 div (n_docs * (n_docs - 1) div 2)"
+                    " AS BIGINT)"
+                ).alias("cand_ppm"),
+            )
+        )
+    out = rows[0]
+    for fam_df in rows[1:]:
+        out = out.unionByName(fam_df)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #
