@@ -23110,6 +23110,122 @@ def er4_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_register(
+    "graph_assortativity",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 120
+    ),
+    edges AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT p1 AS ctr, p2 AS nbr FROM edges
+      UNION ALL
+      SELECT p2 AS ctr, p1 AS nbr FROM edges
+    ),
+    deg AS (SELECT ctr, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY ctr),
+    de AS (
+      SELECT da.d AS x, db.d AS y
+      FROM adj e JOIN deg da ON da.ctr = e.ctr
+                 JOIN deg db ON db.ctr = e.nbr
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM de
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           n AS n_endpoints,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r) of the co-purchase graph: the
+    Pearson correlation of degrees across edge endpoints, both
+    orientations counted — positive means hubs link to hubs
+    (assortative mixing), negative means hub-leaf structure. The
+    stats_spearman exact-moments idiom: all six moment sums are exact
+    integers (degrees are bounded counts), floats appear only in the
+    single final division/sqrt over those exact integers (IEEE
+    correctly-rounded ops, not libm), rounded once to 6dp.
+
+    Scale: degree table is one map-combined aggregate; the endpoint
+    join is two equi-joins of the edge list against the (node-sized,
+    much smaller) degree table; moments are a 1-row aggregate. No
+    all-pairs anything."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 120)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = edges.select(
+        F.col("p1").alias("ctr"), F.col("p2").alias("nbr")
+    ).unionByName(edges.select(F.col("p2").alias("ctr"), F.col("p1").alias("nbr")))
+    deg = adj.groupBy("ctr").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    da = deg.select(F.col("ctr").alias("__ca"), F.col("d").alias("x"))
+    db = deg.select(F.col("ctr").alias("__cb"), F.col("d").alias("y"))
+    de = adj.join(da, adj["ctr"] == da["__ca"]).join(
+        db, adj["nbr"] == db["__cb"]
+    )
+    m = de.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        m.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ne))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n").alias("n_endpoints"),
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / (
+                    F.sqrt(
+                        (
+                            F.col("n") * F.col("sxx")
+                            - F.col("sx") * F.col("sx")
+                        ).cast("double")
+                    )
+                    * F.sqrt(
+                        (
+                            F.col("n") * F.col("syy")
+                            - F.col("sy") * F.col("sy")
+                        ).cast("double")
+                    )
+                ),
+                6,
+            ).alias("assortativity"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #

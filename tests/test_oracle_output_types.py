@@ -145,6 +145,7 @@ _DOUBLE_WHITELIST: dict[str, set[str]] = {
     "stats_moments": {"corr_qty_price", "mean_qty", "var_qty"},
     "stats_percentiles": {"hi", "lo", "p25", "p50", "p75"},
     "stats_runs_test": {"z_score"},
+    "graph_assortativity": {"assortativity"},
     "stats_spearman": {"spearman_rho"},
     "stats_wilcoxon": {"z_score"},
     "stream_ohlc_daily": {"close", "high", "low", "open"},
