@@ -22668,8 +22668,13 @@ def s18_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-row truth."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__q"))
-    exact = similarity.cosine_topk(emb, query_id=0, k=10).select(
-        "vec_id", F.lit(1).alias("__hit")
+    # The 10-row truth set has 4 consumers (one per width family) --
+    # lazy-checkpoint it so the full-width exact scan runs once, not
+    # re-derived inside every family's broadcast join (r7 rule).
+    exact = (
+        similarity.cosine_topk(emb, query_id=0, k=10)
+        .select("vec_id", F.lit(1).alias("__hit"))
+        .localCheckpoint(eager=False)
     )
     from hi_csa_db_spark.functions.vectors import cosine as _cos
 

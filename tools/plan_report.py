@@ -214,6 +214,14 @@ EXTRA = [
     "x81_cluster_safe_split",
     "ml_auc_ranking",
     "ml_calibration_table",
+    # round-7 session-2 additions
+    "graph_link_prediction",
+    "graph_assortativity",
+    "a18_log_histogram_quantiles",
+    "s18_dim_truncation_recall",
+    "dq18_l_diversity",
+    "j14_selfjoin_size_estimate",
+    "er4_blocking_eval",
 ]
 
 
