@@ -23116,117 +23116,366 @@ def er4_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "graph_assortativity",
+    "dq19_column_profile",
     """
-    WITH op AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 120
+    WITH v AS (
+      SELECT 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS val FROM documents
+      UNION ALL SELECT 'text', text FROM documents
+      UNION ALL SELECT 'lang', lang FROM documents
+      UNION ALL SELECT 'source', source FROM documents
+      UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
     ),
-    edges AS (
-      SELECT a.l_partkey AS p1, b.l_partkey AS p2
-      FROM op a JOIN op b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2
-    ),
-    adj AS (
-      SELECT p1 AS ctr, p2 AS nbr FROM edges
-      UNION ALL
-      SELECT p2 AS ctr, p1 AS nbr FROM edges
-    ),
-    deg AS (SELECT ctr, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY ctr),
-    de AS (
-      SELECT da.d AS x, db.d AS y
-      FROM adj e JOIN deg da ON da.ctr = e.ctr
-                 JOIN deg db ON db.ctr = e.nbr
-    ),
-    m AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy
-      FROM de
-    )
-    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
-           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
-           n AS n_endpoints,
-           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
-             AS assortativity
-    FROM m
+    per AS (SELECT col, val, COUNT(*) AS c FROM v GROUP BY col, val)
+    SELECT col,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN c END), 0) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(val) AS BIGINT) AS n_distinct,
+           CAST(MAX(CASE WHEN val IS NOT NULL THEN c END) * 10000
+                // SUM(c) AS BIGINT) AS top_share_bps,
+           CAST(SUM(CASE WHEN val IS NOT NULL THEN c * LENGTH(val) END)
+                * 1000 // SUM(CASE WHEN val IS NOT NULL THEN c END)
+             AS BIGINT) AS avg_len_milli
+    FROM per GROUP BY col
     """,
 )
-def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree assortativity (Newman's r) of the co-purchase graph: the
-    Pearson correlation of degrees across edge endpoints, both
-    orientations counted — positive means hubs link to hubs
-    (assortative mixing), negative means hub-leaf structure. The
-    stats_spearman exact-moments idiom: all six moment sums are exact
-    integers (degrees are bounded counts), floats appear only in the
-    single final division/sqrt over those exact integers (IEEE
-    correctly-rounded ops, not libm), rounded once to 6dp.
+def dq19_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (the Deequ/Glue-profiler report): every column
+    of the documents table melted to (column, stringified value) and
+    profiled in one pass — row count, null count, distinct count, the
+    most frequent value's share in basis points (constant-column /
+    category-collapse detector), and mean value length in milli-chars
+    (the cheap schema-drift signal: a length step change means the
+    producer changed format). Lengths are aggregated from the
+    per-value count table (sum of c * len(val)), so the profile needs
+    only ONE shuffle of distinct values, not a second corpus pass.
 
-    Scale: degree table is one map-combined aggregate; the endpoint
-    join is two equi-joins of the edge list against the (node-sized,
-    much smaller) degree table; moments are a 1-row aggregate. No
-    all-pairs anything."""
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 120)
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
-    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("p1") < F.col("p2"))
-        .select("p1", "p2")
-        .distinct()
+    Scale: the melt is a narrow 5x projection; per-(col, value)
+    counts are map-side combined; the final rollup is |columns|
+    groups. For a high-cardinality column the distinct table is the
+    dominant term — exactly the cost any profiler pays, with no
+    skew surprises since values hash-partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    v = docs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.col", "kv.val")
+    per = v.groupBy("col", "val").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("col").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("c"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.count("val").cast("bigint").alias("n_distinct"),
+        F.expr(
+            "CAST(MAX(CASE WHEN val IS NOT NULL THEN c END) * 10000"
+            " div SUM(c) AS BIGINT)"
+        ).alias("top_share_bps"),
+        F.expr(
+            "CAST(SUM(CASE WHEN val IS NOT NULL THEN c * LENGTH(val) END)"
+            " * 1000 div SUM(CASE WHEN val IS NOT NULL THEN c END) AS BIGINT)"
+        ).alias("avg_len_milli"),
+    )
+
+
+@_register(
+    "u24_partial_agg_merge",
+    """
+    WITH b AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderdate < '1994-01-01' THEN 0
+                  WHEN o_orderdate < '1996-01-01' THEN 1
+                  ELSE 2 END AS batch,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    partials AS (
+      SELECT o_orderpriority, batch,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(MIN(cents) AS BIGINT) AS mn,
+             CAST(MAX(cents) AS BIGINT) AS mx
+      FROM b GROUP BY o_orderpriority, batch
+    ),
+    merged AS (
+      SELECT o_orderpriority,
+             CAST(SUM(n) AS BIGINT) AS n_merged,
+             CAST(SUM(s) AS BIGINT) AS sum_merged,
+             CAST(MIN(mn) AS BIGINT) AS min_merged,
+             CAST(MAX(mx) AS BIGINT) AS max_merged,
+             CAST(COUNT(*) AS BIGINT) AS n_batches
+      FROM partials GROUP BY o_orderpriority
+    ),
+    full_pass AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_full,
+             CAST(SUM(cents) AS BIGINT) AS sum_full,
+             CAST(MIN(cents) AS BIGINT) AS min_full,
+             CAST(MAX(cents) AS BIGINT) AS max_full
+      FROM b GROUP BY o_orderpriority
+    )
+    SELECT m.o_orderpriority, m.n_batches,
+           m.n_merged, f.n_full, m.sum_merged, f.sum_full,
+           m.min_merged, f.min_full, m.max_merged, f.max_full,
+           CAST(CASE WHEN m.n_merged = f.n_full AND m.sum_merged = f.sum_full
+                      AND m.min_merged = f.min_full
+                      AND m.max_merged = f.max_full
+                THEN 1 ELSE 0 END AS BIGINT) AS states_match
+    FROM merged m JOIN full_pass f USING (o_orderpriority)
+    """,
+)
+def u24_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: each ingest batch (orders
+    split into three date-range batches, the u23/u21 batch model)
+    reduces to a PARTIAL aggregate state (count, sum in exact cents,
+    min, max) and the materialized rollup is maintained by MERGING
+    states — never by re-reading closed batches. The query carries
+    the audit inline: merged state vs a single-pass full recompute,
+    with a states_match flag per group proving the merge formulas
+    are lossless (the algebraic-aggregate contract every incremental
+    pipeline and every map-side combine relies on; HLL/CMS/log-
+    histogram extend the same contract to sketches).
+
+    Scale: at 100 TB the full_pass column disappears and only the
+    per-batch partials (|groups| x |batches| rows) are ever stored or
+    shuffled — a day's ingest touches one batch's state, and the
+    rollup is a |groups|-sized merge."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        "o_orderpriority",
+        F.when(F.col("o_orderdate") < "1994-01-01", 0)
+        .when(F.col("o_orderdate") < "1996-01-01", 1)
+        .otherwise(2)
+        .alias("batch"),
+        (F.col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    ).localCheckpoint(eager=False)
+    partials = b.groupBy("o_orderpriority", "batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.min("cents").cast("bigint").alias("mn"),
+        F.max("cents").cast("bigint").alias("mx"),
+    )
+    merged = partials.groupBy("o_orderpriority").agg(
+        F.sum("n").cast("bigint").alias("n_merged"),
+        F.sum("s").cast("bigint").alias("sum_merged"),
+        F.min("mn").cast("bigint").alias("min_merged"),
+        F.max("mx").cast("bigint").alias("max_merged"),
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+    )
+    full_pass = b.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_full"),
+        F.sum("cents").cast("bigint").alias("sum_full"),
+        F.min("cents").cast("bigint").alias("min_full"),
+        F.max("cents").cast("bigint").alias("max_full"),
+    )
+    return merged.join(full_pass, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_batches",
+        "n_merged",
+        "n_full",
+        "sum_merged",
+        "sum_full",
+        "min_merged",
+        "min_full",
+        "max_merged",
+        "max_full",
+        F.when(
+            (F.col("n_merged") == F.col("n_full"))
+            & (F.col("sum_merged") == F.col("sum_full"))
+            & (F.col("min_merged") == F.col("min_full"))
+            & (F.col("max_merged") == F.col("max_full")),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("states_match"),
+    )
+
+
+def _ret6_oracle() -> str:
+    """Compose ret1's BM25 oracle as the SEED retrieval, mine feedback
+    terms from its top-10, and re-run the identical BM25 formula over
+    the expanded term set (term list via join, not IN-literal)."""
+    return f"""
+    WITH seed AS (SELECT * FROM ({_ORACLES["ret1_bm25_topk"]}) t),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS tok
+      FROM documents
+    ),
+    fb AS (
+      SELECT DISTINCT t.doc_id, t.tok
+      FROM toks t JOIN seed s ON s.doc_id = t.doc_id
+    ),
+    cand AS (
+      SELECT tok, COUNT(*) AS dfb FROM fb
+      WHERE tok NOT IN ('spark', 'hash', 'merge')
+        AND tok NOT IN ({_CLS_STOPWORDS_SQL})
+        AND LENGTH(tok) >= 3
+      GROUP BY tok
+    ),
+    expn AS (SELECT tok FROM cand ORDER BY dfb DESC, tok ASC LIMIT 3),
+    qterms AS (
+      SELECT unnest(['spark', 'hash', 'merge']) AS tok
+      UNION ALL SELECT tok FROM expn
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT CAST(SUM(dl) AS DOUBLE) AS total_dl,
+                      CAST(COUNT(*) AS DOUBLE) AS n_docs FROM dl),
+    tf AS (
+      SELECT t.doc_id, t.tok, COUNT(*) AS tf
+      FROM toks t JOIN qterms q ON q.tok = t.tok
+      GROUP BY t.doc_id, t.tok
+    ),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+                  + CAST(1.0 AS DOUBLE))
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * dl * n_docs / total_dl)),
+             8) AS DECIMAL(20,8)) AS c
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus
+    ),
+    scored AS (
+      SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS bm25
+      FROM contrib GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY sc.bm25 DESC, sc.doc_id ASC)
+             AS BIGINT) AS rnk,
+           sc.doc_id, sc.bm25,
+           CAST(CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS was_seed
+    FROM scored sc LEFT JOIN seed s ON s.doc_id = sc.doc_id
+    """
+
+
+@_register("ret6_prf_expansion", _ret6_oracle())
+def ret6_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio/RM1-lite):
+    run the seed BM25 retrieval (ret1's query verbatim), mine the
+    top-10 feedback docs for the 3 most document-frequent non-query,
+    non-stopword terms (integer df rule, token tie-break — no float
+    relevance weights, so term selection is engine-exact), then
+    re-score the corpus with the identical BM25 formula over the
+    expanded 6-term set, the term list joined in rather than
+    IN-literal (a real system's query terms are data, not code).
+    Output is the expanded top-10 with a was_seed flag — the
+    before/after read on what expansion surfaced.
+
+    Scale: inherits ret1's shape twice (tf filtered to query terms
+    pre-shuffle via a broadcast term join); feedback mining touches
+    only 10 docs' distinct tokens. The seed top-10 is
+    lazy-checkpointed (2 consumers: term mining, the flag join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    seed = (
+        ret1_bm25_topk(spark, sf_dir)
+        .select("doc_id")
         .localCheckpoint(eager=False)
     )
-    adj = edges.select(
-        F.col("p1").alias("ctr"), F.col("p2").alias("nbr")
-    ).unionByName(edges.select(F.col("p2").alias("ctr"), F.col("p1").alias("nbr")))
-    deg = adj.groupBy("ctr").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    da = deg.select(F.col("ctr").alias("__ca"), F.col("d").alias("x"))
-    db = deg.select(F.col("ctr").alias("__cb"), F.col("d").alias("y"))
-    de = adj.join(da, adj["ctr"] == da["__ca"]).join(
-        db, adj["nbr"] == db["__cb"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(tokenize(F.lower(strip_punct(F.col("text"))))).alias("tok"),
     )
-    m = de.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    base_terms = ["spark", "hash", "merge"]
+    fb = (
+        toks.join(F.broadcast(seed), "doc_id", "left_semi")
+        .select("doc_id", "tok")
+        .distinct()
     )
-    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-    ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    return (
-        m.crossJoin(F.broadcast(nn))
-        .crossJoin(F.broadcast(ne))
+    cand = (
+        fb.filter(
+            ~F.col("tok").isin(base_terms)
+            & ~F.col("tok").isin(list(textstats.STOPWORDS))
+            & (F.length("tok") >= 3)
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("dfb"))
+    )
+    expn = cand.orderBy(F.col("dfb").desc(), F.col("tok").asc()).limit(3)
+    base = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in base_terms])).alias("tok")
+    )
+    qterms = base.unionByName(expn.select("tok")).localCheckpoint(eager=False)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").cast("double").alias("total_dl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    tf = (
+        toks.join(F.broadcast(qterms), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(df_, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
         .select(
-            "n_nodes",
-            "n_edges",
-            F.col("n").alias("n_endpoints"),
+            "doc_id",
             F.round(
-                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-                    "double"
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
                 )
+                * (F.col("tf") * F.lit(2.2))
                 / (
-                    F.sqrt(
-                        (
-                            F.col("n") * F.col("sxx")
-                            - F.col("sx") * F.col("sx")
-                        ).cast("double")
-                    )
-                    * F.sqrt(
-                        (
-                            F.col("n") * F.col("syy")
-                            - F.col("sy") * F.col("sy")
-                        ).cast("double")
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75)
+                        * F.col("dl")
+                        * F.col("n_docs")
+                        / F.col("total_dl")
                     )
                 ),
-                6,
-            ).alias("assortativity"),
+                8,
+            )
+            .cast("decimal(20,8)")
+            .alias("c"),
+        )
+    )
+    scored = (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    w10 = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scored.join(
+            F.broadcast(seed.withColumn("__s", F.lit(1))), "doc_id", "left"
+        )
+        .select(
+            F.row_number().over(w10).cast("bigint").alias("rnk"),
+            "doc_id",
+            "bm25",
+            F.when(F.col("__s").isNull(), 0)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("was_seed"),
         )
     )
 

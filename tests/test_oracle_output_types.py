@@ -119,6 +119,7 @@ _DOUBLE_WHITELIST: dict[str, set[str]] = {
     "ret2_rrf_fusion": {"rrf"},
     "ret4_mmr_rerank": {"score"},
     "ret5_hard_negatives": {"bm25"},
+    "ret6_prf_expansion": {"bm25"},
     "s10_ivfpq_topk": {"cos_sim"},
     "s11_knn_join": {"cos_sim"},
     "s12_filtered_topk": {"cos_sim"},
@@ -145,7 +146,6 @@ _DOUBLE_WHITELIST: dict[str, set[str]] = {
     "stats_moments": {"corr_qty_price", "mean_qty", "var_qty"},
     "stats_percentiles": {"hi", "lo", "p25", "p50", "p75"},
     "stats_runs_test": {"z_score"},
-    "graph_assortativity": {"assortativity"},
     "stats_spearman": {"spearman_rho"},
     "stats_wilcoxon": {"z_score"},
     "stream_ohlc_daily": {"close", "high", "low", "open"},

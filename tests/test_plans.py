@@ -156,7 +156,7 @@ _NLJ_ALLOWED = {
     "ml_knn_classifier",  # centroid/query-side tiny broadcasts (via ivf_knn_join, the s11 shape)
     "s18_dim_truncation_recall",  # 1-row query-vector + 10-row truth broadcasts (the s1/s9 shape)
     "j14_selfjoin_size_estimate",  # 1-row exact x 1-row sketch-estimate broadcast
-    "graph_assortativity",  # 1-row moments x node-count x edge-count broadcasts
+    "ret6_prf_expansion",  # 1-row corpus length-stats broadcast (via ret1's shape, twice)
     "dq15_cusum_drift",  # 1-row target (mean) broadcast
     "x81_cluster_safe_split",  # 1-row leak-count broadcast
     "s17_mips_recall_vs_probes",  # s13's tiny probe-grid broadcasts

@@ -222,6 +222,9 @@ EXTRA = [
     "dq18_l_diversity",
     "j14_selfjoin_size_estimate",
     "er4_blocking_eval",
+    "dq19_column_profile",
+    "u24_partial_agg_merge",
+    "ret6_prf_expansion",
 ]
 
 
