@@ -303,6 +303,22 @@ class Corpus:
 
         return _pack(self._docs, budget=budget)
 
+    def profile(self) -> DataFrame:
+        """Terminal: per-column completeness/cardinality/bounds profile
+        of the SURVIVING docs (expectations.column_profile) — the
+        post-curation datasheet table: (column, n_rows, n_null,
+        n_distinct, min_val, max_val) for every current column,
+        stringified for a uniform report type. Run it after a verb
+        chain to see what the gates did to each field's distribution
+        edge (e.g. n_chars min rising after a quality gate)."""
+        from hi_csa_db_spark.operators.expectations import column_profile
+
+        cols = [
+            (name, F.col(name), lambda c: c.cast("string"))
+            for name, _dtype in self._docs.dtypes
+        ]
+        return column_profile(self._docs, cols)
+
     def audit_by(self, col: str) -> DataFrame:
         """Survivor counts (+ token budget when available) per group."""
         aggs = [F.count(F.lit(1)).alias("n_kept")]

@@ -23140,15 +23140,19 @@ def er4_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dq19_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column profiler (the Deequ/Glue-profiler report): every column
+    """Frequency/length column profiler — the value-DISTRIBUTION
+    complement of profile_columns (numeric bounds, one agg pass) and
+    expectations.column_profile (typed min/max report): every column
     of the documents table melted to (column, stringified value) and
-    profiled in one pass — row count, null count, distinct count, the
-    most frequent value's share in basis points (constant-column /
-    category-collapse detector), and mean value length in milli-chars
-    (the cheap schema-drift signal: a length step change means the
-    producer changed format). Lengths are aggregated from the
-    per-value count table (sum of c * len(val)), so the profile needs
-    only ONE shuffle of distinct values, not a second corpus pass.
+    profiled from its per-value count table — row count, null count,
+    distinct count, the most frequent value's share in basis points
+    (constant-column / category-collapse detector), and mean value
+    length in milli-chars (the cheap schema-drift signal: a length
+    step change means the producer changed format). Lengths are
+    aggregated from the per-value counts (sum of c * len(val)), so
+    the profile needs only ONE shuffle of distinct values, not a
+    second corpus pass — the stat profile_columns' single-pass agg
+    cannot produce (top-value share needs the value groups).
 
     Scale: the melt is a narrow 5x projection; per-(col, value)
     counts are map-side combined; the final rollup is |columns|

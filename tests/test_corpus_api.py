@@ -159,3 +159,31 @@ def test_cluster_safe_splits_match_x81_audit(spark, sf_dir):
         .count()
     )
     assert leaked == 0
+
+
+def test_profile_matches_column_profile_on_load(spark, sf_dir):
+    """Corpus.profile() on a freshly loaded corpus equals the direct
+    expectations.column_profile over the raw documents table, and
+    reflects gates: after quality_filter the n_rows shrink while the
+    column set is preserved."""
+    from pyspark.sql import functions as F
+
+    from hi_csa_db_spark.corpus import Corpus
+    from hi_csa_db_spark.catalog import load_table
+    from hi_csa_db_spark.operators.expectations import column_profile
+
+    c = Corpus.load(spark, sf_dir)
+    got = {r["column"]: r for r in c.profile().collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    cols = [(n, F.col(n), lambda x: x.cast("string")) for n, _ in docs.dtypes]
+    want = {r["column"]: r for r in column_profile(docs, cols).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert tuple(got[k]) == tuple(want[k]), k
+
+    gated = Corpus.load(spark, sf_dir).quality_filter()
+    prof = {r["column"]: r for r in gated.profile().collect()}
+    assert set(prof) >= set(want)  # gate may add derived columns
+    n_before = want["doc_id"]["n_rows"]
+    n_after = prof["doc_id"]["n_rows"]
+    assert 0 < n_after <= n_before
