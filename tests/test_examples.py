@@ -79,3 +79,16 @@ def test_recipe_evaluation_runs(sf_dir):
     assert "mips recall_pct=" in r.stdout
     assert "cluster split leaked pairs: 0" in r.stdout
     assert r.stdout.strip().endswith("OK")
+
+
+def test_audit_before_scale_runs(sf_dir):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "audit_before_scale.py"),
+         sf_dir],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "CMS never" not in r.stdout  # assertions live in the script
+    assert "cosine over first 64 dims: recall@10 100%" in r.stdout
+    assert r.stdout.strip().endswith("audit-before-scale walkthrough complete")
