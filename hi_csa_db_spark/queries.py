@@ -23133,9 +23133,10 @@ def er4_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(val) AS BIGINT) AS n_distinct,
            CAST(MAX(CASE WHEN val IS NOT NULL THEN c END) * 10000
                 // SUM(c) AS BIGINT) AS top_share_bps,
-           CAST(SUM(CASE WHEN val IS NOT NULL THEN c * LENGTH(val) END)
-                * 1000 // SUM(CASE WHEN val IS NOT NULL THEN c END)
-             AS BIGINT) AS avg_len_milli
+           CAST(CASE WHEN COUNT(val) > 0 THEN
+                  SUM(CASE WHEN val IS NOT NULL THEN c * LENGTH(val) END)
+                  * 1000 // SUM(CASE WHEN val IS NOT NULL THEN c END)
+                END AS BIGINT) AS avg_len_milli
     FROM per GROUP BY col
     """,
 )
@@ -23187,9 +23188,14 @@ def dq19_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(MAX(CASE WHEN val IS NOT NULL THEN c END) * 10000"
             " div SUM(c) AS BIGINT)"
         ).alias("top_share_bps"),
+        # CASE-guarded: an all-NULL column must report NULL here on
+        # BOTH engines -- Spark ANSI `div 0` throws while DuckDB `// 0`
+        # yields NULL (the naive-bayes ADVICE r6 divergence class).
         F.expr(
-            "CAST(SUM(CASE WHEN val IS NOT NULL THEN c * LENGTH(val) END)"
-            " * 1000 div SUM(CASE WHEN val IS NOT NULL THEN c END) AS BIGINT)"
+            "CAST(CASE WHEN COUNT(val) > 0 THEN"
+            " SUM(CASE WHEN val IS NOT NULL THEN c * LENGTH(val) END)"
+            " * 1000 div SUM(CASE WHEN val IS NOT NULL THEN c END)"
+            " END AS BIGINT)"
         ).alias("avg_len_milli"),
     )
 
