@@ -23490,6 +23490,53 @@ def ret6_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "stream_quantile_sketch",
+    """
+    WITH d AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS m
+      FROM events
+    ),
+    b AS (
+      SELECT day, event_type,
+             LENGTH(CAST(m AS VARCHAR)) AS digits,
+             CAST(SUBSTR(CAST(m AS VARCHAR), 1, 2) AS BIGINT) AS f2,
+             COUNT(*) AS cnt
+      FROM d GROUP BY 1, 2, 3, 4
+    ),
+    cum AS (
+      SELECT day, event_type,
+             CAST(CONCAT(CAST(f2 + 1 AS VARCHAR),
+                         REPEAT('0', GREATEST(digits - 2, 0))) AS BIGINT)
+               AS ub_micro,
+             SUM(cnt) OVER (PARTITION BY day, event_type
+                            ORDER BY digits, f2) AS cum,
+             SUM(cnt) OVER (PARTITION BY day, event_type) AS n
+      FROM b
+    )
+    SELECT day, event_type,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN ub_micro END)
+             AS BIGINT) AS est_p50_micro,
+           CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN ub_micro END)
+             AS BIGINT) AS est_p99_micro
+    FROM cum GROUP BY day, event_type
+    """,
+)
+def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of a18: the mergeable log-histogram quantile
+    sketch maintained as a watermarked daily streaming aggregation
+    (real streaming planner + state store, Trigger.AvailableNow); the
+    sink holds per-(day, type, bucket) counts and the p50/p99 read-out
+    derives from that state table. Proves the sketch's merge algebra
+    under streaming semantics — the oracle recomputes the identical
+    buckets from the batch table."""
+    from hi_csa_db_spark.streaming import windows
+
+    return windows.quantile_sketch_daily(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #

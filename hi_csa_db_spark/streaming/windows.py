@@ -394,3 +394,60 @@ def sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wau7").cast("bigint").alias("distinct_users_7d"),
         )
     )
+
+
+def quantile_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable quantile sketch: a18's log-histogram
+    bucketing (two leading decimal digits x magnitude of the floored
+    micro value — pure integer/string arithmetic, no libm) maintained
+    as a watermarked DAILY streaming aggregation. The memory sink
+    holds the sketch STATE (per day/type/bucket counts); the p50/p99
+    read-out is a batch derivation over that state table — the
+    production shape: streams maintain mergeable states, readers
+    extract quantiles, and late data within the watermark merges into
+    the same buckets for free because bucket counts are algebraic
+    (u24's contract under streaming semantics)."""
+    from pyspark.sql import Window
+
+    ev = read_events_stream(spark, sf_dir)
+    m = F.floor(F.col("value") * 1000000).cast("bigint")
+    b = ev.select(
+        "ts",
+        "event_type",
+        F.length(m.cast("string")).alias("digits"),
+        F.substring(m.cast("string"), 1, 2).cast("bigint").alias("f2"),
+    )
+    windowed = (
+        b.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day"), "event_type", "digits", "f2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "digits",
+            "f2",
+            "cnt",
+        )
+    )
+    sink = _run_to_memory(windowed, "stream_quantile_sketch", "complete")
+    ub = F.concat(
+        (F.col("f2") + 1).cast("string"),
+        F.expr("repeat('0', GREATEST(digits - 2, 0))"),
+    ).cast("bigint")
+    wb = Window.partitionBy("day", "event_type").orderBy("digits", "f2")
+    cum = sink.select(
+        "day",
+        "event_type",
+        ub.alias("ub_micro"),
+        F.sum("cnt").over(wb).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("day", "event_type")).alias("n"),
+    )
+    return cum.groupBy("day", "event_type").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.min(F.expr("CASE WHEN cum >= (n + 1) div 2 THEN ub_micro END"))
+        .cast("bigint")
+        .alias("est_p50_micro"),
+        F.min(F.expr("CASE WHEN cum >= (99 * n + 99) div 100 THEN ub_micro END"))
+        .cast("bigint")
+        .alias("est_p99_micro"),
+    )
