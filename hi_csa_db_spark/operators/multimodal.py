@@ -954,3 +954,59 @@ def audio_silence_trim(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.select(id_col).mapInPandas(gen, TRIM_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("resized_mean_milli", LongType()),
+        StructField("resized_checksum", LongType()),
+        StructField("corner_cell", LongType()),
+    ]
+)
+
+
+def image_resize(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """2x2 box-filter downsample (16x16 -> 8x8) through the REAL BMP
+    codec — the RESIZE member of the decode/feature/resize/sample
+    surface (mm12 covers flip/crop; this is the thumbnail path every
+    vision-data pipeline runs before feature extraction). The decoded
+    plane is reshaped to (8, 2, 8, 2) blocks and each block's INTEGER
+    floor-mean becomes one output pixel — exact arithmetic, so the
+    oracle predicts every cell from the pixel formula alone. Three
+    value proofs per image: the integer-milli mean of the resized
+    plane, a POSITION-WEIGHTED checksum (cell * (position+1) — a
+    transposed or shifted resize cannot fake it), and the exact [0,0]
+    cell.
+
+    Arrow-batched mapInPandas; pixels stay executor-local, only
+    (id, three bigints) shuffle."""
+    import numpy as np
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hi_csa_db_spark.functions import codecs
+
+        cols = [f.name for f in RESIZE_SCHEMA.fields]
+        yy, xx = np.mgrid[0:16, 0:16]
+        w = np.arange(1, 65, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                plane = ((i + 3 * yy + 7 * xx) % 256).astype(np.uint8)
+                img = np.stack([plane, plane, plane], axis=2)
+                out = codecs.decode_bmp(codecs.encode_bmp(img))[:, :, 0]
+                blocks = out.astype(np.int64).reshape(8, 2, 8, 2)
+                small = blocks.sum(axis=(1, 3)) // 4
+                flat = small.reshape(64)
+                rows.append(
+                    {
+                        "media_id": i,
+                        "resized_mean_milli": (int(flat.sum()) * 1000) // 64,
+                        "resized_checksum": int((flat * w).sum()),
+                        "corner_cell": int(small[0, 0]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col).mapInPandas(gen, RESIZE_SCHEMA)

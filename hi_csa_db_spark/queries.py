@@ -23537,6 +23537,47 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.quantile_sketch_daily(spark, sf_dir)
 
 
+@_register(
+    "mm18_image_resize",
+    """
+    WITH cells AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), pos ->
+               ((doc_id + 3*(2*(pos//8))   + 7*(2*(pos%8)))   % 256
+              + (doc_id + 3*(2*(pos//8)+1) + 7*(2*(pos%8)))   % 256
+              + (doc_id + 3*(2*(pos//8))   + 7*(2*(pos%8)+1)) % 256
+              + (doc_id + 3*(2*(pos//8)+1) + 7*(2*(pos%8)+1)) % 256) // 4
+             ) AS small
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(list_aggregate(small, 'sum') * 1000 // 64 AS BIGINT)
+             AS resized_mean_milli,
+           CAST(list_aggregate(
+                  list_transform(range(1, 65), p -> small[p] * p), 'sum')
+             AS BIGINT) AS resized_checksum,
+           CAST(small[1] AS BIGINT) AS corner_cell
+    FROM cells
+    """,
+)
+def mm18_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE through the real BMP codec — the thumbnail path of
+    the decode/feature/resize/sample surface (mm12 covers flip/crop):
+    each 16x16 id-derived image is BMP round-tripped, then 2x2
+    box-downsampled to 8x8 with INTEGER floor-means, so the oracle
+    predicts every resized cell from the pixel formula alone. Three
+    value proofs per image: resized integer-milli mean, a
+    POSITION-WEIGHTED checksum (cell x (position+1) — a transposed,
+    flipped, or shifted resize cannot fake it), and the exact [0,0]
+    cell.
+
+    Scale: Arrow-batched mapInPandas; pixels stay executor-local,
+    only (id, 3 bigints) shuffle — the mm5/mm11 contract."""
+    from hi_csa_db_spark.operators.multimodal import image_resize
+
+    return image_resize(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #
