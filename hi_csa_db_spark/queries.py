@@ -23578,6 +23578,139 @@ def mm18_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_resize(load_table(spark, sf_dir, "documents"))
 
 
+@_register(
+    "u25_bitemporal_grid",
+    """
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM customer
+    ),
+    rows_bt AS (
+      -- original v1 belief: valid 1..(2 if updated else inf), known from tx 1;
+      -- k%13 rows were WRONG at tx 1 and corrected (-500) at tx 2;
+      -- k%10 rows got a real v2 UPDATE (+10000) valid from 2 (never corrected)
+      SELECT k, cents AS v, 1 AS vf,
+             CASE WHEN k % 10 = 0 THEN 2 ELSE 0 END AS vt,
+             1 AS tf, CASE WHEN k % 13 = 0 THEN 2 ELSE 0 END AS tt
+      FROM base
+      UNION ALL
+      SELECT k, cents - 500, 1,
+             CASE WHEN k % 10 = 0 THEN 2 ELSE 0 END, 2, 0
+      FROM base WHERE k % 13 = 0
+      UNION ALL
+      SELECT k, cents + 10000, 2, 0, 1, 0 FROM base WHERE k % 10 = 0
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN vf <= 1 AND (vt = 0 OR vt > 1)
+                       AND tf <= 1 AND (tt = 0 OR tt > 1) THEN 1 END) AS BIGINT) AS n11,
+        CAST(SUM(CASE WHEN vf <= 1 AND (vt = 0 OR vt > 1)
+                       AND tf <= 1 AND (tt = 0 OR tt > 1) THEN v END) AS BIGINT) AS s11,
+        CAST(SUM(CASE WHEN vf <= 1 AND (vt = 0 OR vt > 1)
+                       AND tf <= 2 AND (tt = 0 OR tt > 2) THEN 1 END) AS BIGINT) AS n12,
+        CAST(SUM(CASE WHEN vf <= 1 AND (vt = 0 OR vt > 1)
+                       AND tf <= 2 AND (tt = 0 OR tt > 2) THEN v END) AS BIGINT) AS s12,
+        CAST(SUM(CASE WHEN vf <= 2 AND (vt = 0 OR vt > 2)
+                       AND tf <= 1 AND (tt = 0 OR tt > 1) THEN 1 END) AS BIGINT) AS n21,
+        CAST(SUM(CASE WHEN vf <= 2 AND (vt = 0 OR vt > 2)
+                       AND tf <= 1 AND (tt = 0 OR tt > 1) THEN v END) AS BIGINT) AS s21,
+        CAST(SUM(CASE WHEN vf <= 2 AND (vt = 0 OR vt > 2)
+                       AND tf <= 2 AND (tt = 0 OR tt > 2) THEN 1 END) AS BIGINT) AS n22,
+        CAST(SUM(CASE WHEN vf <= 2 AND (vt = 0 OR vt > 2)
+                       AND tf <= 2 AND (tt = 0 OR tt > 2) THEN v END) AS BIGINT) AS s22
+      FROM rows_bt
+    )
+    SELECT 1 AS valid_at, 1 AS known_at, n11 AS n_rows, s11 AS total_cents FROM agg
+    UNION ALL SELECT 1, 2, n12, s12 FROM agg
+    UNION ALL SELECT 2, 1, n21, s21 FROM agg
+    UNION ALL SELECT 2, 2, n22, s22 FROM agg
+    """,
+)
+def u25_bitemporal_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal snapshots: VALID time (when a fact was true in the
+    world — u7's SCD2 axis) crossed with TRANSACTION time (when the
+    system learned it — u20's time-travel axis). The interval table
+    carries both axes per row: k%10 keys get a real v2 UPDATE (+100.00
+    valid from version 2), k%13 keys get a retroactive CORRECTION
+    (-5.00, same valid interval, known only from tx 2). The 2x2 grid
+    answers 'balance as valid at V, as known at T' — (1,1) is what we
+    believed originally, (1,2) is history as corrected, (2,1) is the
+    update before the correction arrived, (2,2) is current truth; the
+    corrections move totals WITHOUT touching valid-time row counts,
+    which is the bitemporal independence property the grid proves.
+
+    Scale: the interval table is a union of narrow projections; all
+    four snapshots fold into ONE map-combined aggregate pass (no
+    join, no per-snapshot scan), unpivoted driver-side into 4 rows —
+    how a 100 TB bitemporal audit should read its ledger."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    inf = F.lit(0)
+    r1 = base.select(
+        "k",
+        F.col("cents").alias("v"),
+        F.lit(1).alias("vf"),
+        F.when(F.col("k") % 10 == 0, 2).otherwise(inf).alias("vt"),
+        F.lit(1).alias("tf"),
+        F.when(F.col("k") % 13 == 0, 2).otherwise(inf).alias("tt"),
+    )
+    r2 = base.filter(F.col("k") % 13 == 0).select(
+        "k",
+        (F.col("cents") - 500).alias("v"),
+        F.lit(1).alias("vf"),
+        F.when(F.col("k") % 10 == 0, 2).otherwise(inf).alias("vt"),
+        F.lit(2).alias("tf"),
+        inf.alias("tt"),
+    )
+    r3 = base.filter(F.col("k") % 10 == 0).select(
+        "k",
+        (F.col("cents") + 10000).alias("v"),
+        F.lit(2).alias("vf"),
+        inf.alias("vt"),
+        F.lit(1).alias("tf"),
+        inf.alias("tt"),
+    )
+    rows_bt = r1.unionByName(r2).unionByName(r3)
+
+    def covers(vq: int, tq: int) -> Column:
+        return (
+            (F.col("vf") <= vq)
+            & ((F.col("vt") == 0) | (F.col("vt") > vq))
+            & (F.col("tf") <= tq)
+            & ((F.col("tt") == 0) | (F.col("tt") > tq))
+        )
+
+    aggs = []
+    for vq in (1, 2):
+        for tq in (1, 2):
+            aggs += [
+                F.sum(F.when(covers(vq, tq), 1))
+                .cast("bigint")
+                .alias(f"n{vq}{tq}"),
+                F.sum(F.when(covers(vq, tq), F.col("v")))
+                .cast("bigint")
+                .alias(f"s{vq}{tq}"),
+            ]
+    agg = rows_bt.agg(*aggs).localCheckpoint(eager=False)
+    out = None
+    for vq in (1, 2):
+        for tq in (1, 2):
+            row = agg.select(
+                F.lit(vq).alias("valid_at"),
+                F.lit(tq).alias("known_at"),
+                F.col(f"n{vq}{tq}").alias("n_rows"),
+                F.col(f"s{vq}{tq}").alias("total_cents"),
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #
