@@ -23711,6 +23711,101 @@ def u25_bitemporal_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _ktruss_oracle(rounds: int = 3) -> str:
+    """Unroll the 4-truss peel: each round keeps edges in >= 2
+    triangles OF THE CURRENT edge set (support from the wedge join
+    against current adjacency), mirroring the Spark loop round for
+    round."""
+    ctes = [
+        """
+    op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 120
+    ),
+    e0 AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )"""
+    ]
+    for i in range(rounds):
+        ctes.append(f"""
+    a{i} AS (
+      SELECT p1 AS ctr, p2 AS nbr FROM e{i}
+      UNION ALL SELECT p2, p1 FROM e{i}
+    ),
+    e{i + 1} AS (
+      SELECT e.p1, e.p2
+      FROM e{i} e
+      JOIN a{i} x ON x.ctr = e.p1
+      JOIN a{i} y ON y.ctr = e.p2 AND y.nbr = x.nbr
+      GROUP BY e.p1, e.p2
+      HAVING COUNT(*) >= 2
+    )""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS round, "
+        f"CAST((SELECT COUNT(*) FROM e{i}) AS BIGINT) AS n_edges"
+        for i in range(rounds + 1)
+    )
+    return "WITH " + ",".join(ctes) + "\n    " + unions
+
+
+@_register("graph_ktruss_peel", _ktruss_oracle())
+def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss peeling over the co-purchase graph: each round keeps
+    only edges that sit in >= 2 triangles of the CURRENT edge set
+    (support recomputed per round from the shrinking adjacency), the
+    edge-strength decomposition one tier above graph_kcore's
+    node-degree peel — a truss survives spurious co-occurrence edges
+    that k-core keeps. Three bounded rounds (the early connected-
+    components contract: fixed rounds, convergence visible in the
+    output — equal consecutive counts mean the peel has stabilized);
+    reports the surviving edge count per round.
+
+    Scale: each round is one wedge equi-join (adjacency vs adjacency
+    on the shared endpoint, bounded by sum deg^2 under the d3-style
+    hub cap) + a map-combined per-edge count; the shrinking edge
+    frame is lazily checkpointed per round so no round re-derives its
+    predecessors."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 120)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    counts = [(0, edges)]
+    cur = edges
+    for i in range(3):
+        adj = cur.select(
+            F.col("p1").alias("ctr"), F.col("p2").alias("nbr")
+        ).unionByName(cur.select(F.col("p2").alias("ctr"), F.col("p1").alias("nbr")))
+        x = adj.select(F.col("ctr").alias("__xc"), F.col("nbr").alias("__xn"))
+        y = adj.select(F.col("ctr").alias("__yc"), F.col("nbr").alias("__yn"))
+        cur = (
+            cur.join(x, cur["p1"] == x["__xc"])
+            .join(y, (cur["p2"] == y["__yc"]) & (x["__xn"] == y["__yn"]))
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("__supp"))
+            .filter(F.col("__supp") >= 2)
+            .select("p1", "p2")
+            .localCheckpoint(eager=False)
+        )
+        counts.append((i + 1, cur))
+    out = None
+    for rnd, frame in counts:
+        row = frame.agg(
+            F.lit(rnd).cast("bigint").alias("round"),
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #
