@@ -225,6 +225,9 @@ EXTRA = [
     "dq19_column_profile",
     "u24_partial_agg_merge",
     "ret6_prf_expansion",
+    "mm18_image_resize",
+    "u25_bitemporal_grid",
+    "graph_ktruss_peel",
 ]
 
 
