@@ -23806,6 +23806,88 @@ def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_register(
+    "t47_retention_matrix",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 604800000000
+               AS BIGINT) AS wk
+      FROM orders
+    ),
+    first_wk AS (SELECT o_custkey, MIN(wk) AS cohort_wk FROM o GROUP BY 1),
+    cohort_sz AS (
+      SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM first_wk GROUP BY 1
+    ),
+    act AS (
+      SELECT DISTINCT f.cohort_wk, o.wk - f.cohort_wk AS age_wk, o.o_custkey
+      FROM o JOIN first_wk f ON f.o_custkey = o.o_custkey
+    ),
+    ret AS (
+      SELECT cohort_wk, age_wk, CAST(COUNT(*) AS BIGINT) AS active_users
+      FROM act WHERE age_wk BETWEEN 0 AND 8 GROUP BY 1, 2
+    )
+    SELECT r.cohort_wk, r.age_wk, c.cohort_users, r.active_users,
+           CAST(r.active_users * 10000 // c.cohort_users AS BIGINT)
+             AS retention_bps
+    FROM ret r JOIN cohort_sz c ON c.cohort_wk = r.cohort_wk
+    WHERE r.cohort_wk < (SELECT MIN(cohort_wk) + 12 FROM first_wk)
+    """,
+)
+def t47_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the (cohort week x weeks-since-first-
+    order) triangle every growth dashboard opens with: customers
+    cohorted by FIRST order week, each later order marks them active
+    at that age, cell = distinct retained customers and retention in
+    basis points of the cohort. Ages capped at 8 weeks and cohorts at
+    the first 12 weeks so the matrix is a bounded report, not a
+    data-sized pivot; t41's LTV curve is the revenue view of the same
+    triangle, this is the headcount view.
+
+    Scale: first-order week is one map-combined min; activity is an
+    equi-join on the customer key + a DISTINCT bounded by
+    customers x 9 ages; every aggregate map-side combines. No window
+    functions at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.expr(
+            "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 604800000000 AS BIGINT)"
+        ).alias("wk"),
+    )
+    first_wk = o.groupBy("o_custkey").agg(F.min("wk").alias("cohort_wk"))
+    cohort_sz = first_wk.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    act = (
+        o.join(first_wk, "o_custkey")
+        .select("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_wk"),
+                "o_custkey")
+        .filter((F.col("age_wk") >= 0) & (F.col("age_wk") <= 8))
+        .distinct()
+    )
+    ret = act.groupBy("cohort_wk", "age_wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_users")
+    )
+    lim = first_wk.agg((F.min("cohort_wk") + 12).alias("__lim"))
+    return (
+        ret.join(cohort_sz, "cohort_wk")
+        .crossJoin(F.broadcast(lim))
+        .filter(F.col("cohort_wk") < F.col("__lim"))
+        .select(
+            "cohort_wk",
+            "age_wk",
+            "cohort_users",
+            "active_users",
+            F.expr(
+                "CAST(active_users * 10000 div cohort_users AS BIGINT)"
+            ).alias("retention_bps"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #

@@ -157,6 +157,7 @@ _NLJ_ALLOWED = {
     "s18_dim_truncation_recall",  # 1-row query-vector + 10-row truth broadcasts (the s1/s9 shape)
     "j14_selfjoin_size_estimate",  # 1-row exact x 1-row sketch-estimate broadcast
     "ret6_prf_expansion",  # 1-row corpus length-stats broadcast (via ret1's shape, twice)
+    "t47_retention_matrix",  # 1-row cohort-window-limit broadcast
     "dq15_cusum_drift",  # 1-row target (mean) broadcast
     "x81_cluster_safe_split",  # 1-row leak-count broadcast
     "s17_mips_recall_vs_probes",  # s13's tiny probe-grid broadcasts
