@@ -23888,6 +23888,210 @@ def t47_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "j15_association_rules",
+    """
+    WITH baskets AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    n AS (SELECT COUNT(*) AS n_baskets FROM baskets),
+    item AS (
+      SELECT part, COUNT(*) AS supp
+      FROM (SELECT unnest(parts) AS part FROM baskets) GROUP BY part
+    ),
+    pair AS (
+      SELECT a AS p1, b AS p2, COUNT(*) AS supp_ab
+      FROM (
+        SELECT unnest(parts) AS a, l_orderkey FROM baskets
+      ) x JOIN (
+        SELECT unnest(parts) AS b, l_orderkey FROM baskets
+      ) y ON x.l_orderkey = y.l_orderkey AND x.a < y.b
+      GROUP BY 1, 2
+    ),
+    top_pairs AS (
+      SELECT p1, p2, supp_ab FROM pair
+      ORDER BY supp_ab DESC, p1 ASC, p2 ASC LIMIT 10
+    ),
+    rules AS (
+      SELECT t.p1 AS antecedent, t.p2 AS consequent, t.supp_ab,
+             ia.supp AS supp_a, ib.supp AS supp_b
+      FROM top_pairs t JOIN item ia ON ia.part = t.p1
+                       JOIN item ib ON ib.part = t.p2
+      UNION ALL
+      SELECT t.p2, t.p1, t.supp_ab, ib.supp, ia.supp
+      FROM top_pairs t JOIN item ia ON ia.part = t.p1
+                       JOIN item ib ON ib.part = t.p2
+    )
+    SELECT CAST(antecedent AS BIGINT) AS antecedent,
+           CAST(consequent AS BIGINT) AS consequent,
+           CAST(supp_ab AS BIGINT) AS supp_ab,
+           CAST(supp_ab * 1000000 // supp_a AS BIGINT) AS conf_micro,
+           CAST(supp_ab * (SELECT n_baskets FROM n) * 1000
+                // (supp_a * supp_b) AS BIGINT) AS lift_milli
+    FROM rules
+    """,
+)
+def j15_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the j7 basket shape: for the 10 most
+    co-bought part pairs, BOTH directed rules A=>B with confidence
+    (supp_ab/supp_a in exact micro) and lift
+    (supp_ab*N / (supp_a*supp_b) in exact milli — >1000 means the
+    pair co-occurs more than independence predicts). Pure integer
+    floor arithmetic end to end, so both engines emit identical
+    rules; j7 stops at support, this adds the strength metrics a
+    recommender actually ranks by.
+
+    Scale: baskets aggregate once (bounded arrays); pair generation
+    is the per-basket O(k^2) explode (j7's shape, never a fact-table
+    self-join); item supports are one map-combined count; rules touch
+    only the 10-row top set joined against the item table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    ).localCheckpoint(eager=False)
+    n = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    item = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("supp"))
+    )
+    pair = (
+        baskets.select(
+            F.explode("parts").alias("a"), "parts"
+        )
+        .select("a", F.explode(F.filter("parts", lambda p: p > F.col("a"))).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+    )
+    top_pairs = pair.orderBy(
+        F.col("supp_ab").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(10)
+    ia = item.select(F.col("part").alias("a"), F.col("supp").alias("supp_a"))
+    ib = item.select(F.col("part").alias("b"), F.col("supp").alias("supp_b"))
+    joined = top_pairs.join(F.broadcast(ia), "a").join(F.broadcast(ib), "b")
+    fwd = joined.select(
+        F.col("a").alias("antecedent"),
+        F.col("b").alias("consequent"),
+        "supp_ab",
+        F.col("supp_a").alias("sa"),
+        F.col("supp_b").alias("sb"),
+    )
+    rev = joined.select(
+        F.col("b").alias("antecedent"),
+        F.col("a").alias("consequent"),
+        "supp_ab",
+        F.col("supp_b").alias("sa"),
+        F.col("supp_a").alias("sb"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("antecedent").cast("bigint").alias("antecedent"),
+            F.col("consequent").cast("bigint").alias("consequent"),
+            F.col("supp_ab").cast("bigint").alias("supp_ab"),
+            F.expr("CAST(supp_ab * 1000000 div sa AS BIGINT)").alias(
+                "conf_micro"
+            ),
+            F.expr(
+                "CAST(supp_ab * n_baskets * 1000 div (sa * sb) AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+    )
+
+
+@_register(
+    "u26_tombstone_delete",
+    """
+    WITH tomb AS (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey % 113 = 0
+    ),
+    dead_orders AS (
+      SELECT o.o_orderkey FROM orders o JOIN tomb t ON t.k = o.o_custkey
+    ),
+    stats AS (
+      SELECT
+        (SELECT COUNT(*) FROM tomb) AS n_tombstones,
+        (SELECT COUNT(*) FROM customer c JOIN tomb t ON t.k = c.c_custkey)
+          AS cust_purged,
+        (SELECT COUNT(*) FROM dead_orders) AS orders_purged,
+        (SELECT COUNT(*) FROM lineitem l JOIN dead_orders d
+           ON d.o_orderkey = l.l_orderkey) AS lineitems_purged,
+        (SELECT COUNT(*) FROM customer c LEFT JOIN tomb t ON t.k = c.c_custkey
+          WHERE t.k IS NULL) AS cust_kept,
+        (SELECT COUNT(*)
+           FROM (SELECT o.* FROM orders o LEFT JOIN tomb t
+                   ON t.k = o.o_custkey WHERE t.k IS NULL) o2
+           JOIN tomb t2 ON t2.k = o2.o_custkey) AS residue
+    )
+    SELECT CAST(n_tombstones AS BIGINT) AS n_tombstones,
+           CAST(cust_purged AS BIGINT) AS cust_purged,
+           CAST(orders_purged AS BIGINT) AS orders_purged,
+           CAST(lineitems_purged AS BIGINT) AS lineitems_purged,
+           CAST(cust_kept AS BIGINT) AS cust_kept,
+           CAST(residue AS BIGINT) AS residue
+    FROM stats
+    """,
+)
+def u26_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge: a tombstone key set (every 113th
+    customer) is propagated through the foreign-key chain — customer
+    rows, their orders, and those orders' lineitems — with anti-join
+    semantics, and the report carries the PROOF alongside the purge
+    counts: re-probing the kept customer set against the tombstones
+    yields residue = 0. The deletion audit trail a compliance pipeline
+    ships with every purge batch.
+
+    Scale: tombstones are small by nature (broadcast semi/anti
+    joins); the FK cascade is two key equi-joins; at 100 TB the kept
+    tables rewrite via dynamic-partition overwrite and this query IS
+    the post-purge verification pass."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    tomb = (
+        cust.filter(F.col("c_custkey") % 113 == 0)
+        .select(F.col("c_custkey").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    dead_orders = orders.join(
+        F.broadcast(tomb), orders["o_custkey"] == tomb["k"], "left_semi"
+    ).select("o_orderkey").localCheckpoint(eager=False)
+    n_tomb = tomb.agg(F.count(F.lit(1)).cast("bigint").alias("n_tombstones"))
+    cust_purged = (
+        cust.join(F.broadcast(tomb), cust["c_custkey"] == tomb["k"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cust_purged"))
+    )
+    orders_purged = dead_orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("orders_purged")
+    )
+    li_purged = (
+        li.join(F.broadcast(dead_orders), li["l_orderkey"] == dead_orders["o_orderkey"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("lineitems_purged"))
+    )
+    kept = cust.join(
+        F.broadcast(tomb), cust["c_custkey"] == tomb["k"], "left_anti"
+    )
+    cust_kept = kept.agg(F.count(F.lit(1)).cast("bigint").alias("cust_kept"))
+    kept_orders = orders.join(
+        F.broadcast(tomb), orders["o_custkey"] == tomb["k"], "left_anti"
+    )
+    residue = (
+        kept_orders.join(
+            F.broadcast(tomb), kept_orders["o_custkey"] == tomb["k"], "left_semi"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("residue"))
+    )
+    return (
+        n_tomb.crossJoin(F.broadcast(cust_purged))
+        .crossJoin(F.broadcast(orders_purged))
+        .crossJoin(F.broadcast(li_purged))
+        .crossJoin(F.broadcast(cust_kept))
+        .crossJoin(F.broadcast(residue))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #

@@ -158,6 +158,8 @@ _NLJ_ALLOWED = {
     "j14_selfjoin_size_estimate",  # 1-row exact x 1-row sketch-estimate broadcast
     "ret6_prf_expansion",  # 1-row corpus length-stats broadcast (via ret1's shape, twice)
     "t47_retention_matrix",  # 1-row cohort-window-limit broadcast
+    "j15_association_rules",  # 1-row basket-count broadcast over the 20-row rule set
+    "u26_tombstone_delete",  # six 1-row purge-count aggregates composed
     "dq15_cusum_drift",  # 1-row target (mean) broadcast
     "x81_cluster_safe_split",  # 1-row leak-count broadcast
     "s17_mips_recall_vs_probes",  # s13's tiny probe-grid broadcasts
