@@ -24092,6 +24092,73 @@ def u26_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "stats_srm",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    arms AS (
+      SELECT CASE WHEN (user_id * 2654435761) % 4294967296 < 2147483648
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM u
+    ),
+    c AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS o_a,
+             CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS o_b,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM arms
+    )
+    SELECT n, o_a, o_b,
+           CAST((o_a - o_b) * (o_a - o_b) * 1000000 // n AS BIGINT)
+             AS srm_chi2_micro,
+           CAST(CASE WHEN (o_a - o_b) * (o_a - o_b) * 1000000 // n >= 3841459
+                THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+    FROM c
+    """,
+)
+def stats_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: users assigned to A/B by the
+    Knuth multiplicative hash (the x17/x81 keep-rule idiom, 50/50),
+    then the one-df chi-square against the expected even split —
+    which for E = n/2 collapses to (o_a - o_b)^2 / n, computed in
+    exact integer micro with the 3.841459 critical value as an
+    integer threshold. The experimentation health check that runs
+    before anyone reads a metric: a flagged split means the
+    assignment or logging pipeline is biased and every downstream
+    result is suspect. Distinct from stats_chi2_assoc (association of
+    two observed columns): SRM tests observed vs DESIGNED allocation.
+
+    Scale: one distinct on the user key (the only shuffle), one
+    map-combined 1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    arm = F.when(
+        F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(4294967296))
+        < F.lit(2147483648),
+        "A",
+    ).otherwise("B")
+    c = u.select(arm.alias("arm")).agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("o_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("o_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return c.select(
+        "n",
+        "o_a",
+        "o_b",
+        F.expr(
+            "CAST((o_a - o_b) * (o_a - o_b) * 1000000 div n AS BIGINT)"
+        ).alias("srm_chi2_micro"),
+        F.expr(
+            "CAST(CASE WHEN (o_a - o_b) * (o_a - o_b) * 1000000 div n"
+            " >= 3841459 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("srm_flag"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #
