@@ -228,6 +228,10 @@ EXTRA = [
     "mm18_image_resize",
     "u25_bitemporal_grid",
     "graph_ktruss_peel",
+    "t47_retention_matrix",
+    "j15_association_rules",
+    "u26_tombstone_delete",
+    "stats_srm",
 ]
 
 
