@@ -24159,6 +24159,107 @@ def stats_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "t48_time_to_convert",
+    """
+    WITH base AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+    ),
+    v AS (
+      SELECT user_id, MIN(t) AS vt FROM base
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT b.user_id, MIN(b.t) AS pt
+      FROM base b JOIN v ON v.user_id = b.user_id
+      WHERE b.event_type = 'purchase' AND b.t > v.vt
+      GROUP BY b.user_id
+    ),
+    lat AS (
+      SELECT (p.pt - v.vt) // 60000000 AS lat_min
+      FROM p JOIN v ON v.user_id = p.user_id
+    ),
+    g AS (SELECT lat_min, COUNT(*) AS cnt FROM lat GROUP BY lat_min),
+    cum AS (
+      SELECT lat_min,
+             SUM(cnt) OVER (ORDER BY lat_min) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM g
+    ),
+    d AS (SELECT unnest(range(1, 10)) AS decile)
+    SELECT CAST(d.decile AS BIGINT) AS decile,
+           CAST((SELECT MAX(n) FROM cum) AS BIGINT) AS n_converted,
+           CAST(MIN(CASE WHEN c.cum >= (d.decile * c.n + 9) // 10
+                         THEN c.lat_min END) AS BIGINT) AS latency_min
+    FROM d CROSS JOIN cum c
+    GROUP BY d.decile
+    """,
+)
+def t48_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution: minutes from a user's FIRST view
+    to their first purchase AFTER it (t5's conversion rule), reported
+    as exact positional deciles — the product metric behind 'how long
+    does conversion take', not just whether it happens. Quantiles come
+    from a VALUE-GROUPED cumulative distribution (per-minute counts,
+    cumulative window over the bounded distinct-minute domain, first
+    value reaching ceil(d*n/10)) — the a18 read-out on exact values,
+    so there is NO user-sized global sort anywhere.
+
+    Scale: two per-user min-aggregates + one key equi-join (t5's
+    chain); the CDF window runs over distinct latency MINUTES, a
+    domain bounded by the retention window, not by users."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    base = ev.select("user_id", "event_type", us.alias("t"))
+    v = (
+        base.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("vt"))
+    )
+    p = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("t") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("pt"), F.min("vt").alias("vt0"))
+    )
+    lat = p.select(
+        F.expr("(pt - vt0) div 60000000").alias("lat_min")
+    )
+    g = lat.groupBy("lat_min").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.orderBy("lat_min").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "lat_min",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("lat_min").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    ).localCheckpoint(eager=False)
+    d = spark.range(1, 10).select(F.col("id").alias("decile"))
+    return (
+        F.broadcast(d)
+        .crossJoin(cum)
+        .groupBy("decile")
+        .agg(
+            F.max("n").cast("bigint").alias("n_converted"),
+            F.min(
+                F.expr(
+                    "CASE WHEN cum >= (decile * n + 9) div 10 THEN lat_min END"
+                )
+            )
+            .cast("bigint")
+            .alias("latency_min"),
+        )
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_converted",
+            "latency_min",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #

@@ -160,6 +160,7 @@ _NLJ_ALLOWED = {
     "t47_retention_matrix",  # 1-row cohort-window-limit broadcast
     "j15_association_rules",  # 1-row basket-count broadcast over the 20-row rule set
     "u26_tombstone_delete",  # six 1-row purge-count aggregates composed
+    "t48_time_to_convert",  # 9-row decile grid broadcast over the bounded CDF
     "dq15_cusum_drift",  # 1-row target (mean) broadcast
     "x81_cluster_safe_split",  # 1-row leak-count broadcast
     "s17_mips_recall_vs_probes",  # s13's tiny probe-grid broadcasts
