@@ -24260,6 +24260,102 @@ def t48_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x86_temperature_sweep",
+    """
+    WITH toks AS (
+      SELECT source,
+             len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+               AS n_tokens
+      FROM documents
+    ),
+    totals AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+      FROM toks GROUP BY source
+    ),
+    wts AS (
+      SELECT source, src_tokens,
+             CAST(ROUND(sqrt(sqrt(CAST(src_tokens AS DOUBLE))) * 1000000)
+               AS BIGINT) AS w25,
+             CAST(ROUND(sqrt(CAST(src_tokens AS DOUBLE)) * 1000000)
+               AS BIGINT) AS w50,
+             CAST(ROUND(sqrt(CAST(src_tokens AS DOUBLE))
+                        * sqrt(sqrt(CAST(src_tokens AS DOUBLE))) * 1000000)
+               AS BIGINT) AS w75,
+             src_tokens * 1000000 AS w100
+      FROM totals
+    ),
+    un AS (
+      SELECT 25 AS alpha_centi, source, src_tokens, w25 AS w_micro FROM wts
+      UNION ALL SELECT 50, source, src_tokens, w50 FROM wts
+      UNION ALL SELECT 75, source, src_tokens, w75 FROM wts
+      UNION ALL SELECT 100, source, src_tokens, w100 FROM wts
+    )
+    SELECT CAST(alpha_centi AS BIGINT) AS alpha_centi, source, src_tokens,
+           CAST(w_micro AS BIGINT) AS w_micro,
+           CAST(w_micro * 10000 //
+                SUM(w_micro) OVER (PARTITION BY alpha_centi) AS BIGINT)
+             AS share_bps
+    FROM un
+    """,
+)
+def x86_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sweep mixture planner: per-source sampling SHARES
+    at alpha = 0.25 / 0.5 / 0.75 / 1.0 (share proportional to
+    src_tokens^alpha) in one planning table — the grid the d21/t38/t39
+    planners established, applied to the mixture knob x21 fixes at
+    0.5: read across a row to see how hard each alpha flattens the
+    domain imbalance before committing a training run to one.
+    Fractional powers come from composed EXACTLY-ROUNDED sqrt ops
+    (x^0.25 = sqrt(sqrt(x)), x^0.75 = sqrt(x)*sqrt(sqrt(x)) — IEEE
+    basic ops, no libm pow), quantized once to integer micro, so the
+    shares are pure integer floor division on both engines.
+
+    Scale: one map-combined per-source token aggregate; everything
+    downstream runs over the |sources| x 4 grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.size(
+            F.filter(F.split(F.trim(F.col("text")), " "), lambda x: x != "")
+        ).alias("n_tokens"),
+    )
+    totals = toks.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("src_tokens")
+    )
+    t = F.col("src_tokens").cast("double")
+    wts = totals.select(
+        "source",
+        "src_tokens",
+        F.round(F.sqrt(F.sqrt(t)) * 1000000).cast("bigint").alias("w25"),
+        F.round(F.sqrt(t) * 1000000).cast("bigint").alias("w50"),
+        F.round(F.sqrt(t) * F.sqrt(F.sqrt(t)) * 1000000)
+        .cast("bigint")
+        .alias("w75"),
+        (F.col("src_tokens") * 1000000).alias("w100"),
+    )
+    un = None
+    for centi, col in ((25, "w25"), (50, "w50"), (75, "w75"), (100, "w100")):
+        part = wts.select(
+            F.lit(centi).alias("alpha_centi"),
+            "source",
+            "src_tokens",
+            F.col(col).alias("w_micro"),
+        )
+        un = part if un is None else un.unionByName(part)
+    wsum = Window.partitionBy("alpha_centi")
+    return un.select(
+        F.col("alpha_centi").cast("bigint").alias("alpha_centi"),
+        "source",
+        "src_tokens",
+        F.col("w_micro").cast("bigint").alias("w_micro"),
+        F.expr(
+            "CAST(w_micro * 10000 div SUM(w_micro)"
+            " OVER (PARTITION BY alpha_centi) AS BIGINT)"
+        ).alias("share_bps"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #
