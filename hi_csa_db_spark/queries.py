@@ -24356,6 +24356,107 @@ def x86_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x87_embedding_drift",
+    """
+    WITH e AS (
+      SELECT vec_id % 2 AS h,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(FLOOR(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT)
+               AS q
+      FROM embeddings
+    ),
+    m AS (
+      SELECT h, dim,
+             (SUM(q) + 100000000 * COUNT(*)) // COUNT(*) - 100000000
+               AS mean_micro
+      FROM e GROUP BY h, dim
+    ),
+    p AS (
+      SELECT a.dim, a.mean_micro AS mean_even_micro,
+             b.mean_micro AS mean_odd_micro,
+             ABS(a.mean_micro - b.mean_micro) AS abs_delta_micro
+      FROM m a JOIN m b ON a.dim = b.dim AND a.h = 0 AND b.h = 1
+    ),
+    r AS (
+      SELECT dim, mean_even_micro, mean_odd_micro, abs_delta_micro,
+             SUM(abs_delta_micro) OVER () AS l1_total_micro,
+             ROW_NUMBER() OVER (ORDER BY abs_delta_micro DESC, dim ASC)
+               AS rnk
+      FROM p
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(mean_even_micro AS BIGINT) AS mean_even_micro,
+           CAST(mean_odd_micro AS BIGINT) AS mean_odd_micro,
+           CAST(abs_delta_micro AS BIGINT) AS abs_delta_micro,
+           CAST(l1_total_micro AS BIGINT) AS l1_total_micro,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 10
+    """,
+)
+def x87_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift audit: per-dimension centroid of the even
+    half of the corpus vs the odd half (the split standing in for
+    yesterday-vs-today or shard-vs-shard), top-10 dims by centroid
+    shift plus the total L1 drift — dq2's PSI idea lifted from one
+    scalar to the embedding space, the check that catches a silently
+    swapped or re-normalized encoder before any retrieval metric
+    moves. Means use the kmeans quantized-exact idiom: quantize each
+    element once to integer micro (identical floor of identical
+    doubles), sum as bigint, and floor-divide with the
+    positive-offset trick so negative sums floor identically on both
+    engines.
+
+    Scale: one posexplode (narrow), one (half, dim)-keyed
+    map-combined aggregate — 2 x dims groups; everything after is a
+    dims-sized report."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        (F.col("vec_id") % 2).alias("h"),
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "h",
+        "dim",
+        F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    m = e.groupBy("h", "dim").agg(
+        F.expr(
+            "(SUM(q) + 100000000L * COUNT(1)) div COUNT(1) - 100000000L"
+        ).alias("mean_micro")
+    )
+    a = m.filter(F.col("h") == 0).select(
+        "dim", F.col("mean_micro").alias("mean_even_micro")
+    )
+    b = m.filter(F.col("h") == 1).select(
+        F.col("dim").alias("__d"), F.col("mean_micro").alias("mean_odd_micro")
+    )
+    p = a.join(b, a["dim"] == b["__d"]).select(
+        "dim",
+        "mean_even_micro",
+        "mean_odd_micro",
+        F.abs(F.col("mean_even_micro") - F.col("mean_odd_micro")).alias(
+            "abs_delta_micro"
+        ),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wr = Window.orderBy(F.col("abs_delta_micro").desc(), F.col("dim").asc())
+    return (
+        p.select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.col("mean_even_micro").cast("bigint").alias("mean_even_micro"),
+            F.col("mean_odd_micro").cast("bigint").alias("mean_odd_micro"),
+            F.col("abs_delta_micro").cast("bigint").alias("abs_delta_micro"),
+            F.sum("abs_delta_micro").over(wall).cast("bigint").alias(
+                "l1_total_micro"
+            ),
+            F.row_number().over(wr).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample exposure order -- DERIVED, not hand-maintained.
 #
