@@ -232,6 +232,9 @@ EXTRA = [
     "j15_association_rules",
     "u26_tombstone_delete",
     "stats_srm",
+    "t48_time_to_convert",
+    "x86_temperature_sweep",
+    "x87_embedding_drift",
 ]
 
 
