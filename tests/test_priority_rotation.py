@@ -13,10 +13,47 @@ No SparkSession needed -- these are pure registry/ordering checks.
 from __future__ import annotations
 
 import json
+import os
+import sys
+
+import pytest
 
 from hi_csa_db_spark import queries as Q
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+import round_checklist as rc  # noqa: E402
+
 PREFIX = 50  # driver samples the first 50 registry names
+
+
+def _skip_if_manifest_legitimately_lags():
+    """The driver writes CORRECTNESS_r{N}.json AFTER the builder's
+    final commit, so a working tree carrying an untracked (or
+    newer-than-manifest) driver artifact is the EXPECTED between-rounds
+    state, not staleness (VERDICT r7 item 1 — the r6-item-2 failure
+    class reborn in the hash-banking layer). Manifest-currency tests
+    skip in that state; the hard gate stays in tools/round_checklist.py
+    + tools/update_banked_hashes.py --check, which run at round start
+    after the refresh."""
+    manifest = Q._banked_hashes()
+    manifest_round = max(
+        (r.get("round", 0) for r in manifest.values() if isinstance(r, dict)),
+        default=0,
+    )
+    latest = rc.latest_round()
+    if latest is not None and latest > manifest_round:
+        committed = rc.latest_committed_round()
+        if committed is None or latest > committed:
+            pytest.skip(
+                f"driver artifacts for round {latest} not yet committed; "
+                "manifest refresh happens at round start "
+                "(tools/update_banked_hashes.py)"
+            )
+        if rc.untracked_or_dirty_artifacts():
+            pytest.skip(
+                "uncommitted driver artifacts present; round-start "
+                "refresh pending (tools/update_banked_hashes.py)"
+            )
 
 
 def _stale_greens():
@@ -236,6 +273,7 @@ def test_manifest_covers_every_driver_green_with_current_text():
     """The committed manifest is current: every driver-green registry
     name has an entry at its latest green round. (If this fails, run
     tools/update_banked_hashes.py -- the round-start refresh.)"""
+    _skip_if_manifest_legitimately_lags()
     manifest = Q._banked_hashes()
     latest = Q.driver_green_rounds()
     missing = [
@@ -266,9 +304,7 @@ def test_update_tool_never_rebanks_without_newer_driver_round(tmp_path):
     """refresh() keeps an entry whose recorded round >= the latest
     green round -- so a mid-round edit cannot be re-banked against the
     old green by re-running the tool."""
-    import sys
-
-    sys.path.insert(0, "/root/repo/tools")
+    _skip_if_manifest_legitimately_lags()
     import update_banked_hashes as ub
 
     updated, kept, behind = ub.refresh(dry_run=True)

@@ -55,6 +55,10 @@ def refresh(dry_run: bool = False) -> tuple[int, int, list[str]]:
         with open(Q._BANKED_HASHES_PATH, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
             fh.write("\n")
+        # The registry memoizes the manifest (lru_cache); drop the
+        # pre-write snapshot so a --check or priority_order() call in
+        # this same process sees what was just written (ADVICE r7).
+        Q._banked_hashes.cache_clear()
     return updated, kept, behind
 
 
