@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hi_csa_db_spark.functions.hashing import knuth_hash32
+
 
 class Corpus:
     def __init__(
@@ -136,7 +138,7 @@ class Corpus:
         p = F.greatest(
             F.lit(0), F.least(F.lit(1000000), F.lit(500000) + 10 * wi)
         )
-        u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+        u = knuth_hash32(F.col("doc_id"))  # overflow-safe (ADVICE r7)
         dk = wdf.filter(u * 1000000 < p * F.lit(4294967296)).select("doc_id")
         kept = self._docs.join(dk, "doc_id")
         return self._with(kept, "resample_dsir[x24]")
@@ -163,10 +165,7 @@ class Corpus:
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         )
         labels = graph.connected_components(edges, iterations=3)
-        u = F.pmod(
-            F.coalesce(F.col("lbl"), F.col("doc_id")) * F.lit(2654435761),
-            F.lit(4294967296),
-        )
+        u = knuth_hash32(F.coalesce(F.col("lbl"), F.col("doc_id")))
         split = (
             F.when(u < 3435973836, "train")
             .when(u < 3865470566, "val")

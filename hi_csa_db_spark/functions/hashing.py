@@ -31,3 +31,34 @@ def stable_long_hash(col: Column, seed: str = "") -> Column:
     """60-bit stable content hash of a string column (optionally seeded)."""
     seeded = F.concat(F.lit(seed), F.lit(":"), col.cast("string")) if seed else col.cast("string")
     return hex_to_long(F.md5(seeded))
+
+
+def knuth_hash32(col: Column) -> Column:
+    """``(key * 2654435761) mod 2**32`` — Knuth's multiplicative hash —
+    computed total-range-safely for ANY bigint key (ADVICE r7: the
+    naive product overflows int64, i.e. throws under ANSI semantics,
+    once keys exceed ~3.47e9 — exactly the regime a 100 TB corpus'
+    doc_ids / cluster labels live in).
+
+    Only the low 32 bits of the key affect the result (the product's
+    high bits fall out of the mod), so the key reduces to
+    ``k = key & 0xFFFFFFFF`` first, then splits into 16-bit halves:
+    ``(hi*A mod 2^32)*2^16 + lo*A`` keeps every intermediate below
+    2^49. Bit-ops only — stays in whole-stage codegen.
+
+    DuckDB-parity SQL: ``KNUTH_HASH32_SQL.format(key=expr)``.
+    """
+    k = col.cast("long").bitwiseAND(F.lit(4294967295))
+    hi_part = (F.shiftright(k, 16) * F.lit(2654435761)).bitwiseAND(
+        F.lit(4294967295)
+    ) * F.lit(65536)
+    lo_part = k.bitwiseAND(F.lit(65535)) * F.lit(2654435761)
+    return (hi_part + lo_part).bitwiseAND(F.lit(4294967295))
+
+
+# The same arithmetic as an ANSI-SQL template (DuckDB oracles): every
+# intermediate < 2^49, so plain BIGINT throughout.
+KNUTH_HASH32_SQL = (
+    "((((({key} & 4294967295) >> 16) * 2654435761) & 4294967295) * 65536"
+    " + (({key} & 65535) * 2654435761)) & 4294967295"
+)

@@ -766,18 +766,23 @@ def simhash(
     # bound, far beyond any real doc. The sign test becomes
     # 2*ones > n (ones = count of 1-bits, n = distinct tokens), which
     # equals the old sum-of-±1 > 0 exactly.
-    lanes = bits // 3
+    # lanes rounds UP so bits not divisible by 3 (e.g. 64) get a
+    # partial final lane instead of the fingerprint loop referencing a
+    # nonexistent __w column (ADVICE r7); out-of-range sub-bits are
+    # simply not packed.
+    lanes = (bits + 2) // 3
+    def _lane_word(w: int):
+        word = F.shiftright(F.col("h"), 3 * w).bitwiseAND(F.lit(1))
+        for k in (1, 2):
+            if 3 * w + k < bits:
+                word = word + F.shiftleft(
+                    F.shiftright(F.col("h"), 3 * w + k).bitwiseAND(F.lit(1)),
+                    21 * k,
+                )
+        return word
+
     aggs = [
-        F.sum(
-            F.shiftright(F.col("h"), 3 * w).bitwiseAND(F.lit(1))
-            + F.shiftleft(
-                F.shiftright(F.col("h"), 3 * w + 1).bitwiseAND(F.lit(1)), 21
-            )
-            + F.shiftleft(
-                F.shiftright(F.col("h"), 3 * w + 2).bitwiseAND(F.lit(1)), 42
-            )
-        ).alias(f"__w{w}")
-        for w in range(lanes)
+        F.sum(_lane_word(w)).alias(f"__w{w}") for w in range(lanes)
     ] + [F.count(F.lit(1)).alias("__n")]
     per_doc = hashed.groupBy(id_col).agg(*aggs)
     fingerprint = None

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hi_csa_db_spark.catalog import load_table, load_tables
+from hi_csa_db_spark.functions.hashing import KNUTH_HASH32_SQL, knuth_hash32
 from hi_csa_db_spark.functions.text import absolutize_url, slugify, strip_punct, tokenize
 from hi_csa_db_spark.operators import classify, dedup, graph, ordered, similarity, textstats
 from hi_csa_db_spark.operators.merge import db_merge, union_streams
@@ -21181,8 +21182,8 @@ def dq14_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cu AS (
       SELECT d, x, s,
-             s - least(COALESCE(MIN(s) OVER (ORDER BY d ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0)
+             s - least(MIN(s) OVER (ORDER BY d ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
                AS cusum
       FROM pre
     )
@@ -21196,10 +21197,13 @@ def dq15_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential drift detector (Page's cumulative sum) re-expressed as
     PARALLEL prefix arithmetic: the textbook recursion
     s_k = max(0, s_{k-1} + (x_k - target)) equals
-    S_k - min(0, min_{j<k} S_j) where S is the plain prefix sum of
-    deviations, so two day-level windows replace the sequential scan
-    entirely. Top-10 drift peaks, exact integer cents throughout
-    (target = floor mean of daily cents).
+    S_k - min(0, min_{j<=k} S_j) where S is the plain prefix sum of
+    deviations (the running min INCLUDES the current row -- with j<k
+    a new negative prefix minimum at k would emit a negative cusum,
+    impossible under Page's formula; ADVICE r7), so two day-level
+    windows replace the sequential scan entirely. Top-10 drift peaks,
+    exact integer cents throughout (target = floor mean of daily
+    cents).
 
     Scale: the corpus-sized work is one map-combined daily aggregate;
     both windows run over the bounded day-level series (calendar-
@@ -21216,16 +21220,12 @@ def dq15_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.orderBy(F.col("d").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    w_prev = Window.orderBy(F.col("d").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     pre = daily.crossJoin(F.broadcast(t)).withColumn(
         "s", F.sum(F.col("x") - F.col("target")).over(w_all)
     )
     cu = pre.withColumn(
         "cusum",
-        F.col("s")
-        - F.least(F.coalesce(F.min("s").over(w_prev), F.lit(0)), F.lit(0)),
+        F.col("s") - F.least(F.min("s").over(w_all), F.lit(0)),
     )
     return (
         cu.select(
@@ -21248,13 +21248,13 @@ def dq15_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sp AS (
       SELECT doc_id, lbl,
-             CASE WHEN (lbl * 2654435761) % 4294967296 < 3435973836
+             CASE WHEN {KNUTH_HASH32_SQL.format(key='lbl')} < 3435973836
                   THEN 'train'
-                  WHEN (lbl * 2654435761) % 4294967296 < 3865470566
+                  WHEN {KNUTH_HASH32_SQL.format(key='lbl')} < 3865470566
                   THEN 'val' ELSE 'test' END AS split,
-             CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+             CASE WHEN {KNUTH_HASH32_SQL.format(key='doc_id')} < 3435973836
                   THEN 'train'
-                  WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
+                  WHEN {KNUTH_HASH32_SQL.format(key='doc_id')} < 3865470566
                   THEN 'val' ELSE 'test' END AS naive_split
       FROM eff
     ),
@@ -21289,7 +21289,10 @@ def x81_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: splits come from the Knuth multiplicative hash
     against fixed 2^32 thresholds (floor(0.8/0.9 * 2^32)) — the
-    x24/x21 keep-rule idiom; all counts are exact integers.
+    x24/x21 keep-rule idiom; all counts are exact integers. The hash
+    is the overflow-safe 16-bit-halves form (functions/hashing.py
+    knuth_hash32), total-range correct for doc_ids/labels past
+    ~3.47e9 where the naive product throws under ANSI (ADVICE r7).
 
     Scale: inherits d2/d6's banded LSH + bounded label propagation;
     the split rule is a narrow projection, the leak audit joins the
@@ -21308,7 +21311,7 @@ def x81_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _split(col: str) -> Column:
-        u = F.pmod(F.col(col) * F.lit(2654435761), F.lit(4294967296))
+        u = knuth_hash32(F.col(col))  # overflow-safe (ADVICE r7)
         return (
             F.when(u < 3435973836, "train")
             .when(u < 3865470566, "val")
