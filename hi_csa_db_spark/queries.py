@@ -13168,9 +13168,17 @@ def t21_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (o_totalprice is parquet DOUBLE: the decimal(15,2)*100 route is
     the truncate-vs-round-safe money conversion, NOTES.md), each
     scored into quintiles (NTILE with custkey tie-break — total order
-    on both engines, so bucket edges match). One groupBy + three rank
-    windows; at fleet scale the windows become global_row_numbers
-    range partitions."""
+    on both engines, so bucket edges match).
+
+    Scale shape (VERDICT r7 item 4 — the unpartitioned NTILE windows
+    are gone): each score rides ordered.global_row_numbers over a
+    (value, custkey) STRUCT key (range partition + broadcast offsets,
+    fully parallel), then the standard-SQL NTILE formula is applied as
+    integer arithmetic against the broadcast customer count n: the
+    first n%5 buckets take ceil(n/5) rows, the rest floor(n/5) —
+    bit-identical to NTILE(5) on both engines because the composite
+    order is total. Three customer-sized range exchanges + three
+    custkey joins replace three single-partition sorts."""
     t = load_tables(spark, sf_dir)
     mx = t["orders"].agg(F.max("o_orderdate").alias("mxd"))
     base = (
@@ -13193,17 +13201,46 @@ def t21_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col("custkey").asc())
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
-    wm = Window.orderBy(F.col("monetary_cents").desc(), F.col("custkey").asc())
-    return base.select(
+    base = base.localCheckpoint(eager=False)  # 3 rank consumers + output
+    cnt = base.agg(F.count(F.lit(1)).alias("__nc"))
+
+    # Standard-SQL NTILE(5) from a 1-based global rank among __nc rows:
+    # the first __nc%5 buckets hold (__nc div 5)+1 rows, the rest
+    # __nc div 5. Integer `div` throughout — no float boundary exists;
+    # greatest(..,1) guards the n<5 regime where that branch is never
+    # taken anyway.
+    _tile = F.expr(
+        "CAST(CASE WHEN rank <= (__nc % 5) * (__nc div 5 + 1)"
+        "  THEN (rank - 1) div (__nc div 5 + 1) + 1"
+        "  ELSE __nc % 5"
+        "       + (rank - (__nc % 5) * (__nc div 5 + 1) - 1)"
+        "         div greatest(__nc div 5, 1) + 1"
+        " END AS INT)"
+    )
+
+    def _score(value: Column, out: str) -> DataFrame:
+        keyed = base.select(
+            "custkey", F.struct(value.alias("v"), F.col("custkey")).alias("__key")
+        )
+        return (
+            ordered.global_row_numbers(keyed, "__key")
+            .crossJoin(F.broadcast(cnt))
+            .select("custkey", _tile.alias(out))
+        )
+
+    out = (
+        base.join(_score(F.col("recency_days"), "r_score"), "custkey")
+        .join(_score(-F.col("frequency"), "f_score"), "custkey")
+        .join(_score(-F.col("monetary_cents"), "m_score"), "custkey")
+    )
+    return out.select(
         "custkey",
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(5).over(wr).alias("r_score"),
-        F.ntile(5).over(wf).alias("f_score"),
-        F.ntile(5).over(wm).alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 
@@ -23016,10 +23053,18 @@ def er4_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(sh, num_hashes=16)
     cand = dedup.lsh_candidate_pairs(sigs, bands=8, rows=2)
     key = F.substring(F.lower(strip_punct(F.col("text"))), 1, 24)
-    wr = Window.orderBy(F.col("k").asc(), F.col("doc_id").asc())
+    # corpus-sized rank -> range-partitioned global_row_numbers over a
+    # (key, doc_id) struct, same as d15's operator (VERDICT r7 item 6:
+    # this was the one corpus-sized Window.orderBy left in queries.py)
     r = (
-        docs.select("doc_id", key.alias("k"))
-        .select("doc_id", F.row_number().over(wr).alias("rnk"))
+        ordered.global_row_numbers(
+            docs.select(
+                "doc_id",
+                F.struct(key.alias("k"), F.col("doc_id")).alias("__key"),
+            ),
+            "__key",
+        )
+        .select("doc_id", F.col("rank").alias("rnk"))
         .localCheckpoint(eager=False)
     )
     w0 = F.filter(tokenize(F.lower(strip_punct(F.col("text")))), lambda x: x != "")[0]

@@ -171,6 +171,74 @@ def fetch_values(
     )
 
 
+def fetch_values_paged(
+    spreadsheet_id: str,
+    sheet: str = "Sheet1",
+    page_rows: int = 1000,
+    start_row: int = 1,
+    last_col: str = "ZZ",
+    max_pages: int = 10000,
+    **fetch_kwargs,
+) -> dict:
+    """Whole-sheet read in row-window pages (VERDICT r7 item 7).
+
+    ``values.get`` has no server-side pagination — the API returns the
+    full requested range — so large-sheet ingest pages CLIENT-side:
+    GET ``{sheet}!A{r}:{last_col}{r+page_rows-1}`` windows until one
+    comes back short (fewer rows than requested) or empty. Returns one
+    merged payload in the same shape as ``fetch_values`` plus a
+    ``pages`` count, so ``values_to_dataframe`` consumes it unchanged.
+
+    Each window rides ``fetch_values``' retry/auth path; a sheet whose
+    row count is an exact multiple of ``page_rows`` costs one extra
+    (empty) probe window — the stop rule needs to SEE the short page.
+    ``max_pages`` bounds a pathological server that echoes full pages
+    forever."""
+    if page_rows < 1:
+        raise ValueError("page_rows must be >= 1")
+    merged: list[list] = []
+    row = start_row
+    pages = 0
+    while pages < max_pages:
+        rng = f"{sheet}!A{row}:{last_col}{row + page_rows - 1}"
+        payload = fetch_values(spreadsheet_id, rng, **fetch_kwargs)
+        vals = payload.get("values") or []
+        merged.extend(vals)
+        pages += 1
+        if len(vals) < page_rows:
+            break
+        row += page_rows
+    else:
+        raise RuntimeError(
+            f"sheet exceeded max_pages={max_pages} windows of {page_rows} rows"
+        )
+    return {
+        "range": f"{sheet}!A{start_row}",
+        "majorDimension": "ROWS",
+        "values": merged,
+        "pages": pages,
+    }
+
+
+def read_sheet_rest_paged(
+    spark: SparkSession,
+    spreadsheet_id: str,
+    sheet: str = "Sheet1",
+    page_rows: int = 1000,
+    rename: dict[str, str] | None = None,
+    target_schema: T.StructType | str | None = None,
+    **fetch_kwargs,
+) -> DataFrame:
+    """read_sheet_rest over the paged fetcher: identical DataFrame
+    contract, any sheet height."""
+    payload = fetch_values_paged(
+        spreadsheet_id, sheet=sheet, page_rows=page_rows, **fetch_kwargs
+    )
+    return values_to_dataframe(
+        spark, payload, header=True, rename=rename, target_schema=target_schema
+    )
+
+
 def values_to_dataframe(
     spark: SparkSession,
     payload: dict,
