@@ -1,0 +1,2195 @@
+"""End-to-end pipelines, graph analytics, crawl/html sources (pipe_*/graph_*/html_*/crawl*/bfs*).
+
+Split from the original single-file registry (round 8,
+VERDICT r7 item 8). Query/oracle text is moved VERBATIM so
+query_text_hash values (tools/banked_hashes.json) are unchanged;
+registry order is pinned by tools/registry_order.json. Names a
+query body references from another module resolve through the
+package-level namespace cross-pollination in queries/__init__.py
+(def-time names are imported explicitly below)."""
+
+from __future__ import annotations
+import functools
+import glob
+import hashlib
+import inspect
+import json
+import os
+import re
+from typing import Callable
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from hi_csa_db_spark.catalog import load_table, load_tables
+from hi_csa_db_spark.functions.hashing import KNUTH_HASH32_SQL, knuth_hash32
+from hi_csa_db_spark.functions.text import absolutize_url, slugify, strip_punct, tokenize
+from hi_csa_db_spark.operators import classify, dedup, graph, ordered, similarity, textstats
+from hi_csa_db_spark.operators.merge import db_merge, union_streams
+
+from hi_csa_db_spark.queries import _ORACLES, _QUERIES, _register
+from hi_csa_db_spark.queries._shared import (
+    _BUCKET_LADDER_SQL,
+    _D6_LABELS_SQL,
+    _DSIR_W_SQL,
+    _PACK_BUDGET,
+    _X20_SCORED_SQL,
+    _ktruss_oracle,
+)
+
+
+
+@_register(
+    "graph_kcore",
+    """
+    WITH ce AS (
+      SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst FROM lineitem
+    ),
+    ud0 AS (SELECT src, dst FROM ce UNION SELECT dst, src FROM ce),
+    d1 AS (SELECT src, COUNT(*) AS deg FROM ud0 GROUP BY src),
+    k1 AS (SELECT src FROM d1 WHERE deg >= 3),
+    ud1 AS (SELECT u.src, u.dst FROM ud0 u
+            JOIN k1 a ON a.src = u.src JOIN k1 b ON b.src = u.dst),
+    d2 AS (SELECT src, COUNT(*) AS deg FROM ud1 GROUP BY src),
+    k2 AS (SELECT src FROM d2 WHERE deg >= 3),
+    ud2 AS (SELECT u.src, u.dst FROM ud1 u
+            JOIN k2 a ON a.src = u.src JOIN k2 b ON b.src = u.dst),
+    d3 AS (SELECT src, COUNT(*) AS deg FROM ud2 GROUP BY src),
+    k3 AS (SELECT src FROM d3 WHERE deg >= 3),
+    ud3 AS (SELECT u.src, u.dst FROM ud2 u
+            JOIN k3 a ON a.src = u.src JOIN k3 b ON b.src = u.dst)
+    SELECT src AS id, COUNT(*) AS degree FROM ud3 GROUP BY src
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 3-core peeling over the part<->supplier graph — the
+    PEELING iterative pattern (edge set shrinks per round; a removal
+    can push neighbors below threshold) next to pagerank's value
+    propagation and components' label propagation. Oracle: the same
+    three rounds unrolled as chained CTEs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+    )
+    return graph.k_core(edges, k=3, iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# Graph operators (SURVEY.md sections 1.4, 2.1 S1)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "graph_bfs_reachability",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst FROM orders
+      UNION ALL
+      SELECT DISTINCT 'o' || l_orderkey, 'p' || l_partkey FROM lineitem
+    ),
+    reach(node, depth) AS (
+      SELECT * FROM (VALUES ('c0', 0), ('c1', 0), ('c2', 0)) t(node, depth)
+      UNION ALL
+      SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.depth < 2
+    )
+    SELECT node, MIN(depth) AS depth FROM reach GROUP BY node
+    """,
+)
+def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: BFS frontier loop (the reference's Rcrawler crawl,
+    hi-csa-db.Rmd:111-119) over a customer->order->part graph; min
+    depth per node, depth<=2, distributed frontier w/ anti-join."""
+    t = load_tables(spark, sf_dir)
+    # BFS runs over LONG node ids (node type packed into the top
+    # digits); the 'c0'/'o123' display strings only materialize on the
+    # final result. Every frontier join / distinct / anti-join then
+    # shuffles 8-byte longs instead of variable-length strings.
+    B = 10_000_000_000  # > any key in the fixtures
+    edges = (
+        t["orders"]
+        .select(
+            (F.lit(1 * B) + F.col("o_custkey")).alias("src"),
+            (F.lit(2 * B) + F.col("o_orderkey")).alias("dst"),
+        )
+        .unionAll(
+            t["lineitem"]
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .select(
+                (F.lit(2 * B) + F.col("l_orderkey")).alias("src"),
+                (F.lit(3 * B) + F.col("l_partkey")).alias("dst"),
+            )
+        )
+    )
+    seeds = spark.createDataFrame([(1 * B,), (1 * B + 1,), (1 * B + 2,)], ["node"])
+    reached = graph.bfs(edges, seeds, max_depth=2)
+    tag = F.element_at(
+        F.array(F.lit("c"), F.lit("o"), F.lit("p")),
+        (F.col("node") / B).cast("int"),
+    )
+    return reached.select(
+        F.concat(tag, (F.col("node") % B).cast("string")).alias("node"), "depth"
+    )
+
+
+@_register(
+    "graph_degrees",
+    """
+    WITH edges AS (SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem),
+    o AS (SELECT src AS id, COUNT(*) AS out_deg FROM edges GROUP BY src),
+    i AS (SELECT dst AS id, COUNT(*) AS in_deg FROM edges GROUP BY dst)
+    SELECT COALESCE(o.id, i.id) AS id,
+           COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg
+    FROM o FULL JOIN i ON o.id = i.id
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph degree aggregation (the reference stores NetwEdges
+    but never analyzes them, hi-csa-db.Rmd:123-128 — the engine does)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # distinct on the INT key pair, concat to node strings after — the
+    # dedup shuffle moves 16-byte rows, not 2x ~10-char strings.
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    edges = pairs.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return graph.degrees(edges)
+
+
+@_register(
+    "graph_triangles",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 120) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 120) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT COUNT(*) AS n_triangles FROM pairs e1
+    JOIN pairs e2 ON e2.p1 = e1.p2
+    JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph (parts sharing an
+    order): the canonical multi-way self-join graph analytic. Ordered
+    edges (p1<p2) make each triangle count exactly once; both joins
+    are equi-joins on node ids (at scale: edges bucketed by p1)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 120)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "o").filter(F.col("p1") < F.col("p2")).select("p1", "p2").distinct()
+    )
+    e1 = pairs
+    e2 = pairs.select(F.col("p1").alias("p2"), F.col("p2").alias("p3"))
+    e3 = pairs.select(F.col("p1").alias("p1x"), F.col("p2").alias("p3x"))
+    tri = (
+        e1.join(e2, "p2")
+        .join(e3, (F.col("p1") == F.col("p1x")) & (F.col("p3") == F.col("p3x")))
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@_register(
+    "graph_components",
+    """
+    WITH e0 AS (SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+                FROM lineitem WHERE l_partkey < 200),
+    ud AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    nodes AS (SELECT DISTINCT src AS id FROM ud),
+    l0 AS (SELECT id, id AS lbl FROM nodes),
+    l1 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN l0 s ON s.id = n.id
+           LEFT JOIN ud e ON e.src = n.id LEFT JOIN l0 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl),
+    l2 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN l1 s ON s.id = n.id
+           LEFT JOIN ud e ON e.src = n.id LEFT JOIN l1 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl),
+    l3 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN l2 s ON s.id = n.id
+           LEFT JOIN ud e ON e.src = n.id LEFT JOIN l2 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl)
+    SELECT id, lbl FROM l3
+    """,
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component label propagation (3 iterations, pure
+    integer min — deterministic on any engine) over a subgraph of the
+    part-supplier graph. The iterative-algorithm twin of pagerank
+    with no float anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_partkey") < 200).select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+    )
+    return graph.connected_components(edges, iterations=3)
+
+
+@_register(
+    "graph_labelprop",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+      FROM lineitem WHERE l_partkey < 200
+    ),
+    ud AS (
+      SELECT src, dst FROM edges
+      UNION SELECT dst AS src, src AS dst FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM ud),
+    l0 AS (SELECT id, id AS lbl FROM nodes),
+    c1 AS (
+      SELECT e.src, l.lbl, COUNT(*) AS n
+      FROM ud e JOIN l0 l ON l.id = e.dst GROUP BY e.src, l.lbl
+    ),
+    w1 AS (
+      SELECT src, lbl FROM (
+        SELECT src, lbl,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY n DESC, lbl ASC) AS rn
+        FROM c1) t WHERE rn = 1
+    ),
+    l1 AS (
+      SELECT n.id, COALESCE(w.lbl, l.lbl) AS lbl
+      FROM nodes n JOIN l0 l ON l.id = n.id
+      LEFT JOIN w1 w ON w.src = n.id
+    ),
+    c2 AS (
+      SELECT e.src, l.lbl, COUNT(*) AS n
+      FROM ud e JOIN l1 l ON l.id = e.dst GROUP BY e.src, l.lbl
+    ),
+    w2 AS (
+      SELECT src, lbl FROM (
+        SELECT src, lbl,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY n DESC, lbl ASC) AS rn
+        FROM c2) t WHERE rn = 1
+    ),
+    l2 AS (
+      SELECT n.id, COALESCE(w.lbl, l.lbl) AS lbl
+      FROM nodes n JOIN l1 l ON l.id = n.id
+      LEFT JOIN w2 w ON w.src = n.id
+    )
+    SELECT id, lbl FROM l2
+    """,
+)
+def graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by MAJORITY label propagation (Raghavan et
+    al. 2007, determinized: synchronous rounds, ties to the smallest
+    label) over the part-supplier subgraph — the fourth iterative-
+    graph pattern (argmax aggregate per round) beside pagerank's
+    value propagation, components' min propagation, and k-core's
+    peeling. Two rounds, unrolled as CTEs in the oracle so every
+    intermediate labelling is value-checked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_partkey") < 200).select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+    )
+    return graph.label_propagation(edges, iterations=2)
+
+
+@_register("pipe_reference_replay")
+def pipe_reference_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL analytical pipeline (SURVEY.md section 3
+    E3: scrape -> sectionize -> classify -> merge -> publish) replayed
+    on reference-shaped deterministic fixtures (FIXTURES.md Group B) —
+    one lazy Catalyst plan producing the csa_db table shape
+    (Type, Mitigation, Practice, Description, Resource). Rows-only:
+    the fixtures are independent of sf_dir; golden invariants are
+    asserted in tests/test_pipeline.py.
+
+    The two sheets arrive as their RAW CSV exports (display-cased
+    headers, drifted extra columns, empty cells) and are ingested
+    through sources/sheets.read_sheet_export — the credential-free
+    Spark-first replacement for the reference's live googlesheets4
+    reads (hi-csa-db.Rmd:470-471, 554)."""
+    from hi_csa_db_spark.plans import fixtures, pipeline
+    from hi_csa_db_spark.sources import sheets
+
+    elements = fixtures.page_elements(spark)
+    policy = sheets.read_sheet_export(
+        spark,
+        fixtures.policy_sheet_export_lines(),
+        target_schema="csa_goals string, guiding_policy string, "
+        "description string, verbiage_location string, url string",
+    )
+    support = sheets.read_sheet_export(
+        spark,
+        fixtures.support_sheet_export_lines(),
+        target_schema="mitigation string, practice string, "
+        "description string, resources_links string",
+    )
+    keywords = fixtures.practice_keywords(spark)
+    return pipeline.run_pipeline(elements, policy, support, keywords)
+
+
+@_register(
+    "pipe_training_prep",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, lang, text,
+             len(list_filter(
+               string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+               x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM toks WHERE lang IN ('en', 'haw') AND n_tokens >= 10
+    ),
+    deduped AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS doc_id,
+             MIN(source) AS source, MIN(n_tokens) AS n_tokens
+      FROM gated GROUP BY md5(text)
+    ),
+    split AS (
+      SELECT CASE
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+               ELSE 'test'
+             END AS split,
+             source, n_tokens
+      FROM deduped
+    )
+    SELECT split, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+    FROM split GROUP BY split, source
+    """,
+)
+def pipe_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep composite: language gate ->
+    quality gate (min token count) -> exact content dedup (md5,
+    keep-min-id) -> deterministic split assignment -> per-split corpus
+    stats. One lazy Catalyst plan; the gates pushed down to the scan,
+    two shuffles total (dedup groupBy, final stats groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokenize(F.lower(strip_punct(F.col("text")))))
+    gated = (
+        docs.select("doc_id", "source", "lang", "text", n_tokens.alias("n_tokens"))
+        .filter(F.col("lang").isin("en", "haw") & (F.col("n_tokens") >= 10))
+    )
+    deduped = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("source").alias("source"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib < "c", F.lit("train"))
+        .when(nib < "e", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        deduped.select(split.alias("split"), "source", "n_tokens")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_tokens"),
+        )
+    )
+
+
+@_register(
+    "graph_pagerank",
+    """
+    WITH edges AS (SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst FROM lineitem),
+    nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+    params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    ce AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / d.od AS w FROM edges e JOIN deg d ON d.src = e.src),
+    r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM params) AS rank FROM nodes),
+    r1 AS (SELECT nd.id, CAST(0.15 AS DOUBLE)/(SELECT n FROM params)
+                  + CAST(0.85 AS DOUBLE)*COALESCE(SUM(r.rank * ce.w), 0) AS rank
+           FROM nodes nd LEFT JOIN ce ON ce.dst = nd.id LEFT JOIN r0 r ON r.id = ce.src
+           GROUP BY nd.id),
+    r2 AS (SELECT nd.id, CAST(0.15 AS DOUBLE)/(SELECT n FROM params)
+                  + CAST(0.85 AS DOUBLE)*COALESCE(SUM(r.rank * ce.w), 0) AS rank
+           FROM nodes nd LEFT JOIN ce ON ce.dst = nd.id LEFT JOIN r1 r ON r.id = ce.src
+           GROUP BY nd.id),
+    r3 AS (SELECT nd.id, CAST(0.15 AS DOUBLE)/(SELECT n FROM params)
+                  + CAST(0.85 AS DOUBLE)*COALESCE(SUM(r.rank * ce.w), 0) AS rank
+           FROM nodes nd LEFT JOIN ce ON ce.dst = nd.id LEFT JOIN r2 r ON r.id = ce.src
+           GROUP BY nd.id)
+    SELECT id, ROUND(rank, 6) AS rank FROM r3
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (3 fixed iterations, d=0.85) over the
+    part->supplier link graph — the iterative-join class of algorithms
+    (each iteration: one join + one aggregation). Oracle: the same
+    three iterations unrolled as chained CTEs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+    )
+    ranks = graph.pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+@_register(
+    "html_parse_sectionize",
+    """
+    WITH t AS (
+      SELECT doc_id, source, lang,
+             array_to_string((list_filter(
+               string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+               x -> x <> ''))[1:5], ' ') AS body
+      FROM documents
+    )
+    SELECT 'https://x.org/doc/' || doc_id AS url,
+           'Sec ' || source AS mitigation,
+           'Sub ' || lang AS practice,
+           'Para link' || CASE WHEN body = '' THEN '' ELSE ' ' || body END AS description,
+           'https://x.org/r/' || doc_id AS resource
+    FROM t
+    """,
+)
+def html_parse_sectionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/F11/F12 + W1/J4 + X1/F5 end-to-end, oracle-checked: build an
+    HTML page per document, parse it with the REAL mapInPandas HTML
+    parser (sources.html), forward-fill section context, explode links,
+    absolutize. The oracle re-derives the expected output from the raw
+    documents — so the parser itself is value-checked, not just row-
+    counted (the reference's scrape tier, hi-csa-db.Rmd:151-212)."""
+    from hi_csa_db_spark.operators import sectionize as sec
+    from hi_csa_db_spark.sources.html import elements_from_pages
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.lower(strip_punct(F.col("text"))))
+    body = F.concat_ws(" ", F.slice(toks, 1, 5))
+    pages = docs.select(
+        F.concat(F.lit("https://x.org/doc/"), F.col("doc_id")).alias("url"),
+        F.concat(
+            F.lit("<h3>Sec "),
+            F.col("source"),
+            F.lit("</h3><h4>Sub "),
+            F.col("lang"),
+            F.lit('</h4><p>Para <a href="/r/'),
+            F.col("doc_id"),
+            F.lit('">link</a> '),
+            body,
+            F.lit("</p>"),
+        ).alias("html"),
+    )
+    elements = elements_from_pages(pages, kept=("h3", "h4", "p"))
+    sections = sec.sectionize(elements)
+    return sec.explode_links(sections, "https://x.org").select(
+        "url", "mitigation", "practice", "description", "resource"
+    )
+
+
+@_register(
+    "html_css_select",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             array_to_string((list_filter(
+               string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+               x -> x <> ''))[1:5], ' ') AS body
+      FROM documents
+    )
+    SELECT 'https://x.org/doc/' || doc_id AS url, 0 AS doc_order,
+           'h3' AS tag, 'Sec ' || source AS content, '' AS href
+    FROM t
+    UNION ALL
+    SELECT 'https://x.org/doc/' || doc_id, 1, 'p',
+           'Body ' || CASE WHEN body = '' THEN 'go' ELSE body || ' go' END,
+           '/r/' || doc_id
+    FROM t
+    """,
+)
+def html_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL CSS selection over a DOM tree (sources/cssdom.py): each
+    page carries a ``#main`` container plus a decoy sidebar with the
+    SAME tags/classes; the selector ``#main h3.title, #main p`` must
+    pick exactly the container's nodes and skip the decoys — the
+    reference's scrape pattern (hi-csa-db.Rmd:153-171 selects inside
+    ``#block-mainpagecontent``). The oracle re-derives the expected
+    elements from the raw documents, so tree building, selector
+    matching, text interleaving (text -> anchor -> text), and href
+    capture are all value-checked."""
+    from hi_csa_db_spark.sources.cssdom import css_select_elements
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.lower(strip_punct(F.col("text"))))
+    body = F.concat_ws(" ", F.slice(toks, 1, 5))
+    pages = docs.select(
+        F.concat(F.lit("https://x.org/doc/"), F.col("doc_id")).alias("url"),
+        F.concat(
+            F.lit('<div id="main"><h3 class="title">Sec '),
+            F.col("source"),
+            F.lit("</h3><p>Body "),
+            body,
+            F.lit(' <a href="/r/'),
+            F.col("doc_id"),
+            F.lit('">go</a></p></div>'),
+            F.lit('<div class="side"><h3 class="title">Noise</h3><p>skip</p></div>'),
+        ).alias("html"),
+    )
+    els = css_select_elements(pages, "#main h3.title, #main p")
+    return els.select(
+        "url",
+        "doc_order",
+        "tag",
+        F.col("text").alias("content"),
+        F.coalesce(F.try_element_at("hrefs", F.lit(1)), F.lit("")).alias("href"),
+    )
+
+
+@_register(
+    "pipe_training_prep_v2",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, text, unnest(list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '')) AS w
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, MIN(source) AS source, MIN(text) AS text,
+             COUNT(*) AS n_tokens,
+             AVG(length(w)) AS mwl,
+             AVG(CASE WHEN regexp_matches(w, '[a-z]') THEN 1.0 ELSE 0.0 END) AS alpha
+      FROM toks GROUP BY doc_id
+    ),
+    gated AS (
+      SELECT doc_id, source, text, n_tokens,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', 0))
+             + len(regexp_extract_all(text, '[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', 0))
+               AS n_pii
+      FROM stats
+      WHERE n_tokens >= 10 AND n_tokens <= 100000
+        AND mwl >= 3 AND mwl <= 10 AND alpha >= 0.8
+    ),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(source) AS source,
+             MIN(n_tokens) AS n_tokens, MIN(n_pii) AS n_pii
+      FROM gated GROUP BY md5(text)
+    ),
+    totals AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+      FROM deduped GROUP BY source
+    ),
+    floor_t AS (SELECT MIN(src_tokens) AS min_tokens FROM totals),
+    kept AS (
+      SELECT d.* FROM deduped d JOIN totals s ON d.source = s.source
+      CROSS JOIN floor_t m
+      WHERE ((d.doc_id * 2654435761) % 4294967296) * s.src_tokens
+            < m.min_tokens * 4294967296
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens, n_pii,
+             CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id
+      FROM kept
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT bin_id) AS n_bins,
+           CAST(SUM(n_pii) AS BIGINT) AS n_pii
+    FROM packed GROUP BY source
+    """,
+)
+def pipe_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-prep pipeline as ONE lazy Catalyst plan:
+    Gopher-style quality gates -> PII counting -> exact dedup ->
+    domain-mixture balancing (integer-hash downsample to the smallest
+    slice) -> context packing (prefix-sum token bins) -> per-source
+    summary. Composes the same operator implementations the individual
+    queries prove (x12, x11, d1, x17, x16), so every stage's semantics
+    are already oracle-pinned; this entry pins their COMPOSITION.
+
+    Scale: the whole chain is two aggregations (per-doc stats, hash
+    dedup), one broadcast-joined filter, one window, one final groupBy
+    — shuffles only on doc_id / md5 / source; no stage materializes
+    anything driver-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.explode(tokenize(F.lower(strip_punct(F.col("text"))))).alias("w"),
+    ).filter(F.col("w") != "")
+    stats = toks.groupBy("doc_id").agg(
+        F.min("source").alias("source"),
+        F.min("text").alias("text"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg(F.length("w")).alias("mwl"),
+        F.avg(F.when(F.col("w").rlike("[a-z]"), 1.0).otherwise(0.0)).alias(
+            "alpha"
+        ),
+    )
+    from hi_csa_db_spark.operators.textstats import EMAIL_RE, PHONE_RE
+
+    n_pii = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(PHONE_RE), F.lit(0)))
+    )
+    gated = stats.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 100000)
+        & (F.col("mwl") >= 3)
+        & (F.col("mwl") <= 10)
+        & (F.col("alpha") >= 0.8)
+    ).select("doc_id", "source", "text", "n_tokens", n_pii.alias("n_pii"))
+    deduped = gated.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("source").alias("source"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("n_pii").alias("n_pii"),
+    )
+    totals = deduped.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    floor_t = totals.agg(F.min("src_tokens").alias("min_tokens"))
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    kept = (
+        deduped.join(F.broadcast(totals), "source")
+        .join(F.broadcast(floor_t))
+        .filter(u * F.col("src_tokens") < F.col("min_tokens") * F.lit(4294967296))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = kept.withColumn(
+        "bin_id", F.floor(before / F.lit(float(_PACK_BUDGET))).cast("long")
+    )
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.sum("n_pii").alias("n_pii"),
+    )
+
+
+@_register(
+    "pipe_training_prep_v3",
+    f"""
+    WITH {_D6_LABELS_SQL},
+    {_X20_SCORED_SQL},
+    {_DSIR_W_SQL},
+    m AS (
+      SELECT lbl, MAX(logit_micro) AS mx
+      FROM l3 JOIN scored s ON s.doc_id = l3.id
+      GROUP BY lbl
+    ),
+    surv AS (
+      SELECT m.lbl, MIN(l3.id) AS survivor_id
+      FROM m JOIN l3 ON l3.lbl = m.lbl
+             JOIN scored s ON s.doc_id = l3.id AND s.logit_micro = m.mx
+      GROUP BY m.lbl
+    ),
+    drops AS (
+      SELECT l3.id FROM l3 JOIN surv ON surv.lbl = l3.lbl
+      WHERE l3.id <> surv.survivor_id
+    ),
+    dk AS (
+      SELECT doc_id FROM w
+      WHERE (doc_id * 2654435761) % 4294967296 * 1000000
+            < greatest(0, least(1000000, 500000 + 10 * dsir_microweight))
+              * 4294967296
+    ),
+    kept AS (
+      SELECT d.doc_id, d.lang, s.n_words
+      FROM documents d
+      JOIN scored s ON s.doc_id = d.doc_id AND s.keep = 1
+      JOIN dk ON dk.doc_id = d.doc_id
+      LEFT JOIN drops dr ON dr.id = d.doc_id
+      WHERE dr.id IS NULL
+    )
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(n_words) AS BIGINT) AS kept_tokens
+    FROM kept GROUP BY lang
+    """,
+)
+def pipe_training_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 corpus pipeline as ONE lazy oracle-checked plan:
+    model-based quality filter (x20 keep) -> near-dup collapse keeping
+    the BEST-quality member per cluster (d10 survivors) -> DSIR
+    importance resampling toward the target domain (x24's pure-integer
+    keep rule) -> per-lang audit of what survives. Every stage is
+    independently oracle-proven (x20/d10/x24); this pins their
+    COMPOSITION — the actual shape of a production data-prep job —
+    value-exactly against a single composed SQL derivation.
+
+    Scale: inherits each stage's contract (banded LSH, bounded label
+    propagation, broadcast normalizers, integer keep rules); the
+    composition adds only doc-level equi-joins and one 5-group audit
+    aggregate. Shared stage outputs (scored/labels/mem) are
+    lazily checkpointed once instead of re-derived per consumer —
+    the x78/er3 pattern (VERDICT r6 item 4; was 45 Exchanges /
+    9 scans before)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored, drops = _quality_survivor_drops(spark, sf_dir, docs)
+    wdf = _dsir_weight_frame(spark, sf_dir)
+    wi = F.col("dsir_microweight")
+    p = F.greatest(F.lit(0), F.least(F.lit(1000000), F.lit(500000) + 10 * wi))
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    dk = wdf.filter(u * 1000000 < p * F.lit(4294967296)).select("doc_id")
+    kept = (
+        docs.select("doc_id", "lang")
+        .join(scored.filter(F.col("keep") == 1), "doc_id")
+        .join(dk, "doc_id")
+        .join(drops, docs["doc_id"] == drops["id"], "left_anti")
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_words").alias("kept_tokens"),
+    )
+
+
+@_register(
+    "pipe_training_prep_v4",
+    f"""
+    WITH {_D6_LABELS_SQL},
+    {_X20_SCORED_SQL},
+    {_DSIR_W_SQL},
+    m AS (
+      SELECT lbl, MAX(logit_micro) AS mx
+      FROM l3 JOIN scored s ON s.doc_id = l3.id
+      GROUP BY lbl
+    ),
+    surv AS (
+      SELECT m.lbl, MIN(l3.id) AS survivor_id
+      FROM m JOIN l3 ON l3.lbl = m.lbl
+             JOIN scored s ON s.doc_id = l3.id AND s.logit_micro = m.mx
+      GROUP BY m.lbl
+    ),
+    drops AS (
+      SELECT l3.id FROM l3 JOIN surv ON surv.lbl = l3.lbl
+      WHERE l3.id <> surv.survivor_id
+    ),
+    dk AS (
+      SELECT doc_id FROM w
+      WHERE (doc_id * 2654435761) % 4294967296 * 1000000
+            < greatest(0, least(1000000, 500000 + 10 * dsir_microweight))
+              * 4294967296
+    ),
+    sp_gp AS (
+      SELECT doc_id, len(toks) AS n_tokens, CAST(i AS INT) AS pos,
+             array_to_string(list_slice(toks, CAST(i AS INT),
+                                        CAST(i AS INT) + 4), ' ') AS gram
+      FROM toks, UNNEST(range(1, len(toks) - 3)) AS r(i)
+      WHERE len(toks) >= 5
+    ),
+    sp_dup AS (SELECT gram FROM sp_gp GROUP BY gram HAVING COUNT(*) >= 2),
+    sp_brk AS (
+      SELECT g.doc_id, g.n_tokens, g.pos,
+             CASE WHEN g.pos - lag(g.pos) OVER (PARTITION BY g.doc_id
+                                                ORDER BY g.pos) > 5
+                  THEN 1 ELSE 0 END AS b
+      FROM sp_gp g JOIN sp_dup USING (gram)
+    ),
+    sp_isl AS (
+      SELECT doc_id, n_tokens, pos,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS island
+      FROM sp_brk
+    ),
+    sp_spans AS (
+      SELECT doc_id, n_tokens, island,
+             MAX(pos) + 4 - MIN(pos) + 1 AS span_len
+      FROM sp_isl GROUP BY doc_id, n_tokens, island
+    ),
+    heavy AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, SUM(span_len) AS covered, n_tokens
+        FROM sp_spans GROUP BY doc_id, n_tokens
+      ) t WHERE 10 * covered >= 3 * n_tokens
+    ),
+    kept AS (
+      SELECT d.doc_id, d.text, s.n_words
+      FROM documents d
+      JOIN scored s ON s.doc_id = d.doc_id AND s.keep = 1
+      JOIN dk ON dk.doc_id = d.doc_id
+      LEFT JOIN drops dr ON dr.id = d.doc_id
+      LEFT JOIN heavy h ON h.doc_id = d.doc_id
+      WHERE dr.id IS NULL AND h.doc_id IS NULL
+    )
+    SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)
+                    % 2147483647) AS BIGINT) AS content_checksum
+    FROM kept GROUP BY 1
+    """,
+)
+def pipe_training_prep_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone corpus pipeline, v4: v3's quality filter ->
+    best-quality near-dup survivor -> DSIR resample, PLUS a
+    duplicated-SPAN coverage gate (drop docs whose Lee-et-al dup-span
+    coverage reaches 30% of tokens — the doc-level action d13's
+    detection feeds, pure-integer test 10*covered >= 3*n_tokens), and
+    the output is the x35-style SHARD MANIFEST of the surviving
+    corpus (id-hash shard, doc/token budgets, order-insensitive
+    content checksum) — i.e. exactly what the export step of a
+    training-data build publishes. Five independently-proven stages
+    (x20/d10/x24/d13/x35), composition value-checked as ONE composed
+    SQL derivation.
+
+    Scale: inherits every stage's contract; the new gate adds d13's
+    linear span pass + one doc-level anti-join; the manifest is a
+    16-group map-combined aggregate. Shared stage outputs are
+    checkpointed once via _quality_survivor_drops (VERDICT r6
+    item 4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored, drops = _quality_survivor_drops(spark, sf_dir, docs)
+    wdf = _dsir_weight_frame(spark, sf_dir)
+    wi = F.col("dsir_microweight")
+    p = F.greatest(F.lit(0), F.least(F.lit(1000000), F.lit(500000) + 10 * wi))
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    dk = wdf.filter(u * 1000000 < p * F.lit(4294967296)).select("doc_id")
+    heavy = (
+        dedup.duplicated_spans(docs, k=5)
+        .filter(10 * F.col("covered_tokens") >= 3 * F.col("n_tokens"))
+        .select("doc_id")
+    )
+    kept = (
+        docs.select("doc_id", "text")
+        .join(scored.filter(F.col("keep") == 1), "doc_id")
+        .join(dk, "doc_id")
+        .join(drops, F.col("doc_id") == drops["id"], "left_anti")
+        .join(heavy, "doc_id", "left_anti")
+    )
+    shard = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("long")
+    fp = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+        % 2147483647
+    )
+    return (
+        kept.select(
+            shard.alias("shard"),
+            F.col("n_words"),
+            fp.alias("fp"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_tokens"),
+            F.sum("fp").alias("content_checksum"),
+        )
+    )
+
+
+@_register(
+    "graph_jaccard_neighbors",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    deg AS (SELECT s, COUNT(*) AS d FROM edges GROUP BY s),
+    common AS (
+      SELECT a.s AS s_a, b.s AS s_b, COUNT(*) AS c
+      FROM edges a JOIN edges b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT s_a, s_b,
+           ROUND(CAST(c AS DOUBLE) / (da.d + db.d - c), 6) AS jaccard
+    FROM common
+    JOIN deg da ON da.s = s_a
+    JOIN deg db ON db.s = s_b
+    ORDER BY jaccard DESC, s_a ASC, s_b ASC
+    LIMIT 20
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-neighborhood similarity: Jaccard over the part-sets of
+    supplier pairs in the part-supplier bipartite graph — the
+    link-prediction / entity-similarity primitive (common-neighbor
+    join), distinct from the path-based graph ops (BFS/PageRank) and
+    the content-based dedup tiers.
+
+    Scale shape: pair generation is the self-join on the shared
+    neighbor (part), so cost is sum of per-part degree² — bounded by
+    the max part fan-out, never |suppliers|²; at 100 TB the hot-part
+    guard is the same document-frequency cap the d3 shingle index
+    uses (split rare/hot parts, cap candidate generation). Degrees
+    broadcast (one row per supplier)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = edges.select("p", F.col("s").alias("s_a"))
+    b = edges.select("p", F.col("s").alias("s_b"))
+    common = (
+        a.join(b, "p")
+        .filter(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    da = deg.select(F.col("s").alias("s_a"), F.col("d").alias("da"))
+    db_ = deg.select(F.col("s").alias("s_b"), F.col("d").alias("db"))
+    return (
+        common.join(F.broadcast(da), "s_a")
+        .join(F.broadcast(db_), "s_b")
+        .select(
+            "s_a",
+            "s_b",
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("da") + F.col("db") - F.col("c")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), F.col("s_a").asc(), F.col("s_b").asc())
+        .limit(20)
+    )
+
+
+@_register(
+    "graph_hits",
+    """
+    WITH e AS (SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+               FROM lineitem),
+    n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    a1 AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS auth FROM e GROUP BY 1),
+    h1 AS (SELECT e.src AS id, CAST(SUM(a1.auth) AS BIGINT) AS hub
+           FROM e JOIN a1 ON a1.id = e.dst GROUP BY 1),
+    a2 AS (SELECT e.dst AS id, CAST(SUM(h1.hub) AS BIGINT) AS auth
+           FROM e JOIN h1 ON h1.id = e.src GROUP BY 1),
+    h2 AS (SELECT e.src AS id, CAST(SUM(a2.auth) AS BIGINT) AS hub
+           FROM e JOIN a2 ON a2.id = e.dst GROUP BY 1)
+    SELECT n.id, CAST(COALESCE(h2.hub, 0) AS BIGINT) AS hub,
+           CAST(COALESCE(a2.auth, 0) AS BIGINT) AS auth
+    FROM n LEFT JOIN h2 ON h2.id = n.id LEFT JOIN a2 ON a2.id = n.id
+    """,
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (graph.hits), 2 synchronous iterations
+    over the part->supplier link graph in exact integer arithmetic
+    (hub_0 = 1; no normalization) — every score is a bigint sum, so
+    the result is engine-portable with no float ambiguity. Oracle:
+    the two rounds unrolled as chained CTEs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+    )
+    return graph.hits(edges, iterations=2)
+
+
+@_register(
+    "graph_sssp",
+    """
+    WITH e0 AS (
+      SELECT l_partkey AS src, 1000000 + l_suppkey AS dst,
+             MIN(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100
+                      AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    e AS (SELECT src, dst, MIN(w) AS w FROM (
+            SELECT src, dst, w FROM e0
+            UNION ALL SELECT dst, src, w FROM e0) GROUP BY src, dst),
+    d0 AS (SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
+    d1 AS (SELECT id, MIN(dist) AS dist FROM (
+            SELECT id, dist FROM d0
+            UNION ALL SELECT e.dst, d0.dist + e.w FROM d0 JOIN e ON e.src = d0.id)
+           GROUP BY id),
+    d2 AS (SELECT id, MIN(dist) AS dist FROM (
+            SELECT id, dist FROM d1
+            UNION ALL SELECT e.dst, d1.dist + e.w FROM d1 JOIN e ON e.src = d1.id)
+           GROUP BY id),
+    d3 AS (SELECT id, MIN(dist) AS dist FROM (
+            SELECT id, dist FROM d2
+            UNION ALL SELECT e.dst, d2.dist + e.w FROM d2 JOIN e ON e.src = d2.id)
+           GROUP BY id)
+    SELECT id, CAST(dist AS BIGINT) AS dist FROM d3
+    """,
+)
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (graph.sssp): 3 rounds of
+    synchronous Bellman-Ford relaxation from part 1 over the
+    UNDIRECTED part<->supplier graph, edge weight = min line
+    extended-price in exact integer cents. Distances are bigint sums
+    of mins — engine-portable, no float path accumulation. Oracle:
+    the three relaxation rounds unrolled as chained CTEs (the
+    graph_hits/graph_kcore idiom). Sixth iterative-graph pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (
+        F.col("l_extendedprice").cast("decimal(15,2)") * 100
+    ).cast("bigint")
+    fwd = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+        cents.alias("w"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return graph.sssp(edges, source=1, iterations=3)
+
+
+@_register(
+    "graph_mst",
+    """
+    WITH e0 AS MATERIALIZED (
+      SELECT l_partkey AS a, 1000000 + l_suppkey AS b,
+             MIN(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100
+                      AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ud AS MATERIALIZED (
+      SELECT a, b, w, a AS u, b AS o FROM e0
+      UNION ALL SELECT a, b, w, b, a FROM e0
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT DISTINCT a, b, w FROM (
+        SELECT a, b, w,
+               ROW_NUMBER() OVER (PARTITION BY u ORDER BY w, a, b) AS rn
+        FROM ud) WHERE rn = 1
+    ),
+    f1 AS MATERIALIZED (SELECT a AS src, b AS dst FROM sel1
+                        UNION ALL SELECT b, a FROM sel1),
+    n1 AS MATERIALIZED (SELECT DISTINCT src AS id FROM f1),
+    c0 AS MATERIALIZED (SELECT id, id AS lbl FROM n1),
+    c1 AS MATERIALIZED (
+      SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+      FROM n1 n JOIN c0 s ON s.id = n.id
+      LEFT JOIN f1 e ON e.src = n.id LEFT JOIN c0 nb ON nb.id = e.dst
+      GROUP BY n.id, s.lbl),
+    c2 AS MATERIALIZED (
+      SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+      FROM n1 n JOIN c1 s ON s.id = n.id
+      LEFT JOIN f1 e ON e.src = n.id LEFT JOIN c1 nb ON nb.id = e.dst
+      GROUP BY n.id, s.lbl),
+    c3 AS MATERIALIZED (
+      SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+      FROM n1 n JOIN c2 s ON s.id = n.id
+      LEFT JOIN f1 e ON e.src = n.id LEFT JOIN c2 nb ON nb.id = e.dst
+      GROUP BY n.id, s.lbl),
+    lab AS MATERIALIZED (
+      SELECT nn.u AS id, COALESCE(c3.lbl, nn.u) AS lbl
+      FROM (SELECT DISTINCT u FROM ud) nn LEFT JOIN c3 ON c3.id = nn.u
+    ),
+    sel2 AS MATERIALIZED (
+      SELECT DISTINCT a, b, w FROM (
+        SELECT ud.a, ud.b, ud.w,
+               ROW_NUMBER() OVER (PARTITION BY la.lbl
+                                  ORDER BY ud.w, ud.a, ud.b) AS rn
+        FROM ud JOIN lab la ON la.id = ud.u JOIN lab lb ON lb.id = ud.o
+        WHERE la.lbl <> lb.lbl) WHERE rn = 1
+    )
+    SELECT CAST(1 AS INT) AS round, a, b, w FROM sel1
+    UNION ALL
+    SELECT CAST(2 AS INT), a, b, w FROM sel2
+    """,
+)
+def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boruvka minimum-spanning-forest rounds (graph.mst_boruvka)
+    over the part<->supplier graph with exact integer-cents weights:
+    per round every component hooks its minimum outgoing edge under
+    the total (w, a, b) order (cycle-free without distinct-weight
+    assumptions), selections merge components via the bounded
+    min-label propagation. Seventh iterative-graph pattern; the
+    oracle unrolls both rounds + the 3-round component chain as CTEs
+    (the graph_hits/graph_kcore idiom)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (
+        F.col("l_extendedprice").cast("decimal(15,2)") * 100
+    ).cast("bigint")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+        cents.alias("w"),
+    )
+    return graph.mst_boruvka(edges, rounds=2, cc_iterations=3)
+
+
+@_register(
+    "graph_assortativity",
+    """
+    WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+    od AS (SELECT src, COUNT(*) AS dx FROM e GROUP BY src),
+    idg AS (SELECT dst, COUNT(*) AS dy FROM e GROUP BY dst),
+    xy AS (
+      SELECT CAST(od.dx AS BIGINT) AS x, CAST(idg.dy AS BIGINT) AS y
+      FROM e JOIN od ON od.src = e.src JOIN idg ON idg.dst = e.dst
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS assortativity
+    FROM s
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part->supplier graph: the Pearson
+    correlation between source out-degree and target in-degree over
+    the edge list — positive means hubs link to hubs (the
+    graph-science summary statistic of mixing structure). All five
+    moment sums are exact BIGINTs (the stats_linreg idiom); doubles
+    appear only in the final sqrt/division, and both engines convert
+    the identical BIGINTs, so the rounded result is engine-stable.
+    One edge-degree join per side + one global aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    ).distinct()
+    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("dx"))
+    idg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("dy"))
+    xy = (
+        e.join(od, "src")
+        .join(idg, "dst")
+        .select(F.col("dx").cast("bigint").alias("x"), F.col("dy").cast("bigint").alias("y"))
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+            / F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+@_register(
+    "pipe_training_prep_v5",
+    f"""
+    WITH {_D6_LABELS_SQL},
+    {_X20_SCORED_SQL},
+    {_DSIR_W_SQL},
+    qgate AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT s.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY d.lang
+                                  ORDER BY s.logit_micro DESC, s.doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY d.lang) AS n
+        FROM scored s JOIN documents d USING (doc_id)
+      ) WHERE rn * 10 <= n * 4
+    ),
+    m AS (
+      SELECT lbl, MAX(logit_micro) AS mx
+      FROM l3 JOIN scored s ON s.doc_id = l3.id
+      GROUP BY lbl
+    ),
+    surv AS (
+      SELECT m.lbl, MIN(l3.id) AS survivor_id
+      FROM m JOIN l3 ON l3.lbl = m.lbl
+             JOIN scored s ON s.doc_id = l3.id AND s.logit_micro = m.mx
+      GROUP BY m.lbl
+    ),
+    drops AS (
+      SELECT l3.id FROM l3 JOIN surv ON surv.lbl = l3.lbl
+      WHERE l3.id <> surv.survivor_id
+    ),
+    dk AS (
+      SELECT doc_id FROM w
+      WHERE (doc_id * 2654435761) % 4294967296 * 1000000
+            < greatest(0, least(1000000, 500000 + 10 * dsir_microweight))
+              * 4294967296
+    ),
+    kept AS (
+      SELECT d.doc_id, d.text, s.n_words
+      FROM documents d
+      JOIN scored s ON s.doc_id = d.doc_id
+      JOIN qgate qg ON qg.doc_id = d.doc_id
+      JOIN dk ON dk.doc_id = d.doc_id
+      LEFT JOIN drops dr ON dr.id = d.doc_id
+      WHERE dr.id IS NULL
+    )
+    SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)
+                    % 2147483647) AS BIGINT) AS content_checksum
+    FROM kept GROUP BY 1
+    """,
+)
+def pipe_training_prep_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus pipeline v5: v3's stage chain with the ABSOLUTE quality
+    gate swapped for x26's per-language QUANTILE gate (keep the top
+    40% of each language slice by classifier logit). An absolute logit
+    threshold drifts as the corpus mix shifts between crawls; the
+    per-slice quantile self-calibrates — this is the v3 composition a
+    production pipeline would actually run on a moving corpus. Stages:
+    per-lang quantile filter (x26's integer rank*10 <= n*4 rule) ->
+    best-quality near-dup survivor (d10) -> DSIR resample (x24) ->
+    x35-style shard manifest.
+
+    Scale: the gate is one window pass partitioned by lang (parallel
+    across slices) feeding a semi-join; everything else inherits
+    v3/v4's proven stage contracts; manifest is a 16-group
+    map-combined aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = x20_quality_classifier(spark, sf_dir).select(
+        "doc_id", "n_words", "logit_micro"
+    )
+    lab = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    qw = Window.partitionBy("lang").orderBy(
+        F.col("logit_micro").desc(), F.col("doc_id").asc()
+    )
+    qgate = (
+        lab.select(
+            "doc_id",
+            F.row_number().over(qw).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+        )
+        .filter(F.col("rn") * 10 <= F.col("n") * 4)
+        .select("doc_id")
+    )
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=8, threshold=0.05
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = graph.connected_components(edges, iterations=3)
+    mem = labels.join(
+        scored.select(F.col("doc_id").alias("id"), "logit_micro"), "id"
+    ).select("id", "lbl", "logit_micro")
+    m = mem.groupBy("lbl").agg(F.max("logit_micro").alias("mx"))
+    surv = (
+        mem.join(m, "lbl")
+        .filter(F.col("logit_micro") == F.col("mx"))
+        .groupBy("lbl")
+        .agg(F.min("id").alias("survivor_id"))
+    )
+    drops = (
+        labels.join(surv, "lbl")
+        .filter(F.col("id") != F.col("survivor_id"))
+        .select("id")
+    )
+    wdf = _dsir_weight_frame(spark, sf_dir)
+    wi = F.col("dsir_microweight")
+    p = F.greatest(F.lit(0), F.least(F.lit(1000000), F.lit(500000) + 10 * wi))
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    dk = wdf.filter(u * 1000000 < p * F.lit(4294967296)).select("doc_id")
+    kept = (
+        docs.select("doc_id", "text")
+        .join(scored.select("doc_id", "n_words"), "doc_id")
+        .join(qgate, "doc_id")
+        .join(dk, "doc_id")
+        .join(drops, F.col("doc_id") == drops["id"], "left_anti")
+    )
+    shard = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("long")
+    fp = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+        % 2147483647
+    )
+    return (
+        kept.select(
+            shard.alias("shard"),
+            F.col("n_words"),
+            fp.alias("fp"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_tokens"),
+            F.sum("fp").alias("content_checksum"),
+        )
+    )
+
+
+@_register(
+    "graph_closeness",
+    """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+      FROM lineitem
+    ),
+    e AS MATERIALIZED (
+      SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+    ),
+    d0 AS (
+      SELECT CAST(lm AS BIGINT) AS lm, CAST(lm AS BIGINT) AS id,
+             CAST(0 AS BIGINT) AS dist
+      FROM (VALUES (1), (2), (3), (4)) t(lm)
+    ),
+    d1 AS (SELECT lm, id, MIN(dist) AS dist FROM (
+             SELECT lm, id, dist FROM d0
+             UNION ALL SELECT d0.lm, e.dst, d0.dist + 1
+             FROM d0 JOIN e ON e.src = d0.id)
+           GROUP BY lm, id),
+    d2 AS (SELECT lm, id, MIN(dist) AS dist FROM (
+             SELECT lm, id, dist FROM d1
+             UNION ALL SELECT d1.lm, e.dst, d1.dist + 1
+             FROM d1 JOIN e ON e.src = d1.id)
+           GROUP BY lm, id),
+    d3 AS (SELECT lm, id, MIN(dist) AS dist FROM (
+             SELECT lm, id, dist FROM d2
+             UNION ALL SELECT d2.lm, e.dst, d2.dist + 1
+             FROM d2 JOIN e ON e.src = d2.id)
+           GROUP BY lm, id)
+    SELECT lm AS landmark,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(dist) AS BIGINT) AS total_dist,
+           CAST(CASE WHEN SUM(dist) > 0
+                THEN (COUNT(*) - 1) * 1000000 // SUM(dist)
+                ELSE 0 END AS BIGINT) AS closeness_micro
+    FROM d3 GROUP BY lm
+    """,
+)
+def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark closeness centrality (graph.landmark_closeness): 4
+    landmark parts traverse the undirected part<->supplier graph by
+    ONE multi-source BFS (state keyed (landmark, node) — k landmarks
+    ride one traversal, the scalable stand-in for quadratic all-pairs
+    closeness). Bounded to 3 rounds so the oracle unrolls them as
+    chained CTEs (the graph_sssp idiom); closeness_micro =
+    floor(1e6*(reached-1)/total_hops) is pure integer. Eighth
+    iterative-graph pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return graph.landmark_closeness(edges, landmarks=[1, 2, 3, 4], iterations=3)
+
+
+@_register(
+    "pipe_training_prep_v6",
+    f"""
+    WITH {_D6_LABELS_SQL},
+    csz AS (SELECT lbl, COUNT(*) AS csz FROM l3 GROUP BY lbl),
+    w AS (
+      SELECT d.doc_id,
+             CAST(1000000 // COALESCE(c.csz, 1) AS BIGINT) AS weight_micro
+      FROM documents d
+      LEFT JOIN l3 ON l3.id = d.doc_id
+      LEFT JOIN csz c ON c.lbl = l3.lbl
+    ),
+    tk AS (
+      SELECT doc_id,
+             len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+               AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT w.weight_micro, tk.n_tokens, {_BUCKET_LADDER_SQL} AS bucket
+      FROM w JOIN tk USING (doc_id)
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(weight_micro) AS BIGINT) AS weight_sum_micro,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(weight_micro * n_tokens) AS BIGINT)
+             AS weighted_tokens_micro,
+           CAST((COUNT(*) + 31) // 32 AS BIGINT) AS n_batches_b32
+    FROM b GROUP BY bucket
+    """,
+)
+def pipe_training_prep_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-prep composite v6: SOFT dedup meets batch planning —
+    d19's 1/cluster-size loss weights (LSH pairs -> connected
+    components, never a hard drop) are carried into x59's power-of-two
+    length buckets, producing the per-bucket table a weighted training
+    loader schedules from: document count, retained effective weight,
+    raw vs weight-scaled token totals, batch count. The composite
+    answers "after down-weighting duplicates, how much effective data
+    does each batch shape hold?" — the planning question v2-v5's hard
+    survivor pipelines cannot, because they discard rather than
+    re-weight.
+
+    All-integer outputs (micro weights are exact 1e6 div size; token
+    sums are bigint). One lazy plan: the d2/d6 LSH machinery feeds a
+    left join (absent docs weight 1.0), the bucket ladder is a narrow
+    map, and the final aggregate has <= 8 groups.
+
+    Scale: identical contract to d19 (banded candidate generation,
+    bounded component rounds) plus x59's map-combined bucket
+    aggregate; nothing new shuffles."""
+    from hi_csa_db_spark.corpus import Corpus
+
+    # the fluent API IS the implementation (review finding: the chain
+    # was duplicated inline; tests/test_session4_ops.py pins equality,
+    # the oracle pins values)
+    return Corpus.load(spark, sf_dir).weight_soft_dedup().plan_length_batches()
+
+
+@_register(
+    "graph_random_walks",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+      FROM lineitem WHERE l_partkey < 200
+    ),
+    ud AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    starts AS (SELECT DISTINCT src AS walk_id FROM e0 WHERE src < 50),
+    s1 AS (
+      SELECT walk_id, n1 FROM (
+        SELECT s.walk_id, e.dst AS n1,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.walk_id
+                 ORDER BY md5(CAST(s.walk_id AS VARCHAR) || '|1|' || CAST(e.dst AS VARCHAR)), e.dst
+               ) AS rn
+        FROM starts s JOIN ud e ON e.src = s.walk_id
+      ) WHERE rn = 1
+    ),
+    s2 AS (
+      SELECT walk_id, n1, n2 FROM (
+        SELECT w.walk_id, w.n1, e.dst AS n2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY w.walk_id
+                 ORDER BY md5(CAST(w.walk_id AS VARCHAR) || '|2|' || CAST(e.dst AS VARCHAR)), e.dst
+               ) AS rn
+        FROM s1 w JOIN ud e ON e.src = w.n1
+      ) WHERE rn = 1
+    )
+    SELECT CAST(walk_id AS BIGINT) AS walk_id,
+           CAST(walk_id AS BIGINT) AS n0,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+    FROM s2
+    """,
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus (node2vec/DeepWalk training
+    prep, 9th iterative-graph pattern): from each start node, two
+    walk steps over the undirected part-supplier graph, each step
+    choosing the neighbor with the smallest md5(walk|step|neighbor) —
+    a hash-seeded uniform choice that is a pure function of
+    (walk, step, candidate), so the walk corpus is reproducible
+    across engines, runs, and partitionings (the x29 deterministic-
+    uniform idiom applied to graph sampling).
+
+    Scale shape: each step is one equi-join frontier ⋈ edges plus a
+    per-walk argmin (min over a struct key — the a7 pattern, computed
+    here inside a per-walk aggregate, no global window); k steps = k
+    such rounds, the BFS/sssp iteration layout. The oracle replays
+    both steps as windowed CTE rounds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter(F.col("l_partkey") < 200)
+        .select(
+            F.col("l_partkey").alias("src"),
+            (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ud = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    starts = (
+        e0.filter(F.col("src") < 50).select(F.col("src").alias("walk_id")).distinct()
+    )
+
+    def step(frontier: DataFrame, cur: str, step_no: int, out: str) -> DataFrame:
+        key = F.md5(
+            F.concat_ws(
+                "|",
+                F.col("walk_id").cast("string"),
+                F.lit(str(step_no)),
+                F.col("dst").cast("string"),
+            )
+        )
+        cand = frontier.join(ud, frontier[cur] == ud["src"]).select(
+            frontier["*"],
+            F.struct(key.alias("k"), F.col("dst").alias("d")).alias("__c"),
+        )
+        gcols = [c for c in frontier.columns]
+        return (
+            cand.groupBy(*gcols)
+            .agg(F.min("__c").alias("__m"))
+            .select(*gcols, F.col("__m.d").alias(out))
+        )
+
+    w1 = step(starts.select("walk_id", F.col("walk_id").alias("n0")), "n0", 1, "n1")
+    w2 = step(w1, "n1", 2, "n2")
+    return w2.select(
+        F.col("walk_id").cast("bigint").alias("walk_id"),
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+    )
+
+
+@_register(
+    "graph_clustering_coeff",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 120
+    ),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t FROM pairs e1
+      JOIN pairs e2 ON e2.p1 = e1.p2
+      JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    ),
+    deg AS (
+      SELECT id, COUNT(*) AS d FROM (
+        SELECT p1 AS id FROM pairs UNION ALL SELECT p2 FROM pairs
+      ) GROUP BY id
+    ),
+    wed AS (SELECT SUM(d * (d - 1) // 2) AS w FROM deg)
+    SELECT CAST(t AS BIGINT) AS n_triangles,
+           CAST(w AS BIGINT) AS n_wedges,
+           CAST(3 * t * 1000000 // w AS BIGINT) AS clustering_micro
+    FROM tri CROSS JOIN wed
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity): 3·triangles /
+    wedges over the co-purchase graph — graph_triangles' count put in
+    context (how triangle-dense is the graph relative to its degree
+    structure). Wedges come from ONE degree aggregate (Σ d(d-1)/2,
+    never materializing the wedge pairs); the ratio is an integer
+    micro floor-div.
+
+    Scale shape: the triangle join is graph_triangles' ordered-edge
+    multi-way equi-join (edges bucketed by p1 at fleet scale); the
+    wedge side adds only a degree groupBy."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 120)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "o").filter(F.col("p1") < F.col("p2")).select("p1", "p2").distinct()
+    )
+    e2 = pairs.select(F.col("p1").alias("p2"), F.col("p2").alias("p3"))
+    e3 = pairs.select(F.col("p1").alias("p1x"), F.col("p2").alias("p3x"))
+    tri = (
+        pairs.join(e2, "p2")
+        .join(e3, (F.col("p1") == F.col("p1x")) & (F.col("p3") == F.col("p3x")))
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg = (
+        pairs.select(F.col("p1").alias("id"))
+        .unionAll(pairs.select(F.col("p2").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("w")
+    )
+    return tri.crossJoin(F.broadcast(wed)).select(
+        F.col("t").cast("bigint").alias("n_triangles"),
+        F.col("w").cast("bigint").alias("n_wedges"),
+        F.expr("CAST(3 * t * 1000000 div w AS BIGINT)").alias(
+            "clustering_micro"
+        ),
+    )
+
+
+@_register(
+    "graph_ppr",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+      FROM lineitem WHERE l_partkey < 200
+    ),
+    ud AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    nodes AS (SELECT DISTINCT src AS id FROM ud),
+    deg AS (SELECT src, COUNT(*) AS od FROM ud GROUP BY src),
+    r0 AS (
+      SELECT id, CASE WHEN id = 1 THEN CAST(1000000000000 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS r
+      FROM nodes
+    ),
+    r1 AS (
+      SELECT n.id,
+             (CASE WHEN n.id = 1 THEN 15 * 1000000000000 ELSE 0 END
+              + 85 * COALESCE(SUM(r0.r // d.od), 0)) // 100 AS r
+      FROM nodes n
+      LEFT JOIN ud e ON e.dst = n.id
+      LEFT JOIN r0 ON r0.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.id
+    ),
+    r2 AS (
+      SELECT n.id,
+             (CASE WHEN n.id = 1 THEN 15 * 1000000000000 ELSE 0 END
+              + 85 * COALESCE(SUM(r1.r // d.od), 0)) // 100 AS r
+      FROM nodes n
+      LEFT JOIN ud e ON e.dst = n.id
+      LEFT JOIN r1 ON r1.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.id
+    )
+    SELECT id, CAST(r AS BIGINT) AS ppr_pico
+    FROM r2 WHERE r > 0
+    """,
+)
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from node 1 (2 synchronous rounds,
+    alpha = 0.15 teleport BACK TO THE SOURCE — the similarity-to-a-
+    node measure behind graph-based recommendation and seed-expanded
+    crawling), 10th iterative-graph pattern. ALL-INTEGER arithmetic:
+    ranks in pico units, per-edge mass split by integer floor-div
+    (non-negative, so Spark `div` and DuckDB `//` agree), damping as
+    (15·T·[v=src] + 85·inflow) div 100 — no float accumulation order
+    anywhere (unlike global pagerank's double ranks, which survive
+    only via 6dp rounding). Dangling-node leak is part of the
+    definition on both engines.
+
+    Scale shape: per round one edges ⋈ ranks join + one groupBy(dst)
+    — the pagerank layout; 2 rounds unrolled (a loop would ride
+    graph._iter_layout)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter(F.col("l_partkey") < 200)
+        .select(
+            F.col("l_partkey").alias("src"),
+            (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ud = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = ud.select(F.col("src").alias("id")).distinct()
+    deg = ud.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    T = 1_000_000_000_000
+    r = nodes.select(
+        "id",
+        F.when(F.col("id") == 1, F.lit(T)).otherwise(0).cast("bigint").alias("r"),
+    )
+    for _ in range(2):
+        inflow = (
+            ud.join(r, ud["src"] == r["id"])
+            .join(deg, "src")
+            .select("dst", F.expr("r div od").alias("__m"))
+            .groupBy("dst")
+            .agg(F.sum("__m").alias("__in"))
+        )
+        r = nodes.join(
+            inflow, nodes["id"] == inflow["dst"], "left"
+        ).select(
+            "id",
+            F.expr(
+                f"(CASE WHEN id = 1 THEN 15 * {T} ELSE 0 END"
+                " + 85 * COALESCE(__in, 0)) div 100"
+            ).alias("r"),
+        )
+    return r.filter(F.col("r") > 0).select(
+        "id", F.col("r").cast("bigint").alias("ppr_pico")
+    )
+
+
+@_register(
+    "graph_matching",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 120) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 120) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    h0 AS (
+      SELECT p1, p2,
+             md5(CAST(p1 AS VARCHAR) || '|' || CAST(p2 AS VARCHAR)) AS h
+      FROM e0
+    ),
+    nm1 AS (
+      SELECT id, MIN(h) AS mh FROM (
+        SELECT p1 AS id, h FROM h0 UNION ALL SELECT p2, h FROM h0
+      ) GROUP BY id
+    ),
+    m1 AS (
+      SELECT e.p1, e.p2 FROM h0 e
+      JOIN nm1 a ON a.id = e.p1 AND a.mh = e.h
+      JOIN nm1 b ON b.id = e.p2 AND b.mh = e.h
+    ),
+    matched1 AS (SELECT p1 AS id FROM m1 UNION SELECT p2 FROM m1),
+    h1 AS (
+      SELECT e.p1, e.p2, e.h FROM h0 e
+      WHERE e.p1 NOT IN (SELECT id FROM matched1)
+        AND e.p2 NOT IN (SELECT id FROM matched1)
+    ),
+    nm2 AS (
+      SELECT id, MIN(h) AS mh FROM (
+        SELECT p1 AS id, h FROM h1 UNION ALL SELECT p2, h FROM h1
+      ) GROUP BY id
+    ),
+    m2 AS (
+      SELECT e.p1, e.p2 FROM h1 e
+      JOIN nm2 a ON a.id = e.p1 AND a.mh = e.h
+      JOIN nm2 b ON b.id = e.p2 AND b.mh = e.h
+    )
+    SELECT p1, p2, 1 AS round FROM m1
+    UNION ALL SELECT p1, p2, 2 FROM m2
+    """,
+)
+def graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed greedy maximal matching (Israeli-Itai style,
+    determinized), 11th iterative-graph pattern and the canonical
+    HASH SYMMETRY-BREAKING round: an edge joins the matching when its
+    md5 priority is the minimum at BOTH endpoints — all such edges
+    are independent by construction, so each round is one
+    per-node-min aggregate + one two-sided equality join, fully
+    parallel with no sequential tie-breaking. Two rounds unrolled;
+    matched nodes leave the frontier between rounds (the k-core
+    peeling layout). Matching feeds pair-assignment workloads
+    (contrastive pair mining, record-linkage arbitration) where each
+    item may be used once.
+
+    Determinism: md5 edge priorities are distinct with overwhelming
+    margin on the fixture (and the per-node MIN is total-ordered by
+    the hex string), so both engines pick identical edges."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 120)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+        .select(
+            "p1",
+            "p2",
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("p1").cast("string"), F.col("p2").cast("string")
+                )
+            ).alias("h"),
+        )
+    )
+    out = None
+    cur = edges
+    for rnd in (1, 2):
+        ends = cur.select(F.col("p1").alias("id"), "h").unionAll(
+            cur.select(F.col("p2").alias("id"), "h")
+        )
+        nmin = ends.groupBy("id").agg(F.min("h").alias("mh"))
+        na = nmin.select(F.col("id").alias("p1"), F.col("mh").alias("ma"))
+        nb = nmin.select(F.col("id").alias("p2"), F.col("mh").alias("mb"))
+        m = (
+            cur.join(na, "p1")
+            .join(nb, "p2")
+            .filter((F.col("h") == F.col("ma")) & (F.col("h") == F.col("mb")))
+            .select("p1", "p2")
+        )
+        mm = m.select("p1", "p2", F.lit(rnd).alias("round"))
+        out = mm if out is None else out.unionAll(mm)
+        matched = m.select(F.col("p1").alias("id")).unionAll(
+            m.select(F.col("p2").alias("id"))
+        ).distinct()
+        cur = (
+            cur.join(matched, cur["p1"] == matched["id"], "left_anti")
+            .join(matched, cur["p2"] == matched["id"], "left_anti")
+        )
+    return out
+
+
+@_register(
+    "pipe_training_prep_v7",
+    f"""
+    WITH {_X20_SCORED_SQL},
+    lab AS (
+      SELECT s.doc_id, s.logit_micro, s.n_words, d.lang, d.text
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    rk AS (
+      SELECT doc_id, lang, text, n_words,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY logit_micro DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM lab
+    ),
+    gated AS (
+      SELECT doc_id, lang, text, n_words FROM rk WHERE rn * 10 <= n * 4
+    ),
+    uniq AS (
+      SELECT lang, md5(text) AS ch,
+             CAST(COUNT(*) AS BIGINT) AS grp,
+             MIN(n_words) AS n_words
+      FROM gated GROUP BY lang, md5(text)
+    )
+    SELECT lang,
+           CAST(SUM(grp) AS BIGINT) AS n_gated,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(grp) - COUNT(*) AS BIGINT) AS n_dups,
+           CAST(SUM(n_words) AS BIGINT) AS kept_tokens,
+           CAST((SUM(n_words) + 4095) // 4096 AS BIGINT) AS n_batches_4k
+    FROM uniq GROUP BY lang
+    """,
+)
+def pipe_training_prep_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-prep composite v7 (VERDICT r5 item 6): the per-language
+    QUANTILE gate meets exact content dedup and batch planning — x26's
+    self-calibrating keep rule (top 40% of each language slice by
+    classifier logit, pure integer rank test) selects the training
+    pool, the pool is exact-deduped on content hash (md5(text), d1
+    semantics: one survivor per identical text within a language), and
+    the per-language audit reports what a loader schedules from: gated
+    count, unique count, duplicates absorbed, surviving token mass,
+    and 4096-token batch count. v3-v6 compose the CLASSIFIER-cutoff /
+    soft-dedup variants; v7 pins the quantile-gated + hard-exact-dedup
+    pipeline shape — the common "top-q% then dedup" recipe — as one
+    lazy oracle-proven plan.
+
+    All-integer outputs (counts, token sums, ceil-div batches); the
+    gate is x26's rank*10 <= n*4 integer test, so no float percentile
+    boundary exists on either engine.
+
+    Scale: x20's one explode + map-combined groupBy, one window pass
+    partitioned by lang (parallel in slices, never global), one
+    groupBy(lang, content-hash) whose combine collapses duplicates
+    map-side, and a <=5-group audit. Catalyst prunes text out of every
+    stage except the hash input."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = x20_quality_classifier(spark, sf_dir).select(
+        "doc_id", "logit_micro", "n_words"
+    )
+    lab = scored.join(docs.select("doc_id", "lang", "text"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("logit_micro").desc(), F.col("doc_id").asc()
+    )
+    rk = lab.select(
+        "lang",
+        "text",
+        "n_words",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    gated = rk.filter(F.col("rn") * 10 <= F.col("n") * 4)
+    uniq = gated.groupBy("lang", F.md5("text").alias("ch")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("grp"),
+        F.min("n_words").alias("n_words"),
+    )
+    return (
+        uniq.groupBy("lang")
+        .agg(
+            F.sum("grp").cast("bigint").alias("n_gated"),
+            F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+            F.sum("n_words").cast("bigint").alias("kept_tokens"),
+        )
+        .select(
+            "lang",
+            "n_gated",
+            "n_unique",
+            (F.col("n_gated") - F.col("n_unique"))
+            .cast("bigint")
+            .alias("n_dups"),
+            "kept_tokens",
+            F.expr("CAST((kept_tokens + 4095) div 4096 AS BIGINT)").alias(
+                "n_batches_4k"
+            ),
+        )
+    )
+
+
+@_register(
+    "graph_ppr_seed_expansion",
+    """
+    WITH edges AS (SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+                   FROM lineitem),
+    nodes AS (SELECT DISTINCT id FROM
+              (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+    deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    r0 AS (SELECT id, CASE WHEN id % 100 = 0 THEN 1000000 ELSE 0 END AS r
+           FROM nodes),
+    r1 AS (SELECT nd.id,
+             CASE WHEN nd.id % 100 = 0 THEN 150000 ELSE 0 END
+             + CAST(850000 * COALESCE(SUM(r.r // d.od), 0) // 1000000
+                 AS BIGINT) AS r
+           FROM nodes nd
+           LEFT JOIN edges e ON e.dst = nd.id
+           LEFT JOIN deg d ON d.src = e.src
+           LEFT JOIN r0 r ON r.id = e.src
+           GROUP BY nd.id),
+    r2 AS (SELECT nd.id,
+             CASE WHEN nd.id % 100 = 0 THEN 150000 ELSE 0 END
+             + CAST(850000 * COALESCE(SUM(r.r // d.od), 0) // 1000000
+                 AS BIGINT) AS r
+           FROM nodes nd
+           LEFT JOIN edges e ON e.dst = nd.id
+           LEFT JOIN deg d ON d.src = e.src
+           LEFT JOIN r1 r ON r.id = e.src
+           GROUP BY nd.id),
+    r3 AS (SELECT nd.id,
+             CASE WHEN nd.id % 100 = 0 THEN 150000 ELSE 0 END
+             + CAST(850000 * COALESCE(SUM(r.r // d.od), 0) // 1000000
+                 AS BIGINT) AS r
+           FROM nodes nd
+           LEFT JOIN edges e ON e.dst = nd.id
+           LEFT JOIN deg d ON d.src = e.src
+           LEFT JOIN r2 r ON r.id = e.src
+           GROUP BY nd.id)
+    SELECT id, r AS rank_micro,
+           CASE WHEN id % 100 = 0 THEN 1 ELSE 0 END AS is_seed
+    FROM r3 WHERE r > 0
+    """,
+)
+def graph_ppr_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed SET (3 fixed iterations,
+    d=0.85) over the FULL directed part->supplier graph — the
+    seed-based corpus-expansion primitive (WebText-style "pages
+    reachable from quality seeds", domain expansion from a curated
+    allowlist): rank mass teleports only to SEEDS (id % 100 == 0), so
+    score measures proximity to the seed set, not global centrality.
+    Complements graph_ppr (single-node teleport, undirected 200-part
+    subgraph, 2 unrolled rounds): this is the multi-seed, whole-graph
+    variant routed through the reusable cached-layout operator, and
+    the seed set is a predicate, not one id. Non-seed nodes with no
+    seed-reachable in-edges stay at exactly 0 and are excluded — the
+    expansion frontier IS the result set.
+
+    Unlike graph_pagerank's ROUND(double) ranks, PPR here is PURE
+    INTEGER micro-rank arithmetic (per-edge floor division by
+    out-degree, 85% damping as *850000 // 1000000), so both engines
+    agree bit-for-bit with no float whitelist entry.
+
+    Scale: per iteration one equi-join (ranks x out-edges) + one
+    map-combined aggregate — the iterative-join class; seeds and the
+    damping are constants, nothing collects to the driver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+    )
+    ranks = graph.personalized_pagerank_micro(
+        edges, seed_pred=lambda c: c % 100 == 0, iterations=3
+    )
+    return ranks.filter(F.col("rank_micro") > 0).select(
+        "id",
+        "rank_micro",
+        F.when(F.col("id") % 100 == 0, 1).otherwise(0).alias("is_seed"),
+    )
+
+
+@_register(
+    "graph_components_star",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+      FROM lineitem WHERE l_partkey < 200),
+    ud AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    nodes AS (SELECT DISTINCT src AS id FROM ud),
+    r AS (
+      SELECT id, id AS lbl FROM nodes
+      UNION
+      SELECT ud.src AS id, r.lbl FROM ud JOIN r ON r.id = ud.dst
+    )
+    SELECT id, CAST(MIN(lbl) AS BIGINT) AS lbl FROM r GROUP BY id
+    """,
+)
+def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT connected components (min-reachable-id labels) via
+    pointer-jumping label propagation — the O(log diameter) fixpoint
+    algorithm (hash-to-min / alternating-star family), against an
+    oracle that computes the TRUE components by recursive-CTE
+    transitive closure, so this pins exactness, not a bounded
+    propagation radius (graph_components deliberately pins the cheap
+    3-iteration approximation; this is its convergence-guaranteed
+    sibling for graphs whose diameter is unknown — the safe default
+    when near-dup chains can be long).
+
+    Scale: rounds grow as log2(diameter) (10 covers diameter 1024);
+    each round is one edge join + a map-combined min + a nodes-sized
+    label self-join on the cached _iter_layout — the label table
+    never exceeds |nodes| rows, and the recursive closure exists only
+    on the oracle side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_partkey") < 200).select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+    )
+    return graph.connected_components_fixpoint(edges, rounds=10).select(
+        "id", F.col("lbl").cast("bigint").alias("lbl")
+    )
+
+
+@_register(
+    "graph_link_prediction",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 120
+    ),
+    edges AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT p1 AS ctr, p2 AS nbr FROM edges
+      UNION ALL
+      SELECT p2 AS ctr, p1 AS nbr FROM edges
+    ),
+    deg AS (SELECT ctr, COUNT(*) AS d FROM adj GROUP BY ctr),
+    cand AS (
+      SELECT a.nbr AS u, b.nbr AS v, a.ctr AS w
+      FROM adj a JOIN adj b ON a.ctr = b.ctr AND a.nbr < b.nbr
+    ),
+    scored AS (
+      SELECT c.u, c.v,
+             CAST(COUNT(*) AS BIGINT) AS common_cnt,
+             CAST(SUM(1000000 // g.d) AS BIGINT) AS ra_micro
+      FROM cand c JOIN deg g ON g.ctr = c.w
+      GROUP BY c.u, c.v
+    ),
+    nonedge AS (
+      SELECT s.u, s.v, s.common_cnt, s.ra_micro
+      FROM scored s LEFT JOIN edges e ON e.p1 = s.u AND e.p2 = s.v
+      WHERE e.p1 IS NULL
+    )
+    SELECT CAST(u AS BIGINT) AS src, CAST(v AS BIGINT) AS dst,
+           common_cnt, ra_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT u, v, common_cnt, ra_micro,
+             ROW_NUMBER() OVER (ORDER BY ra_micro DESC, u ASC, v ASC) AS rnk
+      FROM nonedge
+    ) WHERE rnk <= 20
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by the resource-allocation index: for every
+    non-adjacent pair (u, v) in the co-purchase graph (parts sharing
+    an order, same subgraph as graph_triangles), score
+    RA(u, v) = sum over common neighbors w of 1/deg(w) — the
+    Zhou/Lu/Zhang predictor that outperforms plain common-neighbor
+    counts by discounting promiscuous hubs. Scores in exact integer
+    micro-units (1000000 div deg, per-neighbor floor), so both engines
+    rank identically; top-20 candidate edges with (score desc, u, v)
+    total-order tie-break.
+
+    Scale: the neighbor-pair generation is the standard wedge
+    enumeration bounded by sum(deg(w)^2) — at 100 TB the same df-cap
+    idiom as d3 bounds hub degrees before pairing. Everything else is
+    equi-joins on node ids plus one map-combined aggregate; the final
+    top-k is TakeOrderedAndProject, never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 120)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    # Shared-lineage frame (3 consumers: adj twice via self-join, the
+    # anti-join) -- lazy-checkpoint once, per the r6/r7 composite rule.
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = edges.select(
+        F.col("p1").alias("ctr"), F.col("p2").alias("nbr")
+    ).unionByName(edges.select(F.col("p2").alias("ctr"), F.col("p1").alias("nbr")))
+    deg = adj.groupBy("ctr").agg(F.count(F.lit(1)).alias("d"))
+    cand = (
+        adj.alias("a")
+        .join(
+            adj.alias("b"),
+            (F.col("a.ctr") == F.col("b.ctr")) & (F.col("a.nbr") < F.col("b.nbr")),
+        )
+        .select(
+            F.col("a.nbr").alias("u"),
+            F.col("b.nbr").alias("v"),
+            F.col("a.ctr").alias("w"),
+        )
+    )
+    scored = (
+        cand.join(deg, cand["w"] == deg["ctr"])
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_cnt"),
+            F.sum(F.expr("1000000 div d")).cast("bigint").alias("ra_micro"),
+        )
+    )
+    nonedge = scored.join(
+        edges,
+        (scored["u"] == edges["p1"]) & (scored["v"] == edges["p2"]),
+        "left_anti",
+    )
+    top = nonedge.orderBy(
+        F.col("ra_micro").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(20)
+    w20 = Window.orderBy(F.col("ra_micro").desc(), F.col("u").asc(), F.col("v").asc())
+    return top.select(
+        F.col("u").cast("bigint").alias("src"),
+        F.col("v").cast("bigint").alias("dst"),
+        "common_cnt",
+        "ra_micro",
+        F.row_number().over(w20).cast("bigint").alias("rnk"),
+    )
+
+
+@_register("graph_ktruss_peel", _ktruss_oracle())
+def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss peeling over the co-purchase graph: each round keeps
+    only edges that sit in >= 2 triangles of the CURRENT edge set
+    (support recomputed per round from the shrinking adjacency), the
+    edge-strength decomposition one tier above graph_kcore's
+    node-degree peel — a truss survives spurious co-occurrence edges
+    that k-core keeps. Three bounded rounds (the early connected-
+    components contract: fixed rounds, convergence visible in the
+    output — equal consecutive counts mean the peel has stabilized);
+    reports the surviving edge count per round.
+
+    Scale: each round is one wedge equi-join (adjacency vs adjacency
+    on the shared endpoint, bounded by sum deg^2 under the d3-style
+    hub cap) + a map-combined per-edge count; the shrinking edge
+    frame is lazily checkpointed per round so no round re-derives its
+    predecessors."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 120)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    counts = [(0, edges)]
+    cur = edges
+    for i in range(3):
+        adj = cur.select(
+            F.col("p1").alias("ctr"), F.col("p2").alias("nbr")
+        ).unionByName(cur.select(F.col("p2").alias("ctr"), F.col("p1").alias("nbr")))
+        x = adj.select(F.col("ctr").alias("__xc"), F.col("nbr").alias("__xn"))
+        y = adj.select(F.col("ctr").alias("__yc"), F.col("nbr").alias("__yn"))
+        cur = (
+            cur.join(x, cur["p1"] == x["__xc"])
+            .join(y, (cur["p2"] == y["__yc"]) & (x["__xn"] == y["__yn"]))
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("__supp"))
+            .filter(F.col("__supp") >= 2)
+            .select("p1", "p2")
+            .localCheckpoint(eager=False)
+        )
+        counts.append((i + 1, cur))
+    out = None
+    for rnd, frame in counts:
+        row = frame.agg(
+            F.lit(rnd).cast("bigint").alias("round"),
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

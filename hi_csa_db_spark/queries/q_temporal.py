@@ -1,0 +1,5805 @@
+"""Temporal, upsert/merge/lakehouse and data-quality queries (t*/u*/dq*).
+
+Split from the original single-file registry (round 8,
+VERDICT r7 item 8). Query/oracle text is moved VERBATIM so
+query_text_hash values (tools/banked_hashes.json) are unchanged;
+registry order is pinned by tools/registry_order.json. Names a
+query body references from another module resolve through the
+package-level namespace cross-pollination in queries/__init__.py
+(def-time names are imported explicitly below)."""
+
+from __future__ import annotations
+import functools
+import glob
+import hashlib
+import inspect
+import json
+import os
+import re
+from typing import Callable
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from hi_csa_db_spark.catalog import load_table, load_tables
+from hi_csa_db_spark.functions.hashing import KNUTH_HASH32_SQL, knuth_hash32
+from hi_csa_db_spark.functions.text import absolutize_url, slugify, strip_punct, tokenize
+from hi_csa_db_spark.operators import classify, dedup, graph, ordered, similarity, textstats
+from hi_csa_db_spark.operators.merge import db_merge, union_streams
+
+from hi_csa_db_spark.queries import _ORACLES, _QUERIES, _register
+from hi_csa_db_spark.queries._shared import (
+    _DAILY_SQL,
+    _EWMA_W,
+    _STL_SQL,
+)
+
+
+
+@_register(
+    "u1_db_merge",
+    """
+    SELECT c_acctbal AS acctbal, c_name AS name,
+           CAST(NULL AS INTEGER) AS nationkey, c_mktsegment AS segment
+    FROM customer
+    UNION ALL
+    SELECT s_acctbal AS acctbal, s_name AS name,
+           s_nationkey AS nationkey, CAST(NULL AS VARCHAR) AS segment
+    FROM supplier
+    """,
+)
+def u1_db_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: db_merge schema-aligning union (hi-csa-db.Rmd:58-73) ==
+    unionByName(allowMissingColumns=True) + sorted column projection."""
+    t = load_tables(spark, sf_dir)
+    x = t["customer"].select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    y = t["supplier"].select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    return db_merge(x, y)
+
+
+@_register(
+    "u2_union_streams",
+    """
+    SELECT o_orderkey, o_totalprice, 'open' AS type FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'done' AS type FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'pending' AS type FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def u2_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: typed-stream union (rbind(Technical, Policy, Support) with
+    per-stream Type constants, hi-csa-db.Rmd:587-589)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    streams = {
+        "open": base.filter(F.col("o_orderstatus") == "O").drop("o_orderstatus"),
+        "done": base.filter(F.col("o_orderstatus") == "F").drop("o_orderstatus"),
+        "pending": base.filter(F.col("o_orderstatus") == "P").drop("o_orderstatus"),
+    }
+    return union_streams(streams, type_col="type")
+
+
+# ---------------------------------------------------------------------------
+# Event-time operators (SURVEY.md section 2.9 batch equivalents)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "t1_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def t1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (batch form; the
+    streaming form with watermarks lives in streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
+
+
+@_register(
+    "t2_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             CASE WHEN tsu - LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+                       > 43200000000 OR
+                  LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def t2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a 12h inactivity gap — lag + running
+    sum (the batch twin of session_window in streaming/windows.py).
+    Gap math at DECLARED microsecond precision on both engines
+    (Spark: ts_ns div 1000; oracle: epoch_us) so no duckdb version's
+    parquet TIMESTAMP_NS handling (us-truncating 1.0 vs ns-preserving
+    >=1.1) can flip a session boundary — VERDICT r3 item 1a."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 12 * 3600 * 1_000_000
+    new_session = F.when(
+        (F.col("ts_us") - F.lag("ts_us").over(w) > gap_us)
+        | F.lag("ts_us").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@_register(
+    "t8_session_sequences",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type FROM events
+    ),
+    s AS (
+      SELECT user_id, tsu, event_id, event_type,
+             CASE WHEN tsu - LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+                       > 43200000000 OR
+                  LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS ns
+      FROM e
+    ),
+    sid AS (
+      SELECT user_id, tsu, event_id, event_type,
+             CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM s
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           first(event_type ORDER BY tsu, event_id) AS first_event,
+           last(event_type ORDER BY tsu, event_id) AS last_event,
+           md5(string_agg(event_type, '>' ORDER BY tsu, event_id)) AS seq_hash
+    FROM sid
+    GROUP BY user_id, session_id
+    """,
+)
+def t8_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-sequence construction: one training example per
+    (user, session) — the ordered event-type sequence, fingerprinted —
+    the sequence-model data-prep step downstream of sessionization
+    (t2 counts sessions; this materializes their contents). Order
+    inside a session is pinned by (ts_ns, event_id) on both engines;
+    the sequence travels as an md5 fingerprint + endpoints so the
+    output stays canonicalizer-safe at any session length.
+
+    Scale shape: two window passes partitioned by user (parallel in
+    users) + one groupBy(user, session) whose collect_list is bounded
+    by session length — no global ordering anywhere."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 12 * 3600 * 1_000_000
+    ns = F.when(
+        (F.col("ts_us") - F.lag("ts_us").over(w) > gap_us)
+        | F.lag("ts_us").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    sid = ev.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "event_type",
+        F.sum(ns)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    # ONE collect_list aggregate (not one per output column — that
+    # would triple the shuffled payload); ordering/projection happen
+    # in the narrow select after the groupBy.
+    grouped = sid.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.collect_list(F.struct("ts_us", "event_id", "event_type")).alias("__raw"),
+    )
+    ordered_types = F.transform(
+        F.array_sort(F.col("__raw")), lambda x: x["event_type"]
+    )
+    return grouped.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.element_at(ordered_types, 1).alias("first_event"),
+        F.element_at(ordered_types, -1).alias("last_event"),
+        F.md5(F.array_join(ordered_types, ">")).alias("seq_hash"),
+    )
+
+
+@_register(
+    "t3_resample_daily",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n
+      FROM events
+    ),
+    counts AS (SELECT user_id, day_n, COUNT(*) AS n FROM d GROUP BY user_id, day_n),
+    spans AS (SELECT user_id, MIN(day_n) AS d0, MAX(day_n) AS d1 FROM d GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day_n FROM spans)
+    SELECT g.user_id, g.day_n, COALESCE(c.n, 0) AS n_events
+    FROM grid g LEFT JOIN counts c ON c.user_id = g.user_id AND c.day_n = g.day_n
+    """,
+)
+def t3_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample / gap fill: per-user daily counts with
+    MISSING DAYS materialized as zeros — per-key calendar grid built
+    with sequence+explode, left-joined to the observed counts. The
+    grid explode is narrow (no shuffle); the join shuffles on
+    (user, day), same key as the aggregation — one exchange reused."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.expr("ts_ns div 1000 div 86400000000").alias("day_n")
+    )
+    counts = d.groupBy("user_id", "day_n").agg(F.count(F.lit(1)).alias("n"))
+    spans = d.groupBy("user_id").agg(
+        F.min("day_n").alias("d0"), F.max("day_n").alias("d1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day_n")
+    )
+    return grid.join(counts, ["user_id", "day_n"], "left").select(
+        "user_id", "day_n", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+@_register(
+    "t17_ohlc_daily",
+    """
+    WITH b AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n,
+             epoch_us(ts) AS ts_us, event_id,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ),
+    o AS (
+      SELECT day_n, v AS open FROM (
+        SELECT day_n, v,
+               ROW_NUMBER() OVER (PARTITION BY day_n
+                                  ORDER BY ts_us ASC, event_id ASC) AS rn
+        FROM b) t WHERE rn = 1
+    ),
+    c AS (
+      SELECT day_n, v AS close FROM (
+        SELECT day_n, v,
+               ROW_NUMBER() OVER (PARTITION BY day_n
+                                  ORDER BY ts_us DESC, event_id DESC) AS rn
+        FROM b) t WHERE rn = 1
+    ),
+    hl AS (
+      SELECT day_n, COUNT(*) AS n, MAX(v) AS high, MIN(v) AS low
+      FROM b GROUP BY day_n
+    )
+    SELECT hl.day_n, n,
+           ROUND(CAST(open AS DOUBLE), 2) AS open,
+           ROUND(CAST(high AS DOUBLE), 2) AS high,
+           ROUND(CAST(low AS DOUBLE), 2) AS low,
+           ROUND(CAST(close AS DOUBLE), 2) AS close
+    FROM hl JOIN o USING (day_n) JOIN c USING (day_n)
+    """,
+)
+def t17_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars over the event value series — the time-series
+    downsampling every monitoring/market pipeline runs. Open/close are
+    argmin/argmax BY (time, event_id) via single struct-min/max
+    aggregates (ONE map-combined groupBy for all six outputs — no
+    window, no self-join; the struct's lexicographic order encodes the
+    deterministic tie-break), values kept DECIMAL-exact until the
+    rounded output. The oracle cross-checks with the explicit
+    row_number formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.expr("ts_ns div 1000 div 86400000000").alias("day_n"),
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    agg = b.groupBy("day_n").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct("ts_us", "event_id", "v")).alias("__o"),
+        F.max(F.struct("ts_us", "event_id", "v")).alias("__c"),
+        F.max("v").alias("__high"),
+        F.min("v").alias("__low"),
+    )
+    return agg.select(
+        "day_n",
+        "n",
+        F.round(F.col("__o.v").cast("double"), 2).alias("open"),
+        F.round(F.col("__high").cast("double"), 2).alias("high"),
+        F.round(F.col("__low").cast("double"), 2).alias("low"),
+        F.round(F.col("__c.v").cast("double"), 2).alias("close"),
+    )
+
+
+@_register(
+    "t7_zscore_outliers",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - s.sx / s.n) / sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)) AS zs
+      FROM events e JOIN s ON s.event_type = e.event_type
+    )
+    SELECT event_id, event_type, value, ROUND(zs, 6) AS zscore
+    FROM z WHERE zs > 3.0 OR zs < -3.0
+    """,
+)
+def t7_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection per event type: per-group moments
+    from decimal-exact power sums (the stats_moments pattern)
+    broadcast back onto the stream; outliers = |z| > 3. The per-group
+    stats table is tiny — broadcast join, no second shuffle of the
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    v14 = F.col("value").cast("decimal(14,2)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _dsum(F.col("value")).alias("sx"),
+        F.sum(v14 * v14).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt(F.col("sxx") / F.col("n") - mean * mean)
+    zs = (F.col("value") - mean) / std
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .filter((zs > 3.0) | (zs < -3.0))
+        .select(
+            "event_id", "event_type", "value", F.round(zs, 6).alias("zscore")
+        )
+    )
+
+
+@_register(
+    "t11_ewma_smoothing",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tsu,
+             CAST(value AS DECIMAL(12,2)) AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(ROUND((
+             {" + ".join(
+                 f"COALESCE(LAG(v, {k}) OVER (PARTITION BY user_id ORDER BY tsu, event_id),"
+                 f" CAST(0 AS DECIMAL(12,2))) * CAST({w} AS DECIMAL(12,10))"
+                 for k, w in enumerate(_EWMA_W)
+             )}
+           ), 6) AS DOUBLE) AS ewma
+    FROM e
+    """,
+)
+def t11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted trailing smoother (alpha = 1/2, 10-term
+    truncation) per user over event time — the time-series smoothing
+    primitive, made CROSS-ENGINE EXACT: weights are powers of two, so
+    every term is a finite DECIMAL product and the 10-term sum is
+    exact decimal arithmetic on both engines — no float accumulation
+    anywhere until the final rounded cast. Per-key window, parallel in
+    users; 10 lags stay inside one window pass."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    v = F.col("value").cast("decimal(12,2)")
+    terms = None
+    for k, wt in enumerate(_EWMA_W):
+        t = F.coalesce(F.lag(v, k).over(w), F.lit(0).cast("decimal(12,2)")) * F.expr(
+            f"CAST({wt} AS DECIMAL(12,10))"
+        )
+        terms = t if terms is None else terms + t
+    # round the EXACT DECIMAL (half-up on both engines) BEFORE the
+    # double cast: sums of /2^k terms land exactly on .xxxxxx5
+    # half-way points, where a double-then-round would tie-break on
+    # representation noise
+    return ev.select(
+        "event_id", "user_id", F.round(terms, 6).cast("double").alias("ewma")
+    )
+
+
+@_register(
+    "t14_dow_seasonality",
+    """
+    SELECT isodow(ts) AS dow_iso, event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def t14_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week activity profile per event type — the seasonality
+    facet of the temporal tier. Engine trap pinned: Spark dayofweek()
+    is 1=Sunday while DuckDB dayofweek()/isodow differ; both sides
+    emit ISO day numbers (1=Monday..7=Sunday) via explicit mapping so
+    the key is engine-neutral."""
+    ev = load_table(spark, sf_dir, "events")
+    # Spark: dayofweek 1=Sun..7=Sat  ->  ISO 1=Mon..7=Sun
+    iso = ((F.dayofweek("ts") + 5) % 7) + 1
+    return (
+        ev.groupBy(iso.alias("dow_iso"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total"
+            ),
+        )
+    )
+
+
+@_register(
+    "t15_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_orderdate
+    ),
+    cum AS (
+      SELECT d,
+             SUM(cents) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS s_t,
+             ROW_NUMBER() OVER (ORDER BY d) AS t
+      FROM daily
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS HUGEINT) AS total,
+                   CAST(COUNT(*) AS HUGEINT) AS n FROM daily)
+    SELECT strftime(d, '%Y-%m-%d') AS change_date,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(ABS(n * CAST(s_t AS HUGEINT) - CAST(t AS HUGEINT) * total)
+                AS VARCHAR) AS dev_num
+    FROM cum CROSS JOIN tot
+    ORDER BY ABS(n * CAST(s_t AS HUGEINT) - CAST(t AS HUGEINT) * total) DESC,
+             d ASC
+    LIMIT 1
+    """,
+)
+def t15_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily revenue series: the
+    day t maximizing |CUSUM_t| where CUSUM_t = sum_{i<=t}(x_i - mean)
+    — the classic single-changepoint estimator (Page 1954). ALL
+    arithmetic is exact integers: revenue in cents, and the deviation
+    scaled by n (|n*S_t - t*Total| = n*|CUSUM_t|) so no float mean is
+    ever formed; the argmax compares integers cross-engine, and the
+    deviation is emitted as a STRING (it can exceed 2^53 — the
+    OUTPUT SCHEMA RULE).
+
+    Scale shape: one groupBy(day), then ordered.global_prefix_sums for
+    S_t and t (range-partition + broadcast offsets — no
+    single-partition window), one broadcast 1-row total, one
+    TakeOrderedAndProject."""
+    from hi_csa_db_spark.operators import ordered
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+        .withColumn("one", F.lit(1))
+    )
+    cum = ordered.global_prefix_sums(daily, "d", ["cents", "one"])
+    tot = daily.agg(
+        F.sum("cents").cast("decimal(38,0)").alias("total"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    dev = F.abs(
+        F.col("n") * F.col("cum_cents").cast("decimal(38,0)")
+        - F.col("cum_one").cast("decimal(38,0)") * F.col("total")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("change_date"),
+            F.col("n").cast("long").alias("n_days"),
+            dev.alias("__dev"),
+        )
+        .orderBy(F.col("__dev").desc(), F.col("change_date").asc())
+        .limit(1)
+        .select(
+            "change_date",
+            "n_days",
+            F.col("__dev").cast("string").alias("dev_num"),
+        )
+    )
+
+
+@_register(
+    "t16_trend_ma7",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    contrib AS (
+      SELECT d + CAST(i AS INT) * INTERVAL 1 DAY AS anchor, cents
+      FROM daily, UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS t(i)
+    ),
+    win AS (
+      SELECT anchor, SUM(cents) AS sum7, COUNT(*) AS n7
+      FROM contrib GROUP BY anchor
+    )
+    SELECT strftime(daily.d, '%Y-%m-%d') AS day,
+           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(sum7 / 700.0, 2) AS trend7,
+           ROUND(cents / 100.0 - sum7 / 700.0, 2) AS residual
+    FROM daily JOIN win ON win.anchor = CAST(daily.d AS TIMESTAMP)
+    WHERE n7 = 7
+    """,
+)
+def t16_trend_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend/residual decomposition of the daily revenue series: 7-day
+    CENTERED moving average (full windows only) and the residual the
+    anomaly tier (t7/t9) would then screen. Implemented as a calendar
+    BAND JOIN — each day contributes its exact integer cents to the 7
+    anchors it influences, then one groupBy(anchor) — a linear
+    shuffle-by-date plan, NOT the single-partition global window a
+    naive avg() OVER (ORDER BY day ROWS 3 PRECEDING...) would plan
+    (the same rewrite as the t10 interval join). Tie-free by
+    construction: sum7/700 can never land on an exact half at 2dp
+    (700 * (odd/200) is never an integer)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+        ).alias("cents")
+    )
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("i"), "d", "cents"
+    ).select(F.date_add(F.col("d"), F.col("i")).alias("anchor"), "cents")
+    win = contrib.groupBy("anchor").agg(
+        F.sum("cents").alias("sum7"), F.count(F.lit(1)).alias("n7")
+    )
+    return (
+        daily.join(win, daily["d"] == win["anchor"])
+        .filter(F.col("n7") == 7)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.col("sum7") / 700.0, 2).alias("trend7"),
+            F.round(F.col("cents") / 100.0 - F.col("sum7") / 700.0, 2).alias(
+                "residual"
+            ),
+        )
+    )
+
+
+@_register(
+    "t13_ship_latency",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.5), 6)
+             AS p50_days,
+           ROUND(quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.9), 6)
+             AS p90_days,
+           MAX(date_diff('day', o_orderdate, l_shipdate)) AS max_days
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def t13_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency percentiles per priority band — the SLA
+    distribution query every fulfillment warehouse runs; exact
+    percentiles over integer day diffs (quantile_cont interpolation
+    parity pinned by t9/agg_pandas_median), one fact-fact join that
+    SMJs at scale (pinned for q18 in test_plans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    dd = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile(dd, F.lit(0.5)), 6).alias("p50_days"),
+            F.round(F.percentile(dd, F.lit(0.9)), 6).alias("p90_days"),
+            F.max(dd).alias("max_days"),
+        )
+    )
+
+
+@_register(
+    "u8_fk_conformance",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        AS orphan_parts,
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        AS orphan_suppliers,
+      (SELECT COUNT(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS orphan_customers,
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS orphan_orders
+    """,
+)
+def u8_fk_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every fact->dim
+    edge in the star schema, each an anti-join (broadcast for dims,
+    shuffle for the fact-fact edge) — the conformance check a
+    warehouse load runs before publishing. All four counts in one
+    row; a nonzero cell is a data-quality incident."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def orphans(fact, dim, fk, pk, name):
+        # 1-row lazy aggregate per FK edge — the four edges compose
+        # into ONE plan via 1-row crossJoins, no driver-side counts
+        return (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    return (
+        orphans(li, p, "l_partkey", "p_partkey", "orphan_parts")
+        .crossJoin(orphans(li, s, "l_suppkey", "s_suppkey", "orphan_suppliers"))
+        .crossJoin(orphans(o, c, "o_custkey", "c_custkey", "orphan_customers"))
+        .crossJoin(orphans(li, o, "l_orderkey", "o_orderkey", "orphan_orders"))
+    )
+
+
+@_register(
+    "t12_time_rollup",
+    """
+    SELECT CASE WHEN GROUPING(d) = 0 AND GROUPING(h) = 0 THEN 'hour'
+                WHEN GROUPING(d) = 0 THEN 'day' ELSE 'all' END AS grain,
+           COALESCE(CAST(d AS VARCHAR), '') AS day_key,
+           COALESCE(CAST(h AS VARCHAR), '') AS hour_key,
+           event_type, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    FROM (
+      SELECT event_type, value,
+             strftime(CAST(date_trunc('day', ts) AS TIMESTAMP),
+                      '%Y-%m-%d %H:%M:%S') AS d,
+             strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                      '%Y-%m-%d %H:%M:%S') AS h
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((event_type, d, h), (event_type, d), (event_type))
+    """,
+)
+def t12_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (hour -> day -> all) per event type in
+    ONE grouping-sets pass — the read-side shape of a hypertable
+    continuous aggregate (the maintained-rollup tier's query face;
+    incremental.maintain_rollup keeps the hour grain, this derives the
+    hierarchy). Time keys travel as strings (UTC session tz pins the
+    rendering); money decimal-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "value",
+        F.date_trunc("day", "ts").cast("string").alias("d"),
+        F.date_trunc("hour", "ts").cast("string").alias("h"),
+    )
+    base.createOrReplaceTempView("__t12_base")
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(d) = 0 AND GROUPING(h) = 0 THEN 'hour'
+                    WHEN GROUPING(d) = 0 THEN 'day' ELSE 'all' END AS grain,
+               COALESCE(d, '') AS day_key,
+               COALESCE(h, '') AS hour_key,
+               event_type, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM __t12_base
+        GROUP BY GROUPING SETS ((event_type, d, h), (event_type, d), (event_type))
+        """
+    )
+
+
+@_register(
+    "t10_interval_overlap",
+    """
+    WITH p AS (
+      SELECT event_id AS lid, user_id,
+             epoch_us(ts) - 3600000000 AS lo,
+             epoch_us(ts) + 3600000000 AS hi
+      FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT event_id AS rid, user_id,
+             epoch_us(ts) - 1800000000 AS lo,
+             epoch_us(ts) + 1800000000 AS hi
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT p.user_id, COUNT(*) AS n_overlaps
+    FROM p JOIN e ON p.user_id = e.user_id AND p.lo < e.hi AND e.lo < p.hi
+    GROUP BY p.user_id
+    """,
+)
+def t10_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join: +-1h windows around purchases
+    vs +-30m windows around errors, same user — which error episodes
+    brush against purchase activity. The engine plan is the
+    GRID-BUCKETED equi-join (operators/temporal.py::
+    interval_overlap_join): intervals explode into 30-min cells,
+    candidates meet on (user, cell), the exact predicate filters —
+    never the per-key quadratic theta join the naive formulation
+    plans. The oracle intentionally USES the theta form, so the check
+    proves the bucketing loses no pairs."""
+    from hi_csa_db_spark.operators.temporal import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    H, HH = 1_800_000_000, 3_600_000_000
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("lid"),
+        "user_id",
+        (F.col("ts_us") - HH).alias("lo"),
+        (F.col("ts_us") + HH).alias("hi"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("rid"),
+        "user_id",
+        (F.col("ts_us") - H).alias("lo"),
+        (F.col("ts_us") + H).alias("hi"),
+    )
+    pairs = interval_overlap_join(p, e, "user_id", cell_ns=H)
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_overlaps"))
+
+
+@_register(
+    "u7_scd2_history",
+    """
+    WITH base AS (
+      SELECT c_custkey AS k, c_name,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS bal, c_mktsegment AS seg
+      FROM customer
+    ),
+    v1 AS (
+      SELECT k, md5(concat_ws('|', c_name, CAST(bal AS VARCHAR), seg)) AS h
+      FROM base
+    ),
+    v2rows AS (
+      SELECT k, c_name,
+             CASE WHEN k % 10 = 0 THEN bal + 100 ELSE bal END AS bal,
+             CASE WHEN k % 7 = 0 THEN 'SHIFTED' ELSE seg END AS seg
+      FROM base WHERE k % 97 <> 0
+      UNION ALL
+      SELECT k + 1000000, c_name, bal, seg FROM base WHERE k % 50 = 0
+    ),
+    v2 AS (
+      SELECT k, md5(concat_ws('|', c_name, CAST(bal AS VARCHAR), seg)) AS h
+      FROM v2rows
+    ),
+    j AS (
+      SELECT COALESCE(a.k, b.k) AS k, a.h AS h1, b.h AS h2
+      FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k
+    )
+    SELECT k AS c_custkey, h1 AS attr_hash, 1 AS valid_from, 0 AS valid_to
+    FROM j WHERE h1 IS NOT NULL AND h2 IS NOT NULL AND h1 = h2
+    UNION ALL
+    SELECT k, h1, 1, 2 FROM j
+    WHERE h1 IS NOT NULL AND (h2 IS NULL OR h1 <> h2)
+    UNION ALL
+    SELECT k, h2, 2, 0 FROM j
+    WHERE h2 IS NOT NULL AND (h1 IS NULL OR h1 <> h2)
+    """,
+)
+def u7_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history (operators/scd.py): snapshot v2 of
+    the customer dimension — with deterministic mutations (balance
+    bumps, segment shifts, deletions, late-arriving keys) — applied
+    over v1's history. Changed/deleted rows close at version 2,
+    new/changed rows open from it; unchanged rows stay open from 1.
+    Change detection is an md5 attribute hash (money cast to DECIMAL
+    string — raw double formatting differs across engines), so the
+    apply is two hash-joins on the business key, never a
+    column-by-column diff explosion. The oracle derives the identical
+    interval set from one full-outer join of the hashed snapshots."""
+    from hi_csa_db_spark.operators import scd
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        "c_name",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    v1 = base
+    v2 = base.filter(F.col("k") % 97 != 0).select(
+        "k",
+        "c_name",
+        F.when(F.col("k") % 10 == 0, F.col("bal") + 100).otherwise(F.col("bal")).alias("bal"),
+        F.when(F.col("k") % 7 == 0, F.lit("SHIFTED")).otherwise(F.col("seg")).alias("seg"),
+    ).unionByName(
+        base.filter(F.col("k") % 50 == 0).select(
+            (F.col("k") + 1000000).alias("k"), "c_name", "bal", "seg"
+        )
+    )
+    attrs = ["c_name", "bal", "seg"]
+    hist = scd.scd2_init(v1, "k", attrs, version=1)
+    hist2 = scd.scd2_apply(hist, v2, "k", attrs, version=2)
+    return hist2.select(
+        F.col("k").alias("c_custkey"),
+        "attr_hash",
+        "valid_from",
+        F.coalesce("valid_to", F.lit(0)).alias("valid_to"),
+    )
+
+
+@_register(
+    "t9_robust_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m ON m.event_type = e.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN ROUND(abs(e.value - m.med)
+                              / (CAST(1.4826 AS DOUBLE) * d.mad), 6)
+                         > CAST(3.0 AS DOUBLE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(ANY_VALUE(m.med), 6) AS med,
+           ROUND(ANY_VALUE(d.mad), 6) AS mad
+    FROM events e JOIN med m ON m.event_type = e.event_type
+                  JOIN mad d ON d.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def t9_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust outlier detection per event type: median +
+    median-absolute-deviation instead of mean/std (t7) — a single
+    extreme value can drag the mean past the 3-sigma gate, the median
+    cannot. Outlier iff |x - med| / (1.4826 * MAD) > 3, scored on the
+    6dp-rounded statistic so no float boundary crosses engines.
+
+    Scale: two exact-percentile aggregations by event_type (sort-based
+    within each group, parallel across groups) + broadcast of the tiny
+    per-type stats back onto the stream — same broadcast-stats shape
+    as t7, one extra pass for the deviation median."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    withmed = ev.join(F.broadcast(med), "event_type")
+    mad = withmed.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    score = F.round(
+        F.abs(F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 6
+    )
+    return (
+        withmed.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(score > 3.0, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+        )
+    )
+
+
+@_register(
+    "t5_funnel",
+    """
+    WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+          FROM events e JOIN v ON v.user_id = e.user_id AND epoch_us(e.ts) > v.t
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+          FROM events e JOIN c ON c.user_id = e.user_id AND epoch_us(e.ts) > c.t
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def t5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER the first
+    view, then purchased AFTER that click. Each stage is one
+    aggregation + one equi-join on user — never a per-user sort or
+    collect; stages chain on the same user-partitioned shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    base = ev.select("user_id", "event_type", us.alias("t"))
+    v = base.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("t").alias("vt")
+    )
+    c = (
+        base.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("t") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("ct"))
+    )
+    p = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("pt"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+@_register(
+    "t6_cohort_retention",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week_n
+      FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(week_n) AS c0 FROM d GROUP BY user_id)
+    SELECT c.c0 AS cohort_week,
+           d.week_n - c.c0 AS week_offset,
+           COUNT(DISTINCT d.user_id) AS active_users
+    FROM d JOIN cohort c ON c.user_id = d.user_id
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def t6_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity week, counted
+    distinct per subsequent week offset — the canonical retention
+    matrix; two aggregations sharing the user-keyed shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.expr("ts_ns div 1000 div 604800000000").alias("week_n")
+    )
+    cohort = d.groupBy("user_id").agg(F.min("week_n").alias("c0"))
+    return (
+        d.join(cohort, "user_id")
+        .groupBy(
+            F.col("c0").alias("cohort_week"),
+            (F.col("week_n") - F.col("c0")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@_register(
+    "t4_event_gaps",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    )
+    SELECT user_id, event_id, ts_us, ts_us - prev_us AS gap_us
+    FROM o
+    WHERE prev_us IS NOT NULL AND ts_us - prev_us > 86400000000
+    """,
+)
+def t4_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap detection (islands-and-gaps): events arriving more than a
+    day after the user's previous event — lag() over (user, time), the
+    sessionization primitive t2 builds on."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    o = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("ts_us"),
+        F.lag(us).over(w).alias("prev_us"),
+    )
+    return (
+        o.filter(
+            F.col("prev_us").isNotNull()
+            & (F.col("ts_us") - F.col("prev_us") > 86_400_000_000)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            (F.col("ts_us") - F.col("prev_us")).alias("gap_us"),
+        )
+    )
+
+
+@_register(
+    "u5_upsert",
+    """
+    WITH updates AS (
+      SELECT c_custkey, 'PLATINUM' AS segment FROM customer WHERE c_acctbal > 8000
+    ),
+    kept AS (
+      SELECT c_custkey, c_mktsegment AS segment FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+    )
+    SELECT * FROM kept UNION ALL SELECT * FROM updates
+    """,
+)
+def u5_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert/MERGE semantics (operators/merge.py::upsert): updated
+    keys replaced, the rest kept — anti-join + union, one key shuffle
+    (the reference's crawl-cache refresh as a relational op)."""
+    from hi_csa_db_spark.operators.merge import upsert
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    updates = (
+        cust.filter(F.col("c_acctbal") > 8000)
+        .select("c_custkey", F.lit("PLATINUM").alias("segment"))
+    )
+    return upsert(base, updates, keys=["c_custkey"])
+
+
+@_register(
+    "u10_cdc_apply",
+    """
+    WITH log AS (
+      SELECT o_custkey AS k,
+             o_orderdate AS seq_ts, o_orderkey AS seq_id,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(o_totalprice AS DECIMAL(15,2)) AS val
+      FROM orders
+    ),
+    latest AS (
+      SELECT k, op, val,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY seq_ts DESC, seq_id DESC) AS rn
+      FROM log
+    ),
+    counts AS (SELECT k, COUNT(*) AS n_ops FROM log GROUP BY k)
+    SELECT l.k AS key, CAST(l.val AS DOUBLE) AS current_val, c.n_ops
+    FROM latest l JOIN counts c ON c.k = l.k
+    WHERE l.rn = 1 AND l.op <> 'D'
+    """,
+)
+def u10_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog APPLY with tombstones: a change stream of
+    upserts and deletes (synthesized deterministically from orders:
+    every 10th order key is a delete) collapses to the final state —
+    last writer wins per key in (event-time, id) order, and a
+    trailing delete removes the key entirely. Completes the mutation
+    family: u5 = upsert without deletes, u7 = full history (SCD2),
+    u10 = latest-state materialization of a real changelog, i.e. what
+    a Debezium/OLTP-extract compaction does.
+
+    One shuffle on the key serves both the last-writer window and the
+    op count; deletes drop AFTER the window so a delete-then-reinsert
+    sequence resolves correctly."""
+    o = load_table(spark, sf_dir, "orders")
+    log = o.select(
+        F.col("o_custkey").alias("k"),
+        # ordering key only (never output): the raw NTZ timestamp
+        # compares identically on both engines with zero tz exposure
+        F.col("o_orderdate").alias("seq_ts"),
+        F.col("o_orderkey").alias("seq_id"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").cast("decimal(15,2)").alias("val"),
+    )
+    w = Window.partitionBy("k").orderBy(
+        F.col("seq_ts").desc(), F.col("seq_id").desc()
+    )
+    latest = log.select(
+        "k", "op", "val", F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("k")).alias("n_ops"),
+    )
+    return (
+        latest.filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            F.col("k").alias("key"),
+            F.col("val").cast("double").alias("current_val"),
+            "n_ops",
+        )
+    )
+
+
+@_register(
+    "u6_snapshot_diff",
+    """
+    WITH v_old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    v_new AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice + (CASE WHEN o_orderkey % 7 = 0
+                             THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 1
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM v_old o FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+       OR o.o_orderstatus <> n.o_orderstatus
+    """,
+)
+def u6_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: two versions of a table (simulated
+    here by deterministic key-range membership + a value bump) folded
+    into an added/removed/changed changelog via one full outer join on
+    the key, with unchanged rows dropped by direct column comparison —
+    the diff that feeds incremental downstream recomputation (and the
+    read-side complement of the txlog MERGE writer).
+
+    Scale: both snapshots shuffle once on the join key (or not at all
+    when stored bucketed-by-key, the layout the txlog compactor
+    produces); the comparison is a narrow post-join filter. No hashing
+    of formatted strings — values compare natively, so float
+    formatting differences can't fake a change."""
+    orders = load_table(spark, sf_dir, "orders")
+    v_old = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v_new = orders.filter(F.col("o_orderkey") % 10 != 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 7 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias("o_totalprice"),
+    )
+    o = v_old.alias("o")
+    n = v_new.alias("n")
+    j = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    change_type = (
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.filter(
+            F.col("o.o_orderkey").isNull()
+            | F.col("n.o_orderkey").isNull()
+            | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+            | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+        )
+        .select(
+            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            change_type.alias("change_type"),
+        )
+    )
+
+
+@_register(
+    "t18_interp_align",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tsu
+      FROM events
+    ),
+    m AS (
+      SELECT event_id, user_id, event_type, tsu,
+        last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+          OVER w_prev AS pv,
+        last_value(CASE WHEN event_type = 'purchase' THEN tsu END IGNORE NULLS)
+          OVER w_prev AS pt,
+        first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+          OVER w_next AS nv,
+        first_value(CASE WHEN event_type = 'purchase' THEN tsu END IGNORE NULLS)
+          OVER w_next AS nt
+      FROM e
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY tsu, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        w_next AS (PARTITION BY user_id ORDER BY tsu, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           ROUND(pv + (nv - pv) * (CAST(tsu - pt AS DOUBLE)
+                                   / CAST(nt - pt AS DOUBLE)), 6) AS interp_value
+    FROM m
+    WHERE event_type = 'click' AND pv IS NOT NULL AND nv IS NOT NULL
+      AND nt > pt
+    """,
+)
+def t18_interp_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series alignment by LINEAR INTERPOLATION: the purchase-value
+    series sampled at each click's timestamp — the sensor-fusion /
+    gap-filling primitive (j8's nearest-neighbor alignment picks ONE
+    side; this blends both, weighted by time distance).
+
+    One shuffle on user_id serves both window frames (prev-purchase
+    carry-forward via last() IGNORE NULLS over the preceding frame,
+    next-purchase via first() over the following frame — the same
+    sort order, so Spark evaluates both in a single Window node
+    chain). The interpolation weight divides two small int64 deltas
+    in double — bit-identical across engines; 6dp rounding pins the
+    hash."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("ts_ns div 1000").alias("tsn"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("tsn", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("tsn", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    pval = F.when(F.col("event_type") == "purchase", F.col("value"))
+    pts = F.when(F.col("event_type") == "purchase", F.col("tsn"))
+    m = base.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "tsn",
+        F.last(pval, ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(pts, ignorenulls=True).over(w_prev).alias("pt"),
+        F.first(pval, ignorenulls=True).over(w_next).alias("nv"),
+        F.first(pts, ignorenulls=True).over(w_next).alias("nt"),
+    )
+    frac = (F.col("tsn") - F.col("pt")).cast("double") / (
+        F.col("nt") - F.col("pt")
+    ).cast("double")
+    return (
+        m.filter(
+            (F.col("event_type") == "click")
+            & F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("nt") > F.col("pt"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                F.col("pv") + (F.col("nv") - F.col("pv")) * frac, 6
+            ).alias("interp_value"),
+        )
+    )
+
+
+@_register(
+    "t19_temporal_split",
+    """
+    WITH e AS (
+      SELECT event_id, event_type, epoch_us(ts) AS tsu FROM events
+    ),
+    r AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (ORDER BY tsu, event_id) AS rank,
+             COUNT(*) OVER () AS n
+      FROM e
+    )
+    SELECT CASE WHEN rank * 5 <= n * 4 THEN 'train' ELSE 'test' END AS split,
+           event_type, COUNT(*) AS n_events
+    FROM r GROUP BY 1, 2
+    """,
+)
+def t19_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe TEMPORAL train/test split: the first 80% of events
+    by event time train, the last 20% test — the time-ordered
+    counterpart of the hash split (sample_train_split), mandatory
+    when labels leak backwards in time (forecasting, churn). The
+    80th-percentile boundary is the exact integer rank test
+    rank*5 <= n*4, not a float quantile.
+
+    Scale shape: the global time rank uses ordered.global_row_numbers
+    (range-partition + per-partition offsets broadcast) — NEVER a
+    single-partition ORDER BY window; the total count joins as a
+    1-row broadcast; the final aggregate has |splits| x |types|
+    groups. Event timestamps are unique in every fixture vintage
+    (verified), making the rank deterministic."""
+    from hi_csa_db_spark.operators import ordered
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "event_type",
+        F.struct(
+            F.expr("ts_ns div 1000").alias("tsu"), F.col("event_id").alias("eid")
+        ).alias("tsn"),
+    )
+    ranked = ordered.global_row_numbers(e, "tsn")
+    n1 = ranked.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n1))
+        .select(
+            F.when(F.col("rank") * 5 <= F.col("n") * 4, "train")
+            .otherwise("test")
+            .alias("split"),
+            "event_type",
+        )
+        .groupBy("split", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@_register(
+    "dq1_expectations",
+    """
+    WITH rowrules AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+             CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice >= 0
+                           AND o_totalprice <= 600000 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+             CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+             CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                           AND regexp_matches(o_orderpriority, '^[1-5]-') THEN 0 ELSE 1 END) AS BIGINT) AS v3
+      FROM orders
+    ),
+    uniq AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c - 1) AS BIGINT) AS v
+      FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+    ),
+    fk AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)) AS v
+    )
+    SELECT 'not_null:o_custkey' AS rule, n AS n_checked, v0 AS n_violations FROM rowrules
+    UNION ALL
+    SELECT 'range:o_totalprice', n, v1 FROM rowrules
+    UNION ALL
+    SELECT 'accepted:o_orderstatus', n, v2 FROM rowrules
+    UNION ALL
+    SELECT 'regex:o_orderpriority', n, v3 FROM rowrules
+    UNION ALL
+    SELECT 'unique:o_orderkey', n, v FROM uniq
+    UNION ALL
+    SELECT 'fk:o_custkey->c_custkey', n, v FROM fk
+    """,
+)
+def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality EXPECTATIONS report
+    (operators/expectations.py — the Delta-constraints/Great-
+    Expectations capability): four row-level rules evaluated in ONE
+    map-combined aggregate pass (not-null, numeric range, accepted
+    values, regex), plus key uniqueness (one keyed aggregate) and
+    referential integrity (one anti-join). One row per rule with
+    checked/violation counts — the publish gate a pipeline runs
+    before promoting a table.
+
+    Scale: the row-rule pass costs one scan regardless of rule count
+    (a few counters per partition); uniqueness shuffles on the key a
+    merge of this table would shuffle on anyway; the FK anti-join
+    broadcasts the dimension side."""
+    from hi_csa_db_spark.operators import expectations as ex
+
+    t = load_tables(spark, sf_dir)
+    orders, customer = t["orders"], t["customer"]
+    rows = ex.check_rows(
+        orders,
+        [
+            ex.not_null("o_custkey"),
+            ex.in_range("o_totalprice", 0, 600000),
+            ex.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            ex.matches("o_orderpriority", "^[1-5]-"),
+        ],
+    )
+    uniq = ex.check_unique(orders, ["o_orderkey"])
+    fk = ex.check_fk(orders, "o_custkey", F.broadcast(customer), "c_custkey")
+    return rows.unionByName(uniq).unionByName(fk)
+
+
+@_register(
+    "dq2_psi_drift",
+    """
+    WITH b AS (
+      SELECT least(CAST(floor(o_totalprice / CAST(50000 AS DOUBLE)) AS BIGINT), 9) AS bucket,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                  THEN 1 ELSE 0 END AS side_a
+      FROM orders
+    ),
+    per_bucket AS (
+      SELECT bucket,
+             CAST(SUM(side_a) AS BIGINT) AS na,
+             CAST(SUM(1 - side_a) AS BIGINT) AS nb
+      FROM b GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+      FROM per_bucket
+    ),
+    terms AS (
+      SELECT CAST(ROUND(
+               (CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb)
+               * ln((CAST(na AS DOUBLE) * tb) / (CAST(nb AS DOUBLE) * ta)),
+             8) AS DECIMAL(20,8)) AS term
+      FROM per_bucket CROSS JOIN tot
+      WHERE na > 0 AND nb > 0
+    )
+    SELECT (SELECT ta FROM tot) AS n_before,
+           (SELECT tb FROM tot) AS n_after,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+    FROM terms
+    """,
+)
+def dq2_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: Population Stability Index of the
+    order-value distribution before vs after a calendar split — the
+    standard ML-ops metric for "has the data shifted enough to
+    retrain/alert" (PSI > 0.2 rule of thumb), complementing dq1's
+    row validity and stats_ks_test's exact two-sample test (PSI is
+    the binned, streaming-friendly one).
+
+    One groupBy(bucket) computes both sides' histograms in a single
+    shuffle (side flag summed two ways); totals enter as a 1-row
+    broadcast. Per-bucket PSI terms are rounded 8dp and summed as
+    DECIMAL — addition-order-proof across engines; empty-on-either-
+    side buckets are excluded (the deterministic convention)."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("bigint"),
+            F.lit(9).cast("bigint"),
+        ).alias("bucket"),
+        F.when(
+            F.col("o_orderdate")
+            < F.lit("1998-01-01 00:00:00").cast("timestamp"),
+            1,
+        )
+        .otherwise(0)
+        .alias("side_a"),
+    )
+    per_bucket = b.groupBy("bucket").agg(
+        F.sum("side_a").cast("bigint").alias("na"),
+        F.sum(1 - F.col("side_a")).cast("bigint").alias("nb"),
+    )
+    tot = per_bucket.agg(
+        F.sum("na").cast("bigint").alias("ta"),
+        F.sum("nb").cast("bigint").alias("tb"),
+    )
+    terms = (
+        per_bucket.crossJoin(F.broadcast(tot))
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "ta",
+            "tb",
+            F.round(
+                (
+                    F.col("na").cast("double") / F.col("ta")
+                    - F.col("nb").cast("double") / F.col("tb")
+                )
+                * F.log(
+                    (F.col("na").cast("double") * F.col("tb"))
+                    / (F.col("nb").cast("double") * F.col("ta"))
+                ),
+                8,
+            )
+            .cast("decimal(20,8)")
+            .alias("term"),
+        )
+    )
+    return terms.agg(
+        F.first("ta").alias("n_before"),
+        F.first("tb").alias("n_after"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.round(F.sum("term").cast("double"), 6).alias("psi"),
+    )
+
+
+@_register(
+    "t20_attribution",
+    """
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS pts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS cid, user_id, epoch_us(ts) AS cts,
+             CAST(props->>'$.k' AS INTEGER) % 5 AS channel
+      FROM events WHERE event_type = 'click'
+    ),
+    pc AS (
+      SELECT p.pid, p.cents, c.channel,
+             ROW_NUMBER() OVER (PARTITION BY p.pid
+                                ORDER BY c.cts DESC, c.cid DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY p.pid) AS n
+      FROM p JOIN c ON c.user_id = p.user_id
+                   AND c.cts >= p.pts - 604800000000 AND c.cts < p.pts
+    ),
+    credits AS (
+      SELECT 'last_touch' AS model, channel, cents AS cr FROM pc WHERE rn = 1
+      UNION ALL
+      SELECT 'linear' AS model, channel,
+             cents // n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END AS cr
+      FROM pc
+    )
+    SELECT model, channel, CAST(SUM(cr) AS BIGINT) AS credited_cents
+    FROM credits GROUP BY model, channel
+    """,
+)
+def t20_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: every purchase's revenue credited to the
+    user's clicks in the preceding 7 days, under BOTH standard models
+    in one plan — last-touch (all credit to the most recent click) and
+    linear (equal split). Credit is INTEGER-EXACT: cents div n per
+    click with the remainder going to the most recent click, so the
+    per-channel totals conserve revenue to the cent on any engine and
+    any partitioning (a float split would not). One user-keyed
+    equi-join bounded by the 7-day window + one per-purchase window;
+    channels come from the JSON props (f7's path)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        us.alias("pts"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("c_user"),
+        us.alias("cts"),
+        (F.get_json_object("props", "$.k").cast("int") % 5).alias("channel"),
+    )
+    week_us = 7 * 24 * 3600 * 1_000_000
+    pc = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("cts") >= F.col("pts") - F.lit(week_us))
+        & (F.col("cts") < F.col("pts")),
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("cts").desc(), F.col("cid").desc())
+    wn = Window.partitionBy("pid")
+    pc = pc.select(
+        "pid",
+        "cents",
+        "channel",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    last = pc.filter(F.col("rn") == 1).select(
+        F.lit("last_touch").alias("model"), "channel", F.col("cents").alias("cr")
+    )
+    linear = pc.select(
+        F.lit("linear").alias("model"),
+        "channel",
+        (
+            F.expr("cents div n")
+            + F.when(F.col("rn") == 1, F.col("cents") % F.col("n")).otherwise(0)
+        ).alias("cr"),
+    )
+    return (
+        last.unionByName(linear)
+        .groupBy("model", "channel")
+        .agg(F.sum("cr").cast("bigint").alias("credited_cents"))
+    )
+
+
+@_register(
+    "t22_hazard_table",
+    """
+    WITH lifetimes AS (
+      SELECT user_id,
+             CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT) AS churn_day
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT churn_day AS day, COUNT(*) AS n_churned
+      FROM lifetimes GROUP BY 1
+    )
+    SELECT day,
+           CAST(SUM(n_churned) OVER (ORDER BY day DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_at_risk,
+           CAST(n_churned AS BIGINT) AS n_churned,
+           ROUND(n_churned / CAST(SUM(n_churned) OVER (ORDER BY day DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+             AS hazard
+    FROM per_day
+    """,
+)
+def t22_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time hazard table (the Kaplan-Meier ingredient): per
+    lifetime-day, users still at risk, users churning that day
+    (churn day = days between a user's first and last event), and
+    the hazard d/n — integers everywhere, ONE rounded division per
+    row (a cumulative survival product would need cross-engine libm;
+    the hazard table carries the same information without it).
+    n_at_risk is a SUFFIX SUM of per-day churn counts — the heavy
+    work is one user groupBy + one day groupBy; the window runs
+    over the tiny day dimension (bounded by corpus lifespan), never
+    over users or events."""
+    ev = load_table(spark, sf_dir, "events")
+    lifetimes = ev.groupBy("user_id").agg(
+        F.expr("CAST(datediff(MAX(ts), MIN(ts)) AS BIGINT)").alias("churn_day")
+    )
+    per_day = lifetimes.groupBy(F.col("churn_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_churned")
+    )
+    w = (
+        Window.orderBy(F.col("day").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        "day",
+        F.sum("n_churned").over(w).cast("bigint").alias("n_at_risk"),
+        F.col("n_churned").cast("bigint").alias("n_churned"),
+        F.round(
+            F.col("n_churned")
+            / F.sum("n_churned").over(w).cast("double"),
+            6,
+        ).alias("hazard"),
+    )
+
+
+@_register(
+    "dq5_dead_letters",
+    """
+    SELECT event_id,
+           concat_ws(',',
+             CASE WHEN user_id IS NULL THEN 'user_id_not_null' END,
+             CASE WHEN NOT (value >= 0 AND value <= 250) THEN 'value_in_range' END,
+             CASE WHEN event_type NOT IN ('click', 'view', 'purchase',
+                                          'signup', 'error')
+                  THEN 'event_type_accepted' END) AS failed_rules
+    FROM events
+    WHERE user_id IS NULL
+       OR NOT (value >= 0 AND value <= 250)
+       OR event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')
+    """,
+)
+def dq5_dead_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing — the row-level counterpart of dq1's
+    aggregate expectations report: every ingest row failing any rule
+    is emitted WITH the comma-joined list of the rules it failed (the
+    payload a DLQ topic or quarantine table needs for triage and
+    replay). Pure narrow projection + filter — the quarantine split
+    costs one predicate per rule at any scale, and the same
+    expressions drive dq1, so report and routing can never disagree."""
+    ev = load_table(spark, sf_dir, "events")
+    r1 = F.col("user_id").isNull()
+    r2 = ~((F.col("value") >= 0) & (F.col("value") <= 250))
+    r3 = ~F.col("event_type").isin("click", "view", "purchase", "signup", "error")
+    return ev.filter(r1 | r2 | r3).select(
+        "event_id",
+        F.concat_ws(
+            ",",
+            F.when(r1, "user_id_not_null"),
+            F.when(r2, "value_in_range"),
+            F.when(r3, "event_type_accepted"),
+        ).alias("failed_rules"),
+    )
+
+
+@_register(
+    "dq6_column_profile",
+    """
+    WITH one AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) - COUNT(o_orderkey) AS nu_k, COUNT(DISTINCT o_orderkey) AS d_k,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS mn_k, CAST(MAX(o_orderkey) AS VARCHAR) AS mx_k,
+             COUNT(*) - COUNT(o_custkey) AS nu_c, COUNT(DISTINCT o_custkey) AS d_c,
+             CAST(MIN(o_custkey) AS VARCHAR) AS mn_c, CAST(MAX(o_custkey) AS VARCHAR) AS mx_c,
+             COUNT(*) - COUNT(o_orderstatus) AS nu_s, COUNT(DISTINCT o_orderstatus) AS d_s,
+             MIN(o_orderstatus) AS mn_s, MAX(o_orderstatus) AS mx_s,
+             COUNT(*) - COUNT(o_totalprice) AS nu_t, COUNT(DISTINCT o_totalprice) AS d_t,
+             CAST(CAST(MIN(o_totalprice) AS DECIMAL(15,2)) AS VARCHAR) AS mn_t,
+             CAST(CAST(MAX(o_totalprice) AS DECIMAL(15,2)) AS VARCHAR) AS mx_t,
+             COUNT(*) - COUNT(o_orderdate) AS nu_d, COUNT(DISTINCT o_orderdate) AS d_d,
+             CAST(MIN(o_orderdate) AS VARCHAR) AS mn_d, CAST(MAX(o_orderdate) AS VARCHAR) AS mx_d,
+             COUNT(*) - COUNT(o_orderpriority) AS nu_p, COUNT(DISTINCT o_orderpriority) AS d_p,
+             MIN(o_orderpriority) AS mn_p, MAX(o_orderpriority) AS mx_p
+      FROM orders
+    )
+    SELECT t.* FROM one, LATERAL (
+      SELECT 'o_orderkey' AS "column", one.n AS n_rows, CAST(one.nu_k AS BIGINT) AS n_null,
+             CAST(one.d_k AS BIGINT) AS n_distinct, one.mn_k AS min_val, one.mx_k AS max_val
+      UNION ALL SELECT 'o_custkey', one.n, one.nu_c, one.d_c, one.mn_c, one.mx_c
+      UNION ALL SELECT 'o_orderstatus', one.n, one.nu_s, one.d_s, one.mn_s, one.mx_s
+      UNION ALL SELECT 'o_totalprice', one.n, one.nu_t, one.d_t, one.mn_t, one.mx_t
+      UNION ALL SELECT 'o_orderdate', one.n, one.nu_d, one.d_d, one.mn_d, one.mx_d
+      UNION ALL SELECT 'o_orderpriority', one.n, one.nu_p, one.d_p, one.mn_p, one.mx_p
+    ) t
+    """,
+)
+def dq6_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling report (expectations.column_profile) over
+    orders: completeness (null count), cardinality (exact distinct),
+    and bounds per column in ONE aggregate pass, unpivoted to a row
+    per column. Numeric bounds stay numeric for the min/max and are
+    rendered to portable strings after aggregation (decimals for the
+    double column, ISO for the date). The discovery-side complement
+    of dq1's rule checks: profile first, then write the rules.
+
+    Supersedes profile_columns' shape (kept: banked driver-green):
+    that early query scans once PER numeric column and unions the
+    1-row results; this one profiles six mixed-type columns in a
+    single aggregate pass through the reusable
+    expectations.column_profile operator."""
+    from hi_csa_db_spark.operators import expectations
+
+    o = load_table(spark, sf_dir, "orders")
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    dec_str = lambda c: c.cast("decimal(15,2)").cast("string")  # noqa: E731
+    return expectations.column_profile(
+        o,
+        [
+            ("o_orderkey", F.col("o_orderkey"), as_str),
+            ("o_custkey", F.col("o_custkey"), as_str),
+            ("o_orderstatus", F.col("o_orderstatus"), as_str),
+            ("o_totalprice", F.col("o_totalprice"), dec_str),
+            ("o_orderdate", F.col("o_orderdate"), as_str),
+            ("o_orderpriority", F.col("o_orderpriority"), as_str),
+        ],
+    )
+
+
+@_register(
+    "t24_markov_transitions",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type FROM events
+    ),
+    p AS (
+      SELECT event_type AS to_event,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY tsu, event_id) AS from_event
+      FROM e
+    ),
+    c AS (SELECT from_event, to_event, COUNT(*) AS n_trans
+          FROM p WHERE from_event IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_event, SUM(n_trans) AS tot FROM c GROUP BY 1)
+    SELECT c.from_event, c.to_event, CAST(c.n_trans AS BIGINT) AS n_trans,
+           CAST((c.n_trans * 1000000) // t.tot AS BIGINT) AS p_micro
+    FROM c JOIN t USING (from_event)
+    """,
+)
+def t24_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: count
+    consecutive event-type pairs per user (ordered at declared-us
+    precision with event_id tie-break — the t2/t8 contract), then the
+    per-source transition probability as an exact integer micro-share
+    (cnt*1e6 div total — floor division, no float ratio). The
+    behavior-model twin of t8's sequence materialization: t8 ships
+    the sequences, this ships their summary dynamics.
+
+    Scale shape: one user-partitioned window pass (parallel in users)
+    + one (from,to) hash aggregate whose cardinality is |event_types|^2
+    (tiny), + a window sum over that tiny matrix. Nothing global."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("to_event"),
+        F.lag("event_type").over(w).alias("from_event"),
+    ).filter(F.col("from_event").isNotNull())
+    counts = pairs.groupBy("from_event", "to_event").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    return counts.select(
+        "from_event",
+        "to_event",
+        F.col("n_trans").cast("bigint").alias("n_trans"),
+        F.expr("(n_trans * 1000000) div sum(n_trans) over (partition by from_event)")
+        .cast("bigint")
+        .alias("p_micro"),
+    )
+
+
+@_register(
+    "t23_burstiness",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM daily GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_days, s AS n_events,
+           ROUND((n * s2 - s * s) / CAST(n AS DOUBLE) / s, 6) AS fano
+    FROM m
+    """,
+)
+def t23_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity burstiness: the Fano factor (variance/mean)
+    of daily event counts — Poisson-like users score ~1, bursty users
+    score higher; the behavioral feature that separates steady readers
+    from scraping bots. Variance·n² = n·Σx² − (Σx)², so the whole
+    statistic is exact BIGINT moment sums with ONE rounded double
+    division chain at the end (the x40 integer-moments idiom). Two
+    map-combined groupBys, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    m = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    return m.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("s").alias("n_events"),
+        F.round(
+            (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+            / F.col("n").cast("double")
+            / F.col("s"),
+            6,
+        ).alias("fano"),
+    )
+
+
+@_register(
+    "dq4_skew_report",
+    """
+    WITH per_key AS (
+      SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows, MAX(cnt) AS max_cnt
+      FROM per_key
+    )
+    SELECT p.key, p.cnt,
+           ROUND(p.cnt * s.n_keys / CAST(s.n_rows AS DOUBLE), 6) AS skew_ratio,
+           CAST(s.n_keys AS BIGINT) AS n_keys,
+           CAST(s.n_rows AS BIGINT) AS n_rows
+    FROM per_key p CROSS JOIN stats s
+    ORDER BY p.cnt DESC, p.key ASC LIMIT 10
+    """,
+)
+def dq4_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the operational pre-join check at
+    100 TB: per-key row counts for a prospective join key, the top-10
+    heaviest keys, and each key's skew ratio (count ÷ mean count,
+    computed as cnt·n_keys/n_rows so the only float is the final
+    rounded division). A ratio far above 1 on the biggest keys is the
+    signal to salt (operators/skew.py) or let AQE's skew-join split
+    partitions; one map-combined aggregate + a 1-row stats broadcast
+    — the report costs one pass regardless of table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "cnt",
+            F.round(
+                F.col("cnt") * F.col("n_keys") / F.col("n_rows").cast("double"), 6
+            ).alias("skew_ratio"),
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "u13_scd2_point_in_time",
+    """
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             c_mktsegment AS seg
+      FROM customer
+    ),
+    v2rows AS (
+      SELECT k,
+             CASE WHEN k % 10 = 0 THEN cents + 10000 ELSE cents END AS cents,
+             CASE WHEN k % 7 = 0 THEN 'SHIFTED' ELSE seg END AS seg
+      FROM base WHERE k % 97 <> 0
+      UNION ALL
+      SELECT k + 1000000, cents, seg FROM base WHERE k % 50 = 0
+    )
+    SELECT 1 AS as_of_version, seg, COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM base GROUP BY seg
+    UNION ALL
+    SELECT 2, seg, COUNT(*), CAST(SUM(cents) AS BIGINT)
+    FROM v2rows GROUP BY seg
+    """,
+)
+def u13_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time reconstruction — the ROUND-TRIP property
+    that makes a slowly-changing dimension trustworthy: filtering the
+    u7-style 2-version history to "as of version v" (valid_from <= v
+    AND (open OR valid_to > v)) must reproduce snapshot v EXACTLY.
+    The oracle is each original snapshot aggregated directly — no
+    interval algebra — so any history-construction bug (row leaked
+    across a close, double-counted reopen) breaks the match. Money in
+    exact integer cents; one segment rollup per reconstructed
+    version."""
+    from hi_csa_db_spark.operators import scd
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    v2 = base.filter(F.col("k") % 97 != 0).select(
+        "k",
+        F.when(F.col("k") % 10 == 0, F.col("cents") + 10000)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        F.when(F.col("k") % 7 == 0, F.lit("SHIFTED")).otherwise(F.col("seg")).alias(
+            "seg"
+        ),
+    ).unionByName(
+        base.filter(F.col("k") % 50 == 0).select(
+            (F.col("k") + 1000000).alias("k"), "cents", "seg"
+        )
+    )
+    hist = scd.scd2_apply(
+        scd.scd2_init(base, "k", ["cents", "seg"], version=1),
+        v2,
+        "k",
+        ["cents", "seg"],
+        version=2,
+    )
+
+    def as_of(v: int) -> DataFrame:
+        return (
+            hist.filter(
+                (F.col("valid_from") <= v)
+                & (F.col("valid_to").isNull() | (F.col("valid_to") > v))
+            )
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("total_cents"),
+            )
+            .select(F.lit(v).alias("as_of_version"), "seg", "n_rows", "total_cents")
+        )
+
+    return as_of(1).unionByName(as_of(2))
+
+
+@_register(
+    "u14_corpus_diff",
+    """
+    WITH new_v AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+    old_v AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' OLD' ELSE text END) AS h
+      FROM documents WHERE doc_id % 10 <> 3
+      UNION ALL
+      SELECT doc_id + 1000000, source, md5('retired')
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    d AS (
+      SELECT COALESCE(n.source, o.source) AS source,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN n.h <> o.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM new_v n FULL OUTER JOIN old_v o ON n.doc_id = o.doc_id
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unchanged
+    FROM d GROUP BY source
+    """,
+)
+def u14_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vintage diff audit — the what-changed-between-drops
+    report every recurring ingest publishes: FULL OUTER join of two
+    corpus snapshots on doc_id, rows classified added / removed /
+    changed (content md5 differs) / unchanged, rolled up per source.
+    The old vintage is synthesized deterministically from the same
+    fixture (every 5th doc edited, every 10th-mod-3 missing, phantom
+    retired rows), so the classification logic is oracle-exact.
+
+    Complements u6_snapshot_diff, which emits the ROW-LEVEL changelog
+    (native column comparison, unchanged rows dropped — the CDC feed);
+    this is the drop-level AUDIT: content identity by md5 so text
+    never shuffles, unchanged counted, rolled up per source.
+
+    Scale shape: one equi-join on the id + one tiny per-source
+    aggregate; only (id, source, 16-byte hash) shuffles — never text.
+    At 100 TB both sides are id-bucketed parquet (SCALE.md), making
+    the diff join shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_v = docs.select("doc_id", "source", F.md5("text").alias("h"))
+    old_v = (
+        docs.filter(F.col("doc_id") % 10 != 3)
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" OLD"))
+                ).otherwise(F.col("text"))
+            ).alias("h"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "source",
+                F.md5(F.lit("retired")).alias("h"),
+            )
+        )
+    )
+    n = new_v.select(
+        F.col("doc_id"), F.col("source").alias("__ns"), F.col("h").alias("__nh")
+    )
+    o = old_v.select(
+        F.col("doc_id"), F.col("source").alias("__os"), F.col("h").alias("__oh")
+    )
+    status = (
+        F.when(F.col("__oh").isNull(), "added")
+        .when(F.col("__nh").isNull(), "removed")
+        .when(F.col("__nh") != F.col("__oh"), "changed")
+        .otherwise("unchanged")
+    )
+    d = n.join(o, "doc_id", "full_outer").select(
+        F.coalesce("__ns", "__os").alias("source"), status.alias("status")
+    )
+    return d.groupBy("source").agg(
+        F.sum(F.when(F.col("status") == "added", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+        F.sum(F.when(F.col("status") == "removed", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(F.when(F.col("status") == "changed", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_changed"),
+        F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unchanged"),
+    )
+
+
+@_register(
+    "t21_rfm_segmentation",
+    """
+    WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+    base AS (
+      SELECT o.o_custkey AS custkey,
+             date_diff('day', MAX(o.o_orderdate), mx.mxd) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders o CROSS JOIN mx
+      GROUP BY o.o_custkey, mx.mxd
+    )
+    SELECT custkey, recency_days, frequency, monetary_cents,
+           NTILE(5) OVER (ORDER BY recency_days ASC, custkey ASC) AS r_score,
+           NTILE(5) OVER (ORDER BY frequency DESC, custkey ASC) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary_cents DESC, custkey ASC) AS m_score
+    FROM base
+    """,
+)
+def t21_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-analytics
+    rollup: per customer, days since last order (vs the corpus max
+    date), order count, and lifetime spend in EXACT integer cents
+    (o_totalprice is parquet DOUBLE: the decimal(15,2)*100 route is
+    the truncate-vs-round-safe money conversion, NOTES.md), each
+    scored into quintiles (NTILE with custkey tie-break — total order
+    on both engines, so bucket edges match).
+
+    Scale shape (VERDICT r7 item 4 — the unpartitioned NTILE windows
+    are gone): each score rides ordered.global_row_numbers over a
+    (value, custkey) STRUCT key (range partition + broadcast offsets,
+    fully parallel), then the standard-SQL NTILE formula is applied as
+    integer arithmetic against the broadcast customer count n: the
+    first n%5 buckets take ceil(n/5) rows, the rest floor(n/5) —
+    bit-identical to NTILE(5) on both engines because the composite
+    order is total. Three customer-sized range exchanges + three
+    custkey joins replace three single-partition sorts."""
+    t = load_tables(spark, sf_dir)
+    mx = t["orders"].agg(F.max("o_orderdate").alias("mxd"))
+    base = (
+        t["orders"]
+        .crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "mxd")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.expr("CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.datediff(F.col("mxd"), F.col("last_order")).alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    base = base.localCheckpoint(eager=False)  # 3 rank consumers + output
+    cnt = base.agg(F.count(F.lit(1)).alias("__nc"))
+
+    # Standard-SQL NTILE(5) from a 1-based global rank among __nc rows:
+    # the first __nc%5 buckets hold (__nc div 5)+1 rows, the rest
+    # __nc div 5. Integer `div` throughout — no float boundary exists;
+    # greatest(..,1) guards the n<5 regime where that branch is never
+    # taken anyway.
+    _tile = F.expr(
+        "CAST(CASE WHEN rank <= (__nc % 5) * (__nc div 5 + 1)"
+        "  THEN (rank - 1) div (__nc div 5 + 1) + 1"
+        "  ELSE __nc % 5"
+        "       + (rank - (__nc % 5) * (__nc div 5 + 1) - 1)"
+        "         div greatest(__nc div 5, 1) + 1"
+        " END AS INT)"
+    )
+
+    def _score(value: Column, out: str) -> DataFrame:
+        keyed = base.select(
+            "custkey", F.struct(value.alias("v"), F.col("custkey")).alias("__key")
+        )
+        return (
+            ordered.global_row_numbers(keyed, "__key")
+            .crossJoin(F.broadcast(cnt))
+            .select("custkey", _tile.alias(out))
+        )
+
+    out = (
+        base.join(_score(F.col("recency_days"), "r_score"), "custkey")
+        .join(_score(-F.col("frequency"), "f_score"), "custkey")
+        .join(_score(-F.col("monetary_cents"), "m_score"), "custkey")
+    )
+    return out.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session-r4c batch: referential-integrity DQ profile, chi-square and
+# grid-exact Kendall association stats, stratified sampling, Heaps-law
+# vocabulary growth
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dq7_referential_integrity",
+    """
+    WITH e1 AS (
+      SELECT 'lineitem->orders' AS edge,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS child_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                WHERE l.l_orderkey = o.o_orderkey)) AS unreferenced_parents
+    ),
+    e2 AS (
+      SELECT 'lineitem->part' AS edge,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS child_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey)) AS orphan_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM part p
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                WHERE l.l_partkey = p.p_partkey)) AS unreferenced_parents
+    ),
+    e3 AS (
+      SELECT 'orders->customer' AS edge,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS child_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)) AS orphan_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey)) AS unreferenced_parents
+    ),
+    e4 AS (
+      SELECT 'events->customer' AS edge,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS child_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = e.user_id)) AS orphan_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM events e
+                                WHERE e.user_id = c.c_custkey)) AS unreferenced_parents
+    )
+    SELECT * FROM e1 UNION ALL SELECT * FROM e2
+    UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+    """,
+)
+def dq7_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity profile: for each FK edge of
+    the star schema (lineitem->orders, lineitem->part,
+    orders->customer, events->customer), report child cardinality,
+    orphan children (FK value with no parent row), and unreferenced
+    parents (parent key no child ever cites) — the containment audit a
+    DQ gate runs before joining 100 TB fact data against dimensions.
+
+    Scale shape: ONE pass per edge — child keys pre-aggregated to
+    (key, count), full-outer-joined to the distinct parent keys, then
+    a scalar aggregate; the shuffle is on the join key (what the
+    downstream join would shuffle anyway) and carries counts, not
+    rows. No anti-join per metric: all three metrics fall out of the
+    same outer join."""
+
+    def edge(
+        child: DataFrame, ckey: str, parent: DataFrame, pkey: str, name: str
+    ) -> DataFrame:
+        ck = child.groupBy(F.col(ckey).alias("k")).agg(
+            F.count(F.lit(1)).alias("cn")
+        )
+        pk = parent.select(F.col(pkey).alias("k")).distinct().withColumn(
+            "p", F.lit(1)
+        )
+        j = ck.join(pk, "k", "full_outer")
+        return j.agg(
+            F.coalesce(F.sum("cn"), F.lit(0)).cast("bigint").alias("child_rows"),
+            F.coalesce(F.sum(F.when(F.col("p").isNull(), F.col("cn"))), F.lit(0))
+            .cast("bigint")
+            .alias("orphan_rows"),
+            F.sum(F.when(F.col("cn").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("unreferenced_parents"),
+        ).select(
+            F.lit(name).alias("edge"),
+            "child_rows",
+            "orphan_rows",
+            "unreferenced_parents",
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        edge(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionAll(edge(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+        .unionAll(edge(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionAll(edge(ev, "user_id", c, "c_custkey", "events->customer"))
+    )
+
+
+@_register(
+    "t25_debounce",
+    """
+    WITH o AS (
+      SELECT event_type, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_us IS NULL
+                          OR ts_us - prev_us >= 3600000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN prev_us IS NOT NULL
+                          AND ts_us - prev_us < 3600000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_collapsed
+    FROM o GROUP BY event_type
+    """,
+)
+def t25_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: collapse bursts — an event repeats its
+    (user, type) predecessor within an hour, so only the burst's
+    FIRST event survives (the lag-gap form of debouncing; the
+    keep-first-of-island rule t2's sessionizer generalizes). Reports
+    per event type how many events a debounced pipeline would keep
+    vs collapse.
+
+    Determinism: event time compares at DECLARED microsecond
+    precision on both engines (`ts_ns div 1000` vs `epoch_us`), ties
+    broken by event_id — the r4 rule that killed the t2/t8
+    driver-red class.
+
+    Scale shape: one lag window partitioned by (user, type) —
+    parallel in users — plus a 5-group map-combined aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        us.asc(), F.col("event_id").asc()
+    )
+    o = ev.select(
+        "event_type", us.alias("ts_us"), F.lag(us).over(w).alias("prev_us")
+    )
+    fresh = F.col("prev_us").isNull() | (
+        F.col("ts_us") - F.col("prev_us") >= 3_600_000_000
+    )
+    return o.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(fresh, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(~fresh, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_collapsed"),
+    )
+
+
+@_register(
+    "t26_rolling_median",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    contrib AS (
+      SELECT d + CAST(i AS INT) * INTERVAL 1 DAY AS anchor, d, cents
+      FROM daily, UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS t(i)
+    ),
+    ranked AS (
+      SELECT anchor, cents,
+             ROW_NUMBER() OVER (PARTITION BY anchor
+                                ORDER BY cents ASC, d ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY anchor) AS n7
+      FROM contrib
+    ),
+    med AS (
+      SELECT anchor, cents AS med_cents FROM ranked WHERE rn = 4 AND n7 = 7
+    )
+    SELECT strftime(daily.d, '%Y-%m-%d') AS day,
+           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(med_cents / 100.0, 2) AS median7
+    FROM daily JOIN med ON med.anchor = CAST(daily.d AS TIMESTAMP)
+    """,
+)
+def t26_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day ROLLING MEDIAN of daily revenue (full windows only) — the
+    robust companion to t16's rolling mean: the median ignores a
+    single anomalous day that drags the mean, which is why monitoring
+    baselines prefer it. Median of 7 = the 4th-smallest, selected by
+    an integer rank (cents asc, day tie-break) — no percentile
+    interpolation, so the value is one of the exact input integers on
+    both engines.
+
+    Scale shape: t16's calendar BAND JOIN (each day feeds its 7
+    anchors, one shuffle by date) + a per-anchor rank window over
+    exactly 7 rows (parallel in anchors, never a global window)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+        ).alias("cents")
+    )
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("i"), "d", "cents"
+    ).select(F.date_add(F.col("d"), F.col("i")).alias("anchor"), "d", "cents")
+    w = Window.partitionBy("anchor").orderBy(
+        F.col("cents").asc(), F.col("d").asc()
+    )
+    ranked = contrib.select(
+        "anchor",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("anchor")).alias("n7"),
+    )
+    med = ranked.filter((F.col("rn") == 4) & (F.col("n7") == 7)).select(
+        "anchor", F.col("cents").alias("med_cents")
+    )
+    return daily.join(med, daily["d"] == med["anchor"]).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("med_cents") / 100.0, 2).alias("median7"),
+    )
+
+
+@_register(
+    "dq8_freshness",
+    """
+    WITH m AS (
+      SELECT event_type, CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_event_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT CAST(MAX(epoch_us(ts)) AS BIGINT) AS gmx FROM events)
+    SELECT event_type, n_events, last_event_us,
+           CAST((gmx - last_event_us) // 1000000 AS BIGINT) AS staleness_sec
+    FROM m CROSS JOIN g
+    """,
+)
+def dq8_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness/timeliness audit: per event stream, the last event
+    time and its staleness against the newest event anywhere — the
+    is-this-feed-still-alive check a DQ suite runs before trusting an
+    incremental load. Declared-microsecond times (the t2/t8 precision
+    contract); staleness in whole seconds is an integer floor-div.
+
+    Scale shape: one map-combined MAX per stream + a 1-row broadcast
+    of the global max."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    m = ev.groupBy("event_type").agg(
+        F.max(us).alias("last_event_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    g = ev.agg(F.max(us).alias("gmx"))
+    return m.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        "last_event_us",
+        F.expr("CAST((gmx - last_event_us) div 1000000 AS BIGINT)").alias(
+            "staleness_sec"
+        ),
+    )
+
+
+@_register(
+    "t27_autocorrelation",
+    f"""
+    WITH{_DAILY_SQL},
+    lags AS (SELECT unnest([1, 2, 3, 7]) AS lag),
+    pairs AS (
+      SELECT l.lag, a.v AS xa, b.v AS xb
+      FROM daily a CROSS JOIN lags l
+      JOIN daily b ON b.day_n = a.day_n + l.lag
+    ),
+    m AS (
+      SELECT lag, COUNT(*) AS np, SUM(xa) AS sx, SUM(xb) AS sy,
+             SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy, SUM(xa * xb) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, CAST(np AS BIGINT) AS n_pairs,
+           CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+           CASE WHEN np * sxx - sx * sx = 0 OR np * syy - sy * sy = 0 THEN NULL
+                ELSE ROUND(CAST(np * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(np * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(np * syy - sy * sy AS DOUBLE))), 6)
+           END AS r_autocorr
+    FROM m
+    """,
+)
+def t27_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k = 1, 2, 3, 7) of the daily event-count
+    series — the seasonality probe behind t14's day-of-week profile
+    (lag 7 should dominate if the fixture has weekly structure).
+    Missing days are materialized as zeros (t3's grid idiom) so the
+    series is contiguous and both engines agree on what "lag" means.
+
+    Determinism: the Pearson terms are the n-scaled INTEGER moment
+    cross-sums (np*sxy - sx*sy over exact bigint counts, the x40/
+    stats_linreg idiom) carried in DECIMAL(38,0) on the Spark side so
+    no product can overflow at any scale; the only float ops are
+    sqrt/divide of exact integers — IEEE correctly-rounded, so both
+    engines produce bit-identical doubles before the 6dp ROUND.
+
+    Scale shape: one map-combined groupBy(day) (days are tiny —
+    365/year no matter how many events), a 1-row span broadcast, and
+    a broadcast self-join of the daily series against 4 lag offsets.
+    Reference: extends the §2.8 temporal tier (Rmd's date handling);
+    the statistic itself is public textbook (Box–Jenkins ACF)."""
+    filled = _daily_series(spark, sf_dir).select(
+        "day_n", F.col("v").alias("n")
+    )
+    lags = spark.createDataFrame([(1,), (2,), (3,), (7,)], ["lag"])
+    a = filled.select(F.col("day_n").alias("da"), F.col("n").alias("xa"))
+    b = filled.select(F.col("day_n").alias("db"), F.col("n").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.col("db") == F.col("da") + F.col("lag"))
+    )
+    dec = "decimal(38,0)"
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(dec).alias("np"),
+        F.sum("xa").cast(dec).alias("sx"),
+        F.sum("xb").cast(dec).alias("sy"),
+        F.sum(F.col("xa") * F.col("xa")).cast(dec).alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast(dec).alias("syy"),
+        F.sum(F.col("xa") * F.col("xb")).cast(dec).alias("sxy"),
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("np").cast("bigint").alias("n_pairs"),
+        F.col("sx").cast("bigint").alias("sum_x"),
+        F.col("sy").cast("bigint").alias("sum_y"),
+        F.expr(
+            "CASE WHEN np * sxx - sx * sx = 0 OR np * syy - sy * sy = 0 THEN NULL"
+            " ELSE ROUND(CAST(np * sxy - sx * sy AS DOUBLE)"
+            " / (sqrt(CAST(np * sxx - sx * sx AS DOUBLE))"
+            " * sqrt(CAST(np * syy - sy * sy AS DOUBLE))), 6) END"
+        ).alias("r_autocorr"),
+    )
+
+
+@_register(
+    "t28_stl_decompose",
+    f"""
+    WITH{_DAILY_SQL},
+    contrib AS (
+      SELECT day_n + i AS anchor, v
+      FROM daily, UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS t(i)
+    ),
+    win AS (
+      SELECT anchor, SUM(v) AS sum7, COUNT(*) AS n7 FROM contrib GROUP BY anchor
+    ),
+    det AS (
+      SELECT daily.day_n, daily.v,
+             CAST(sum7 * 1000000 // 7 AS BIGINT) AS trend_micro,
+             CAST(daily.v * 1000000 - sum7 * 1000000 // 7 AS BIGINT) AS det_micro
+      FROM daily JOIN win ON win.anchor = daily.day_n
+      WHERE n7 = 7
+    ),
+    seas AS (
+      SELECT day_n % 7 AS dow,
+             CAST((SUM(det_micro) + 1000000000000 * COUNT(*)) // COUNT(*)
+                  - 1000000000000 AS BIGINT) AS seasonal_micro
+      FROM det GROUP BY 1
+    )
+    SELECT det.day_n, CAST(det.v AS BIGINT) AS n_events,
+           det.trend_micro, s.seasonal_micro,
+           CAST(det.det_micro - s.seasonal_micro AS BIGINT) AS resid_micro
+    FROM det JOIN seas s ON s.dow = det.day_n % 7
+    """,
+)
+def t28_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of the daily event-count
+    series: trend = centered 7-day moving average (t16's calendar
+    band join — each day contributes to its 7 anchors, one
+    groupBy(anchor), never a single-partition global window),
+    seasonal = day-of-week mean of the detrended series, residual =
+    the rest. The screening input for anomaly tiers that must not
+    flag weekly rhythm as outliers.
+
+    Every value is integer micros. The one subtle rule: seasonal
+    means can be NEGATIVE, and Spark's `div` truncates toward zero
+    while DuckDB's `//` floors — so the mean is computed as
+    (sum + 10^12·n) div n - 10^12, keeping the numerator positive
+    where truncation and floor agree. Gap days are materialized as
+    zeros (t3's grid) so both engines window the same series.
+
+    Scale shape: the daily series is tiny at any corpus size (one row
+    per calendar day); all joins after the first groupBy(day) are
+    effectively broadcast-scale."""
+    daily = _daily_series(spark, sf_dir)
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("i"), "day_n", "v"
+    ).select((F.col("day_n") + F.col("i")).alias("anchor"), "v")
+    win = contrib.groupBy("anchor").agg(
+        F.sum("v").alias("sum7"), F.count(F.lit(1)).alias("n7")
+    )
+    det = (
+        daily.join(win, daily["day_n"] == win["anchor"])
+        .filter(F.col("n7") == 7)
+        .select(
+            "day_n",
+            "v",
+            F.expr("CAST(sum7 * 1000000 div 7 AS BIGINT)").alias(
+                "trend_micro"
+            ),
+            F.expr(
+                "CAST(v * 1000000 - sum7 * 1000000 div 7 AS BIGINT)"
+            ).alias("det_micro"),
+        )
+    )
+    seas = det.groupBy((F.col("day_n") % 7).alias("dow")).agg(
+        F.expr(
+            "CAST((SUM(det_micro) + 1000000000000 * COUNT(1)) div COUNT(1)"
+            " - 1000000000000 AS BIGINT)"
+        ).alias("seasonal_micro")
+    )
+    return (
+        det.join(F.broadcast(seas), det["day_n"] % 7 == seas["dow"])
+        .select(
+            "day_n",
+            F.col("v").cast("bigint").alias("n_events"),
+            "trend_micro",
+            "seasonal_micro",
+            (F.col("det_micro") - F.col("seasonal_micro"))
+            .cast("bigint")
+            .alias("resid_micro"),
+        )
+    )
+
+
+@_register(
+    "u15_schema_evolution",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_lang,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id >= 250 THEN lang END) AS BIGINT)
+             AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def u15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution ingest: two parquet snapshot vintages of the
+    documents table — an old one WITHOUT the lang column and a new
+    one WITH it — are appended into one dataset directory, then read
+    back with mergeSchema=true; old rows surface lang=NULL. The
+    oracle recomputes the same aggregates from the unevolved source
+    table, so the merge must preserve every row and null exactly the
+    pre-evolution rows (n_with_lang counts non-null langs on the
+    Spark side but the id-split rule on the oracle side — they can
+    only agree if the evolution semantics are right).
+
+    This is the 100 TB reality of long-lived datasets: columns get
+    added mid-corpus, and the reader — not a rewrite of petabytes of
+    old files — reconciles vintages. The snapshot write is
+    per-process idempotent and lives under /tmp.
+
+    Scale shape: footer-only schema merge, then one map-combined
+    aggregate; count(DISTINCT lang) is per-group with bounded
+    cardinality."""
+    import hashlib
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:10]
+    loc = f"/tmp/spark_graft_evolution/{tag}"
+    if not os.path.exists(loc):
+        # stage both vintages, then one atomic rename — a crash between
+        # the two appends must never leave a half-evolved dataset that a
+        # same-process retry would silently reuse
+        stage = f"{loc}.tmp"
+        docs.filter(F.col("doc_id") < 250).select(
+            "doc_id", "source", "n_chars"
+        ).write.mode("overwrite").parquet(stage)
+        docs.filter(F.col("doc_id") >= 250).select(
+            "doc_id", "source", "n_chars", "lang"
+        ).write.mode("append").parquet(stage)
+        os.rename(stage, loc)
+    merged = spark.read.option("mergeSchema", "true").parquet(loc)
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("lang").cast("bigint").alias("n_with_lang"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@_register(
+    "dq9_join_fanout",
+    """
+    WITH ca AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+    cb AS (SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY 1),
+    prod AS (
+      SELECT ca.k, ca.c * cb.c AS fanout
+      FROM ca JOIN cb ON ca.k = cb.k
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_join_keys,
+           CAST(SUM(fanout) AS BIGINT) AS predicted_rows,
+           CAST(MAX(fanout) AS BIGINT) AS max_key_fanout,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+             AS actual_rows
+    FROM prod
+    """,
+)
+def dq9_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-fanout audit: the exact output cardinality of a join,
+    PREDICTED from per-key counts alone (Σ |A_k|·|B_k| — two
+    aggregates and a key join, never the joined rows) beside the
+    ACTUAL joined row count, plus the worst single-key fanout. The
+    pre-flight check a pipeline runs before an expensive join to
+    catch key-explosion (a skewed or wrongly-grained key) while it is
+    still cheap to catch — at 100 TB the predictor costs two
+    map-combined aggregates; the join it guards costs a full
+    fact-fact shuffle. predicted_rows == actual_rows is the built-in
+    proof of the identity.
+
+    Scale shape: groupBy per side (map-combined), a key-count join
+    (bounded by distinct keys), and the guarded join itself only for
+    the audit's verification column."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ca = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_a")
+    )
+    cb = c.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_b")
+    )
+    prod = ca.join(cb, "k").select(
+        "k", (F.col("c_a") * F.col("c_b")).alias("fanout")
+    )
+    pred = prod.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_join_keys"),
+        F.sum("fanout").cast("bigint").alias("predicted_rows"),
+        F.max("fanout").cast("bigint").alias("max_key_fanout"),
+    )
+    actual = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
+    )
+    return pred.crossJoin(F.broadcast(actual))
+
+
+@_register(
+    "t29_seasonal_anomaly",
+    f"""
+    WITH {_STL_SQL},
+    mom AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(resid_micro AS DECIMAL(38,0))) AS s,
+             SUM(CAST(resid_micro AS DECIMAL(38,0))
+                 * CAST(resid_micro AS DECIMAL(38,0))) AS ss
+      FROM stl
+    )
+    SELECT day_n, CAST(v AS BIGINT) AS n_events, resid_micro,
+           CASE WHEN (CAST(n AS DECIMAL(38,0)) * CAST(resid_micro AS DECIMAL(38,0)) - s)
+                     * (CAST(n AS DECIMAL(38,0)) * CAST(resid_micro AS DECIMAL(38,0)) - s)
+                     > 4 * (CAST(n AS DECIMAL(38,0)) * ss - s * s)
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM stl CROSS JOIN mom
+    """,
+)
+def t29_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly flags: a day is anomalous when its
+    t28 residual sits more than 2 sigma from the residual mean — the
+    screen that does NOT flag weekly rhythm (t7's plain z-score on the
+    raw series would). The 2-sigma test is the EXACT integer
+    cross-multiplication (n·r - S)² > 4·(n·SS - S²) in
+    DECIMAL(38,0) — no float mean, no float sigma, no sqrt — so both
+    engines decide every boundary identically (the x26/x52 integer
+    keep-rule idiom applied to a variance test).
+
+    Scale shape: t28's chain (daily series is calendar-bounded) plus
+    one 1-row moment broadcast."""
+    stl = t28_stl_decompose(spark, sf_dir).select(
+        "day_n", F.col("n_events").alias("v"), "resid_micro"
+    )
+    dec = "decimal(38,0)"
+    mom = stl.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("resid_micro").cast(dec)).alias("s"),
+        F.sum(
+            F.col("resid_micro").cast(dec) * F.col("resid_micro").cast(dec)
+        ).alias("ss"),
+    )
+    return stl.crossJoin(F.broadcast(mom)).select(
+        "day_n",
+        F.col("v").cast("bigint").alias("n_events"),
+        "resid_micro",
+        F.expr(
+            "CASE WHEN (CAST(n AS DECIMAL(38,0)) * CAST(resid_micro AS DECIMAL(38,0)) - s)"
+            " * (CAST(n AS DECIMAL(38,0)) * CAST(resid_micro AS DECIMAL(38,0)) - s)"
+            " > 4 * (CAST(n AS DECIMAL(38,0)) * ss - s * s)"
+            " THEN 1 ELSE 0 END"
+        ).alias("is_anomaly"),
+    )
+
+
+@_register(
+    "t30_growth_streaks",
+    f"""
+    WITH{_DAILY_SQL},
+    dirs AS (
+      SELECT a.day_n,
+             CASE WHEN a.v > b.v THEN 'up'
+                  WHEN a.v < b.v THEN 'down'
+                  ELSE 'flat' END AS dir
+      FROM daily a JOIN daily b ON b.day_n = a.day_n - 1
+    ),
+    cums AS (
+      SELECT day_n, dir,
+             SUM(CASE WHEN dir = 'up' THEN 1 ELSE 0 END)
+               OVER (ORDER BY day_n) AS cu,
+             SUM(CASE WHEN dir = 'down' THEN 1 ELSE 0 END)
+               OVER (ORDER BY day_n) AS cd,
+             SUM(CASE WHEN dir = 'flat' THEN 1 ELSE 0 END)
+               OVER (ORDER BY day_n) AS cf
+      FROM dirs
+    ),
+    isl AS (
+      SELECT dir,
+             day_n - CASE dir WHEN 'up' THEN cu WHEN 'down' THEN cd
+                              ELSE cf END AS grp,
+             COUNT(*) AS len
+      FROM cums GROUP BY 1, 2
+    )
+    SELECT dir, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS INT) AS max_len,
+           CAST(SUM(len) AS BIGINT) AS total_days
+    FROM isl GROUP BY dir
+    """,
+)
+def t30_growth_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Momentum streaks: maximal runs of consecutive up / down / flat
+    days in the daily event-count series (gap days filled as zeros so
+    "consecutive" is calendar truth) — the growth-streak KPI behind
+    "N days of uninterrupted growth" dashboards, and the island
+    pattern (x19/d13) applied to a derived SIGN series instead of raw
+    positions.
+
+    Island key without any per-direction window: ONE pass of
+    ordered.global_prefix_sums carries three direction indicators;
+    a run of consecutive same-direction days has constant
+    day_n - own_cum (days are dense after gap fill), so streaks are
+    a plain groupBy. The oracle's OVER (ORDER BY day_n) states the
+    same cumulation as the semantic spec.
+
+    Scale shape: daily series is calendar-bounded; the prefix-sum
+    pass is the range-partitioned primitive, never a single-partition
+    window."""
+    daily = _daily_series(spark, sf_dir)
+    prev = daily.select(
+        (F.col("day_n") + 1).alias("day_n"), F.col("v").alias("pv")
+    )
+    dirs = daily.join(prev, "day_n").select(
+        "day_n",
+        F.when(F.col("v") > F.col("pv"), "up")
+        .when(F.col("v") < F.col("pv"), "down")
+        .otherwise("flat")
+        .alias("dir"),
+        (F.col("v") > F.col("pv")).cast("bigint").alias("iu"),
+        (F.col("v") < F.col("pv")).cast("bigint").alias("idn"),
+        (F.col("v") == F.col("pv")).cast("bigint").alias("ifl"),
+    )
+    cums = ordered.global_prefix_sums(dirs, "day_n", ["iu", "idn", "ifl"])
+    isl = (
+        cums.select(
+            "dir",
+            (
+                F.col("day_n")
+                - F.when(F.col("dir") == "up", F.col("cum_iu"))
+                .when(F.col("dir") == "down", F.col("cum_idn"))
+                .otherwise(F.col("cum_ifl"))
+            ).alias("grp"),
+        )
+        .groupBy("dir", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return isl.groupBy("dir").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("int").alias("max_len"),
+        F.sum("len").cast("bigint").alias("total_days"),
+    )
+
+
+@_register(
+    "t31_forecast_error",
+    f"""
+    WITH{_DAILY_SQL},
+    f AS (
+      SELECT a.day_n, a.v AS actual, n1.v AS naive1, n7.v AS naive7
+      FROM daily a
+      JOIN daily n1 ON n1.day_n = a.day_n - 1
+      JOIN daily n7 ON n7.day_n = a.day_n - 7
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(actual) AS sa,
+             SUM(abs(actual - naive1)) AS ae1,
+             SUM(abs(actual - naive7)) AS ae7,
+             SUM((actual - naive1) * (actual - naive1)) AS se1,
+             SUM((actual - naive7) * (actual - naive7)) AS se7
+      FROM f
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(ae1 * 1000000 // sa AS BIGINT) AS wape1_micro,
+           CAST(ae7 * 1000000 // sa AS BIGINT) AS wape7_micro,
+           CAST(se1 AS BIGINT) AS sse1,
+           CAST(se7 AS BIGINT) AS sse7,
+           CASE WHEN ae1 = 0 THEN NULL
+                ELSE CAST(ae7 * 1000000 // ae1 AS BIGINT) END
+             AS mase7v1_micro
+    FROM m
+    """,
+)
+def t31_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation: WAPE, SSE, and the MASE-style
+    ratio for the two standard naive forecasts of the daily event
+    count — yesterday (naive-1) and same-day-last-week (naive-7). If
+    wape7 < wape1 the series has real weekly structure (t27's lag-7
+    signal expressed as a forecasting win). All metrics are exact
+    integer rationals in micros — |errors| and squares of bigint
+    counts, floor-div ratios; no float anywhere.
+
+    Scale shape: the daily series is calendar-bounded; the two lag
+    joins are self equi-joins on day offsets; one 1-row reduction."""
+    daily = _daily_series(spark, sf_dir)
+    n1 = daily.select((F.col("day_n") + 1).alias("day_n"), F.col("v").alias("naive1"))
+    n7 = daily.select((F.col("day_n") + 7).alias("day_n"), F.col("v").alias("naive7"))
+    f = (
+        daily.withColumnRenamed("v", "actual")
+        .join(n1, "day_n")
+        .join(n7, "day_n")
+    )
+    m = f.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("actual").alias("sa"),
+        F.sum(F.abs(F.col("actual") - F.col("naive1"))).alias("ae1"),
+        F.sum(F.abs(F.col("actual") - F.col("naive7"))).alias("ae7"),
+        F.sum(
+            (F.col("actual") - F.col("naive1"))
+            * (F.col("actual") - F.col("naive1"))
+        ).alias("se1"),
+        F.sum(
+            (F.col("actual") - F.col("naive7"))
+            * (F.col("actual") - F.col("naive7"))
+        ).alias("se7"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr("CAST(ae1 * 1000000 div sa AS BIGINT)").alias("wape1_micro"),
+        F.expr("CAST(ae7 * 1000000 div sa AS BIGINT)").alias("wape7_micro"),
+        F.col("se1").cast("bigint").alias("sse1"),
+        F.col("se7").cast("bigint").alias("sse7"),
+        F.expr(
+            "CASE WHEN ae1 = 0 THEN NULL"
+            " ELSE CAST(ae7 * 1000000 div ae1 AS BIGINT) END"
+        ).alias("mase7v1_micro"),
+    )
+
+
+@_register(
+    "t32_dau_wau_stickiness",
+    """
+    WITH d AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n
+      FROM events
+    ),
+    dau AS (
+      SELECT day_n, COUNT(DISTINCT user_id) AS dau FROM d GROUP BY day_n
+    ),
+    wau AS (
+      SELECT day_n // 7 AS week_n, COUNT(DISTINCT user_id) AS wau
+      FROM d GROUP BY 1
+    ),
+    wk AS (
+      SELECT day_n // 7 AS week_n, SUM(dau) AS sum_dau, COUNT(*) AS n_days
+      FROM dau GROUP BY 1
+    )
+    SELECT w.week_n, CAST(wk.n_days AS INT) AS n_days,
+           CAST(wk.sum_dau AS BIGINT) AS sum_dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           CAST(wk.sum_dau * 1000000 // (wk.n_days * w.wau) AS BIGINT)
+             AS stickiness_micro
+    FROM wau w JOIN wk ON wk.week_n = w.week_n
+    """,
+)
+def t32_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU engagement ("stickiness"): per calendar week, the sum
+    of daily distinct users, the weekly distinct users, and mean-DAU /
+    WAU as an integer micro ratio — the product-analytics staple that
+    needs distinct aggregation at two granularities. Declared-us day
+    numbers (the t2/t8 precision contract).
+
+    Scale shape: two exact countDistinct aggregates — each shuffles
+    (day, user) / (week, user) once with map-side partial dedup; the
+    week rollup of daily distincts is a tiny second aggregate. At
+    100 TB the exact distincts would ride the a12 deterministic-HLL
+    register table instead; the exact form is the oracle-checkable
+    contract."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.expr("ts_ns div 1000 div 86400000000").alias("day_n")
+    )
+    dau = d.groupBy("day_n").agg(F.countDistinct("user_id").alias("dau"))
+    wau = d.groupBy(F.expr("day_n div 7").alias("week_n")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    wk = dau.groupBy(F.expr("day_n div 7").alias("week_n")).agg(
+        F.sum("dau").alias("sum_dau"), F.count(F.lit(1)).alias("n_days")
+    )
+    return wau.join(wk, "week_n").select(
+        "week_n",
+        F.col("n_days").cast("int").alias("n_days"),
+        F.col("sum_dau").cast("bigint").alias("sum_dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        F.expr(
+            "CAST(sum_dau * 1000000 div (n_days * wau) AS BIGINT)"
+        ).alias("stickiness_micro"),
+    )
+
+
+@_register(
+    "u16_ivm_join_counts",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def u16_ivm_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance surfaced as a gate-checked query:
+    the orders ⋈ customer view is materialized from OLD partitions of
+    both sides, then brought current by appending ONLY
+    delta_join(ΔL, ΔR) = ΔL⋈R_old ∪ L_old⋈ΔR ∪ ΔL⋈ΔR
+    (operators/incremental.py) — history is never re-joined. The
+    oracle computes the same aggregate from the full tables, so the
+    maintained view must be multiset-identical to a full recompute
+    (the IVM identity, proven through the driver gate rather than
+    only in pytest).
+
+    Scale shape: the two cross terms join a DELTA against a base
+    (delta side broadcast when small); ΔL⋈ΔR is delta-sized; the
+    final rollup is a 5-group aggregate. At 100 TB this is the
+    nightly-increment pattern that replaces full-view rebuilds."""
+    from hi_csa_db_spark.operators.incremental import delta_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    old_o = o.filter(F.col("o_orderkey") % 10 != 0)
+    d_o = o.filter(F.col("o_orderkey") % 10 == 0)
+    old_c = c.filter(F.col("c_custkey") % 7 != 0)
+    d_c = c.filter(F.col("c_custkey") % 7 == 0)
+    # delta_join joins on column names, so align the key name
+    lo, dl = old_o.withColumnRenamed("o_custkey", "k"), d_o.withColumnRenamed(
+        "o_custkey", "k"
+    )
+    ro, dr = old_c.withColumnRenamed("c_custkey", "k"), d_c.withColumnRenamed(
+        "c_custkey", "k"
+    )
+    appended = delta_join(lo, dl, ro, dr, ["k"])
+    maintained = lo.join(ro, ["k"]).unionByName(appended)
+    return maintained.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+
+
+@_register(
+    "dq10_sequence_gaps",
+    """
+    WITH k AS (SELECT DISTINCT o_orderkey AS id FROM orders),
+    r AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rnk FROM k),
+    isl AS (
+      SELECT id - rnk AS grp, MIN(id) AS lo, MAX(id) AS hi, COUNT(*) AS n
+      FROM r GROUP BY 1
+    ),
+    nxt AS (
+      SELECT a.hi AS gap_start_after, b.lo AS gap_end_before,
+             b.lo - a.hi - 1 AS missing
+      FROM isl a JOIN isl b ON b.lo = (
+        SELECT MIN(lo) FROM isl WHERE lo > a.hi
+      )
+    )
+    SELECT gap_start_after, gap_end_before, CAST(missing AS BIGINT) AS missing
+    FROM nxt ORDER BY gap_start_after LIMIT 20
+    """,
+)
+def dq10_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit: the first 20 holes in the orderkey id
+    space (contiguous-run islands via the id − rank key, then
+    consecutive-island pairing) — the surrogate-key integrity check
+    that catches dropped extraction batches: a gap of exactly one
+    batch size is a smoking gun. TPC-H orderkeys are deliberately
+    sparse (only 1 in 4 low ids used), so the fixture genuinely
+    exercises the island logic.
+
+    Scale shape: ranks ride ordered.global_row_numbers (range
+    partition + broadcast offsets); islands are one groupBy; the
+    island successor pairing is a rank+1 equi-join over the (small)
+    island table, never a correlated subquery (the oracle's
+    correlated MIN is the semantic spec)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id")
+    ).distinct()
+    r = ordered.global_row_numbers(o, "id")
+    isl = (
+        r.select((F.col("id") - F.col("rank")).alias("grp"), "id")
+        .groupBy("grp")
+        .agg(
+            F.min("id").alias("lo"),
+            F.max("id").alias("hi"),
+        )
+    )
+    ir = ordered.global_row_numbers(isl.select("lo", "hi"), "lo")
+    succ = ir.select(
+        (F.col("rank") - 1).alias("rank"),
+        F.col("lo").alias("next_lo"),
+    )
+    return (
+        ir.join(succ, "rank")
+        .select(
+            F.col("hi").alias("gap_start_after"),
+            F.col("next_lo").alias("gap_end_before"),
+            (F.col("next_lo") - F.col("hi") - 1).cast("bigint").alias(
+                "missing"
+            ),
+        )
+        .orderBy("gap_start_after")
+        .limit(20)
+    )
+
+
+@_register(
+    "t33_seasonality_strength",
+    f"""
+    WITH {_STL_SQL},
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(det_micro AS DECIMAL(38,0))) AS sd,
+             SUM(CAST(det_micro AS DECIMAL(38,0))
+                 * CAST(det_micro AS DECIMAL(38,0))) AS ssd,
+             SUM(CAST(resid_micro AS DECIMAL(38,0))) AS sr,
+             SUM(CAST(resid_micro AS DECIMAL(38,0))
+                 * CAST(resid_micro AS DECIMAL(38,0))) AS ssr
+      FROM (SELECT stl.resid_micro + stl.seasonal_micro AS det_micro,
+                   stl.resid_micro
+            FROM stl) z
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(1000000 - CAST((n * ssr - sr * sr) * 1000000 AS HUGEINT)
+                          // CAST(n * ssd - sd * sd AS HUGEINT) AS BIGINT)
+             AS seasonal_strength_micro
+    FROM m
+    """,
+)
+def t33_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength (Hyndman's FS = 1 − Var(残)/Var(detrended)
+    measure, integer form): how much of the de-trended daily variance
+    the day-of-week component explains — near 1e6 means the weekly
+    rhythm dominates, near 0 means t28's seasonal row is noise. The
+    variance ratio is the exact integer cross-multiplication
+    (n·SSr − Sr²)·1e6 // (n·SSd − Sd²) in DECIMAL(38,0) — the t29
+    idiom with both variances from one aggregate; note
+    detrended = resid + seasonal by construction, so the input
+    re-derives from t28's own outputs.
+
+    Scale shape: t28's calendar-bounded chain plus one 1-row moment
+    reduction."""
+    stl = t28_stl_decompose(spark, sf_dir).select(
+        (F.col("resid_micro") + F.col("seasonal_micro")).alias("det_micro"),
+        "resid_micro",
+    )
+    dec = "decimal(38,0)"
+    m = stl.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("det_micro").cast(dec)).alias("sd"),
+        F.sum(F.col("det_micro").cast(dec) * F.col("det_micro").cast(dec)).alias(
+            "ssd"
+        ),
+        F.sum(F.col("resid_micro").cast(dec)).alias("sr"),
+        F.sum(
+            F.col("resid_micro").cast(dec) * F.col("resid_micro").cast(dec)
+        ).alias("ssr"),
+    )
+    # Spark's decimal `div` at ~1e28 magnitudes goes through a
+    # precision-capped decimal divide that can ROUND the quotient up
+    # before truncating (observed: one micro above DuckDB's exact
+    # HUGEINT floor). Compute the tentative quotient, then correct it
+    # to the true floor with one multiply-back comparison in exact
+    # decimal — q is at most 1 off in either direction.
+    q = m.select(
+        "n",
+        F.expr("(n * ssr - sr * sr) * 1000000").alias("x"),
+        F.expr("(n * ssd - sd * sd)").alias("d"),
+    ).select(
+        "n", "x", "d", F.expr("x div d").alias("q0")
+    ).select(
+        "n",
+        F.expr(
+            "CASE WHEN q0 * d > x THEN q0 - 1"
+            " WHEN (q0 + 1) * d <= x THEN q0 + 1"
+            " ELSE q0 END"
+        ).alias("q"),
+    )
+    return q.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr("CAST(1000000 - q AS BIGINT)").alias(
+            "seasonal_strength_micro"
+        ),
+    )
+
+
+@_register(
+    "u17_jsonl_roundtrip",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+    FROM events GROUP BY event_type
+    """,
+)
+def u17_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines as a source format: the events table is exported
+    once to JSONL (timestamps carried as declared-microsecond
+    integers — JSON has no timestamp type, so the t2/t8 precision
+    contract IS the serialization), read back with
+    spark.read.json + an explicit schema (schema-on-read, no
+    inference pass at scale), and aggregated; the oracle recomputes
+    from the original parquet, so the JSON writer/reader round trip
+    must preserve every row, type, and microsecond. Covers the
+    third interchange format beside parquet/ORC (sources tier) the
+    way u15 covers schema drift.
+
+    Scale shape: one partitioned JSONL write (per-process idempotent,
+    under /tmp), then an ordinary map-combined aggregate; the
+    explicit schema avoids Spark's whole-file inference scan."""
+    import hashlib
+    import os
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:10]
+    loc = f"/tmp/spark_graft_jsonl/{tag}"
+    if not os.path.exists(loc):
+        ev.select(
+            "event_id",
+            "event_type",
+            F.col("value"),
+            F.expr("ts_ns div 1000").alias("ts_us"),
+        ).write.mode("overwrite").json(loc)
+    back = spark.read.schema(
+        "event_id bigint, event_type string, value double, ts_us bigint"
+    ).json(loc)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+        F.max("ts_us").cast("bigint").alias("last_us"),
+    )
+
+
+@_register(
+    "u18_partition_pruned_read",
+    """
+    WITH d AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n,
+             event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT day_n, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS value_cents
+    FROM d WHERE day_n % 7 = 0
+    GROUP BY day_n, event_type
+    """,
+)
+def u18_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan over a date-partitioned layout: events
+    are written ONCE partitioned by day (the standard lake layout for
+    100 TB event data), then read with a predicate on the partition
+    column — Spark resolves the qualifying directories from metadata
+    alone (PartitionFilters in the scan, pinned in test_plans.py),
+    so the query reads 1/7th of the files, never filtering row data.
+    The oracle recomputes from the unpartitioned table, proving the
+    layout round trip loses nothing.
+
+    Scale shape: this is THE mechanism that makes daily incremental
+    jobs O(day) instead of O(history): pruning happens at file
+    listing, before any I/O; the aggregate is map-combined per
+    (day, type)."""
+    import hashlib
+    import os
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:10]
+    loc = f"/tmp/spark_graft_daypart/{tag}"
+    if not os.path.exists(loc):
+        ev.select(
+            F.expr("ts_ns div 1000 div 86400000000").alias("day_n"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        ).write.partitionBy("day_n").mode("overwrite").parquet(loc)
+    back = spark.read.parquet(loc)
+    return (
+        back.filter(F.col("day_n") % 7 == 0)
+        .groupBy("day_n", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("value_cents"),
+        )
+        .select(
+            F.col("day_n").cast("bigint").alias("day_n"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+@_register(
+    "u19_multi_format_union",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id % 3 = 0 THEN 'parquet'
+                                    WHEN doc_id % 3 = 1 THEN 'orc'
+                                    ELSE 'jsonl' END) AS INT) AS n_formats
+    FROM documents GROUP BY source
+    """,
+)
+def u19_multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyglot-lake read: one logical documents dataset stored in
+    THREE physical formats (a parquet slice, an ORC slice, a JSONL
+    slice — the realistic state of a long-lived lake mid-migration),
+    unified by unionByName into a single frame and aggregated; the
+    oracle recomputes from the single-format source, so each format's
+    writer/reader round trip must preserve every row. Extends u15's
+    schema drift and u17's JSON contract to format heterogeneity.
+
+    Scale shape: three scans (each pruned/filtered independently —
+    format-specific pushdown still applies per leg) + one
+    map-combined aggregate; the union is a plan-level concat, not a
+    shuffle."""
+    import hashlib
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:10]
+    loc = f"/tmp/spark_graft_polyglot/{tag}"
+    if not os.path.exists(loc):
+        docs.filter(F.col("doc_id") % 3 == 0).write.mode("overwrite").parquet(
+            f"{loc}/p"
+        )
+        docs.filter(F.col("doc_id") % 3 == 1).write.mode("overwrite").orc(
+            f"{loc}/o"
+        )
+        docs.filter(F.col("doc_id") % 3 == 2).write.mode("overwrite").json(
+            f"{loc}/j"
+        )
+    schema = "doc_id bigint, source string, n_chars bigint"
+    uni = (
+        spark.read.parquet(f"{loc}/p")
+        .unionByName(spark.read.orc(f"{loc}/o"))
+        .unionByName(spark.read.schema(schema).json(f"{loc}/j"))
+    )
+    fmt = (
+        F.when(F.col("doc_id") % 3 == 0, "parquet")
+        .when(F.col("doc_id") % 3 == 1, "orc")
+        .otherwise("jsonl")
+    )
+    return uni.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct(fmt).cast("int").alias("n_formats"),
+    )
+@_register(
+    "dq11_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS k,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT))
+               AS line_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    o AS (
+      SELECT o_orderkey AS k, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+               AS hdr_cents
+      FROM orders
+    ),
+    j AS (
+      SELECT o.o_orderstatus, o.hdr_cents,
+             COALESCE(li.line_cents, 0) AS line_cents,
+             abs(o.hdr_cents - COALESCE(li.line_cents, 0)) AS adiff
+      FROM o LEFT JOIN li ON li.k = o.k
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN adiff > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatched,
+           CAST(MAX(adiff) AS BIGINT) AS max_abs_diff_cents,
+           CAST(SUM(adiff) AS BIGINT) AS total_abs_diff_cents
+    FROM j GROUP BY o_orderstatus
+    """,
+)
+def dq11_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail money reconciliation: each order's header total
+    against the sum of its line extended prices - the classic
+    cross-table consistency audit (billing header drifting from its
+    lines is how real pipelines lose money silently). Reports, per
+    order status, how many orders disagree beyond a cent and by how
+    much; orders with no lines reconcile against zero. Whatever the
+    fixture's generator chose, both engines must agree on the exact
+    integer-cents discrepancy profile.
+
+    Scale shape: one map-combined per-order line aggregate, one
+    header equi-join (both sides keyed on orderkey — bucketed layout
+    makes it shuffle-free, the j11 pattern), one |status| rollup."""
+    li = load_table(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(15,2)") * 100).cast(
+                "bigint"
+            )
+        ).alias("line_cents")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(15,2)") * 100)
+        .cast("bigint")
+        .alias("hdr_cents"),
+    )
+    j = o.join(li, "k", "left").select(
+        "o_orderstatus",
+        F.abs(
+            F.col("hdr_cents") - F.coalesce("line_cents", F.lit(0))
+        ).alias("adiff"),
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum((F.col("adiff") > 1).cast("bigint"))
+        .cast("bigint")
+        .alias("n_mismatched"),
+        F.max("adiff").cast("bigint").alias("max_abs_diff_cents"),
+        F.sum("adiff").cast("bigint").alias("total_abs_diff_cents"),
+    )
+@_register(
+    "t34_sliding_distinct",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n
+      FROM events
+    ),
+    span AS (SELECT MIN(day_n) AS d0, MAX(day_n) AS d1 FROM d),
+    anchors AS (
+      SELECT DISTINCT day_n + i AS anchor
+      FROM d, UNNEST([0, 1, 2, 3, 4, 5, 6]) AS t(i)
+    ),
+    sel AS (
+      SELECT anchor FROM anchors CROSS JOIN span
+      WHERE anchor >= d0 + 6 AND anchor <= d1
+    )
+    -- deliberately the NAIVE definition (window re-scan + true
+    -- COUNT DISTINCT): the engine's bitmap-merge plan must equal it
+    SELECT s.anchor AS window_end_day,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS distinct_users_7d
+    FROM sel s JOIN d ON d.day_n BETWEEN s.anchor - 6 AND s.anchor
+    GROUP BY s.anchor
+    """,
+)
+def t34_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 7-day sliding distinct users — the query that is easy to
+    ask and brutal to run naively (distinct is not subtractable, so a
+    naive plan re-scans 7 days per window). Solution: per-day user
+    BITMAPS (a15's 32-bit words) are MERGEABLE — each day's words
+    contribute to the 7 windows they influence (t16's calendar band
+    join), bit_or merges them per window, popcount finishes. One
+    shuffle of day-level words fanned 7x, never a re-scan; windows
+    with fewer than 7 days of history are dropped on both sides.
+
+    At 100 TB the day-level bitmap table is the materialized
+    intermediate (tiny: id_range/32 longs per day), and ANY window
+    length reuses it — the exact-arithmetic counterpart of merging
+    HLL registers (a12), with no estimation error."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.expr("ts_ns div 1000 div 86400000000").alias("day_n")
+    ).distinct()
+    w = d.groupBy("day_n", F.expr("user_id div 32").alias("word")).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))"
+        ).alias("bits")
+    )
+    span = d.agg(F.min("day_n").alias("d0"), F.max("day_n").alias("d1"))
+    contrib = w.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day_n",
+        "word",
+        "bits",
+    ).select((F.col("day_n") + F.col("i")).alias("anchor"), "word", "bits")
+    merged = contrib.groupBy("anchor", "word").agg(
+        F.expr("bit_or(bits)").alias("bits")
+    )
+    out = merged.groupBy("anchor").agg(
+        F.sum(F.bit_count("bits")).alias("wau7")
+    )
+    return (
+        out.crossJoin(F.broadcast(span))
+        .filter(
+            (F.col("anchor") >= F.col("d0") + 6)
+            & (F.col("anchor") <= F.col("d1"))
+        )
+        .select(
+            F.col("anchor").alias("window_end_day"),
+            F.col("wau7").cast("bigint").alias("distinct_users_7d"),
+        )
+    )
+@_register(
+    "dq12_pk_uniqueness",
+    """
+    SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_dup_rows
+    FROM orders
+    UNION ALL
+    SELECT 'customer', COUNT(*), COUNT(DISTINCT c_custkey),
+           COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer
+    UNION ALL
+    SELECT 'part', COUNT(*), COUNT(DISTINCT p_partkey),
+           COUNT(*) - COUNT(DISTINCT p_partkey) FROM part
+    UNION ALL
+    SELECT 'supplier', COUNT(*), COUNT(DISTINCT s_suppkey),
+           COUNT(*) - COUNT(DISTINCT s_suppkey) FROM supplier
+    UNION ALL
+    SELECT 'documents', COUNT(*), COUNT(DISTINCT doc_id),
+           COUNT(*) - COUNT(DISTINCT doc_id) FROM documents
+    UNION ALL
+    SELECT 'events', COUNT(*), COUNT(DISTINCT event_id),
+           COUNT(*) - COUNT(DISTINCT event_id) FROM events
+    """,
+)
+def dq12_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across every keyed fixture table
+    in ONE result: row count vs distinct key count per table — the
+    first DQ gate any ingest runs (a duplicated key breaks every
+    downstream join's cardinality; dq9 predicts the blast radius,
+    this catches the cause). The clean fixture's zeros are the
+    verified answer (the dq7/dq10 clean-pin pattern).
+
+    Scale shape: one map-combined count+distinct per table, unioned —
+    each leg shuffles only its partial aggregates."""
+    parts = []
+    for tbl, key in (
+        ("orders", "o_orderkey"),
+        ("customer", "c_custkey"),
+        ("part", "p_partkey"),
+        ("supplier", "s_suppkey"),
+        ("documents", "doc_id"),
+        ("events", "event_id"),
+    ):
+        t = load_table(spark, sf_dir, tbl)
+        parts.append(
+            t.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct(key).cast("bigint").alias("n_keys"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                "n_rows",
+                "n_keys",
+                (F.col("n_rows") - F.col("n_keys"))
+                .cast("bigint")
+                .alias("n_dup_rows"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+@_register(
+    "t35_retention_downsample",
+    """
+    WITH d AS (
+      SELECT event_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n
+      FROM events
+    ),
+    mx AS (SELECT MAX(day_n) AS dmax FROM d),
+    aged AS (
+      SELECT event_id, day_n,
+             least((dmax - day_n) // 7, 6) AS age_weeks
+      FROM d CROSS JOIN mx
+    ),
+    kept AS (
+      SELECT age_weeks, day_n, event_id,
+             CASE WHEN CAST('0x' || substring(
+                    md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  % (1 << CAST(age_weeks AS INT)) = 0
+                  THEN 1 ELSE 0 END AS keep
+      FROM aged
+    )
+    SELECT CAST(age_weeks AS INT) AS age_weeks,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(1000000 // (1 << CAST(age_weeks AS INT)) AS BIGINT)
+             AS target_rate_micro,
+           CAST(SUM(keep) * 1000000 // COUNT(*) AS BIGINT)
+             AS actual_rate_micro
+    FROM kept GROUP BY age_weeks
+    """,
+)
+def t35_retention_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Age-tiered retention downsampling: keep ALL of the newest
+    week, 1/2 of the next, 1/4 of the one after ... 1/64 beyond —
+    the halving retention ladder observability stores apply to event
+    history. Membership is the deterministic hash keep rule
+    (md5(event_id) mod 2^age == 0 — a pure function of the id, the
+    x29/sample_* idiom), so the sample is reproducible across
+    engines, reruns, and re-shards, and an event's fate only ever
+    changes when it ages into the next tier. Reports kept vs target
+    rate per tier — the audit that shows the hash rule tracking its
+    nominal rate.
+
+    Scale shape: a 1-row max-day broadcast, a narrow per-row keep
+    rule (pushable to the scan), one <= 7-group aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id", F.expr("ts_ns div 1000 div 86400000000").alias("day_n")
+    )
+    mx = d.agg(F.max("day_n").alias("dmax"))
+    aged = d.crossJoin(F.broadcast(mx)).select(
+        "event_id",
+        F.least(
+            F.expr("(dmax - day_n) div 7"), F.lit(6)
+        ).alias("age_weeks"),
+    )
+    kept = aged.select(
+        "age_weeks",
+        F.expr(
+            "CAST(CASE WHEN CAST(conv(substring(md5(CAST(event_id AS STRING)),"
+            " 1, 8), 16, 10) AS BIGINT)"
+            " % shiftleft(CAST(1 AS BIGINT), CAST(age_weeks AS INT)) = 0"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("keep"),
+    )
+    return kept.groupBy("age_weeks").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        F.expr(
+            "CAST(1000000 div (CAST(1 AS BIGINT) << CAST(age_weeks AS INT))"
+            " AS BIGINT)"
+        ).alias("target_rate_micro"),
+        F.expr("CAST(SUM(keep) * 1000000 div COUNT(1) AS BIGINT)").alias(
+            "actual_rate_micro"
+        ),
+    ).select(
+        F.col("age_weeks").cast("int").alias("age_weeks"),
+        "n_events",
+        "n_kept",
+        "target_rate_micro",
+        "actual_rate_micro",
+    )
+@_register(
+    "u20_time_travel",
+    """
+    WITH v0 AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT))
+               AS cents
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderpriority
+    ),
+    v1 AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT))
+               AS cents
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT v1.o_orderpriority,
+           CAST(v0.n AS BIGINT) AS v0_rows,
+           CAST(v1.n AS BIGINT) AS v1_rows,
+           CAST(v1.cents - v0.cents AS BIGINT) AS appended_cents
+    FROM v1 JOIN v0 ON v0.o_orderpriority = v1.o_orderpriority
+    """,
+)
+def u20_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID TIME TRAVEL through the driver gate: an orders table is
+    committed to the txlog format in two versions (v0 = even
+    orderkeys, v1 = append of the odd ones), then BOTH snapshots are
+    read back — version 0 by explicit time travel, v1 as latest —
+    and compared per priority class. The oracle recomputes both
+    states from the source rule, so manifest pinning must isolate
+    each snapshot exactly (a v0 read that sees any v1 file breaks the
+    row counts; a v1 read that re-reads v0 files twice breaks the
+    cents). Surfaces sources/txlog.py's snapshot isolation the way
+    u16 surfaces IVM — through the value gate, not just pytest.
+
+    The write is per-process idempotent under /tmp; reads resolve ONE
+    manifest each (O(1) metadata, the Delta/Iceberg contract)."""
+    import hashlib
+    import os
+
+    from hi_csa_db_spark.sources import txlog
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_timetravel/{tag}"
+    if txlog.current_version(path) is None:
+        txlog.write_table(o.filter(F.col("o_orderkey") % 2 == 0), path)
+        txlog.write_table(
+            o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append"
+        )
+    cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("bigint")
+
+    def snap(version):
+        return (
+            txlog.read_table(spark, path, version=version)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(cents).alias("cents"),
+            )
+        )
+
+    v0 = snap(0).select(
+        F.col("o_orderpriority").alias("p0"),
+        F.col("n").alias("v0_rows"),
+        F.col("cents").alias("c0"),
+    )
+    v1 = snap(None)
+    return v1.join(v0, v1["o_orderpriority"] == v0["p0"]).select(
+        "o_orderpriority",
+        "v0_rows",
+        F.col("n").alias("v1_rows"),
+        (F.col("cents") - F.col("c0")).cast("bigint").alias("appended_cents"),
+    )
+@_register(
+    "t36_peak_detection",
+    f"""
+    WITH{_DAILY_SQL},
+    peaks AS (
+      SELECT c.day_n, c.v,
+             c.v - greatest(l.v, r.v) AS prominence
+      FROM daily c
+      JOIN daily l ON l.day_n = c.day_n - 1
+      JOIN daily r ON r.day_n = c.day_n + 1
+      WHERE c.v > l.v AND c.v > r.v
+    )
+    SELECT day_n, CAST(v AS BIGINT) AS n_events,
+           CAST(prominence AS BIGINT) AS prominence
+    FROM peaks
+    ORDER BY prominence DESC, day_n ASC
+    LIMIT 10
+    """,
+)
+def t36_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection on the daily series: strict local maxima (both
+    calendar neighbors lower — gap days count as zero, so isolated
+    spikes rank correctly) with integer prominence v − max(neighbors),
+    top-10 by prominence — the spike-triage list an on-call dashboard
+    shows next to t29's seasonally-adjusted anomalies (t29 flags
+    deviation from rhythm; this ranks raw spikes).
+
+    Scale shape: two day-offset self equi-joins on the
+    calendar-bounded series + TakeOrderedAndProject."""
+    daily = _daily_series(spark, sf_dir)
+    left = daily.select(
+        (F.col("day_n") + 1).alias("day_n"), F.col("v").alias("lv")
+    )
+    right = daily.select(
+        (F.col("day_n") - 1).alias("day_n"), F.col("v").alias("rv")
+    )
+    return (
+        daily.join(left, "day_n")
+        .join(right, "day_n")
+        .filter((F.col("v") > F.col("lv")) & (F.col("v") > F.col("rv")))
+        .select(
+            "day_n",
+            F.col("v").cast("bigint").alias("n_events"),
+            (F.col("v") - F.greatest("lv", "rv"))
+            .cast("bigint")
+            .alias("prominence"),
+        )
+        .orderBy(F.col("prominence").desc(), F.col("day_n").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "t37_dow_hour_heatmap",
+    """
+    WITH e AS (
+      SELECT epoch_us(ts) // 86400000000 % 7 AS dow,
+             epoch_us(ts) % 86400000000 // 3600000000 AS hod,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM e)
+    SELECT CAST(dow AS INT) AS dow, CAST(hod AS INT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS value_cents,
+           (SELECT CAST(COUNT(*) * 1000000 // MAX(t.n) AS BIGINT)
+            FROM e e2 CROSS JOIN tot t
+            WHERE e2.dow = e.dow AND e2.hod = e.hod) AS share_micro
+    FROM e GROUP BY dow, hod
+    """,
+)
+def t37_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap (<= 168 cells with
+    counts, exact cents volume, and integer-micro share of total) —
+    the capacity-planning grid that t14's day profile and t1's hourly
+    counts each show one axis of. Times are pure integer arithmetic
+    on declared-microsecond epochs (day-number mod 7 and
+    microsecond-of-day floor-div — no calendar/timezone functions on
+    either engine).
+
+    Scale shape: one map-combined <= 168-group aggregate + a 1-row
+    total broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr("ts_ns div 1000 div 86400000000 % 7").alias("dow"),
+        F.expr("ts_ns div 1000 % 86400000000 div 3600000000").alias("hod"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    tot = e.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        e.groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("value_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            F.col("hod").cast("int").alias("hour_of_day"),
+            "n_events",
+            "value_cents",
+            F.expr("CAST(n_events * 1000000 div n AS BIGINT)").alias(
+                "share_micro"
+            ),
+        )
+    )
+
+
+@_register(
+    "t38_watermark_planner",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) + (event_id * 2654435761) % 4294967296 % 300000000
+               AS arr
+      FROM events
+    ),
+    w AS (
+      SELECT us,
+             MAX(us) OVER (PARTITION BY user_id ORDER BY arr ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS mx
+      FROM e
+    ),
+    l AS (SELECT greatest(COALESCE(mx - us, 0), 0) AS late FROM w),
+    g AS (SELECT unnest([10, 30, 60, 120, 300]) AS wsec)
+    SELECT CAST(g.wsec AS INT) AS watermark_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN l.late > g.wsec * 1000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN l.late > g.wsec * 1000000 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS drop_micro
+    FROM g CROSS JOIN l GROUP BY g.wsec
+    """,
+)
+def t38_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay planning for the streaming surface: how many
+    events would each candidate ``withWatermark`` delay (10/30/60/120/
+    300 s) DROP as too-late? Lateness is measured against the running
+    max event-time of each key's ARRIVAL stream — arrival order is a
+    deterministic simulated network delay (0-300 s, the x24-style
+    integer hash of event_id) on top of event time, since the fixture
+    stream arrives perfectly ordered. The planner output is the
+    state-size-vs-completeness trade the stream_* operators' watermark
+    is chosen from: pick the smallest delay whose drop rate is
+    acceptable (drop_micro is exact integer millionths).
+
+    Determinism: integer microsecond epochs (declared-us, never engine
+    timestamp arithmetic), an integer hash delay, and a per-key window
+    ordered (arr, event_id) — no ties, no floats.
+
+    Scale: one window pass PARTITIONED BY user (parallel per key,
+    never a global sort — mirroring per-key streaming state), then a
+    5-row broadcast grid join and a map-combined 5-group aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("us"),
+    ).withColumn(
+        "arr",
+        F.col("us")
+        + (F.col("event_id") * 2654435761) % 4294967296 % 300000000,
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("arr").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.greatest(
+        F.coalesce(F.max("us").over(win) - F.col("us"), F.lit(0)), F.lit(0)
+    )
+    lat = e.select(late.alias("late"))
+    grid = spark.createDataFrame(
+        [(10,), (30,), (60,), (120,), (300,)], "wsec int"
+    )
+    dropped = F.sum(
+        F.when(F.col("late") > F.col("wsec").cast("bigint") * 1000000, 1)
+        .otherwise(0)
+    )
+    return (
+        lat.crossJoin(F.broadcast(grid))
+        .groupBy("wsec")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dropped.cast("bigint").alias("n_dropped"),
+        )
+        .select(
+            F.col("wsec").cast("int").alias("watermark_s"),
+            "n_events",
+            "n_dropped",
+            F.expr(
+                "CAST(n_dropped * 1000000 div n_events AS BIGINT)"
+            ).alias("drop_micro"),
+        )
+    )
+
+
+@_register(
+    "t39_session_gap_planner",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    l AS (
+      SELECT us - LAG(us) OVER (PARTITION BY user_id
+                                ORDER BY us ASC, event_id ASC) AS gap
+      FROM e
+    ),
+    u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM events),
+    g AS (SELECT unnest([60, 300, 900, 1800, 3600]) AS gsec)
+    SELECT CAST(g.gsec AS INT) AS gap_s,
+           u.nu AS n_users,
+           CAST(SUM(CASE WHEN l.gap > CAST(g.gsec AS BIGINT) * 1000000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+           CAST(u.nu + SUM(CASE WHEN l.gap > CAST(g.gsec AS BIGINT) * 1000000
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM g CROSS JOIN l CROSS JOIN u
+    GROUP BY g.gsec, u.nu
+    """,
+)
+def t39_session_gap_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-gap planning for t2's sessionizer: how many sessions
+    does each candidate inactivity gap (1/5/15/30/60 min) produce?
+    Per user, the inter-event gap distribution is computed once (one
+    LAG window pass partitioned by user, ordered (ts, event_id) so
+    ties can't flip engines), then every candidate gap reads its
+    session count off the same pass: a session starts at each user's
+    first event plus every gap exceeding the candidate. The planner
+    output is the elbow curve a pipeline picks its session timeout
+    from — the batch twin of choosing
+    ``session_window(gap)`` before deploying the stream.
+
+    Determinism: integer microsecond epochs (declared-us), integer
+    gap comparisons, no floats anywhere.
+
+    Scale: one per-key window pass (parallel in users, never global),
+    a 5-row broadcast grid, and a map-combined 5-group aggregate —
+    the gap distribution is never materialized per candidate."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    gaps = e.select((F.col("us") - F.lag("us").over(w)).alias("gap"))
+    nu = ev.agg(F.countDistinct("user_id").cast("bigint").alias("nu"))
+    grid = spark.createDataFrame(
+        [(60,), (300,), (900,), (1800,), (3600,)], "gsec int"
+    )
+    over = F.sum(
+        F.when(F.col("gap") > F.col("gsec").cast("bigint") * 1000000, 1)
+        .otherwise(0)
+    ).cast("bigint")
+    return (
+        gaps.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(nu))
+        .groupBy("gsec", "nu")
+        .agg(over.alias("n_boundaries"))
+        .select(
+            F.col("gsec").cast("int").alias("gap_s"),
+            F.col("nu").alias("n_users"),
+            "n_boundaries",
+            (F.col("nu") + F.col("n_boundaries"))
+            .cast("bigint")
+            .alias("n_sessions"),
+        )
+    )
+
+
+@_register(
+    "u21_compaction_plan",
+    """
+    WITH sh AS (
+      SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  AS BIGINT) AS shard,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    m AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM sh GROUP BY shard
+    ),
+    p AS (
+      SELECT shard, n_docs, total_chars,
+             COALESCE(SUM(total_chars) OVER (ORDER BY shard ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM m
+    )
+    SELECT CAST(cb // 100000 AS BIGINT) AS merge_group,
+           CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(MIN(shard) AS BIGINT) AS min_shard,
+           CAST(MAX(shard) AS BIGINT) AS max_shard,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(total_chars) AS BIGINT) AS total_chars
+    FROM p GROUP BY CAST(cb // 100000 AS BIGINT)
+    """,
+)
+def u21_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the lakehouse maintenance op:
+    x35's 16 deterministic export shards are coalesced into merge
+    groups of ~100k chars by CLOSED-FORM prefix-sum binning
+    (merge_group = floor(cumulative-bytes-before / target)), the
+    parallelizable alternative to the sequential greedy packer: every
+    shard's group is a pure function of the prefix sum, so the plan is
+    one distributed prefix-sum pass + a map, identical no matter how
+    the manifest is partitioned (contrast x44's FFD, which trades this
+    closed form for tighter bins). Groups can overshoot the target by
+    at most one shard — the standard compaction contract (a merge
+    never splits a file).
+
+    The ordered prefix sum runs over the MANIFEST (one row per shard
+    — 16 here, thousands at fleet scale), never over documents; at
+    cluster scale it goes through ordered.global_prefix_sums' range
+    partition + broadcast offsets, so no data-sized global window
+    exists (the manifest aggregate itself is map-combined)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("bigint")
+        .alias("shard"),
+        F.length("text").alias("n_chars"),
+    )
+    m = sh.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    w = (
+        Window.orderBy(F.col("shard").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = m.select(
+        "shard",
+        "n_docs",
+        "total_chars",
+        F.coalesce(F.sum("total_chars").over(w), F.lit(0)).alias("cb"),
+    )
+    grp = F.expr("CAST(cb div 100000 AS BIGINT)")
+    return p.groupBy(grp.alias("merge_group")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.min("shard").cast("bigint").alias("min_shard"),
+        F.max("shard").cast("bigint").alias("max_shard"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@_register(
+    "u22_zorder_layout",
+    """
+    WITH e AS (
+      SELECT user_id % 256 AS ub,
+             (epoch_us(ts) // 3600000000) % 256 AS hb
+      FROM events
+    ),
+    a1 AS (SELECT ub, hb, (ub | (ub << 4)) & 3855 AS ua,
+                          (hb | (hb << 4)) & 3855 AS ha FROM e),
+    a2 AS (SELECT ub, hb, (ua | (ua << 2)) & 13107 AS ua,
+                          (ha | (ha << 2)) & 13107 AS ha FROM a1),
+    a3 AS (SELECT ub, hb, (ua | (ua << 1)) & 21845 AS ua,
+                          (ha | (ha << 1)) & 21845 AS ha FROM a2),
+    z AS (SELECT ub, hb, (ua << 1) | ha AS zv FROM a3)
+    SELECT CAST(zv // 4096 AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ub) AS BIGINT) AS ub_min,
+           CAST(MAX(ub) AS BIGINT) AS ub_max,
+           CAST(MIN(hb) AS BIGINT) AS hb_min,
+           CAST(MAX(hb) AS BIGINT) AS hb_max,
+           CAST((MAX(ub) - MIN(ub) + 1) * (MAX(hb) - MIN(hb) + 1)
+             AS BIGINT) AS span_product
+    FROM z GROUP BY CAST(zv // 4096 AS BIGINT)
+    """,
+)
+def u22_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout for multi-dimensional file
+    pruning — the lakehouse OPTIMIZE ZORDER BY op: events are keyed by
+    the bit-interleave of (user_id byte, hour byte), so files cut
+    along z-ranges stay range-bounded in BOTH dimensions at once.
+    The audit groups by the top-4 z bits (16 "files") and reports each
+    dimension's min/max plus their span product: every bucket's
+    product is <= 4096 (each dim's top-2 bits are pinned inside a
+    bucket, so spans are <= 64) vs 65536 for a single-dim sort's
+    unsorted dimension — the min/max skipping-stats pruning proof,
+    carried as the result's own columns.
+
+    Bit spreading is the classic mask ladder ((x | x<<4) & 0x0F0F,
+    then 0x3333, then 0x5555) — pure integer shifts/ands identical on
+    both engines; the hour key is declared-us epoch arithmetic.
+
+    Scale: a narrow map to compute z, then one map-combined 16-group
+    aggregate. In production the z value feeds repartitionByRange +
+    sortWithinPartitions before the write; the audit here is the
+    planning/verification table for that layout decision."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        (F.col("user_id") % 256).alias("ub"),
+        F.expr("ts_ns div 1000 div 3600000000 % 256").alias("hb"),
+    )
+    def spread(c: str) -> Column:
+        x = F.expr(f"({c} | shiftleft({c}, 4)) & 3855")
+        x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(13107))
+        x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(21845))
+        return x
+
+    z = e.select(
+        "ub",
+        "hb",
+        (F.shiftleft(spread("ub"), 1).bitwiseOR(spread("hb"))).alias("zv"),
+    )
+    return z.groupBy(
+        F.expr("CAST(zv div 4096 AS BIGINT)").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ub").cast("bigint").alias("ub_min"),
+        F.max("ub").cast("bigint").alias("ub_max"),
+        F.min("hb").cast("bigint").alias("hb_min"),
+        F.max("hb").cast("bigint").alias("hb_max"),
+        (
+            (F.max("ub") - F.min("ub") + 1)
+            * (F.max("hb") - F.min("hb") + 1)
+        )
+        .cast("bigint")
+        .alias("span_product"),
+    )
+
+
+@_register(
+    "t40_auto_gap_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    l AS (
+      SELECT user_id, event_id, us,
+             us - LAG(us) OVER (PARTITION BY user_id
+                                ORDER BY us ASC, event_id ASC) AS gap
+      FROM e
+    ),
+    u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM events),
+    g AS (SELECT unnest([60, 300, 900, 1800, 3600]) AS gsec),
+    cand AS (
+      SELECT g.gsec,
+             CAST(SUM(CASE WHEN l.gap > CAST(g.gsec AS BIGINT) * 1000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM g CROSS JOIN l GROUP BY g.gsec
+    ),
+    fl AS (SELECT nb AS nb_f FROM cand WHERE gsec = 3600),
+    chosen AS (
+      SELECT MIN(cand.gsec) AS gap_s
+      FROM cand CROSS JOIN fl CROSS JOIN u
+      WHERE (u.nu + cand.nb) * 10 <= (u.nu + fl.nb_f) * 11
+    ),
+    flags AS (
+      SELECT l.user_id, l.event_id, l.us,
+             CASE WHEN l.gap IS NULL
+                    OR l.gap > CAST(c.gap_s AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM l CROSS JOIN chosen c
+    ),
+    sid AS (
+      SELECT user_id,
+             SUM(is_start) OVER (PARTITION BY user_id
+                                 ORDER BY us ASC, event_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS s
+      FROM flags
+    ),
+    sess AS (
+      SELECT user_id, s, COUNT(*) AS len FROM sid GROUP BY user_id, s
+    )
+    SELECT CAST(c.gap_s AS INT) AS gap_s,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(sess.len) AS BIGINT) AS n_events,
+           CAST(MAX(sess.len) AS BIGINT) AS max_session_events,
+           CAST(SUM(sess.len) * 1000 // COUNT(*) AS BIGINT)
+             AS avg_session_events_milli
+    FROM sess CROSS JOIN chosen c GROUP BY c.gap_s
+    """,
+)
+def t40_auto_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-TUNING sessionization: the inactivity gap is chosen FROM
+    THE DATA inside the same lazy plan — t39's planner table is
+    computed, the smallest candidate gap already within 10% of the
+    largest candidate's session count is selected (the
+    diminishing-returns elbow, as the exact integer test
+    (nu+nb_g)*10 <= (nu+nb_3600)*11 — always satisfiable at the
+    largest candidate, so no fallback branch), and the events
+    are sessionized with that gap — planner and executor fused, no
+    ``collect()`` round-trip to the driver between them (the
+    data-dependent parameter is a 1-row broadcast, exactly like the
+    classify.py threshold pattern but without even the 1-row
+    collect). Output is the session audit under the auto-chosen gap:
+    count, total events, longest session, average length in exact
+    milli-events.
+
+    Determinism: t39's integer gap machinery + an integer budget rule
+    + a (us, event_id)-ordered running sum for session ids — no
+    floats, no ties.
+
+    Scale: two per-user window passes (LAG for gaps, running SUM for
+    session ids — both parallel in users), one 5-group candidate
+    aggregate, a 1-row chosen-gap broadcast, and a map-combined
+    session-length aggregate. The planner costs one extra 5-group
+    aggregate on top of the sessionize the pipeline was running
+    anyway."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    l = e.withColumn("gap", F.col("us") - F.lag("us").over(w))
+    nu = ev.agg(F.countDistinct("user_id").cast("bigint").alias("nu"))
+    grid = spark.createDataFrame(
+        [(60,), (300,), (900,), (1800,), (3600,)], "gsec int"
+    )
+    cand = (
+        l.crossJoin(F.broadcast(grid))
+        .groupBy("gsec")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("gap") > F.col("gsec").cast("bigint") * 1000000, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("nb")
+        )
+    )
+    floor_nb = cand.filter(F.col("gsec") == 3600).select(
+        F.col("nb").alias("nb_f")
+    )
+    chosen = (
+        cand.crossJoin(F.broadcast(floor_nb))
+        .crossJoin(F.broadcast(nu))
+        .filter(
+            (F.col("nu") + F.col("nb")) * 10
+            <= (F.col("nu") + F.col("nb_f")) * 11
+        )
+        .agg(F.min("gsec").alias("gap_s"))
+    )
+    flags = l.crossJoin(F.broadcast(chosen)).select(
+        "user_id",
+        "event_id",
+        "us",
+        "gap_s",
+        F.when(
+            F.col("gap").isNull()
+            | (F.col("gap") > F.col("gap_s").cast("bigint") * 1000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sid = flags.select(
+        "user_id", "gap_s", F.sum("is_start").over(wsum).alias("s")
+    )
+    sess = sid.groupBy("user_id", "gap_s", "s").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        sess.groupBy("gap_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("len").cast("bigint").alias("n_events"),
+            F.max("len").cast("bigint").alias("max_session_events"),
+        )
+        .select(
+            F.col("gap_s").cast("int").alias("gap_s"),
+            "n_sessions",
+            "n_events",
+            "max_session_events",
+            F.expr(
+                "CAST(n_events * 1000 div n_sessions AS BIGINT)"
+            ).alias("avg_session_events_milli"),
+        )
+    )
+
+
+@_register(
+    "t41_cohort_ltv",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               // 7 AS wk,
+             CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    c AS (SELECT o_custkey, MIN(wk) AS c0 FROM o GROUP BY o_custkey),
+    j AS (
+      SELECT c.c0 AS cohort_week, o.wk - c.c0 AS week_offset,
+             o.o_custkey, o.cents
+      FROM o JOIN c ON c.o_custkey = o.o_custkey
+      WHERE o.wk - c.c0 < 8
+    ),
+    g AS (
+      SELECT cohort_week, week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+             CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      FROM j GROUP BY cohort_week, week_offset
+    )
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           n_orders, n_active, revenue_cents,
+           CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_week
+             ORDER BY week_offset ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_revenue_cents
+    FROM g
+    """,
+)
+def t41_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    week, revenue accumulated across their first 8 weekly offsets —
+    the money sibling of t6's retention counts (t6 answers "do they
+    come back", this answers "what are they worth by week N", the
+    payback-period table subscription/acquisition decisions read).
+    Exact integer money (decimal cents) and integer epoch-week
+    arithmetic on both engines; the cumulative sum runs per cohort
+    over <= 8 offset rows, never over raw orders.
+
+    Scale: two map-combined aggregates (first-order week, per-cell
+    rollup) + an equi-join on customer + a cohort-partitioned window
+    over the tiny aggregated grid."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(datediff(o_orderdate, DATE '1970-01-01') div 7 AS BIGINT)"
+        ).alias("wk"),
+        (F.col("o_totalprice").cast("decimal(15,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    c = o.groupBy("o_custkey").agg(F.min("wk").alias("c0"))
+    j = (
+        o.join(c, "o_custkey")
+        .select(
+            F.col("c0").alias("cohort_week"),
+            (F.col("wk") - F.col("c0")).alias("week_offset"),
+            "o_custkey",
+            "cents",
+        )
+        .filter(F.col("week_offset") < 8)
+    )
+    g = j.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy(F.col("week_offset").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        F.col("cohort_week").cast("bigint").alias("cohort_week"),
+        F.col("week_offset").cast("bigint").alias("week_offset"),
+        "n_orders",
+        "n_active",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("bigint").alias(
+            "cum_revenue_cents"
+        ),
+    )
+
+
+@_register(
+    "dq13_volume_anomaly",
+    """
+    WITH d AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, epoch_us(ts) // 86400000000
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(n) AS BIGINT) AS tot,
+             CAST(SUM(n * n) AS BIGINT) AS sq
+      FROM d GROUP BY event_type
+    ),
+    j AS (
+      SELECT d.event_type, d.day, d.n,
+             (d.n * s.n_days - s.tot) AS dev, s.n_days,
+             9 * (s.n_days * s.sq - s.tot * s.tot) AS thr3,
+             4 * (s.n_days * s.sq - s.tot * s.tot) AS thr2,
+             ROW_NUMBER() OVER (PARTITION BY d.event_type
+               ORDER BY (d.n * s.n_days - s.tot)
+                        * (d.n * s.n_days - s.tot) DESC, d.day ASC) AS rk
+      FROM d JOIN s ON s.event_type = d.event_type
+    )
+    SELECT event_type, CAST(day AS BIGINT) AS worst_day, n AS worst_n,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(dev * dev AS BIGINT) AS dev_sq_scaled,
+           CAST(thr3 AS BIGINT) AS thr3_scaled,
+           CAST(CASE WHEN dev * dev > thr2 THEN 1 ELSE 0 END AS INT)
+             AS breach_2sigma,
+           CAST(CASE WHEN dev * dev > thr3 THEN 1 ELSE 0 END AS INT)
+             AS breach_3sigma
+    FROM j WHERE rk = 1
+    """,
+)
+def dq13_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume control chart — the DQ monitor that catches a broken
+    producer BEFORE values are inspected: each event type's WORST
+    deviation day (daily count vs its own mean) is reported with the
+    2-sigma and 3-sigma control-limit verdicts, the test done ENTIRELY
+    IN INTEGERS by clearing denominators:
+    |x - S/D| > k*sqrt((SQ - S^2/D)/D)  <=>
+    (x*D - S)^2 > k^2*(D*SQ - S^2) — no float mean, no sqrt,
+    identical on both engines and any host. Reporting the worst day
+    per type (instead of only breaches) keeps the chart non-vacuous
+    on healthy streams: the monitor's output is the margin, not just
+    an empty alarm list. Complements t29 (value anomalies) and dq8
+    (freshness): row-VOLUME drift is the first thing a dead or
+    duplicated upstream shows.
+
+    Scale: one map-combined (type, day) count, one <= |types| stats
+    aggregate broadcast back, a per-type window over day rows — two
+    narrow passes over counts, never the events twice."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.expr("ts_ns div 1000 div 86400000000").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("tot"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sq"),
+    )
+    j = d.join(F.broadcast(s), "event_type")
+    dev = F.col("n") * F.col("n_days") - F.col("tot")
+    var_s = F.col("n_days") * F.col("sq") - F.col("tot") * F.col("tot")
+    w = Window.partitionBy("event_type").orderBy(
+        (dev * dev).desc(), F.col("day").asc()
+    )
+    ranked = j.select(
+        "event_type",
+        "day",
+        "n",
+        "n_days",
+        (dev * dev).alias("dev_sq_scaled"),
+        (9 * var_s).alias("thr3"),
+        (4 * var_s).alias("thr2"),
+        F.row_number().over(w).alias("rk"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("day").cast("bigint").alias("worst_day"),
+        F.col("n").alias("worst_n"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("dev_sq_scaled").cast("bigint").alias("dev_sq_scaled"),
+        F.col("thr3").cast("bigint").alias("thr3_scaled"),
+        (F.col("dev_sq_scaled") > F.col("thr2")).cast("int").alias(
+            "breach_2sigma"
+        ),
+        (F.col("dev_sq_scaled") > F.col("thr3")).cast("int").alias(
+            "breach_3sigma"
+        ),
+    )
+
+
+@_register(
+    "t42_outage_intervals",
+    """
+    WITH e AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us FROM events
+    ),
+    l AS (
+      SELECT event_type, us,
+             LAG(us) OVER (PARTITION BY event_type
+                           ORDER BY us ASC, event_id ASC) AS prev_us
+      FROM e
+    )
+    SELECT event_type,
+           CAST(prev_us AS BIGINT) AS start_us,
+           CAST(us AS BIGINT) AS end_us,
+           CAST(us - prev_us AS BIGINT) AS gap_us
+    FROM l WHERE us - prev_us > 7200000000
+    """,
+)
+def t42_outage_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outage detection — the inverse of sessionization: within each
+    event type's stream, any silence longer than 2 hours is an outage
+    interval (start, end, duration in exact integer microseconds),
+    the incident list an on-call reads next to dq8's current
+    staleness (dq8 answers "how far behind are we NOW"; this answers
+    "when did the feed go quiet, and for how long, historically").
+
+    Determinism: declared-us epochs, (ts, event_id)-ordered LAG — no
+    ties, no floats. Scale: one window pass partitioned by type
+    (parallel per stream, never global) + an integer filter."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", "event_id", F.expr("ts_ns div 1000").alias("us")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    l = e.withColumn("prev_us", F.lag("us").over(w))
+    return (
+        l.filter(F.col("us") - F.col("prev_us") > 7200000000)
+        .select(
+            "event_type",
+            F.col("prev_us").cast("bigint").alias("start_us"),
+            F.col("us").cast("bigint").alias("end_us"),
+            (F.col("us") - F.col("prev_us")).cast("bigint").alias("gap_us"),
+        )
+    )
+
+
+@_register(
+    "t43_markov_transitions",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+    ),
+    s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY t ASC, event_id ASC) AS prev
+      FROM e
+    ),
+    c AS (
+      SELECT prev, event_type AS next, COUNT(*) AS n
+      FROM s WHERE prev IS NOT NULL GROUP BY prev, next
+    ),
+    tot AS (SELECT prev, SUM(n) AS tn FROM c GROUP BY prev)
+    SELECT c.prev, c.next, CAST(c.n AS BIGINT) AS n_transitions,
+           CAST(c.n * 1000000 // t.tn AS BIGINT) AS p_micro
+    FROM c JOIN tot t ON t.prev = c.prev
+    """,
+)
+def t43_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | previous) as exact integer
+    millionths — the behavioral model a sessionized clickstream
+    analysis fits (and the generative twin of t5's fixed funnel: the
+    funnel checks ONE path, this measures every edge).
+
+    Determinism: per-user order is (event-time micros, event_id) so
+    simultaneous events have a total order; probabilities are floor
+    millionths of count ratios.
+
+    Scale: one user-partitioned LAG (events already shuffle by user
+    for every t-family query), one |types|^2-bounded count aggregate,
+    and a broadcast-sized row-total join — nothing global."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("t"),
+        "event_id",
+    ).withColumn(
+        "prev",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("t").asc(), F.col("event_id").asc()
+            )
+        ),
+    )
+    c = (
+        s.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.groupBy("prev").agg(F.sum("n").alias("tn"))
+    return c.join(F.broadcast(tot), "prev").select(
+        "prev",
+        "next",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.expr("CAST(n * 1000000 div tn AS BIGINT)").alias("p_micro"),
+    )
+
+
+@_register(
+    "dq14_benford_audit",
+    """
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ),
+    dg AS (
+      SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+             COUNT(*) AS n
+      FROM cents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS t FROM dg),
+    exp AS (SELECT * FROM (VALUES (1,301),(2,176),(3,125),(4,97),(5,79),
+                                  (6,67),(7,58),(8,51),(9,46)) e(digit, exp_milli))
+    SELECT d.digit, CAST(d.n AS BIGINT) AS n_orders,
+           CAST(d.n * 1000 // t.t AS BIGINT) AS obs_milli,
+           CAST(e.exp_milli AS BIGINT) AS exp_milli,
+           CAST(d.n * 1000 // t.t - e.exp_milli AS BIGINT) AS dev_milli
+    FROM dg d JOIN exp e ON e.digit = d.digit CROSS JOIN tot t
+    """,
+)
+def dq14_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data / ingestion-bug screen (synthetic or truncated
+    money columns flunk the log distribution immediately): observed
+    first-significant-digit shares vs the Benford expectation
+    log10(1+1/d), deviation in signed milli.
+
+    Determinism: amounts go through DECIMAL(14,2)*100 so the cents
+    integer is exact (never double*100 truncation); expected shares
+    are integer milli constants; observed shares floor-divide.
+
+    Scale: one narrow digit projection + a 9-group count; the total
+    is a 1-row broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.filter(F.col("o_totalprice") > 0).select(
+        F.col("o_totalprice")
+        .cast("decimal(14,2)")
+        .cast("decimal(16,2)")
+        .alias("p")
+    ).select((F.col("p") * 100).cast("bigint").alias("c"))
+    dg = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = dg.agg(F.sum("n").alias("t"))
+    exp_milli = F.expr(
+        "CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125 "
+        "WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58 "
+        "WHEN 8 THEN 51 WHEN 9 THEN 46 END"
+    )
+    return dg.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.expr("CAST(n * 1000 div t AS BIGINT)").alias("obs_milli"),
+        exp_milli.cast("bigint").alias("exp_milli"),
+        (F.expr("n * 1000 div t") - exp_milli).cast("bigint").alias("dev_milli"),
+    )
+
+
+@_register(
+    "dq15_cusum_drift",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(x) // COUNT(*) AS BIGINT) AS target,
+                 COUNT(*) AS nd FROM daily),
+    pre AS (
+      SELECT d, x,
+             SUM(x - t.target) OVER (ORDER BY d ASC
+               ROWS UNBOUNDED PRECEDING) AS s
+      FROM daily CROSS JOIN t
+    ),
+    cu AS (
+      SELECT d, x, s,
+             s - least(MIN(s) OVER (ORDER BY d ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+               AS cusum
+      FROM pre
+    )
+    SELECT d AS day, CAST(x AS BIGINT) AS revenue_cents,
+           CAST(cusum AS BIGINT) AS cusum_cents
+    FROM cu ORDER BY cusum DESC, day ASC LIMIT 10
+    """,
+)
+def dq15_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM control chart over daily order revenue — the
+    sequential drift detector (Page's cumulative sum) re-expressed as
+    PARALLEL prefix arithmetic: the textbook recursion
+    s_k = max(0, s_{k-1} + (x_k - target)) equals
+    S_k - min(0, min_{j<=k} S_j) where S is the plain prefix sum of
+    deviations (the running min INCLUDES the current row -- with j<k
+    a new negative prefix minimum at k would emit a negative cusum,
+    impossible under Page's formula; ADVICE r7), so two day-level
+    windows replace the sequential scan entirely. Top-10 drift peaks,
+    exact integer cents throughout (target = floor mean of daily
+    cents).
+
+    Scale: the corpus-sized work is one map-combined daily aggregate;
+    both windows run over the bounded day-level series (calendar-
+    bounded row count, the t16/t26 contract), never raw orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("bigint")
+        .alias("x")
+    )
+    t = daily.agg(
+        F.expr("CAST(SUM(x) div COUNT(*) AS BIGINT)").alias("target")
+    )
+    w_all = Window.orderBy(F.col("d").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = daily.crossJoin(F.broadcast(t)).withColumn(
+        "s", F.sum(F.col("x") - F.col("target")).over(w_all)
+    )
+    cu = pre.withColumn(
+        "cusum",
+        F.col("s") - F.least(F.min("s").over(w_all), F.lit(0)),
+    )
+    return (
+        cu.select(
+            F.col("d").alias("day"),
+            F.col("x").cast("bigint").alias("revenue_cents"),
+            F.col("cusum").cast("bigint").alias("cusum_cents"),
+        )
+        .orderBy(F.col("cusum_cents").desc(), F.col("day").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "t44_top_event_paths",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+    ),
+    s AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY t ASC, event_id ASC) AS p1,
+             LAG(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY t ASC, event_id ASC) AS p2
+      FROM e
+    ),
+    paths AS (
+      SELECT p2 || '>' || p1 || '>' || event_type AS path
+      FROM s WHERE p2 IS NOT NULL
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM paths GROUP BY path
+    ORDER BY n_paths DESC, path ASC LIMIT 10
+    """,
+)
+def t44_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type TRIGRAM paths across all user streams — the
+    path-mining complement to t43's first-order transition matrix
+    (a Markov chain can't see that view>click>purchase beats
+    view>view>purchase; path n-grams can). One user-partitioned
+    window carrying two LAGs, a |types|^3-bounded count, top-10 with
+    path tiebreak.
+
+    Scale: same contract as t43 — the only corpus-sized work is the
+    per-user window the t-family already shuffles for."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t").asc(), F.col("event_id").asc()
+    )
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("t"),
+        "event_id",
+    ).select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    return (
+        s.filter(F.col("p2").isNotNull())
+        .select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "dq16_k_anonymity",
+    """
+    WITH q AS (
+      SELECT source, lang,
+             length(CAST(n_chars AS VARCHAR)) AS len_digits
+      FROM documents
+    ),
+    g AS (
+      SELECT source, lang, len_digits, COUNT(*) AS gsz
+      FROM q GROUP BY source, lang, len_digits
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN gsz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(SUM(CASE WHEN gsz < 5 THEN gsz ELSE 0 END) AS BIGINT)
+             AS n_exposed_docs,
+           CAST(MIN(gsz) AS BIGINT) AS k_anonymity
+    FROM g GROUP BY source
+    """,
+)
+def dq16_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifier tuples (source, lang,
+    decimal-digit length bucket): the data-governance check a corpus
+    release runs — a doc whose QI combination is shared by fewer than
+    k=5 docs is re-identifiable from metadata alone. Reports, per
+    source, the equivalence-class count, how many classes and docs
+    fall under the k threshold, and the source's actual k (its
+    smallest class). The length bucket is LENGTH(CAST(n AS VARCHAR))
+    — an order-of-magnitude bucket with identical semantics on both
+    engines (no libm log). Complements x38's SUPPRESSION gate (which
+    publishes only >= k groups): x38 is the release action, this is
+    the per-source risk AUDIT that decides whether the release needs
+    generalization at all.
+
+    Scale: two map-combined aggregations (QI classes, then per-source
+    rollup) — group cardinality is bounded by |sources| x |langs| x
+    ~7 digit buckets, never corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "source",
+        "lang",
+        F.length(F.col("n_chars").cast("string")).alias("len_digits"),
+    )
+    g = q.groupBy("source", "lang", "len_digits").agg(
+        F.count(F.lit(1)).alias("gsz")
+    )
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("gsz") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_small_groups"),
+        F.sum(F.when(F.col("gsz") < 5, F.col("gsz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_exposed_docs"),
+        F.min("gsz").cast("bigint").alias("k_anonymity"),
+    )
+
+
+@_register(
+    "u23_backfill_plan",
+    """
+    WITH e AS (
+      SELECT epoch_us(ts) AS t,
+             epoch_us(ts) + (event_id * 2654435761) % 4294967296 % 300000000
+               AS arr
+      FROM events
+    ),
+    d AS (
+      SELECT t // 86400000000 AS event_day,
+             arr // 86400000000 AS arrival_day,
+             arr - t AS delay_us
+      FROM e
+    )
+    SELECT CAST(event_day AS BIGINT) AS event_day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN arrival_day > event_day THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_late,
+           CAST(SUM(CASE WHEN arrival_day > event_day THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT) AS late_micro,
+           CAST(MAX(delay_us) // 1000000 AS BIGINT) AS max_delay_s
+    FROM d GROUP BY event_day
+    """,
+)
+def u23_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition BACKFILL planner for late-arriving data: with the
+    t38 deterministic arrival model (event time + 0-300 s hashed
+    network delay), every event-day partition reports how many of its
+    rows arrive after the day closes — the table an incremental
+    ingestion job reads to decide which closed daily partitions need
+    dynamic-partition overwrite (S8's publish mode) on each run, and
+    the batch complement of t38's streaming watermark trade-off.
+
+    Scale: one narrow delay projection + a calendar-bounded per-day
+    aggregate; pure integer micros throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.expr("ts_ns div 1000")
+    arr = t + F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(4294967296)) % F.lit(
+        300000000
+    )
+    d = ev.select(t.alias("t"), arr.alias("arr")).select(
+        F.expr("t div 86400000000").alias("event_day"),
+        F.expr("arr div 86400000000").alias("arrival_day"),
+        (F.col("arr") - F.col("t")).alias("delay_us"),
+    )
+    return d.groupBy("event_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("arrival_day") > F.col("event_day"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arrival_day > event_day THEN 1 ELSE 0 END)"
+            " * 1000000 div COUNT(1) AS BIGINT)"
+        ).alias("late_micro"),
+        F.expr("CAST(MAX(delay_us) div 1000000 AS BIGINT)").alias(
+            "max_delay_s"
+        ),
+    ).select(
+        F.col("event_day").cast("bigint").alias("event_day"),
+        "n_rows",
+        "n_late",
+        "late_micro",
+        "max_delay_s",
+    )
+
+
+@_register(
+    "dq17_null_creep",
+    """
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CASE WHEN value IS NULL THEN 1 ELSE 0 END AS nv,
+             CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END AS np
+      FROM events
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(nv) AS BIGINT) AS null_value,
+           CAST(SUM(np) AS BIGINT) AS null_props,
+           CAST(SUM(nv) * 1000000 // COUNT(*) AS BIGINT) AS value_null_micro,
+           CAST(SUM(np) * 1000000 // COUNT(*) AS BIGINT) AS props_null_micro
+    FROM d GROUP BY day
+    """,
+)
+def dq17_null_creep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-creep monitor: per-day null/empty rates for the payload
+    columns (value, props) in exact millionths — the silent-breakage
+    class schema checks miss (the column still exists, the producer
+    just stopped filling it). Read as a series, a step change marks
+    the deploy that broke the field; complements dq8 (freshness),
+    dq13 (volume) and dq1's point-in-time expectations.
+
+    Scale: one narrow projection + a calendar-bounded per-day
+    aggregate, map-side combined."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.expr("ts_ns div 1000 div 86400000000").alias("day"),
+        F.when(F.col("value").isNull(), 1).otherwise(0).alias("nv"),
+        F.when(
+            F.col("props").isNull() | (F.col("props") == ""), 1
+        )
+        .otherwise(0)
+        .alias("np"),
+    )
+    return d.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("nv").cast("bigint").alias("null_value"),
+        F.sum("np").cast("bigint").alias("null_props"),
+        F.expr("CAST(SUM(nv) * 1000000 div COUNT(1) AS BIGINT)").alias(
+            "value_null_micro"
+        ),
+        F.expr("CAST(SUM(np) * 1000000 div COUNT(1) AS BIGINT)").alias(
+            "props_null_micro"
+        ),
+    ).select(
+        F.col("day").cast("bigint").alias("day"),
+        "n_rows",
+        "null_value",
+        "null_props",
+        "value_null_micro",
+        "props_null_micro",
+    )
+
+
+@_register(
+    "t46_wow_change",
+    """
+    WITH wk AS (
+      SELECT n.n_name,
+             CAST(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 604800000000
+               AS BIGINT) AS week_n,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
+               AS rev_cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, week_n
+    )
+    SELECT n_name, week_n, rev_cents,
+           LAG(rev_cents) OVER (PARTITION BY n_name ORDER BY week_n)
+             AS prev_cents,
+           CASE WHEN LAG(rev_cents) OVER (PARTITION BY n_name
+                                          ORDER BY week_n) > 0
+                THEN CAST((rev_cents - LAG(rev_cents) OVER (
+                       PARTITION BY n_name ORDER BY week_n)) * 10000
+                     // LAG(rev_cents) OVER (PARTITION BY n_name
+                                             ORDER BY week_n) AS BIGINT)
+                ELSE NULL END AS wow_bps
+    FROM wk
+    """,
+)
+def t46_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue change per nation in signed BASIS
+    POINTS — the growth-rate table every BI rollup ships: weekly
+    decimal-cents revenue (nation dim via broadcast join), one LAG
+    per nation series, integer floor division for the rate (NULL for
+    the first week / zero base). Complements t16's trend split and
+    t41's cohort curves with the plain period-over-period read.
+
+    Scale: corpus-sized work is one map-combined weekly aggregate;
+    the LAG runs over the |nations| x |weeks| bounded grid."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    wk = (
+        orders.join(
+            F.broadcast(
+                cust.select("c_custkey", "c_nationkey")
+            ).hint("broadcast"),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            F.expr(
+                "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                " div 604800000000 AS BIGINT)"
+            ).alias("week_n"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("week_n")
+    prev = F.lag("rev_cents").over(w)
+    return wk.select(
+        "n_name",
+        "week_n",
+        "rev_cents",
+        prev.alias("prev_cents"),
+        F.when(
+            prev > 0,
+            F.expr(
+                "CAST((rev_cents - lag(rev_cents) OVER (PARTITION BY n_name"
+                " ORDER BY week_n)) * 10000 div lag(rev_cents) OVER"
+                " (PARTITION BY n_name ORDER BY week_n) AS BIGINT)"
+            ),
+        ).alias("wow_bps"),
+    )
+
+
+@_register(
+    "dq18_l_diversity",
+    """
+    WITH s AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 'debt'
+                  WHEN c_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END AS band
+      FROM customer
+    ),
+    cls AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT band) AS BIGINT) AS l_div
+      FROM s GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS weak_classes,
+           CAST(SUM(CASE WHEN l_div < 3 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS exposed_rows,
+           CAST(MIN(l_div) AS BIGINT) AS min_l
+    FROM cls GROUP BY c_mktsegment
+    """,
+)
+def dq18_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the companion privacy check to dq16's
+    k-anonymity: a quasi-identifier class can be large (k-anonymous)
+    yet still leak if everyone in it shares the same SENSITIVE value
+    — here the account-balance band (debt / mid / high) within each
+    (nation, market-segment) class. Reports, per segment, how many
+    classes fall below l = 3 distinct bands, how many customer rows
+    sit exposed in them, and the segment's worst class diversity.
+    Fixed integer band thresholds, so both engines bucket
+    identically; all outputs exact counts.
+
+    Scale: two map-combined aggregations; class cardinality is
+    bounded by |nations| x |segments|, never data-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    s = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("band"),
+    )
+    cls = s.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("band").cast("bigint").alias("l_div"),
+    )
+    return cls.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("l_div") < 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("weak_classes"),
+        F.sum(F.when(F.col("l_div") < 3, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("exposed_rows"),
+        F.min("l_div").cast("bigint").alias("min_l"),
+    )
+
+
+@_register(
+    "dq19_column_profile",
+    """
+    WITH v AS (
+      SELECT 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS val FROM documents
+      UNION ALL SELECT 'text', text FROM documents
+      UNION ALL SELECT 'lang', lang FROM documents
+      UNION ALL SELECT 'source', source FROM documents
+      UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+    ),
+    per AS (SELECT col, val, COUNT(*) AS c FROM v GROUP BY col, val)
+    SELECT col,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN c END), 0) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(val) AS BIGINT) AS n_distinct,
+           CAST(MAX(CASE WHEN val IS NOT NULL THEN c END) * 10000
+                // SUM(c) AS BIGINT) AS top_share_bps,
+           CAST(CASE WHEN COUNT(val) > 0 THEN
+                  SUM(CASE WHEN val IS NOT NULL THEN c * LENGTH(val) END)
+                  * 1000 // SUM(CASE WHEN val IS NOT NULL THEN c END)
+                END AS BIGINT) AS avg_len_milli
+    FROM per GROUP BY col
+    """,
+)
+def dq19_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency/length column profiler — the value-DISTRIBUTION
+    complement of profile_columns (numeric bounds, one agg pass) and
+    expectations.column_profile (typed min/max report): every column
+    of the documents table melted to (column, stringified value) and
+    profiled from its per-value count table — row count, null count,
+    distinct count, the most frequent value's share in basis points
+    (constant-column / category-collapse detector), and mean value
+    length in milli-chars (the cheap schema-drift signal: a length
+    step change means the producer changed format). Lengths are
+    aggregated from the per-value counts (sum of c * len(val)), so
+    the profile needs only ONE shuffle of distinct values, not a
+    second corpus pass — the stat profile_columns' single-pass agg
+    cannot produce (top-value share needs the value groups).
+
+    Scale: the melt is a narrow 5x projection; per-(col, value)
+    counts are map-side combined; the final rollup is |columns|
+    groups. For a high-cardinality column the distinct table is the
+    dominant term — exactly the cost any profiler pays, with no
+    skew surprises since values hash-partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    v = docs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.col", "kv.val")
+    per = v.groupBy("col", "val").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("col").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("c"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.count("val").cast("bigint").alias("n_distinct"),
+        F.expr(
+            "CAST(MAX(CASE WHEN val IS NOT NULL THEN c END) * 10000"
+            " div SUM(c) AS BIGINT)"
+        ).alias("top_share_bps"),
+        # CASE-guarded: an all-NULL column must report NULL here on
+        # BOTH engines -- Spark ANSI `div 0` throws while DuckDB `// 0`
+        # yields NULL (the naive-bayes ADVICE r6 divergence class).
+        F.expr(
+            "CAST(CASE WHEN COUNT(val) > 0 THEN"
+            " SUM(CASE WHEN val IS NOT NULL THEN c * LENGTH(val) END)"
+            " * 1000 div SUM(CASE WHEN val IS NOT NULL THEN c END)"
+            " END AS BIGINT)"
+        ).alias("avg_len_milli"),
+    )
+
+
+@_register(
+    "u24_partial_agg_merge",
+    """
+    WITH b AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderdate < '1994-01-01' THEN 0
+                  WHEN o_orderdate < '1996-01-01' THEN 1
+                  ELSE 2 END AS batch,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    partials AS (
+      SELECT o_orderpriority, batch,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(MIN(cents) AS BIGINT) AS mn,
+             CAST(MAX(cents) AS BIGINT) AS mx
+      FROM b GROUP BY o_orderpriority, batch
+    ),
+    merged AS (
+      SELECT o_orderpriority,
+             CAST(SUM(n) AS BIGINT) AS n_merged,
+             CAST(SUM(s) AS BIGINT) AS sum_merged,
+             CAST(MIN(mn) AS BIGINT) AS min_merged,
+             CAST(MAX(mx) AS BIGINT) AS max_merged,
+             CAST(COUNT(*) AS BIGINT) AS n_batches
+      FROM partials GROUP BY o_orderpriority
+    ),
+    full_pass AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_full,
+             CAST(SUM(cents) AS BIGINT) AS sum_full,
+             CAST(MIN(cents) AS BIGINT) AS min_full,
+             CAST(MAX(cents) AS BIGINT) AS max_full
+      FROM b GROUP BY o_orderpriority
+    )
+    SELECT m.o_orderpriority, m.n_batches,
+           m.n_merged, f.n_full, m.sum_merged, f.sum_full,
+           m.min_merged, f.min_full, m.max_merged, f.max_full,
+           CAST(CASE WHEN m.n_merged = f.n_full AND m.sum_merged = f.sum_full
+                      AND m.min_merged = f.min_full
+                      AND m.max_merged = f.max_full
+                THEN 1 ELSE 0 END AS BIGINT) AS states_match
+    FROM merged m JOIN full_pass f USING (o_orderpriority)
+    """,
+)
+def u24_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: each ingest batch (orders
+    split into three date-range batches, the u23/u21 batch model)
+    reduces to a PARTIAL aggregate state (count, sum in exact cents,
+    min, max) and the materialized rollup is maintained by MERGING
+    states — never by re-reading closed batches. The query carries
+    the audit inline: merged state vs a single-pass full recompute,
+    with a states_match flag per group proving the merge formulas
+    are lossless (the algebraic-aggregate contract every incremental
+    pipeline and every map-side combine relies on; HLL/CMS/log-
+    histogram extend the same contract to sketches).
+
+    Scale: at 100 TB the full_pass column disappears and only the
+    per-batch partials (|groups| x |batches| rows) are ever stored or
+    shuffled — a day's ingest touches one batch's state, and the
+    rollup is a |groups|-sized merge."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        "o_orderpriority",
+        F.when(F.col("o_orderdate") < "1994-01-01", 0)
+        .when(F.col("o_orderdate") < "1996-01-01", 1)
+        .otherwise(2)
+        .alias("batch"),
+        (F.col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    ).localCheckpoint(eager=False)
+    partials = b.groupBy("o_orderpriority", "batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.min("cents").cast("bigint").alias("mn"),
+        F.max("cents").cast("bigint").alias("mx"),
+    )
+    merged = partials.groupBy("o_orderpriority").agg(
+        F.sum("n").cast("bigint").alias("n_merged"),
+        F.sum("s").cast("bigint").alias("sum_merged"),
+        F.min("mn").cast("bigint").alias("min_merged"),
+        F.max("mx").cast("bigint").alias("max_merged"),
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+    )
+    full_pass = b.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_full"),
+        F.sum("cents").cast("bigint").alias("sum_full"),
+        F.min("cents").cast("bigint").alias("min_full"),
+        F.max("cents").cast("bigint").alias("max_full"),
+    )
+    return merged.join(full_pass, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_batches",
+        "n_merged",
+        "n_full",
+        "sum_merged",
+        "sum_full",
+        "min_merged",
+        "min_full",
+        "max_merged",
+        "max_full",
+        F.when(
+            (F.col("n_merged") == F.col("n_full"))
+            & (F.col("sum_merged") == F.col("sum_full"))
+            & (F.col("min_merged") == F.col("min_full"))
+            & (F.col("max_merged") == F.col("max_full")),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("states_match"),
+    )
+
+
+@_register(
+    "u25_bitemporal_grid",
+    """
+    WITH base AS (
+      SELECT c_custkey AS k,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM customer
+    ),
+    rows_bt AS (
+      -- original v1 belief: valid 1..(2 if updated else inf), known from tx 1;
+      -- k%13 rows were WRONG at tx 1 and corrected (-500) at tx 2;
+      -- k%10 rows got a real v2 UPDATE (+10000) valid from 2 (never corrected)
+      SELECT k, cents AS v, 1 AS vf,
+             CASE WHEN k % 10 = 0 THEN 2 ELSE 0 END AS vt,
+             1 AS tf, CASE WHEN k % 13 = 0 THEN 2 ELSE 0 END AS tt
+      FROM base
+      UNION ALL
+      SELECT k, cents - 500, 1,
+             CASE WHEN k % 10 = 0 THEN 2 ELSE 0 END, 2, 0
+      FROM base WHERE k % 13 = 0
+      UNION ALL
+      SELECT k, cents + 10000, 2, 0, 1, 0 FROM base WHERE k % 10 = 0
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN vf <= 1 AND (vt = 0 OR vt > 1)
+                       AND tf <= 1 AND (tt = 0 OR tt > 1) THEN 1 END) AS BIGINT) AS n11,
+        CAST(SUM(CASE WHEN vf <= 1 AND (vt = 0 OR vt > 1)
+                       AND tf <= 1 AND (tt = 0 OR tt > 1) THEN v END) AS BIGINT) AS s11,
+        CAST(SUM(CASE WHEN vf <= 1 AND (vt = 0 OR vt > 1)
+                       AND tf <= 2 AND (tt = 0 OR tt > 2) THEN 1 END) AS BIGINT) AS n12,
+        CAST(SUM(CASE WHEN vf <= 1 AND (vt = 0 OR vt > 1)
+                       AND tf <= 2 AND (tt = 0 OR tt > 2) THEN v END) AS BIGINT) AS s12,
+        CAST(SUM(CASE WHEN vf <= 2 AND (vt = 0 OR vt > 2)
+                       AND tf <= 1 AND (tt = 0 OR tt > 1) THEN 1 END) AS BIGINT) AS n21,
+        CAST(SUM(CASE WHEN vf <= 2 AND (vt = 0 OR vt > 2)
+                       AND tf <= 1 AND (tt = 0 OR tt > 1) THEN v END) AS BIGINT) AS s21,
+        CAST(SUM(CASE WHEN vf <= 2 AND (vt = 0 OR vt > 2)
+                       AND tf <= 2 AND (tt = 0 OR tt > 2) THEN 1 END) AS BIGINT) AS n22,
+        CAST(SUM(CASE WHEN vf <= 2 AND (vt = 0 OR vt > 2)
+                       AND tf <= 2 AND (tt = 0 OR tt > 2) THEN v END) AS BIGINT) AS s22
+      FROM rows_bt
+    )
+    SELECT 1 AS valid_at, 1 AS known_at, n11 AS n_rows, s11 AS total_cents FROM agg
+    UNION ALL SELECT 1, 2, n12, s12 FROM agg
+    UNION ALL SELECT 2, 1, n21, s21 FROM agg
+    UNION ALL SELECT 2, 2, n22, s22 FROM agg
+    """,
+)
+def u25_bitemporal_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal snapshots: VALID time (when a fact was true in the
+    world — u7's SCD2 axis) crossed with TRANSACTION time (when the
+    system learned it — u20's time-travel axis). The interval table
+    carries both axes per row: k%10 keys get a real v2 UPDATE (+100.00
+    valid from version 2), k%13 keys get a retroactive CORRECTION
+    (-5.00, same valid interval, known only from tx 2). The 2x2 grid
+    answers 'balance as valid at V, as known at T' — (1,1) is what we
+    believed originally, (1,2) is history as corrected, (2,1) is the
+    update before the correction arrived, (2,2) is current truth; the
+    corrections move totals WITHOUT touching valid-time row counts,
+    which is the bitemporal independence property the grid proves.
+
+    Scale: the interval table is a union of narrow projections; all
+    four snapshots fold into ONE map-combined aggregate pass (no
+    join, no per-snapshot scan), unpivoted driver-side into 4 rows —
+    how a 100 TB bitemporal audit should read its ledger."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    inf = F.lit(0)
+    r1 = base.select(
+        "k",
+        F.col("cents").alias("v"),
+        F.lit(1).alias("vf"),
+        F.when(F.col("k") % 10 == 0, 2).otherwise(inf).alias("vt"),
+        F.lit(1).alias("tf"),
+        F.when(F.col("k") % 13 == 0, 2).otherwise(inf).alias("tt"),
+    )
+    r2 = base.filter(F.col("k") % 13 == 0).select(
+        "k",
+        (F.col("cents") - 500).alias("v"),
+        F.lit(1).alias("vf"),
+        F.when(F.col("k") % 10 == 0, 2).otherwise(inf).alias("vt"),
+        F.lit(2).alias("tf"),
+        inf.alias("tt"),
+    )
+    r3 = base.filter(F.col("k") % 10 == 0).select(
+        "k",
+        (F.col("cents") + 10000).alias("v"),
+        F.lit(2).alias("vf"),
+        inf.alias("vt"),
+        F.lit(1).alias("tf"),
+        inf.alias("tt"),
+    )
+    rows_bt = r1.unionByName(r2).unionByName(r3)
+
+    def covers(vq: int, tq: int) -> Column:
+        return (
+            (F.col("vf") <= vq)
+            & ((F.col("vt") == 0) | (F.col("vt") > vq))
+            & (F.col("tf") <= tq)
+            & ((F.col("tt") == 0) | (F.col("tt") > tq))
+        )
+
+    aggs = []
+    for vq in (1, 2):
+        for tq in (1, 2):
+            aggs += [
+                F.sum(F.when(covers(vq, tq), 1))
+                .cast("bigint")
+                .alias(f"n{vq}{tq}"),
+                F.sum(F.when(covers(vq, tq), F.col("v")))
+                .cast("bigint")
+                .alias(f"s{vq}{tq}"),
+            ]
+    agg = rows_bt.agg(*aggs).localCheckpoint(eager=False)
+    out = None
+    for vq in (1, 2):
+        for tq in (1, 2):
+            row = agg.select(
+                F.lit(vq).alias("valid_at"),
+                F.lit(tq).alias("known_at"),
+                F.col(f"n{vq}{tq}").alias("n_rows"),
+                F.col(f"s{vq}{tq}").alias("total_cents"),
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
+
+
+@_register(
+    "t47_retention_matrix",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 604800000000
+               AS BIGINT) AS wk
+      FROM orders
+    ),
+    first_wk AS (SELECT o_custkey, MIN(wk) AS cohort_wk FROM o GROUP BY 1),
+    cohort_sz AS (
+      SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM first_wk GROUP BY 1
+    ),
+    act AS (
+      SELECT DISTINCT f.cohort_wk, o.wk - f.cohort_wk AS age_wk, o.o_custkey
+      FROM o JOIN first_wk f ON f.o_custkey = o.o_custkey
+    ),
+    ret AS (
+      SELECT cohort_wk, age_wk, CAST(COUNT(*) AS BIGINT) AS active_users
+      FROM act WHERE age_wk BETWEEN 0 AND 8 GROUP BY 1, 2
+    )
+    SELECT r.cohort_wk, r.age_wk, c.cohort_users, r.active_users,
+           CAST(r.active_users * 10000 // c.cohort_users AS BIGINT)
+             AS retention_bps
+    FROM ret r JOIN cohort_sz c ON c.cohort_wk = r.cohort_wk
+    WHERE r.cohort_wk < (SELECT MIN(cohort_wk) + 12 FROM first_wk)
+    """,
+)
+def t47_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the (cohort week x weeks-since-first-
+    order) triangle every growth dashboard opens with: customers
+    cohorted by FIRST order week, each later order marks them active
+    at that age, cell = distinct retained customers and retention in
+    basis points of the cohort. Ages capped at 8 weeks and cohorts at
+    the first 12 weeks so the matrix is a bounded report, not a
+    data-sized pivot; t41's LTV curve is the revenue view of the same
+    triangle, this is the headcount view.
+
+    Scale: first-order week is one map-combined min; activity is an
+    equi-join on the customer key + a DISTINCT bounded by
+    customers x 9 ages; every aggregate map-side combines. No window
+    functions at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.expr(
+            "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 604800000000 AS BIGINT)"
+        ).alias("wk"),
+    )
+    first_wk = o.groupBy("o_custkey").agg(F.min("wk").alias("cohort_wk"))
+    cohort_sz = first_wk.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    act = (
+        o.join(first_wk, "o_custkey")
+        .select("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_wk"),
+                "o_custkey")
+        .filter((F.col("age_wk") >= 0) & (F.col("age_wk") <= 8))
+        .distinct()
+    )
+    ret = act.groupBy("cohort_wk", "age_wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_users")
+    )
+    lim = first_wk.agg((F.min("cohort_wk") + 12).alias("__lim"))
+    return (
+        ret.join(cohort_sz, "cohort_wk")
+        .crossJoin(F.broadcast(lim))
+        .filter(F.col("cohort_wk") < F.col("__lim"))
+        .select(
+            "cohort_wk",
+            "age_wk",
+            "cohort_users",
+            "active_users",
+            F.expr(
+                "CAST(active_users * 10000 div cohort_users AS BIGINT)"
+            ).alias("retention_bps"),
+        )
+    )
+
+
+@_register(
+    "u26_tombstone_delete",
+    """
+    WITH tomb AS (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey % 113 = 0
+    ),
+    dead_orders AS (
+      SELECT o.o_orderkey FROM orders o JOIN tomb t ON t.k = o.o_custkey
+    ),
+    stats AS (
+      SELECT
+        (SELECT COUNT(*) FROM tomb) AS n_tombstones,
+        (SELECT COUNT(*) FROM customer c JOIN tomb t ON t.k = c.c_custkey)
+          AS cust_purged,
+        (SELECT COUNT(*) FROM dead_orders) AS orders_purged,
+        (SELECT COUNT(*) FROM lineitem l JOIN dead_orders d
+           ON d.o_orderkey = l.l_orderkey) AS lineitems_purged,
+        (SELECT COUNT(*) FROM customer c LEFT JOIN tomb t ON t.k = c.c_custkey
+          WHERE t.k IS NULL) AS cust_kept,
+        (SELECT COUNT(*)
+           FROM (SELECT o.* FROM orders o LEFT JOIN tomb t
+                   ON t.k = o.o_custkey WHERE t.k IS NULL) o2
+           JOIN tomb t2 ON t2.k = o2.o_custkey) AS residue
+    )
+    SELECT CAST(n_tombstones AS BIGINT) AS n_tombstones,
+           CAST(cust_purged AS BIGINT) AS cust_purged,
+           CAST(orders_purged AS BIGINT) AS orders_purged,
+           CAST(lineitems_purged AS BIGINT) AS lineitems_purged,
+           CAST(cust_kept AS BIGINT) AS cust_kept,
+           CAST(residue AS BIGINT) AS residue
+    FROM stats
+    """,
+)
+def u26_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge: a tombstone key set (every 113th
+    customer) is propagated through the foreign-key chain — customer
+    rows, their orders, and those orders' lineitems — with anti-join
+    semantics, and the report carries the PROOF alongside the purge
+    counts: re-probing the kept customer set against the tombstones
+    yields residue = 0. The deletion audit trail a compliance pipeline
+    ships with every purge batch.
+
+    Scale: tombstones are small by nature (broadcast semi/anti
+    joins); the FK cascade is two key equi-joins; at 100 TB the kept
+    tables rewrite via dynamic-partition overwrite and this query IS
+    the post-purge verification pass."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    tomb = (
+        cust.filter(F.col("c_custkey") % 113 == 0)
+        .select(F.col("c_custkey").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    dead_orders = orders.join(
+        F.broadcast(tomb), orders["o_custkey"] == tomb["k"], "left_semi"
+    ).select("o_orderkey").localCheckpoint(eager=False)
+    n_tomb = tomb.agg(F.count(F.lit(1)).cast("bigint").alias("n_tombstones"))
+    cust_purged = (
+        cust.join(F.broadcast(tomb), cust["c_custkey"] == tomb["k"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cust_purged"))
+    )
+    orders_purged = dead_orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("orders_purged")
+    )
+    li_purged = (
+        li.join(F.broadcast(dead_orders), li["l_orderkey"] == dead_orders["o_orderkey"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("lineitems_purged"))
+    )
+    kept = cust.join(
+        F.broadcast(tomb), cust["c_custkey"] == tomb["k"], "left_anti"
+    )
+    cust_kept = kept.agg(F.count(F.lit(1)).cast("bigint").alias("cust_kept"))
+    kept_orders = orders.join(
+        F.broadcast(tomb), orders["o_custkey"] == tomb["k"], "left_anti"
+    )
+    residue = (
+        kept_orders.join(
+            F.broadcast(tomb), kept_orders["o_custkey"] == tomb["k"], "left_semi"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("residue"))
+    )
+    return (
+        n_tomb.crossJoin(F.broadcast(cust_purged))
+        .crossJoin(F.broadcast(orders_purged))
+        .crossJoin(F.broadcast(li_purged))
+        .crossJoin(F.broadcast(cust_kept))
+        .crossJoin(F.broadcast(residue))
+    )
+
+
+@_register(
+    "t48_time_to_convert",
+    """
+    WITH base AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+    ),
+    v AS (
+      SELECT user_id, MIN(t) AS vt FROM base
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT b.user_id, MIN(b.t) AS pt
+      FROM base b JOIN v ON v.user_id = b.user_id
+      WHERE b.event_type = 'purchase' AND b.t > v.vt
+      GROUP BY b.user_id
+    ),
+    lat AS (
+      SELECT (p.pt - v.vt) // 60000000 AS lat_min
+      FROM p JOIN v ON v.user_id = p.user_id
+    ),
+    g AS (SELECT lat_min, COUNT(*) AS cnt FROM lat GROUP BY lat_min),
+    cum AS (
+      SELECT lat_min,
+             SUM(cnt) OVER (ORDER BY lat_min) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM g
+    ),
+    d AS (SELECT unnest(range(1, 10)) AS decile)
+    SELECT CAST(d.decile AS BIGINT) AS decile,
+           CAST((SELECT MAX(n) FROM cum) AS BIGINT) AS n_converted,
+           CAST(MIN(CASE WHEN c.cum >= (d.decile * c.n + 9) // 10
+                         THEN c.lat_min END) AS BIGINT) AS latency_min
+    FROM d CROSS JOIN cum c
+    GROUP BY d.decile
+    """,
+)
+def t48_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution: minutes from a user's FIRST view
+    to their first purchase AFTER it (t5's conversion rule), reported
+    as exact positional deciles — the product metric behind 'how long
+    does conversion take', not just whether it happens. Quantiles come
+    from a VALUE-GROUPED cumulative distribution (per-minute counts,
+    cumulative window over the bounded distinct-minute domain, first
+    value reaching ceil(d*n/10)) — the a18 read-out on exact values,
+    so there is NO user-sized global sort anywhere.
+
+    Scale: two per-user min-aggregates + one key equi-join (t5's
+    chain); the CDF window runs over distinct latency MINUTES, a
+    domain bounded by the retention window, not by users."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    base = ev.select("user_id", "event_type", us.alias("t"))
+    v = (
+        base.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("vt"))
+    )
+    p = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("t") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("pt"), F.min("vt").alias("vt0"))
+    )
+    lat = p.select(
+        F.expr("(pt - vt0) div 60000000").alias("lat_min")
+    )
+    g = lat.groupBy("lat_min").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.orderBy("lat_min").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "lat_min",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("lat_min").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    ).localCheckpoint(eager=False)
+    d = spark.range(1, 10).select(F.col("id").alias("decile"))
+    return (
+        F.broadcast(d)
+        .crossJoin(cum)
+        .groupBy("decile")
+        .agg(
+            F.max("n").cast("bigint").alias("n_converted"),
+            F.min(
+                F.expr(
+                    "CASE WHEN cum >= (decile * n + 9) div 10 THEN lat_min END"
+                )
+            )
+            .cast("bigint")
+            .alias("latency_min"),
+        )
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_converted",
+            "latency_min",
+        )
+    )

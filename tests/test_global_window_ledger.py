@@ -20,26 +20,28 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = os.path.join(REPO, "hi_csa_db_spark")
 
-# enclosing-function allowlist: every entry appears in SCALE.md's
-# "global-window ledger" table with a bounded-frame justification.
+# enclosing-FUNCTION allowlist (file-agnostic, so the round-8 family
+# split and future moves don't stale it): every entry appears in
+# SCALE.md's "global-window ledger" table with a bounded-frame
+# justification.
 ALLOWED = {
     # the distributed-rank primitive's own per-partition offset window
     # (one row per range partition)
-    ("operators/ordered.py", "global_row_numbers"),
-    ("operators/ordered.py", "global_prefix_sums"),
+    "global_row_numbers",
+    "global_prefix_sums",
     # top-k-bounded rank windows (<= 10/20 rows)
-    ("queries.py", "ret2_rrf_fusion"),
-    ("queries.py", "ret5_hard_negatives"),
-    ("queries.py", "ret6_prf_expansion"),
-    ("queries.py", "graph_link_prediction"),
+    "ret2_rrf_fusion",
+    "ret5_hard_negatives",
+    "ret6_prf_expansion",
+    "graph_link_prediction",
     # dimension-bounded running frames (days / shards / buckets / dims
     # / distinct small-integer scores)
-    ("queries.py", "t22_hazard_table"),
-    ("queries.py", "u21_compaction_plan"),
-    ("queries.py", "dq15_cusum_drift"),
-    ("queries.py", "ml_auc_ranking"),
-    ("queries.py", "t48_time_to_convert"),
-    ("queries.py", "x87_embedding_drift"),
+    "t22_hazard_table",
+    "u21_compaction_plan",
+    "dq15_cusum_drift",
+    "ml_auc_ranking",
+    "t48_time_to_convert",
+    "x87_embedding_drift",
 }
 
 
@@ -84,9 +86,7 @@ def _unpartitioned_window_sites():
 def test_every_unpartitioned_global_window_is_classified():
     sites = _unpartitioned_window_sites()
     assert sites, "detector broke: the known bounded sites exist"
-    unlisted = [
-        s for s in sites if (s[0], s[1]) not in ALLOWED
-    ]
+    unlisted = [s for s in sites if s[1] not in ALLOWED]
     assert unlisted == [], (
         "unpartitioned Window.orderBy outside the SCALE.md ledger "
         f"(classify as bounded there + here, or migrate to "
@@ -96,6 +96,6 @@ def test_every_unpartitioned_global_window_is_classified():
 
 def test_ledger_entries_still_exist():
     """Allowlist hygiene: drop entries whose site disappeared."""
-    live = {(s[0], s[1]) for s in _unpartitioned_window_sites()}
+    live = {s[1] for s in _unpartitioned_window_sites()}
     gone = ALLOWED - live
     assert gone == set(), f"stale ledger entries (site removed): {gone}"
