@@ -1152,3 +1152,50 @@ def f18_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@_register(
+    "f_levenshtein_suite",
+    """
+    WITH t AS (SELECT DISTINCT p_type FROM part),
+    pairs AS (
+      SELECT a.p_type AS type_a, b.p_type AS type_b,
+             levenshtein(a.p_type, b.p_type) AS dist
+      FROM t a JOIN t b ON a.p_type < b.p_type
+    )
+    SELECT type_a, type_b, CAST(dist AS BIGINT) AS dist,
+           CAST(levenshtein(type_a, '') AS BIGINT) AS len_a,
+           CAST(levenshtein('', type_b) AS BIGINT) AS len_b
+    FROM pairs
+    ORDER BY dist ASC, type_a ASC, type_b ASC LIMIT 30
+    """,
+)
+def f_levenshtein_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine levenshtein() coverage (the one string-distance
+    primitive both engines ship natively; the ER tier's j10/er-family
+    blocking strategies assume its exact unit-cost semantics): all
+    distinct part-type pairs scored, closest 30 emitted, plus the
+    degenerate empty-string forms (distance to '' = length — pins
+    that neither engine counts bytes instead of chars here).
+
+    Scale shape: p_type is a 150-value dimension — the pair join is
+    dim x dim (11k pairs), a broadcast nested loop by construction,
+    never data-sized. Real vocab-scale fuzzy matching goes through
+    the blocked forms (j10 deletion neighborhoods, er4's families);
+    this suite pins the VERIFIER function they share."""
+    part = load_table(spark, sf_dir, "part")
+    t = part.select("p_type").distinct()
+    a = t.select(F.col("p_type").alias("type_a"))
+    b = t.select(F.col("p_type").alias("type_b"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    return (
+        pairs.select(
+            "type_a",
+            "type_b",
+            F.levenshtein("type_a", "type_b").cast("bigint").alias("dist"),
+            F.levenshtein(F.col("type_a"), F.lit("")).cast("bigint").alias("len_a"),
+            F.levenshtein(F.lit(""), F.col("type_b")).cast("bigint").alias("len_b"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("type_a").asc(), F.col("type_b").asc())
+        .limit(30)
+    )

@@ -1839,3 +1839,129 @@ def stats_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
             " >= 3841459 THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("srm_flag"),
     )
+
+
+@_register(
+    "opt1_join_order_costs",
+    """
+    WITH stats AS (
+      SELECT
+        (SELECT COUNT(*) FROM customer) AS n_c,
+        (SELECT COUNT(*) FROM orders)   AS n_o,
+        (SELECT COUNT(*) FROM lineitem) AS n_l,
+        (SELECT COUNT(DISTINCT c_custkey) FROM customer)    AS ndv_c_ck,
+        (SELECT COUNT(DISTINCT o_custkey) FROM orders)      AS ndv_o_ck,
+        (SELECT COUNT(DISTINCT o_orderkey) FROM orders)     AS ndv_o_ok,
+        (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)   AS ndv_l_ok
+    ),
+    actual AS (
+      SELECT
+        (SELECT COUNT(*) FROM customer c JOIN orders o
+           ON c.c_custkey = o.o_custkey) AS a_co,
+        (SELECT COUNT(*) FROM orders o JOIN lineitem l
+           ON o.o_orderkey = l.l_orderkey) AS a_ol
+    ),
+    plans AS (
+      SELECT 'customer_first' AS plan_order,
+             CAST(n_c * n_o // greatest(ndv_c_ck, ndv_o_ck) AS BIGINT)
+               AS est_first_join_rows,
+             CAST(a_co AS BIGINT) AS actual_first_join_rows
+      FROM stats CROSS JOIN actual
+      UNION ALL
+      SELECT 'lineitem_first',
+             CAST(n_o * n_l // greatest(ndv_o_ok, ndv_l_ok) AS BIGINT),
+             CAST(a_ol AS BIGINT)
+      FROM stats CROSS JOIN actual
+    )
+    SELECT plan_order, est_first_join_rows, actual_first_join_rows,
+           CAST(abs(est_first_join_rows - actual_first_join_rows)
+                * 1000000 // greatest(actual_first_join_rows, 1)
+                AS BIGINT) AS est_error_micro,
+           CASE WHEN est_first_join_rows =
+                     (SELECT MIN(est_first_join_rows) FROM plans)
+                THEN 1 ELSE 0 END AS recommended
+    FROM plans
+    ORDER BY est_first_join_rows ASC, plan_order ASC
+    """,
+)
+def opt1_join_order_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join-order ranking from column statistics — the CBO
+    primitive (Selinger 1979) run AS A QUERY: for the 3-table chain
+    customer x orders x lineitem, estimate each candidate first
+    join's cardinality with the textbook uniform-NDV formula
+    |A join B| = |A|x|B| / max(ndv_A(k), ndv_B(k)), rank plans by
+    estimate, and audit the estimator against the EXACT join sizes
+    (est_error_micro). Everything is exact integer arithmetic
+    (counts, distincts, floor divisions) — no float cost model.
+
+    This is what a 100 TB submit does with table-stats metadata
+    BEFORE shuffling anything: the stats side costs one
+    count+countDistinct pass per key column (map-combined), after
+    which plan choice is free. The exact-join audit column is the
+    expensive calibration run production omits.
+
+    Scale shape: three count/NDV aggregates; the audit joins are the
+    engine's own shuffled equi-joins, counted without materializing
+    payload columns (key-only projections)."""
+    t = load_tables(spark, sf_dir)
+    c, o, l = t["customer"], t["orders"], t["lineitem"]
+    stats = (
+        c.agg(
+            F.count(F.lit(1)).alias("n_c"),
+            F.countDistinct("c_custkey").alias("ndv_c_ck"),
+        )
+        .crossJoin(
+            o.agg(
+                F.count(F.lit(1)).alias("n_o"),
+                F.countDistinct("o_custkey").alias("ndv_o_ck"),
+                F.countDistinct("o_orderkey").alias("ndv_o_ok"),
+            )
+        )
+        .crossJoin(
+            l.agg(
+                F.count(F.lit(1)).alias("n_l"),
+                F.countDistinct("l_orderkey").alias("ndv_l_ok"),
+            )
+        )
+    )
+    a_co = (
+        c.select("c_custkey")
+        .join(o.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("a_co"))
+    )
+    a_ol = (
+        o.select("o_orderkey")
+        .join(l.select("l_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count(F.lit(1)).alias("a_ol"))
+    )
+    base = stats.crossJoin(F.broadcast(a_co)).crossJoin(F.broadcast(a_ol))
+    p1 = base.select(
+        F.lit("customer_first").alias("plan_order"),
+        F.expr("CAST(n_c * n_o div greatest(ndv_c_ck, ndv_o_ck) AS BIGINT)")
+        .alias("est_first_join_rows"),
+        F.col("a_co").cast("bigint").alias("actual_first_join_rows"),
+    )
+    p2 = base.select(
+        F.lit("lineitem_first").alias("plan_order"),
+        F.expr("CAST(n_o * n_l div greatest(ndv_o_ok, ndv_l_ok) AS BIGINT)")
+        .alias("est_first_join_rows"),
+        F.col("a_ol").cast("bigint").alias("actual_first_join_rows"),
+    )
+    plans = p1.unionByName(p2).localCheckpoint(eager=False)
+    best = plans.agg(F.min("est_first_join_rows").alias("best_est"))
+    return (
+        plans.crossJoin(F.broadcast(best))
+        .select(
+            "plan_order",
+            "est_first_join_rows",
+            "actual_first_join_rows",
+            F.expr(
+                "CAST(abs(est_first_join_rows - actual_first_join_rows) "
+                "* 1000000 div greatest(actual_first_join_rows, 1) AS BIGINT)"
+            ).alias("est_error_micro"),
+            F.when(F.col("est_first_join_rows") == F.col("best_est"), 1)
+            .otherwise(0)
+            .alias("recommended"),
+        )
+        .orderBy(F.col("est_first_join_rows").asc(), F.col("plan_order").asc())
+    )

@@ -5803,3 +5803,109 @@ def t48_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "latency_min",
         )
     )
+
+
+@_register(
+    "u27_retractable_agg",
+    """
+    WITH base AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents,
+             COUNT(*) AS n
+      FROM orders WHERE o_orderkey % 10 NOT IN (7)
+      GROUP BY 1
+    ),
+    delta AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+               AS cents,
+             CASE WHEN o_orderkey % 10 = 7 THEN 1 ELSE -1 END AS sign
+      FROM orders WHERE o_orderkey % 10 IN (7, 3)
+    ),
+    dagg AS (
+      SELECT day,
+             CAST(SUM(sign * cents) AS BIGINT) AS d_cents,
+             CAST(SUM(sign) AS BIGINT) AS d_n,
+             CAST(SUM(CASE WHEN sign = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retractions
+      FROM delta GROUP BY day
+    ),
+    merged AS (
+      SELECT COALESCE(b.day, d.day) AS day,
+             COALESCE(b.cents, 0) AS old_cents,
+             COALESCE(b.cents, 0) + COALESCE(d.d_cents, 0) AS new_cents,
+             COALESCE(b.n, 0) + COALESCE(d.d_n, 0) AS new_n,
+             COALESCE(d.n_retractions, 0) AS n_retractions
+      FROM base b FULL OUTER JOIN dagg d ON b.day = d.day
+      WHERE d.day IS NOT NULL
+    )
+    SELECT day, CAST(old_cents AS BIGINT) AS old_cents,
+           CAST(new_cents AS BIGINT) AS new_cents,
+           CAST(new_n AS BIGINT) AS new_n, n_retractions
+    FROM merged
+    ORDER BY abs(new_cents - old_cents) DESC, day ASC LIMIT 25
+    """,
+)
+def u27_retractable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance with RETRACTIONS: a materialized
+    daily-revenue aggregate is updated by a signed CDC delta batch
+    (inserts carry +1, deletes -1 — synthesized deterministically
+    from orders: keys ending in 7 arrive, keys ending in 3 retract)
+    WITHOUT rescanning the base fact table. SUM/COUNT are
+    self-maintainable under deletion (Flink-style retract streams /
+    DBSP z-sets): merged = base + sum(sign * measure) per group —
+    one delta-sized aggregate + one outer join against the affected
+    groups. Complements u10_cdc_apply (row-level last-writer-wins):
+    this maintains the AGGREGATE layer. Exact integer cents; top-25
+    most-changed days.
+
+    Scale shape: the base is read-only (in production: the
+    materialized table, partition-pruned to affected days); all new
+    work is proportional to the DELTA (map-combined signed sums),
+    never the history. The join fans only to touched groups."""
+    o = load_tables(spark, sf_dir)["orders"]
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)")
+    day = F.col("o_orderdate").cast("date").alias("day")
+    base = (
+        o.filter(F.col("o_orderkey") % 10 != 7)
+        .groupBy(day)
+        .agg(
+            F.sum(cents).cast("bigint").alias("cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    sign = F.when(F.col("o_orderkey") % 10 == 7, F.lit(1)).otherwise(F.lit(-1))
+    dagg = (
+        o.filter((F.col("o_orderkey") % 10).isin(7, 3))
+        .select(day, cents.alias("cents"), sign.alias("sign"))
+        .groupBy("day")
+        .agg(
+            F.sum(F.col("sign") * F.col("cents")).cast("bigint").alias("d_cents"),
+            F.sum("sign").cast("bigint").alias("d_n"),
+            F.sum(F.when(F.col("sign") == -1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_retractions"),
+        )
+    )
+    merged = (
+        base.join(dagg, "day", "full_outer")
+        .filter(F.col("d_cents").isNotNull() | F.col("n_retractions").isNotNull())
+        .select(
+            "day",
+            F.coalesce(F.col("cents"), F.lit(0)).cast("bigint").alias("old_cents"),
+            (F.coalesce(F.col("cents"), F.lit(0)) + F.coalesce(F.col("d_cents"), F.lit(0)))
+            .cast("bigint")
+            .alias("new_cents"),
+            (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("d_n"), F.lit(0)))
+            .cast("bigint")
+            .alias("new_n"),
+            F.coalesce(F.col("n_retractions"), F.lit(0))
+            .cast("bigint")
+            .alias("n_retractions"),
+        )
+    )
+    return merged.orderBy(
+        F.abs(F.col("new_cents") - F.col("old_cents")).desc(),
+        F.col("day").asc(),
+    ).limit(25)

@@ -2232,3 +2232,213 @@ def j15_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_milli"),
         )
     )
+
+
+@_register(
+    "j16_salting_plan",
+    """
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, cnt,
+             CAST((cnt + 39) // 40 AS BIGINT) AS salt_count,
+             CAST((cnt + ((cnt + 39) // 40) - 1) // ((cnt + 39) // 40)
+                  AS BIGINT) AS max_rows_per_task
+      FROM c
+    ),
+    tot AS (
+      SELECT CAST(SUM(salt_count) AS BIGINT) AS total_build_replication,
+             CAST(MAX(max_rows_per_task) AS BIGINT) AS post_salt_max_rows
+      FROM p
+    )
+    SELECT p.user_id, CAST(p.cnt AS BIGINT) AS cnt, p.salt_count,
+           p.max_rows_per_task,
+           t.total_build_replication, t.post_salt_max_rows
+    FROM p CROSS JOIN tot t
+    ORDER BY p.cnt DESC, p.user_id ASC LIMIT 20
+    """,
+)
+def j16_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actionable skew-SALTING plan for a prospective join on
+    events.user_id — the planning layer above dq4_skew_report's
+    diagnosis: per key, the salt fan-out that caps any single
+    (key, salt) task at ~40 rows (salt_count = ceil(cnt/40)) and the
+    resulting worst task size (ceil(cnt/salt_count)); globally, the
+    build-side replication the plan costs (a broadcast/dim row must
+    be duplicated salt_count times) and the post-salt maximum task
+    size the executor actually sees. Pure integer ceil-division —
+    no float enters the plan.
+
+    Scale shape: one map-combined key count, a narrow projection, a
+    1-row broadcast total (the no-driver-count idiom), top-20 hot
+    keys via TakeOrderedAndProject. The plan table is what a 100 TB
+    job submits as its skew hints (or feeds to AQE as a check that
+    runtime skew-split agrees with the static plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    salt = F.expr("CAST((cnt + 39) div 40 AS BIGINT)")
+    p = c.select(
+        "user_id",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        salt.alias("salt_count"),
+    ).withColumn(
+        "max_rows_per_task",
+        F.expr("CAST((cnt + salt_count - 1) div salt_count AS BIGINT)"),
+    )
+    tot = p.agg(
+        F.sum("salt_count").cast("bigint").alias("total_build_replication"),
+        F.max("max_rows_per_task").cast("bigint").alias("post_salt_max_rows"),
+    )
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+@_register(
+    "a19_hll_rolling_distinct",
+    """
+    WITH h AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 2)
+                  AS BIGINT) AS bucket,
+             CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 3, 13)
+                  AS BIGINT) AS rem
+      FROM orders
+    ),
+    daily AS (
+      SELECT day, bucket,
+             MAX(CASE WHEN rem = 0 THEN 50
+                      ELSE least(53 - length(bin(rem)), 50) END) AS m
+      FROM h GROUP BY day, bucket
+    ),
+    grid AS (
+      SELECT d.day, date_diff('day', DATE '1970-01-01', d.day) AS day_n,
+             b.bucket
+      FROM (SELECT DISTINCT day FROM daily) d
+      CROSS JOIN (SELECT CAST(range AS BIGINT) AS bucket
+                  FROM range(0, 256)) b
+    ),
+    rolled AS (
+      SELECT g.day, g.bucket,
+             MAX(m) OVER (PARTITION BY g.bucket ORDER BY g.day_n
+                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS m
+      FROM grid g LEFT JOIN daily dd
+        ON dd.day = g.day AND dd.bucket = g.bucket
+    ),
+    s AS (
+      SELECT day,
+             CAST(SUM(CASE WHEN m IS NULL THEN CAST(1 AS BIGINT) << 50
+                           ELSE CAST(1 AS BIGINT) << (50 - m) END)
+                  AS BIGINT) AS ssum
+      FROM rolled GROUP BY day
+    ),
+    x AS (
+      SELECT d.day, COUNT(DISTINCT o.o_custkey) AS n_exact
+      FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders) d
+      JOIN orders o
+        ON CAST(o.o_orderdate AS DATE) <= d.day
+       AND CAST(o.o_orderdate AS DATE) >= d.day - INTERVAL 6 DAY
+      GROUP BY d.day
+    )
+    SELECT s.day,
+           CAST(floor((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                      * CAST(CAST(1 AS BIGINT) << 50 AS DOUBLE)
+                      / CAST(ssum AS DOUBLE)) AS BIGINT) AS hll_rolling,
+           CAST(x.n_exact AS BIGINT) AS n_exact
+    FROM s JOIN x USING (day)
+    ORDER BY s.day ASC LIMIT 60
+    """,
+)
+def a19_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 7-day distinct customers from MERGEABLE deterministic
+    HLL registers (a12's md5 + integer-register algebra, lifted to a
+    sliding window): per (day, bucket) daily register maxes merge
+    into the window estimate via MAX over a RANGE frame — register
+    merge IS max, so the rolling sketch costs one bounded window
+    pass instead of re-scanning 7 days of raw orders per day. The
+    exact rolling distinct rides along as the calibration audit
+    (a12's n_exact pattern).
+
+    Determinism: identical md5-derived registers and integer
+    harmonic sums on both engines; the single float step (alpha *
+    m^2 / S) is IEEE ops on exact inputs. First 60 days emitted,
+    day-ordered.
+
+    Scale shape: daily registers are a map-combined (day, bucket)
+    max — at most days x 256 rows survive; the day-grid cross join
+    and the rolling window run over that bounded register table
+    (window partitioned BY BUCKET, day-ordered — parallel in the
+    256 buckets, never a corpus-sized frame). The exact audit joins
+    a broadcast day dimension against orders once; production drops
+    the audit column and keeps the sketch."""
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 2), 16, 10)
+        .cast("long")
+        .alias("bucket"),
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 3, 13), 16, 10)
+        .cast("long")
+        .alias("rem"),
+        "o_custkey",
+    )
+    rank = F.when(F.col("rem") == 0, F.lit(50)).otherwise(
+        F.least(F.lit(53) - F.length(F.expr("bin(rem)")), F.lit(50))
+    )
+    daily = (
+        keyed.groupBy("day", "bucket")
+        .agg(F.max(rank).alias("m"))
+        .localCheckpoint(eager=False)  # grid + rolled both consume it
+    )
+    days = daily.select("day").distinct().withColumn(
+        "day_n", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    )
+    buckets = spark.range(256).select(F.col("id").alias("bucket"))
+    grid = days.crossJoin(buckets)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("day_n")
+        .rangeBetween(-6, 0)
+    )
+    rolled = (
+        grid.join(daily, ["day", "bucket"], "left")
+        .withColumn("mm", F.max("m").over(w))
+    )
+    s = rolled.groupBy("day").agg(
+        F.sum(
+            F.when(
+                F.col("mm").isNull(),
+                F.expr("shiftleft(CAST(1 AS BIGINT), 50)"),
+            ).otherwise(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - mm AS INT))")
+            )
+        )
+        .cast("long")
+        .alias("ssum")
+    )
+    exact = (
+        days.select("day")
+        .join(
+            keyed.select(F.col("day").alias("od"), "o_custkey"),
+            (F.col("od") <= F.col("day"))
+            & (F.col("od") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("o_custkey").cast("long").alias("n_exact"))
+    )
+    est = F.floor(
+        (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0)))
+        * F.lit(65536.0)
+        * F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 50) AS DOUBLE)")
+        / F.col("ssum").cast("double")
+    ).cast("long")
+    return (
+        s.join(exact, "day")
+        .select("day", est.alias("hll_rolling"), "n_exact")
+        .orderBy(F.col("day").asc())
+        .limit(60)
+    )
