@@ -4893,3 +4893,86 @@ def x90_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bytes_per_piece_micro"
         ),
     )
+
+
+@_register(
+    "x91_budget_apportionment",
+    """
+    WITH w AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split(trim(text), ' '),
+                                      x -> x <> ''))) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS W FROM w),
+    q AS (
+      SELECT source, toks,
+             CAST(100000 * toks // t.W AS BIGINT) AS floor_alloc,
+             CAST((100000 * toks) % t.W AS BIGINT) AS remainder
+      FROM w CROSS JOIN tot t
+    ),
+    s AS (
+      SELECT q.*,
+             ROW_NUMBER() OVER (ORDER BY remainder DESC, source ASC)
+               AS rrank,
+             (SELECT 100000 - SUM(floor_alloc) FROM q) AS seats_left
+      FROM q
+    )
+    SELECT source, toks, floor_alloc,
+           CAST(floor_alloc + CASE WHEN rrank <= seats_left THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens,
+           CAST(SUM(floor_alloc + CASE WHEN rrank <= seats_left
+                    THEN 1 ELSE 0 END) OVER () AS BIGINT) AS total_check
+    FROM s
+    ORDER BY alloc_tokens DESC, source ASC
+    """,
+)
+def x91_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a 100k-token
+    training budget across sources: mixture WEIGHTS must become
+    INTEGER token allocations that sum EXACTLY to the budget — floor
+    division leaves seats_left = B - sum(floor(B*w/W)) tokens, handed
+    to the largest remainders (source tie-break). The total_check
+    column proves the invariant (= 100000 in every row). Exact
+    integers end to end; complements x17 (uniform downsample) and
+    x21/x86 (temperature weights) by closing the weights-to-counts
+    gap every sampler actually needs.
+
+    Scale shape: one map-combined per-source token sum; everything
+    after runs on the SOURCE DIMENSION (5 rows here, hundreds at
+    fleet scale) — the remainder rank and the proof window are
+    dimension-bounded by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.trim(F.col("text")), " "), lambda x: x != "")
+    w = docs.groupBy("source").agg(
+        F.sum(F.size(ws)).cast("bigint").alias("toks")
+    )
+    tot = w.agg(F.sum("toks").cast("bigint").alias("W"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        F.expr("CAST(100000 * toks div W AS BIGINT)").alias("floor_alloc"),
+        F.expr("CAST((100000 * toks) % W AS BIGINT)").alias("remainder"),
+    )
+    q = q.localCheckpoint(eager=False)  # ranked + seats_left share it
+    seats = q.agg(
+        (F.lit(100000) - F.sum("floor_alloc")).cast("bigint").alias("seats_left")
+    )
+    wr = Window.orderBy(F.col("remainder").desc(), F.col("source").asc())
+    ranked = q.withColumn("rrank", F.row_number().over(wr)).crossJoin(
+        F.broadcast(seats)
+    )
+    alloc = F.col("floor_alloc") + F.when(
+        F.col("rrank") <= F.col("seats_left"), 1
+    ).otherwise(0)
+    out = ranked.select(
+        "source",
+        "toks",
+        "floor_alloc",
+        alloc.cast("bigint").alias("alloc_tokens"),
+    )
+    total = out.agg(F.sum("alloc_tokens").cast("bigint").alias("total_check"))
+    return (
+        out.crossJoin(F.broadcast(total))
+        .orderBy(F.col("alloc_tokens").desc(), F.col("source").asc())
+    )

@@ -5909,3 +5909,203 @@ def u27_retractable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("new_cents") - F.col("old_cents")).desc(),
         F.col("day").asc(),
     ).limit(25)
+
+
+@_register(
+    "t50_twap",
+    """
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(ts) AS tsu,
+             epoch_us(ts) // 86400000000 AS day_n,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS v_micro
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, day_n, v_micro,
+             (COALESCE(LEAD(tsu) OVER (PARTITION BY user_id, day_n
+                                       ORDER BY tsu ASC),
+                       (day_n + 1) * 86400000000) - tsu) // 1000000
+               AS dur_s
+      FROM e
+    ),
+    t AS (
+      SELECT user_id, day_n,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(dur_s) AS BIGINT) AS held_s,
+             CAST(SUM(v_micro * dur_s) // SUM(dur_s) AS BIGINT)
+               AS twap_micro
+      FROM seg
+      WHERE dur_s > 0
+      GROUP BY user_id, day_n
+    )
+    SELECT user_id, day_n, n_events, held_s, twap_micro
+    FROM t
+    ORDER BY twap_micro DESC, user_id ASC, day_n ASC LIMIT 15
+    """,
+)
+def t50_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price/value (TWAP) per (user, day) over
+    IRREGULARLY-spaced events: each observation holds until the next
+    one (piecewise-constant), the last until midnight, so the
+    average is the exact integral sum(v * dur) / sum(dur) — the
+    metric finance desks and meter-reading pipelines want where a
+    plain AVG over-weights bursts. Event time is the declared int64
+    epoch-micros contract (Spark ts_ns div 1000 / oracle epoch_us);
+    values go through DECIMAL(18,6) micros, durations are integer
+    seconds, and the TWAP is one floor division — no float
+    accumulates. Zero-duration segments (same-microsecond ticks)
+    drop from both numerator and denominator identically.
+
+    Scale shape: one lead() window PARTITIONED by (user, day) —
+    parallel in the key, never global — then a map-combined
+    aggregate; top-15 via TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr("ts_ns div 1000").alias("tsu"),
+        F.expr("(ts_ns div 1000) div 86400000000").alias("day_n"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)").alias(
+            "v_micro"
+        ),
+    )
+    w = Window.partitionBy("user_id", "day_n").orderBy(F.col("tsu").asc())
+    seg = e.select(
+        "user_id",
+        "day_n",
+        "v_micro",
+        # integer div downstream, NOT float division: double a/1e6 can
+        # land one ulp under an exact integer and truncate to k-1
+        (
+            F.coalesce(
+                F.lead("tsu").over(w),
+                (F.col("day_n") + 1) * F.lit(86400000000),
+            )
+            - F.col("tsu")
+        ).alias("__gap_us"),
+    ).select(
+        "user_id",
+        "day_n",
+        "v_micro",
+        F.expr("CAST(__gap_us div 1000000 AS BIGINT)").alias("dur_s"),
+    )
+    t = (
+        seg.filter(F.col("dur_s") > 0)
+        .groupBy("user_id", "day_n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("dur_s").cast("bigint").alias("held_s"),
+            F.expr(
+                "CAST(SUM(v_micro * dur_s) div SUM(dur_s) AS BIGINT)"
+            ).alias("twap_micro"),
+        )
+    )
+    return t.orderBy(
+        F.col("twap_micro").desc(), F.col("user_id").asc(), F.col("day_n").asc()
+    ).limit(15)
+
+
+@_register(
+    "u28_snapshot_expiry_plan",
+    """
+    WITH v AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT)
+               AS version,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(1 + (COUNT(*) - 1) // 100 AS BIGINT) AS n_files,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS bytes_cents
+      FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT MAX(version) AS vmax,
+                  CAST(COUNT(*) AS BIGINT) AS n_versions FROM v),
+    p AS (
+      SELECT v.*,
+             CASE WHEN v.version > m.vmax - 5
+                    OR v.version >= m.vmax - 6 THEN 1 ELSE 0 END AS retained
+      FROM v CROSS JOIN mx m
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN retained = 0 THEN n_files ELSE 0 END)
+                  AS BIGINT) AS reclaim_files,
+             CAST(SUM(CASE WHEN retained = 0 THEN bytes_cents ELSE 0 END)
+                  AS BIGINT) AS reclaim_bytes
+      FROM p
+    )
+    SELECT p.version, p.n_rows, p.n_files, p.bytes_cents,
+           CAST(p.retained AS BIGINT) AS retained,
+           t.reclaim_files, t.reclaim_bytes
+    FROM p CROSS JOIN tot t
+    ORDER BY p.version DESC LIMIT 24
+    """,
+)
+def u28_snapshot_expiry_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-retention (VACUUM) planning — the lakehouse
+    maintenance op beside u21's compaction: a monthly version history
+    (synthesized deterministically from order months: one snapshot
+    per month, file count = ceil(rows/100), bytes proxied by exact
+    cents) is classified under the standard policy "keep the last 5
+    snapshots AND everything inside the 6-version time-travel
+    window"; everything else is expirable, with the reclaimable
+    file/byte totals the operator signs off on. Pure integers.
+
+    Scale shape: one map-combined month aggregate over the fact
+    table; the plan itself lives on the VERSION dimension (dozens of
+    rows) — policy flags, the 1-row reclaim total (broadcast cross
+    join), and a bounded top-24 ordered emit. In production the
+    month aggregate is replaced by the table-format's manifest
+    (u21's shape) and the fact scan disappears entirely."""
+    o = load_tables(spark, sf_dir)["orders"]
+    v = o.groupBy(
+        (
+            (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+        )
+        .cast("bigint")
+        .alias("version")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr("CAST(1 + (COUNT(*) - 1) div 100 AS BIGINT)").alias("n_files"),
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("bytes_cents"),
+    )
+    v = v.localCheckpoint(eager=False)  # mx + plan + totals share it
+    mx = v.agg(
+        F.max("version").alias("vmax"),
+        F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+    )
+    p = v.crossJoin(F.broadcast(mx)).withColumn(
+        "retained",
+        F.when(
+            (F.col("version") > F.col("vmax") - 5)
+            | (F.col("version") >= F.col("vmax") - 6),
+            1,
+        ).otherwise(0),
+    )
+    p = p.localCheckpoint(eager=False)
+    tot = p.agg(
+        F.sum(F.when(F.col("retained") == 0, F.col("n_files")).otherwise(0))
+        .cast("bigint")
+        .alias("reclaim_files"),
+        F.sum(F.when(F.col("retained") == 0, F.col("bytes_cents")).otherwise(0))
+        .cast("bigint")
+        .alias("reclaim_bytes"),
+    )
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            "version",
+            "n_rows",
+            "n_files",
+            "bytes_cents",
+            F.col("retained").cast("bigint").alias("retained"),
+            "reclaim_files",
+            "reclaim_bytes",
+        )
+        .orderBy(F.col("version").desc())
+        .limit(24)
+    )

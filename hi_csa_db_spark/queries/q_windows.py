@@ -2442,3 +2442,121 @@ def a19_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("day").asc())
         .limit(60)
     )
+
+
+@_register(
+    "a20_minhash_set_ops",
+    """
+    WITH lab AS (
+      SELECT DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             o_custkey,
+             CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+    ),
+    mins AS (
+      SELECT yr, h % 64 AS stratum, MIN(h) AS mn
+      FROM lab GROUP BY yr, h % 64
+    ),
+    a AS (SELECT stratum, mn FROM mins WHERE yr = 1995),
+    b AS (SELECT stratum, mn FROM mins WHERE yr = 1996),
+    j AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_both,
+             CAST(SUM(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_equal
+      FROM a JOIN b USING (stratum)
+    ),
+    ex AS (
+      SELECT
+        (SELECT COUNT(DISTINCT o_custkey) FROM orders
+          WHERE EXTRACT(year FROM o_orderdate) = 1995) AS ex_a,
+        (SELECT COUNT(DISTINCT o_custkey) FROM orders
+          WHERE EXTRACT(year FROM o_orderdate) = 1996) AS ex_b,
+        (SELECT COUNT(*) FROM
+          (SELECT DISTINCT o_custkey FROM orders
+            WHERE EXTRACT(year FROM o_orderdate) = 1995
+           INTERSECT
+           SELECT DISTINCT o_custkey FROM orders
+            WHERE EXTRACT(year FROM o_orderdate) = 1996) t) AS ex_i
+    )
+    SELECT j.n_both AS strata_compared,
+           CAST(j.n_equal * 1000000 // j.n_both AS BIGINT)
+             AS jaccard_est_micro,
+           CAST(ex.ex_i * 1000000 // (ex.ex_a + ex.ex_b - ex.ex_i)
+                AS BIGINT) AS jaccard_exact_micro,
+           CAST(ex.ex_a AS BIGINT) AS exact_a,
+           CAST(ex.ex_b AS BIGINT) AS exact_b,
+           CAST(ex.ex_i AS BIGINT) AS exact_intersection
+    FROM j CROSS JOIN ex
+    """,
+)
+def a20_minhash_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-overlap estimation from ONE-PERMUTATION MinHash sketches
+    (Li/Owen/Zhang 2012): each set keeps one minimum md5 hash per
+    64 strata (stratum = h mod 64) — a fully MAP-COMBINED, mergeable
+    64-value sketch per set (contrast d2's K independent
+    permutations: one pass, one min per stratum). Jaccard estimate =
+    fraction of strata whose minima agree across the two sets
+    (customers active in 1995 vs 1996); the exact Jaccard and set
+    sizes ride along as calibration audit. Deterministic: identical
+    md5-derived minima on both engines; the only divisions are
+    final integer micros.
+
+    Scale shape: the sketch is a (set, stratum) MIN groupBy — 64
+    rows per set survive regardless of corpus size; comparison is a
+    64-row join. At 100 TB the audit block is dropped and sketch
+    tables stay resident for any pairwise-overlap question (the
+    mergeability a13/a12 bank for quantiles/distincts, extended to
+    INTERSECTIONS)."""
+    o = load_table(spark, sf_dir, "orders")
+    lab = (
+        o.select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            "o_custkey",
+        )
+        .filter(F.col("yr").isin(1995, 1996))
+        .distinct()
+        .select(
+            "yr",
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    mins = lab.groupBy("yr", (F.col("h") % 64).alias("stratum")).agg(
+        F.min("h").alias("mn")
+    )
+    a = mins.filter(F.col("yr") == 1995).select("stratum", F.col("mn").alias("mna"))
+    b = mins.filter(F.col("yr") == 1996).select("stratum", F.col("mn").alias("mnb"))
+    j = a.join(b, "stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("strata_compared"),
+        F.sum(F.when(F.col("mna") == F.col("mnb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_equal"),
+    )
+    ya = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    yb = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    ex = (
+        ya.agg(F.count(F.lit(1)).alias("ex_a"))
+        .crossJoin(yb.agg(F.count(F.lit(1)).alias("ex_b")))
+        .crossJoin(
+            ya.intersect(yb).agg(F.count(F.lit(1)).alias("ex_i"))
+        )
+    )
+    return j.crossJoin(F.broadcast(ex)).select(
+        "strata_compared",
+        F.expr("CAST(n_equal * 1000000 div strata_compared AS BIGINT)").alias(
+            "jaccard_est_micro"
+        ),
+        F.expr(
+            "CAST(ex_i * 1000000 div (ex_a + ex_b - ex_i) AS BIGINT)"
+        ).alias("jaccard_exact_micro"),
+        F.col("ex_a").cast("bigint").alias("exact_a"),
+        F.col("ex_b").cast("bigint").alias("exact_b"),
+        F.col("ex_i").cast("bigint").alias("exact_intersection"),
+    )

@@ -42,6 +42,7 @@ ALLOWED = {
     "ml_auc_ranking",
     "t48_time_to_convert",
     "x87_embedding_drift",
+    "x91_budget_apportionment",
 }
 
 

@@ -87,6 +87,10 @@ FLOAT_SENSITIVE = [
     "a19_hll_rolling_distinct",
     "j16_salting_plan",
     "u27_retractable_agg",
+    "a20_minhash_set_ops",
+    "x91_budget_apportionment",
+    "t50_twap",
+    "u28_snapshot_expiry_plan",
 ]
 
 
