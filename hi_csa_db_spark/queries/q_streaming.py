@@ -455,3 +455,55 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hi_csa_db_spark.streaming import windows
 
     return windows.quantile_sketch_daily(spark, sf_dir)
+
+
+@_register(
+    "stream_hll_daily",
+    """
+    WITH h AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2)
+                  AS BIGINT) AS bucket,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 3, 13)
+                  AS BIGINT) AS rem,
+             user_id
+      FROM events
+    ),
+    r AS (
+      SELECT day, bucket,
+             MAX(CASE WHEN rem = 0 THEN 50
+                      ELSE least(53 - length(bin(rem)), 50) END) AS m
+      FROM h GROUP BY day, bucket
+    ),
+    s AS (
+      SELECT day,
+             CAST(SUM(CAST(1 AS BIGINT) << (50 - m)) AS BIGINT)
+             + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 50) AS ssum
+      FROM r GROUP BY day
+    ),
+    x AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT s.day,
+           CAST(floor((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                      * CAST(CAST(1 AS BIGINT) << 50 AS DOUBLE)
+                      / CAST(ssum AS DOUBLE)) AS BIGINT) AS hll_daily,
+           x.n_exact
+    FROM s JOIN x USING (day)
+    ORDER BY s.day ASC LIMIT 40
+    """,
+)
+def stream_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-HLL register maintenance as a REAL streaming
+    stateful aggregation (watermark + day windows + AvailableNow,
+    memory sink): the state is the (day, bucket) register max —
+    sketch-sized, mergeable by construction — and the estimate is
+    derived batch-side from the sink, a12's portable integer
+    register algebra end to end. Proves the sketch family runs
+    under streaming semantics, not just batch (the
+    stream_quantile_sketch precedent, extended to distincts)."""
+    from hi_csa_db_spark.streaming import windows
+
+    return windows.hll_daily_distinct(spark, sf_dir)

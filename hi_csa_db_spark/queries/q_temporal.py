@@ -6109,3 +6109,90 @@ def u28_snapshot_expiry_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("version").desc())
         .limit(24)
     )
+
+
+@_register(
+    "dq23_wap_gate",
+    """
+    WITH m AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT)
+               AS month_n,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+      FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT month_n, n_rows, n_custs,
+             CAST(SUM(n_rows) OVER (ORDER BY month_n ASC
+                    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS trail_sum,
+             CAST(COUNT(*) OVER (ORDER BY month_n ASC
+                    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS trail_n
+      FROM m
+    )
+    SELECT month_n, n_rows, n_custs,
+           CAST(trail_sum * 1000 // trail_n AS BIGINT) AS trail_mean_milli,
+           CAST((n_rows * 1000 * trail_n - trail_sum * 1000) * 10000
+                // (trail_sum * 1000) AS BIGINT) AS deviation_bps,
+           CAST(CASE WHEN abs(n_rows * trail_n - trail_sum) * 5
+                        <= trail_sum THEN 1 ELSE 0 END AS BIGINT)
+             AS gate_pass
+    FROM g
+    WHERE trail_n = 6
+    ORDER BY month_n DESC LIMIT 24
+    """,
+)
+def dq23_wap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (WAP) gate: before a monthly batch
+    publishes, its row count is audited against the trailing
+    6-month mean — deviation beyond +/-20% fails the gate
+    (|n - mean| <= 0.2*mean, cross-multiplied to the integer form
+    |n*6 - sum|*5 <= sum so no float threshold exists). Emits the
+    trailing mean (milli), signed deviation (bps, floor division)
+    and the pass flag for the last 24 complete months — the
+    quality contract a u8-style publish step checks before swapping
+    partitions live.
+
+    Scale shape: one map-combined month aggregate; the gate runs on
+    the month DIMENSION (a bounded frame, SCALE.md ledger) with a
+    6-row trailing window."""
+    o = load_tables(spark, sf_dir)["orders"]
+    m = o.groupBy(
+        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("month_n")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+    )
+    w = Window.orderBy(F.col("month_n").asc()).rowsBetween(-6, -1)
+    g = m.select(
+        "month_n",
+        "n_rows",
+        "n_custs",
+        F.sum("n_rows").over(w).cast("bigint").alias("trail_sum"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("trail_n"),
+    )
+    return (
+        g.filter(F.col("trail_n") == 6)
+        .select(
+            "month_n",
+            "n_rows",
+            "n_custs",
+            F.expr("CAST(trail_sum * 1000 div trail_n AS BIGINT)").alias(
+                "trail_mean_milli"
+            ),
+            F.expr(
+                "CAST((n_rows * 1000 * trail_n - trail_sum * 1000) * 10000"
+                " div (trail_sum * 1000) AS BIGINT)"
+            ).alias("deviation_bps"),
+            F.expr(
+                "CAST(CASE WHEN abs(n_rows * trail_n - trail_sum) * 5"
+                " <= trail_sum THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("gate_pass"),
+        )
+        .orderBy(F.col("month_n").desc())
+        .limit(24)
+    )

@@ -451,3 +451,71 @@ def quantile_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_p99_micro"),
     )
+
+
+def hll_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users as STREAMING deterministic-HLL register
+    maintenance (round 8): the stateful piece is a watermarked
+    (day-window, bucket) MAX of md5-derived register ranks — sketch
+    state is tiny (<= 256 rows per open day) and merge-on-update is
+    just max, exactly the algebra a12 proves portable batch-side.
+    The harmonic sum + estimate run as a batch aggregation over the
+    sink's register table; the exact per-day distinct rides along
+    for calibration."""
+    ev = read_events_stream(spark, sf_dir)
+    h = ev.select(
+        "ts",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+        .cast("long")
+        .alias("bucket"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 3, 13), 16, 10)
+        .cast("long")
+        .alias("rem"),
+    )
+    rank = F.when(F.col("rem") == 0, F.lit(50)).otherwise(
+        F.least(F.lit(53) - F.length(F.expr("bin(rem)")), F.lit(50))
+    )
+    regs = (
+        h.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day"), "bucket")
+        .agg(F.max(rank).alias("m"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+            "bucket",
+            "m",
+        )
+    )
+    sink = _run_to_memory(regs, "stream_hll_daily_regs", "complete")
+    s = sink.groupBy("day").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - m AS INT))"))
+            + (256 - F.count(F.lit(1)))
+            * F.expr("shiftleft(CAST(1 AS BIGINT), 50)")
+        )
+        .cast("long")
+        .alias("ssum")
+    )
+    from hi_csa_db_spark.catalog import normalize_events
+
+    exact = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .transform(normalize_events)
+        .select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    est = F.floor(
+        (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0)))
+        * F.lit(65536.0)
+        * F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 50) AS DOUBLE)")
+        / F.col("ssum").cast("double")
+    ).cast("long")
+    return (
+        s.join(exact, "day")
+        .select("day", est.alias("hll_daily"), "n_exact")
+        .orderBy(F.col("day").asc())
+        .limit(40)
+    )

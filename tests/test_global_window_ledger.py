@@ -43,6 +43,7 @@ ALLOWED = {
     "t48_time_to_convert",
     "x87_embedding_drift",
     "x91_budget_apportionment",
+    "dq23_wap_gate",
 }
 
 

@@ -91,6 +91,8 @@ FLOAT_SENSITIVE = [
     "x91_budget_apportionment",
     "t50_twap",
     "u28_snapshot_expiry_plan",
+    "stats_ks_two_sample",
+    "dq23_wap_gate",
 ]
 
 
