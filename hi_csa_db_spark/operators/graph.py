@@ -256,7 +256,9 @@ def personalized_pagerank_micro(
     return ranks.select("id", F.col("r").alias("rank_micro"))
 
 
-def connected_components(edges: DataFrame, iterations: int = 3) -> DataFrame:
+def connected_components(
+    edges: DataFrame, iterations: int = 3, directed: bool = False
+) -> DataFrame:
     """Label propagation toward connected components: (id, lbl).
 
     label_0(v) = v; label_{k+1}(v) = min(label_k(v), min over
@@ -265,16 +267,30 @@ def connected_components(edges: DataFrame, iterations: int = 3) -> DataFrame:
     radius (labels converge within graph diameter); per iteration:
     one join + one aggregation over the undirected edge list, same
     bucketed-by-src layout as pagerank/bfs at cluster scale.
+
+    ``directed=True`` (round 8, graph_scc's FW pass) skips the edge
+    symmetrization: labels flow along out-edges only, so lbl(v) is
+    the min node id FORWARD-reachable within ``iterations`` hops.
+    Nodes are then src UNION dst (a pure sink never appears as src).
     """
-    ud = _iter_layout(
-        edges.select("src", "dst")
-        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct(),
-        "src",
-    )
-    labels = ud.select(F.col("src").alias("id")).distinct().select(
-        "id", F.col("id").alias("lbl")
-    )
+    if directed:
+        ud = _iter_layout(edges.select("src", "dst").distinct(), "src")
+        labels = (
+            ud.select(F.col("src").alias("id"))
+            .unionAll(ud.select(F.col("dst").alias("id")))
+            .distinct()
+            .select("id", F.col("id").alias("lbl"))
+        )
+    else:
+        ud = _iter_layout(
+            edges.select("src", "dst")
+            .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct(),
+            "src",
+        )
+        labels = ud.select(F.col("src").alias("id")).distinct().select(
+            "id", F.col("id").alias("lbl")
+        )
     for it in range(iterations):
         nb_min = (
             ud.join(labels, ud["dst"] == labels["id"])

@@ -4976,3 +4976,150 @@ def x91_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.crossJoin(F.broadcast(total))
         .orderBy(F.col("alloc_tokens").desc(), F.col("source").asc())
     )
+
+
+@_register(
+    "x95_source_overlap_matrix",
+    """
+    WITH vt AS (
+      SELECT DISTINCT source, tok
+      FROM (SELECT source,
+                   unnest(list_filter(string_split(regexp_replace(
+                     lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                     x -> x <> '')) AS tok
+            FROM documents)
+    ),
+    h AS (
+      SELECT source, tok,
+             CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS hv
+      FROM vt
+    ),
+    mins AS (
+      SELECT source, hv % 64 AS stratum, MIN(hv) AS mn
+      FROM h GROUP BY source, hv % 64
+    ),
+    est AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS strata,
+             CAST(SUM(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) AS BIGINT)
+               AS agree
+      FROM mins a JOIN mins b
+        ON a.stratum = b.stratum AND a.source < b.source
+      GROUP BY a.source, b.source
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM vt
+              GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS vi
+      FROM vt a JOIN vt b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT e.source_a, e.source_b,
+           CAST(e.agree * 1000000 // e.strata AS BIGINT)
+             AS jaccard_est_micro,
+           CAST(i.vi * 1000000 // (sa.v + sb.v - i.vi) AS BIGINT)
+             AS jaccard_exact_micro,
+           i.vi AS vocab_intersection
+    FROM est e
+    JOIN inter i ON i.source_a = e.source_a AND i.source_b = e.source_b
+    JOIN sizes sa ON sa.source = e.source_a
+    JOIN sizes sb ON sb.source = e.source_b
+    ORDER BY jaccard_exact_micro DESC, e.source_a ASC, e.source_b ASC
+    LIMIT 20
+    """,
+)
+def x95_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary-overlap MATRIX across corpus sources from
+    a20's one-permutation MinHash sketches: each source keeps one min
+    hash per 64 strata (a fully map-combined 64-row sketch), and
+    EVERY source pair's Jaccard estimate comes from one 64-rows-per-
+    source stratum equi-join — the all-pairs question costs
+    O(sources^2 x 64), independent of vocabulary size. The exact
+    pairwise vocab Jaccard rides along as calibration (the token-
+    cooccurrence join production drops — its cost grows with shared
+    vocabulary, which is exactly what the sketch avoids). Top-20
+    most-overlapping source pairs; integer micros throughout.
+
+    Scale shape: sketch side is (source, stratum) MIN — 64 rows per
+    source survive regardless of corpus size; the dim x dim sketch
+    join replaces any doc- or token-sized pair explosion. This is
+    the contamination/mixture-planning matrix (which sources are
+    near-copies of each other) priced for hundreds of sources."""
+    docs = load_table(spark, sf_dir, "documents")
+    vt = (
+        docs.select(
+            "source",
+            F.explode(
+                tokenize(F.lower(strip_punct(F.col("text"))))
+            ).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # sketch + exact + sizes share it
+    )
+    h = vt.select(
+        "source",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    mins = h.groupBy("source", (F.col("hv") % 64).alias("stratum")).agg(
+        F.min("hv").alias("mn")
+    )
+    a = mins.select(
+        F.col("source").alias("source_a"), "stratum", F.col("mn").alias("ma")
+    )
+    b = mins.select(
+        F.col("source").alias("source_b"), "stratum", F.col("mn").alias("mb")
+    )
+    est = (
+        a.join(b, "stratum")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("strata"),
+            F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("agree"),
+        )
+    )
+    sizes = vt.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    inter = (
+        vt.select(F.col("source").alias("source_a"), "tok")
+        .join(
+            vt.select(F.col("source").alias("source_b"), "tok"), "tok"
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vi"))
+    )
+    return (
+        est.join(inter, ["source_a", "source_b"])
+        .join(
+            sizes.select(F.col("source").alias("source_a"), F.col("v").alias("va")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("source_b"), F.col("v").alias("vb")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.expr("CAST(agree * 1000000 div strata AS BIGINT)").alias(
+                "jaccard_est_micro"
+            ),
+            F.expr("CAST(vi * 1000000 div (va + vb - vi) AS BIGINT)").alias(
+                "jaccard_exact_micro"
+            ),
+            F.col("vi").alias("vocab_intersection"),
+        )
+        .orderBy(
+            F.col("jaccard_exact_micro").desc(),
+            F.col("source_a").asc(),
+            F.col("source_b").asc(),
+        )
+        .limit(20)
+    )

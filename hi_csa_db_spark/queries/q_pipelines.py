@@ -2193,3 +2193,106 @@ def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@_register(
+    "graph_scc",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS src,
+             (l_partkey // 50) * 50 + (l_partkey * 3 + l_linenumber * 7) % 50
+               AS dst
+      FROM lineitem WHERE l_partkey < 200
+    ),
+    nodes AS (
+      SELECT DISTINCT id FROM
+        (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+    ),
+    f0 AS (SELECT id, id AS lbl FROM nodes),
+    f1 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN f0 s ON s.id = n.id
+           LEFT JOIN e ON e.src = n.id LEFT JOIN f0 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl),
+    f2 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN f1 s ON s.id = n.id
+           LEFT JOIN e ON e.src = n.id LEFT JOIN f1 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl),
+    f3 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN f2 s ON s.id = n.id
+           LEFT JOIN e ON e.src = n.id LEFT JOIN f2 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl),
+    b0 AS (SELECT id, id AS lbl FROM nodes),
+    b1 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN b0 s ON s.id = n.id
+           LEFT JOIN e ON e.dst = n.id LEFT JOIN b0 nb ON nb.id = e.src
+           GROUP BY n.id, s.lbl),
+    b2 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN b1 s ON s.id = n.id
+           LEFT JOIN e ON e.dst = n.id LEFT JOIN b1 nb ON nb.id = e.src
+           GROUP BY n.id, s.lbl),
+    b3 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM nodes n JOIN b2 s ON s.id = n.id
+           LEFT JOIN e ON e.dst = n.id LEFT JOIN b2 nb ON nb.id = e.src
+           GROUP BY n.id, s.lbl)
+    SELECT CAST(f.lbl AS BIGINT) AS scc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(f.id) AS BIGINT) AS min_node,
+           CAST(MAX(f.id) AS BIGINT) AS max_node
+    FROM f3 f JOIN b3 b ON b.id = f.id AND b.lbl = f.lbl
+    GROUP BY f.lbl
+    ORDER BY n_members DESC, scc_id ASC LIMIT 25
+    """,
+)
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components via the FW-BW identification
+    rule (Fleischer/Hendrickson/Pinar 2000), bounded label
+    propagation: after k min-label rounds FORWARD (along edges) and
+    k rounds BACKWARD (against them), a node whose forward-min and
+    backward-min AGREE at value m is provably in SCC(m) — m is
+    reachable from it and it from m. Emits the identified SCCs with
+    sizes (members whose labels resolved within k=3 hops; larger-
+    diameter components resolve in later rounds at fleet scale —
+    the bounded-round contract every graph op here shares, bfs/
+    components/ktruss). Directed edges derive deterministically
+    from lineitem ((partkey*7 + linenumber) mod 200 — a graph with
+    real multi-node cycles, block-partitioned into four 50-node
+    strongly-connectable regions so several SCCs resolve within the
+    bound); all label math is integer min.
+
+    Scale shape: per round one equi-join edge pass + a map-combined
+    min — the components/pagerank shuffle shape on a bucketed-by-src
+    edge table; forward and backward passes share the cached edge
+    frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.filter(F.col("l_partkey") < 200)
+        .select(
+            F.col("l_partkey").alias("src"),
+            F.expr(
+                "(l_partkey div 50) * 50"
+                " + (l_partkey * 3 + l_linenumber * 7) % 50"
+            ).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # fwd + bwd rounds share it
+    )
+    fwd = graph.connected_components(e, iterations=3, directed=True)
+    bwd = graph.connected_components(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        iterations=3,
+        directed=True,
+    )
+    ident = fwd.join(
+        bwd.select(F.col("id").alias("bid"), F.col("lbl").alias("blbl")),
+        (F.col("id") == F.col("bid")) & (F.col("lbl") == F.col("blbl")),
+    )
+    return (
+        ident.groupBy(F.col("lbl").cast("bigint").alias("scc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("id").cast("bigint").alias("min_node"),
+            F.max("id").cast("bigint").alias("max_node"),
+        )
+        .orderBy(F.col("n_members").desc(), F.col("scc_id").asc())
+        .limit(25)
+    )

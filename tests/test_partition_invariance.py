@@ -93,6 +93,8 @@ FLOAT_SENSITIVE = [
     "u28_snapshot_expiry_plan",
     "stats_ks_two_sample",
     "dq23_wap_gate",
+    "graph_scc",
+    "x95_source_overlap_matrix",
 ]
 
 
