@@ -1752,3 +1752,162 @@ def er4_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fam_df in rows[1:]:
         out = out.unionByName(fam_df)
     return out
+
+
+@_register(
+    "er6_bcubed_quality",
+    f"""
+    WITH {_ER1_CLUSTER_SQL},
+    ttoks AS (
+      SELECT doc_id, list_filter(
+        string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        x -> x <> '') AS toks
+      FROM documents
+    ),
+    tsh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                     i -> array_to_string(toks[i:i+2], ' ')))
+                 AS shingle
+        FROM ttoks
+      ) WHERE shingle <> ''
+    ),
+    tsizes AS (SELECT doc_id, COUNT(*) AS sz FROM tsh GROUP BY doc_id),
+    tinter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ic
+      FROM tsh a JOIN tsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    tpairs AS (
+      SELECT i.id_a AS src, i.id_b AS dst
+      FROM tinter i JOIN tsizes sa ON sa.doc_id = i.id_a
+                    JOIN tsizes sb ON sb.doc_id = i.id_b
+      WHERE i.ic / (sa.sz + sb.sz - i.ic) >= 0.05
+    ),
+    tud AS (SELECT src, dst FROM tpairs
+            UNION ALL SELECT dst AS src, src AS dst FROM tpairs),
+    t0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+    t1 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM t0 n JOIN t0 s ON s.id = n.id
+           LEFT JOIN tud e ON e.src = n.id LEFT JOIN t0 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl),
+    t2 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM t1 n JOIN t1 s ON s.id = n.id
+           LEFT JOIN tud e ON e.src = n.id LEFT JOIN t1 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl),
+    t3 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+           FROM t2 n JOIN t2 s ON s.id = n.id
+           LEFT JOIN tud e ON e.src = n.id LEFT JOIN t2 nb ON nb.id = e.dst
+           GROUP BY n.id, s.lbl),
+    el AS (
+      SELECT s.id, s.lbl AS c, t.lbl AS t
+      FROM l3 s JOIN t3 t ON t.id = s.id
+    ),
+    cells AS (SELECT c, t, CAST(COUNT(*) AS BIGINT) AS n_ct
+              FROM el GROUP BY c, t),
+    nc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_c FROM el GROUP BY c),
+    nt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_t FROM el GROUP BY t),
+    agg AS (
+      SELECT CAST(SUM(n_ct) AS BIGINT) AS n_docs,
+             CAST(SUM(cells.n_ct * (cells.n_ct * 1000000 // nc.n_c))
+                  AS BIGINT) AS psum,
+             CAST(SUM(cells.n_ct * (cells.n_ct * 1000000 // nt.n_t))
+                  AS BIGINT) AS rsum
+      FROM cells JOIN nc USING (c) JOIN nt USING (t)
+    ),
+    kc AS (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS n_sys,
+                  CAST(COUNT(DISTINCT t) AS BIGINT) AS n_truth FROM el)
+    SELECT a.n_docs, kc.n_sys AS n_sys_clusters,
+           kc.n_truth AS n_truth_clusters,
+           CAST(a.psum // a.n_docs AS BIGINT) AS b3_precision_micro,
+           CAST(a.rsum // a.n_docs AS BIGINT) AS b3_recall_micro,
+           CAST(2 * (a.psum // a.n_docs) * (a.rsum // a.n_docs)
+                // ((a.psum // a.n_docs) + (a.rsum // a.n_docs))
+                AS BIGINT) AS b3_f1_micro
+    FROM agg a CROSS JOIN kc
+    """,
+)
+def er6_bcubed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed cluster-quality evaluation (Bagga & Baldwin 1998) of
+    er1's SYSTEM clusters against exact-Jaccard TRUTH clusters
+    (components of the >=0.05 3-gram-Jaccard pair graph, the d2/er4
+    truth rule): per-element precision |C(e) n T(e)|/|C(e)| and
+    recall .../|T(e)| collapse to one (system, truth) CELL table —
+    every element in a cell shares both values, so B3P =
+    sum(n_ct * floor-micro(n_ct/n_c)) / N with NO per-element pass.
+    er2 scores the blocking stage (pair recall); this scores the
+    CLUSTERING output itself, the metric that catches over-merging
+    (precision) and over-splitting (recall) separately. Exact
+    integer micros (floor per cell — documented metric definition),
+    matched rounds (k=3) on both label propagations.
+
+    Scale shape: both label tables are doc-sized; the eval runs on
+    the (c, t) CELL table — bounded by min(clusters, truth) and in
+    practice near the cluster count — plus two dimension-sized
+    marginals. The exact-Jaccard truth graph is the expensive audit
+    input (er4's contract: at scale, run on a stratified sample)."""
+    from hi_csa_db_spark.operators.dedup import (
+        jaccard_pairs,
+        shingles,
+        sorted_neighborhood_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(F.lower(strip_punct(F.col("text"))), 1, 24)
+    spairs = (
+        sorted_neighborhood_pairs(docs, key, id_col="doc_id", window=3)
+        .filter(F.levenshtein("a_key", "b_key") <= 6)
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    slab = graph.connected_components(spairs, iterations=3)
+    sh = shingles(docs, n=3)
+    tpairs = (
+        jaccard_pairs(sh)
+        .filter(F.col("jaccard") >= 0.05)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    tlab = graph.connected_components(tpairs, iterations=3)
+    el = (
+        docs.select("doc_id")
+        .join(slab, docs["doc_id"] == slab["id"], "left")
+        .select("doc_id", F.coalesce("lbl", F.col("doc_id")).alias("c"))
+        .join(
+            tlab.select(F.col("id").alias("tid"), F.col("lbl").alias("tl")),
+            F.col("doc_id") == F.col("tid"),
+            "left",
+        )
+        .select("doc_id", "c", F.coalesce("tl", F.col("doc_id")).alias("t"))
+        .localCheckpoint(eager=False)  # cells + marginals + counts share it
+    )
+    cells = el.groupBy("c", "t").agg(F.count(F.lit(1)).cast("bigint").alias("n_ct"))
+    nc = el.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+    nt = el.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    agg = (
+        cells.join(nc, "c")
+        .join(nt, "t")
+        .agg(
+            F.sum("n_ct").cast("bigint").alias("n_docs"),
+            F.sum(F.expr("n_ct * (n_ct * 1000000 div n_c)"))
+            .cast("bigint")
+            .alias("psum"),
+            F.sum(F.expr("n_ct * (n_ct * 1000000 div n_t)"))
+            .cast("bigint")
+            .alias("rsum"),
+        )
+    )
+    kc = el.agg(
+        F.countDistinct("c").cast("bigint").alias("n_sys_clusters"),
+        F.countDistinct("t").cast("bigint").alias("n_truth_clusters"),
+    )
+    return agg.crossJoin(F.broadcast(kc)).select(
+        "n_docs",
+        "n_sys_clusters",
+        "n_truth_clusters",
+        F.expr("CAST(psum div n_docs AS BIGINT)").alias("b3_precision_micro"),
+        F.expr("CAST(rsum div n_docs AS BIGINT)").alias("b3_recall_micro"),
+        F.expr(
+            "CAST(2 * (psum div n_docs) * (rsum div n_docs)"
+            " div ((psum div n_docs) + (rsum div n_docs)) AS BIGINT)"
+        ).alias("b3_f1_micro"),
+    )

@@ -95,6 +95,7 @@ FLOAT_SENSITIVE = [
     "dq23_wap_gate",
     "graph_scc",
     "x95_source_overlap_matrix",
+    "er6_bcubed_quality",
 ]
 
 
