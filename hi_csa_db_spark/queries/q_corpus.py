@@ -4720,182 +4720,6 @@ def x87_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "x88_heaps_law",
-    """
-    WITH ranked AS (
-      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS pos,
-             list_filter(string_split(regexp_replace(lower(text),
-               '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
-      FROM documents
-    ),
-    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM ranked),
-    sizes AS (SELECT pos, CAST(len(toks) AS BIGINT) AS n_toks FROM ranked),
-    ft AS (
-      SELECT tok, MIN(pos) AS fpos
-      FROM (SELECT pos, unnest(toks) AS tok FROM ranked)
-      GROUP BY tok
-    ),
-    cps AS (
-      SELECT CAST(k AS BIGINT) AS k, (nd * k + 7) // 8 AS ck
-      FROM range(1, 9) t(k) CROSS JOIN tot
-    ),
-    v AS (
-      SELECT c.k, c.ck, CAST(COUNT(*) AS BIGINT) AS vocab
-      FROM cps c JOIN ft f ON f.fpos <= c.ck
-      GROUP BY c.k, c.ck
-    ),
-    n AS (
-      SELECT c.k, CAST(SUM(s.n_toks) AS BIGINT) AS n_tokens
-      FROM cps c JOIN sizes s ON s.pos <= c.ck
-      GROUP BY c.k
-    )
-    SELECT v.k, CAST(v.ck AS BIGINT) AS n_docs, n.n_tokens, v.vocab,
-           CAST(v.vocab * 1000000 // n.n_tokens AS BIGINT)
-             AS vocab_per_mtoken
-    FROM v JOIN n USING (k)
-    ORDER BY v.k ASC
-    """,
-)
-def x88_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary-growth (Heaps' law) curve: distinct-token count V
-    and total-token count N at 8 corpus-prefix checkpoints (1/8 ..
-    8/8 of docs in doc_id order) — the planning table behind
-    tokenizer-vocab sizing and dedup-value forecasting (a flattening
-    V(N) says new data stops bringing new vocabulary). The curve is
-    computed WITHOUT any cumulative distinct scan: V(ck) = #{tokens
-    whose FIRST occurrence position <= ck}, so one min-per-token
-    aggregate plus a tiny 8-row checkpoint join replaces 8
-    prefix-distinct passes. Exact integers end to end (the Heaps
-    exponent fit needs log(); the exact (N, V) pairs carry the same
-    information without libm).
-
-    Scale shape: doc positions ride ordered.global_row_numbers
-    (range-partitioned, no single-partition sort); first-occurrence
-    is one map-combined min per token; the checkpoint joins multiply
-    work by a FIXED 8, not by data size."""
-    from hi_csa_db_spark.operators import ordered as _ord
-
-    docs = load_table(spark, sf_dir, "documents")
-    ranked = _ord.global_row_numbers(
-        docs.select(
-            "doc_id",
-            tokenize(F.lower(strip_punct(F.col("text")))).alias("toks"),
-        ),
-        "doc_id",
-    ).select("doc_id", F.col("rank").alias("pos"), "toks")
-    ranked = ranked.localCheckpoint(eager=False)  # sizes + ft + tot share it
-    tot = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
-    sizes = ranked.select("pos", F.size("toks").cast("bigint").alias("n_toks"))
-    ft = (
-        ranked.select("pos", F.explode("toks").alias("tok"))
-        .groupBy("tok")
-        .agg(F.min("pos").alias("fpos"))
-    )
-    cps = (
-        spark.range(1, 9)
-        .select(F.col("id").cast("bigint").alias("k"))
-        .crossJoin(F.broadcast(tot))
-        .select("k", F.expr("CAST((nd * k + 7) div 8 AS BIGINT)").alias("ck"))
-    )
-    v = (
-        ft.join(F.broadcast(cps), F.col("fpos") <= F.col("ck"))
-        .groupBy("k", "ck")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
-    )
-    n = (
-        sizes.join(F.broadcast(cps.select("k", "ck")), F.col("pos") <= F.col("ck"))
-        .groupBy("k")
-        .agg(F.sum("n_toks").cast("bigint").alias("n_tokens"))
-    )
-    return (
-        v.join(n, "k")
-        .select(
-            "k",
-            F.col("ck").cast("bigint").alias("n_docs"),
-            "n_tokens",
-            "vocab",
-            F.expr("CAST(vocab * 1000000 div n_tokens AS BIGINT)").alias(
-                "vocab_per_mtoken"
-            ),
-        )
-        .orderBy(F.col("k").asc())
-    )
-
-
-@_register(
-    "x90_tokenizer_fertility",
-    r"""
-    WITH per_doc AS (
-      SELECT lang,
-             CAST(length(text) AS BIGINT) AS chars,
-             CAST(strlen(text) AS BIGINT) AS bytes,
-             CAST(len(list_filter(string_split(trim(text), ' '),
-                                  x -> x <> '')) AS BIGINT) AS words,
-             CAST(len(regexp_extract_all(text,
-                  '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS pieces
-      FROM documents
-    )
-    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(chars) AS BIGINT) AS chars,
-           CAST(SUM(bytes) AS BIGINT) AS bytes,
-           CAST(SUM(words) AS BIGINT) AS words,
-           CAST(SUM(pieces) AS BIGINT) AS pieces,
-           CAST(SUM(pieces) * 1000000 // SUM(words) AS BIGINT)
-             AS fertility_micro,
-           CAST(SUM(bytes) * 1000000 // SUM(chars) AS BIGINT)
-             AS bytes_per_char_micro,
-           CAST(SUM(bytes) * 1000000 // SUM(pieces) AS BIGINT)
-             AS bytes_per_piece_micro
-    FROM per_doc GROUP BY lang
-    """,
-)
-def x90_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-fertility audit per language: pieces-per-word
-    (how many subword pieces the BPE-ish regex splitter spends per
-    whitespace word), bytes-per-char (multibyte pressure — zh sits
-    far above the latin-script languages), and bytes-per-piece (the
-    compression a byte-level tokenizer would see). These three
-    ratios drive per-language token budgets and mixture weights in
-    a multilingual training-data plan; all exact integer micros
-    (floor division), with the raw sums alongside.
-
-    Scale shape: one narrow map pass per doc (built-in length /
-    octet_length / split / regexp_extract_all — no UDF), one
-    map-combined groupBy on the 5-value lang dimension."""
-    docs = load_table(spark, sf_dir, "documents")
-    ws = F.filter(
-        F.split(F.trim(F.col("text")), " "), lambda x: x != ""
-    )
-    per = docs.select(
-        "lang",
-        F.length("text").cast("bigint").alias("chars"),
-        F.octet_length("text").cast("bigint").alias("bytes"),
-        F.size(ws).cast("bigint").alias("words"),
-        F.size(
-            F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]', 0)")
-        )
-        .cast("bigint")
-        .alias("pieces"),
-    )
-    return per.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("chars").cast("bigint").alias("chars"),
-        F.sum("bytes").cast("bigint").alias("bytes"),
-        F.sum("words").cast("bigint").alias("words"),
-        F.sum("pieces").cast("bigint").alias("pieces"),
-        F.expr("CAST(SUM(pieces) * 1000000 div SUM(words) AS BIGINT)").alias(
-            "fertility_micro"
-        ),
-        F.expr("CAST(SUM(bytes) * 1000000 div SUM(chars) AS BIGINT)").alias(
-            "bytes_per_char_micro"
-        ),
-        F.expr("CAST(SUM(bytes) * 1000000 div SUM(pieces) AS BIGINT)").alias(
-            "bytes_per_piece_micro"
-        ),
-    )
-
-
-@_register(
     "x91_budget_apportionment",
     """
     WITH w AS (

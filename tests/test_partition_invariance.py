@@ -83,7 +83,6 @@ FLOAT_SENSITIVE = [
     "x51_domain_cap",
     # round-8 additions (global ranks / rolling sketch merges / signed
     # delta merges / integer plans)
-    "x88_heaps_law",
     "a19_hll_rolling_distinct",
     "j16_salting_plan",
     "u27_retractable_agg",
