@@ -4869,7 +4869,12 @@ def x95_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     source survive regardless of corpus size; the dim x dim sketch
     join replaces any doc- or token-sized pair explosion. This is
     the contamination/mixture-planning matrix (which sources are
-    near-copies of each other) priced for hundreds of sources."""
+    near-copies of each other) priced for hundreds of sources.
+
+    vs a17_audience_matrix: a17's pairwise matrix is EXACT via
+    user bitmaps (state grows with the universe); this is the
+    constant-state sketch tier over an unbounded token vocabulary —
+    same matrix question, opposite state class."""
     docs = load_table(spark, sf_dir, "documents")
     vt = (
         docs.select(

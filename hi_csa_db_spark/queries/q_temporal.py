@@ -5863,7 +5863,12 @@ def u27_retractable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the base is read-only (in production: the
     materialized table, partition-pruned to affected days); all new
     work is proportional to the DELTA (map-combined signed sums),
-    never the history. The join fans only to touched groups."""
+    never the history. The join fans only to touched groups.
+
+    vs u16_ivm_join_counts: u16 maintains a JOIN under insert-only
+    deltas (delta-join expansion); this maintains an AGGREGATE under
+    DELETION — the retraction case u16's insert algebra cannot
+    express."""
     o = load_tables(spark, sf_dir)["orders"]
     cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)")
     day = F.col("o_orderdate").cast("date").alias("day")
