@@ -1181,8 +1181,9 @@ def f_levenshtein_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: p_type is a 150-value dimension — the pair join is
     dim x dim (11k pairs), a broadcast nested loop by construction,
     never data-sized. Real vocab-scale fuzzy matching goes through
-    the blocked forms (j10 deletion neighborhoods, er4's families);
-    this suite pins the VERIFIER function they share."""
+    the blocked forms (d8 length bands, j10 deletion neighborhoods,
+    er1's sorted-neighborhood + threshold); this suite pins the
+    VERIFIER function all of them share."""
     part = load_table(spark, sf_dir, "part")
     t = part.select("p_type").distinct()
     a = t.select(F.col("p_type").alias("type_a"))

@@ -1902,7 +1902,12 @@ def opt1_join_order_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: three count/NDV aggregates; the audit joins are the
     engine's own shuffled equi-joins, counted without materializing
-    payload columns (key-only projections)."""
+    payload columns (key-only projections).
+
+    vs dq9_join_fanout: dq9 predicts ONE join's cardinality exactly
+    from per-key counts (a per-key aggregate); this ranks PLAN
+    ORDERS from coarse table stats — the decision CBO makes before
+    any per-key pass is affordable."""
     t = load_tables(spark, sf_dir)
     c, o, l = t["customer"], t["orders"], t["lineitem"]
     stats = (
@@ -1964,102 +1969,4 @@ def opt1_join_order_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recommended"),
         )
         .orderBy(F.col("est_first_join_rows").asc(), F.col("plan_order").asc())
-    )
-
-
-@_register(
-    "stats_ks_two_sample",
-    """
-    WITH o AS (
-      SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
-               AS cents,
-             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ga,
-             CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS gb
-      FROM orders
-      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
-    ),
-    byv AS (
-      SELECT cents, SUM(ga) AS ca, SUM(gb) AS cb FROM o GROUP BY cents
-    ),
-    cum AS (
-      SELECT SUM(ca) OVER (ORDER BY cents) AS cum_a,
-             SUM(cb) OVER (ORDER BY cents) AS cum_b
-      FROM byv
-    ),
-    tot AS (
-      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
-      FROM byv
-    ),
-    d AS (
-      SELECT CAST(MAX(abs(cum_a * t.nb - cum_b * t.na)) AS BIGINT) AS d_num
-      FROM cum CROSS JOIN tot t
-    )
-    SELECT t.na, t.nb,
-           CAST(d.d_num * 1000000 // (t.na * t.nb) AS BIGINT) AS ks_d_micro,
-           CAST(CASE WHEN CAST(d.d_num AS DECIMAL(38,0)) * d.d_num * 10000
-                        > CAST(18496 AS DECIMAL(38,0)) * (t.na + t.nb)
-                          * t.na * t.nb
-                     THEN 1 ELSE 0 END AS BIGINT) AS reject_at_05
-    FROM d CROSS JOIN tot t
-    """,
-)
-def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample Kolmogorov–Smirnov test (urgent vs low-priority
-    order totals): D = max |F_a(x) - F_b(x)| computed EXACTLY as
-    max |cum_a*nb - cum_b*na| over the merged value-grouped CDF —
-    no float CDFs, one integer max. The alpha=0.05 decision uses
-    the squared form of D > 1.36*sqrt((na+nb)/(na*nb)) so the
-    sqrt disappears: D_num^2 * 10^4 > 18496*(na+nb)*na*nb, carried
-    through DECIMAL(38,0) (the knuth_hash32 overflow discipline —
-    D_num^2 alone can pass int64). Completes the nonparametric
-    two-sample pair next to stats_mannwhitney (location shift);
-    KS also sees shape/scale differences.
-
-    Scale shape: one groupBy(cents) bounded by distinct prices; the
-    CDF ladder rides ordered.global_prefix_sums (range partition +
-    broadcast offsets — the oracle's OVER (ORDER BY) is semantic
-    spec only); one 1-row max + broadcast totals."""
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
-        .select(
-            (F.col("o_totalprice").cast("decimal(15,2)") * 100)
-            .cast("bigint")
-            .alias("cents"),
-            (F.col("o_orderpriority") == "1-URGENT").cast("bigint").alias("ga"),
-            (F.col("o_orderpriority") == "5-LOW").cast("bigint").alias("gb"),
-        )
-    )
-    byv = o.groupBy("cents").agg(
-        F.sum("ga").alias("ca"), F.sum("gb").alias("cb")
-    )
-    byv = byv.localCheckpoint(eager=False)  # cum + totals share it
-    cum = ordered.global_prefix_sums(byv, "cents", ["ca", "cb"])
-    tot = byv.agg(
-        F.sum("ca").cast("bigint").alias("na"),
-        F.sum("cb").cast("bigint").alias("nb"),
-    )
-    d = (
-        cum.crossJoin(F.broadcast(tot))
-        .agg(
-            F.max(
-                F.abs(
-                    F.col("cum_ca") * F.col("nb") - F.col("cum_cb") * F.col("na")
-                )
-            )
-            .cast("bigint")
-            .alias("d_num")
-        )
-    )
-    return d.crossJoin(F.broadcast(tot)).select(
-        "na",
-        "nb",
-        F.expr("CAST(d_num * 1000000 div (na * nb) AS BIGINT)").alias(
-            "ks_d_micro"
-        ),
-        F.expr(
-            "CAST(CASE WHEN CAST(d_num AS DECIMAL(38,0)) * d_num * 10000"
-            " > CAST(18496 AS DECIMAL(38,0)) * (na + nb) * na * nb"
-            " THEN 1 ELSE 0 END AS BIGINT)"
-        ).alias("reject_at_05"),
     )

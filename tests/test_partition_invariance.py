@@ -90,7 +90,6 @@ FLOAT_SENSITIVE = [
     "x91_budget_apportionment",
     "t50_twap",
     "u28_snapshot_expiry_plan",
-    "stats_ks_two_sample",
     "dq23_wap_gate",
     "graph_scc",
     "x95_source_overlap_matrix",
