@@ -6162,7 +6162,12 @@ def dq23_wap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one map-combined month aggregate; the gate runs on
     the month DIMENSION (a bounded frame, SCALE.md ledger) with a
-    6-row trailing window."""
+    6-row trailing window.
+
+    vs dq13_volume_anomaly: dq13 is a full-history sigma control
+    chart per event type; this is the TRAILING-window publish
+    contract — it adapts to drift (a slow trend never widens its
+    band) and gates a specific batch, not a worst day."""
     o = load_tables(spark, sf_dir)["orders"]
     m = o.groupBy(
         ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)

@@ -2510,23 +2510,27 @@ def a20_minhash_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeability a13/a12 bank for quantiles/distincts, extended to
     INTERSECTIONS)."""
     o = load_table(spark, sf_dir, "orders")
-    lab = (
+    # ONE distinct (year, custkey) pass feeds the sketch AND the
+    # exact audit (checkpointed: 4 consumers; the plan previously
+    # re-scanned orders 7 times for the audit branches)
+    members = (
         o.select(
             F.year("o_orderdate").cast("bigint").alias("yr"),
             "o_custkey",
         )
         .filter(F.col("yr").isin(1995, 1996))
         .distinct()
-        .select(
-            "yr",
-            F.conv(
-                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("h"),
+        .localCheckpoint(eager=False)
+    )
+    lab = members.select(
+        "yr",
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
+            16,
+            10,
         )
+        .cast("long")
+        .alias("h"),
     )
     mins = lab.groupBy("yr", (F.col("h") % 64).alias("stratum")).agg(
         F.min("h").alias("mn")
@@ -2539,8 +2543,8 @@ def a20_minhash_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_equal"),
     )
-    ya = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
-    yb = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    ya = members.filter(F.col("yr") == 1995).select("o_custkey")
+    yb = members.filter(F.col("yr") == 1996).select("o_custkey")
     ex = (
         ya.agg(F.count(F.lit(1)).alias("ex_a"))
         .crossJoin(yb.agg(F.count(F.lit(1)).alias("ex_b")))

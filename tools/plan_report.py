@@ -235,6 +235,21 @@ EXTRA = [
     "t48_time_to_convert",
     "x86_temperature_sweep",
     "x87_embedding_drift",
+    # round-8 additions (stream_hll_daily excluded: streaming plans
+    # are exercised by the streaming suite, not the batch explain)
+    "j16_salting_plan",
+    "a19_hll_rolling_distinct",
+    "u27_retractable_agg",
+    "f_levenshtein_suite",
+    "opt1_join_order_costs",
+    "a20_minhash_set_ops",
+    "t50_twap",
+    "u28_snapshot_expiry_plan",
+    "x91_budget_apportionment",
+    "dq23_wap_gate",
+    "x95_source_overlap_matrix",
+    "graph_scc",
+    "er6_bcubed_quality",
 ]
 
 
