@@ -165,6 +165,15 @@ _NLJ_ALLOWED = {
     "x81_cluster_safe_split",  # 1-row leak-count broadcast
     "s17_mips_recall_vs_probes",  # s13's tiny probe-grid broadcasts
     "a17_audience_matrix",  # |types| x |types| count-row broadcast
+    # round-8 additions
+    "j16_salting_plan",  # 1-row replication-total broadcast
+    "opt1_join_order_costs",  # 1-row stats x audit-count broadcasts
+    "a20_minhash_set_ops",  # 1-row exact-audit broadcast over the 1-row sketch row
+    "u28_snapshot_expiry_plan",  # 1-row vmax + reclaim-total broadcasts
+    "x91_budget_apportionment",  # 1-row seats-left + total-check broadcasts
+    "er6_bcubed_quality",  # 1-row metric x cluster-count broadcast
+    "f_levenshtein_suite",  # dim x dim (150-type) broadcast theta join by design
+    "a19_hll_rolling_distinct",  # day-grid x 256-bucket-range broadcast + 1-row audit
 }
 
 
