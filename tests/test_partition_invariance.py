@@ -94,6 +94,8 @@ FLOAT_SENSITIVE = [
     "graph_scc",
     "x95_source_overlap_matrix",
     "er6_bcubed_quality",
+    "u29_shard_rebalance_plan",
+    "a21_cms_planner",
 ]
 
 

@@ -174,6 +174,8 @@ _NLJ_ALLOWED = {
     "er6_bcubed_quality",  # 1-row metric x cluster-count broadcast
     "f_levenshtein_suite",  # dim x dim (150-type) broadcast theta join by design
     "a19_hll_rolling_distinct",  # day-grid x 256-bucket-range broadcast + 1-row audit
+    "u29_shard_rebalance_plan",  # doc x 24-ring-point broadcast + 1-row totals
+    "a21_cms_planner",  # width/hash-grid broadcasts + 1-row total
 }
 
 

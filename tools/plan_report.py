@@ -250,6 +250,8 @@ EXTRA = [
     "x95_source_overlap_matrix",
     "graph_scc",
     "er6_bcubed_quality",
+    "u29_shard_rebalance_plan",
+    "a21_cms_planner",
 ]
 
 
