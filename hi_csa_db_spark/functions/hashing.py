@@ -48,17 +48,30 @@ def knuth_hash32(col: Column) -> Column:
 
     DuckDB-parity SQL: ``KNUTH_HASH32_SQL.format(key=expr)``.
     """
+    return mult_hash32(col, 2654435761)
+
+
+def mult_hash32(col: Column, a) -> Column:
+    """``(key * a) mod 2**32`` for any 32-bit multiplier ``a`` (an int
+    literal or a Column of them — e.g. a hash-family dimension row)
+    and ANY bigint key, in pure overflow-safe bigint arithmetic (the
+    knuth_hash32 16-bit-halves construction, multiplier-parameterized
+    for hash families like the CMS rows)."""
+    if isinstance(a, int):
+        assert 0 < a < 4294967296, a
+        a = F.lit(a)
     k = col.cast("long").bitwiseAND(F.lit(4294967295))
-    hi_part = (F.shiftright(k, 16) * F.lit(2654435761)).bitwiseAND(
+    hi_part = (F.shiftright(k, 16) * a).bitwiseAND(
         F.lit(4294967295)
     ) * F.lit(65536)
-    lo_part = k.bitwiseAND(F.lit(65535)) * F.lit(2654435761)
+    lo_part = k.bitwiseAND(F.lit(65535)) * a
     return (hi_part + lo_part).bitwiseAND(F.lit(4294967295))
 
 
 # The same arithmetic as an ANSI-SQL template (DuckDB oracles): every
 # intermediate < 2^49, so plain BIGINT throughout.
-KNUTH_HASH32_SQL = (
-    "((((({key} & 4294967295) >> 16) * 2654435761) & 4294967295) * 65536"
-    " + (({key} & 65535) * 2654435761)) & 4294967295"
+MULT_HASH32_SQL = (
+    "((((({key} & 4294967295) >> 16) * {a}) & 4294967295) * 65536"
+    " + (({key} & 65535) * {a})) & 4294967295"
 )
+KNUTH_HASH32_SQL = MULT_HASH32_SQL.replace("{a}", "2654435761")

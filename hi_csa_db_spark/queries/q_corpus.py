@@ -4731,9 +4731,11 @@ def x87_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS W FROM w),
     q AS (
       SELECT source, toks,
-             CAST(100000 * toks // t.W AS BIGINT) AS floor_alloc,
-             CAST((100000 * toks) % t.W AS BIGINT) AS remainder
-      FROM w CROSS JOIN tot t
+             CAST((p - p % W) / W AS BIGINT) AS floor_alloc,
+             CAST(p % W AS BIGINT) AS remainder
+      FROM (SELECT source, toks, CAST(100000 AS DECIMAL(38,0)) * toks AS p,
+                   t.W AS W
+            FROM w CROSS JOIN tot t)
     ),
     s AS (
       SELECT q.*,
@@ -4772,11 +4774,19 @@ def x91_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(ws)).cast("bigint").alias("toks")
     )
     tot = w.agg(F.sum("toks").cast("bigint").alias("W"))
-    q = w.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "toks",
-        F.expr("CAST(100000 * toks div W AS BIGINT)").alias("floor_alloc"),
-        F.expr("CAST((100000 * toks) % W AS BIGINT)").alias("remainder"),
+    # 100000*toks through DECIMAL(38,0): the bigint product overflows
+    # once a source holds >9.2e13 tokens (the x81/ADVICE overflow
+    # class). The quotient is <= 100000 and p%W exactly divides, so
+    # (p - p%W)/W is an exact small integer on both engines.
+    q = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("p", F.expr("CAST(100000 AS DECIMAL(38,0)) * toks"))
+        .select(
+            "source",
+            "toks",
+            F.expr("CAST((p - p % W) / W AS BIGINT)").alias("floor_alloc"),
+            F.expr("CAST(p % W AS BIGINT)").alias("remainder"),
+        )
     )
     q = q.localCheckpoint(eager=False)  # ranked + seats_left share it
     seats = q.agg(

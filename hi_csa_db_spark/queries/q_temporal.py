@@ -6139,8 +6139,8 @@ def u28_snapshot_expiry_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT month_n, n_rows, n_custs,
            CAST(trail_sum * 1000 // trail_n AS BIGINT) AS trail_mean_milli,
-           CAST((n_rows * 1000 * trail_n - trail_sum * 1000) * 10000
-                // (trail_sum * 1000) AS BIGINT) AS deviation_bps,
+           CAST((n_rows * trail_n - trail_sum) * 10000
+                // trail_sum AS BIGINT) AS deviation_bps,
            CAST(CASE WHEN abs(n_rows * trail_n - trail_sum) * 5
                         <= trail_sum THEN 1 ELSE 0 END AS BIGINT)
              AS gate_pass
@@ -6195,8 +6195,8 @@ def dq23_wap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "trail_mean_milli"
             ),
             F.expr(
-                "CAST((n_rows * 1000 * trail_n - trail_sum * 1000) * 10000"
-                " div (trail_sum * 1000) AS BIGINT)"
+                "CAST((n_rows * trail_n - trail_sum) * 10000"
+                " div trail_sum AS BIGINT)"
             ).alias("deviation_bps"),
             F.expr(
                 "CAST(CASE WHEN abs(n_rows * trail_n - trail_sum) * 5"

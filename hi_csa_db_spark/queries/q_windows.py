@@ -20,7 +20,7 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from hi_csa_db_spark.catalog import load_table, load_tables
-from hi_csa_db_spark.functions.hashing import KNUTH_HASH32_SQL, knuth_hash32
+from hi_csa_db_spark.functions.hashing import KNUTH_HASH32_SQL, knuth_hash32, mult_hash32
 from hi_csa_db_spark.functions.text import absolutize_url, slugify, strip_punct, tokenize
 from hi_csa_db_spark.operators import classify, dedup, graph, ordered, similarity, textstats
 from hi_csa_db_spark.operators.merge import db_merge, union_streams
@@ -2041,7 +2041,7 @@ def a18_log_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     exact AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_pairs FROM counts),
     cells AS (
-      SELECT h.d, ((counts.key * h.a) % 4294967296) % 256 AS cell,
+      SELECT h.d, ((((((counts.key & 4294967295) >> 16) * h.a) & 4294967295) * 65536 + ((counts.key & 65535) * h.a)) & 4294967295) % 256 AS cell,
              CAST(SUM(c) AS BIGINT) AS cc
       FROM counts CROSS JOIN (VALUES (0, 2654435761), (1, 2246822519),
                                      (2, 3266489917), (3, 668265263)) AS h(d, a)
@@ -2091,7 +2091,7 @@ def j14_selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.struct(
                             F.lit(d).alias("d"),
                             F.pmod(
-                                F.pmod(F.col("key") * F.lit(a), F.lit(4294967296)),
+                                mult_hash32(F.col("key"), a),
                                 F.lit(256),
                             ).alias("cell"),
                         )
@@ -2579,7 +2579,7 @@ def a20_minhash_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes AS (SELECT d, a FROM (VALUES (0, 2654435761), (1, 2246822519),
                                  (2, 3266489917), (3, 668265263)) h(d, a)),
     cells AS (
-      SELECT ws.w, h.d, ((c.key * h.a) % 4294967296) % ws.w AS cell,
+      SELECT ws.w, h.d, (((((((c.key) & 4294967295) >> 16) * h.a) & 4294967295) * 65536 + (((c.key) & 65535) * h.a)) & 4294967295) % ws.w AS cell,
              CAST(SUM(c.c) AS BIGINT) AS cc
       FROM counts c CROSS JOIN hashes h CROSS JOIN widths ws
       GROUP BY ws.w, h.d, cell
@@ -2592,7 +2592,7 @@ def a20_minhash_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT ws.w, t.key, t.c, MIN(cl.cc) AS est
       FROM top10 t CROSS JOIN hashes h CROSS JOIN widths ws
       JOIN cells cl ON cl.w = ws.w AND cl.d = h.d
-                   AND cl.cell = ((t.key * h.a) % 4294967296) % ws.w
+                   AND cl.cell = (((((((t.key) & 4294967295) >> 16) * h.a) & 4294967295) * 65536 + (((t.key) & 65535) * h.a)) & 4294967295) % ws.w
       GROUP BY ws.w, t.key, t.c
     ),
     meas AS (
@@ -2644,14 +2644,14 @@ def a21_cms_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         counts.crossJoin(F.broadcast(hashes))
         .crossJoin(F.broadcast(widths))
-        .groupBy("w", "d", (((F.col("key") * F.col("a")) % 4294967296) % F.col("w")).alias("cell"))
+        .groupBy("w", "d", (mult_hash32(F.col("key"), F.col("a")) % F.col("w")).alias("cell"))
         .agg(F.sum("c").cast("bigint").alias("cc"))
     )
     top10 = counts.orderBy(F.col("c").desc(), F.col("key").asc()).limit(10)
     ests = (
         top10.crossJoin(F.broadcast(hashes))
         .crossJoin(F.broadcast(widths))
-        .withColumn("cell", ((F.col("key") * F.col("a")) % 4294967296) % F.col("w"))
+        .withColumn("cell", mult_hash32(F.col("key"), F.col("a")) % F.col("w"))
         .join(cells, ["w", "d", "cell"])
         .groupBy("w", "key", "c")
         .agg(F.min("cc").alias("est"))
