@@ -2296,3 +2296,62 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_members").desc(), F.col("scc_id").asc())
         .limit(25)
     )
+
+
+@_register(
+    "graph_reciprocity",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS src,
+             (l_partkey // 50) * 50 + (l_partkey * 3 + l_linenumber * 7) % 50
+               AS dst
+      FROM lineitem WHERE l_partkey < 200
+    ),
+    ne AS (SELECT src, dst FROM e WHERE src <> dst),
+    r AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_recip
+      FROM ne a JOIN ne b ON b.src = a.dst AND b.dst = a.src
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM ne)
+    SELECT t.n_edges, r.n_recip,
+           CAST(r.n_recip * 10000 // t.n_edges AS BIGINT)
+             AS reciprocity_bps
+    FROM t CROSS JOIN r
+    """,
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph RECIPROCITY (the share of non-loop edges whose
+    reverse edge also exists — Newman's r, the mutual-link metric
+    beside graph_assortativity's degree correlation) over graph_scc's
+    deterministic directed graph. One self equi-join on the reversed
+    key pair counts mutual edges; integer bps.
+
+    Scale shape: an edge-table equi-join on (dst, src) — the same
+    bucketed-by-src layout every graph op here assumes makes it
+    co-located; two 1-row aggregates broadcast into the report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.filter(F.col("l_partkey") < 200)
+        .select(
+            F.col("l_partkey").alias("src"),
+            F.expr(
+                "(l_partkey div 50) * 50"
+                " + (l_partkey * 3 + l_linenumber * 7) % 50"
+            ).alias("dst"),
+        )
+        .distinct()
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=False)  # both join sides + count share it
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    r = e.join(rev, ["src", "dst"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_recip")
+    )
+    t = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return t.crossJoin(F.broadcast(r)).select(
+        "n_edges",
+        "n_recip",
+        F.expr("CAST(n_recip * 10000 div n_edges AS BIGINT)").alias(
+            "reciprocity_bps"
+        ),
+    )

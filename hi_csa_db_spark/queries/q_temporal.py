@@ -6345,3 +6345,118 @@ def u29_shard_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ring_theory_bps"
         ),
     )
+
+
+@_register(
+    "dq24_duplicate_payments",
+    """
+    WITH o AS (
+      SELECT event_id, user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000
+               AS bucket,
+             epoch_us(ts) AS tsu
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT a.user_id, a.bucket,
+             a.event_id AS first_id, b.event_id AS second_id,
+             a.cents AS first_cents, b.cents AS second_cents,
+             (b.tsu - a.tsu) // 86400000000 AS gap_days
+      FROM o a JOIN o b
+        ON a.user_id = b.user_id AND a.bucket = b.bucket
+       AND (a.tsu < b.tsu
+            OR (a.tsu = b.tsu AND a.event_id < b.event_id))
+      WHERE b.tsu - a.tsu <= 604800000000
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_suspects,
+             CAST(SUM(second_cents) AS BIGINT) AS cents_at_risk
+      FROM pairs
+    )
+    SELECT p.user_id, p.first_id, p.second_id,
+           p.first_cents, p.second_cents,
+           CAST(p.gap_days AS BIGINT) AS gap_days,
+           t.n_suspects, t.cents_at_risk
+    FROM pairs p CROSS JOIN tot t
+    ORDER BY p.second_cents DESC, p.first_id ASC, p.second_id ASC LIMIT 20
+    """,
+)
+def dq24_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment audit — the classic AP fraud/error check:
+    two PURCHASE events by the same user in the same $10 amount
+    bucket within 7 days are flagged as suspect double-submits
+    (dq11 reconciles headers to lines; this catches the resubmitted
+    charge both of whose rows are internally consistent). Exact
+    integer cents through DECIMAL(18,2); event time on the declared
+    epoch-micros contract; deterministic pair orientation (earlier
+    event first, id tie-break). The 1-row totals broadcast prices
+    the exposure.
+
+    Scale shape: the self-join is an EQUI-join on (user, amount
+    bucket) — fanout bounded by per-(user, bucket) multiplicity,
+    never a theta join; the 7-day band is a filter on that already
+    tiny candidate set. Top-20 by amount."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 1000"
+        ).alias("bucket"),
+        F.expr("ts_ns div 1000").alias("tsu"),
+    )
+    a = o.select(
+        "user_id",
+        "bucket",
+        F.col("event_id").alias("first_id"),
+        F.col("cents").alias("first_cents"),
+        F.col("tsu").alias("ta"),
+    )
+    b = o.select(
+        "user_id",
+        "bucket",
+        F.col("event_id").alias("second_id"),
+        F.col("cents").alias("second_cents"),
+        F.col("tsu").alias("tb"),
+    )
+    pairs = (
+        a.join(b, ["user_id", "bucket"])
+        .filter(
+            (
+                (F.col("ta") < F.col("tb"))
+                | (
+                    (F.col("ta") == F.col("tb"))
+                    & (F.col("first_id") < F.col("second_id"))
+                )
+            )
+            & (F.col("tb") - F.col("ta") <= 604800000000)
+        )
+        .select(
+            "user_id",
+            "first_id",
+            "second_id",
+            "first_cents",
+            "second_cents",
+            F.expr("CAST((tb - ta) div 86400000000 AS BIGINT)").alias(
+                "gap_days"
+            ),
+        )
+        .localCheckpoint(eager=False)  # rows + totals share it
+    )
+    tot = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suspects"),
+        F.sum("second_cents").cast("bigint").alias("cents_at_risk"),
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .orderBy(
+            F.col("second_cents").desc(),
+            F.col("first_id").asc(),
+            F.col("second_id").asc(),
+        )
+        .limit(20)
+    )

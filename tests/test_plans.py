@@ -176,6 +176,8 @@ _NLJ_ALLOWED = {
     "a19_hll_rolling_distinct",  # day-grid x 256-bucket-range broadcast + 1-row audit
     "u29_shard_rebalance_plan",  # doc x 24-ring-point broadcast + 1-row totals
     "a21_cms_planner",  # width/hash-grid broadcasts + 1-row total
+    "dq24_duplicate_payments",  # 1-row exposure-totals broadcast
+    "graph_reciprocity",  # 1-row edges x 1-row mutual broadcast
 }
 
 

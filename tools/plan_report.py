@@ -252,6 +252,8 @@ EXTRA = [
     "er6_bcubed_quality",
     "u29_shard_rebalance_plan",
     "a21_cms_planner",
+    "dq24_duplicate_payments",
+    "graph_reciprocity",
 ]
 
 
