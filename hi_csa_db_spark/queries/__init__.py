@@ -28,6 +28,7 @@ import inspect
 import json
 import os
 import re
+import sys
 from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -231,6 +232,233 @@ _BANKED_HASHES_PATH = os.path.join(
 )
 
 
+# ---------------------------------------------------------------------------
+# Dependency hashing (VERDICT r8 item 2). query_text_hash covers only
+# the query fn's own source + oracle SQL, so an OPERATOR-level rewrite
+# (r8: dedup.sorted_neighborhood_pairs migrated onto
+# ordered.global_row_numbers) changed five banked queries' physical
+# plans without rotating any of them forward for driver re-proof.
+# query_dependency_hash closes that: it digests the source of every
+# hi_csa_db_spark object the query's source references, TRANSITIVELY
+# (an edit to ordered.global_row_numbers rotates d15/er1-er4 even
+# though their own text never names it -- they reach it through
+# dedup.sorted_neighborhood_pairs). Granularity is per-OBJECT, not
+# per-module: adding an unrelated function to operators/dedup.py
+# rotates nothing, so routine registry growth cannot flood the driver
+# prefix with spurious re-proofs.
+
+_HCD_PREFIX = "hi_csa_db_spark"
+_DOTTED_REF = re.compile(r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)")
+_IDENT_REF = re.compile(r"\b[A-Za-z_]\w*\b")
+# Function-local `from hi_csa_db_spark... import a, b as c` (several
+# queries import their operator INSIDE the fn body, so the name never
+# appears in __globals__).
+_LOCAL_IMPORT = re.compile(
+    r"from\s+(hi_csa_db_spark[\w.]*)\s+import\s+"
+    r"(\([^)]*\)|[^\n#]+)"
+)
+
+
+# The registry plumbing itself is not a semantic dependency: every
+# query's decorator mentions _register, whose source touches the
+# whole-registry dicts -- hashing those would rotate EVERY banked
+# query on ANY registry edit. Each query's own oracle text is already
+# covered by query_text_hash.
+_SKIP_DEP_KEYS = frozenset(
+    {
+        "hi_csa_db_spark.queries:_register",
+        "const:_ORACLES",
+        "const:_QUERIES",
+        "const:hi_csa_db_spark.queries._ORACLES",
+        "const:hi_csa_db_spark.queries._QUERIES",
+    }
+)
+
+
+def _plain_repr(v) -> str | None:
+    """repr(v) iff the value is RECURSIVELY built from types whose
+    repr is deterministic across processes (str/bytes/int/float/bool/
+    None and tuples/lists/dicts thereof). Anything else -- functions,
+    objects (address reprs), sets (hash-seed iteration order) --
+    returns None and is skipped, keeping the banked manifest stable."""
+    if v is None or isinstance(v, (str, bytes, int, float, bool)):
+        return repr(v)
+    if isinstance(v, (tuple, list)):
+        parts = [_plain_repr(x) for x in v]
+        if any(p is None for p in parts):
+            return None
+        return "[" + ",".join(parts) + "]"
+    if isinstance(v, dict):
+        items = []
+        for k, x in v.items():
+            kr, xr = _plain_repr(k), _plain_repr(x)
+            if kr is None or xr is None:
+                return None
+            items.append(kr + ":" + xr)
+        return "{" + ",".join(items) + "}"
+    return None
+
+
+def _object_source_hash(obj) -> str:
+    """Digest of one dependency object's definition text. Separate
+    function (not inlined) so tests can monkeypatch it to simulate an
+    operator edit without touching files."""
+    try:
+        src = inspect.getsource(obj)
+    except (OSError, TypeError):
+        # No retrievable source (C ext, exec'd): pin the whole module
+        # file so ANY change there conservatively rotates dependents.
+        mod = sys.modules.get(getattr(obj, "__module__", "") or "")
+        path = getattr(mod, "__file__", None)
+        if path is None:
+            return "unsourced"
+        try:
+            with open(path, "rb") as fh:
+                return "mod:" + hashlib.sha256(fh.read()).hexdigest()[:16]
+        except OSError:
+            return "unsourced"
+    return hashlib.sha256(src.encode("utf-8")).hexdigest()[:16]
+
+
+def _dep_globals(obj) -> dict:
+    g = getattr(obj, "__globals__", None)
+    if g is not None:
+        return g
+    mod = sys.modules.get(getattr(obj, "__module__", "") or "")
+    return vars(mod) if mod is not None else {}
+
+
+def _collect_dep_hashes(src: str, g: dict, out: dict, seen: set) -> None:
+    """Scan one definition's source for referenced hi_csa_db_spark
+    objects (via its resolved globals), record each object's source
+    hash in ``out`` keyed by module:qualname, and recurse into it.
+    Plain-value constants (oracle SQL templates like _SHINGLE_SQL,
+    KNUTH_HASH32_SQL) are hashed by repr keyed by identifier -- the r6
+    _ER1_CLUSTER_SQL rewrite would have rotated er1 automatically
+    under this rule instead of needing a hand _NEEDS_REPROOF entry."""
+    # Function-local imports bind names invisible to __globals__ --
+    # merge them into the lookup scope first so both the dotted scan
+    # (`ordered.global_row_numbers` after `from ...operators import
+    # ordered`) and the ident scan see them.
+    scope = g
+    for modname, names in _LOCAL_IMPORT.findall(src):
+        mod = sys.modules.get(modname)
+        if mod is None:
+            # NOT imported eagerly: some modules need a live
+            # SparkSession at import time (functions/udxf.py's
+            # pandas_udf decorators). Conservative fallback: pin the
+            # module FILE -- any edit to it rotates the dependent.
+            key = f"modfile:{modname}"
+            if key not in seen:
+                seen.add(key)
+                rel = modname.split(".")
+                path = os.path.join(_REPO_ROOT, *rel)
+                for cand in (path + ".py", os.path.join(path, "__init__.py")):
+                    try:
+                        with open(cand, "rb") as fh:
+                            out[key] = hashlib.sha256(
+                                fh.read()
+                            ).hexdigest()[:16]
+                        break
+                    except OSError:
+                        continue
+            continue
+        for piece in names.strip("()").split(","):
+            frag = piece.split(" as ")
+            base = frag[0].strip()
+            local = frag[-1].strip()
+            if base and hasattr(mod, base):
+                if scope is g:
+                    scope = dict(g)
+                scope[local] = getattr(mod, base)
+    targets = []
+    for base, attr in _DOTTED_REF.findall(src):
+        v = scope.get(base)
+        if inspect.ismodule(v) and v.__name__.startswith(_HCD_PREFIX):
+            try:
+                targets.append((f"{v.__name__}.{attr}", getattr(v, attr)))
+            except AttributeError:
+                pass
+    consts = []
+    for ident in sorted(set(_IDENT_REF.findall(src))):
+        v = scope.get(ident)
+        if v is None or inspect.ismodule(v):
+            continue
+        vmod = getattr(v, "__module__", None)
+        if isinstance(vmod, str) and vmod.startswith(_HCD_PREFIX):
+            targets.append((ident, v))
+        else:
+            consts.append((ident, v))
+    for ident, v in consts:
+        key = f"const:{ident}"
+        if key in seen or key in _SKIP_DEP_KEYS:
+            continue
+        pr = _plain_repr(v)
+        if pr is not None:
+            seen.add(key)
+            out[key] = hashlib.sha256(pr.encode("utf-8")).hexdigest()[:16]
+    for ref, v in targets:
+        vmod = getattr(v, "__module__", None)
+        if not isinstance(vmod, str):
+            # A value imported by name (module-level constant): hash
+            # its content under the dotted reference that named it.
+            key = f"const:{ref}"
+            if key not in seen and key not in _SKIP_DEP_KEYS:
+                pr = _plain_repr(v)
+                if pr is not None:
+                    seen.add(key)
+                    out[key] = hashlib.sha256(
+                        pr.encode("utf-8")
+                    ).hexdigest()[:16]
+            continue
+        qn = getattr(v, "__qualname__", None) or getattr(v, "__name__", "?")
+        key = f"{vmod}:{qn}"
+        if key in seen or key in _SKIP_DEP_KEYS:
+            continue
+        seen.add(key)
+        out[key] = _object_source_hash(v)
+        if callable(v) or inspect.isclass(v):
+            try:
+                vsrc = inspect.getsource(v)
+            except (OSError, TypeError):
+                continue
+            _collect_dep_hashes(vsrc, _dep_globals(v), out, seen)
+
+
+def query_dependency_refs(name: str) -> dict[str, str] | None:
+    """The full transitive dependency map for one registered query:
+    {module:qualname (or const:IDENT) -> source/content hash}. None
+    when the query or its source is unavailable."""
+    fn = _QUERIES.get(name)
+    if fn is None:
+        return None
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return None
+    out: dict[str, str] = {}
+    seen = {
+        f"{getattr(fn, '__module__', '?')}:"
+        f"{getattr(fn, '__qualname__', getattr(fn, '__name__', '?'))}"
+    }
+    _collect_dep_hashes(src, _dep_globals(fn), out, seen)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def query_dependency_hash(name: str) -> str | None:
+    """Stable digest of everything the query TRANSITIVELY depends on
+    outside its own (already text-hashed) definition. Banked greens in
+    tools/banked_hashes.json additionally record this value; a
+    mismatch rotates the query into the stale slice of
+    priority_order() exactly like an edit to its own text."""
+    refs = query_dependency_refs(name)
+    if refs is None:
+        return None
+    blob = "\n".join(f"{k}={v}" for k, v in sorted(refs.items()))
+    return hashlib.sha256(blob.encode("utf-8")).hexdigest()[:16]
+
+
 @functools.lru_cache(maxsize=None)
 def _banked_hashes(path: str = _BANKED_HASHES_PATH) -> dict:
     """The committed manifest name -> {"hash", "round"} recording the
@@ -279,7 +507,10 @@ def priority_order() -> tuple[str, ...]:
             if (
                 isinstance(rec, dict)
                 and rec.get("hash") == query_text_hash(name)
+                and rec.get("dep_hash") in (None, query_dependency_hash(name))
             ):
+                # dep_hash None = pre-r9 manifest entry (legacy,
+                # migrated forward by tools/update_banked_hashes.py).
                 banked.append(name)
             else:
                 stale.append(name)

@@ -35,12 +35,24 @@ def refresh(dry_run: bool = False) -> tuple[int, int, list[str]]:
     """Returns (updated, kept, missing-at-latest-round names)."""
     manifest = dict(Q._banked_hashes())
     latest = Q.driver_green_rounds()
-    updated, kept, behind = 0, 0, []
+    updated, kept, behind, migrated = 0, 0, [], 0
     for name, rnd in sorted(latest.items()):
         if name not in Q._QUERIES:
             continue  # retired/renamed query: no registry text to hash
         rec = manifest.get(name)
         if isinstance(rec, dict) and rec.get("round", 0) >= rnd:
+            # One-time migration (VERDICT r8 item 2): pre-r9 entries
+            # carry no dep_hash. Fill it from CURRENT state -- only
+            # sound while the operator modules are unedited since the
+            # banked green, which is why this tool runs at ROUND
+            # START, before any round-N editing begins.
+            if not dry_run and "dep_hash" not in rec:
+                dh = Q.query_dependency_hash(name)
+                if dh is not None:
+                    rec = dict(rec)
+                    rec["dep_hash"] = dh
+                    manifest[name] = rec
+                    migrated += 1
             kept += 1
             continue
         behind.append(name)
@@ -48,7 +60,12 @@ def refresh(dry_run: bool = False) -> tuple[int, int, list[str]]:
         if h is None:
             continue
         manifest[name] = {"hash": h, "round": rnd}
+        dh = Q.query_dependency_hash(name)
+        if dh is not None:
+            manifest[name]["dep_hash"] = dh
         updated += 1
+    if migrated:
+        print(f"dep_hash migration: filled {migrated} legacy entries")
     # Drop manifest entries for names no longer in the registry.
     manifest = {n: r for n, r in manifest.items() if n in Q._QUERIES}
     if not dry_run:
@@ -62,10 +79,34 @@ def refresh(dry_run: bool = False) -> tuple[int, int, list[str]]:
     return updated, kept, behind
 
 
+def report_dep_stale() -> list[str]:
+    """Banked entries whose recorded dep_hash no longer matches the
+    current transitive dependency state (an operator/helper edit since
+    banking). These rotate to the stale front of priority_order() for
+    driver re-proof -- reported here so the round record can name
+    them (VERDICT r8 item 2: 'flags dependency-stale entries')."""
+    manifest = Q._banked_hashes()
+    stale = [
+        name
+        for name, rec in sorted(manifest.items())
+        if name in Q._QUERIES
+        and isinstance(rec, dict)
+        and rec.get("dep_hash") is not None
+        and rec["dep_hash"] != Q.query_dependency_hash(name)
+    ]
+    if stale:
+        print(
+            f"dependency-stale banked entries ({len(stale)}, will rotate "
+            f"for driver re-proof): {stale}"
+        )
+    return stale
+
+
 def main() -> int:
     check = "--check" in sys.argv
     updated, kept, behind = refresh(dry_run=check)
     if check:
+        report_dep_stale()
         if behind:
             print(
                 f"banked_hashes.json is stale for {len(behind)} driver-green "
@@ -75,6 +116,7 @@ def main() -> int:
         print(f"banked_hashes.json current ({kept} entries)")
         return 0
     print(f"banked_hashes.json: {updated} updated, {kept} already current")
+    report_dep_stale()
     return 0
 
 
