@@ -76,6 +76,26 @@ def host_speed_probe() -> float:
     return round(time.time() - t0, 3)
 
 
+def _family(name: str) -> str:
+    """Bench family = the query-id prefix (q3 -> q, d10 -> d,
+    graph_degrees -> graph)."""
+    return name.split("_", 1)[0].rstrip("0123456789")
+
+
+def _family_fence(spark) -> None:
+    """GC/cache fence between bench families (VERDICT r8 item 7): the
+    r7/r8 x5 inflation (+39 % normalized, two rounds of adjudication)
+    was shared-JVM GC pressure from the dedup family running just
+    before it — the plan itself was unchanged. Clearing leftover
+    cached blocks and forcing a JVM GC OUTSIDE the timed region makes
+    each family's numbers context-independent round over round."""
+    spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -105,7 +125,12 @@ def main() -> None:
     # meant to track.
     timings: dict[str, float] = {}
     for _pass in range(2):
+        prev_family = None
         for name in HEADLINE:
+            fam = _family(name)
+            if prev_family is not None and fam != prev_family:
+                _family_fence(spark)
+            prev_family = fam
             fn = qs[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -118,6 +143,7 @@ def main() -> None:
         for name in HEAVY_EXTRAS:
             if name not in qs:
                 continue
+            _family_fence(spark)
             try:
                 t0 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode(
@@ -136,6 +162,7 @@ def main() -> None:
                 "extras": extras,
                 "extras_total": round(sum(v for v in extras.values() if v > 0), 3),
                 "passes": 2,
+                "family_fence": True,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "host_md5_sec": host_speed_probe(),
                 "env": __import__(

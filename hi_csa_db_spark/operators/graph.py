@@ -318,6 +318,80 @@ def connected_components(
     return labels
 
 
+def convergence_audit(
+    edges: DataFrame, rounds: int = 3, exact_rounds: int = 10
+) -> DataFrame:
+    """Resolved-share audit for the bounded-round label-propagation
+    contract (VERDICT r8 item 5): one row per round k in 1..``rounds``
+    with (round, resolved_nodes, total_nodes, resolved_share_micro),
+    where a node is RESOLVED at round k when its k-round
+    connected_components label already equals the exact component
+    minimum (connected_components_fixpoint, pointer jumping,
+    ``exact_rounds`` covers diameter <= 2^exact_rounds). This turns
+    the "larger components resolve in later rounds" docstring claim
+    into a measured number instead of an assertion.
+
+    The k-round labels are produced by ONE propagation pass that
+    snapshots after every round (identical per-round body to
+    connected_components — min over neighbors, least with self, lazy
+    per-round checkpoint), so the audit measures the real operator
+    without re-running it per k. Share is exact integer micro-units
+    (resolved*1000000 div total) — no float, engine-portable.
+
+    Scale: the exact pass is O(log diameter) rounds; each audit row is
+    one node-sized equi-join + a map-combined count — everything is
+    bounded by the label table (nodes-sized, never edges-sized).
+    """
+    ud = _iter_layout(
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct(),
+        "src",
+    )
+    exact = connected_components_fixpoint(edges, rounds=exact_rounds).select(
+        "id", F.col("lbl").alias("__xlbl")
+    ).localCheckpoint(eager=False)
+    labels = ud.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    audits = []
+    for k in range(1, rounds + 1):
+        nb_min = (
+            ud.join(labels, ud["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("__nb"))
+        )
+        labels = (
+            labels.join(nb_min, labels["id"] == nb_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("__nb", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=False)  # 2 consumers: audit + next round
+        )
+        audits.append(
+            labels.join(exact, "id").agg(
+                F.lit(k).cast("bigint").alias("round"),
+                F.sum(
+                    F.when(F.col("lbl") == F.col("__xlbl"), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("resolved_nodes"),
+                F.count(F.lit(1)).cast("bigint").alias("total_nodes"),
+                F.expr(
+                    "CAST(sum(CASE WHEN lbl = __xlbl THEN 1 ELSE 0 END) "
+                    "* 1000000 div count(1) AS BIGINT)"
+                ).alias("resolved_share_micro"),
+            )
+        )
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out
+
+
 def k_core(edges: DataFrame, k: int, iterations: int = 3) -> DataFrame:
     """Bounded k-core peeling: (id, degree) of nodes surviving
     ``iterations`` rounds of "drop nodes with undirected degree < k".

@@ -412,7 +412,17 @@ def _collect_dep_hashes(src: str, g: dict, out: dict, seen: set) -> None:
                     ).hexdigest()[:16]
             continue
         qn = getattr(v, "__qualname__", None) or getattr(v, "__name__", "?")
-        key = f"{vmod}:{qn}"
+        # Objects inside the queries PACKAGE are keyed module-free:
+        # family-module splits (r8 queries.py -> package, r9
+        # q_temporal -> 3 modules) move query defs verbatim between
+        # files, and a module-qualified key would mark every dependent
+        # of a moved def dep-stale despite identical content. Operator
+        # modules keep the full module path (a cross-module move there
+        # IS a rewrite).
+        if vmod.startswith("hi_csa_db_spark.queries"):
+            key = f"hi_csa_db_spark.queries:{qn}"
+        else:
+            key = f"{vmod}:{qn}"
         if key in seen or key in _SKIP_DEP_KEYS:
             continue
         seen.add(key)
@@ -563,6 +573,8 @@ from hi_csa_db_spark.queries import (  # noqa: E402
     q_scalars,
     q_windows,
     q_temporal,
+    q_quality,
+    q_maintenance,
     q_dedup,
     q_corpus,
     q_similarity,
@@ -577,6 +589,8 @@ _FAMILY_MODULES = (
     q_scalars,
     q_windows,
     q_temporal,
+    q_quality,
+    q_maintenance,
     q_dedup,
     q_corpus,
     q_similarity,

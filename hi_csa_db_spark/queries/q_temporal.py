@@ -1,12 +1,14 @@
-"""Temporal, upsert/merge/lakehouse and data-quality queries (t*/u*/dq*).
+"""Temporal/time-series queries (t*): windows, sessions, resampling, seasonality, changepoints.
 
-Split from the original single-file registry (round 8,
-VERDICT r7 item 8). Query/oracle text is moved VERBATIM so
-query_text_hash values (tools/banked_hashes.json) are unchanged;
-registry order is pinned by tools/registry_order.json. Names a
-query body references from another module resolve through the
-package-level namespace cross-pollination in queries/__init__.py
-(def-time names are imported explicitly below)."""
+Split from q_temporal.py in round 9 (VERDICT r8 item 8: 6.5k lines,
+the registry's growth magnet, pre-emptively split before the 8k
+hygiene cap). Query/oracle text is moved VERBATIM so
+query_text_hash AND query_dependency_hash values
+(tools/banked_hashes.json) are unchanged; registry order is pinned
+by tools/registry_order.json. Names a query body references from
+another module resolve through the package-level namespace
+cross-pollination in queries/__init__.py (def-time names are
+imported explicitly below)."""
 
 from __future__ import annotations
 import functools
@@ -32,63 +34,6 @@ from hi_csa_db_spark.queries._shared import (
     _STL_SQL,
 )
 
-
-
-@_register(
-    "u1_db_merge",
-    """
-    SELECT c_acctbal AS acctbal, c_name AS name,
-           CAST(NULL AS INTEGER) AS nationkey, c_mktsegment AS segment
-    FROM customer
-    UNION ALL
-    SELECT s_acctbal AS acctbal, s_name AS name,
-           s_nationkey AS nationkey, CAST(NULL AS VARCHAR) AS segment
-    FROM supplier
-    """,
-)
-def u1_db_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1: db_merge schema-aligning union (hi-csa-db.Rmd:58-73) ==
-    unionByName(allowMissingColumns=True) + sorted column projection."""
-    t = load_tables(spark, sf_dir)
-    x = t["customer"].select(
-        F.col("c_name").alias("name"),
-        F.col("c_acctbal").alias("acctbal"),
-        F.col("c_mktsegment").alias("segment"),
-    )
-    y = t["supplier"].select(
-        F.col("s_name").alias("name"),
-        F.col("s_acctbal").alias("acctbal"),
-        F.col("s_nationkey").alias("nationkey"),
-    )
-    return db_merge(x, y)
-
-
-@_register(
-    "u2_union_streams",
-    """
-    SELECT o_orderkey, o_totalprice, 'open' AS type FROM orders WHERE o_orderstatus = 'O'
-    UNION ALL
-    SELECT o_orderkey, o_totalprice, 'done' AS type FROM orders WHERE o_orderstatus = 'F'
-    UNION ALL
-    SELECT o_orderkey, o_totalprice, 'pending' AS type FROM orders WHERE o_orderstatus = 'P'
-    """,
-)
-def u2_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U2: typed-stream union (rbind(Technical, Policy, Support) with
-    per-stream Type constants, hi-csa-db.Rmd:587-589)."""
-    orders = load_table(spark, sf_dir, "orders")
-    base = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
-    streams = {
-        "open": base.filter(F.col("o_orderstatus") == "O").drop("o_orderstatus"),
-        "done": base.filter(F.col("o_orderstatus") == "F").drop("o_orderstatus"),
-        "pending": base.filter(F.col("o_orderstatus") == "P").drop("o_orderstatus"),
-    }
-    return union_streams(streams, type_col="type")
-
-
-# ---------------------------------------------------------------------------
-# Event-time operators (SURVEY.md section 2.9 batch equivalents)
-# ---------------------------------------------------------------------------
 
 
 @_register(
@@ -644,52 +589,6 @@ def t13_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "u8_fk_conformance",
-    """
-    SELECT
-      (SELECT COUNT(*) FROM lineitem l
-       WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
-        AS orphan_parts,
-      (SELECT COUNT(*) FROM lineitem l
-       WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
-        AS orphan_suppliers,
-      (SELECT COUNT(*) FROM orders o
-       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
-        AS orphan_customers,
-      (SELECT COUNT(*) FROM lineitem l
-       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
-        AS orphan_orders
-    """,
-)
-def u8_fk_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Referential-integrity audit: orphan counts for every fact->dim
-    edge in the star schema, each an anti-join (broadcast for dims,
-    shuffle for the fact-fact edge) — the conformance check a
-    warehouse load runs before publishing. All four counts in one
-    row; a nonzero cell is a data-quality incident."""
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
-    s = load_table(spark, sf_dir, "supplier")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-
-    def orphans(fact, dim, fk, pk, name):
-        # 1-row lazy aggregate per FK edge — the four edges compose
-        # into ONE plan via 1-row crossJoins, no driver-side counts
-        return (
-            fact.join(dim, fact[fk] == dim[pk], "left_anti")
-            .agg(F.count(F.lit(1)).alias(name))
-        )
-
-    return (
-        orphans(li, p, "l_partkey", "p_partkey", "orphan_parts")
-        .crossJoin(orphans(li, s, "l_suppkey", "s_suppkey", "orphan_suppliers"))
-        .crossJoin(orphans(o, c, "o_custkey", "c_custkey", "orphan_customers"))
-        .crossJoin(orphans(li, o, "l_orderkey", "o_orderkey", "orphan_orders"))
-    )
-
-
-@_register(
     "t12_time_rollup",
     """
     SELECT CASE WHEN GROUPING(d) = 0 AND GROUPING(h) = 0 THEN 'hour'
@@ -788,86 +687,6 @@ def t10_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = interval_overlap_join(p, e, "user_id", cell_ns=H)
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_overlaps"))
-
-
-@_register(
-    "u7_scd2_history",
-    """
-    WITH base AS (
-      SELECT c_custkey AS k, c_name,
-             CAST(c_acctbal AS DECIMAL(12,2)) AS bal, c_mktsegment AS seg
-      FROM customer
-    ),
-    v1 AS (
-      SELECT k, md5(concat_ws('|', c_name, CAST(bal AS VARCHAR), seg)) AS h
-      FROM base
-    ),
-    v2rows AS (
-      SELECT k, c_name,
-             CASE WHEN k % 10 = 0 THEN bal + 100 ELSE bal END AS bal,
-             CASE WHEN k % 7 = 0 THEN 'SHIFTED' ELSE seg END AS seg
-      FROM base WHERE k % 97 <> 0
-      UNION ALL
-      SELECT k + 1000000, c_name, bal, seg FROM base WHERE k % 50 = 0
-    ),
-    v2 AS (
-      SELECT k, md5(concat_ws('|', c_name, CAST(bal AS VARCHAR), seg)) AS h
-      FROM v2rows
-    ),
-    j AS (
-      SELECT COALESCE(a.k, b.k) AS k, a.h AS h1, b.h AS h2
-      FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k
-    )
-    SELECT k AS c_custkey, h1 AS attr_hash, 1 AS valid_from, 0 AS valid_to
-    FROM j WHERE h1 IS NOT NULL AND h2 IS NOT NULL AND h1 = h2
-    UNION ALL
-    SELECT k, h1, 1, 2 FROM j
-    WHERE h1 IS NOT NULL AND (h2 IS NULL OR h1 <> h2)
-    UNION ALL
-    SELECT k, h2, 2, 0 FROM j
-    WHERE h2 IS NOT NULL AND (h1 IS NULL OR h1 <> h2)
-    """,
-)
-def u7_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD Type-2 dimension history (operators/scd.py): snapshot v2 of
-    the customer dimension — with deterministic mutations (balance
-    bumps, segment shifts, deletions, late-arriving keys) — applied
-    over v1's history. Changed/deleted rows close at version 2,
-    new/changed rows open from it; unchanged rows stay open from 1.
-    Change detection is an md5 attribute hash (money cast to DECIMAL
-    string — raw double formatting differs across engines), so the
-    apply is two hash-joins on the business key, never a
-    column-by-column diff explosion. The oracle derives the identical
-    interval set from one full-outer join of the hashed snapshots."""
-    from hi_csa_db_spark.operators import scd
-
-    cust = load_table(spark, sf_dir, "customer")
-    base = cust.select(
-        F.col("c_custkey").alias("k"),
-        "c_name",
-        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
-        F.col("c_mktsegment").alias("seg"),
-    )
-    v1 = base
-    v2 = base.filter(F.col("k") % 97 != 0).select(
-        "k",
-        "c_name",
-        F.when(F.col("k") % 10 == 0, F.col("bal") + 100).otherwise(F.col("bal")).alias("bal"),
-        F.when(F.col("k") % 7 == 0, F.lit("SHIFTED")).otherwise(F.col("seg")).alias("seg"),
-    ).unionByName(
-        base.filter(F.col("k") % 50 == 0).select(
-            (F.col("k") + 1000000).alias("k"), "c_name", "bal", "seg"
-        )
-    )
-    attrs = ["c_name", "bal", "seg"]
-    hist = scd.scd2_init(v1, "k", attrs, version=1)
-    hist2 = scd.scd2_apply(hist, v2, "k", attrs, version=2)
-    return hist2.select(
-        F.col("k").alias("c_custkey"),
-        "attr_hash",
-        "valid_from",
-        F.coalesce("valid_to", F.lit(0)).alias("valid_to"),
-    )
 
 
 @_register(
@@ -1052,168 +871,6 @@ def t4_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "u5_upsert",
-    """
-    WITH updates AS (
-      SELECT c_custkey, 'PLATINUM' AS segment FROM customer WHERE c_acctbal > 8000
-    ),
-    kept AS (
-      SELECT c_custkey, c_mktsegment AS segment FROM customer
-      WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
-    )
-    SELECT * FROM kept UNION ALL SELECT * FROM updates
-    """,
-)
-def u5_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Upsert/MERGE semantics (operators/merge.py::upsert): updated
-    keys replaced, the rest kept — anti-join + union, one key shuffle
-    (the reference's crawl-cache refresh as a relational op)."""
-    from hi_csa_db_spark.operators.merge import upsert
-
-    cust = load_table(spark, sf_dir, "customer")
-    base = cust.select("c_custkey", F.col("c_mktsegment").alias("segment"))
-    updates = (
-        cust.filter(F.col("c_acctbal") > 8000)
-        .select("c_custkey", F.lit("PLATINUM").alias("segment"))
-    )
-    return upsert(base, updates, keys=["c_custkey"])
-
-
-@_register(
-    "u10_cdc_apply",
-    """
-    WITH log AS (
-      SELECT o_custkey AS k,
-             o_orderdate AS seq_ts, o_orderkey AS seq_id,
-             CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
-             CAST(o_totalprice AS DECIMAL(15,2)) AS val
-      FROM orders
-    ),
-    latest AS (
-      SELECT k, op, val,
-             ROW_NUMBER() OVER (PARTITION BY k
-                                ORDER BY seq_ts DESC, seq_id DESC) AS rn
-      FROM log
-    ),
-    counts AS (SELECT k, COUNT(*) AS n_ops FROM log GROUP BY k)
-    SELECT l.k AS key, CAST(l.val AS DOUBLE) AS current_val, c.n_ops
-    FROM latest l JOIN counts c ON c.k = l.k
-    WHERE l.rn = 1 AND l.op <> 'D'
-    """,
-)
-def u10_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC changelog APPLY with tombstones: a change stream of
-    upserts and deletes (synthesized deterministically from orders:
-    every 10th order key is a delete) collapses to the final state —
-    last writer wins per key in (event-time, id) order, and a
-    trailing delete removes the key entirely. Completes the mutation
-    family: u5 = upsert without deletes, u7 = full history (SCD2),
-    u10 = latest-state materialization of a real changelog, i.e. what
-    a Debezium/OLTP-extract compaction does.
-
-    One shuffle on the key serves both the last-writer window and the
-    op count; deletes drop AFTER the window so a delete-then-reinsert
-    sequence resolves correctly."""
-    o = load_table(spark, sf_dir, "orders")
-    log = o.select(
-        F.col("o_custkey").alias("k"),
-        # ordering key only (never output): the raw NTZ timestamp
-        # compares identically on both engines with zero tz exposure
-        F.col("o_orderdate").alias("seq_ts"),
-        F.col("o_orderkey").alias("seq_id"),
-        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
-        F.col("o_totalprice").cast("decimal(15,2)").alias("val"),
-    )
-    w = Window.partitionBy("k").orderBy(
-        F.col("seq_ts").desc(), F.col("seq_id").desc()
-    )
-    latest = log.select(
-        "k", "op", "val", F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("k")).alias("n_ops"),
-    )
-    return (
-        latest.filter((F.col("rn") == 1) & (F.col("op") != "D"))
-        .select(
-            F.col("k").alias("key"),
-            F.col("val").cast("double").alias("current_val"),
-            "n_ops",
-        )
-    )
-
-
-@_register(
-    "u6_snapshot_diff",
-    """
-    WITH v_old AS (
-      SELECT o_orderkey, o_orderstatus, o_totalprice
-      FROM orders WHERE o_orderkey % 10 <> 0
-    ),
-    v_new AS (
-      SELECT o_orderkey, o_orderstatus,
-             o_totalprice + (CASE WHEN o_orderkey % 7 = 0
-                             THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS o_totalprice
-      FROM orders WHERE o_orderkey % 10 <> 1
-    )
-    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
-           CASE WHEN o.o_orderkey IS NULL THEN 'added'
-                WHEN n.o_orderkey IS NULL THEN 'removed'
-                ELSE 'changed' END AS change_type
-    FROM v_old o FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey
-    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
-       OR o.o_totalprice <> n.o_totalprice
-       OR o.o_orderstatus <> n.o_orderstatus
-    """,
-)
-def u6_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC-style snapshot diff: two versions of a table (simulated
-    here by deterministic key-range membership + a value bump) folded
-    into an added/removed/changed changelog via one full outer join on
-    the key, with unchanged rows dropped by direct column comparison —
-    the diff that feeds incremental downstream recomputation (and the
-    read-side complement of the txlog MERGE writer).
-
-    Scale: both snapshots shuffle once on the join key (or not at all
-    when stored bucketed-by-key, the layout the txlog compactor
-    produces); the comparison is a narrow post-join filter. No hashing
-    of formatted strings — values compare natively, so float
-    formatting differences can't fake a change."""
-    orders = load_table(spark, sf_dir, "orders")
-    v_old = orders.filter(F.col("o_orderkey") % 10 != 0).select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    v_new = orders.filter(F.col("o_orderkey") % 10 != 1).select(
-        "o_orderkey",
-        "o_orderstatus",
-        (
-            F.col("o_totalprice")
-            + F.when(F.col("o_orderkey") % 7 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
-        ).alias("o_totalprice"),
-    )
-    o = v_old.alias("o")
-    n = v_new.alias("n")
-    j = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
-    change_type = (
-        F.when(F.col("o.o_orderkey").isNull(), F.lit("added"))
-        .when(F.col("n.o_orderkey").isNull(), F.lit("removed"))
-        .otherwise(F.lit("changed"))
-    )
-    return (
-        j.filter(
-            F.col("o.o_orderkey").isNull()
-            | F.col("n.o_orderkey").isNull()
-            | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
-            | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
-        )
-        .select(
-            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias(
-                "o_orderkey"
-            ),
-            change_type.alias("change_type"),
-        )
-    )
-
-
-@_register(
     "t18_interp_align",
     """
     WITH e AS (
@@ -1365,172 +1022,6 @@ def t19_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "dq1_expectations",
-    """
-    WITH rowrules AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v0,
-             CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice >= 0
-                           AND o_totalprice <= 600000 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
-             CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END) AS BIGINT) AS v2,
-             CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
-                           AND regexp_matches(o_orderpriority, '^[1-5]-') THEN 0 ELSE 1 END) AS BIGINT) AS v3
-      FROM orders
-    ),
-    uniq AS (
-      SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c - 1) AS BIGINT) AS v
-      FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
-    ),
-    fk AS (
-      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
-              WHERE NOT EXISTS (SELECT 1 FROM customer c
-                                WHERE c.c_custkey = o.o_custkey)) AS v
-    )
-    SELECT 'not_null:o_custkey' AS rule, n AS n_checked, v0 AS n_violations FROM rowrules
-    UNION ALL
-    SELECT 'range:o_totalprice', n, v1 FROM rowrules
-    UNION ALL
-    SELECT 'accepted:o_orderstatus', n, v2 FROM rowrules
-    UNION ALL
-    SELECT 'regex:o_orderpriority', n, v3 FROM rowrules
-    UNION ALL
-    SELECT 'unique:o_orderkey', n, v FROM uniq
-    UNION ALL
-    SELECT 'fk:o_custkey->c_custkey', n, v FROM fk
-    """,
-)
-def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative data-quality EXPECTATIONS report
-    (operators/expectations.py — the Delta-constraints/Great-
-    Expectations capability): four row-level rules evaluated in ONE
-    map-combined aggregate pass (not-null, numeric range, accepted
-    values, regex), plus key uniqueness (one keyed aggregate) and
-    referential integrity (one anti-join). One row per rule with
-    checked/violation counts — the publish gate a pipeline runs
-    before promoting a table.
-
-    Scale: the row-rule pass costs one scan regardless of rule count
-    (a few counters per partition); uniqueness shuffles on the key a
-    merge of this table would shuffle on anyway; the FK anti-join
-    broadcasts the dimension side."""
-    from hi_csa_db_spark.operators import expectations as ex
-
-    t = load_tables(spark, sf_dir)
-    orders, customer = t["orders"], t["customer"]
-    rows = ex.check_rows(
-        orders,
-        [
-            ex.not_null("o_custkey"),
-            ex.in_range("o_totalprice", 0, 600000),
-            ex.accepted_values("o_orderstatus", ["O", "F", "P"]),
-            ex.matches("o_orderpriority", "^[1-5]-"),
-        ],
-    )
-    uniq = ex.check_unique(orders, ["o_orderkey"])
-    fk = ex.check_fk(orders, "o_custkey", F.broadcast(customer), "c_custkey")
-    return rows.unionByName(uniq).unionByName(fk)
-
-
-@_register(
-    "dq2_psi_drift",
-    """
-    WITH b AS (
-      SELECT least(CAST(floor(o_totalprice / CAST(50000 AS DOUBLE)) AS BIGINT), 9) AS bucket,
-             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-                  THEN 1 ELSE 0 END AS side_a
-      FROM orders
-    ),
-    per_bucket AS (
-      SELECT bucket,
-             CAST(SUM(side_a) AS BIGINT) AS na,
-             CAST(SUM(1 - side_a) AS BIGINT) AS nb
-      FROM b GROUP BY bucket
-    ),
-    tot AS (
-      SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
-      FROM per_bucket
-    ),
-    terms AS (
-      SELECT CAST(ROUND(
-               (CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb)
-               * ln((CAST(na AS DOUBLE) * tb) / (CAST(nb AS DOUBLE) * ta)),
-             8) AS DECIMAL(20,8)) AS term
-      FROM per_bucket CROSS JOIN tot
-      WHERE na > 0 AND nb > 0
-    )
-    SELECT (SELECT ta FROM tot) AS n_before,
-           (SELECT tb FROM tot) AS n_after,
-           CAST(COUNT(*) AS BIGINT) AS n_buckets,
-           ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
-    FROM terms
-    """,
-)
-def dq2_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution-drift monitor: Population Stability Index of the
-    order-value distribution before vs after a calendar split — the
-    standard ML-ops metric for "has the data shifted enough to
-    retrain/alert" (PSI > 0.2 rule of thumb), complementing dq1's
-    row validity and stats_ks_test's exact two-sample test (PSI is
-    the binned, streaming-friendly one).
-
-    One groupBy(bucket) computes both sides' histograms in a single
-    shuffle (side flag summed two ways); totals enter as a 1-row
-    broadcast. Per-bucket PSI terms are rounded 8dp and summed as
-    DECIMAL — addition-order-proof across engines; empty-on-either-
-    side buckets are excluded (the deterministic convention)."""
-    orders = load_table(spark, sf_dir, "orders")
-    b = orders.select(
-        F.least(
-            F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("bigint"),
-            F.lit(9).cast("bigint"),
-        ).alias("bucket"),
-        F.when(
-            F.col("o_orderdate")
-            < F.lit("1998-01-01 00:00:00").cast("timestamp"),
-            1,
-        )
-        .otherwise(0)
-        .alias("side_a"),
-    )
-    per_bucket = b.groupBy("bucket").agg(
-        F.sum("side_a").cast("bigint").alias("na"),
-        F.sum(1 - F.col("side_a")).cast("bigint").alias("nb"),
-    )
-    tot = per_bucket.agg(
-        F.sum("na").cast("bigint").alias("ta"),
-        F.sum("nb").cast("bigint").alias("tb"),
-    )
-    terms = (
-        per_bucket.crossJoin(F.broadcast(tot))
-        .filter((F.col("na") > 0) & (F.col("nb") > 0))
-        .select(
-            "ta",
-            "tb",
-            F.round(
-                (
-                    F.col("na").cast("double") / F.col("ta")
-                    - F.col("nb").cast("double") / F.col("tb")
-                )
-                * F.log(
-                    (F.col("na").cast("double") * F.col("tb"))
-                    / (F.col("nb").cast("double") * F.col("ta"))
-                ),
-                8,
-            )
-            .cast("decimal(20,8)")
-            .alias("term"),
-        )
-    )
-    return terms.agg(
-        F.first("ta").alias("n_before"),
-        F.first("tb").alias("n_after"),
-        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
-        F.round(F.sum("term").cast("double"), 6).alias("psi"),
-    )
-
-
-@_register(
     "t20_attribution",
     """
     WITH p AS (
@@ -1678,108 +1169,6 @@ def t22_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "dq5_dead_letters",
-    """
-    SELECT event_id,
-           concat_ws(',',
-             CASE WHEN user_id IS NULL THEN 'user_id_not_null' END,
-             CASE WHEN NOT (value >= 0 AND value <= 250) THEN 'value_in_range' END,
-             CASE WHEN event_type NOT IN ('click', 'view', 'purchase',
-                                          'signup', 'error')
-                  THEN 'event_type_accepted' END) AS failed_rules
-    FROM events
-    WHERE user_id IS NULL
-       OR NOT (value >= 0 AND value <= 250)
-       OR event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')
-    """,
-)
-def dq5_dead_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dead-letter routing — the row-level counterpart of dq1's
-    aggregate expectations report: every ingest row failing any rule
-    is emitted WITH the comma-joined list of the rules it failed (the
-    payload a DLQ topic or quarantine table needs for triage and
-    replay). Pure narrow projection + filter — the quarantine split
-    costs one predicate per rule at any scale, and the same
-    expressions drive dq1, so report and routing can never disagree."""
-    ev = load_table(spark, sf_dir, "events")
-    r1 = F.col("user_id").isNull()
-    r2 = ~((F.col("value") >= 0) & (F.col("value") <= 250))
-    r3 = ~F.col("event_type").isin("click", "view", "purchase", "signup", "error")
-    return ev.filter(r1 | r2 | r3).select(
-        "event_id",
-        F.concat_ws(
-            ",",
-            F.when(r1, "user_id_not_null"),
-            F.when(r2, "value_in_range"),
-            F.when(r3, "event_type_accepted"),
-        ).alias("failed_rules"),
-    )
-
-
-@_register(
-    "dq6_column_profile",
-    """
-    WITH one AS (
-      SELECT COUNT(*) AS n,
-             COUNT(*) - COUNT(o_orderkey) AS nu_k, COUNT(DISTINCT o_orderkey) AS d_k,
-             CAST(MIN(o_orderkey) AS VARCHAR) AS mn_k, CAST(MAX(o_orderkey) AS VARCHAR) AS mx_k,
-             COUNT(*) - COUNT(o_custkey) AS nu_c, COUNT(DISTINCT o_custkey) AS d_c,
-             CAST(MIN(o_custkey) AS VARCHAR) AS mn_c, CAST(MAX(o_custkey) AS VARCHAR) AS mx_c,
-             COUNT(*) - COUNT(o_orderstatus) AS nu_s, COUNT(DISTINCT o_orderstatus) AS d_s,
-             MIN(o_orderstatus) AS mn_s, MAX(o_orderstatus) AS mx_s,
-             COUNT(*) - COUNT(o_totalprice) AS nu_t, COUNT(DISTINCT o_totalprice) AS d_t,
-             CAST(CAST(MIN(o_totalprice) AS DECIMAL(15,2)) AS VARCHAR) AS mn_t,
-             CAST(CAST(MAX(o_totalprice) AS DECIMAL(15,2)) AS VARCHAR) AS mx_t,
-             COUNT(*) - COUNT(o_orderdate) AS nu_d, COUNT(DISTINCT o_orderdate) AS d_d,
-             CAST(MIN(o_orderdate) AS VARCHAR) AS mn_d, CAST(MAX(o_orderdate) AS VARCHAR) AS mx_d,
-             COUNT(*) - COUNT(o_orderpriority) AS nu_p, COUNT(DISTINCT o_orderpriority) AS d_p,
-             MIN(o_orderpriority) AS mn_p, MAX(o_orderpriority) AS mx_p
-      FROM orders
-    )
-    SELECT t.* FROM one, LATERAL (
-      SELECT 'o_orderkey' AS "column", one.n AS n_rows, CAST(one.nu_k AS BIGINT) AS n_null,
-             CAST(one.d_k AS BIGINT) AS n_distinct, one.mn_k AS min_val, one.mx_k AS max_val
-      UNION ALL SELECT 'o_custkey', one.n, one.nu_c, one.d_c, one.mn_c, one.mx_c
-      UNION ALL SELECT 'o_orderstatus', one.n, one.nu_s, one.d_s, one.mn_s, one.mx_s
-      UNION ALL SELECT 'o_totalprice', one.n, one.nu_t, one.d_t, one.mn_t, one.mx_t
-      UNION ALL SELECT 'o_orderdate', one.n, one.nu_d, one.d_d, one.mn_d, one.mx_d
-      UNION ALL SELECT 'o_orderpriority', one.n, one.nu_p, one.d_p, one.mn_p, one.mx_p
-    ) t
-    """,
-)
-def dq6_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column-profiling report (expectations.column_profile) over
-    orders: completeness (null count), cardinality (exact distinct),
-    and bounds per column in ONE aggregate pass, unpivoted to a row
-    per column. Numeric bounds stay numeric for the min/max and are
-    rendered to portable strings after aggregation (decimals for the
-    double column, ISO for the date). The discovery-side complement
-    of dq1's rule checks: profile first, then write the rules.
-
-    Supersedes profile_columns' shape (kept: banked driver-green):
-    that early query scans once PER numeric column and unions the
-    1-row results; this one profiles six mixed-type columns in a
-    single aggregate pass through the reusable
-    expectations.column_profile operator."""
-    from hi_csa_db_spark.operators import expectations
-
-    o = load_table(spark, sf_dir, "orders")
-    as_str = lambda c: c.cast("string")  # noqa: E731
-    dec_str = lambda c: c.cast("decimal(15,2)").cast("string")  # noqa: E731
-    return expectations.column_profile(
-        o,
-        [
-            ("o_orderkey", F.col("o_orderkey"), as_str),
-            ("o_custkey", F.col("o_custkey"), as_str),
-            ("o_orderstatus", F.col("o_orderstatus"), as_str),
-            ("o_totalprice", F.col("o_totalprice"), dec_str),
-            ("o_orderdate", F.col("o_orderdate"), as_str),
-            ("o_orderpriority", F.col("o_orderpriority"), as_str),
-        ],
-    )
-
-
-@_register(
     "t24_markov_transitions",
     """
     WITH e AS (
@@ -1877,243 +1266,6 @@ def t23_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("s"),
             6,
         ).alias("fano"),
-    )
-
-
-@_register(
-    "dq4_skew_report",
-    """
-    WITH per_key AS (
-      SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1
-    ),
-    stats AS (
-      SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows, MAX(cnt) AS max_cnt
-      FROM per_key
-    )
-    SELECT p.key, p.cnt,
-           ROUND(p.cnt * s.n_keys / CAST(s.n_rows AS DOUBLE), 6) AS skew_ratio,
-           CAST(s.n_keys AS BIGINT) AS n_keys,
-           CAST(s.n_rows AS BIGINT) AS n_rows
-    FROM per_key p CROSS JOIN stats s
-    ORDER BY p.cnt DESC, p.key ASC LIMIT 10
-    """,
-)
-def dq4_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-key skew diagnosis — the operational pre-join check at
-    100 TB: per-key row counts for a prospective join key, the top-10
-    heaviest keys, and each key's skew ratio (count ÷ mean count,
-    computed as cnt·n_keys/n_rows so the only float is the final
-    rounded division). A ratio far above 1 on the biggest keys is the
-    signal to salt (operators/skew.py) or let AQE's skew-join split
-    partitions; one map-combined aggregate + a 1-row stats broadcast
-    — the report costs one pass regardless of table size."""
-    li = load_table(spark, sf_dir, "lineitem")
-    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    stats = per_key.agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum("cnt").alias("n_rows"),
-        F.max("cnt").alias("max_cnt"),
-    )
-    return (
-        per_key.crossJoin(F.broadcast(stats))
-        .select(
-            "key",
-            "cnt",
-            F.round(
-                F.col("cnt") * F.col("n_keys") / F.col("n_rows").cast("double"), 6
-            ).alias("skew_ratio"),
-            F.col("n_keys").cast("bigint").alias("n_keys"),
-            F.col("n_rows").cast("bigint").alias("n_rows"),
-        )
-        .orderBy(F.col("cnt").desc(), F.col("key").asc())
-        .limit(10)
-    )
-
-
-@_register(
-    "u13_scd2_point_in_time",
-    """
-    WITH base AS (
-      SELECT c_custkey AS k,
-             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
-             c_mktsegment AS seg
-      FROM customer
-    ),
-    v2rows AS (
-      SELECT k,
-             CASE WHEN k % 10 = 0 THEN cents + 10000 ELSE cents END AS cents,
-             CASE WHEN k % 7 = 0 THEN 'SHIFTED' ELSE seg END AS seg
-      FROM base WHERE k % 97 <> 0
-      UNION ALL
-      SELECT k + 1000000, cents, seg FROM base WHERE k % 50 = 0
-    )
-    SELECT 1 AS as_of_version, seg, COUNT(*) AS n_rows,
-           CAST(SUM(cents) AS BIGINT) AS total_cents
-    FROM base GROUP BY seg
-    UNION ALL
-    SELECT 2, seg, COUNT(*), CAST(SUM(cents) AS BIGINT)
-    FROM v2rows GROUP BY seg
-    """,
-)
-def u13_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 point-in-time reconstruction — the ROUND-TRIP property
-    that makes a slowly-changing dimension trustworthy: filtering the
-    u7-style 2-version history to "as of version v" (valid_from <= v
-    AND (open OR valid_to > v)) must reproduce snapshot v EXACTLY.
-    The oracle is each original snapshot aggregated directly — no
-    interval algebra — so any history-construction bug (row leaked
-    across a close, double-counted reopen) breaks the match. Money in
-    exact integer cents; one segment rollup per reconstructed
-    version."""
-    from hi_csa_db_spark.operators import scd
-
-    cust = load_table(spark, sf_dir, "customer")
-    base = cust.select(
-        F.col("c_custkey").alias("k"),
-        F.expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
-            "cents"
-        ),
-        F.col("c_mktsegment").alias("seg"),
-    )
-    v2 = base.filter(F.col("k") % 97 != 0).select(
-        "k",
-        F.when(F.col("k") % 10 == 0, F.col("cents") + 10000)
-        .otherwise(F.col("cents"))
-        .alias("cents"),
-        F.when(F.col("k") % 7 == 0, F.lit("SHIFTED")).otherwise(F.col("seg")).alias(
-            "seg"
-        ),
-    ).unionByName(
-        base.filter(F.col("k") % 50 == 0).select(
-            (F.col("k") + 1000000).alias("k"), "cents", "seg"
-        )
-    )
-    hist = scd.scd2_apply(
-        scd.scd2_init(base, "k", ["cents", "seg"], version=1),
-        v2,
-        "k",
-        ["cents", "seg"],
-        version=2,
-    )
-
-    def as_of(v: int) -> DataFrame:
-        return (
-            hist.filter(
-                (F.col("valid_from") <= v)
-                & (F.col("valid_to").isNull() | (F.col("valid_to") > v))
-            )
-            .groupBy("seg")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum("cents").cast("bigint").alias("total_cents"),
-            )
-            .select(F.lit(v).alias("as_of_version"), "seg", "n_rows", "total_cents")
-        )
-
-    return as_of(1).unionByName(as_of(2))
-
-
-@_register(
-    "u14_corpus_diff",
-    """
-    WITH new_v AS (SELECT doc_id, source, md5(text) AS h FROM documents),
-    old_v AS (
-      SELECT doc_id, source,
-             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' OLD' ELSE text END) AS h
-      FROM documents WHERE doc_id % 10 <> 3
-      UNION ALL
-      SELECT doc_id + 1000000, source, md5('retired')
-      FROM documents WHERE doc_id % 13 = 0
-    ),
-    d AS (
-      SELECT COALESCE(n.source, o.source) AS source,
-             CASE WHEN o.doc_id IS NULL THEN 'added'
-                  WHEN n.doc_id IS NULL THEN 'removed'
-                  WHEN n.h <> o.h THEN 'changed'
-                  ELSE 'unchanged' END AS status
-      FROM new_v n FULL OUTER JOIN old_v o ON n.doc_id = o.doc_id
-    )
-    SELECT source,
-           CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_added,
-           CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_removed,
-           CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_changed,
-           CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_unchanged
-    FROM d GROUP BY source
-    """,
-)
-def u14_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-vintage diff audit — the what-changed-between-drops
-    report every recurring ingest publishes: FULL OUTER join of two
-    corpus snapshots on doc_id, rows classified added / removed /
-    changed (content md5 differs) / unchanged, rolled up per source.
-    The old vintage is synthesized deterministically from the same
-    fixture (every 5th doc edited, every 10th-mod-3 missing, phantom
-    retired rows), so the classification logic is oracle-exact.
-
-    Complements u6_snapshot_diff, which emits the ROW-LEVEL changelog
-    (native column comparison, unchanged rows dropped — the CDC feed);
-    this is the drop-level AUDIT: content identity by md5 so text
-    never shuffles, unchanged counted, rolled up per source.
-
-    Scale shape: one equi-join on the id + one tiny per-source
-    aggregate; only (id, source, 16-byte hash) shuffles — never text.
-    At 100 TB both sides are id-bucketed parquet (SCALE.md), making
-    the diff join shuffle-free."""
-    docs = load_table(spark, sf_dir, "documents")
-    new_v = docs.select("doc_id", "source", F.md5("text").alias("h"))
-    old_v = (
-        docs.filter(F.col("doc_id") % 10 != 3)
-        .select(
-            "doc_id",
-            "source",
-            F.md5(
-                F.when(
-                    F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" OLD"))
-                ).otherwise(F.col("text"))
-            ).alias("h"),
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 13 == 0).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
-                "source",
-                F.md5(F.lit("retired")).alias("h"),
-            )
-        )
-    )
-    n = new_v.select(
-        F.col("doc_id"), F.col("source").alias("__ns"), F.col("h").alias("__nh")
-    )
-    o = old_v.select(
-        F.col("doc_id"), F.col("source").alias("__os"), F.col("h").alias("__oh")
-    )
-    status = (
-        F.when(F.col("__oh").isNull(), "added")
-        .when(F.col("__nh").isNull(), "removed")
-        .when(F.col("__nh") != F.col("__oh"), "changed")
-        .otherwise("unchanged")
-    )
-    d = n.join(o, "doc_id", "full_outer").select(
-        F.coalesce("__ns", "__os").alias("source"), status.alias("status")
-    )
-    return d.groupBy("source").agg(
-        F.sum(F.when(F.col("status") == "added", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_added"),
-        F.sum(F.when(F.col("status") == "removed", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_removed"),
-        F.sum(F.when(F.col("status") == "changed", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_changed"),
-        F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_unchanged"),
     )
 
 
@@ -2225,106 +1377,6 @@ def t21_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grid-exact Kendall association stats, stratified sampling, Heaps-law
 # vocabulary growth
 # ---------------------------------------------------------------------------
-
-
-@_register(
-    "dq7_referential_integrity",
-    """
-    WITH e1 AS (
-      SELECT 'lineitem->orders' AS edge,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS child_rows,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
-              WHERE NOT EXISTS (SELECT 1 FROM orders o
-                                WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
-              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
-                                WHERE l.l_orderkey = o.o_orderkey)) AS unreferenced_parents
-    ),
-    e2 AS (
-      SELECT 'lineitem->part' AS edge,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS child_rows,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
-              WHERE NOT EXISTS (SELECT 1 FROM part p
-                                WHERE p.p_partkey = l.l_partkey)) AS orphan_rows,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM part p
-              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
-                                WHERE l.l_partkey = p.p_partkey)) AS unreferenced_parents
-    ),
-    e3 AS (
-      SELECT 'orders->customer' AS edge,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS child_rows,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
-              WHERE NOT EXISTS (SELECT 1 FROM customer c
-                                WHERE c.c_custkey = o.o_custkey)) AS orphan_rows,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
-              WHERE NOT EXISTS (SELECT 1 FROM orders o
-                                WHERE o.o_custkey = c.c_custkey)) AS unreferenced_parents
-    ),
-    e4 AS (
-      SELECT 'events->customer' AS edge,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS child_rows,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
-              WHERE NOT EXISTS (SELECT 1 FROM customer c
-                                WHERE c.c_custkey = e.user_id)) AS orphan_rows,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
-              WHERE NOT EXISTS (SELECT 1 FROM events e
-                                WHERE e.user_id = c.c_custkey)) AS unreferenced_parents
-    )
-    SELECT * FROM e1 UNION ALL SELECT * FROM e2
-    UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
-    """,
-)
-def dq7_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-table referential-integrity profile: for each FK edge of
-    the star schema (lineitem->orders, lineitem->part,
-    orders->customer, events->customer), report child cardinality,
-    orphan children (FK value with no parent row), and unreferenced
-    parents (parent key no child ever cites) — the containment audit a
-    DQ gate runs before joining 100 TB fact data against dimensions.
-
-    Scale shape: ONE pass per edge — child keys pre-aggregated to
-    (key, count), full-outer-joined to the distinct parent keys, then
-    a scalar aggregate; the shuffle is on the join key (what the
-    downstream join would shuffle anyway) and carries counts, not
-    rows. No anti-join per metric: all three metrics fall out of the
-    same outer join."""
-
-    def edge(
-        child: DataFrame, ckey: str, parent: DataFrame, pkey: str, name: str
-    ) -> DataFrame:
-        ck = child.groupBy(F.col(ckey).alias("k")).agg(
-            F.count(F.lit(1)).alias("cn")
-        )
-        pk = parent.select(F.col(pkey).alias("k")).distinct().withColumn(
-            "p", F.lit(1)
-        )
-        j = ck.join(pk, "k", "full_outer")
-        return j.agg(
-            F.coalesce(F.sum("cn"), F.lit(0)).cast("bigint").alias("child_rows"),
-            F.coalesce(F.sum(F.when(F.col("p").isNull(), F.col("cn"))), F.lit(0))
-            .cast("bigint")
-            .alias("orphan_rows"),
-            F.sum(F.when(F.col("cn").isNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("unreferenced_parents"),
-        ).select(
-            F.lit(name).alias("edge"),
-            "child_rows",
-            "orphan_rows",
-            "unreferenced_parents",
-        )
-
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    p = load_table(spark, sf_dir, "part")
-    c = load_table(spark, sf_dir, "customer")
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        edge(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
-        .unionAll(edge(li, "l_partkey", p, "p_partkey", "lineitem->part"))
-        .unionAll(edge(o, "o_custkey", c, "c_custkey", "orders->customer"))
-        .unionAll(edge(ev, "user_id", c, "c_custkey", "events->customer"))
-    )
 
 
 @_register(
@@ -2448,46 +1500,6 @@ def t26_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.round(F.col("cents") / 100.0, 2).alias("revenue"),
         F.round(F.col("med_cents") / 100.0, 2).alias("median7"),
-    )
-
-
-@_register(
-    "dq8_freshness",
-    """
-    WITH m AS (
-      SELECT event_type, CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_event_us,
-             CAST(COUNT(*) AS BIGINT) AS n_events
-      FROM events GROUP BY event_type
-    ),
-    g AS (SELECT CAST(MAX(epoch_us(ts)) AS BIGINT) AS gmx FROM events)
-    SELECT event_type, n_events, last_event_us,
-           CAST((gmx - last_event_us) // 1000000 AS BIGINT) AS staleness_sec
-    FROM m CROSS JOIN g
-    """,
-)
-def dq8_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Freshness/timeliness audit: per event stream, the last event
-    time and its staleness against the newest event anywhere — the
-    is-this-feed-still-alive check a DQ suite runs before trusting an
-    incremental load. Declared-microsecond times (the t2/t8 precision
-    contract); staleness in whole seconds is an integer floor-div.
-
-    Scale shape: one map-combined MAX per stream + a 1-row broadcast
-    of the global max."""
-    ev = load_table(spark, sf_dir, "events")
-    us = F.expr("ts_ns div 1000")
-    m = ev.groupBy("event_type").agg(
-        F.max(us).alias("last_event_us"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    g = ev.agg(F.max(us).alias("gmx"))
-    return m.crossJoin(F.broadcast(g)).select(
-        "event_type",
-        "n_events",
-        "last_event_us",
-        F.expr("CAST((gmx - last_event_us) div 1000000 AS BIGINT)").alias(
-            "staleness_sec"
-        ),
     )
 
 
@@ -2656,121 +1668,6 @@ def t28_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("resid_micro"),
         )
     )
-
-
-@_register(
-    "u15_schema_evolution",
-    """
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_with_lang,
-           CAST(COUNT(DISTINCT CASE WHEN doc_id >= 250 THEN lang END) AS BIGINT)
-             AS n_langs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents GROUP BY source
-    """,
-)
-def u15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-evolution ingest: two parquet snapshot vintages of the
-    documents table — an old one WITHOUT the lang column and a new
-    one WITH it — are appended into one dataset directory, then read
-    back with mergeSchema=true; old rows surface lang=NULL. The
-    oracle recomputes the same aggregates from the unevolved source
-    table, so the merge must preserve every row and null exactly the
-    pre-evolution rows (n_with_lang counts non-null langs on the
-    Spark side but the id-split rule on the oracle side — they can
-    only agree if the evolution semantics are right).
-
-    This is the 100 TB reality of long-lived datasets: columns get
-    added mid-corpus, and the reader — not a rewrite of petabytes of
-    old files — reconciles vintages. The snapshot write is
-    per-process idempotent and lives under /tmp.
-
-    Scale shape: footer-only schema merge, then one map-combined
-    aggregate; count(DISTINCT lang) is per-group with bounded
-    cardinality."""
-    import hashlib
-    import os
-
-    docs = load_table(spark, sf_dir, "documents")
-    tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:10]
-    loc = f"/tmp/spark_graft_evolution/{tag}"
-    if not os.path.exists(loc):
-        # stage both vintages, then one atomic rename — a crash between
-        # the two appends must never leave a half-evolved dataset that a
-        # same-process retry would silently reuse
-        stage = f"{loc}.tmp"
-        docs.filter(F.col("doc_id") < 250).select(
-            "doc_id", "source", "n_chars"
-        ).write.mode("overwrite").parquet(stage)
-        docs.filter(F.col("doc_id") >= 250).select(
-            "doc_id", "source", "n_chars", "lang"
-        ).write.mode("append").parquet(stage)
-        os.rename(stage, loc)
-    merged = spark.read.option("mergeSchema", "true").parquet(loc)
-    return merged.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.count("lang").cast("bigint").alias("n_with_lang"),
-        F.countDistinct("lang").cast("bigint").alias("n_langs"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
-    )
-
-
-@_register(
-    "dq9_join_fanout",
-    """
-    WITH ca AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
-    cb AS (SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY 1),
-    prod AS (
-      SELECT ca.k, ca.c * cb.c AS fanout
-      FROM ca JOIN cb ON ca.k = cb.k
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_join_keys,
-           CAST(SUM(fanout) AS BIGINT) AS predicted_rows,
-           CAST(MAX(fanout) AS BIGINT) AS max_key_fanout,
-           (SELECT CAST(COUNT(*) AS BIGINT)
-            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
-             AS actual_rows
-    FROM prod
-    """,
-)
-def dq9_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-fanout audit: the exact output cardinality of a join,
-    PREDICTED from per-key counts alone (Σ |A_k|·|B_k| — two
-    aggregates and a key join, never the joined rows) beside the
-    ACTUAL joined row count, plus the worst single-key fanout. The
-    pre-flight check a pipeline runs before an expensive join to
-    catch key-explosion (a skewed or wrongly-grained key) while it is
-    still cheap to catch — at 100 TB the predictor costs two
-    map-combined aggregates; the join it guards costs a full
-    fact-fact shuffle. predicted_rows == actual_rows is the built-in
-    proof of the identity.
-
-    Scale shape: groupBy per side (map-combined), a key-count join
-    (bounded by distinct keys), and the guarded join itself only for
-    the audit's verification column."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    ca = o.groupBy(F.col("o_custkey").alias("k")).agg(
-        F.count(F.lit(1)).alias("c_a")
-    )
-    cb = c.groupBy(F.col("c_custkey").alias("k")).agg(
-        F.count(F.lit(1)).alias("c_b")
-    )
-    prod = ca.join(cb, "k").select(
-        "k", (F.col("c_a") * F.col("c_b")).alias("fanout")
-    )
-    pred = prod.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_join_keys"),
-        F.sum("fanout").cast("bigint").alias("predicted_rows"),
-        F.max("fanout").cast("bigint").alias("max_key_fanout"),
-    )
-    actual = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
-    )
-    return pred.crossJoin(F.broadcast(actual))
 
 
 @_register(
@@ -3053,126 +1950,6 @@ def t32_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "u16_ivm_join_counts",
-    """
-    SELECT o.o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT))
-                AS BIGINT) AS total_cents
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY o.o_orderpriority
-    """,
-)
-def u16_ivm_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental view maintenance surfaced as a gate-checked query:
-    the orders ⋈ customer view is materialized from OLD partitions of
-    both sides, then brought current by appending ONLY
-    delta_join(ΔL, ΔR) = ΔL⋈R_old ∪ L_old⋈ΔR ∪ ΔL⋈ΔR
-    (operators/incremental.py) — history is never re-joined. The
-    oracle computes the same aggregate from the full tables, so the
-    maintained view must be multiset-identical to a full recompute
-    (the IVM identity, proven through the driver gate rather than
-    only in pytest).
-
-    Scale shape: the two cross terms join a DELTA against a base
-    (delta side broadcast when small); ΔL⋈ΔR is delta-sized; the
-    final rollup is a 5-group aggregate. At 100 TB this is the
-    nightly-increment pattern that replaces full-view rebuilds."""
-    from hi_csa_db_spark.operators.incremental import delta_join
-
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderpriority", "o_totalprice", "o_orderkey"
-    )
-    c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    old_o = o.filter(F.col("o_orderkey") % 10 != 0)
-    d_o = o.filter(F.col("o_orderkey") % 10 == 0)
-    old_c = c.filter(F.col("c_custkey") % 7 != 0)
-    d_c = c.filter(F.col("c_custkey") % 7 == 0)
-    # delta_join joins on column names, so align the key name
-    lo, dl = old_o.withColumnRenamed("o_custkey", "k"), d_o.withColumnRenamed(
-        "o_custkey", "k"
-    )
-    ro, dr = old_c.withColumnRenamed("c_custkey", "k"), d_c.withColumnRenamed(
-        "c_custkey", "k"
-    )
-    appended = delta_join(lo, dl, ro, dr, ["k"])
-    maintained = lo.join(ro, ["k"]).unionByName(appended)
-    return maintained.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(
-            (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("bigint")
-        )
-        .cast("bigint")
-        .alias("total_cents"),
-    )
-
-
-@_register(
-    "dq10_sequence_gaps",
-    """
-    WITH k AS (SELECT DISTINCT o_orderkey AS id FROM orders),
-    r AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rnk FROM k),
-    isl AS (
-      SELECT id - rnk AS grp, MIN(id) AS lo, MAX(id) AS hi, COUNT(*) AS n
-      FROM r GROUP BY 1
-    ),
-    nxt AS (
-      SELECT a.hi AS gap_start_after, b.lo AS gap_end_before,
-             b.lo - a.hi - 1 AS missing
-      FROM isl a JOIN isl b ON b.lo = (
-        SELECT MIN(lo) FROM isl WHERE lo > a.hi
-      )
-    )
-    SELECT gap_start_after, gap_end_before, CAST(missing AS BIGINT) AS missing
-    FROM nxt ORDER BY gap_start_after LIMIT 20
-    """,
-)
-def dq10_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence-gap audit: the first 20 holes in the orderkey id
-    space (contiguous-run islands via the id − rank key, then
-    consecutive-island pairing) — the surrogate-key integrity check
-    that catches dropped extraction batches: a gap of exactly one
-    batch size is a smoking gun. TPC-H orderkeys are deliberately
-    sparse (only 1 in 4 low ids used), so the fixture genuinely
-    exercises the island logic.
-
-    Scale shape: ranks ride ordered.global_row_numbers (range
-    partition + broadcast offsets); islands are one groupBy; the
-    island successor pairing is a rank+1 equi-join over the (small)
-    island table, never a correlated subquery (the oracle's
-    correlated MIN is the semantic spec)."""
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("id")
-    ).distinct()
-    r = ordered.global_row_numbers(o, "id")
-    isl = (
-        r.select((F.col("id") - F.col("rank")).alias("grp"), "id")
-        .groupBy("grp")
-        .agg(
-            F.min("id").alias("lo"),
-            F.max("id").alias("hi"),
-        )
-    )
-    ir = ordered.global_row_numbers(isl.select("lo", "hi"), "lo")
-    succ = ir.select(
-        (F.col("rank") - 1).alias("rank"),
-        F.col("lo").alias("next_lo"),
-    )
-    return (
-        ir.join(succ, "rank")
-        .select(
-            F.col("hi").alias("gap_start_after"),
-            F.col("next_lo").alias("gap_end_before"),
-            (F.col("next_lo") - F.col("hi") - 1).cast("bigint").alias(
-                "missing"
-            ),
-        )
-        .orderBy("gap_start_after")
-        .limit(20)
-    )
-
-
-@_register(
     "t33_seasonality_strength",
     f"""
     WITH {_STL_SQL},
@@ -3253,248 +2030,6 @@ def t33_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "u17_jsonl_roundtrip",
-    """
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-             AS value_cents,
-           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
-    FROM events GROUP BY event_type
-    """,
-)
-def u17_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-lines as a source format: the events table is exported
-    once to JSONL (timestamps carried as declared-microsecond
-    integers — JSON has no timestamp type, so the t2/t8 precision
-    contract IS the serialization), read back with
-    spark.read.json + an explicit schema (schema-on-read, no
-    inference pass at scale), and aggregated; the oracle recomputes
-    from the original parquet, so the JSON writer/reader round trip
-    must preserve every row, type, and microsecond. Covers the
-    third interchange format beside parquet/ORC (sources tier) the
-    way u15 covers schema drift.
-
-    Scale shape: one partitioned JSONL write (per-process idempotent,
-    under /tmp), then an ordinary map-combined aggregate; the
-    explicit schema avoids Spark's whole-file inference scan."""
-    import hashlib
-    import os
-
-    ev = load_table(spark, sf_dir, "events")
-    tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:10]
-    loc = f"/tmp/spark_graft_jsonl/{tag}"
-    if not os.path.exists(loc):
-        ev.select(
-            "event_id",
-            "event_type",
-            F.col("value"),
-            F.expr("ts_ns div 1000").alias("ts_us"),
-        ).write.mode("overwrite").json(loc)
-    back = spark.read.schema(
-        "event_id bigint, event_type string, value double, ts_us bigint"
-    ).json(loc)
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.round(F.col("value") * 100).cast("bigint"))
-        .cast("bigint")
-        .alias("value_cents"),
-        F.max("ts_us").cast("bigint").alias("last_us"),
-    )
-
-
-@_register(
-    "u18_partition_pruned_read",
-    """
-    WITH d AS (
-      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_n,
-             event_type,
-             CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events
-    )
-    SELECT day_n, event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(cents) AS BIGINT) AS value_cents
-    FROM d WHERE day_n % 7 = 0
-    GROUP BY day_n, event_type
-    """,
-)
-def u18_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-pruned scan over a date-partitioned layout: events
-    are written ONCE partitioned by day (the standard lake layout for
-    100 TB event data), then read with a predicate on the partition
-    column — Spark resolves the qualifying directories from metadata
-    alone (PartitionFilters in the scan, pinned in test_plans.py),
-    so the query reads 1/7th of the files, never filtering row data.
-    The oracle recomputes from the unpartitioned table, proving the
-    layout round trip loses nothing.
-
-    Scale shape: this is THE mechanism that makes daily incremental
-    jobs O(day) instead of O(history): pruning happens at file
-    listing, before any I/O; the aggregate is map-combined per
-    (day, type)."""
-    import hashlib
-    import os
-
-    ev = load_table(spark, sf_dir, "events")
-    tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:10]
-    loc = f"/tmp/spark_graft_daypart/{tag}"
-    if not os.path.exists(loc):
-        ev.select(
-            F.expr("ts_ns div 1000 div 86400000000").alias("day_n"),
-            "event_type",
-            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-        ).write.partitionBy("day_n").mode("overwrite").parquet(loc)
-    back = spark.read.parquet(loc)
-    return (
-        back.filter(F.col("day_n") % 7 == 0)
-        .groupBy("day_n", "event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum("cents").cast("bigint").alias("value_cents"),
-        )
-        .select(
-            F.col("day_n").cast("bigint").alias("day_n"),
-            "event_type",
-            "n_events",
-            "value_cents",
-        )
-    )
-
-
-@_register(
-    "u19_multi_format_union",
-    """
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(COUNT(DISTINCT CASE WHEN doc_id % 3 = 0 THEN 'parquet'
-                                    WHEN doc_id % 3 = 1 THEN 'orc'
-                                    ELSE 'jsonl' END) AS INT) AS n_formats
-    FROM documents GROUP BY source
-    """,
-)
-def u19_multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polyglot-lake read: one logical documents dataset stored in
-    THREE physical formats (a parquet slice, an ORC slice, a JSONL
-    slice — the realistic state of a long-lived lake mid-migration),
-    unified by unionByName into a single frame and aggregated; the
-    oracle recomputes from the single-format source, so each format's
-    writer/reader round trip must preserve every row. Extends u15's
-    schema drift and u17's JSON contract to format heterogeneity.
-
-    Scale shape: three scans (each pruned/filtered independently —
-    format-specific pushdown still applies per leg) + one
-    map-combined aggregate; the union is a plan-level concat, not a
-    shuffle."""
-    import hashlib
-    import os
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
-    )
-    tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:10]
-    loc = f"/tmp/spark_graft_polyglot/{tag}"
-    if not os.path.exists(loc):
-        docs.filter(F.col("doc_id") % 3 == 0).write.mode("overwrite").parquet(
-            f"{loc}/p"
-        )
-        docs.filter(F.col("doc_id") % 3 == 1).write.mode("overwrite").orc(
-            f"{loc}/o"
-        )
-        docs.filter(F.col("doc_id") % 3 == 2).write.mode("overwrite").json(
-            f"{loc}/j"
-        )
-    schema = "doc_id bigint, source string, n_chars bigint"
-    uni = (
-        spark.read.parquet(f"{loc}/p")
-        .unionByName(spark.read.orc(f"{loc}/o"))
-        .unionByName(spark.read.schema(schema).json(f"{loc}/j"))
-    )
-    fmt = (
-        F.when(F.col("doc_id") % 3 == 0, "parquet")
-        .when(F.col("doc_id") % 3 == 1, "orc")
-        .otherwise("jsonl")
-    )
-    return uni.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
-        F.countDistinct(fmt).cast("int").alias("n_formats"),
-    )
-@_register(
-    "dq11_reconciliation",
-    """
-    WITH li AS (
-      SELECT l_orderkey AS k,
-             SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT))
-               AS line_cents
-      FROM lineitem GROUP BY l_orderkey
-    ),
-    o AS (
-      SELECT o_orderkey AS k, o_orderstatus,
-             CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
-               AS hdr_cents
-      FROM orders
-    ),
-    j AS (
-      SELECT o.o_orderstatus, o.hdr_cents,
-             COALESCE(li.line_cents, 0) AS line_cents,
-             abs(o.hdr_cents - COALESCE(li.line_cents, 0)) AS adiff
-      FROM o LEFT JOIN li ON li.k = o.k
-    )
-    SELECT o_orderstatus,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CASE WHEN adiff > 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_mismatched,
-           CAST(MAX(adiff) AS BIGINT) AS max_abs_diff_cents,
-           CAST(SUM(adiff) AS BIGINT) AS total_abs_diff_cents
-    FROM j GROUP BY o_orderstatus
-    """,
-)
-def dq11_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Header-vs-detail money reconciliation: each order's header total
-    against the sum of its line extended prices - the classic
-    cross-table consistency audit (billing header drifting from its
-    lines is how real pipelines lose money silently). Reports, per
-    order status, how many orders disagree beyond a cent and by how
-    much; orders with no lines reconcile against zero. Whatever the
-    fixture's generator chose, both engines must agree on the exact
-    integer-cents discrepancy profile.
-
-    Scale shape: one map-combined per-order line aggregate, one
-    header equi-join (both sides keyed on orderkey — bucketed layout
-    makes it shuffle-free, the j11 pattern), one |status| rollup."""
-    li = load_table(spark, sf_dir, "lineitem").groupBy(
-        F.col("l_orderkey").alias("k")
-    ).agg(
-        F.sum(
-            (F.col("l_extendedprice").cast("decimal(15,2)") * 100).cast(
-                "bigint"
-            )
-        ).alias("line_cents")
-    )
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        "o_orderstatus",
-        (F.col("o_totalprice").cast("decimal(15,2)") * 100)
-        .cast("bigint")
-        .alias("hdr_cents"),
-    )
-    j = o.join(li, "k", "left").select(
-        "o_orderstatus",
-        F.abs(
-            F.col("hdr_cents") - F.coalesce("line_cents", F.lit(0))
-        ).alias("adiff"),
-    )
-    return j.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.sum((F.col("adiff") > 1).cast("bigint"))
-        .cast("bigint")
-        .alias("n_mismatched"),
-        F.max("adiff").cast("bigint").alias("max_abs_diff_cents"),
-        F.sum("adiff").cast("bigint").alias("total_abs_diff_cents"),
-    )
-@_register(
     "t34_sliding_distinct",
     """
     WITH d AS (
@@ -3566,67 +2101,8 @@ def t34_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wau7").cast("bigint").alias("distinct_users_7d"),
         )
     )
-@_register(
-    "dq12_pk_uniqueness",
-    """
-    SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
-           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_dup_rows
-    FROM orders
-    UNION ALL
-    SELECT 'customer', COUNT(*), COUNT(DISTINCT c_custkey),
-           COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer
-    UNION ALL
-    SELECT 'part', COUNT(*), COUNT(DISTINCT p_partkey),
-           COUNT(*) - COUNT(DISTINCT p_partkey) FROM part
-    UNION ALL
-    SELECT 'supplier', COUNT(*), COUNT(DISTINCT s_suppkey),
-           COUNT(*) - COUNT(DISTINCT s_suppkey) FROM supplier
-    UNION ALL
-    SELECT 'documents', COUNT(*), COUNT(DISTINCT doc_id),
-           COUNT(*) - COUNT(DISTINCT doc_id) FROM documents
-    UNION ALL
-    SELECT 'events', COUNT(*), COUNT(DISTINCT event_id),
-           COUNT(*) - COUNT(DISTINCT event_id) FROM events
-    """,
-)
-def dq12_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Primary-key uniqueness audit across every keyed fixture table
-    in ONE result: row count vs distinct key count per table — the
-    first DQ gate any ingest runs (a duplicated key breaks every
-    downstream join's cardinality; dq9 predicts the blast radius,
-    this catches the cause). The clean fixture's zeros are the
-    verified answer (the dq7/dq10 clean-pin pattern).
 
-    Scale shape: one map-combined count+distinct per table, unioned —
-    each leg shuffles only its partial aggregates."""
-    parts = []
-    for tbl, key in (
-        ("orders", "o_orderkey"),
-        ("customer", "c_custkey"),
-        ("part", "p_partkey"),
-        ("supplier", "s_suppkey"),
-        ("documents", "doc_id"),
-        ("events", "event_id"),
-    ):
-        t = load_table(spark, sf_dir, tbl)
-        parts.append(
-            t.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                F.countDistinct(key).cast("bigint").alias("n_keys"),
-            ).select(
-                F.lit(tbl).alias("tbl"),
-                "n_rows",
-                "n_keys",
-                (F.col("n_rows") - F.col("n_keys"))
-                .cast("bigint")
-                .alias("n_dup_rows"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+
 @_register(
     "t35_retention_downsample",
     """
@@ -3710,81 +2186,8 @@ def t35_retention_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_rate_micro",
         "actual_rate_micro",
     )
-@_register(
-    "u20_time_travel",
-    """
-    WITH v0 AS (
-      SELECT o_orderpriority, COUNT(*) AS n,
-             SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT))
-               AS cents
-      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderpriority
-    ),
-    v1 AS (
-      SELECT o_orderpriority, COUNT(*) AS n,
-             SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT))
-               AS cents
-      FROM orders GROUP BY o_orderpriority
-    )
-    SELECT v1.o_orderpriority,
-           CAST(v0.n AS BIGINT) AS v0_rows,
-           CAST(v1.n AS BIGINT) AS v1_rows,
-           CAST(v1.cents - v0.cents AS BIGINT) AS appended_cents
-    FROM v1 JOIN v0 ON v0.o_orderpriority = v1.o_orderpriority
-    """,
-)
-def u20_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ACID TIME TRAVEL through the driver gate: an orders table is
-    committed to the txlog format in two versions (v0 = even
-    orderkeys, v1 = append of the odd ones), then BOTH snapshots are
-    read back — version 0 by explicit time travel, v1 as latest —
-    and compared per priority class. The oracle recomputes both
-    states from the source rule, so manifest pinning must isolate
-    each snapshot exactly (a v0 read that sees any v1 file breaks the
-    row counts; a v1 read that re-reads v0 files twice breaks the
-    cents). Surfaces sources/txlog.py's snapshot isolation the way
-    u16 surfaces IVM — through the value gate, not just pytest.
 
-    The write is per-process idempotent under /tmp; reads resolve ONE
-    manifest each (O(1) metadata, the Delta/Iceberg contract)."""
-    import hashlib
-    import os
 
-    from hi_csa_db_spark.sources import txlog
-
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
-    )
-    tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:10]
-    path = f"/tmp/spark_graft_timetravel/{tag}"
-    if txlog.current_version(path) is None:
-        txlog.write_table(o.filter(F.col("o_orderkey") % 2 == 0), path)
-        txlog.write_table(
-            o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append"
-        )
-    cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("bigint")
-
-    def snap(version):
-        return (
-            txlog.read_table(spark, path, version=version)
-            .groupBy("o_orderpriority")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n"),
-                F.sum(cents).alias("cents"),
-            )
-        )
-
-    v0 = snap(0).select(
-        F.col("o_orderpriority").alias("p0"),
-        F.col("n").alias("v0_rows"),
-        F.col("cents").alias("c0"),
-    )
-    v1 = snap(None)
-    return v1.join(v0, v1["o_orderpriority"] == v0["p0"]).select(
-        "o_orderpriority",
-        "v0_rows",
-        F.col("n").alias("v1_rows"),
-        (F.col("cents") - F.col("c0")).cast("bigint").alias("appended_cents"),
-    )
 @_register(
     "t36_peak_detection",
     f"""
@@ -4057,163 +2460,6 @@ def t39_session_gap_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "u21_compaction_plan",
-    """
-    WITH sh AS (
-      SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                  AS BIGINT) AS shard,
-             length(text) AS n_chars
-      FROM documents
-    ),
-    m AS (
-      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(n_chars) AS BIGINT) AS total_chars
-      FROM sh GROUP BY shard
-    ),
-    p AS (
-      SELECT shard, n_docs, total_chars,
-             COALESCE(SUM(total_chars) OVER (ORDER BY shard ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-      FROM m
-    )
-    SELECT CAST(cb // 100000 AS BIGINT) AS merge_group,
-           CAST(COUNT(*) AS BIGINT) AS n_shards,
-           CAST(MIN(shard) AS BIGINT) AS min_shard,
-           CAST(MAX(shard) AS BIGINT) AS max_shard,
-           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
-           CAST(SUM(total_chars) AS BIGINT) AS total_chars
-    FROM p GROUP BY CAST(cb // 100000 AS BIGINT)
-    """,
-)
-def u21_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-file compaction planning — the lakehouse maintenance op:
-    x35's 16 deterministic export shards are coalesced into merge
-    groups of ~100k chars by CLOSED-FORM prefix-sum binning
-    (merge_group = floor(cumulative-bytes-before / target)), the
-    parallelizable alternative to the sequential greedy packer: every
-    shard's group is a pure function of the prefix sum, so the plan is
-    one distributed prefix-sum pass + a map, identical no matter how
-    the manifest is partitioned (contrast x44's FFD, which trades this
-    closed form for tighter bins). Groups can overshoot the target by
-    at most one shard — the standard compaction contract (a merge
-    never splits a file).
-
-    The ordered prefix sum runs over the MANIFEST (one row per shard
-    — 16 here, thousands at fleet scale), never over documents; at
-    cluster scale it goes through ordered.global_prefix_sums' range
-    partition + broadcast offsets, so no data-sized global window
-    exists (the manifest aggregate itself is map-combined)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
-        .cast("bigint")
-        .alias("shard"),
-        F.length("text").alias("n_chars"),
-    )
-    m = sh.groupBy("shard").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
-    )
-    w = (
-        Window.orderBy(F.col("shard").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    p = m.select(
-        "shard",
-        "n_docs",
-        "total_chars",
-        F.coalesce(F.sum("total_chars").over(w), F.lit(0)).alias("cb"),
-    )
-    grp = F.expr("CAST(cb div 100000 AS BIGINT)")
-    return p.groupBy(grp.alias("merge_group")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
-        F.min("shard").cast("bigint").alias("min_shard"),
-        F.max("shard").cast("bigint").alias("max_shard"),
-        F.sum("n_docs").cast("bigint").alias("n_docs"),
-        F.sum("total_chars").cast("bigint").alias("total_chars"),
-    )
-
-
-@_register(
-    "u22_zorder_layout",
-    """
-    WITH e AS (
-      SELECT user_id % 256 AS ub,
-             (epoch_us(ts) // 3600000000) % 256 AS hb
-      FROM events
-    ),
-    a1 AS (SELECT ub, hb, (ub | (ub << 4)) & 3855 AS ua,
-                          (hb | (hb << 4)) & 3855 AS ha FROM e),
-    a2 AS (SELECT ub, hb, (ua | (ua << 2)) & 13107 AS ua,
-                          (ha | (ha << 2)) & 13107 AS ha FROM a1),
-    a3 AS (SELECT ub, hb, (ua | (ua << 1)) & 21845 AS ua,
-                          (ha | (ha << 1)) & 21845 AS ha FROM a2),
-    z AS (SELECT ub, hb, (ua << 1) | ha AS zv FROM a3)
-    SELECT CAST(zv // 4096 AS BIGINT) AS z_bucket,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(MIN(ub) AS BIGINT) AS ub_min,
-           CAST(MAX(ub) AS BIGINT) AS ub_max,
-           CAST(MIN(hb) AS BIGINT) AS hb_min,
-           CAST(MAX(hb) AS BIGINT) AS hb_max,
-           CAST((MAX(ub) - MIN(ub) + 1) * (MAX(hb) - MIN(hb) + 1)
-             AS BIGINT) AS span_product
-    FROM z GROUP BY CAST(zv // 4096 AS BIGINT)
-    """,
-)
-def u22_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton-curve) data layout for multi-dimensional file
-    pruning — the lakehouse OPTIMIZE ZORDER BY op: events are keyed by
-    the bit-interleave of (user_id byte, hour byte), so files cut
-    along z-ranges stay range-bounded in BOTH dimensions at once.
-    The audit groups by the top-4 z bits (16 "files") and reports each
-    dimension's min/max plus their span product: every bucket's
-    product is <= 4096 (each dim's top-2 bits are pinned inside a
-    bucket, so spans are <= 64) vs 65536 for a single-dim sort's
-    unsorted dimension — the min/max skipping-stats pruning proof,
-    carried as the result's own columns.
-
-    Bit spreading is the classic mask ladder ((x | x<<4) & 0x0F0F,
-    then 0x3333, then 0x5555) — pure integer shifts/ands identical on
-    both engines; the hour key is declared-us epoch arithmetic.
-
-    Scale: a narrow map to compute z, then one map-combined 16-group
-    aggregate. In production the z value feeds repartitionByRange +
-    sortWithinPartitions before the write; the audit here is the
-    planning/verification table for that layout decision."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
-        (F.col("user_id") % 256).alias("ub"),
-        F.expr("ts_ns div 1000 div 3600000000 % 256").alias("hb"),
-    )
-    def spread(c: str) -> Column:
-        x = F.expr(f"({c} | shiftleft({c}, 4)) & 3855")
-        x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(13107))
-        x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(21845))
-        return x
-
-    z = e.select(
-        "ub",
-        "hb",
-        (F.shiftleft(spread("ub"), 1).bitwiseOR(spread("hb"))).alias("zv"),
-    )
-    return z.groupBy(
-        F.expr("CAST(zv div 4096 AS BIGINT)").alias("z_bucket")
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.min("ub").cast("bigint").alias("ub_min"),
-        F.max("ub").cast("bigint").alias("ub_max"),
-        F.min("hb").cast("bigint").alias("hb_min"),
-        F.max("hb").cast("bigint").alias("hb_max"),
-        (
-            (F.max("ub") - F.min("ub") + 1)
-            * (F.max("hb") - F.min("hb") + 1)
-        )
-        .cast("bigint")
-        .alias("span_product"),
-    )
-
-
-@_register(
     "t40_auto_gap_sessionize",
     """
     WITH e AS (
@@ -4463,103 +2709,6 @@ def t41_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "dq13_volume_anomaly",
-    """
-    WITH d AS (
-      SELECT event_type,
-             epoch_us(ts) // 86400000000 AS day,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY event_type, epoch_us(ts) // 86400000000
-    ),
-    s AS (
-      SELECT event_type,
-             CAST(COUNT(*) AS BIGINT) AS n_days,
-             CAST(SUM(n) AS BIGINT) AS tot,
-             CAST(SUM(n * n) AS BIGINT) AS sq
-      FROM d GROUP BY event_type
-    ),
-    j AS (
-      SELECT d.event_type, d.day, d.n,
-             (d.n * s.n_days - s.tot) AS dev, s.n_days,
-             9 * (s.n_days * s.sq - s.tot * s.tot) AS thr3,
-             4 * (s.n_days * s.sq - s.tot * s.tot) AS thr2,
-             ROW_NUMBER() OVER (PARTITION BY d.event_type
-               ORDER BY (d.n * s.n_days - s.tot)
-                        * (d.n * s.n_days - s.tot) DESC, d.day ASC) AS rk
-      FROM d JOIN s ON s.event_type = d.event_type
-    )
-    SELECT event_type, CAST(day AS BIGINT) AS worst_day, n AS worst_n,
-           CAST(n_days AS BIGINT) AS n_days,
-           CAST(dev * dev AS BIGINT) AS dev_sq_scaled,
-           CAST(thr3 AS BIGINT) AS thr3_scaled,
-           CAST(CASE WHEN dev * dev > thr2 THEN 1 ELSE 0 END AS INT)
-             AS breach_2sigma,
-           CAST(CASE WHEN dev * dev > thr3 THEN 1 ELSE 0 END AS INT)
-             AS breach_3sigma
-    FROM j WHERE rk = 1
-    """,
-)
-def dq13_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Volume control chart — the DQ monitor that catches a broken
-    producer BEFORE values are inspected: each event type's WORST
-    deviation day (daily count vs its own mean) is reported with the
-    2-sigma and 3-sigma control-limit verdicts, the test done ENTIRELY
-    IN INTEGERS by clearing denominators:
-    |x - S/D| > k*sqrt((SQ - S^2/D)/D)  <=>
-    (x*D - S)^2 > k^2*(D*SQ - S^2) — no float mean, no sqrt,
-    identical on both engines and any host. Reporting the worst day
-    per type (instead of only breaches) keeps the chart non-vacuous
-    on healthy streams: the monitor's output is the margin, not just
-    an empty alarm list. Complements t29 (value anomalies) and dq8
-    (freshness): row-VOLUME drift is the first thing a dead or
-    duplicated upstream shows.
-
-    Scale: one map-combined (type, day) count, one <= |types| stats
-    aggregate broadcast back, a per-type window over day rows — two
-    narrow passes over counts, never the events twice."""
-    ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(
-        "event_type",
-        F.expr("ts_ns div 1000 div 86400000000").alias("day"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    s = d.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        F.sum("n").cast("bigint").alias("tot"),
-        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sq"),
-    )
-    j = d.join(F.broadcast(s), "event_type")
-    dev = F.col("n") * F.col("n_days") - F.col("tot")
-    var_s = F.col("n_days") * F.col("sq") - F.col("tot") * F.col("tot")
-    w = Window.partitionBy("event_type").orderBy(
-        (dev * dev).desc(), F.col("day").asc()
-    )
-    ranked = j.select(
-        "event_type",
-        "day",
-        "n",
-        "n_days",
-        (dev * dev).alias("dev_sq_scaled"),
-        (9 * var_s).alias("thr3"),
-        (4 * var_s).alias("thr2"),
-        F.row_number().over(w).alias("rk"),
-    )
-    return ranked.filter(F.col("rk") == 1).select(
-        "event_type",
-        F.col("day").cast("bigint").alias("worst_day"),
-        F.col("n").alias("worst_n"),
-        F.col("n_days").cast("bigint").alias("n_days"),
-        F.col("dev_sq_scaled").cast("bigint").alias("dev_sq_scaled"),
-        F.col("thr3").cast("bigint").alias("thr3_scaled"),
-        (F.col("dev_sq_scaled") > F.col("thr2")).cast("int").alias(
-            "breach_2sigma"
-        ),
-        (F.col("dev_sq_scaled") > F.col("thr3")).cast("int").alias(
-            "breach_3sigma"
-        ),
-    )
-
-
-@_register(
     "t42_outage_intervals",
     """
     WITH e AS (
@@ -4673,141 +2822,6 @@ def t43_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "dq14_benford_audit",
-    """
-    WITH cents AS (
-      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
-      FROM orders WHERE o_totalprice > 0
-    ),
-    dg AS (
-      SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
-             COUNT(*) AS n
-      FROM cents GROUP BY 1
-    ),
-    tot AS (SELECT SUM(n) AS t FROM dg),
-    exp AS (SELECT * FROM (VALUES (1,301),(2,176),(3,125),(4,97),(5,79),
-                                  (6,67),(7,58),(8,51),(9,46)) e(digit, exp_milli))
-    SELECT d.digit, CAST(d.n AS BIGINT) AS n_orders,
-           CAST(d.n * 1000 // t.t AS BIGINT) AS obs_milli,
-           CAST(e.exp_milli AS BIGINT) AS exp_milli,
-           CAST(d.n * 1000 // t.t - e.exp_milli AS BIGINT) AS dev_milli
-    FROM dg d JOIN exp e ON e.digit = d.digit CROSS JOIN tot t
-    """,
-)
-def dq14_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law first-digit audit of order totals — the classic
-    fabricated-data / ingestion-bug screen (synthetic or truncated
-    money columns flunk the log distribution immediately): observed
-    first-significant-digit shares vs the Benford expectation
-    log10(1+1/d), deviation in signed milli.
-
-    Determinism: amounts go through DECIMAL(14,2)*100 so the cents
-    integer is exact (never double*100 truncation); expected shares
-    are integer milli constants; observed shares floor-divide.
-
-    Scale: one narrow digit projection + a 9-group count; the total
-    is a 1-row broadcast."""
-    orders = load_table(spark, sf_dir, "orders")
-    cents = orders.filter(F.col("o_totalprice") > 0).select(
-        F.col("o_totalprice")
-        .cast("decimal(14,2)")
-        .cast("decimal(16,2)")
-        .alias("p")
-    ).select((F.col("p") * 100).cast("bigint").alias("c"))
-    dg = cents.select(
-        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
-    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-    tot = dg.agg(F.sum("n").alias("t"))
-    exp_milli = F.expr(
-        "CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125 "
-        "WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58 "
-        "WHEN 8 THEN 51 WHEN 9 THEN 46 END"
-    )
-    return dg.crossJoin(F.broadcast(tot)).select(
-        "digit",
-        F.col("n").cast("bigint").alias("n_orders"),
-        F.expr("CAST(n * 1000 div t AS BIGINT)").alias("obs_milli"),
-        exp_milli.cast("bigint").alias("exp_milli"),
-        (F.expr("n * 1000 div t") - exp_milli).cast("bigint").alias("dev_milli"),
-    )
-
-
-@_register(
-    "dq15_cusum_drift",
-    """
-    WITH daily AS (
-      SELECT o_orderdate AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
-               AS x
-      FROM orders GROUP BY 1
-    ),
-    t AS (SELECT CAST(SUM(x) // COUNT(*) AS BIGINT) AS target,
-                 COUNT(*) AS nd FROM daily),
-    pre AS (
-      SELECT d, x,
-             SUM(x - t.target) OVER (ORDER BY d ASC
-               ROWS UNBOUNDED PRECEDING) AS s
-      FROM daily CROSS JOIN t
-    ),
-    cu AS (
-      SELECT d, x, s,
-             s - least(MIN(s) OVER (ORDER BY d ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
-               AS cusum
-      FROM pre
-    )
-    SELECT d AS day, CAST(x AS BIGINT) AS revenue_cents,
-           CAST(cusum AS BIGINT) AS cusum_cents
-    FROM cu ORDER BY cusum DESC, day ASC LIMIT 10
-    """,
-)
-def dq15_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-sided CUSUM control chart over daily order revenue — the
-    sequential drift detector (Page's cumulative sum) re-expressed as
-    PARALLEL prefix arithmetic: the textbook recursion
-    s_k = max(0, s_{k-1} + (x_k - target)) equals
-    S_k - min(0, min_{j<=k} S_j) where S is the plain prefix sum of
-    deviations (the running min INCLUDES the current row -- with j<k
-    a new negative prefix minimum at k would emit a negative cusum,
-    impossible under Page's formula; ADVICE r7), so two day-level
-    windows replace the sequential scan entirely. Top-10 drift peaks,
-    exact integer cents throughout (target = floor mean of daily
-    cents).
-
-    Scale: the corpus-sized work is one map-combined daily aggregate;
-    both windows run over the bounded day-level series (calendar-
-    bounded row count, the t16/t26 contract), never raw orders."""
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(14,2)") * 100)
-        .cast("bigint")
-        .alias("x")
-    )
-    t = daily.agg(
-        F.expr("CAST(SUM(x) div COUNT(*) AS BIGINT)").alias("target")
-    )
-    w_all = Window.orderBy(F.col("d").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    pre = daily.crossJoin(F.broadcast(t)).withColumn(
-        "s", F.sum(F.col("x") - F.col("target")).over(w_all)
-    )
-    cu = pre.withColumn(
-        "cusum",
-        F.col("s") - F.least(F.min("s").over(w_all), F.lit(0)),
-    )
-    return (
-        cu.select(
-            F.col("d").alias("day"),
-            F.col("x").cast("bigint").alias("revenue_cents"),
-            F.col("cusum").cast("bigint").alias("cusum_cents"),
-        )
-        .orderBy(F.col("cusum_cents").desc(), F.col("day").asc())
-        .limit(10)
-    )
-
-
-@_register(
     "t44_top_event_paths",
     """
     WITH e AS (
@@ -4863,191 +2877,6 @@ def t44_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
         .orderBy(F.col("n_paths").desc(), F.col("path").asc())
         .limit(10)
-    )
-
-
-@_register(
-    "dq16_k_anonymity",
-    """
-    WITH q AS (
-      SELECT source, lang,
-             length(CAST(n_chars AS VARCHAR)) AS len_digits
-      FROM documents
-    ),
-    g AS (
-      SELECT source, lang, len_digits, COUNT(*) AS gsz
-      FROM q GROUP BY source, lang, len_digits
-    )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_groups,
-           CAST(SUM(CASE WHEN gsz < 5 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_small_groups,
-           CAST(SUM(CASE WHEN gsz < 5 THEN gsz ELSE 0 END) AS BIGINT)
-             AS n_exposed_docs,
-           CAST(MIN(gsz) AS BIGINT) AS k_anonymity
-    FROM g GROUP BY source
-    """,
-)
-def dq16_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit over quasi-identifier tuples (source, lang,
-    decimal-digit length bucket): the data-governance check a corpus
-    release runs — a doc whose QI combination is shared by fewer than
-    k=5 docs is re-identifiable from metadata alone. Reports, per
-    source, the equivalence-class count, how many classes and docs
-    fall under the k threshold, and the source's actual k (its
-    smallest class). The length bucket is LENGTH(CAST(n AS VARCHAR))
-    — an order-of-magnitude bucket with identical semantics on both
-    engines (no libm log). Complements x38's SUPPRESSION gate (which
-    publishes only >= k groups): x38 is the release action, this is
-    the per-source risk AUDIT that decides whether the release needs
-    generalization at all.
-
-    Scale: two map-combined aggregations (QI classes, then per-source
-    rollup) — group cardinality is bounded by |sources| x |langs| x
-    ~7 digit buckets, never corpus-sized."""
-    docs = load_table(spark, sf_dir, "documents")
-    q = docs.select(
-        "source",
-        "lang",
-        F.length(F.col("n_chars").cast("string")).alias("len_digits"),
-    )
-    g = q.groupBy("source", "lang", "len_digits").agg(
-        F.count(F.lit(1)).alias("gsz")
-    )
-    return g.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
-        F.sum(F.when(F.col("gsz") < 5, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_small_groups"),
-        F.sum(F.when(F.col("gsz") < 5, F.col("gsz")).otherwise(0))
-        .cast("bigint")
-        .alias("n_exposed_docs"),
-        F.min("gsz").cast("bigint").alias("k_anonymity"),
-    )
-
-
-@_register(
-    "u23_backfill_plan",
-    """
-    WITH e AS (
-      SELECT epoch_us(ts) AS t,
-             epoch_us(ts) + (event_id * 2654435761) % 4294967296 % 300000000
-               AS arr
-      FROM events
-    ),
-    d AS (
-      SELECT t // 86400000000 AS event_day,
-             arr // 86400000000 AS arrival_day,
-             arr - t AS delay_us
-      FROM e
-    )
-    SELECT CAST(event_day AS BIGINT) AS event_day,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CASE WHEN arrival_day > event_day THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_late,
-           CAST(SUM(CASE WHEN arrival_day > event_day THEN 1 ELSE 0 END)
-             * 1000000 // COUNT(*) AS BIGINT) AS late_micro,
-           CAST(MAX(delay_us) // 1000000 AS BIGINT) AS max_delay_s
-    FROM d GROUP BY event_day
-    """,
-)
-def u23_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition BACKFILL planner for late-arriving data: with the
-    t38 deterministic arrival model (event time + 0-300 s hashed
-    network delay), every event-day partition reports how many of its
-    rows arrive after the day closes — the table an incremental
-    ingestion job reads to decide which closed daily partitions need
-    dynamic-partition overwrite (S8's publish mode) on each run, and
-    the batch complement of t38's streaming watermark trade-off.
-
-    Scale: one narrow delay projection + a calendar-bounded per-day
-    aggregate; pure integer micros throughout."""
-    ev = load_table(spark, sf_dir, "events")
-    t = F.expr("ts_ns div 1000")
-    arr = t + F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(4294967296)) % F.lit(
-        300000000
-    )
-    d = ev.select(t.alias("t"), arr.alias("arr")).select(
-        F.expr("t div 86400000000").alias("event_day"),
-        F.expr("arr div 86400000000").alias("arrival_day"),
-        (F.col("arr") - F.col("t")).alias("delay_us"),
-    )
-    return d.groupBy("event_day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(F.when(F.col("arrival_day") > F.col("event_day"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_late"),
-        F.expr(
-            "CAST(SUM(CASE WHEN arrival_day > event_day THEN 1 ELSE 0 END)"
-            " * 1000000 div COUNT(1) AS BIGINT)"
-        ).alias("late_micro"),
-        F.expr("CAST(MAX(delay_us) div 1000000 AS BIGINT)").alias(
-            "max_delay_s"
-        ),
-    ).select(
-        F.col("event_day").cast("bigint").alias("event_day"),
-        "n_rows",
-        "n_late",
-        "late_micro",
-        "max_delay_s",
-    )
-
-
-@_register(
-    "dq17_null_creep",
-    """
-    WITH d AS (
-      SELECT epoch_us(ts) // 86400000000 AS day,
-             CASE WHEN value IS NULL THEN 1 ELSE 0 END AS nv,
-             CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END AS np
-      FROM events
-    )
-    SELECT CAST(day AS BIGINT) AS day,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(nv) AS BIGINT) AS null_value,
-           CAST(SUM(np) AS BIGINT) AS null_props,
-           CAST(SUM(nv) * 1000000 // COUNT(*) AS BIGINT) AS value_null_micro,
-           CAST(SUM(np) * 1000000 // COUNT(*) AS BIGINT) AS props_null_micro
-    FROM d GROUP BY day
-    """,
-)
-def dq17_null_creep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL-creep monitor: per-day null/empty rates for the payload
-    columns (value, props) in exact millionths — the silent-breakage
-    class schema checks miss (the column still exists, the producer
-    just stopped filling it). Read as a series, a step change marks
-    the deploy that broke the field; complements dq8 (freshness),
-    dq13 (volume) and dq1's point-in-time expectations.
-
-    Scale: one narrow projection + a calendar-bounded per-day
-    aggregate, map-side combined."""
-    ev = load_table(spark, sf_dir, "events")
-    d = ev.select(
-        F.expr("ts_ns div 1000 div 86400000000").alias("day"),
-        F.when(F.col("value").isNull(), 1).otherwise(0).alias("nv"),
-        F.when(
-            F.col("props").isNull() | (F.col("props") == ""), 1
-        )
-        .otherwise(0)
-        .alias("np"),
-    )
-    return d.groupBy("day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum("nv").cast("bigint").alias("null_value"),
-        F.sum("np").cast("bigint").alias("null_props"),
-        F.expr("CAST(SUM(nv) * 1000000 div COUNT(1) AS BIGINT)").alias(
-            "value_null_micro"
-        ),
-        F.expr("CAST(SUM(np) * 1000000 div COUNT(1) AS BIGINT)").alias(
-            "props_null_micro"
-        ),
-    ).select(
-        F.col("day").cast("bigint").alias("day"),
-        "n_rows",
-        "null_value",
-        "null_props",
-        "value_null_micro",
-        "props_null_micro",
     )
 
 
@@ -5134,404 +2963,6 @@ def t46_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "dq18_l_diversity",
-    """
-    WITH s AS (
-      SELECT c_nationkey, c_mktsegment,
-             CASE WHEN c_acctbal < 0 THEN 'debt'
-                  WHEN c_acctbal < 5000 THEN 'mid'
-                  ELSE 'high' END AS band
-      FROM customer
-    ),
-    cls AS (
-      SELECT c_mktsegment, c_nationkey,
-             CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(COUNT(DISTINCT band) AS BIGINT) AS l_div
-      FROM s GROUP BY 1, 2
-    )
-    SELECT c_mktsegment,
-           CAST(COUNT(*) AS BIGINT) AS n_classes,
-           CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
-             AS weak_classes,
-           CAST(SUM(CASE WHEN l_div < 3 THEN n_rows ELSE 0 END) AS BIGINT)
-             AS exposed_rows,
-           CAST(MIN(l_div) AS BIGINT) AS min_l
-    FROM cls GROUP BY c_mktsegment
-    """,
-)
-def dq18_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l-diversity audit, the companion privacy check to dq16's
-    k-anonymity: a quasi-identifier class can be large (k-anonymous)
-    yet still leak if everyone in it shares the same SENSITIVE value
-    — here the account-balance band (debt / mid / high) within each
-    (nation, market-segment) class. Reports, per segment, how many
-    classes fall below l = 3 distinct bands, how many customer rows
-    sit exposed in them, and the segment's worst class diversity.
-    Fixed integer band thresholds, so both engines bucket
-    identically; all outputs exact counts.
-
-    Scale: two map-combined aggregations; class cardinality is
-    bounded by |nations| x |segments|, never data-sized."""
-    cust = load_table(spark, sf_dir, "customer")
-    s = cust.select(
-        "c_nationkey",
-        "c_mktsegment",
-        F.when(F.col("c_acctbal") < 0, "debt")
-        .when(F.col("c_acctbal") < 5000, "mid")
-        .otherwise("high")
-        .alias("band"),
-    )
-    cls = s.groupBy("c_mktsegment", "c_nationkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.countDistinct("band").cast("bigint").alias("l_div"),
-    )
-    return cls.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
-        F.sum(F.when(F.col("l_div") < 3, 1).otherwise(0))
-        .cast("bigint")
-        .alias("weak_classes"),
-        F.sum(F.when(F.col("l_div") < 3, F.col("n_rows")).otherwise(0))
-        .cast("bigint")
-        .alias("exposed_rows"),
-        F.min("l_div").cast("bigint").alias("min_l"),
-    )
-
-
-@_register(
-    "dq19_column_profile",
-    """
-    WITH v AS (
-      SELECT 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS val FROM documents
-      UNION ALL SELECT 'text', text FROM documents
-      UNION ALL SELECT 'lang', lang FROM documents
-      UNION ALL SELECT 'source', source FROM documents
-      UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
-    ),
-    per AS (SELECT col, val, COUNT(*) AS c FROM v GROUP BY col, val)
-    SELECT col,
-           CAST(SUM(c) AS BIGINT) AS n_rows,
-           CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN c END), 0) AS BIGINT)
-             AS n_nulls,
-           CAST(COUNT(val) AS BIGINT) AS n_distinct,
-           CAST(MAX(CASE WHEN val IS NOT NULL THEN c END) * 10000
-                // SUM(c) AS BIGINT) AS top_share_bps,
-           CAST(CASE WHEN COUNT(val) > 0 THEN
-                  SUM(CASE WHEN val IS NOT NULL THEN c * LENGTH(val) END)
-                  * 1000 // SUM(CASE WHEN val IS NOT NULL THEN c END)
-                END AS BIGINT) AS avg_len_milli
-    FROM per GROUP BY col
-    """,
-)
-def dq19_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequency/length column profiler — the value-DISTRIBUTION
-    complement of profile_columns (numeric bounds, one agg pass) and
-    expectations.column_profile (typed min/max report): every column
-    of the documents table melted to (column, stringified value) and
-    profiled from its per-value count table — row count, null count,
-    distinct count, the most frequent value's share in basis points
-    (constant-column / category-collapse detector), and mean value
-    length in milli-chars (the cheap schema-drift signal: a length
-    step change means the producer changed format). Lengths are
-    aggregated from the per-value counts (sum of c * len(val)), so
-    the profile needs only ONE shuffle of distinct values, not a
-    second corpus pass — the stat profile_columns' single-pass agg
-    cannot produce (top-value share needs the value groups).
-
-    Scale: the melt is a narrow 5x projection; per-(col, value)
-    counts are map-side combined; the final rollup is |columns|
-    groups. For a high-cardinality column the distinct table is the
-    dominant term — exactly the cost any profiler pays, with no
-    skew surprises since values hash-partition."""
-    docs = load_table(spark, sf_dir, "documents")
-    cols = ["doc_id", "text", "lang", "source", "n_chars"]
-    v = docs.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("col"),
-                        F.col(c).cast("string").alias("val"),
-                    )
-                    for c in cols
-                ]
-            )
-        ).alias("kv")
-    ).select("kv.col", "kv.val")
-    per = v.groupBy("col", "val").agg(F.count(F.lit(1)).alias("c"))
-    return per.groupBy("col").agg(
-        F.sum("c").cast("bigint").alias("n_rows"),
-        F.coalesce(
-            F.sum(F.when(F.col("val").isNull(), F.col("c"))), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("n_nulls"),
-        F.count("val").cast("bigint").alias("n_distinct"),
-        F.expr(
-            "CAST(MAX(CASE WHEN val IS NOT NULL THEN c END) * 10000"
-            " div SUM(c) AS BIGINT)"
-        ).alias("top_share_bps"),
-        # CASE-guarded: an all-NULL column must report NULL here on
-        # BOTH engines -- Spark ANSI `div 0` throws while DuckDB `// 0`
-        # yields NULL (the naive-bayes ADVICE r6 divergence class).
-        F.expr(
-            "CAST(CASE WHEN COUNT(val) > 0 THEN"
-            " SUM(CASE WHEN val IS NOT NULL THEN c * LENGTH(val) END)"
-            " * 1000 div SUM(CASE WHEN val IS NOT NULL THEN c END)"
-            " END AS BIGINT)"
-        ).alias("avg_len_milli"),
-    )
-
-
-@_register(
-    "u24_partial_agg_merge",
-    """
-    WITH b AS (
-      SELECT o_orderpriority,
-             CASE WHEN o_orderdate < '1994-01-01' THEN 0
-                  WHEN o_orderdate < '1996-01-01' THEN 1
-                  ELSE 2 END AS batch,
-             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
-      FROM orders
-    ),
-    partials AS (
-      SELECT o_orderpriority, batch,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(cents) AS BIGINT) AS s,
-             CAST(MIN(cents) AS BIGINT) AS mn,
-             CAST(MAX(cents) AS BIGINT) AS mx
-      FROM b GROUP BY o_orderpriority, batch
-    ),
-    merged AS (
-      SELECT o_orderpriority,
-             CAST(SUM(n) AS BIGINT) AS n_merged,
-             CAST(SUM(s) AS BIGINT) AS sum_merged,
-             CAST(MIN(mn) AS BIGINT) AS min_merged,
-             CAST(MAX(mx) AS BIGINT) AS max_merged,
-             CAST(COUNT(*) AS BIGINT) AS n_batches
-      FROM partials GROUP BY o_orderpriority
-    ),
-    full_pass AS (
-      SELECT o_orderpriority,
-             CAST(COUNT(*) AS BIGINT) AS n_full,
-             CAST(SUM(cents) AS BIGINT) AS sum_full,
-             CAST(MIN(cents) AS BIGINT) AS min_full,
-             CAST(MAX(cents) AS BIGINT) AS max_full
-      FROM b GROUP BY o_orderpriority
-    )
-    SELECT m.o_orderpriority, m.n_batches,
-           m.n_merged, f.n_full, m.sum_merged, f.sum_full,
-           m.min_merged, f.min_full, m.max_merged, f.max_full,
-           CAST(CASE WHEN m.n_merged = f.n_full AND m.sum_merged = f.sum_full
-                      AND m.min_merged = f.min_full
-                      AND m.max_merged = f.max_full
-                THEN 1 ELSE 0 END AS BIGINT) AS states_match
-    FROM merged m JOIN full_pass f USING (o_orderpriority)
-    """,
-)
-def u24_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental aggregate maintenance: each ingest batch (orders
-    split into three date-range batches, the u23/u21 batch model)
-    reduces to a PARTIAL aggregate state (count, sum in exact cents,
-    min, max) and the materialized rollup is maintained by MERGING
-    states — never by re-reading closed batches. The query carries
-    the audit inline: merged state vs a single-pass full recompute,
-    with a states_match flag per group proving the merge formulas
-    are lossless (the algebraic-aggregate contract every incremental
-    pipeline and every map-side combine relies on; HLL/CMS/log-
-    histogram extend the same contract to sketches).
-
-    Scale: at 100 TB the full_pass column disappears and only the
-    per-batch partials (|groups| x |batches| rows) are ever stored or
-    shuffled — a day's ingest touches one batch's state, and the
-    rollup is a |groups|-sized merge."""
-    orders = load_table(spark, sf_dir, "orders")
-    b = orders.select(
-        "o_orderpriority",
-        F.when(F.col("o_orderdate") < "1994-01-01", 0)
-        .when(F.col("o_orderdate") < "1996-01-01", 1)
-        .otherwise(2)
-        .alias("batch"),
-        (F.col("o_totalprice").cast("decimal(14,2)") * 100)
-        .cast("bigint")
-        .alias("cents"),
-    ).localCheckpoint(eager=False)
-    partials = b.groupBy("o_orderpriority", "batch").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("cents").cast("bigint").alias("s"),
-        F.min("cents").cast("bigint").alias("mn"),
-        F.max("cents").cast("bigint").alias("mx"),
-    )
-    merged = partials.groupBy("o_orderpriority").agg(
-        F.sum("n").cast("bigint").alias("n_merged"),
-        F.sum("s").cast("bigint").alias("sum_merged"),
-        F.min("mn").cast("bigint").alias("min_merged"),
-        F.max("mx").cast("bigint").alias("max_merged"),
-        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
-    )
-    full_pass = b.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_full"),
-        F.sum("cents").cast("bigint").alias("sum_full"),
-        F.min("cents").cast("bigint").alias("min_full"),
-        F.max("cents").cast("bigint").alias("max_full"),
-    )
-    return merged.join(full_pass, "o_orderpriority").select(
-        "o_orderpriority",
-        "n_batches",
-        "n_merged",
-        "n_full",
-        "sum_merged",
-        "sum_full",
-        "min_merged",
-        "min_full",
-        "max_merged",
-        "max_full",
-        F.when(
-            (F.col("n_merged") == F.col("n_full"))
-            & (F.col("sum_merged") == F.col("sum_full"))
-            & (F.col("min_merged") == F.col("min_full"))
-            & (F.col("max_merged") == F.col("max_full")),
-            1,
-        )
-        .otherwise(0)
-        .cast("bigint")
-        .alias("states_match"),
-    )
-
-
-@_register(
-    "u25_bitemporal_grid",
-    """
-    WITH base AS (
-      SELECT c_custkey AS k,
-             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
-      FROM customer
-    ),
-    rows_bt AS (
-      -- original v1 belief: valid 1..(2 if updated else inf), known from tx 1;
-      -- k%13 rows were WRONG at tx 1 and corrected (-500) at tx 2;
-      -- k%10 rows got a real v2 UPDATE (+10000) valid from 2 (never corrected)
-      SELECT k, cents AS v, 1 AS vf,
-             CASE WHEN k % 10 = 0 THEN 2 ELSE 0 END AS vt,
-             1 AS tf, CASE WHEN k % 13 = 0 THEN 2 ELSE 0 END AS tt
-      FROM base
-      UNION ALL
-      SELECT k, cents - 500, 1,
-             CASE WHEN k % 10 = 0 THEN 2 ELSE 0 END, 2, 0
-      FROM base WHERE k % 13 = 0
-      UNION ALL
-      SELECT k, cents + 10000, 2, 0, 1, 0 FROM base WHERE k % 10 = 0
-    ),
-    agg AS (
-      SELECT
-        CAST(SUM(CASE WHEN vf <= 1 AND (vt = 0 OR vt > 1)
-                       AND tf <= 1 AND (tt = 0 OR tt > 1) THEN 1 END) AS BIGINT) AS n11,
-        CAST(SUM(CASE WHEN vf <= 1 AND (vt = 0 OR vt > 1)
-                       AND tf <= 1 AND (tt = 0 OR tt > 1) THEN v END) AS BIGINT) AS s11,
-        CAST(SUM(CASE WHEN vf <= 1 AND (vt = 0 OR vt > 1)
-                       AND tf <= 2 AND (tt = 0 OR tt > 2) THEN 1 END) AS BIGINT) AS n12,
-        CAST(SUM(CASE WHEN vf <= 1 AND (vt = 0 OR vt > 1)
-                       AND tf <= 2 AND (tt = 0 OR tt > 2) THEN v END) AS BIGINT) AS s12,
-        CAST(SUM(CASE WHEN vf <= 2 AND (vt = 0 OR vt > 2)
-                       AND tf <= 1 AND (tt = 0 OR tt > 1) THEN 1 END) AS BIGINT) AS n21,
-        CAST(SUM(CASE WHEN vf <= 2 AND (vt = 0 OR vt > 2)
-                       AND tf <= 1 AND (tt = 0 OR tt > 1) THEN v END) AS BIGINT) AS s21,
-        CAST(SUM(CASE WHEN vf <= 2 AND (vt = 0 OR vt > 2)
-                       AND tf <= 2 AND (tt = 0 OR tt > 2) THEN 1 END) AS BIGINT) AS n22,
-        CAST(SUM(CASE WHEN vf <= 2 AND (vt = 0 OR vt > 2)
-                       AND tf <= 2 AND (tt = 0 OR tt > 2) THEN v END) AS BIGINT) AS s22
-      FROM rows_bt
-    )
-    SELECT 1 AS valid_at, 1 AS known_at, n11 AS n_rows, s11 AS total_cents FROM agg
-    UNION ALL SELECT 1, 2, n12, s12 FROM agg
-    UNION ALL SELECT 2, 1, n21, s21 FROM agg
-    UNION ALL SELECT 2, 2, n22, s22 FROM agg
-    """,
-)
-def u25_bitemporal_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitemporal snapshots: VALID time (when a fact was true in the
-    world — u7's SCD2 axis) crossed with TRANSACTION time (when the
-    system learned it — u20's time-travel axis). The interval table
-    carries both axes per row: k%10 keys get a real v2 UPDATE (+100.00
-    valid from version 2), k%13 keys get a retroactive CORRECTION
-    (-5.00, same valid interval, known only from tx 2). The 2x2 grid
-    answers 'balance as valid at V, as known at T' — (1,1) is what we
-    believed originally, (1,2) is history as corrected, (2,1) is the
-    update before the correction arrived, (2,2) is current truth; the
-    corrections move totals WITHOUT touching valid-time row counts,
-    which is the bitemporal independence property the grid proves.
-
-    Scale: the interval table is a union of narrow projections; all
-    four snapshots fold into ONE map-combined aggregate pass (no
-    join, no per-snapshot scan), unpivoted driver-side into 4 rows —
-    how a 100 TB bitemporal audit should read its ledger."""
-    cust = load_table(spark, sf_dir, "customer")
-    base = cust.select(
-        F.col("c_custkey").alias("k"),
-        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
-        .cast("bigint")
-        .alias("cents"),
-    )
-    inf = F.lit(0)
-    r1 = base.select(
-        "k",
-        F.col("cents").alias("v"),
-        F.lit(1).alias("vf"),
-        F.when(F.col("k") % 10 == 0, 2).otherwise(inf).alias("vt"),
-        F.lit(1).alias("tf"),
-        F.when(F.col("k") % 13 == 0, 2).otherwise(inf).alias("tt"),
-    )
-    r2 = base.filter(F.col("k") % 13 == 0).select(
-        "k",
-        (F.col("cents") - 500).alias("v"),
-        F.lit(1).alias("vf"),
-        F.when(F.col("k") % 10 == 0, 2).otherwise(inf).alias("vt"),
-        F.lit(2).alias("tf"),
-        inf.alias("tt"),
-    )
-    r3 = base.filter(F.col("k") % 10 == 0).select(
-        "k",
-        (F.col("cents") + 10000).alias("v"),
-        F.lit(2).alias("vf"),
-        inf.alias("vt"),
-        F.lit(1).alias("tf"),
-        inf.alias("tt"),
-    )
-    rows_bt = r1.unionByName(r2).unionByName(r3)
-
-    def covers(vq: int, tq: int) -> Column:
-        return (
-            (F.col("vf") <= vq)
-            & ((F.col("vt") == 0) | (F.col("vt") > vq))
-            & (F.col("tf") <= tq)
-            & ((F.col("tt") == 0) | (F.col("tt") > tq))
-        )
-
-    aggs = []
-    for vq in (1, 2):
-        for tq in (1, 2):
-            aggs += [
-                F.sum(F.when(covers(vq, tq), 1))
-                .cast("bigint")
-                .alias(f"n{vq}{tq}"),
-                F.sum(F.when(covers(vq, tq), F.col("v")))
-                .cast("bigint")
-                .alias(f"s{vq}{tq}"),
-            ]
-    agg = rows_bt.agg(*aggs).localCheckpoint(eager=False)
-    out = None
-    for vq in (1, 2):
-        for tq in (1, 2):
-            row = agg.select(
-                F.lit(vq).alias("valid_at"),
-                F.lit(tq).alias("known_at"),
-                F.col(f"n{vq}{tq}").alias("n_rows"),
-                F.col(f"s{vq}{tq}").alias("total_cents"),
-            )
-            out = row if out is None else out.unionByName(row)
-    return out
-
-
-@_register(
     "t47_retention_matrix",
     """
     WITH o AS (
@@ -5610,97 +3041,6 @@ def t47_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(active_users * 10000 div cohort_users AS BIGINT)"
             ).alias("retention_bps"),
         )
-    )
-
-
-@_register(
-    "u26_tombstone_delete",
-    """
-    WITH tomb AS (
-      SELECT c_custkey AS k FROM customer WHERE c_custkey % 113 = 0
-    ),
-    dead_orders AS (
-      SELECT o.o_orderkey FROM orders o JOIN tomb t ON t.k = o.o_custkey
-    ),
-    stats AS (
-      SELECT
-        (SELECT COUNT(*) FROM tomb) AS n_tombstones,
-        (SELECT COUNT(*) FROM customer c JOIN tomb t ON t.k = c.c_custkey)
-          AS cust_purged,
-        (SELECT COUNT(*) FROM dead_orders) AS orders_purged,
-        (SELECT COUNT(*) FROM lineitem l JOIN dead_orders d
-           ON d.o_orderkey = l.l_orderkey) AS lineitems_purged,
-        (SELECT COUNT(*) FROM customer c LEFT JOIN tomb t ON t.k = c.c_custkey
-          WHERE t.k IS NULL) AS cust_kept,
-        (SELECT COUNT(*)
-           FROM (SELECT o.* FROM orders o LEFT JOIN tomb t
-                   ON t.k = o.o_custkey WHERE t.k IS NULL) o2
-           JOIN tomb t2 ON t2.k = o2.o_custkey) AS residue
-    )
-    SELECT CAST(n_tombstones AS BIGINT) AS n_tombstones,
-           CAST(cust_purged AS BIGINT) AS cust_purged,
-           CAST(orders_purged AS BIGINT) AS orders_purged,
-           CAST(lineitems_purged AS BIGINT) AS lineitems_purged,
-           CAST(cust_kept AS BIGINT) AS cust_kept,
-           CAST(residue AS BIGINT) AS residue
-    FROM stats
-    """,
-)
-def u26_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Right-to-be-forgotten purge: a tombstone key set (every 113th
-    customer) is propagated through the foreign-key chain — customer
-    rows, their orders, and those orders' lineitems — with anti-join
-    semantics, and the report carries the PROOF alongside the purge
-    counts: re-probing the kept customer set against the tombstones
-    yields residue = 0. The deletion audit trail a compliance pipeline
-    ships with every purge batch.
-
-    Scale: tombstones are small by nature (broadcast semi/anti
-    joins); the FK cascade is two key equi-joins; at 100 TB the kept
-    tables rewrite via dynamic-partition overwrite and this query IS
-    the post-purge verification pass."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    tomb = (
-        cust.filter(F.col("c_custkey") % 113 == 0)
-        .select(F.col("c_custkey").alias("k"))
-        .localCheckpoint(eager=False)
-    )
-    dead_orders = orders.join(
-        F.broadcast(tomb), orders["o_custkey"] == tomb["k"], "left_semi"
-    ).select("o_orderkey").localCheckpoint(eager=False)
-    n_tomb = tomb.agg(F.count(F.lit(1)).cast("bigint").alias("n_tombstones"))
-    cust_purged = (
-        cust.join(F.broadcast(tomb), cust["c_custkey"] == tomb["k"], "left_semi")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cust_purged"))
-    )
-    orders_purged = dead_orders.agg(
-        F.count(F.lit(1)).cast("bigint").alias("orders_purged")
-    )
-    li_purged = (
-        li.join(F.broadcast(dead_orders), li["l_orderkey"] == dead_orders["o_orderkey"], "left_semi")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("lineitems_purged"))
-    )
-    kept = cust.join(
-        F.broadcast(tomb), cust["c_custkey"] == tomb["k"], "left_anti"
-    )
-    cust_kept = kept.agg(F.count(F.lit(1)).cast("bigint").alias("cust_kept"))
-    kept_orders = orders.join(
-        F.broadcast(tomb), orders["o_custkey"] == tomb["k"], "left_anti"
-    )
-    residue = (
-        kept_orders.join(
-            F.broadcast(tomb), kept_orders["o_custkey"] == tomb["k"], "left_semi"
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("residue"))
-    )
-    return (
-        n_tomb.crossJoin(F.broadcast(cust_purged))
-        .crossJoin(F.broadcast(orders_purged))
-        .crossJoin(F.broadcast(li_purged))
-        .crossJoin(F.broadcast(cust_kept))
-        .crossJoin(F.broadcast(residue))
     )
 
 
@@ -5806,117 +3146,6 @@ def t48_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "u27_retractable_agg",
-    """
-    WITH base AS (
-      SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100
-                           AS BIGINT)) AS BIGINT) AS cents,
-             COUNT(*) AS n
-      FROM orders WHERE o_orderkey % 10 NOT IN (7)
-      GROUP BY 1
-    ),
-    delta AS (
-      SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
-               AS cents,
-             CASE WHEN o_orderkey % 10 = 7 THEN 1 ELSE -1 END AS sign
-      FROM orders WHERE o_orderkey % 10 IN (7, 3)
-    ),
-    dagg AS (
-      SELECT day,
-             CAST(SUM(sign * cents) AS BIGINT) AS d_cents,
-             CAST(SUM(sign) AS BIGINT) AS d_n,
-             CAST(SUM(CASE WHEN sign = -1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_retractions
-      FROM delta GROUP BY day
-    ),
-    merged AS (
-      SELECT COALESCE(b.day, d.day) AS day,
-             COALESCE(b.cents, 0) AS old_cents,
-             COALESCE(b.cents, 0) + COALESCE(d.d_cents, 0) AS new_cents,
-             COALESCE(b.n, 0) + COALESCE(d.d_n, 0) AS new_n,
-             COALESCE(d.n_retractions, 0) AS n_retractions
-      FROM base b FULL OUTER JOIN dagg d ON b.day = d.day
-      WHERE d.day IS NOT NULL
-    )
-    SELECT day, CAST(old_cents AS BIGINT) AS old_cents,
-           CAST(new_cents AS BIGINT) AS new_cents,
-           CAST(new_n AS BIGINT) AS new_n, n_retractions
-    FROM merged
-    ORDER BY abs(new_cents - old_cents) DESC, day ASC LIMIT 25
-    """,
-)
-def u27_retractable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental view maintenance with RETRACTIONS: a materialized
-    daily-revenue aggregate is updated by a signed CDC delta batch
-    (inserts carry +1, deletes -1 — synthesized deterministically
-    from orders: keys ending in 7 arrive, keys ending in 3 retract)
-    WITHOUT rescanning the base fact table. SUM/COUNT are
-    self-maintainable under deletion (Flink-style retract streams /
-    DBSP z-sets): merged = base + sum(sign * measure) per group —
-    one delta-sized aggregate + one outer join against the affected
-    groups. Complements u10_cdc_apply (row-level last-writer-wins):
-    this maintains the AGGREGATE layer. Exact integer cents; top-25
-    most-changed days.
-
-    Scale shape: the base is read-only (in production: the
-    materialized table, partition-pruned to affected days); all new
-    work is proportional to the DELTA (map-combined signed sums),
-    never the history. The join fans only to touched groups.
-
-    vs u16_ivm_join_counts: u16 maintains a JOIN under insert-only
-    deltas (delta-join expansion); this maintains an AGGREGATE under
-    DELETION — the retraction case u16's insert algebra cannot
-    express."""
-    o = load_tables(spark, sf_dir)["orders"]
-    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)")
-    day = F.col("o_orderdate").cast("date").alias("day")
-    base = (
-        o.filter(F.col("o_orderkey") % 10 != 7)
-        .groupBy(day)
-        .agg(
-            F.sum(cents).cast("bigint").alias("cents"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-    sign = F.when(F.col("o_orderkey") % 10 == 7, F.lit(1)).otherwise(F.lit(-1))
-    dagg = (
-        o.filter((F.col("o_orderkey") % 10).isin(7, 3))
-        .select(day, cents.alias("cents"), sign.alias("sign"))
-        .groupBy("day")
-        .agg(
-            F.sum(F.col("sign") * F.col("cents")).cast("bigint").alias("d_cents"),
-            F.sum("sign").cast("bigint").alias("d_n"),
-            F.sum(F.when(F.col("sign") == -1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_retractions"),
-        )
-    )
-    merged = (
-        base.join(dagg, "day", "full_outer")
-        .filter(F.col("d_cents").isNotNull() | F.col("n_retractions").isNotNull())
-        .select(
-            "day",
-            F.coalesce(F.col("cents"), F.lit(0)).cast("bigint").alias("old_cents"),
-            (F.coalesce(F.col("cents"), F.lit(0)) + F.coalesce(F.col("d_cents"), F.lit(0)))
-            .cast("bigint")
-            .alias("new_cents"),
-            (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("d_n"), F.lit(0)))
-            .cast("bigint")
-            .alias("new_n"),
-            F.coalesce(F.col("n_retractions"), F.lit(0))
-            .cast("bigint")
-            .alias("n_retractions"),
-        )
-    )
-    return merged.orderBy(
-        F.abs(F.col("new_cents") - F.col("old_cents")).desc(),
-        F.col("day").asc(),
-    ).limit(25)
-
-
-@_register(
     "t50_twap",
     """
     WITH e AS (
@@ -6009,454 +3238,3 @@ def t50_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.orderBy(
         F.col("twap_micro").desc(), F.col("user_id").asc(), F.col("day_n").asc()
     ).limit(15)
-
-
-@_register(
-    "u28_snapshot_expiry_plan",
-    """
-    WITH v AS (
-      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
-                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT)
-               AS version,
-             CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(1 + (COUNT(*) - 1) // 100 AS BIGINT) AS n_files,
-             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100
-                           AS BIGINT)) AS BIGINT) AS bytes_cents
-      FROM orders GROUP BY 1
-    ),
-    mx AS (SELECT MAX(version) AS vmax,
-                  CAST(COUNT(*) AS BIGINT) AS n_versions FROM v),
-    p AS (
-      SELECT v.*,
-             CASE WHEN v.version > m.vmax - 5
-                    OR v.version >= m.vmax - 6 THEN 1 ELSE 0 END AS retained
-      FROM v CROSS JOIN mx m
-    ),
-    tot AS (
-      SELECT CAST(SUM(CASE WHEN retained = 0 THEN n_files ELSE 0 END)
-                  AS BIGINT) AS reclaim_files,
-             CAST(SUM(CASE WHEN retained = 0 THEN bytes_cents ELSE 0 END)
-                  AS BIGINT) AS reclaim_bytes
-      FROM p
-    )
-    SELECT p.version, p.n_rows, p.n_files, p.bytes_cents,
-           CAST(p.retained AS BIGINT) AS retained,
-           t.reclaim_files, t.reclaim_bytes
-    FROM p CROSS JOIN tot t
-    ORDER BY p.version DESC LIMIT 24
-    """,
-)
-def u28_snapshot_expiry_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot-retention (VACUUM) planning — the lakehouse
-    maintenance op beside u21's compaction: a monthly version history
-    (synthesized deterministically from order months: one snapshot
-    per month, file count = ceil(rows/100), bytes proxied by exact
-    cents) is classified under the standard policy "keep the last 5
-    snapshots AND everything inside the 6-version time-travel
-    window"; everything else is expirable, with the reclaimable
-    file/byte totals the operator signs off on. Pure integers.
-
-    Scale shape: one map-combined month aggregate over the fact
-    table; the plan itself lives on the VERSION dimension (dozens of
-    rows) — policy flags, the 1-row reclaim total (broadcast cross
-    join), and a bounded top-24 ordered emit. In production the
-    month aggregate is replaced by the table-format's manifest
-    (u21's shape) and the fact scan disappears entirely."""
-    o = load_tables(spark, sf_dir)["orders"]
-    v = o.groupBy(
-        (
-            (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
-        )
-        .cast("bigint")
-        .alias("version")
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.expr("CAST(1 + (COUNT(*) - 1) div 100 AS BIGINT)").alias("n_files"),
-        F.sum(
-            F.expr("CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)")
-        )
-        .cast("bigint")
-        .alias("bytes_cents"),
-    )
-    v = v.localCheckpoint(eager=False)  # mx + plan + totals share it
-    mx = v.agg(
-        F.max("version").alias("vmax"),
-        F.count(F.lit(1)).cast("bigint").alias("n_versions"),
-    )
-    p = v.crossJoin(F.broadcast(mx)).withColumn(
-        "retained",
-        F.when(
-            (F.col("version") > F.col("vmax") - 5)
-            | (F.col("version") >= F.col("vmax") - 6),
-            1,
-        ).otherwise(0),
-    )
-    p = p.localCheckpoint(eager=False)
-    tot = p.agg(
-        F.sum(F.when(F.col("retained") == 0, F.col("n_files")).otherwise(0))
-        .cast("bigint")
-        .alias("reclaim_files"),
-        F.sum(F.when(F.col("retained") == 0, F.col("bytes_cents")).otherwise(0))
-        .cast("bigint")
-        .alias("reclaim_bytes"),
-    )
-    return (
-        p.crossJoin(F.broadcast(tot))
-        .select(
-            "version",
-            "n_rows",
-            "n_files",
-            "bytes_cents",
-            F.col("retained").cast("bigint").alias("retained"),
-            "reclaim_files",
-            "reclaim_bytes",
-        )
-        .orderBy(F.col("version").desc())
-        .limit(24)
-    )
-
-
-@_register(
-    "dq23_wap_gate",
-    """
-    WITH m AS (
-      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
-                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT)
-               AS month_n,
-             CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
-      FROM orders GROUP BY 1
-    ),
-    g AS (
-      SELECT month_n, n_rows, n_custs,
-             CAST(SUM(n_rows) OVER (ORDER BY month_n ASC
-                    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS BIGINT)
-               AS trail_sum,
-             CAST(COUNT(*) OVER (ORDER BY month_n ASC
-                    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS BIGINT)
-               AS trail_n
-      FROM m
-    )
-    SELECT month_n, n_rows, n_custs,
-           CAST(trail_sum * 1000 // trail_n AS BIGINT) AS trail_mean_milli,
-           CAST((n_rows * trail_n - trail_sum) * 10000
-                // trail_sum AS BIGINT) AS deviation_bps,
-           CAST(CASE WHEN abs(n_rows * trail_n - trail_sum) * 5
-                        <= trail_sum THEN 1 ELSE 0 END AS BIGINT)
-             AS gate_pass
-    FROM g
-    WHERE trail_n = 6
-    ORDER BY month_n DESC LIMIT 24
-    """,
-)
-def dq23_wap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write-audit-publish (WAP) gate: before a monthly batch
-    publishes, its row count is audited against the trailing
-    6-month mean — deviation beyond +/-20% fails the gate
-    (|n - mean| <= 0.2*mean, cross-multiplied to the integer form
-    |n*6 - sum|*5 <= sum so no float threshold exists). Emits the
-    trailing mean (milli), signed deviation (bps, floor division)
-    and the pass flag for the last 24 complete months — the
-    quality contract a u8-style publish step checks before swapping
-    partitions live.
-
-    Scale shape: one map-combined month aggregate; the gate runs on
-    the month DIMENSION (a bounded frame, SCALE.md ledger) with a
-    6-row trailing window.
-
-    vs dq13_volume_anomaly: dq13 is a full-history sigma control
-    chart per event type; this is the TRAILING-window publish
-    contract — it adapts to drift (a slow trend never widens its
-    band) and gates a specific batch, not a worst day."""
-    o = load_tables(spark, sf_dir)["orders"]
-    m = o.groupBy(
-        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
-        .cast("bigint")
-        .alias("month_n")
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
-    )
-    w = Window.orderBy(F.col("month_n").asc()).rowsBetween(-6, -1)
-    g = m.select(
-        "month_n",
-        "n_rows",
-        "n_custs",
-        F.sum("n_rows").over(w).cast("bigint").alias("trail_sum"),
-        F.count(F.lit(1)).over(w).cast("bigint").alias("trail_n"),
-    )
-    return (
-        g.filter(F.col("trail_n") == 6)
-        .select(
-            "month_n",
-            "n_rows",
-            "n_custs",
-            F.expr("CAST(trail_sum * 1000 div trail_n AS BIGINT)").alias(
-                "trail_mean_milli"
-            ),
-            F.expr(
-                "CAST((n_rows * trail_n - trail_sum) * 10000"
-                " div trail_sum AS BIGINT)"
-            ).alias("deviation_bps"),
-            F.expr(
-                "CAST(CASE WHEN abs(n_rows * trail_n - trail_sum) * 5"
-                " <= trail_sum THEN 1 ELSE 0 END AS BIGINT)"
-            ).alias("gate_pass"),
-        )
-        .orderBy(F.col("month_n").desc())
-        .limit(24)
-    )
-
-
-@_register(
-    "u29_shard_rebalance_plan",
-    """
-    WITH d AS (
-      SELECT doc_id,
-             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-                  AS BIGINT) AS h
-      FROM documents
-    ),
-    pts AS (
-      SELECT CAST(i AS BIGINT) AS shard,
-             CAST('0x' || substring(md5('shard:' || CAST(i AS VARCHAR)),
-                  1, 15) AS BIGINT) AS pt,
-             CASE WHEN i < 16 THEN 1 ELSE 0 END AS is_old
-      FROM range(0, 24) t(i)
-    ),
-    old_succ AS (
-      SELECT d.doc_id,
-             COALESCE(MIN(CASE WHEN p.pt >= d.h THEN p.pt END),
-                      MIN(p.pt)) AS opt
-      FROM d CROSS JOIN pts p WHERE p.is_old = 1
-      GROUP BY d.doc_id
-    ),
-    new_succ AS (
-      SELECT d.doc_id,
-             COALESCE(MIN(CASE WHEN p.pt >= d.h THEN p.pt END),
-                      MIN(p.pt)) AS npt
-      FROM d CROSS JOIN pts p
-      GROUP BY d.doc_id
-    ),
-    ring AS (
-      SELECT CAST(SUM(CASE WHEN o.opt <> n.npt THEN 1 ELSE 0 END) AS BIGINT)
-               AS moved_ring
-      FROM old_succ o JOIN new_succ n USING (doc_id)
-    ),
-    md AS (
-      SELECT CAST(SUM(CASE WHEN h % 16 <> h % 24 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS moved_mod,
-             CAST(COUNT(*) AS BIGINT) AS n_docs
-      FROM d
-    )
-    SELECT m.n_docs, m.moved_mod,
-           CAST(m.moved_mod * 10000 // m.n_docs AS BIGINT) AS moved_mod_bps,
-           r.moved_ring,
-           CAST(r.moved_ring * 10000 // m.n_docs AS BIGINT)
-             AS moved_ring_bps,
-           CAST((24 - 16) * 10000 // 24 AS BIGINT) AS ring_theory_bps
-    FROM md m CROSS JOIN ring r
-    """,
-)
-def u29_shard_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shard-count change (16 -> 24) data-movement plan: how many
-    documents RELOCATE under naive modulo sharding versus a
-    consistent-hash ring (Karger et al. 1997 — each doc goes to the
-    first shard point clockwise of its hash; adding shards steals
-    only the ring segments the new points split). Modulo resharding
-    moves ~(1 - 1/lcm-share) of everything — the measured
-    moved_mod_bps sits near 9500+ — while the ring moves ~new/total
-    = 3333 bps (ring_theory_bps, emitted for comparison with the
-    measured moved_ring_bps). This is the plan an operator reads
-    before growing a 100 TB bucketed layout: modulo means a full
-    rewrite, the ring means a third.
-
-    Determinism: doc and shard positions are md5-derived 60-bit
-    integers; successor lookup is a MIN over the 24-point broadcast
-    dimension with a wrap fallback — exact on both engines.
-
-    Scale shape: one narrow hash pass over docs; the ring lookup is
-    a doc x 24-row broadcast aggregate (never a shuffle of pairs);
-    the report is 1 row."""
-    docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
-    ).localCheckpoint(eager=False)  # ring + mod branches share it
-    pts = (
-        spark.range(24)
-        .select(
-            F.col("id").cast("bigint").alias("shard"),
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("shard:"), F.col("id").cast("string"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("pt"),
-            F.when(F.col("id") < 16, 1).otherwise(0).alias("is_old"),
-        )
-    )
-
-    def _succ(points: DataFrame, out: str) -> DataFrame:
-        return (
-            d.crossJoin(F.broadcast(points))
-            .groupBy("doc_id", "h")
-            .agg(
-                F.coalesce(
-                    F.min(F.when(F.col("pt") >= F.col("h"), F.col("pt"))),
-                    F.min("pt"),
-                ).alias(out)
-            )
-        )
-
-    ring = (
-        _succ(pts.filter(F.col("is_old") == 1), "opt")
-        .join(_succ(pts, "npt").select("doc_id", "npt"), "doc_id")
-        .agg(
-            F.sum(F.when(F.col("opt") != F.col("npt"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("moved_ring")
-        )
-    )
-    md = d.agg(
-        F.sum(F.when(F.col("h") % 16 != F.col("h") % 24, 1).otherwise(0))
-        .cast("bigint")
-        .alias("moved_mod"),
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-    )
-    return md.crossJoin(F.broadcast(ring)).select(
-        "n_docs",
-        "moved_mod",
-        F.expr("CAST(moved_mod * 10000 div n_docs AS BIGINT)").alias(
-            "moved_mod_bps"
-        ),
-        "moved_ring",
-        F.expr("CAST(moved_ring * 10000 div n_docs AS BIGINT)").alias(
-            "moved_ring_bps"
-        ),
-        F.expr("CAST((24 - 16) * 10000 div 24 AS BIGINT)").alias(
-            "ring_theory_bps"
-        ),
-    )
-
-
-@_register(
-    "dq24_duplicate_payments",
-    """
-    WITH o AS (
-      SELECT event_id, user_id,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000
-               AS bucket,
-             epoch_us(ts) AS tsu
-      FROM events WHERE event_type = 'purchase'
-    ),
-    pairs AS (
-      SELECT a.user_id, a.bucket,
-             a.event_id AS first_id, b.event_id AS second_id,
-             a.cents AS first_cents, b.cents AS second_cents,
-             (b.tsu - a.tsu) // 86400000000 AS gap_days
-      FROM o a JOIN o b
-        ON a.user_id = b.user_id AND a.bucket = b.bucket
-       AND (a.tsu < b.tsu
-            OR (a.tsu = b.tsu AND a.event_id < b.event_id))
-      WHERE b.tsu - a.tsu <= 604800000000
-    ),
-    tot AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_suspects,
-             CAST(SUM(second_cents) AS BIGINT) AS cents_at_risk
-      FROM pairs
-    )
-    SELECT p.user_id, p.first_id, p.second_id,
-           p.first_cents, p.second_cents,
-           CAST(p.gap_days AS BIGINT) AS gap_days,
-           t.n_suspects, t.cents_at_risk
-    FROM pairs p CROSS JOIN tot t
-    ORDER BY p.second_cents DESC, p.first_id ASC, p.second_id ASC LIMIT 20
-    """,
-)
-def dq24_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-payment audit — the classic AP fraud/error check:
-    two PURCHASE events by the same user in the same $10 amount
-    bucket within 7 days are flagged as suspect double-submits
-    (dq11 reconciles headers to lines; this catches the resubmitted
-    charge both of whose rows are internally consistent). Exact
-    integer cents through DECIMAL(18,2); event time on the declared
-    epoch-micros contract; deterministic pair orientation (earlier
-    event first, id tie-break). The 1-row totals broadcast prices
-    the exposure.
-
-    Scale shape: the self-join is an EQUI-join on (user, amount
-    bucket) — fanout bounded by per-(user, bucket) multiplicity,
-    never a theta join; the 7-day band is a filter on that already
-    tiny candidate set. Top-20 by amount."""
-    ev = load_table(spark, sf_dir, "events")
-    o = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id",
-        "user_id",
-        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
-            "cents"
-        ),
-        F.expr(
-            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 1000"
-        ).alias("bucket"),
-        F.expr("ts_ns div 1000").alias("tsu"),
-    )
-    a = o.select(
-        "user_id",
-        "bucket",
-        F.col("event_id").alias("first_id"),
-        F.col("cents").alias("first_cents"),
-        F.col("tsu").alias("ta"),
-    )
-    b = o.select(
-        "user_id",
-        "bucket",
-        F.col("event_id").alias("second_id"),
-        F.col("cents").alias("second_cents"),
-        F.col("tsu").alias("tb"),
-    )
-    pairs = (
-        a.join(b, ["user_id", "bucket"])
-        .filter(
-            (
-                (F.col("ta") < F.col("tb"))
-                | (
-                    (F.col("ta") == F.col("tb"))
-                    & (F.col("first_id") < F.col("second_id"))
-                )
-            )
-            & (F.col("tb") - F.col("ta") <= 604800000000)
-        )
-        .select(
-            "user_id",
-            "first_id",
-            "second_id",
-            "first_cents",
-            "second_cents",
-            F.expr("CAST((tb - ta) div 86400000000 AS BIGINT)").alias(
-                "gap_days"
-            ),
-        )
-        .localCheckpoint(eager=False)  # rows + totals share it
-    )
-    tot = pairs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_suspects"),
-        F.sum("second_cents").cast("bigint").alias("cents_at_risk"),
-    )
-    return (
-        pairs.crossJoin(F.broadcast(tot))
-        .orderBy(
-            F.col("second_cents").desc(),
-            F.col("first_id").asc(),
-            F.col("second_id").asc(),
-        )
-        .limit(20)
-    )
