@@ -1911,3 +1911,179 @@ def er6_bcubed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div ((psum div n_docs) + (rsum div n_docs)) AS BIGINT)"
         ).alias("b3_f1_micro"),
     )
+
+
+@_register(
+    "er7_fellegi_sunter",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey AS c,
+             o_orderpriority AS pr, o_orderstatus AS st,
+             CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS pb,
+             month(o_orderdate) AS mo,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    ),
+    mp AS (
+      SELECT CASE WHEN a.pr = b.pr THEN 1 ELSE 0 END AS apr,
+             CASE WHEN a.st = b.st THEN 1 ELSE 0 END AS ast,
+             CASE WHEN a.pb = b.pb THEN 1 ELSE 0 END AS apb,
+             CASE WHEN a.mo = b.mo THEN 1 ELSE 0 END AS amo
+      FROM o a JOIN o b ON a.c = b.c AND a.k < b.k
+    ),
+    mm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(apr) AS BIGINT) AS pr, CAST(SUM(ast) AS BIGINT) AS st,
+             CAST(SUM(apb) AS BIGINT) AS pb, CAST(SUM(amo) AS BIGINT) AS mo
+      FROM mp
+    ),
+    os AS (SELECT * FROM o WHERE k % 4 = 0),
+    up AS (
+      SELECT CASE WHEN a.pr = b.pr THEN 1 ELSE 0 END AS apr,
+             CASE WHEN a.st = b.st THEN 1 ELSE 0 END AS ast,
+             CASE WHEN a.pb = b.pb THEN 1 ELSE 0 END AS apb,
+             CASE WHEN a.mo = b.mo THEN 1 ELSE 0 END AS amo
+      FROM os a JOIN os b ON a.d = b.d AND a.c <> b.c AND a.k < b.k
+    ),
+    um AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(apr) AS BIGINT) AS pr, CAST(SUM(ast) AS BIGINT) AS st,
+             CAST(SUM(apb) AS BIGINT) AS pb, CAST(SUM(amo) AS BIGINT) AS mo
+      FROM up
+    ),
+    f AS (
+      SELECT 'month' AS field, mm.mo * 1000000 // mm.n AS m_micro,
+             um.mo * 1000000 // um.n AS u_micro FROM mm, um
+      UNION ALL
+      SELECT 'price_bucket', mm.pb * 1000000 // mm.n,
+             um.pb * 1000000 // um.n FROM mm, um
+      UNION ALL
+      SELECT 'priority', mm.pr * 1000000 // mm.n,
+             um.pr * 1000000 // um.n FROM mm, um
+      UNION ALL
+      SELECT 'status', mm.st * 1000000 // mm.n,
+             um.st * 1000000 // um.n FROM mm, um
+    )
+    SELECT field, CAST(m_micro AS BIGINT) AS m_micro,
+           CAST(u_micro AS BIGINT) AS u_micro,
+           CAST(m_micro * 1000000 // GREATEST(u_micro, 1) AS BIGINT)
+             AS w_agree_micro,
+           CAST((1000000 - m_micro) * 1000000
+                // GREATEST(1000000 - u_micro, 1) AS BIGINT)
+             AS w_disagree_micro
+    FROM f
+    """,
+)
+def er7_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage weights (JASA 1969,
+    the decision-theoretic core of Splink/RecordLinkage-style ER): for
+    each comparison field, estimate m = P(agree | match) from pairs of
+    orders KNOWN to co-refer (same customer — the deterministic
+    surrogate-truth rule) and u = P(agree | non-match) from same-day
+    different-customer pairs, then emit the agreement/disagreement
+    weights m/u and (1-m)/(1-u) that a linkage scorer would sum in
+    log space. All exact integer micro-units (floor division, both
+    dialects) — the m/u RATIO is emitted instead of its log because
+    log is monotone: the weight ORDERING is identical and no libm
+    result crosses the engine boundary (the x57 term-lift rule).
+
+    er1-er6 build and evaluate clusters; this estimates the FIELD
+    WEIGHTS those pipelines would score with — the missing first
+    stage of the classic linkage stack.
+
+    Scale shape: the m-estimation self-join is blocked by customer
+    (sum of per-customer orders², bounded by the per-customer order
+    cap); the u-estimation is blocked by order DATE over a
+    deterministic 1-in-4 key sample (k % 4 = 0, the documented
+    sampling contract — u needs only a rate estimate, so the sample
+    bounds the day-bucket² volume at any scale; sub-day buckets are
+    the 100x escape hatch). Both collapse map-side to one 1-row
+    aggregate each; the 4-row output is a broadcast cross of scalars.
+    No global sort, no skew exposure beyond the named buckets."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderstatus").alias("st"),
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("pb"),
+        F.month("o_orderdate").alias("mo"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+
+    def _agrees(df):
+        return df.select(
+            F.when(F.col("a.pr") == F.col("b.pr"), 1).otherwise(0).alias("apr"),
+            F.when(F.col("a.st") == F.col("b.st"), 1).otherwise(0).alias("ast"),
+            F.when(F.col("a.pb") == F.col("b.pb"), 1).otherwise(0).alias("apb"),
+            F.when(F.col("a.mo") == F.col("b.mo"), 1).otherwise(0).alias("amo"),
+        )
+
+    def _rates(df):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("apr").cast("bigint").alias("pr"),
+            F.sum("ast").cast("bigint").alias("st"),
+            F.sum("apb").cast("bigint").alias("pb"),
+            F.sum("amo").cast("bigint").alias("mo"),
+        )
+
+    mm = _rates(
+        _agrees(
+            a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.k") < F.col("b.k")))
+        )
+    )
+    osamp = o.filter(F.col("k") % 4 == 0)
+    sa, sb = osamp.alias("a"), osamp.alias("b")
+    um = _rates(
+        _agrees(
+            sa.join(
+                sb,
+                (F.col("a.d") == F.col("b.d"))
+                & (F.col("a.c") != F.col("b.c"))
+                & (F.col("a.k") < F.col("b.k")),
+            )
+        )
+    )
+    both = mm.select(
+        [F.col(c).alias(f"m_{c}") for c in ("n", "pr", "st", "pb", "mo")]
+    ).crossJoin(
+        F.broadcast(
+            um.select(
+                [F.col(c).alias(f"u_{c}") for c in ("n", "pr", "st", "pb", "mo")]
+            )
+        )
+    ).localCheckpoint(eager=False)  # 4 consumers (one per field row)
+    rows = []
+    for field, col in (
+        ("month", "mo"),
+        ("price_bucket", "pb"),
+        ("priority", "pr"),
+        ("status", "st"),
+    ):
+        rows.append(
+            both.select(
+                F.lit(field).alias("field"),
+                F.expr(f"CAST(m_{col} * 1000000 div m_n AS BIGINT)").alias(
+                    "m_micro"
+                ),
+                F.expr(f"CAST(u_{col} * 1000000 div u_n AS BIGINT)").alias(
+                    "u_micro"
+                ),
+            )
+        )
+    f = rows[0]
+    for r in rows[1:]:
+        f = f.unionByName(r)
+    return f.select(
+        "field",
+        "m_micro",
+        "u_micro",
+        F.expr(
+            "CAST(m_micro * 1000000 div GREATEST(u_micro, 1) AS BIGINT)"
+        ).alias("w_agree_micro"),
+        F.expr(
+            "CAST((1000000 - m_micro) * 1000000"
+            " div GREATEST(1000000 - u_micro, 1) AS BIGINT)"
+        ).alias("w_disagree_micro"),
+    )

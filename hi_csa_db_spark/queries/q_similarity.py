@@ -1964,3 +1964,110 @@ def mm18_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hi_csa_db_spark.operators.multimodal import image_resize
 
     return image_resize(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "ret7_mrr_eval",
+    """
+    WITH qt AS (
+      SELECT UNNEST(['filter', 'hash', 'join', 'scan', 'sort']) AS term
+    ),
+    tf AS (
+      SELECT q.term, d.doc_id,
+             CAST(len(list_filter(string_split(d.text, ' '), x -> x = q.term))
+                  AS BIGINT) AS tf,
+             CASE WHEN list_contains(string_split(d.text, ' '), q.term)
+                   AND list_contains(string_split(d.text, ' '), 'spark')
+                  THEN 1 ELSE 0 END AS rel
+      FROM qt q CROSS JOIN documents d
+    ),
+    ranked AS (
+      SELECT term, doc_id, tf, rel,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY tf DESC, doc_id ASC) AS rnk
+      FROM tf WHERE tf > 0
+    ),
+    top10 AS (SELECT * FROM ranked WHERE rnk <= 10),
+    firstrel AS (
+      SELECT term, MIN(CASE WHEN rel = 1 THEN rnk END) AS fr,
+             CAST(SUM(rel) AS BIGINT) AS n_rel_top10
+      FROM top10 GROUP BY term
+    )
+    SELECT term,
+           CAST(COALESCE(fr, 0) AS BIGINT) AS first_rel_rank,
+           n_rel_top10,
+           CAST(CASE WHEN fr IS NULL THEN 0
+                     ELSE 1000000 // fr END AS BIGINT) AS rr_micro
+    FROM firstrel
+    """,
+)
+def ret7_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 retrieval evaluation: for each of 5 fixed query terms,
+    rank documents by exact term frequency (whitespace tokens,
+    tf desc / doc_id tie-break — a deterministic ranking both engines
+    reproduce bit-identically), mark a doc RELEVANT when it contains
+    both the query term and the companion term 'spark' (a label rule
+    independent of the ranking score, so the metric is not
+    degenerate), and emit the rank of the first relevant doc in the
+    top 10 plus its reciprocal rank in exact integer micro-units.
+    ret1/ret2/ret4 BUILD rankings (BM25, fusion, MMR); this is the
+    EVALUATION metric row the retrieval stack reports — per-query
+    rows, so the macro-MRR is the caller's one avg away.
+
+    Scale shape: the query dimension is a 5-row literal broadcast;
+    tf scoring is one narrow pass over documents (tf > 0 prunes the
+    candidate set before the per-term top-10 window, which partitions
+    BY TERM — never a global sort). The first-relevant reduction is a
+    10-row-per-term aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = spark.createDataFrame(
+        [("filter",), ("hash",), ("join",), ("scan",), ("sort",)], ["term"]
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    tf = (
+        F.broadcast(terms)
+        .crossJoin(toks)
+        .select(
+            "term",
+            "doc_id",
+            F.size(
+                F.filter(F.col("w"), lambda x: x == F.col("term"))
+            )
+            .cast("bigint")
+            .alias("tf"),
+            F.when(
+                F.array_contains(F.col("w"), F.col("term"))
+                & F.array_contains(F.col("w"), F.lit("spark")),
+                1,
+            )
+            .otherwise(0)
+            .alias("rel"),
+        )
+        .filter(F.col("tf") > 0)
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    top10 = tf.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 10
+    )
+    return (
+        top10.groupBy("term")
+        .agg(
+            F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("fr"),
+            F.sum("rel").cast("bigint").alias("n_rel_top10"),
+        )
+        .select(
+            "term",
+            F.coalesce(F.col("fr"), F.lit(0)).cast("bigint").alias(
+                "first_rel_rank"
+            ),
+            "n_rel_top10",
+            F.when(F.col("fr").isNull(), F.lit(0))
+            .otherwise(F.expr("1000000 div fr"))
+            .cast("bigint")
+            .alias("rr_micro"),
+        )
+    )
