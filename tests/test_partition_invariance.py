@@ -98,6 +98,13 @@ FLOAT_SENSITIVE = [
     "a21_cms_planner",
     "dq24_duplicate_payments",
     "graph_reciprocity",
+    # round-9 additions (bounded-round convergence shares, linkage
+    # rate estimates, rank metrics, wedge-count ratios)
+    "graph_convergence_audit",
+    "er7_fellegi_sunter",
+    "ret7_mrr_eval",
+    "graph_local_clustering",
+    "graph_link_prediction",
 ]
 
 
