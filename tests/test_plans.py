@@ -173,6 +173,9 @@ _NLJ_ALLOWED = {
     "x91_budget_apportionment",  # 1-row seats-left + total-check broadcasts
     "er6_bcubed_quality",  # 1-row metric x cluster-count broadcast
     "f_levenshtein_suite",  # dim x dim (150-type) broadcast theta join by design
+    # round-9 additions
+    "ret7_mrr_eval",  # 5-row query-term literal broadcast (the s5 shape)
+    "er7_fellegi_sunter",  # 1-row m-rates x 1-row u-rates broadcast
     "a19_hll_rolling_distinct",  # day-grid x 256-bucket-range broadcast + 1-row audit
     "u29_shard_rebalance_plan",  # doc x 24-ring-point broadcast + 1-row totals
     "a21_cms_planner",  # width/hash-grid broadcasts + 1-row total

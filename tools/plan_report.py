@@ -254,6 +254,11 @@ EXTRA = [
     "a21_cms_planner",
     "dq24_duplicate_payments",
     "graph_reciprocity",
+    # round-9 additions
+    "graph_convergence_audit",
+    "er7_fellegi_sunter",
+    "ret7_mrr_eval",
+    "graph_local_clustering",
 ]
 
 
