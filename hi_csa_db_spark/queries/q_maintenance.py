@@ -1845,3 +1845,117 @@ def u29_shard_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ring_theory_bps"
         ),
     )
+
+
+@_register(
+    "u30_zone_map_skipping",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d FROM orders
+    ),
+    b AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM o),
+    f AS (
+      SELECT o.k, o.d,
+             CAST(date_diff('day', b.dmin, o.d) * 64
+                  // (date_diff('day', b.dmin, b.dmax) + 1) AS BIGINT)
+               AS file_clustered,
+             CAST(o.k % 64 AS BIGINT) AS file_roundrobin
+      FROM o, b
+    ),
+    zc AS (SELECT 'clustered' AS layout, file_clustered AS file_id,
+                  MIN(d) AS zmin, MAX(d) AS zmax
+           FROM f GROUP BY file_clustered
+           UNION ALL
+           SELECT 'roundrobin', file_roundrobin, MIN(d), MAX(d)
+           FROM f GROUP BY file_roundrobin),
+    preds AS (
+      SELECT * FROM (VALUES
+        ('1997q1', DATE '1997-01-01', DATE '1997-03-31'),
+        ('1997q2', DATE '1997-04-01', DATE '1997-06-30'),
+        ('1997q3', DATE '1997-07-01', DATE '1997-09-30'),
+        ('1997q4', DATE '1997-10-01', DATE '1997-12-31')
+      ) AS t(qtr, lo, hi)
+    )
+    SELECT z.layout, p.qtr,
+           CAST(SUM(CASE WHEN z.zmax >= p.lo AND z.zmin <= p.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           CAST(COUNT(*) AS BIGINT) AS files_total,
+           CAST((COUNT(*) - SUM(CASE WHEN z.zmax >= p.lo AND z.zmin <= p.hi
+                                     THEN 1 ELSE 0 END)) * 10000
+                // COUNT(*) AS BIGINT) AS skip_bps
+    FROM zc z CROSS JOIN preds p
+    GROUP BY z.layout, p.qtr
+    """,
+)
+def u30_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max) file-skipping audit — the READ-side payoff
+    u22's Z-order layout buys: orders are assigned to 64 files under
+    two layouts (date-CLUSTERED via value-range bucketing — the
+    repartitionByRange shape, no global rank anywhere — vs ROUND-ROBIN
+    by key, the unclustered insertion order), per-file min/max zone
+    maps are built, and 4 quarter predicates are costed against them.
+    skip_bps is the share of files a zone-map-aware scan never opens:
+    ~97-98 % clustered vs 0 % round-robin — the data-skipping evidence
+    row that justifies clustering policy before a 100 TB table write.
+
+    Scale shape: one 1-row (dmin, dmax) broadcast, one map-combined
+    64-group aggregate per layout, then a 128-zone x 4-predicate
+    broadcast grid (tiny theta join by design). Dates compared as
+    DATE on both engines; bucket arithmetic is integer floor division
+    — no timestamp arithmetic crosses the boundary."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.to_date("o_orderdate").alias("d")
+    )
+    b = o.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    f = o.crossJoin(F.broadcast(b)).select(
+        "k",
+        "d",
+        F.expr("CAST(datediff(d, dmin) * 64 div (datediff(dmax, dmin) + 1) AS BIGINT)").alias(
+            "file_clustered"
+        ),
+        F.expr("CAST(k % 64 AS BIGINT)").alias("file_roundrobin"),
+    ).localCheckpoint(eager=False)  # both layout aggregates share it
+    zc = (
+        f.groupBy("file_clustered")
+        .agg(F.min("d").alias("zmin"), F.max("d").alias("zmax"))
+        .select(
+            F.lit("clustered").alias("layout"),
+            F.col("file_clustered").alias("file_id"),
+            "zmin",
+            "zmax",
+        )
+        .unionByName(
+            f.groupBy("file_roundrobin")
+            .agg(F.min("d").alias("zmin"), F.max("d").alias("zmax"))
+            .select(
+                F.lit("roundrobin").alias("layout"),
+                F.col("file_roundrobin").alias("file_id"),
+                "zmin",
+                "zmax",
+            )
+        )
+    )
+    preds = spark.createDataFrame(
+        [
+            ("1997q1", "1997-01-01", "1997-03-31"),
+            ("1997q2", "1997-04-01", "1997-06-30"),
+            ("1997q3", "1997-07-01", "1997-09-30"),
+            ("1997q4", "1997-10-01", "1997-12-31"),
+        ],
+        ["qtr", "lo_s", "hi_s"],
+    ).select("qtr", F.to_date("lo_s").alias("lo"), F.to_date("hi_s").alias("hi"))
+    hit = F.when(
+        (F.col("zmax") >= F.col("lo")) & (F.col("zmin") <= F.col("hi")), 1
+    ).otherwise(0)
+    return (
+        zc.crossJoin(F.broadcast(preds))
+        .groupBy("layout", "qtr")
+        .agg(
+            F.sum(hit).cast("bigint").alias("files_scanned"),
+            F.count(F.lit(1)).cast("bigint").alias("files_total"),
+            F.expr(
+                "CAST((count(1) - sum(CASE WHEN zmax >= lo AND zmin <= hi"
+                " THEN 1 ELSE 0 END)) * 10000 div count(1) AS BIGINT)"
+            ).alias("skip_bps"),
+        )
+    )

@@ -105,6 +105,7 @@ FLOAT_SENSITIVE = [
     "ret7_mrr_eval",
     "graph_local_clustering",
     "graph_link_prediction",
+    "u30_zone_map_skipping",
 ]
 
 

@@ -176,6 +176,7 @@ _NLJ_ALLOWED = {
     # round-9 additions
     "ret7_mrr_eval",  # 5-row query-term literal broadcast (the s5 shape)
     "er7_fellegi_sunter",  # 1-row m-rates x 1-row u-rates broadcast
+    "u30_zone_map_skipping",  # 1-row bounds + 4-row predicate-grid broadcasts
     "a19_hll_rolling_distinct",  # day-grid x 256-bucket-range broadcast + 1-row audit
     "u29_shard_rebalance_plan",  # doc x 24-ring-point broadcast + 1-row totals
     "a21_cms_planner",  # width/hash-grid broadcasts + 1-row total

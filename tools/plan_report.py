@@ -259,6 +259,7 @@ EXTRA = [
     "er7_fellegi_sunter",
     "ret7_mrr_eval",
     "graph_local_clustering",
+    "u30_zone_map_skipping",
 ]
 
 
