@@ -17,6 +17,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# 42 compiled whole-stage-codegen plans (21 headline x 2 passes, plus
+# warm-up) overflow the JVM's default 240 MB reserved code cache,
+# which silently stops JIT compilation for late-positioned queries —
+# measured round 9: x5 (last in the list) runs 2.23 s in-context vs
+# 1.89 s isolated at EQUAL ambient load, and 1 GB of code cache
+# recovers ~40 % of that gap (2.07-2.13 s). Standard long-session JVM
+# tuning, applied before the JVM launches; set SPARK_SUBMIT_OPTS
+# yourself to override.
+os.environ.setdefault("SPARK_SUBMIT_OPTS", "-XX:ReservedCodeCacheSize=1g")
+
 from hi_csa_db_spark.session import get_spark
 import __spark_entry__ as entrymod
 
