@@ -22,7 +22,12 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from hi_csa_db_spark.catalog import load_table, load_tables
-from hi_csa_db_spark.functions.hashing import KNUTH_HASH32_SQL, knuth_hash32
+from hi_csa_db_spark.functions.hashing import (
+    KNUTH_HASH32_SQL,
+    MULT_HASH32_SQL,
+    knuth_hash32,
+    mult_hash32,
+)
 from hi_csa_db_spark.functions.text import absolutize_url, slugify, strip_punct, tokenize
 from hi_csa_db_spark.operators import classify, dedup, graph, ordered, similarity, textstats
 from hi_csa_db_spark.operators.merge import db_merge, union_streams
@@ -1958,4 +1963,176 @@ def u30_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " THEN 1 ELSE 0 END)) * 10000 div count(1) AS BIGINT)"
             ).alias("skip_bps"),
         )
+    )
+
+
+@_register(
+    "u31_bloom_skipping",
+    f"""
+    WITH fk AS (
+      SELECT DISTINCT CAST(o_orderkey % 64 AS BIGINT) AS file_id,
+             CAST(o_custkey AS BIGINT) AS key
+      FROM orders
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS ndk,
+             CAST(COUNT(DISTINCT file_id) AS BIGINT) AS files_total,
+             CAST(greatest(1024, COUNT(*) * 16 // COUNT(DISTINCT file_id))
+                  AS BIGINT) AS m
+      FROM fk
+    ),
+    grid AS (
+      SELECT CAST(a AS BIGINT) AS a
+      FROM (VALUES (2654435761), (2246822519), (3266489917)) AS t(a)
+    ),
+    occ AS (
+      SELECT DISTINCT fk.file_id,
+             CAST(({MULT_HASH32_SQL.format(key='fk.key', a='grid.a')})
+                  % st.m AS BIGINT) AS pos
+      FROM fk CROSS JOIN grid CROSS JOIN st
+    ),
+    probes AS (
+      SELECT CAST(k AS BIGINT) AS probe_key
+      FROM (VALUES (1), (7), (50), (101), (999983)) AS t(k)
+    ),
+    pp AS (
+      SELECT DISTINCT p.probe_key,
+             CAST(({MULT_HASH32_SQL.format(key='p.probe_key', a='grid.a')})
+                  % st.m AS BIGINT) AS pos
+      FROM probes p CROSS JOIN grid CROSS JOIN st
+    ),
+    ppn AS (SELECT probe_key, COUNT(*) AS npos FROM pp GROUP BY 1),
+    mb AS (
+      SELECT pp.probe_key, occ.file_id, COUNT(*) AS hit
+      FROM pp JOIN occ ON pp.pos = occ.pos
+      GROUP BY 1, 2
+    ),
+    maybe AS (
+      SELECT mb.probe_key, CAST(COUNT(*) AS BIGINT) AS files_maybe
+      FROM mb JOIN ppn ON mb.probe_key = ppn.probe_key
+      WHERE mb.hit = ppn.npos
+      GROUP BY 1
+    ),
+    act AS (
+      SELECT fk.key AS probe_key,
+             CAST(COUNT(DISTINCT fk.file_id) AS BIGINT) AS files_actual
+      FROM fk JOIN probes p ON fk.key = p.probe_key
+      GROUP BY 1
+    )
+    SELECT p.probe_key, s.files_total,
+           CAST(COALESCE(a.files_actual, 0) AS BIGINT) AS files_actual,
+           CAST(COALESCE(m.files_maybe, 0) AS BIGINT) AS files_maybe,
+           CAST((COALESCE(m.files_maybe, 0) - COALESCE(a.files_actual, 0))
+                * 10000
+                // greatest(s.files_total - COALESCE(a.files_actual, 0), 1)
+                AS BIGINT) AS fp_bps,
+           CAST((s.files_total - COALESCE(m.files_maybe, 0)) * 10000
+                // s.files_total AS BIGINT) AS skip_bps
+    FROM probes p
+    CROSS JOIN st s
+    LEFT JOIN maybe m ON m.probe_key = p.probe_key
+    LEFT JOIN act a ON a.probe_key = p.probe_key
+    ORDER BY p.probe_key
+    """,
+)
+def u31_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file-skipping audit -- the POINT-LOOKUP complement
+    of u30's zone maps: under the round-robin layout where min/max
+    zones skip NOTHING (u30 measures 0 %), a per-file bloom filter on
+    o_custkey still prunes point predicates. 64 files by
+    o_orderkey%64; per file a bloom of k=3 portable multiplicative
+    hashes (the CMS hash family, mult_hash32 -- overflow-safe at any
+    key) into m bits, with m DATA-DRIVEN at ~16 bits per resident
+    key (greatest(1024, 16*keys/file)) so the filter neither
+    saturates at sf0.1 nor wastes bits at sf0.001. Five probe keys
+    (four resident at every sf, one absent everywhere) are costed:
+    files_maybe vs files_actual, false-positive share of the
+    skippable files (fp_bps), and the share of files a bloom-aware
+    scan never opens (skip_bps -- the absent key skips ~100 %).
+
+    The all-k-positions membership test compares against the probe's
+    DISTINCT position count (npos), so a rare double-hash position
+    collision cannot inflate the required hit count.
+
+    Scale shape: one distinct (file,key) shuffle (the bloom build --
+    at 100 TB this is the write-path side effect, not a query), then
+    a <=files*m occupied-position distinct; probes are a 15-row
+    broadcast against it. No per-row Python, no global sort."""
+    fk = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr("CAST(o_orderkey % 64 AS BIGINT)").alias("file_id"),
+            F.col("o_custkey").cast("bigint").alias("key"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # bloom build + actual pass share it
+    )
+    st = fk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ndk"),
+        F.countDistinct("file_id").cast("bigint").alias("files_total"),
+    ).select(
+        "ndk",
+        "files_total",
+        F.expr("CAST(greatest(1024, ndk * 16 div files_total) AS BIGINT)").alias("m"),
+    )
+    grid = spark.createDataFrame(
+        [(2654435761,), (2246822519,), (3266489917,)], "a: bigint"
+    )
+    pos = (
+        (mult_hash32(F.col("key"), F.col("a")) % F.col("m"))
+        .cast("bigint")
+        .alias("pos")
+    )
+    occ = (
+        fk.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(st))
+        .select("file_id", pos)
+        .distinct()
+    )
+    probes = spark.createDataFrame(
+        [(1,), (7,), (50,), (101,), (999983,)], "probe_key: bigint"
+    )
+    pp = (
+        probes.withColumnRenamed("probe_key", "key")
+        .crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(st))
+        .select(F.col("key").alias("probe_key"), pos)
+        .distinct()
+    )
+    ppn = pp.groupBy("probe_key").agg(F.count(F.lit(1)).alias("npos"))
+    mb = (
+        occ.join(F.broadcast(pp), "pos")
+        .groupBy("probe_key", "file_id")
+        .agg(F.count(F.lit(1)).alias("hit"))
+    )
+    maybe = (
+        mb.join(F.broadcast(ppn), "probe_key")
+        .where(F.col("hit") == F.col("npos"))
+        .groupBy("probe_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("files_maybe"))
+    )
+    act = (
+        fk.join(F.broadcast(probes), fk["key"] == probes["probe_key"])
+        .groupBy("probe_key")
+        .agg(F.countDistinct("file_id").cast("bigint").alias("files_actual"))
+    )
+    return (
+        probes.crossJoin(F.broadcast(st.select("files_total")))
+        .join(F.broadcast(maybe), "probe_key", "left")
+        .join(F.broadcast(act), "probe_key", "left")
+        .select(
+            "probe_key",
+            "files_total",
+            F.expr("CAST(COALESCE(files_actual, 0) AS BIGINT)").alias("files_actual"),
+            F.expr("CAST(COALESCE(files_maybe, 0) AS BIGINT)").alias("files_maybe"),
+            F.expr(
+                "CAST((COALESCE(files_maybe, 0) - COALESCE(files_actual, 0)) * 10000"
+                " div greatest(files_total - COALESCE(files_actual, 0), 1) AS BIGINT)"
+            ).alias("fp_bps"),
+            F.expr(
+                "CAST((files_total - COALESCE(files_maybe, 0)) * 10000"
+                " div files_total AS BIGINT)"
+            ).alias("skip_bps"),
+        )
+        .orderBy("probe_key")
     )

@@ -2071,3 +2071,157 @@ def ret7_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rr_micro"),
         )
     )
+
+
+@_register(
+    "ret8_ndcg_eval",
+    """
+    WITH qt AS (
+      SELECT UNNEST(['filter', 'hash', 'join', 'scan', 'sort']) AS term
+    ),
+    disc AS (
+      SELECT * FROM (VALUES
+        (1, 1000000), (2, 630930), (3, 500000), (4, 430677), (5, 386853),
+        (6, 356207), (7, 333333), (8, 315465), (9, 301030), (10, 289065)
+      ) AS t(r, disc_micro)
+    ),
+    cand AS (
+      SELECT q.term, d.doc_id,
+             CAST(len(list_filter(string_split(d.text, ' '), x -> x = q.term))
+                  AS BIGINT) AS tf,
+             CASE WHEN list_contains(string_split(d.text, ' '), 'spark')
+                   AND list_contains(string_split(d.text, ' '), 'data')
+                  THEN 3
+                  WHEN list_contains(string_split(d.text, ' '), 'spark')
+                    OR list_contains(string_split(d.text, ' '), 'data')
+                  THEN 1 ELSE 0 END AS gain
+      FROM qt q CROSS JOIN documents d
+      WHERE len(list_filter(string_split(d.text, ' '), x -> x = q.term)) > 0
+    ),
+    sys10 AS (
+      SELECT term, gain,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY tf DESC, doc_id ASC) AS rnk
+      FROM cand QUALIFY rnk <= 10
+    ),
+    ideal10 AS (
+      SELECT term, gain,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY gain DESC, doc_id ASC) AS rnk
+      FROM cand QUALIFY rnk <= 10
+    ),
+    dcg AS (
+      SELECT s.term, CAST(SUM(s.gain * d.disc_micro) AS BIGINT) AS dcg_micro
+      FROM sys10 s JOIN disc d ON s.rnk = d.r GROUP BY 1
+    ),
+    idcg AS (
+      SELECT i.term, CAST(SUM(i.gain * d.disc_micro) AS BIGINT) AS idcg_micro,
+             CAST(SUM(CASE WHEN i.gain > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel_ideal10
+      FROM ideal10 i JOIN disc d ON i.rnk = d.r GROUP BY 1
+    )
+    SELECT g.term, g.dcg_micro, c.idcg_micro, c.n_rel_ideal10,
+           CAST(g.dcg_micro * 10000 // greatest(c.idcg_micro, 1) AS BIGINT)
+             AS ndcg_bps
+    FROM dcg g JOIN idcg c ON g.term = c.term
+    ORDER BY g.term
+    """,
+)
+def ret8_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 with GRADED relevance — the ranking-quality metric MRR
+    can't express (ret7 only sees the FIRST relevant hit): per query
+    term, docs are ranked by exact tf (tf desc / doc_id tie-break),
+    graded 3/1/0 by a score-independent rule (contains both 'spark'
+    and 'data' / either / neither — gains 2^g-1 for g=2,1,0), and
+    DCG@10 is folded against a PRECOMPUTED integer-micro discount
+    table round(1e6/log2(r+1)) for r=1..10 — the only way a log-based
+    metric stays bit-identical cross-engine without trusting either
+    engine's libm. IDCG re-ranks the SAME candidate pool by gain
+    (standard NDCG, not the retrieved-set-only shortcut), so a
+    grade-3 doc the tf ranking missed correctly depresses ndcg_bps.
+
+    Scale shape: query dimension and discount table are tiny literal
+    broadcasts; candidate scoring is one narrow documents pass; both
+    windows partition BY TERM (never global); the DCG fold is a
+    10-row-per-term aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = spark.createDataFrame(
+        [("filter",), ("hash",), ("join",), ("scan",), ("sort",)], ["term"]
+    )
+    disc = spark.createDataFrame(
+        [(1, 1000000), (2, 630930), (3, 500000), (4, 430677), (5, 386853),
+         (6, 356207), (7, 333333), (8, 315465), (9, 301030), (10, 289065)],
+        ["r", "disc_micro"],
+    )
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    gain = (
+        F.when(
+            F.array_contains(F.col("w"), F.lit("spark"))
+            & F.array_contains(F.col("w"), F.lit("data")),
+            3,
+        )
+        .when(
+            F.array_contains(F.col("w"), F.lit("spark"))
+            | F.array_contains(F.col("w"), F.lit("data")),
+            1,
+        )
+        .otherwise(0)
+    )
+    cand = (
+        F.broadcast(terms)
+        .crossJoin(toks)
+        .select(
+            "term",
+            "doc_id",
+            F.size(F.filter(F.col("w"), lambda x: x == F.col("term")))
+            .cast("bigint")
+            .alias("tf"),
+            gain.alias("gain"),
+        )
+        .filter(F.col("tf") > 0)
+        .localCheckpoint(eager=False)  # system and ideal rankings share it
+    )
+    w_sys = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    w_ideal = Window.partitionBy("term").orderBy(
+        F.col("gain").desc(), F.col("doc_id").asc()
+    )
+    sys10 = (
+        cand.withColumn("rnk", F.row_number().over(w_sys))
+        .filter(F.col("rnk") <= 10)
+        .join(F.broadcast(disc), F.col("rnk") == F.col("r"))
+        .groupBy("term")
+        .agg(
+            F.sum(F.col("gain") * F.col("disc_micro"))
+            .cast("bigint")
+            .alias("dcg_micro")
+        )
+    )
+    ideal10 = (
+        cand.withColumn("rnk", F.row_number().over(w_ideal))
+        .filter(F.col("rnk") <= 10)
+        .join(F.broadcast(disc), F.col("rnk") == F.col("r"))
+        .groupBy("term")
+        .agg(
+            F.sum(F.col("gain") * F.col("disc_micro"))
+            .cast("bigint")
+            .alias("idcg_micro"),
+            F.sum(F.when(F.col("gain") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rel_ideal10"),
+        )
+    )
+    return (
+        sys10.join(F.broadcast(ideal10), "term")
+        .select(
+            "term",
+            "dcg_micro",
+            "idcg_micro",
+            "n_rel_ideal10",
+            F.expr(
+                "CAST(dcg_micro * 10000 div greatest(idcg_micro, 1) AS BIGINT)"
+            ).alias("ndcg_bps"),
+        )
+        .orderBy("term")
+    )

@@ -1970,3 +1970,287 @@ def opt1_join_order_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("est_first_join_rows").asc(), F.col("plan_order").asc())
     )
+
+
+@_register(
+    "opt2_histogram_selectivity",
+    """
+    WITH o AS (
+      SELECT CAST(floor(o_totalprice) AS BIGINT) AS pc FROM orders
+    ),
+    b AS (
+      SELECT MIN(pc) AS pmin, MAX(pc) AS pmax,
+             CAST((MAX(pc) - MIN(pc) + 32) // 32 AS BIGINT) AS w
+      FROM o
+    ),
+    hist AS (
+      SELECT CAST((o.pc - b.pmin) // b.w AS BIGINT) AS cell,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM o, b GROUP BY 1
+    ),
+    specs AS (
+      SELECT * FROM (VALUES
+        ('narrow_low', 0, 1), ('mid_band', 2, 4),
+        ('wide_band', 1, 7), ('upper_half', 4, 8)
+      ) AS t(predicate, a8, b8)
+    ),
+    preds AS (
+      SELECT s.predicate,
+             CAST(b.pmin + (b.pmax - b.pmin + 1) * s.a8 // 8 AS BIGINT) AS lo,
+             CAST(b.pmin + (b.pmax - b.pmin + 1) * s.b8 // 8 AS BIGINT) AS hi
+      FROM specs s, b
+    ),
+    est AS (
+      SELECT p.predicate, p.lo, p.hi,
+             CAST(SUM(h.cnt * (greatest(
+                    least(b.pmin + (h.cell + 1) * b.w, p.hi)
+                    - greatest(b.pmin + h.cell * b.w, p.lo), 0)
+                  * 1000000 // b.w)) AS BIGINT) AS est_rows_micro
+      FROM hist h, b, preds p
+      GROUP BY 1, 2, 3
+    ),
+    actual AS (
+      SELECT p.predicate, CAST(COUNT(*) AS BIGINT) AS actual_rows
+      FROM o JOIN preds p ON o.pc >= p.lo AND o.pc < p.hi
+      GROUP BY 1
+    )
+    SELECT e.predicate, e.lo, e.hi, e.est_rows_micro, a.actual_rows,
+           CAST(abs(e.est_rows_micro - a.actual_rows * 1000000) * 10000
+                // greatest(a.actual_rows * 1000000, 1) AS BIGINT) AS err_bps
+    FROM est e JOIN actual a ON e.predicate = a.predicate
+    ORDER BY e.predicate
+    """,
+)
+def opt2_histogram_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width-histogram selectivity estimation audited against the
+    exact counts -- the SCAN-side CBO primitive beside opt1's join
+    ranking: a 32-cell histogram on floor(o_totalprice) (whole
+    dollars; floor of a double is bit-identical cross-engine, unlike
+    rounding) estimates each range predicate's row count by full
+    cells + linearly-interpolated edge cells (Selinger 1979 sec 4),
+    and err_bps prices the estimator per predicate shape
+    (narrow/mid/wide/half, defined as data-driven eighths of the
+    observed domain so the query is sf-invariant).
+
+    Everything is exact integer arithmetic in a FIXED operation
+    order: frac_micro = overlap*1e6 div w first, then cnt *
+    frac_micro (keeps every intermediate under ~1.5e12 at any sf --
+    no overflow and no cross-engine product-order drift).
+
+    Scale shape: one map-combined 32-group aggregate + one 1-row
+    bounds aggregate over a single-column projection of orders; the
+    estimate itself is a 32x4 broadcast grid. The exact `actual`
+    pass (one more scan against a 4-row broadcast) is the
+    calibration run production omits -- at 100 TB the histogram IS
+    the metadata and only the grid math runs.
+
+    vs a18_log_histogram_quantiles: a18 inverts a histogram into
+    quantiles; this runs the planner direction -- predicate ->
+    estimated cardinality -> error audit."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.expr("CAST(floor(o_totalprice) AS BIGINT)").alias("pc"))
+        .localCheckpoint(eager=False)  # bounds, hist, actual share it
+    )
+    b = o.agg(
+        F.min("pc").alias("pmin"),
+        F.max("pc").alias("pmax"),
+    ).select(
+        "pmin",
+        "pmax",
+        F.expr("CAST((pmax - pmin + 32) div 32 AS BIGINT)").alias("w"),
+    )
+    hist = (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(F.expr("CAST((pc - pmin) div w AS BIGINT)").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    specs = spark.createDataFrame(
+        [("narrow_low", 0, 1), ("mid_band", 2, 4), ("wide_band", 1, 7), ("upper_half", 4, 8)],
+        ["predicate", "a8", "b8"],
+    )
+    preds = specs.crossJoin(F.broadcast(b)).select(
+        "predicate",
+        F.expr("CAST(pmin + (pmax - pmin + 1) * a8 div 8 AS BIGINT)").alias("lo"),
+        F.expr("CAST(pmin + (pmax - pmin + 1) * b8 div 8 AS BIGINT)").alias("hi"),
+    ).localCheckpoint(eager=False)  # est grid + actual pass share it
+    est = (
+        hist.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(preds))
+        .groupBy("predicate", "lo", "hi")
+        .agg(
+            F.expr(
+                "CAST(SUM(cnt * (greatest(least(pmin + (cell + 1) * w, hi)"
+                " - greatest(pmin + cell * w, lo), 0)"
+                " * 1000000 div w)) AS BIGINT)"
+            ).alias("est_rows_micro")
+        )
+    )
+    actual = (
+        o.crossJoin(F.broadcast(preds))
+        .where((F.col("pc") >= F.col("lo")) & (F.col("pc") < F.col("hi")))
+        .groupBy("predicate")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
+    )
+    return (
+        est.join(F.broadcast(actual), "predicate")
+        .select(
+            "predicate",
+            "lo",
+            "hi",
+            "est_rows_micro",
+            "actual_rows",
+            F.expr(
+                "CAST(abs(est_rows_micro - actual_rows * 1000000) * 10000"
+                " div greatest(actual_rows * 1000000, 1) AS BIGINT)"
+            ).alias("err_bps"),
+        )
+        .orderBy("predicate")
+    )
+
+
+@_register(
+    "ml_decision_stump",
+    """
+    WITH d AS (
+      SELECT CAST(n_chars AS BIGINT) AS x,
+             CASE WHEN list_contains(string_split(text, ' '), 'spark')
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    b AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax, COUNT(*) AS n FROM d),
+    thr AS (
+      SELECT CAST(b.xmin + (b.xmax - b.xmin + 1) * g.i // 16 AS BIGINT) AS thr
+      FROM b CROSS JOIN (
+        SELECT UNNEST([1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]) AS i) g
+    ),
+    split AS (
+      SELECT t.thr,
+             CAST(SUM(CASE WHEN d.x < t.thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_left,
+             CAST(SUM(CASE WHEN d.x < t.thr THEN d.y ELSE 0 END) AS BIGINT)
+               AS pos_left,
+             CAST(SUM(CASE WHEN d.x >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_right,
+             CAST(SUM(CASE WHEN d.x >= t.thr THEN d.y ELSE 0 END) AS BIGINT)
+               AS pos_right
+      FROM d CROSS JOIN thr t GROUP BY 1
+    ),
+    scored AS (
+      SELECT thr, n_left, pos_left, n_right, pos_right,
+             CAST((2 * (pos_left * 1000000 // greatest(n_left, 1))
+                     * (1000000 - pos_left * 1000000 // greatest(n_left, 1))
+                     // 1000000 * n_left
+                   + 2 * (pos_right * 1000000 // greatest(n_right, 1))
+                     * (1000000 - pos_right * 1000000 // greatest(n_right, 1))
+                     // 1000000 * n_right)
+                  // (n_left + n_right) AS BIGINT) AS gini_micro,
+             CAST((greatest(pos_left, n_left - pos_left)
+                   + greatest(pos_right, n_right - pos_right)) * 10000
+                  // (n_left + n_right) AS BIGINT) AS acc_bps
+      FROM split
+    )
+    SELECT thr, n_left, pos_left, n_right, pos_right, gini_micro, acc_bps,
+           CASE WHEN gini_micro = (SELECT MIN(gini_micro) FROM scored)
+                THEN 1 ELSE 0 END AS is_best
+    FROM scored
+    ORDER BY thr
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training AS A QUERY -- the CART split search
+    (Breiman 1984) that gradient-boosted trees and feature-importance
+    audits run millions of times, here once over a real learnable
+    relationship: predict whether a doc contains 'spark' from
+    n_chars (longer docs are more likely to contain any fixed vocab
+    word, so the threshold is genuinely informative -- the best split
+    beats the majority baseline, visible in acc_bps). 15 candidate
+    thresholds at data-driven sixteenths of the feature domain; per
+    threshold the weighted binary Gini impurity 2p(1-p) in
+    MICRO-QUANTIZED exact integers (p_micro = pos*1e6 div n first,
+    then the product -- every intermediate under 1e12, identical in
+    both engines; the quantization IS the metric's definition) and
+    the majority-vote accuracy; is_best flags the argmin.
+
+    Scale shape: one 1-row bounds aggregate, then ONE conditional-agg
+    pass over the fact against a 15-row broadcast threshold grid --
+    the split search never shuffles the data per candidate (the
+    groupBy carries 15 groups, map-combined). The weighted-gini
+    product g*n stays in int64 up to ~9e12 rows.
+
+    vs ml_naive_bayes_model / ml_knn_classifier: those score with
+    FIXED parameters; this row SEARCHES parameter space -- the
+    training step stated declaratively."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.col("n_chars").cast("bigint").alias("x"),
+            F.when(
+                F.array_contains(F.split(F.col("text"), " "), "spark"), 1
+            )
+            .otherwise(0)
+            .alias("y"),
+        )
+        .localCheckpoint(eager=False)  # bounds + split pass share it
+    )
+    b = d.agg(F.min("x").alias("xmin"), F.max("x").alias("xmax"))
+    grid = spark.createDataFrame([(i,) for i in range(1, 16)], "i: bigint")
+    thr = grid.crossJoin(F.broadcast(b)).select(
+        F.expr("CAST(xmin + (xmax - xmin + 1) * i div 16 AS BIGINT)").alias("thr")
+    )
+    split = (
+        d.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("x") < F.col("thr"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_left"),
+            F.sum(F.when(F.col("x") < F.col("thr"), F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("pos_left"),
+            F.sum(F.when(F.col("x") >= F.col("thr"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_right"),
+            F.sum(F.when(F.col("x") >= F.col("thr"), F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("pos_right"),
+        )
+    )
+    scored = split.select(
+        "thr",
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
+        F.expr(
+            "CAST((2 * (pos_left * 1000000 div greatest(n_left, 1))"
+            " * (1000000 - pos_left * 1000000 div greatest(n_left, 1))"
+            " div 1000000 * n_left"
+            " + 2 * (pos_right * 1000000 div greatest(n_right, 1))"
+            " * (1000000 - pos_right * 1000000 div greatest(n_right, 1))"
+            " div 1000000 * n_right)"
+            " div (n_left + n_right) AS BIGINT)"
+        ).alias("gini_micro"),
+        F.expr(
+            "CAST((greatest(pos_left, n_left - pos_left)"
+            " + greatest(pos_right, n_right - pos_right)) * 10000"
+            " div (n_left + n_right) AS BIGINT)"
+        ).alias("acc_bps"),
+    ).localCheckpoint(eager=False)  # best-flag join shares it
+    best = scored.agg(F.min("gini_micro").alias("best_gini"))
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            "thr",
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            "gini_micro",
+            "acc_bps",
+            F.when(F.col("gini_micro") == F.col("best_gini"), 1)
+            .otherwise(0)
+            .alias("is_best"),
+        )
+        .orderBy("thr")
+    )

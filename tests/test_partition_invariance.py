@@ -106,6 +106,10 @@ FLOAT_SENSITIVE = [
     "graph_local_clustering",
     "graph_link_prediction",
     "u30_zone_map_skipping",
+    "opt2_histogram_selectivity",
+    "u31_bloom_skipping",
+    "ret8_ndcg_eval",
+    "ml_decision_stump",
 ]
 
 

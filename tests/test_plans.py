@@ -182,6 +182,10 @@ _NLJ_ALLOWED = {
     "a21_cms_planner",  # width/hash-grid broadcasts + 1-row total
     "dq24_duplicate_payments",  # 1-row exposure-totals broadcast
     "graph_reciprocity",  # 1-row edges x 1-row mutual broadcast
+    "opt2_histogram_selectivity",  # 1-row bounds + 32-cell x 4-predicate grid broadcasts
+    "u31_bloom_skipping",  # 3-multiplier grid + 1-row stats + 5-probe broadcasts
+    "ml_decision_stump",  # 1-row bounds + 15-row threshold grid + 1-row argmin broadcasts
+    "ret8_ndcg_eval",  # 5-row query-term + 10-row discount-table broadcasts (the ret7 shape)
 }
 
 

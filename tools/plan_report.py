@@ -260,6 +260,10 @@ EXTRA = [
     "ret7_mrr_eval",
     "graph_local_clustering",
     "u30_zone_map_skipping",
+    "opt2_histogram_selectivity",
+    "u31_bloom_skipping",
+    "ret8_ndcg_eval",
+    "ml_decision_stump",
 ]
 
 
