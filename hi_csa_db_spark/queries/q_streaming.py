@@ -20,7 +20,11 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from hi_csa_db_spark.catalog import load_table, load_tables
-from hi_csa_db_spark.functions.hashing import KNUTH_HASH32_SQL, knuth_hash32
+from hi_csa_db_spark.functions.hashing import (
+    KNUTH_HASH32_SQL,
+    MULT_HASH32_SQL,
+    knuth_hash32,
+)
 from hi_csa_db_spark.functions.text import absolutize_url, slugify, strip_punct, tokenize
 from hi_csa_db_spark.operators import classify, dedup, graph, ordered, similarity, textstats
 from hi_csa_db_spark.operators.merge import db_merge, union_streams
@@ -507,3 +511,74 @@ def stream_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hi_csa_db_spark.streaming import windows
 
     return windows.hll_daily_distinct(spark, sf_dir)
+
+
+@_register(
+    "stream_cms_topk",
+    f"""
+    WITH grid AS (
+      SELECT * FROM (VALUES
+        (1, 2654435761), (2, 2246822519), (3, 3266489917)
+      ) AS t(a_id, a)
+    ),
+    e AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(user_id AS BIGINT) AS user_id
+      FROM events
+    ),
+    cms AS (
+      SELECT e.day, g.a_id,
+             CAST(({MULT_HASH32_SQL.format(key='e.user_id', a='g.a')}) % 256
+                  AS BIGINT) AS cms_col,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM e CROSS JOIN grid g
+      GROUP BY 1, 2, 3
+    ),
+    exact AS (
+      SELECT day, user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM e GROUP BY 1, 2
+    ),
+    top3 AS (
+      SELECT day, user_id, exact_cnt,
+             ROW_NUMBER() OVER (PARTITION BY day
+                                ORDER BY exact_cnt DESC, user_id ASC) AS rnk
+      FROM exact QUALIFY rnk <= 3
+    ),
+    probe AS (
+      SELECT t.day, t.user_id, t.exact_cnt, t.rnk, g.a_id,
+             CAST(({MULT_HASH32_SQL.format(key='t.user_id', a='g.a')}) % 256
+                  AS BIGINT) AS cms_col
+      FROM top3 t CROSS JOIN grid g
+    ),
+    est AS (
+      SELECT p.day, p.user_id, p.exact_cnt,
+             CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+      FROM probe p
+      JOIN cms c ON c.day = p.day AND c.a_id = p.a_id
+                AND c.cms_col = p.cms_col
+      GROUP BY 1, 2, 3
+    )
+    SELECT day, user_id, exact_cnt, cms_est,
+           CAST((cms_est - exact_cnt) * 10000
+                // greatest(exact_cnt, 1) AS BIGINT) AS over_bps
+    FROM est
+    ORDER BY day ASC, cms_est DESC, user_id ASC LIMIT 90
+    """,
+)
+def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters as a REAL streaming stateful
+    aggregation (watermark + day windows + AvailableNow, memory
+    sink): state is the (day, hash-row, column) count — depth 3 x
+    width 256 per open day, mergeable by SUM, the additive algebra
+    a11/a21 prove batch-side now maintained by the streaming
+    planner. The read-out joins the sink's sketch table against the
+    exact daily top-3 (calibration) and takes the row-wise MIN;
+    over_bps prices the one-sided overestimate. Completes the
+    streaming sketch trio: stream_hll_daily (distincts, merge=MAX),
+    stream_quantile_sketch (quantiles, merge=SUM of buckets), and
+    now frequencies (merge=SUM of cells). The oracle recomputes the
+    identical portable-multiplicative-hash sketch from the batch
+    table."""
+    from hi_csa_db_spark.streaming import windows
+
+    return windows.cms_topk_daily(spark, sf_dir)

@@ -3238,3 +3238,108 @@ def t50_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.orderBy(
         F.col("twap_micro").desc(), F.col("user_id").asc(), F.col("day_n").asc()
     ).limit(15)
+
+
+@_register(
+    "t51_event_regex_match",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             substring(event_type, 1, 1) AS ch,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, day,
+             string_agg(ch, '' ORDER BY t ASC, event_id ASC) AS seq
+      FROM e GROUP BY 1, 2
+    ),
+    pats AS (
+      SELECT * FROM (VALUES
+        ('funnel', 'v+c+p'),
+        ('error_retry', 'e[vc]*e'),
+        ('signup_to_purchase', 's.*p')
+      ) AS t(pattern_name, pattern)
+    ),
+    m AS (
+      SELECT p.pattern_name, p.pattern,
+             CAST(len(regexp_extract_all(s.seq, p.pattern)) AS BIGINT) AS nm
+      FROM seq s CROSS JOIN pats p
+    )
+    SELECT pattern_name, pattern,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN nm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched_sessions,
+           CAST(SUM(nm) AS BIGINT) AS total_matches,
+           CAST(SUM(CASE WHEN nm > 0 THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS matched_bps
+    FROM m GROUP BY 1, 2
+    ORDER BY pattern_name
+    """,
+)
+def t51_event_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern detection over per-(user, day) event streams
+    -- the MATCH_RECOGNIZE workload (SQL:2016 row-pattern matching,
+    which neither engine ships) re-expressed as encode-then-regex:
+    each user-day's events are ordered by (epoch-micros, event_id)
+    and encoded to one char per event (the five event types have
+    distinct initials), and three patterns run against the encoded
+    string -- strict-adjacency funnel v+c+p (views then carts then a
+    purchase with nothing in between, which t5's loose funnel can't
+    require), error_retry e[vc]*e (an error, retry activity, another
+    error), and signup_to_purchase s.*p. Non-overlapping match counts
+    agree across Java regex and RE2 for these leftmost-greedy
+    patterns; per pattern: sessions scanned/matched, total matches,
+    matched share in bps.
+
+    Scale shape: ONE (user, day) groupBy builds the encoded strings
+    (bounded per-group size -- a day of one user's events); the
+    pattern dimension is a 3-row literal broadcast; no per-user
+    global window, no driver loop. At 100 TB the encode-aggregate is
+    the same shuffle t2's sessionization already pays."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id",
+        F.expr("CAST(ts_ns div 1000 div 86400000000 AS BIGINT)").alias("day"),
+        F.struct(
+            F.expr("ts_ns div 1000").alias("t"),
+            F.col("event_id").alias("event_id"),
+            F.expr("substring(event_type, 1, 1)").alias("ch"),
+        ).alias("s"),
+    )
+    seq = rows.groupBy("user_id", "day").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list("s")), lambda s: s["ch"]
+            ),
+        ).alias("seq")
+    )
+    pats = spark.createDataFrame(
+        [
+            ("funnel", "v+c+p"),
+            ("error_retry", "e[vc]*e"),
+            ("signup_to_purchase", "s.*p"),
+        ],
+        ["pattern_name", "pattern"],
+    )
+    m = seq.crossJoin(F.broadcast(pats)).select(
+        "pattern_name",
+        "pattern",
+        F.expr("CAST(regexp_count(seq, pattern) AS BIGINT)").alias("nm"),
+    )
+    return (
+        m.groupBy("pattern_name", "pattern")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("nm") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_matched_sessions"),
+            F.sum("nm").cast("bigint").alias("total_matches"),
+            F.expr(
+                "CAST(SUM(CASE WHEN nm > 0 THEN 1 ELSE 0 END) * 10000"
+                " div COUNT(1) AS BIGINT)"
+            ).alias("matched_bps"),
+        )
+        .orderBy("pattern_name")
+    )

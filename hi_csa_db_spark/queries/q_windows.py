@@ -2677,3 +2677,157 @@ def a21_cms_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("width").asc())
     )
+
+
+@_register(
+    "a22_kmv_distinct",
+    """
+    WITH w AS (
+      SELECT source, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT DISTINCT w.source, w.ws[i] || '_' || w.ws[i + 1] AS bigram
+      FROM w, UNNEST(range(1, len(w.ws))) AS t(i)
+    ),
+    h AS (
+      SELECT source, bigram,
+             CAST('0x' || substring(md5(bigram), 1, 8) AS BIGINT) AS hv
+      FROM bg
+    ),
+    kept AS (
+      SELECT source, hv,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY hv ASC, bigram ASC) AS rnk
+      FROM h QUALIFY rnk <= 64
+    ),
+    per_source AS (
+      SELECT source AS scope, CAST(COUNT(*) AS BIGINT) AS sketch_n,
+             CAST(MAX(hv) AS BIGINT) AS kth_min
+      FROM kept GROUP BY source
+    ),
+    merged AS (
+      SELECT 'ALL_MERGED' AS scope,
+             CAST(COUNT(*) AS BIGINT) AS sketch_n,
+             CAST(MAX(hv) AS BIGINT) AS kth_min
+      FROM (
+        SELECT DISTINCT hv FROM kept ORDER BY hv ASC LIMIT 64
+      )
+    ),
+    exacts AS (
+      SELECT source AS scope, CAST(COUNT(DISTINCT bigram) AS BIGINT)
+               AS exact_distinct
+      FROM bg GROUP BY source
+      UNION ALL
+      SELECT 'ALL_MERGED', CAST(COUNT(DISTINCT bigram) AS BIGINT) FROM bg
+    ),
+    sk AS (SELECT * FROM per_source UNION ALL SELECT * FROM merged)
+    SELECT s.scope, e.exact_distinct, s.kth_min,
+           CAST(CASE WHEN s.sketch_n < 64 THEN s.sketch_n
+                     ELSE 63 * 4294967296 // s.kth_min END AS BIGINT)
+             AS est_distinct,
+           CAST(abs(CASE WHEN s.sketch_n < 64 THEN s.sketch_n
+                         ELSE 63 * 4294967296 // s.kth_min END
+                    - e.exact_distinct) * 10000
+                // e.exact_distinct AS BIGINT) AS err_bps
+    FROM sk s JOIN exacts e ON s.scope = e.scope
+    ORDER BY s.scope
+    """,
+)
+def a22_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=64 (Bar-Yossef
+    et al. 2002): per source, keep the 64 smallest 32-bit hashes of
+    the token-BIGRAM vocabulary (the ~700-value domain where k<n, so
+    the estimator actually estimates) and read the cardinality off
+    the kth minimum as (k-1)*2^32/h_k. The ALL_MERGED row is built
+    from the PER-SOURCE SKETCH ROWS ONLY (64 smallest of the union
+    of 20x64 kept hashes -- never rescanning the corpus): the
+    mergeability that lets 1000 executors sketch shards
+    independently and a coordinator union 64-row states. Exact
+    distincts ride along as calibration (err_bps); sketch_n < k
+    falls back to exact-by-construction counting.
+
+    Completes the cardinality-sketch tier: a12/a19 HLL (fixed 2.5 KB
+    registers, no set ops beyond union), a20 one-perm MinHash
+    (Jaccard, not cardinality) -- KMV gives cardinality from a
+    64-value state that also supports union by construction.
+
+    Scale shape: one distinct (source,bigram) shuffle, a window
+    partitioned BY SOURCE (bounded by per-source vocab, never
+    global), then 20x64-row sketch algebra. The merged top-64 is a
+    TakeOrdered over <=1280 sketch rows, not corpus data."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select(F.col("source"), F.split(F.col("text"), " ").alias("ws"))
+        .where(F.size("ws") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(element_at(ws, i), '_', element_at(ws, i + 1)))"
+                )
+            ).alias("bigram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # sketch build + exact calibration share it
+    )
+    h = bg.select(
+        "source",
+        "bigram",
+        F.conv(F.substring(F.md5(F.col("bigram")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    wk = Window.partitionBy("source").orderBy(
+        F.col("hv").asc(), F.col("bigram").asc()
+    )
+    kept = (
+        h.withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= 64)
+        .localCheckpoint(eager=False)  # per-source + merged rows share it
+    )
+    per_source = kept.groupBy(F.col("source").alias("scope")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sketch_n"),
+        F.max("hv").cast("bigint").alias("kth_min"),
+    )
+    merged = (
+        kept.select("hv")
+        .distinct()
+        .orderBy(F.col("hv").asc())
+        .limit(64)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sketch_n"),
+            F.max("hv").cast("bigint").alias("kth_min"),
+        )
+        .select(F.lit("ALL_MERGED").alias("scope"), "sketch_n", "kth_min")
+    )
+    exacts = (
+        bg.groupBy(F.col("source").alias("scope"))
+        .agg(F.countDistinct("bigram").cast("bigint").alias("exact_distinct"))
+        .unionByName(
+            bg.agg(
+                F.countDistinct("bigram").cast("bigint").alias("exact_distinct")
+            ).select(F.lit("ALL_MERGED").alias("scope"), "exact_distinct")
+        )
+    )
+    est = F.expr(
+        "CAST(CASE WHEN sketch_n < 64 THEN sketch_n"
+        " ELSE 63 * 4294967296 div kth_min END AS BIGINT)"
+    )
+    return (
+        per_source.unionByName(merged)
+        .join(exacts, "scope")
+        .select(
+            "scope",
+            "exact_distinct",
+            "kth_min",
+            est.alias("est_distinct"),
+            F.expr(
+                "CAST(abs(CASE WHEN sketch_n < 64 THEN sketch_n"
+                " ELSE 63 * 4294967296 div kth_min END - exact_distinct)"
+                " * 10000 div exact_distinct AS BIGINT)"
+            ).alias("err_bps"),
+        )
+        .orderBy("scope")
+    )

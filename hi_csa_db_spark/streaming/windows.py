@@ -519,3 +519,94 @@ def hll_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("day").asc())
         .limit(40)
     )
+
+
+def cms_topk_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily heavy hitters through a STREAMING count-min sketch
+    (round 9): the stateful piece is the watermarked (day-window,
+    hash-row, column) COUNT — CMS state is depth 3 x width 256 per
+    open day, mergeable by SUM (the same additive algebra
+    a11/a21 prove batch-side), maintained by the real streaming
+    planner (watermark + day windows + AvailableNow, memory sink).
+    The read-out joins the sink's sketch table against the exact
+    top-3 users per day (batch-side calibration) and takes the
+    row-wise MIN — the CMS point estimate, always >= exact, with
+    the overestimate priced in over_bps."""
+    from pyspark.sql import Window
+
+    from hi_csa_db_spark.functions.hashing import mult_hash32
+
+    ev = read_events_stream(spark, sf_dir)
+    grid = spark.createDataFrame(
+        [(1, 2654435761), (2, 2246822519), (3, 3266489917)],
+        "a_id: bigint, a: bigint",
+    )
+    h = ev.select("ts", "user_id", F.lit(1).alias("one")).join(
+        F.broadcast(grid.withColumn("one", F.lit(1))), "one"
+    )
+    cms = (
+        h.select(
+            "ts",
+            "a_id",
+            (mult_hash32(F.col("user_id"), F.col("a")) % F.lit(256))
+            .cast("bigint")
+            .alias("cms_col"),
+        )
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day"), "a_id", "cms_col")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+            "a_id",
+            "cms_col",
+            "cnt",
+        )
+    )
+    sink = _run_to_memory(cms, "stream_cms_daily_regs", "complete")
+    from hi_csa_db_spark.catalog import normalize_events
+
+    exact = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .transform(normalize_events)
+        .select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+        .groupBy("day", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+    )
+    wd = Window.partitionBy("day").orderBy(
+        F.col("exact_cnt").desc(), F.col("user_id").asc()
+    )
+    top3 = exact.withColumn("rnk", F.row_number().over(wd)).where(
+        F.col("rnk") <= 3
+    )
+    probe = top3.crossJoin(F.broadcast(grid)).select(
+        "day",
+        "user_id",
+        "exact_cnt",
+        "rnk",
+        "a_id",
+        (mult_hash32(F.col("user_id"), F.col("a")) % F.lit(256))
+        .cast("bigint")
+        .alias("cms_col"),
+    )
+    est = (
+        probe.join(sink, ["day", "a_id", "cms_col"])
+        .groupBy("day", "user_id", "exact_cnt", "rnk")
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "day",
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            F.expr(
+                "CAST((cms_est - exact_cnt) * 10000"
+                " div greatest(exact_cnt, 1) AS BIGINT)"
+            ).alias("over_bps"),
+        )
+        .orderBy(F.col("day").asc(), F.col("cms_est").desc(), F.col("user_id").asc())
+        .limit(90)
+    )

@@ -110,6 +110,8 @@ FLOAT_SENSITIVE = [
     "u31_bloom_skipping",
     "ret8_ndcg_eval",
     "ml_decision_stump",
+    "t51_event_regex_match",
+    "a22_kmv_distinct",
 ]
 
 

@@ -186,6 +186,7 @@ _NLJ_ALLOWED = {
     "u31_bloom_skipping",  # 3-multiplier grid + 1-row stats + 5-probe broadcasts
     "ml_decision_stump",  # 1-row bounds + 15-row threshold grid + 1-row argmin broadcasts
     "ret8_ndcg_eval",  # 5-row query-term + 10-row discount-table broadcasts (the ret7 shape)
+    "t51_event_regex_match",  # 3-row pattern-dimension literal broadcast
 }
 
 
