@@ -4962,3 +4962,153 @@ def x95_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@_register(
+    "x96_kneser_ney_mass",
+    """
+    WITH w AS (
+      SELECT string_split(text, ' ') AS ws FROM documents
+      WHERE source = 'src0' AND len(string_split(text, ' ')) >= 2
+    ),
+    pairs AS (
+      SELECT w.ws[i] AS w1, w.ws[i + 1] AS w2
+      FROM w, UNNEST(range(1, len(w.ws))) AS t(i)
+    ),
+    c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT w1, CAST(SUM(c) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1p_w1
+      FROM c12 GROUP BY 1
+    ),
+    cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_cont FROM c12 GROUP BY 1
+    ),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM c12),
+    vocab AS (
+      SELECT DISTINCT tok AS w2
+      FROM w, UNNEST(w.ws) AS u(tok)
+    ),
+    grid AS (
+      SELECT a.w1, a.c1, a.n1p_w1, v.w2,
+             COALESCE(b.c, 0) AS c12,
+             COALESCE(n.n1p_cont, 0) AS n1p_cont,
+             tt.t
+      FROM c1 a
+      CROSS JOIN vocab v
+      CROSS JOIN tt
+      LEFT JOIN c12 b ON b.w1 = a.w1 AND b.w2 = v.w2
+      LEFT JOIN cont n ON n.w2 = v.w2
+    ),
+    scored AS (
+      SELECT w1, c1, n1p_w1, c12,
+             greatest(c12 * 1000000 - 750000, 0) // c1
+             + (750000 * n1p_w1 // c1)
+               * (n1p_cont * 1000000 // t) // 1000000 AS p_micro
+      FROM grid
+    )
+    SELECT w1, CAST(MAX(c1) AS BIGINT) AS c1,
+           CAST(MAX(n1p_w1) AS BIGINT) AS n_seen_continuations,
+           CAST(SUM(CASE WHEN c12 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unseen_pairs,
+           CAST(SUM(CASE WHEN c12 = 0 THEN p_micro ELSE 0 END) AS BIGINT)
+             AS unseen_mass_micro,
+           CAST(SUM(p_micro) AS BIGINT) AS sum_pkn_micro
+    FROM scored
+    GROUP BY w1
+    ORDER BY w1
+    """,
+)
+def x96_kneser_ney_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram smoothing (Kneser & Ney 1995,
+    absolute discount D=0.75) -- the smoothing stage x15's MLE
+    fluency score lacks: unseen bigrams receive discounted mass
+    routed through CONTINUATION probability (how many contexts a
+    word completes, not how often it occurs -- the 'San Francisco'
+    correction). Trained on the src0 sub-corpus (where a real
+    unseen-pair mass exists at every sf) and scored over the full
+    vocab x vocab grid in exact integer micros with a FIXED
+    operation order; the output is the per-context AUDIT row: seen
+    continuations, unseen pair count, the mass KN moves to unseen
+    pairs, and sum_pkn_micro ~ 1e6 -- the normalization proof
+    (sum over w2 of P_KN(w2|w1) = 1 up to floor-division rounding),
+    which a mis-implemented smoother fails immediately.
+
+    Scale shape: bigram/context/continuation counts are Zipf-small
+    map-combined aggregates; the scoring grid is vocab^2 --
+    dimension-bounded (31x31 here; even a 100k-type vocab keeps the
+    grid independent of corpus row count, and a real deployment
+    prunes it to the probe set). No global windows, no Python UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.where(F.col("source") == "src0")
+        .select(F.split(F.col("text"), " ").alias("ws"))
+        .where(F.size("ws") >= 2)
+        .localCheckpoint(eager=False)  # pair counts + vocab share it
+    )
+    pairs = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(element_at(ws, i) AS w1,"
+                " element_at(ws, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)  # c1/cont/types/grid share it
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p_w1"),
+    )
+    cont = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1p_cont")
+    )
+    tt = c12.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    vocab = (
+        w.select(F.explode("ws").alias("w2")).distinct()
+    )
+    grid = (
+        c1.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(tt))
+        .join(F.broadcast(c12.withColumnRenamed("c", "c12v")), ["w1", "w2"], "left")
+        .join(F.broadcast(cont), "w2", "left")
+        .select(
+            "w1",
+            "c1",
+            "n1p_w1",
+            "w2",
+            F.expr("COALESCE(c12v, 0)").alias("c12"),
+            F.expr("COALESCE(n1p_cont, 0)").alias("n1p_cont"),
+            "t",
+        )
+    )
+    scored = grid.select(
+        "w1",
+        "c1",
+        "n1p_w1",
+        "c12",
+        F.expr(
+            "greatest(c12 * 1000000 - 750000, 0) div c1"
+            " + (750000 * n1p_w1 div c1)"
+            " * (n1p_cont * 1000000 div t) div 1000000"
+        ).alias("p_micro"),
+    )
+    return (
+        scored.groupBy("w1")
+        .agg(
+            F.max("c1").cast("bigint").alias("c1"),
+            F.max("n1p_w1").cast("bigint").alias("n_seen_continuations"),
+            F.sum(F.when(F.col("c12") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unseen_pairs"),
+            F.sum(F.when(F.col("c12") == 0, F.col("p_micro")).otherwise(0))
+            .cast("bigint")
+            .alias("unseen_mass_micro"),
+            F.sum("p_micro").cast("bigint").alias("sum_pkn_micro"),
+        )
+        .orderBy("w1")
+    )

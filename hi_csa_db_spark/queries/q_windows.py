@@ -2831,3 +2831,102 @@ def a22_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scope")
     )
+
+
+# round(1e6 * 2^(-d/7)) for day-deltas d = 0..29: the 7-day-half-life
+# decay table a23 folds against. PRECOMPUTED so no pow()/exp() crosses
+# the engine boundary (the ret8 discount-table discipline).
+_DECAY_MICRO_7D = (
+    1000000, 905724, 820335, 742997, 672950, 609507, 552045, 500000,
+    452862, 410168, 371499, 336475, 304753, 276022, 250000, 226431,
+    205084, 185749, 168238, 152377, 138011, 125000, 113215, 102542,
+    92875, 84119, 76188, 69006, 62500, 56608,
+)
+
+
+@_register(
+    "a23_decayed_counts",
+    f"""
+    WITH e AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ),
+    ref AS (SELECT MAX(day) AS tref FROM e),
+    per_day AS (
+      SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM e GROUP BY 1, 2
+    ),
+    decay AS (
+      SELECT UNNEST(range(0, 30)) AS d,
+             UNNEST({list(_DECAY_MICRO_7D)}) AS w_micro
+    ),
+    scored AS (
+      SELECT p.user_id,
+             CAST(SUM(p.cnt) AS BIGINT) AS total_events,
+             CAST(SUM(CASE WHEN r.tref - p.day <= 6 THEN p.cnt ELSE 0 END)
+                  AS BIGINT) AS last7d_events,
+             CAST(SUM(p.cnt * k.w_micro) AS BIGINT) AS decayed_micro
+      FROM per_day p
+      CROSS JOIN ref r
+      JOIN decay k ON k.d = r.tref - p.day
+      GROUP BY 1
+    )
+    SELECT user_id, total_events, last7d_events, decayed_micro
+    FROM scored
+    ORDER BY decayed_micro DESC, user_id ASC LIMIT 20
+    """,
+)
+def a23_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity counters (7-day half-life,
+    30-day window) -- the feature-store primitive behind recency-
+    weighted engagement scores, session quality, and trending ranks:
+    per user, daily event counts fold against a PRECOMPUTED integer-
+    micro decay table round(1e6 * 2^(-d/7)) for day-deltas 0..29
+    (the ret8 discount-table discipline -- no pow() crosses the
+    engine boundary; contributions older than the 30-day table are
+    zero by the metric's definition). total_events and the naive
+    last-7-days count ride along to show what decay reorders: a
+    burst 3 weeks ago outranks steady trickle on totals but not on
+    decayed_micro.
+
+    Scale shape: one (user, day) map-combined aggregate, a 1-row
+    reference-day broadcast, a 30-row decay-table equi-join, then a
+    per-user sum -- two shuffles total, both on user_id; the top-20
+    is TakeOrdered, never a global sort."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(ts_ns div 1000 div 86400000000 AS BIGINT)").alias("day"),
+    )
+    per_day = e.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    ref = e.agg(F.max("day").alias("tref"))
+    decay = spark.createDataFrame(
+        [(d, w) for d, w in enumerate(_DECAY_MICRO_7D)],
+        "d: bigint, w_micro: bigint",
+    )
+    scored = (
+        per_day.crossJoin(F.broadcast(ref))
+        .join(
+            F.broadcast(decay),
+            F.col("d") == F.col("tref") - F.col("day"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("total_events"),
+            F.sum(
+                F.when(F.col("tref") - F.col("day") <= 6, F.col("cnt")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("last7d_events"),
+            F.sum(F.col("cnt") * F.col("w_micro"))
+            .cast("bigint")
+            .alias("decayed_micro"),
+        )
+    )
+    return (
+        scored.select("user_id", "total_events", "last7d_events", "decayed_micro")
+        .orderBy(F.col("decayed_micro").desc(), F.col("user_id").asc())
+        .limit(20)
+    )

@@ -44,6 +44,8 @@ ALLOWED = {
     "x87_embedding_drift",
     "x91_budget_apportionment",
     "dq23_wap_gate",
+    # round-9: two rank windows inside .limit(10) frames (10 rows)
+    "u32_incremental_topk",
 }
 
 

@@ -187,6 +187,9 @@ _NLJ_ALLOWED = {
     "ml_decision_stump",  # 1-row bounds + 15-row threshold grid + 1-row argmin broadcasts
     "ret8_ndcg_eval",  # 5-row query-term + 10-row discount-table broadcasts (the ret7 shape)
     "t51_event_regex_match",  # 3-row pattern-dimension literal broadcast
+    "a23_decayed_counts",  # 1-row reference-day broadcast
+    "u32_incremental_topk",  # 1-row split-day + 1-row sizes broadcasts
+    "x96_kneser_ney_mass",  # vocab-dimension (31-row) grid + 1-row type-count broadcasts
 }
 
 

@@ -266,6 +266,9 @@ EXTRA = [
     "ml_decision_stump",
     "t51_event_regex_match",
     "a22_kmv_distinct",
+    "a23_decayed_counts",
+    "u32_incremental_topk",
+    "x96_kneser_ney_mass",
 ]
 
 
