@@ -2254,3 +2254,459 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("thr")
     )
+
+
+@_register(
+    "stats_cuped",
+    f"""
+    WITH e AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ),
+    b AS (SELECT MAX(day) - 7 AS sd FROM e),
+    u AS (
+      SELECT e.user_id,
+             CAST(SUM(CASE WHEN e.day <= b.sd THEN 1 ELSE 0 END) AS BIGINT)
+               AS x,
+             CAST(SUM(CASE WHEN e.day > b.sd THEN 1 ELSE 0 END) AS BIGINT)
+               AS y,
+             CAST(({KNUTH_HASH32_SQL.format(key='e.user_id')}) % 2 AS BIGINT)
+               AS arm
+      FROM e CROSS JOIN b GROUP BY e.user_id
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM u
+    ),
+    th AS (
+      SELECT n, sx, sy,
+             CAST((n * sxy - sx * sy) * 1000000
+                  // greatest(n * sxx - sx * sx, 1) AS BIGINT) AS theta_micro,
+             CAST(sx * 1000 // n AS BIGINT) AS xbar_milli,
+             CAST(sy * 1000 // n AS BIGINT) AS ybar_milli
+      FROM s
+    ),
+    adj AS (
+      SELECT u.arm, u.y * 1000 AS y_milli,
+             u.y * 1000
+               - t.theta_micro * (u.x * 1000 - t.xbar_milli) // 1000000
+               AS yadj_milli,
+             t.theta_micro, t.ybar_milli, t.n
+      FROM u CROSS JOIN th t
+    ),
+    am AS (
+      SELECT CAST(SUM(yadj_milli) // MAX(n) AS BIGINT) AS yadjbar_milli
+      FROM adj
+    ),
+    vtot AS (
+      SELECT CAST(SUM((a.y_milli - a.ybar_milli)
+                      * (a.y_milli - a.ybar_milli)) // MAX(a.n) AS BIGINT)
+               AS var_y_milli2,
+             CAST(SUM((a.yadj_milli - m.yadjbar_milli)
+                      * (a.yadj_milli - m.yadjbar_milli)) // MAX(a.n)
+                  AS BIGINT) AS var_yadj_milli2
+      FROM adj a CROSS JOIN am m
+    )
+    SELECT a.arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(a.y_milli) // COUNT(*) AS BIGINT) AS mean_y_milli,
+           CAST(SUM(a.yadj_milli) // COUNT(*) AS BIGINT) AS mean_yadj_milli,
+           CAST(MAX(a.theta_micro) AS BIGINT) AS theta_micro,
+           CAST(MAX(v.var_y_milli2) AS BIGINT) AS var_y_milli2,
+           CAST(MAX(v.var_yadj_milli2) AS BIGINT) AS var_yadj_milli2,
+           CAST((MAX(v.var_y_milli2) - MAX(v.var_yadj_milli2)) * 10000
+                // greatest(MAX(v.var_y_milli2), 1) AS BIGINT)
+             AS var_reduction_bps
+    FROM adj a CROSS JOIN vtot v
+    GROUP BY a.arm
+    ORDER BY a.arm
+    """,
+)
+def stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, WSDM) -- the
+    experimentation workhorse between stats_srm's assignment guard
+    and the metric read-out: per user, the POST-period metric (last
+    7 days' events) is adjusted by the PRE-period covariate
+    (theta = cov(X,Y)/var(X), the regression adjustment that removes
+    between-user variance the experiment didn't cause), arms assigned
+    by the same portable knuth hash stats_srm uses. Everything is
+    exact integer arithmetic: theta in micro from raw bigint moment
+    sums, adjusted values in MILLI so squared deviations stay in
+    int64 (two-pass deviation variance -- never n*Sxx - Sx^2 on
+    milli-scaled values, whose square overflows first), floor
+    divisions in a fixed order both engines repeat bit-identically.
+    var_reduction_bps is the payoff number: the share of metric
+    variance the covariate explains (= squared pre/post correlation).
+    On this fixture it reads ~0 -- per-user event rates are
+    homogeneous Poisson, so there IS no persistent user effect to
+    remove, and the audit says so: the guard against cargo-culting
+    CUPED onto a metric whose covariate carries no signal (the same
+    honest-zero posture as opt1's estimator error columns).
+
+    Scale shape: one (user) map-combined aggregate builds the panel,
+    a 1-row moment/theta broadcast adjusts it, two more 1-row
+    broadcasts carry the means -- three passes over the USER panel
+    (not the event log), no window functions at all."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(ts_ns div 1000 div 86400000000 AS BIGINT)").alias("day"),
+    )
+    b = e.agg(F.expr("CAST(MAX(day) - 7 AS BIGINT)").alias("sd"))
+    u = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("sd"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("day") > F.col("sd"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select(
+            "user_id",
+            "x",
+            "y",
+            (knuth_hash32(F.col("user_id")) % 2).cast("bigint").alias("arm"),
+        )
+        .localCheckpoint(eager=False)  # moments + adjusted panel share it
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    th = s.select(
+        "n",
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000000"
+            " div greatest(n * sxx - sx * sx, 1) AS BIGINT)"
+        ).alias("theta_micro"),
+        F.expr("CAST(sx * 1000 div n AS BIGINT)").alias("xbar_milli"),
+        F.expr("CAST(sy * 1000 div n AS BIGINT)").alias("ybar_milli"),
+    )
+    adj = (
+        u.crossJoin(F.broadcast(th))
+        .select(
+            "arm",
+            (F.col("y") * 1000).alias("y_milli"),
+            F.expr(
+                "y * 1000 - theta_micro * (x * 1000 - xbar_milli) div 1000000"
+            ).alias("yadj_milli"),
+            "theta_micro",
+            "ybar_milli",
+            "n",
+        )
+        .localCheckpoint(eager=False)  # adj-mean, variances, arm rows share it
+    )
+    am = adj.agg(
+        F.expr("CAST(SUM(yadj_milli) div MAX(n) AS BIGINT)").alias(
+            "yadjbar_milli"
+        )
+    )
+    vtot = adj.crossJoin(F.broadcast(am)).agg(
+        F.expr(
+            "CAST(SUM((y_milli - ybar_milli) * (y_milli - ybar_milli))"
+            " div MAX(n) AS BIGINT)"
+        ).alias("var_y_milli2"),
+        F.expr(
+            "CAST(SUM((yadj_milli - yadjbar_milli)"
+            " * (yadj_milli - yadjbar_milli)) div MAX(n) AS BIGINT)"
+        ).alias("var_yadj_milli2"),
+    )
+    return (
+        adj.crossJoin(F.broadcast(vtot))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.expr("CAST(SUM(y_milli) div COUNT(1) AS BIGINT)").alias(
+                "mean_y_milli"
+            ),
+            F.expr("CAST(SUM(yadj_milli) div COUNT(1) AS BIGINT)").alias(
+                "mean_yadj_milli"
+            ),
+            F.max("theta_micro").cast("bigint").alias("theta_micro"),
+            F.max("var_y_milli2").cast("bigint").alias("var_y_milli2"),
+            F.max("var_yadj_milli2").cast("bigint").alias("var_yadj_milli2"),
+            F.expr(
+                "CAST((MAX(var_y_milli2) - MAX(var_yadj_milli2)) * 10000"
+                " div greatest(MAX(var_y_milli2), 1) AS BIGINT)"
+            ).alias("var_reduction_bps"),
+        )
+        .orderBy("arm")
+    )
+
+
+@_register(
+    "ml_gbdt_round",
+    """
+    WITH d AS (
+      SELECT CAST(n_chars AS BIGINT) AS x,
+             CASE WHEN list_contains(string_split(text, ' '), 'spark')
+                  THEN 1000 ELSE 0 END AS y_milli
+      FROM documents
+    ),
+    b AS (
+      SELECT MIN(x) AS xmin, MAX(x) AS xmax,
+             CAST(SUM(y_milli * y_milli) AS BIGINT) AS syy
+      FROM d
+    ),
+    thr AS (
+      SELECT CAST(b.xmin + (b.xmax - b.xmin + 1) * g.i // 16 AS BIGINT) AS t
+      FROM b CROSS JOIN (
+        SELECT UNNEST([1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]) AS i) g
+    ),
+    r1 AS (
+      SELECT t.t,
+             CAST(SUM(CASE WHEN d.x < t.t THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+             CAST(SUM(CASE WHEN d.x < t.t THEN d.y_milli ELSE 0 END)
+                  AS BIGINT) AS syl,
+             CAST(SUM(CASE WHEN d.x >= t.t THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+             CAST(SUM(CASE WHEN d.x >= t.t THEN d.y_milli ELSE 0 END)
+                  AS BIGINT) AS syr
+      FROM d CROSS JOIN thr t GROUP BY 1
+    ),
+    r1s AS (
+      SELECT r1.*, b.syy,
+             b.syy - syl * syl // greatest(nl, 1)
+                   - syr * syr // greatest(nr, 1) AS sse1
+      FROM r1 CROSS JOIN b
+    ),
+    best1 AS (
+      SELECT t AS t1,
+             CAST(syl // greatest(nl, 1) AS BIGINT) AS pl_milli,
+             CAST(syr // greatest(nr, 1) AS BIGINT) AS pr_milli,
+             CAST(sse1 AS BIGINT) AS sse_round1_milli2
+      FROM r1s
+      ORDER BY sse1 ASC, t ASC LIMIT 1
+    ),
+    res AS (
+      SELECT d.x,
+             d.y_milli,
+             d.y_milli - CASE WHEN d.x < w.t1 THEN w.pl_milli
+                              ELSE w.pr_milli END AS r_milli,
+             w.t1, w.pl_milli, w.pr_milli, w.sse_round1_milli2
+      FROM d CROSS JOIN best1 w
+    ),
+    rb AS (SELECT CAST(SUM(r_milli * r_milli) AS BIGINT) AS srr FROM res),
+    r2 AS (
+      SELECT t.t,
+             CAST(SUM(CASE WHEN res.x < t.t THEN 1 ELSE 0 END) AS BIGINT)
+               AS nl,
+             CAST(SUM(CASE WHEN res.x < t.t THEN res.r_milli ELSE 0 END)
+                  AS BIGINT) AS srl,
+             CAST(SUM(CASE WHEN res.x >= t.t THEN 1 ELSE 0 END) AS BIGINT)
+               AS nr,
+             CAST(SUM(CASE WHEN res.x >= t.t THEN res.r_milli ELSE 0 END)
+                  AS BIGINT) AS srr_side
+      FROM res CROSS JOIN thr t GROUP BY 1
+    ),
+    r2s AS (
+      SELECT r2.*, rb.srr,
+             rb.srr - srl * srl // greatest(nl, 1)
+                    - srr_side * srr_side // greatest(nr, 1) AS sse2
+      FROM r2 CROSS JOIN rb
+    ),
+    best2 AS (
+      SELECT t AS t2,
+             (srl + 2000000 * nl) // greatest(2 * nl, 1) - 1000000
+               AS shrunk_l_milli,
+             (srr_side + 2000000 * nr) // greatest(2 * nr, 1) - 1000000
+               AS shrunk_r_milli,
+             CAST(sse2 AS BIGINT) AS sse_round2_milli2
+      FROM r2s
+      ORDER BY sse2 ASC, t ASC LIMIT 1
+    )
+    SELECT CASE WHEN res.x < res.t1 THEN 'L' ELSE 'R' END
+             || CASE WHEN res.x < w2.t2 THEN 'l' ELSE 'r' END AS leaf,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(res.y_milli) // COUNT(*) AS BIGINT) AS mean_y_milli,
+           CAST(MAX(CASE WHEN res.x < res.t1 THEN res.pl_milli
+                         ELSE res.pr_milli END)
+                + MAX(CASE WHEN res.x < w2.t2 THEN w2.shrunk_l_milli
+                           ELSE w2.shrunk_r_milli END) AS BIGINT) AS f2_milli,
+           CAST(MAX(res.t1) AS BIGINT) AS t1,
+           CAST(MAX(w2.t2) AS BIGINT) AS t2,
+           CAST(MAX(res.sse_round1_milli2) AS BIGINT) AS sse_round1_milli2,
+           CAST(MAX(w2.sse_round2_milli2) AS BIGINT) AS sse_round2_milli2,
+           CAST((MAX(res.sse_round1_milli2) - MAX(w2.sse_round2_milli2))
+                * 10000 // greatest(MAX(res.sse_round1_milli2), 1)
+                AS BIGINT) AS sse_reduction_bps
+    FROM res CROSS JOIN best2 w2
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def ml_gbdt_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One gradient-boosting round ON TOP of ml_decision_stump
+    (L2Boost, Buhlmann & Yu 2003; shrinkage 0.5): round 1 fits the
+    best SSE stump to y (for binary y the SSE argmin IS the Gini
+    argmin, so this is the same split the stump row finds), round 2
+    fits a second stump to the RESIDUALS and the 2x2 leaf table
+    carries the boosted prediction f2 = p1 + 0.5 * rbar(leaf2) --
+    the additive-model step every GBDT library runs thousands of
+    times, stated as two declarative aggregate passes with the
+    improvement priced in sse_reduction_bps. Exactness discipline:
+    labels/residuals in MILLI so every square stays in int64 at any
+    fixture sf; residual means use the positive-offset floor
+    division ((s + k*n) div (k'*n) - c) so negative sums floor
+    identically in both engines (the x87 rule); both argmins
+    tie-break on the smaller threshold.
+
+    Scale shape: two conditional-agg passes over the fact against
+    the SAME 15-row broadcast threshold grid (the split search never
+    shuffles per candidate), two 1-row argmin broadcasts, and a
+    4-group leaf aggregate. A k-round booster is k such passes --
+    delta-proportional, no driver-side state beyond the 1-row model."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.col("n_chars").cast("bigint").alias("x"),
+            F.when(
+                F.array_contains(F.split(F.col("text"), " "), "spark"), 1000
+            )
+            .otherwise(0)
+            .alias("y_milli"),
+        )
+        .localCheckpoint(eager=False)  # bounds + both split passes share it
+    )
+    b = d.agg(
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.sum(F.col("y_milli") * F.col("y_milli")).cast("bigint").alias("syy"),
+    )
+    grid = spark.createDataFrame([(i,) for i in range(1, 16)], "i: bigint")
+    thr = grid.crossJoin(F.broadcast(b.select("xmin", "xmax"))).select(
+        F.expr("CAST(xmin + (xmax - xmin + 1) * i div 16 AS BIGINT)").alias("t")
+    ).localCheckpoint(eager=False)  # both rounds share the grid
+    r1 = (
+        d.crossJoin(F.broadcast(thr))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("x") < F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("nl"),
+            F.sum(F.when(F.col("x") < F.col("t"), F.col("y_milli")).otherwise(0))
+            .cast("bigint")
+            .alias("syl"),
+            F.sum(F.when(F.col("x") >= F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("nr"),
+            F.sum(
+                F.when(F.col("x") >= F.col("t"), F.col("y_milli")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("syr"),
+        )
+    )
+    r1s = r1.crossJoin(F.broadcast(b.select("syy"))).select(
+        "*",
+        F.expr(
+            "syy - syl * syl div greatest(nl, 1)"
+            " - syr * syr div greatest(nr, 1)"
+        ).alias("sse1"),
+    )
+    best1 = (
+        r1s.orderBy(F.col("sse1").asc(), F.col("t").asc())
+        .limit(1)
+        .select(
+            F.col("t").alias("t1"),
+            F.expr("CAST(syl div greatest(nl, 1) AS BIGINT)").alias("pl_milli"),
+            F.expr("CAST(syr div greatest(nr, 1) AS BIGINT)").alias("pr_milli"),
+            F.col("sse1").cast("bigint").alias("sse_round1_milli2"),
+        )
+    )
+    res = d.crossJoin(F.broadcast(best1)).select(
+        "x",
+        "y_milli",
+        F.expr(
+            "y_milli - CASE WHEN x < t1 THEN pl_milli ELSE pr_milli END"
+        ).alias("r_milli"),
+        "t1",
+        "pl_milli",
+        "pr_milli",
+        "sse_round1_milli2",
+    ).localCheckpoint(eager=False)  # residual moments + round-2 + leaves share it
+    rb = res.agg(
+        F.sum(F.col("r_milli") * F.col("r_milli")).cast("bigint").alias("srr")
+    )
+    r2 = (
+        res.crossJoin(F.broadcast(thr))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("x") < F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("nl"),
+            F.sum(F.when(F.col("x") < F.col("t"), F.col("r_milli")).otherwise(0))
+            .cast("bigint")
+            .alias("srl"),
+            F.sum(F.when(F.col("x") >= F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("nr"),
+            F.sum(
+                F.when(F.col("x") >= F.col("t"), F.col("r_milli")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("srr_side"),
+        )
+    )
+    r2s = r2.crossJoin(F.broadcast(rb)).select(
+        "*",
+        F.expr(
+            "srr - srl * srl div greatest(nl, 1)"
+            " - srr_side * srr_side div greatest(nr, 1)"
+        ).alias("sse2"),
+    )
+    best2 = (
+        r2s.orderBy(F.col("sse2").asc(), F.col("t").asc())
+        .limit(1)
+        .select(
+            F.col("t").alias("t2"),
+            F.expr(
+                "(srl + 2000000 * nl) div greatest(2 * nl, 1) - 1000000"
+            ).alias("shrunk_l_milli"),
+            F.expr(
+                "(srr_side + 2000000 * nr) div greatest(2 * nr, 1) - 1000000"
+            ).alias("shrunk_r_milli"),
+            F.col("sse2").cast("bigint").alias("sse_round2_milli2"),
+        )
+    )
+    return (
+        res.crossJoin(F.broadcast(best2))
+        .groupBy(
+            F.concat(
+                F.when(F.col("x") < F.col("t1"), F.lit("L")).otherwise(
+                    F.lit("R")
+                ),
+                F.when(F.col("x") < F.col("t2"), F.lit("l")).otherwise(
+                    F.lit("r")
+                ),
+            ).alias("leaf")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("CAST(SUM(y_milli) div COUNT(1) AS BIGINT)").alias(
+                "mean_y_milli"
+            ),
+            F.expr(
+                "CAST(MAX(CASE WHEN x < t1 THEN pl_milli ELSE pr_milli END)"
+                " + MAX(CASE WHEN x < t2 THEN shrunk_l_milli"
+                " ELSE shrunk_r_milli END) AS BIGINT)"
+            ).alias("f2_milli"),
+            F.max("t1").cast("bigint").alias("t1"),
+            F.max("t2").cast("bigint").alias("t2"),
+            F.max("sse_round1_milli2").cast("bigint").alias("sse_round1_milli2"),
+            F.max("sse_round2_milli2").cast("bigint").alias("sse_round2_milli2"),
+            F.expr(
+                "CAST((MAX(sse_round1_milli2) - MAX(sse_round2_milli2)) * 10000"
+                " div greatest(MAX(sse_round1_milli2), 1) AS BIGINT)"
+            ).alias("sse_reduction_bps"),
+        )
+        .orderBy("leaf")
+    )

@@ -115,6 +115,8 @@ FLOAT_SENSITIVE = [
     "a23_decayed_counts",
     "u32_incremental_topk",
     "x96_kneser_ney_mass",
+    "stats_cuped",
+    "ml_gbdt_round",
 ]
 
 

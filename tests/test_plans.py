@@ -190,6 +190,8 @@ _NLJ_ALLOWED = {
     "a23_decayed_counts",  # 1-row reference-day broadcast
     "u32_incremental_topk",  # 1-row split-day + 1-row sizes broadcasts
     "x96_kneser_ney_mass",  # vocab-dimension (31-row) grid + 1-row type-count broadcasts
+    "stats_cuped",  # 1-row split/moment/mean broadcasts over the user panel
+    "ml_gbdt_round",  # 15-row threshold grid + 1-row argmin/model broadcasts (x2 rounds)
 }
 
 

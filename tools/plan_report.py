@@ -269,6 +269,8 @@ EXTRA = [
     "a23_decayed_counts",
     "u32_incremental_topk",
     "x96_kneser_ney_mass",
+    "stats_cuped",
+    "ml_gbdt_round",
 ]
 
 
