@@ -1459,3 +1459,120 @@ def dq24_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@_register(
+    "dq25_fd_discovery",
+    """
+    WITH cands AS (
+      SELECT 'orders' AS tbl, 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_groups,
+             CAST(SUM(viol) AS BIGINT) AS n_violating,
+             CAST(MAX(ndv) AS BIGINT) AS max_rhs_per_lhs
+      FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS ndv,
+                   CASE WHEN COUNT(DISTINCT o_custkey) > 1 THEN 1 ELSE 0 END
+                     AS viol
+            FROM orders GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'orders', 'o_custkey', 'o_orderpriority',
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(viol) AS BIGINT),
+             CAST(MAX(ndv) AS BIGINT)
+      FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS ndv,
+                   CASE WHEN COUNT(DISTINCT o_orderpriority) > 1
+                        THEN 1 ELSE 0 END AS viol
+            FROM orders GROUP BY o_custkey)
+      UNION ALL
+      SELECT 'customer', 'c_nationkey', 'c_mktsegment',
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(viol) AS BIGINT),
+             CAST(MAX(ndv) AS BIGINT)
+      FROM (SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS ndv,
+                   CASE WHEN COUNT(DISTINCT c_mktsegment) > 1
+                        THEN 1 ELSE 0 END AS viol
+            FROM customer GROUP BY c_nationkey)
+      UNION ALL
+      SELECT 'part', 'p_brand', 'p_type',
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(viol) AS BIGINT),
+             CAST(MAX(ndv) AS BIGINT)
+      FROM (SELECT p_brand, COUNT(DISTINCT p_type) AS ndv,
+                   CASE WHEN COUNT(DISTINCT p_type) > 1 THEN 1 ELSE 0 END
+                     AS viol
+            FROM part GROUP BY p_brand)
+      UNION ALL
+      SELECT 'lineitem', 'l_orderkey', 'l_shipdate',
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(viol) AS BIGINT),
+             CAST(MAX(ndv) AS BIGINT)
+      FROM (SELECT l_orderkey, COUNT(DISTINCT l_shipdate) AS ndv,
+                   CASE WHEN COUNT(DISTINCT l_shipdate) > 1 THEN 1 ELSE 0 END
+                     AS viol
+            FROM lineitem GROUP BY l_orderkey)
+      UNION ALL
+      SELECT 'documents', 'source', 'lang',
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(viol) AS BIGINT),
+             CAST(MAX(ndv) AS BIGINT)
+      FROM (SELECT source, COUNT(DISTINCT lang) AS ndv,
+                   CASE WHEN COUNT(DISTINCT lang) > 1 THEN 1 ELSE 0 END
+                     AS viol
+            FROM documents GROUP BY source)
+    )
+    SELECT tbl, lhs, rhs, n_groups, n_violating, max_rhs_per_lhs,
+           CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS holds,
+           CAST(n_violating * 10000 // greatest(n_groups, 1) AS BIGINT)
+             AS violation_bps
+    FROM cands
+    ORDER BY tbl, lhs, rhs
+    """,
+)
+def dq25_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (the Metanome/TANE profiling
+    primitive, single-column candidates): for six candidate FDs
+    lhs -> rhs across five tables, one groupBy(lhs) counting distinct
+    rhs per group decides whether the dependency HOLDS (every lhs
+    value maps to exactly one rhs), and violation_bps grades how
+    badly it fails -- the schema-inference signal that tells a
+    warehouse which denormalizations are safe (o_orderkey ->
+    o_custkey holds: orderkey is a key) and which intuitions are
+    false (l_orderkey -> l_shipdate: lines of one order ship on
+    different days). Complements dq12's declared-PK uniqueness check
+    by DISCOVERING structure instead of asserting it.
+
+    Scale shape: one map-combined countDistinct aggregate per
+    candidate (six, unioned); each violation summary is a second
+    tiny aggregate over the group table. No joins, no windows --
+    FD candidates at 100 TB cost exactly their groupBys."""
+    t = load_tables(spark, sf_dir)
+
+    def fd(df: DataFrame, tbl: str, lhs: str, rhs: str) -> DataFrame:
+        g = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("ndv"))
+        return g.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("ndv") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+            F.max("ndv").cast("bigint").alias("max_rhs_per_lhs"),
+        ).select("tbl", "lhs", "rhs", "n_groups", "n_violating", "max_rhs_per_lhs")
+
+    cands = (
+        fd(t["orders"], "orders", "o_orderkey", "o_custkey")
+        .unionByName(fd(t["orders"], "orders", "o_custkey", "o_orderpriority"))
+        .unionByName(
+            fd(t["customer"], "customer", "c_nationkey", "c_mktsegment")
+        )
+        .unionByName(fd(t["part"], "part", "p_brand", "p_type"))
+        .unionByName(fd(t["lineitem"], "lineitem", "l_orderkey", "l_shipdate"))
+        .unionByName(fd(t["documents"], "documents", "source", "lang"))
+    )
+    return cands.select(
+        "tbl",
+        "lhs",
+        "rhs",
+        "n_groups",
+        "n_violating",
+        "max_rhs_per_lhs",
+        F.when(F.col("n_violating") == 0, 1).otherwise(0).alias("holds"),
+        F.expr(
+            "CAST(n_violating * 10000 div greatest(n_groups, 1) AS BIGINT)"
+        ).alias("violation_bps"),
+    ).orderBy("tbl", "lhs", "rhs")

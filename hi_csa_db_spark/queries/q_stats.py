@@ -2710,3 +2710,107 @@ def ml_gbdt_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("leaf")
     )
+
+
+@_register(
+    "stats_power_mde",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM e
+    ),
+    v AS (
+      SELECT n_obs,
+             CAST(sy * 1000000 // n_obs AS BIGINT) AS mean_y_micro,
+             (CAST(n_obs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+               / (CAST(n_obs AS DOUBLE) * n_obs) AS var_y
+      FROM s
+    ),
+    grid AS (
+      SELECT CAST(n AS BIGINT) AS n_per_arm
+      FROM (VALUES (100), (1000), (10000), (100000)) AS t(n)
+    )
+    SELECT g.n_per_arm, v.n_obs, v.mean_y_micro,
+           CAST(ROUND(v.var_y * 1000000) AS BIGINT) AS var_y_micro,
+           CAST(ROUND(2.801585 * sqrt(2.0 * v.var_y / g.n_per_arm)
+                      * 1000000) AS BIGINT) AS mde_micro,
+           CAST(CAST(ROUND(2.801585 * sqrt(2.0 * v.var_y / g.n_per_arm)
+                           * 1000000) AS BIGINT) * 10000
+                // greatest(v.mean_y_micro, 1) AS BIGINT) AS mde_rel_bps,
+           CAST(ceil(2.0 * v.var_y * 2.801585 * 2.801585
+                     / ((0.05 * v.mean_y_micro / 1000000.0)
+                        * (0.05 * v.mean_y_micro / 1000000.0)))
+                AS BIGINT) AS n_needed_5pct
+    FROM grid g CROSS JOIN v
+    ORDER BY g.n_per_arm
+    """,
+)
+def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis / minimal-detectable-effect table -- the sizing
+    read an experimenter does BEFORE stats_srm guards the assignment
+    and stats_cuped tightens the metric: from the per-user metric's
+    exact moment sums, the two-sided alpha=0.05 / power=0.80 MDE
+    (z_0.975 + z_0.80 = 2.801585, a precomputed constant -- no
+    normal-quantile function crosses the engine boundary) is priced
+    at candidate per-arm sizes 100..100k, absolute (mde_micro) and
+    relative to the metric mean (mde_rel_bps), plus the inverse
+    read: users needed per arm to detect a 5 % lift. The only float
+    ops are one sqrt and one division on IEEE doubles, ROUNDed to
+    integer micros before output (the x86/stats_linreg discipline:
+    both engines' sqrt is correctly rounded, so the rounded value is
+    bit-identical).
+
+    Scale shape: one map-combined per-user aggregate, one 1-row
+    moment reduction, then a 4-row literal grid -- the whole table
+    costs one pass over events regardless of corpus size."""
+    e = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    s = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    v = s.select(
+        "n_obs",
+        F.expr("CAST(sy * 1000000 div n_obs AS BIGINT)").alias("mean_y_micro"),
+        F.expr(
+            "(CAST(n_obs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+            " / (CAST(n_obs AS DOUBLE) * n_obs)"
+        ).alias("var_y"),
+    )
+    grid = spark.createDataFrame(
+        [(100,), (1000,), (10000,), (100000,)], "n_per_arm: bigint"
+    )
+    return (
+        grid.crossJoin(F.broadcast(v))
+        .select(
+            "n_per_arm",
+            "n_obs",
+            "mean_y_micro",
+            F.expr("CAST(ROUND(var_y * 1000000) AS BIGINT)").alias(
+                "var_y_micro"
+            ),
+            F.expr(
+                "CAST(ROUND(2.801585 * sqrt(2.0 * var_y / n_per_arm)"
+                " * 1000000) AS BIGINT)"
+            ).alias("mde_micro"),
+            F.expr(
+                "CAST(CAST(ROUND(2.801585 * sqrt(2.0 * var_y / n_per_arm)"
+                " * 1000000) AS BIGINT) * 10000"
+                " div greatest(mean_y_micro, 1) AS BIGINT)"
+            ).alias("mde_rel_bps"),
+            F.expr(
+                "CAST(ceil(2.0 * var_y * 2.801585 * 2.801585"
+                " / ((0.05 * mean_y_micro / 1000000.0)"
+                " * (0.05 * mean_y_micro / 1000000.0))) AS BIGINT)"
+            ).alias("n_needed_5pct"),
+        )
+        .orderBy("n_per_arm")
+    )

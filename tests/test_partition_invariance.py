@@ -117,6 +117,8 @@ FLOAT_SENSITIVE = [
     "x96_kneser_ney_mass",
     "stats_cuped",
     "ml_gbdt_round",
+    "stats_power_mde",
+    "dq25_fd_discovery",
 ]
 
 

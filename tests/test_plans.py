@@ -192,6 +192,7 @@ _NLJ_ALLOWED = {
     "x96_kneser_ney_mass",  # vocab-dimension (31-row) grid + 1-row type-count broadcasts
     "stats_cuped",  # 1-row split/moment/mean broadcasts over the user panel
     "ml_gbdt_round",  # 15-row threshold grid + 1-row argmin/model broadcasts (x2 rounds)
+    "stats_power_mde",  # 1-row moments x 4-row size-grid broadcast
 }
 
 

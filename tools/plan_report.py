@@ -271,6 +271,8 @@ EXTRA = [
     "x96_kneser_ney_mass",
     "stats_cuped",
     "ml_gbdt_round",
+    "stats_power_mde",
+    "dq25_fd_discovery",
 ]
 
 
