@@ -20,7 +20,11 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from hi_csa_db_spark.catalog import load_table, load_tables
-from hi_csa_db_spark.functions.hashing import KNUTH_HASH32_SQL, knuth_hash32
+from hi_csa_db_spark.functions.hashing import (
+    KNUTH_HASH32_SQL,
+    MULT_HASH32_SQL,
+    knuth_hash32,
+)
 from hi_csa_db_spark.functions.text import absolutize_url, slugify, strip_punct, tokenize
 from hi_csa_db_spark.operators import classify, dedup, graph, ordered, similarity, textstats
 from hi_csa_db_spark.operators.merge import db_merge, union_streams
@@ -2086,4 +2090,240 @@ def er7_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 - m_micro) * 1000000"
             " div GREATEST(1000000 - u_micro, 1) AS BIGINT)"
         ).alias("w_disagree_micro"),
+    )
+
+@_register(
+    "er8_fs_decisions",
+    f"""
+    WITH o0 AS (
+      SELECT o_orderkey AS k, o_custkey AS c, o_orderpriority AS pr,
+             o_orderstatus AS st,
+             CAST(floor(o_totalprice / 50000) AS BIGINT) AS pb,
+             month(o_orderdate) AS mo
+      FROM orders
+    ),
+    nb AS (
+      SELECT CAST(greatest(1024, COUNT(*) // 8) AS BIGINT) AS nbuckets
+      FROM o0
+    ),
+    o AS (
+      SELECT o0.*,
+             CAST(({MULT_HASH32_SQL.format(key='o0.k', a='2654435761')})
+                  % nb.nbuckets AS BIGINT) AS hb
+      FROM o0 CROSS JOIN nb
+    ),
+    mpairs AS (
+      SELECT CASE WHEN a.pr = b.pr THEN 1 ELSE 0 END AS apr,
+             CASE WHEN a.st = b.st THEN 1 ELSE 0 END AS ast,
+             CASE WHEN a.pb = b.pb THEN 1 ELSE 0 END AS apb,
+             CASE WHEN a.mo = b.mo THEN 1 ELSE 0 END AS amo
+      FROM o a JOIN o b ON a.c = b.c AND a.k < b.k
+    ),
+    upairs AS (
+      SELECT CASE WHEN a.pr = b.pr THEN 1 ELSE 0 END AS apr,
+             CASE WHEN a.st = b.st THEN 1 ELSE 0 END AS ast,
+             CASE WHEN a.pb = b.pb THEN 1 ELSE 0 END AS apb,
+             CASE WHEN a.mo = b.mo THEN 1 ELSE 0 END AS amo
+      FROM o a JOIN o b ON a.hb = b.hb AND a.c <> b.c AND a.k < b.k
+    ),
+    m AS (
+      SELECT CAST(SUM(apr) * 1000000 // COUNT(*) AS BIGINT) AS m_pr,
+             CAST(SUM(ast) * 1000000 // COUNT(*) AS BIGINT) AS m_st,
+             CAST(SUM(apb) * 1000000 // COUNT(*) AS BIGINT) AS m_pb,
+             CAST(SUM(amo) * 1000000 // COUNT(*) AS BIGINT) AS m_mo
+      FROM mpairs
+    ),
+    u AS (
+      SELECT CAST(SUM(apr) * 1000000 // COUNT(*) AS BIGINT) AS u_pr,
+             CAST(SUM(ast) * 1000000 // COUNT(*) AS BIGINT) AS u_st,
+             CAST(SUM(apb) * 1000000 // COUNT(*) AS BIGINT) AS u_pb,
+             CAST(SUM(amo) * 1000000 // COUNT(*) AS BIGINT) AS u_mo
+      FROM upairs
+    ),
+    w AS (
+      SELECT m_pr * 1000000 // greatest(u_pr, 1) AS ra_pr,
+             (1000000 - m_pr) * 1000000
+               // greatest(1000000 - u_pr, 1) AS rd_pr,
+             m_st * 1000000 // greatest(u_st, 1) AS ra_st,
+             (1000000 - m_st) * 1000000
+               // greatest(1000000 - u_st, 1) AS rd_st,
+             m_pb * 1000000 // greatest(u_pb, 1) AS ra_pb,
+             (1000000 - m_pb) * 1000000
+               // greatest(1000000 - u_pb, 1) AS rd_pb,
+             m_mo * 1000000 // greatest(u_mo, 1) AS ra_mo,
+             (1000000 - m_mo) * 1000000
+               // greatest(1000000 - u_mo, 1) AS rd_mo
+      FROM m CROSS JOIN u
+    ),
+    cand AS (
+      SELECT 'same_customer' AS block_type, apr, ast, apb, amo FROM mpairs
+      UNION ALL
+      SELECT 'random_bucket_sample', apr, ast, apb, amo FROM upairs
+    ),
+    scored AS (
+      SELECT c.block_type,
+             ((CAST(CASE WHEN c.apr = 1 THEN w.ra_pr ELSE w.rd_pr END
+                    AS DOUBLE) / 1000000.0
+               * CAST(CASE WHEN c.ast = 1 THEN w.ra_st ELSE w.rd_st END
+                      AS DOUBLE) / 1000000.0)
+              * CAST(CASE WHEN c.apb = 1 THEN w.ra_pb ELSE w.rd_pb END
+                     AS DOUBLE) / 1000000.0)
+             * CAST(CASE WHEN c.amo = 1 THEN w.ra_mo ELSE w.rd_mo END
+                    AS DOUBLE) / 1000000.0 AS lr
+      FROM cand c CROSS JOIN w
+    )
+    SELECT block_type,
+           CASE WHEN lr >= 10.0 THEN 'e_strong_match'
+                WHEN lr >= 2.0 THEN 'd_lean_match'
+                WHEN lr > 0.5 THEN 'c_inconclusive'
+                WHEN lr > 0.1 THEN 'b_lean_non_match'
+                ELSE 'a_strong_non_match' END AS decision,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) * 10000 // SUM(COUNT(*)) OVER
+                (PARTITION BY block_type) AS BIGINT) AS share_bps
+    FROM scored
+    GROUP BY 1, 2
+    ORDER BY block_type, decision
+    """,
+)
+def er8_fs_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Fellegi-Sunter DECISION stage er7 stops short of: per-field
+    m rates from customer-blocked pairs, u rates from HASH-BUCKETED
+    pseudo-random pairs (bucket count data-adaptive at ~8 rows per
+    bucket, so pair volume stays LINEAR in table size -- and unlike
+    er7's date-blocked u-sample, the bucket key is hash noise, so no
+    comparison field is correlated with its own estimation block;
+    date-blocking would make u(month)=1 and turn month DISAGREEMENT
+    into unbounded match evidence, the classic linkage-bias pitfall
+    this query exists to avoid). Each candidate pair's composite
+    likelihood ratio is the fixed-order product of four field ratios
+    (exact integer micros in; IEEE-double product consumed ONLY by
+    band comparisons, so no float reaches the output), classified
+    into five bands around the textbook 10/0.1 thresholds.
+
+    On this fixture the bands concentrate in 'inconclusive' for BOTH
+    blocks -- the synthetic order fields carry no within-customer
+    correlation, m ~ u, and the weights correctly refuse to separate
+    what is not separable (the stats_cuped honest-zero posture). The
+    machinery -- estimation blocks, bias-free u, weight algebra,
+    banded decisions -- is what the oracle certifies; on data with
+    real field correlation the same plan separates.
+
+    Scale shape: per-customer orders^2 for m; ~8^2/2 per hash bucket
+    for u (linear overall); scoring is a 1-row weight broadcast over
+    the pair stream; the summary is a <=10-row aggregate with a
+    2-partition share window."""
+    o0 = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderstatus").alias("st"),
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("pb"),
+        F.month("o_orderdate").alias("mo"),
+    )
+    nb = o0.agg(
+        F.expr("CAST(greatest(1024, COUNT(1) div 8) AS BIGINT)").alias(
+            "nbuckets"
+        )
+    )
+    o = (
+        o0.crossJoin(F.broadcast(nb))
+        .select(
+            "*",
+            (knuth_hash32(F.col("k")) % F.col("nbuckets"))
+            .cast("bigint")
+            .alias("hb"),
+        )
+        .localCheckpoint(eager=False)  # both pair generators share it
+    )
+    a, b = o.alias("a"), o.alias("b")
+
+    def _agrees(df):
+        return df.select(
+            F.when(F.col("a.pr") == F.col("b.pr"), 1).otherwise(0).alias("apr"),
+            F.when(F.col("a.st") == F.col("b.st"), 1).otherwise(0).alias("ast"),
+            F.when(F.col("a.pb") == F.col("b.pb"), 1).otherwise(0).alias("apb"),
+            F.when(F.col("a.mo") == F.col("b.mo"), 1).otherwise(0).alias("amo"),
+        )
+
+    mpairs = _agrees(
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.k") < F.col("b.k")))
+    ).localCheckpoint(eager=False)  # m rates + candidate stream share it
+    upairs = _agrees(
+        a.join(
+            b,
+            (F.col("a.hb") == F.col("b.hb"))
+            & (F.col("a.c") != F.col("b.c"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+    ).localCheckpoint(eager=False)  # u rates + candidate stream share it
+
+    def _rates(df, p):
+        return df.agg(
+            *[
+                F.expr(f"CAST(SUM(a{f}) * 1000000 div COUNT(1) AS BIGINT)").alias(
+                    f"{p}_{f}"
+                )
+                for f in ("pr", "st", "pb", "mo")
+            ]
+        )
+
+    w = _rates(mpairs, "m").crossJoin(_rates(upairs, "u"))
+    for f in ("pr", "st", "pb", "mo"):
+        w = w.withColumn(
+            f"ra_{f}", F.expr(f"m_{f} * 1000000 div greatest(u_{f}, 1)")
+        ).withColumn(
+            f"rd_{f}",
+            F.expr(
+                f"(1000000 - m_{f}) * 1000000"
+                f" div greatest(1000000 - u_{f}, 1)"
+            ),
+        )
+    cand = mpairs.select(
+        F.lit("same_customer").alias("block_type"), "apr", "ast", "apb", "amo"
+    ).unionByName(
+        upairs.select(
+            F.lit("random_bucket_sample").alias("block_type"),
+            "apr",
+            "ast",
+            "apb",
+            "amo",
+        )
+    )
+    lr = F.expr(
+        "((CAST(CASE WHEN apr = 1 THEN ra_pr ELSE rd_pr END AS DOUBLE)"
+        " / 1000000.0"
+        " * CAST(CASE WHEN ast = 1 THEN ra_st ELSE rd_st END AS DOUBLE)"
+        " / 1000000.0)"
+        " * CAST(CASE WHEN apb = 1 THEN ra_pb ELSE rd_pb END AS DOUBLE)"
+        " / 1000000.0)"
+        " * CAST(CASE WHEN amo = 1 THEN ra_mo ELSE rd_mo END AS DOUBLE)"
+        " / 1000000.0"
+    )
+    scored = cand.crossJoin(F.broadcast(w)).select("block_type", lr.alias("lr"))
+    counts = (
+        scored.select(
+            "block_type",
+            F.when(F.col("lr") >= 10.0, "e_strong_match")
+            .when(F.col("lr") >= 2.0, "d_lean_match")
+            .when(F.col("lr") > 0.5, "c_inconclusive")
+            .when(F.col("lr") > 0.1, "b_lean_non_match")
+            .otherwise("a_strong_non_match")
+            .alias("decision"),
+        )
+        .groupBy("block_type", "decision")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    wb = Window.partitionBy("block_type")
+    return (
+        counts.withColumn("__tot", F.sum("n_pairs").over(wb))
+        .select(
+            "block_type",
+            "decision",
+            "n_pairs",
+            F.expr("CAST(n_pairs * 10000 div __tot AS BIGINT)").alias(
+                "share_bps"
+            ),
+        )
+        .orderBy("block_type", "decision")
     )

@@ -2814,3 +2814,183 @@ def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_per_arm")
     )
+
+
+@_register(
+    "ml_pca_power",
+    """
+    WITH q AS (
+      SELECT vec_id, t.i - 1 AS i,
+             CAST(ROUND(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM q),
+    sq AS (SELECT i, CAST(SUM(q) AS BIGINT) AS sq FROM q GROUP BY 1),
+    s AS (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS s
+      FROM q a JOIN q b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    cov AS (
+      SELECT s.i, s.j,
+             s.s * nn.n - si.sq * sj.sq AS c
+      FROM s
+      JOIN sq si ON si.i = s.i
+      JOIN sq sj ON sj.i = s.j
+      CROSS JOIN nn
+    ),
+    sc AS (
+      SELECT CAST(MAX(abs(c)) // 1000000 + 1 AS BIGINT) AS scale FROM cov
+    ),
+    covs AS (
+      SELECT i, j,
+             (c + 4000000 * sc.scale) // sc.scale - 4000000 AS cs
+      FROM cov CROSS JOIN sc
+    ),
+    y1 AS (
+      SELECT i, CAST(SUM(cs) * 1000000 AS BIGINT) AS y FROM covs GROUP BY 1
+    ),
+    n1 AS (
+      SELECT CAST(greatest(MAX(abs(y)) // 1000000, 1) AS BIGINT) AS nrm
+      FROM y1
+    ),
+    x1 AS (
+      SELECT y1.i,
+             (y1.y + 4000000 * n1.nrm) // n1.nrm - 4000000 AS x
+      FROM y1 CROSS JOIN n1
+    ),
+    y2 AS (
+      SELECT covs.i, CAST(SUM(covs.cs * x1.x) AS BIGINT) AS y
+      FROM covs JOIN x1 ON x1.i = covs.j
+      GROUP BY 1
+    ),
+    n2 AS (
+      SELECT CAST(greatest(MAX(abs(y)) // 1000000, 1) AS BIGINT) AS nrm
+      FROM y2
+    )
+    SELECT y2.i AS dim,
+           sq.sq AS sum_q_milli,
+           cd.cs AS cov_diag_scaled,
+           CAST((y2.y + 4000000 * n2.nrm) // n2.nrm - 4000000 AS BIGINT)
+             AS v_micro
+    FROM y2
+    CROSS JOIN n2
+    JOIN sq ON sq.i = y2.i
+    JOIN covs cd ON cd.i = y2.i AND cd.j = y2.i
+    ORDER BY dim
+    """,
+)
+def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA top principal component by TWO power-method iterations
+    (von Mises iteration) over the embedding covariance, quantized
+    EXACT end to end: embeddings quantize to milli ints (float32 ->
+    double *1000 -> ROUND is bit-identical cross-engine), the 64x64
+    covariance is the integer n*S - sq_i*sq_j (no floor means --
+    scaled by n^2, exact), matrix entries rescale through a
+    DATA-ADAPTIVE integer scale (max|cov| div 1e6 + 1, so the same
+    query is overflow-safe at sf0.001 and sf100), and every signed
+    floor division uses the positive-offset form ((a + K*b) div b -
+    K, the x87 rule) so both engines floor identically. Output: the
+    micro-scaled eigenvector estimate after iteration 2, with the
+    per-dim moment columns it derives from.
+
+    Scale shape: the corpus-sized work is ONE posexplode (64n rows,
+    each carrying its quantized 64-array) and ONE groupBy(i) whose
+    aggregate builds the 64-wide moment row ARRAY-wise (64 sum
+    expressions) -- the second moment never self-joins the vector
+    table (the oracle's |v|x64^2 join is the naive mirror, fine for
+    DuckDB at sf0.01; the Spark plan ships 64 rows per vector, not
+    4096). Power iterations then run on the 64x64 grid -- free at
+    any corpus size. The k-iteration/k-component extension is k such
+    grid passes (deflation), still corpus-free after the one moment
+    pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qarr = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("qarr"),
+    )
+    rows = qarr.select(
+        "vec_id", F.posexplode("qarr").alias("i", "q"), "qarr"
+    )
+    nn = qarr.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sq = rows.groupBy("i").agg(F.sum("q").cast("bigint").alias("sq"))
+    sarr = rows.groupBy("i").agg(
+        F.array(
+            *[
+                F.sum(F.col("q") * F.element_at(F.col("qarr"), j + 1))
+                .cast("bigint")
+                for j in range(64)
+            ]
+        ).alias("srow")
+    )
+    s = sarr.select("i", F.posexplode("srow").alias("j", "s"))
+    cov = (
+        s.join(F.broadcast(sq.withColumnRenamed("sq", "sqi")), s["i"] == sq["i"])
+        .drop(sq["i"])
+        .join(
+            F.broadcast(
+                sq.select(F.col("i").alias("j2"), F.col("sq").alias("sqj"))
+            ),
+            F.col("j") == F.col("j2"),
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i", "j", (F.col("s") * F.col("n") - F.col("sqi") * F.col("sqj")).alias("c")
+        )
+        .localCheckpoint(eager=False)  # scale + both iterations share it
+    )
+    sc = cov.agg(
+        F.expr("CAST(MAX(abs(c)) div 1000000 + 1 AS BIGINT)").alias("scale")
+    )
+    covs = (
+        cov.crossJoin(F.broadcast(sc))
+        .select(
+            "i",
+            "j",
+            F.expr("(c + 4000000 * scale) div scale - 4000000").alias("cs"),
+        )
+        .localCheckpoint(eager=False)  # y1, y2, diag share it
+    )
+    y1 = covs.groupBy("i").agg(
+        (F.sum("cs") * F.lit(1000000)).cast("bigint").alias("y")
+    )
+    n1 = y1.agg(
+        F.expr("CAST(greatest(MAX(abs(y)) div 1000000, 1) AS BIGINT)").alias(
+            "nrm"
+        )
+    )
+    x1 = y1.crossJoin(F.broadcast(n1)).select(
+        "i", F.expr("(y + 4000000 * nrm) div nrm - 4000000").alias("x")
+    )
+    y2 = (
+        covs.join(
+            F.broadcast(x1.select(F.col("i").alias("j"), "x")), "j"
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("cs") * F.col("x")).cast("bigint").alias("y"))
+    )
+    n2 = y2.agg(
+        F.expr("CAST(greatest(MAX(abs(y)) div 1000000, 1) AS BIGINT)").alias(
+            "nrm"
+        )
+    )
+    diag = covs.where(F.col("i") == F.col("j")).select(
+        "i", F.col("cs").alias("cov_diag_scaled")
+    )
+    return (
+        y2.crossJoin(F.broadcast(n2))
+        .join(F.broadcast(sq), "i")
+        .join(F.broadcast(diag), "i")
+        .select(
+            F.col("i").alias("dim"),
+            F.col("sq").alias("sum_q_milli"),
+            "cov_diag_scaled",
+            F.expr(
+                "CAST((y + 4000000 * nrm) div nrm - 4000000 AS BIGINT)"
+            ).alias("v_micro"),
+        )
+        .orderBy("dim")
+    )

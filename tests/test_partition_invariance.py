@@ -119,6 +119,8 @@ FLOAT_SENSITIVE = [
     "ml_gbdt_round",
     "stats_power_mde",
     "dq25_fd_discovery",
+    "ml_pca_power",
+    "er8_fs_decisions",
 ]
 
 

@@ -193,6 +193,8 @@ _NLJ_ALLOWED = {
     "stats_cuped",  # 1-row split/moment/mean broadcasts over the user panel
     "ml_gbdt_round",  # 15-row threshold grid + 1-row argmin/model broadcasts (x2 rounds)
     "stats_power_mde",  # 1-row moments x 4-row size-grid broadcast
+    "ml_pca_power",  # 1-row n/scale/norm broadcasts over the 64x64 grid
+    "er8_fs_decisions",  # 1-row bucket-count + 1-row weight broadcasts
 }
 
 

@@ -273,6 +273,8 @@ EXTRA = [
     "ml_gbdt_round",
     "stats_power_mde",
     "dq25_fd_discovery",
+    "ml_pca_power",
+    "er8_fs_decisions",
 ]
 
 
