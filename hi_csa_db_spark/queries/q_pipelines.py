@@ -2539,3 +2539,192 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cc_micro"),
         )
     )
+
+
+@_register(
+    "graph_modularity",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey < 120
+    ),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    ud AS (
+      SELECT src, dst FROM edges
+      UNION SELECT dst AS src, src AS dst FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM ud),
+    l0 AS (SELECT id, id AS lbl FROM nodes),
+    c1 AS (
+      SELECT e.src, l.lbl, COUNT(*) AS n
+      FROM ud e JOIN l0 l ON l.id = e.dst GROUP BY e.src, l.lbl
+    ),
+    w1 AS (
+      SELECT src, lbl FROM (
+        SELECT src, lbl,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY n DESC, lbl ASC) AS rn
+        FROM c1) t WHERE rn = 1
+    ),
+    l1 AS (
+      SELECT n.id, COALESCE(w.lbl, l.lbl) AS lbl
+      FROM nodes n JOIN l0 l ON l.id = n.id
+      LEFT JOIN w1 w ON w.src = n.id
+    ),
+    c2 AS (
+      SELECT e.src, l.lbl, COUNT(*) AS n
+      FROM ud e JOIN l1 l ON l.id = e.dst GROUP BY e.src, l.lbl
+    ),
+    w2 AS (
+      SELECT src, lbl FROM (
+        SELECT src, lbl,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY n DESC, lbl ASC) AS rn
+        FROM c2) t WHERE rn = 1
+    ),
+    l2 AS (
+      SELECT n.id, COALESCE(w.lbl, l.lbl) AS lbl
+      FROM nodes n JOIN l1 l ON l.id = n.id
+      LEFT JOIN w2 w ON w.src = n.id
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d FROM ud GROUP BY 1),
+    intra AS (
+      SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS ec
+      FROM edges e
+      JOIN l2 la ON la.id = e.src
+      JOIN l2 lb ON lb.id = e.dst
+      WHERE la.lbl = lb.lbl
+      GROUP BY la.lbl
+    ),
+    comm AS (
+      SELECT l2.lbl, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(deg.d) AS BIGINT) AS dc
+      FROM l2 JOIN deg ON deg.id = l2.id
+      GROUP BY l2.lbl
+    ),
+    q AS (
+      SELECT c.lbl, c.n_nodes, COALESCE(i.ec, 0) AS ec, c.dc,
+             CAST(COALESCE(i.ec, 0) * 1000000 // m.m
+                  - c.dc * c.dc * 1000000 // (4 * m.m * m.m)
+                  AS BIGINT) AS q_contrib_micro
+      FROM comm c LEFT JOIN intra i ON i.lbl = c.lbl CROSS JOIN m
+    ),
+    tot AS (
+      SELECT CAST(-1 AS BIGINT) AS lbl,
+             CAST(SUM(n_nodes) AS BIGINT) AS n_nodes,
+             CAST(SUM(ec) AS BIGINT) AS ec,
+             CAST(SUM(dc) AS BIGINT) AS dc,
+             CAST(SUM(q_contrib_micro) AS BIGINT) AS q_contrib_micro
+      FROM q
+    ),
+    top10 AS (
+      SELECT * FROM q ORDER BY ec DESC, lbl ASC LIMIT 10
+    )
+    SELECT * FROM top10
+    UNION ALL
+    SELECT * FROM tot
+    ORDER BY ec DESC, lbl ASC
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the labelprop partition -- the quality
+    score community detection is judged by (Newman & Girvan 2004):
+    Q = sum_c (e_c/m - (d_c/2m)^2) over 2-round labelprop
+    communities on the co-purchase projection (parts sharing an
+    order, the graph_local_clustering subgraph -- NOT labelprop's
+    part-supplier bipartite graph, where synchronous label rounds
+    oscillate between the two sides and every edge crosses
+    communities by parity, a documented labelprop failure mode that
+    would pin e_c at 0), in exact
+    integer micros with a fixed operation order (intra-edge share
+    minus squared degree share, both floor-divided against the
+    broadcast edge total). Emits the 10 largest communities by
+    intra-edge count plus the TOTAL row (lbl = -1) whose
+    q_contrib_micro IS the partition's modularity -- closing the
+    loop the graph family left open: labelprop BUILDS communities,
+    er6/B-cubed scores CLUSTERINGS against truth, this scores the
+    partition against the graph itself (no truth needed).
+
+    Scale shape: the label rounds are labelprop's bounded-round
+    equi-join contract; modularity adds one degree aggregate, one
+    label-join pass over the edge list, and a |communities|-sized
+    grid against a 1-row m broadcast. Top-10 is TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.filter(F.col("l_partkey") < 120)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    oa, ob = op.alias("a"), op.alias("b")
+    edges = (
+        oa.join(
+            ob,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # labels, m, degrees, intra share it
+    )
+    labels = graph.label_propagation(edges, iterations=2).select(
+        "id", "lbl"
+    ).localCheckpoint(eager=False)  # intra + community aggregates share it
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    ud = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = ud.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    la = labels.select(F.col("id").alias("src"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("lbl").alias("lb"))
+    intra = (
+        edges.join(F.broadcast(la), "src")
+        .join(F.broadcast(lb), "dst")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ec"))
+    )
+    comm = (
+        labels.join(F.broadcast(deg), "id")
+        .groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("dc"),
+        )
+    )
+    q = (
+        comm.join(F.broadcast(intra), "lbl", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "lbl",
+            "n_nodes",
+            F.expr("CAST(COALESCE(ec, 0) AS BIGINT)").alias("ec"),
+            "dc",
+            F.expr(
+                "CAST(COALESCE(ec, 0) * 1000000 div m"
+                " - dc * dc * 1000000 div (4 * m * m) AS BIGINT)"
+            ).alias("q_contrib_micro"),
+        )
+        .localCheckpoint(eager=False)  # top-10 + total share it
+    )
+    tot = q.agg(
+        F.lit(-1).cast("bigint").alias("lbl"),
+        F.sum("n_nodes").cast("bigint").alias("n_nodes"),
+        F.sum("ec").cast("bigint").alias("ec"),
+        F.sum("dc").cast("bigint").alias("dc"),
+        F.sum("q_contrib_micro").cast("bigint").alias("q_contrib_micro"),
+    )
+    top10 = q.orderBy(F.col("ec").desc(), F.col("lbl").asc()).limit(10)
+    return top10.unionByName(tot).orderBy(
+        F.col("ec").desc(), F.col("lbl").asc()
+    )

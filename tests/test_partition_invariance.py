@@ -121,6 +121,7 @@ FLOAT_SENSITIVE = [
     "dq25_fd_discovery",
     "ml_pca_power",
     "er8_fs_decisions",
+    "graph_modularity",
 ]
 
 

@@ -195,6 +195,7 @@ _NLJ_ALLOWED = {
     "stats_power_mde",  # 1-row moments x 4-row size-grid broadcast
     "ml_pca_power",  # 1-row n/scale/norm broadcasts over the 64x64 grid
     "er8_fs_decisions",  # 1-row bucket-count + 1-row weight broadcasts
+    "graph_modularity",  # 1-row edge-total broadcast over the community grid
 }
 
 

@@ -275,6 +275,7 @@ EXTRA = [
     "dq25_fd_discovery",
     "ml_pca_power",
     "er8_fs_decisions",
+    "graph_modularity",
 ]
 
 
