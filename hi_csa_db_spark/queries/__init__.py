@@ -328,6 +328,35 @@ def _dep_globals(obj) -> dict:
     return vars(mod) if mod is not None else {}
 
 
+# Modules that CANNOT import without a live SparkSession (module-level
+# pandas_udf registration). Their dependents are always hashed by the
+# module FILE: attempting a real import here would make the dep hash
+# depend on whether a session happens to exist in the computing
+# process -- the import-state bug _dep_import exists to prevent.
+_FILE_PIN_MODULES = frozenset({"hi_csa_db_spark.functions.udxf"})
+
+
+def _dep_import(modname: str):
+    """Resolve a function-local import target for dependency hashing,
+    IMPORT-STATE-INDEPENDENTLY. The r9 first cut read
+    ``sys.modules.get(modname)``, so a query's dep hash flipped
+    between per-object hashes and the modfile pin depending on
+    whether some earlier code in the same process had imported the
+    module (e.g. a Corpus FFD call importing operators.packing made
+    x44's hash diverge from the manifest mid-test-suite). Importing
+    the module outright gives the same answer in every process;
+    session-requiring modules are statically file-pinned instead of
+    being import-attempted, for the same determinism reason."""
+    if modname in _FILE_PIN_MODULES:
+        return None
+    try:
+        import importlib
+
+        return importlib.import_module(modname)
+    except Exception:
+        return None
+
+
 def _collect_dep_hashes(src: str, g: dict, out: dict, seen: set) -> None:
     """Scan one definition's source for referenced hi_csa_db_spark
     objects (via its resolved globals), record each object's source
@@ -342,12 +371,11 @@ def _collect_dep_hashes(src: str, g: dict, out: dict, seen: set) -> None:
     # ordered`) and the ident scan see them.
     scope = g
     for modname, names in _LOCAL_IMPORT.findall(src):
-        mod = sys.modules.get(modname)
+        mod = _dep_import(modname)
         if mod is None:
-            # NOT imported eagerly: some modules need a live
-            # SparkSession at import time (functions/udxf.py's
-            # pandas_udf decorators). Conservative fallback: pin the
-            # module FILE -- any edit to it rotates the dependent.
+            # Module statically file-pinned (needs a live Spark
+            # session at import time) or genuinely unimportable: pin
+            # the module FILE -- any edit to it rotates the dependent.
             key = f"modfile:{modname}"
             if key not in seen:
                 seen.add(key)
@@ -367,10 +395,24 @@ def _collect_dep_hashes(src: str, g: dict, out: dict, seen: set) -> None:
             frag = piece.split(" as ")
             base = frag[0].strip()
             local = frag[-1].strip()
-            if base and hasattr(mod, base):
+            if not base:
+                continue
+            target = getattr(mod, base, None)
+            if target is None:
+                # `from pkg import submodule`: the attr exists on the
+                # package only after someone imports pkg.submodule --
+                # resolving through getattr alone would make the hash
+                # depend on process import history (the second half of
+                # the import-state bug: stream_* queries hashed richer
+                # or poorer by whether streaming.windows happened to
+                # be loaded). Import it explicitly so every process
+                # resolves the same object.
+                _dep_import(f"{modname}.{base}")
+                target = getattr(mod, base, None)
+            if target is not None:
                 if scope is g:
                     scope = dict(g)
-                scope[local] = getattr(mod, base)
+                scope[local] = target
     targets = []
     for base, attr in _DOTTED_REF.findall(src):
         v = scope.get(base)

@@ -146,3 +146,44 @@ def test_dependency_hash_deterministic():
     b = Q.query_dependency_hash("d15_sorted_neighborhood")
     assert a == b and a is not None
     assert Q.query_dependency_hash("no_such_query") is None
+
+
+def test_dependency_hash_is_import_state_independent():
+    """The r9 continuation bug: dep hashes resolved function-local
+    imports through the CURRENT process's import state (sys.modules
+    lookups and package getattrs), so a query's hash flipped when an
+    earlier test happened to import operators.packing or
+    streaming.windows — rotating ~30 banked greens mid-suite.
+    query_dependency_hash must return the same digest in a process
+    that pre-imports nothing and one that pre-imports the operator
+    modules the queries reach through function-local imports."""
+    import subprocess
+    import sys
+
+    names = "stream_stream_join x44_ffd_packing t10_interval_overlap"
+    prog = (
+        "import sys; sys.path.insert(0, '/root/repo'); {pre}"
+        "import hi_csa_db_spark.queries as Q; "
+        "print(','.join(str(Q.query_dependency_hash(n)) "
+        f"for n in '{names}'.split()))"
+    )
+    bare = subprocess.run(
+        [sys.executable, "-c", prog.format(pre="")],
+        capture_output=True, text=True, timeout=300,
+    )
+    warmed = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            prog.format(
+                pre="import hi_csa_db_spark.operators.packing, "
+                "hi_csa_db_spark.streaming.windows, "
+                "hi_csa_db_spark.operators.temporal; "
+            ),
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert bare.returncode == 0, bare.stderr[-500:]
+    assert warmed.returncode == 0, warmed.stderr[-500:]
+    assert bare.stdout.strip() == warmed.stdout.strip()
+    assert "None" not in bare.stdout

@@ -14,10 +14,17 @@ queries.priority_order() treats a green as banked only while the
 current hash matches this manifest; mismatches rotate to the front of
 the driver-sample prefix (ADVICE r6 medium).
 
-Usage: python tools/update_banked_hashes.py [--check]
+Usage: python tools/update_banked_hashes.py [--check|--migrate-dep-hashes]
   --check  exit 1 if any driver-green registry name lacks a manifest
            entry at its latest green round (round_checklist uses this
            to force the round-start refresh).
+  --migrate-dep-hashes  re-fill dep_hash for entries whose TEXT hash
+           still matches the banked green (query source unedited) --
+           for dependency-hash RESOLUTION changes (e.g. the r9 fix
+           making resolution import-state-independent), which flip
+           stored dep hashes without any operator edit. Entries whose
+           text no longer matches are never touched: an edited query
+           stays stale until a later driver round proves it.
 """
 
 from __future__ import annotations
@@ -31,7 +38,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from hi_csa_db_spark import queries as Q
 
 
-def refresh(dry_run: bool = False) -> tuple[int, int, list[str]]:
+def refresh(
+    dry_run: bool = False, migrate_dep: bool = False
+) -> tuple[int, int, list[str]]:
     """Returns (updated, kept, missing-at-latest-round names)."""
     manifest = dict(Q._banked_hashes())
     latest = Q.driver_green_rounds()
@@ -46,7 +55,13 @@ def refresh(dry_run: bool = False) -> tuple[int, int, list[str]]:
             # sound while the operator modules are unedited since the
             # banked green, which is why this tool runs at ROUND
             # START, before any round-N editing begins.
-            if not dry_run and "dep_hash" not in rec:
+            needs_fill = "dep_hash" not in rec
+            needs_migrate = (
+                migrate_dep
+                and rec.get("hash") == Q.query_text_hash(name)
+                and rec.get("dep_hash") != Q.query_dependency_hash(name)
+            )
+            if not dry_run and (needs_fill or needs_migrate):
                 dh = Q.query_dependency_hash(name)
                 if dh is not None:
                     rec = dict(rec)
@@ -104,7 +119,9 @@ def report_dep_stale() -> list[str]:
 
 def main() -> int:
     check = "--check" in sys.argv
-    updated, kept, behind = refresh(dry_run=check)
+    updated, kept, behind = refresh(
+        dry_run=check, migrate_dep="--migrate-dep-hashes" in sys.argv
+    )
     if check:
         report_dep_stale()
         if behind:
