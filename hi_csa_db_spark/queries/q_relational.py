@@ -1545,3 +1545,123 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_size", "price_cents")
     )
+
+
+@_register(
+    "j17_coordinated_sample_join",
+    f"""
+    WITH c AS (
+      SELECT c_custkey,
+             ({KNUTH_HASH32_SQL.format(key='c_custkey')}) % 100 AS hc
+      FROM customer
+    ),
+    o AS (
+      SELECT o_orderkey, o_custkey,
+             ({KNUTH_HASH32_SQL.format(key='o_custkey')}) % 100 AS hco,
+             ({KNUTH_HASH32_SQL.format(key='o_orderkey')}) % 100 AS hoo
+      FROM orders
+    ),
+    full_join AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM c JOIN o ON c.c_custkey = o.o_custkey
+    ),
+    coord AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM c JOIN o ON c.c_custkey = o.o_custkey
+      WHERE c.hc < 10 AND o.hco < 10
+    ),
+    coord_keys AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM c JOIN o ON c.c_custkey = o.o_custkey
+      WHERE c.hc < 10
+    ),
+    indep AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM c JOIN o ON c.c_custkey = o.o_custkey
+      WHERE c.hc < 10 AND o.hoo < 10
+    )
+    SELECT 'coordinated' AS strategy,
+           cj.n AS sample_join_rows,
+           ck.n AS sampled_key_join_rows,
+           fj.n AS full_join_rows,
+           CAST(cj.n * 10000 // greatest(ck.n, 1) AS BIGINT)
+             AS retained_bps,
+           CAST(cj.n * 100 AS BIGINT) AS scaled_estimate
+    FROM coord cj CROSS JOIN coord_keys ck CROSS JOIN full_join fj
+    UNION ALL
+    SELECT 'independent', ij.n, ck.n, fj.n,
+           CAST(ij.n * 10000 // greatest(ck.n, 1) AS BIGINT),
+           CAST(ij.n * 10000 AS BIGINT)
+    FROM indep ij CROSS JOIN coord_keys ck CROSS JOIN full_join fj
+    ORDER BY strategy
+    """,
+)
+def j17_coordinated_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinated (consistent) sampling across joined tables -- the
+    sampling rule that makes 1 %-of-100 TB dev runs joinable: both
+    sides sample by the SAME hash rule on the JOIN KEY
+    (knuth(custkey)%100 < 10), so the sample join retains EVERY edge
+    whose key was sampled (retained_bps = 10000 by construction --
+    the proof column) and n*100 unbiasedly estimates the full join.
+    The 'independent' row samples the orders side by a rule on its
+    OWN key instead: the join of two 10 % samples keeps only ~10 %
+    of the sampled keys' edges (p^2 overall; retained_bps ~ 1000),
+    and its scale-up factor must be 10000 -- the quadratic variance
+    blow-up that makes uncoordinated sampling useless for join
+    metrics (Vengerov et al., join synopses literature).
+
+    Scale shape: this AUDIT computes the full join once (it needs
+    full_join_rows as truth) and shares it, checkpointed, across the
+    four count branches. A production sampled run keeps only the
+    sample predicate, which Catalyst pushes into the scans BEFORE
+    the shuffle -- a coordinated 10 % join moves ~p*|rows|, and that
+    plan shape is already pinned by u18/j9's pushdown rows. The
+    report is a 2-row cross of 1-row counts."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", (knuth_hash32(F.col("c_custkey")) % 100).alias("hc")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (knuth_hash32(F.col("o_custkey")) % 100).alias("hco"),
+        (knuth_hash32(F.col("o_orderkey")) % 100).alias("hoo"),
+    )
+    j = c.join(o, c["c_custkey"] == o["o_custkey"]).localCheckpoint(
+        eager=False
+    )  # all four count branches share it
+    full_join = j.agg(F.count(F.lit(1)).cast("bigint").alias("fj"))
+    coord = j.where((F.col("hc") < 10) & (F.col("hco") < 10)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cj")
+    )
+    coord_keys = j.where(F.col("hc") < 10).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ck")
+    )
+    indep = j.where((F.col("hc") < 10) & (F.col("hoo") < 10)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ij")
+    )
+    base = (
+        coord.crossJoin(F.broadcast(coord_keys))
+        .crossJoin(F.broadcast(indep))
+        .crossJoin(F.broadcast(full_join))
+    )
+    r1 = base.select(
+        F.lit("coordinated").alias("strategy"),
+        F.col("cj").alias("sample_join_rows"),
+        F.col("ck").alias("sampled_key_join_rows"),
+        F.col("fj").alias("full_join_rows"),
+        F.expr("CAST(cj * 10000 div greatest(ck, 1) AS BIGINT)").alias(
+            "retained_bps"
+        ),
+        F.expr("CAST(cj * 100 AS BIGINT)").alias("scaled_estimate"),
+    )
+    r2 = base.select(
+        F.lit("independent").alias("strategy"),
+        F.col("ij").alias("sample_join_rows"),
+        F.col("ck").alias("sampled_key_join_rows"),
+        F.col("fj").alias("full_join_rows"),
+        F.expr("CAST(ij * 10000 div greatest(ck, 1) AS BIGINT)").alias(
+            "retained_bps"
+        ),
+        F.expr("CAST(ij * 10000 AS BIGINT)").alias("scaled_estimate"),
+    )
+    return r1.unionByName(r2).orderBy("strategy")

@@ -122,6 +122,7 @@ FLOAT_SENSITIVE = [
     "ml_pca_power",
     "er8_fs_decisions",
     "graph_modularity",
+    "j17_coordinated_sample_join",
 ]
 
 

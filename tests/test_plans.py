@@ -196,6 +196,7 @@ _NLJ_ALLOWED = {
     "ml_pca_power",  # 1-row n/scale/norm broadcasts over the 64x64 grid
     "er8_fs_decisions",  # 1-row bucket-count + 1-row weight broadcasts
     "graph_modularity",  # 1-row edge-total broadcast over the community grid
+    "j17_coordinated_sample_join",  # 2-row report from four 1-row count broadcasts
 }
 
 

@@ -276,6 +276,7 @@ EXTRA = [
     "ml_pca_power",
     "er8_fs_decisions",
     "graph_modularity",
+    "j17_coordinated_sample_join",
 ]
 
 
