@@ -3343,3 +3343,113 @@ def t51_event_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern_name")
     )
+
+
+@_register(
+    "t53_business_day_latency",
+    """
+    WITH pw AS (
+      SELECT * FROM (VALUES
+        (0, 0), (1, 1), (2, 2), (3, 2), (4, 2), (5, 3), (6, 4)
+      ) AS t(pos, pfx)
+    ),
+    li AS (
+      SELECT o.o_orderpriority AS pri,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o.o_orderdate AS DATE)) AS BIGINT) AS d1,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS d2
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    biz AS (
+      SELECT li.pri, li.d2 - li.d1 AS cal_days,
+             (li.d2 // 7 * 5 + p2.pfx) - (li.d1 // 7 * 5 + p1.pfx)
+               AS biz_days
+      FROM li
+      JOIN pw p1 ON p1.pos = li.d1 % 7
+      JOIN pw p2 ON p2.pos = li.d2 % 7
+    )
+    SELECT pri,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(cal_days) * 1000 // COUNT(*) AS BIGINT)
+             AS avg_cal_days_milli,
+           CAST(SUM(biz_days) * 1000 // COUNT(*) AS BIGINT)
+             AS avg_biz_days_milli,
+           CAST(MAX(biz_days) AS BIGINT) AS max_biz_days,
+           CAST(SUM(cal_days) * 10000 // greatest(SUM(biz_days), 1)
+                AS BIGINT) AS cal_over_biz_bps
+    FROM biz
+    GROUP BY pri
+    ORDER BY pri
+    """,
+)
+def t53_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day (Mon-Fri) order-to-ship latency per priority --
+    the SLA arithmetic BI tools hide behind NETWORKDAYS(), computed
+    CLOSED-FORM so no calendar/locale function crosses the engine
+    boundary: with epoch day 0 a Thursday, B(e) = (e div 7)*5 +
+    P[e mod 7] counts business days before epoch-day e, where P is a
+    7-row literal prefix table over the Thu-start week
+    (Thu,Fri,Sat,Sun,Mon,Tue,Wed -> 0,1,2,2,2,3,4); the business-day
+    distance is then B(d2) - B(d1), exact integers end to end (the
+    ret8/a23 precomputed-table discipline applied to calendars).
+    cal_over_biz_bps reads ~14000 (7/5 with weekend-edge effects) --
+    the sanity column. vs t13: same join, calendar days; this is the
+    contractual-clock version.
+
+    Scale shape: the orders-lineitem equi-join is the q-family's
+    standard fact shuffle; the prefix table is a 7-row broadcast
+    joined twice; the rollup is a 5-group map-combined aggregate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pri"),
+        F.expr(
+            "CAST(datediff(to_date(o_orderdate), DATE'1970-01-01') AS BIGINT)"
+        ).alias("d1"),
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(datediff(to_date(l_shipdate), DATE'1970-01-01') AS BIGINT)"
+        ).alias("d2"),
+    )
+    pw = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 2), (3, 2), (4, 2), (5, 3), (6, 4)],
+        "pos: bigint, pfx: bigint",
+    )
+    li = o.join(l, o["o_orderkey"] == l["l_orderkey"])
+    biz = (
+        li.join(
+            F.broadcast(pw.select(F.col("pos").alias("p1pos"), F.col("pfx").alias("pfx1"))),
+            F.expr("d1 % 7") == F.col("p1pos"),
+        )
+        .join(
+            F.broadcast(pw.select(F.col("pos").alias("p2pos"), F.col("pfx").alias("pfx2"))),
+            F.expr("d2 % 7") == F.col("p2pos"),
+        )
+        .select(
+            "pri",
+            (F.col("d2") - F.col("d1")).alias("cal_days"),
+            F.expr(
+                "(d2 div 7 * 5 + pfx2) - (d1 div 7 * 5 + pfx1)"
+            ).alias("biz_days"),
+        )
+    )
+    return (
+        biz.groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.expr("CAST(SUM(cal_days) * 1000 div COUNT(1) AS BIGINT)").alias(
+                "avg_cal_days_milli"
+            ),
+            F.expr("CAST(SUM(biz_days) * 1000 div COUNT(1) AS BIGINT)").alias(
+                "avg_biz_days_milli"
+            ),
+            F.max("biz_days").cast("bigint").alias("max_biz_days"),
+            F.expr(
+                "CAST(SUM(cal_days) * 10000"
+                " div greatest(SUM(biz_days), 1) AS BIGINT)"
+            ).alias("cal_over_biz_bps"),
+        )
+        .orderBy("pri")
+    )

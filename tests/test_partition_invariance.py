@@ -123,6 +123,7 @@ FLOAT_SENSITIVE = [
     "er8_fs_decisions",
     "graph_modularity",
     "j17_coordinated_sample_join",
+    "t53_business_day_latency",
 ]
 
 
