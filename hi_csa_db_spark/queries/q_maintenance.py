@@ -2316,3 +2316,152 @@ def u32_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@_register(
+    "u33_mor_cow_planner",
+    f"""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+             ({KNUTH_HASH32_SQL.format(key='o_orderkey')}) % 1000 AS h
+      FROM orders
+    ),
+    b AS (SELECT MAX(k) + 1 AS mk, CAST(COUNT(*) AS BIGINT) AS n FROM o),
+    f AS (
+      SELECT CAST(o.k * 64 // b.mk AS BIGINT) AS file_id, o.h
+      FROM o CROSS JOIN b
+    ),
+    pf AS (
+      SELECT file_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN h < 1 THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+             CAST(SUM(CASE WHEN h < 10 THEN 1 ELSE 0 END) AS BIGINT) AS u10,
+             CAST(SUM(CASE WHEN h < 100 THEN 1 ELSE 0 END) AS BIGINT) AS u100
+      FROM f GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(s AS BIGINT) AS share_permille
+      FROM (VALUES (1), (10), (100)) AS t(s)
+    ),
+    w AS (
+      SELECT g.share_permille,
+             CAST(SUM(CASE g.share_permille WHEN 1 THEN pf.u1
+                      WHEN 10 THEN pf.u10 ELSE pf.u100 END) AS BIGINT)
+               AS n_updates,
+             CAST(SUM(CASE WHEN (CASE g.share_permille WHEN 1 THEN pf.u1
+                                 WHEN 10 THEN pf.u10 ELSE pf.u100 END) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+             CAST(SUM(CASE WHEN (CASE g.share_permille WHEN 1 THEN pf.u1
+                                 WHEN 10 THEN pf.u10 ELSE pf.u100 END) > 0
+                           THEN pf.n_rows ELSE 0 END) AS BIGINT)
+               AS touched_rows
+      FROM pf CROSS JOIN g
+      GROUP BY g.share_permille
+    )
+    SELECT w.share_permille, s.strategy, w.n_updates, w.files_touched,
+           CASE s.strategy WHEN 'copy_on_write' THEN w.touched_rows
+                ELSE w.n_updates END AS rows_written,
+           CAST(CASE s.strategy WHEN 'copy_on_write' THEN w.touched_rows
+                     ELSE w.n_updates END * 10000
+                // greatest(w.n_updates, 1) AS BIGINT) AS write_amp_bps,
+           CASE s.strategy WHEN 'copy_on_write' THEN b.n
+                ELSE b.n + w.n_updates END AS read_rows,
+           CAST(CASE s.strategy WHEN 'copy_on_write' THEN b.n
+                     ELSE b.n + w.n_updates END * 10000
+                // b.n AS BIGINT) AS read_amp_bps
+    FROM w
+    CROSS JOIN (SELECT UNNEST(['copy_on_write', 'merge_on_read'])
+                AS strategy) s
+    CROSS JOIN b
+    ORDER BY w.share_permille, s.strategy
+    """,
+)
+def u33_mor_cow_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write vs merge-on-read cost planner -- the central
+    lakehouse table-format trade (Iceberg/Delta/Hudi), priced from
+    MEASURED update locality rather than assumed constants: orders
+    live in 64 value-range-clustered files, a deterministic
+    hash-sampled update workload at 0.1 / 1 / 10 percent touches
+    some file set, and the planner reads off what each strategy
+    actually costs. COW rewrites every touched FILE (write_amp_bps =
+    touched rows per updated row -- at 0.1 % updates nearly every
+    update sits alone in its file, so amplification approaches the
+    file size; at 10 % the files are shared and amplification
+    collapses), while MOR writes only the delta (amp 10000 = 1x)
+    but every reader pays base+delta merge rows (read_amp_bps).
+    The crossover the numbers expose IS the policy: update-sparse
+    tables want MOR, update-dense want COW -- beside u21's
+    compaction and u28's expiry this completes the write-path
+    planning tier.
+
+    Scale shape: ONE pass over orders builds the 64-row per-file
+    profile (three conditional sums -- the workload grid never
+    rescans the fact); everything downstream is 64-row x 3-share x
+    2-strategy literal algebra against a 1-row total broadcast."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (knuth_hash32(F.col("o_orderkey")) % 1000).alias("h"),
+    )
+    b = o.agg(
+        (F.max("k") + 1).alias("mk"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    pf = (
+        o.crossJoin(F.broadcast(b.select("mk")))
+        .select(F.expr("CAST(k * 64 div mk AS BIGINT)").alias("file_id"), "h")
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("h") < 1, 1).otherwise(0)).cast("bigint").alias("u1"),
+            F.sum(F.when(F.col("h") < 10, 1).otherwise(0)).cast("bigint").alias("u10"),
+            F.sum(F.when(F.col("h") < 100, 1).otherwise(0)).cast("bigint").alias("u100"),
+        )
+    )
+    g = spark.createDataFrame([(1,), (10,), (100,)], "share_permille: bigint")
+    upd = F.expr(
+        "CASE share_permille WHEN 1 THEN u1 WHEN 10 THEN u10 ELSE u100 END"
+    )
+    w = (
+        pf.crossJoin(F.broadcast(g))
+        .groupBy("share_permille")
+        .agg(
+            F.sum(upd).cast("bigint").alias("n_updates"),
+            F.sum(F.when(upd > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("files_touched"),
+            F.sum(F.when(upd > 0, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("touched_rows"),
+        )
+    )
+    strat = spark.createDataFrame(
+        [("copy_on_write",), ("merge_on_read",)], "strategy: string"
+    )
+    return (
+        w.crossJoin(F.broadcast(strat))
+        .crossJoin(F.broadcast(b.select("n")))
+        .select(
+            "share_permille",
+            "strategy",
+            "n_updates",
+            "files_touched",
+            F.expr(
+                "CASE strategy WHEN 'copy_on_write' THEN touched_rows"
+                " ELSE n_updates END"
+            ).alias("rows_written"),
+            F.expr(
+                "CAST(CASE strategy WHEN 'copy_on_write' THEN touched_rows"
+                " ELSE n_updates END * 10000"
+                " div greatest(n_updates, 1) AS BIGINT)"
+            ).alias("write_amp_bps"),
+            F.expr(
+                "CASE strategy WHEN 'copy_on_write' THEN n"
+                " ELSE n + n_updates END"
+            ).alias("read_rows"),
+            F.expr(
+                "CAST(CASE strategy WHEN 'copy_on_write' THEN n"
+                " ELSE n + n_updates END * 10000 div n AS BIGINT)"
+            ).alias("read_amp_bps"),
+        )
+        .orderBy("share_permille", "strategy")
+    )

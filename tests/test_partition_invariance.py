@@ -124,6 +124,7 @@ FLOAT_SENSITIVE = [
     "graph_modularity",
     "j17_coordinated_sample_join",
     "t53_business_day_latency",
+    "u33_mor_cow_planner",
 ]
 
 

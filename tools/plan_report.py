@@ -278,6 +278,7 @@ EXTRA = [
     "graph_modularity",
     "j17_coordinated_sample_join",
     "t53_business_day_latency",
+    "u33_mor_cow_planner",
 ]
 
 
