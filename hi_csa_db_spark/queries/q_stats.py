@@ -2994,3 +2994,143 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@_register(
+    "ml_bandit_replay",
+    """
+    WITH e AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             event_type AS arm,
+             CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS reward
+      FROM events
+    ),
+    da AS (
+      SELECT day, arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(reward) AS BIGINT) AS r
+      FROM e GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT day, arm,
+             SUM(n) OVER (PARTITION BY arm ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS cn,
+             SUM(r) OVER (PARTITION BY arm ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS cr
+      FROM da
+    ),
+    rate AS (
+      SELECT day, arm,
+             CAST(COALESCE(cr, 0) * 1000000
+                  // greatest(COALESCE(cn, 0), 1) AS BIGINT) AS rate_micro
+      FROM cum
+    ),
+    pol AS (
+      SELECT day, arm AS policy_arm FROM (
+        SELECT day, arm,
+               ROW_NUMBER() OVER (PARTITION BY day
+                                  ORDER BY rate_micro DESC, arm ASC) AS rn
+        FROM rate) t WHERE rn = 1
+    ),
+    matched AS (
+      SELECT d.day, p.policy_arm, d.n, d.r
+      FROM da d JOIN pol p ON p.day = d.day AND d.arm = p.policy_arm
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(r) AS BIGINT) AS tr
+      FROM da
+    )
+    SELECT m.day, m.policy_arm,
+           CAST(m.n AS BIGINT) AS n_matched,
+           CAST(m.r AS BIGINT) AS matched_reward,
+           CAST(m.r * 1000000 // greatest(m.n, 1) AS BIGINT)
+             AS replay_ctr_micro,
+           CAST(t.tr * 1000000 // t.tn AS BIGINT) AS logged_ctr_micro
+    FROM matched m CROSS JOIN tot t
+    ORDER BY m.day
+    """,
+)
+def ml_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline bandit policy evaluation by REPLAY (Li et al., WSDM
+    2011 -- the unbiased counterfactual estimator behind every
+    recommender A/B that never ran): the logged arm is the event
+    type, reward is a fixed outcome rule (value >= 50), and a greedy
+    policy picks each day's arm from STRICTLY-PRIOR cumulative
+    reward rates (the 1-PRECEDING window frame is the leakage guard
+    -- same-day rewards never inform the same day's choice; day 1
+    falls back to the lexicographic arm at rate 0). Replay keeps
+    exactly the logged events whose arm matches the policy's choice;
+    their reward rate IS the policy's estimated online CTR, read
+    beside the logged-policy CTR. On this uniform fixture the two
+    agree (the honest-null again); the machinery -- leakage-guarded
+    state, deterministic tie-breaks, matched-subset estimation -- is
+    what the oracle certifies.
+
+    Scale shape: one (day, arm) map-combined aggregate (5x|days|
+    rows), cumulative windows PARTITIONED BY ARM over the bounded
+    day dimension, a per-day argmax over 5 rows, and a broadcast
+    1-row total. The event log is read once."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(ts_ns div 1000 div 86400000000 AS BIGINT)").alias("day"),
+        F.col("event_type").alias("arm"),
+        F.when(F.col("value") >= 50.0, 1).otherwise(0).alias("reward"),
+    )
+    da = e.groupBy("day", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("reward").cast("bigint").alias("r"),
+    ).localCheckpoint(eager=False)  # rates, matching, totals share it
+    warm = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rate = (
+        da.withColumn("cn", F.sum("n").over(warm))
+        .withColumn("cr", F.sum("r").over(warm))
+        .select(
+            "day",
+            "arm",
+            F.expr(
+                "CAST(COALESCE(cr, 0) * 1000000"
+                " div greatest(COALESCE(cn, 0), 1) AS BIGINT)"
+            ).alias("rate_micro"),
+        )
+    )
+    wd = Window.partitionBy("day").orderBy(
+        F.col("rate_micro").desc(), F.col("arm").asc()
+    )
+    pol = (
+        rate.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .select("day", F.col("arm").alias("policy_arm"))
+    )
+    matched = (
+        da.alias("d")
+        .join(
+            F.broadcast(pol.select(F.col("day").alias("pday"), "policy_arm")),
+            (F.col("d.day") == F.col("pday"))
+            & (F.col("d.arm") == F.col("policy_arm")),
+        )
+        .select(F.col("d.day").alias("day"), "policy_arm", "n", "r")
+    )
+    tot = da.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("r").cast("bigint").alias("tr"),
+    )
+    return (
+        matched.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "policy_arm",
+            F.col("n").cast("bigint").alias("n_matched"),
+            F.col("r").cast("bigint").alias("matched_reward"),
+            F.expr("CAST(r * 1000000 div greatest(n, 1) AS BIGINT)").alias(
+                "replay_ctr_micro"
+            ),
+            F.expr("CAST(tr * 1000000 div tn AS BIGINT)").alias(
+                "logged_ctr_micro"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -125,6 +125,7 @@ FLOAT_SENSITIVE = [
     "j17_coordinated_sample_join",
     "t53_business_day_latency",
     "u33_mor_cow_planner",
+    "ml_bandit_replay",
 ]
 
 

@@ -198,6 +198,7 @@ _NLJ_ALLOWED = {
     "graph_modularity",  # 1-row edge-total broadcast over the community grid
     "j17_coordinated_sample_join",  # 2-row report from four 1-row count broadcasts
     "u33_mor_cow_planner",  # 1-row bounds + 3-share x 2-strategy literal grids
+    "ml_bandit_replay",  # 1-row logged-total broadcast over the day-arm grid
 }
 
 

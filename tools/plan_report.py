@@ -279,6 +279,7 @@ EXTRA = [
     "j17_coordinated_sample_join",
     "t53_business_day_latency",
     "u33_mor_cow_planner",
+    "ml_bandit_replay",
 ]
 
 
