@@ -2728,3 +2728,178 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top10.unionByName(tot).orderBy(
         F.col("ec").desc(), F.col("lbl").asc()
     )
+
+
+@_register(
+    "graph_simrank",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey < 120
+    ),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION ALL SELECT dst, src FROM edges
+    ),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+    s1off AS (
+      SELECT x.a AS i, y.a AS j,
+             CAST(COUNT(*) AS BIGINT) AS common,
+             CAST(800000 * COUNT(*) // (di.d * dj.d) AS BIGINT) AS s_micro
+      FROM adj x JOIN adj y ON x.b = y.b AND x.a < y.a
+      JOIN deg di ON di.a = x.a
+      JOIN deg dj ON dj.a = y.a
+      GROUP BY x.a, y.a, di.d, dj.d
+    ),
+    s1full AS (
+      SELECT i, j, s_micro FROM s1off
+      UNION ALL SELECT j, i, s_micro FROM s1off
+      UNION ALL SELECT a AS i, a AS j, CAST(1000000 AS BIGINT) FROM deg
+    ),
+    t AS (
+      SELECT s.i, y.a AS b, CAST(SUM(s.s_micro) AS BIGINT) AS tsum
+      FROM s1full s JOIN adj y ON y.b = s.j
+      GROUP BY 1, 2
+    ),
+    s2 AS (
+      SELECT x.a AS i, t.b AS j, CAST(SUM(t.tsum) AS BIGINT) AS ssum
+      FROM t JOIN adj x ON x.b = t.i
+      WHERE x.a < t.b
+      GROUP BY 1, 2
+    )
+    SELECT s2.i AS part_a, s2.j AS part_b,
+           CAST(COALESCE(o.common, 0) AS BIGINT) AS common_neighbors,
+           CAST(COALESCE(o.s_micro, 0) AS BIGINT) AS s1_micro,
+           CAST(800000 * s2.ssum
+                // (di.d * dj.d * 1000000) AS BIGINT) AS s2_micro
+    FROM s2
+    JOIN deg di ON di.a = s2.i
+    JOIN deg dj ON dj.a = s2.j
+    LEFT JOIN s1off o ON o.i = s2.i AND o.j = s2.j
+    ORDER BY s2_micro DESC, part_a ASC, part_b ASC LIMIT 20
+    """,
+)
+def graph_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimRank similarity, two bounded iterations (Jeh & Widom, KDD
+    2002; C=0.8): 'two nodes are similar when their neighbors are
+    similar' -- the RECURSIVE structural similarity the rest of the
+    graph family approximates from one hop (jaccard_neighbors,
+    link_prediction count common neighbors; SimRank also credits
+    neighbors that are merely similar to each other). With the
+    identity base case, iteration 1 is the normalized common-
+    neighbor count C*|N(a) n N(b)|/(d_a d_b); iteration 2 runs as
+    the MATRIX-MULTIPLY shape: T(i,b) = sum_j S1(i,j)[j in N(b)]
+    then S2(a,b) = C/(d_a d_b) * sum_i [i in N(a)] T(i,b) -- two
+    equi-join+aggregate rounds, never a 4-way join. Exact integer
+    micros with one fixed-order floor per iteration; the diagonal
+    rides as literal 1e6 rows (S(x,x)=1 by definition). Top-20
+    pairs with the S1 column alongside, so the read shows where
+    recursion reorders one-hop similarity.
+
+    Scale shape: all state is dimension-bounded by the <120-part
+    co-purchase cap (pair state <= |V|^2, join fan-in bounded by
+    degree); at open scale SimRank runs on a pruned candidate graph
+    exactly like this subgraph -- the iteration shape (two hash
+    joins per round) is what survives 100x, and rounds are k
+    repeated plan fragments like components/scc."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.filter(F.col("l_partkey") < 120)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    oa, ob = op.alias("a"), op.alias("b")
+    edges = (
+        oa.join(
+            ob,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    adj = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    ).localCheckpoint(eager=False)  # degrees + wedges + both iterations share it
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ax, ay = adj.alias("x"), adj.alias("y")
+    s1off = (
+        ax.join(ay, (F.col("x.b") == F.col("y.b")) & (F.col("x.a") < F.col("y.a")))
+        .join(F.broadcast(deg.select(F.col("a").alias("ia"), F.col("d").alias("di"))), F.col("x.a") == F.col("ia"))
+        .join(F.broadcast(deg.select(F.col("a").alias("ja"), F.col("d").alias("dj"))), F.col("y.a") == F.col("ja"))
+        .groupBy(
+            F.col("x.a").alias("i"),
+            F.col("y.a").alias("j"),
+            F.col("di"),
+            F.col("dj"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+        .select(
+            "i",
+            "j",
+            "common",
+            F.expr("CAST(800000 * common div (di * dj) AS BIGINT)").alias(
+                "s_micro"
+            ),
+        )
+        .localCheckpoint(eager=False)  # s1full + final join share it
+    )
+    s1full = (
+        s1off.select("i", "j", "s_micro")
+        .unionByName(
+            s1off.select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "s_micro"
+            )
+        )
+        .unionByName(
+            deg.select(
+                F.col("a").alias("i"),
+                F.col("a").alias("j"),
+                F.lit(1000000).cast("bigint").alias("s_micro"),
+            )
+        )
+    )
+    t = (
+        s1full.join(adj.select(F.col("a").alias("tb"), F.col("b").alias("j")), "j")
+        .groupBy("i", "tb")
+        .agg(F.sum("s_micro").cast("bigint").alias("tsum"))
+    )
+    s2 = (
+        t.join(adj.select(F.col("a").alias("sa"), F.col("b").alias("i")), "i")
+        .where(F.col("sa") < F.col("tb"))
+        .groupBy(F.col("sa").alias("i"), F.col("tb").alias("j"))
+        .agg(F.sum("tsum").cast("bigint").alias("ssum"))
+    )
+    return (
+        s2.join(F.broadcast(deg.select(F.col("a").alias("i"), F.col("d").alias("di"))), "i")
+        .join(F.broadcast(deg.select(F.col("a").alias("j"), F.col("d").alias("dj"))), "j")
+        .join(
+            F.broadcast(s1off.select("i", "j", "common", "s_micro")),
+            ["i", "j"],
+            "left",
+        )
+        .select(
+            F.col("i").alias("part_a"),
+            F.col("j").alias("part_b"),
+            F.expr("CAST(COALESCE(common, 0) AS BIGINT)").alias(
+                "common_neighbors"
+            ),
+            F.expr("CAST(COALESCE(s_micro, 0) AS BIGINT)").alias("s1_micro"),
+            F.expr(
+                "CAST(800000 * ssum div (di * dj * 1000000) AS BIGINT)"
+            ).alias("s2_micro"),
+        )
+        .orderBy(
+            F.col("s2_micro").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .limit(20)
+    )

@@ -126,6 +126,7 @@ FLOAT_SENSITIVE = [
     "t53_business_day_latency",
     "u33_mor_cow_planner",
     "ml_bandit_replay",
+    "graph_simrank",
 ]
 
 

@@ -280,6 +280,7 @@ EXTRA = [
     "t53_business_day_latency",
     "u33_mor_cow_planner",
     "ml_bandit_replay",
+    "graph_simrank",
 ]
 
 
