@@ -1576,3 +1576,166 @@ def dq25_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_violating * 10000 div greatest(n_groups, 1) AS BIGINT)"
         ).alias("violation_bps"),
     ).orderBy("tbl", "lhs", "rhs")
+
+
+@_register(
+    "dq26_metric_decomposition",
+    """
+    WITH o AS (
+      SELECT n.n_name, o.o_orderpriority AS pri,
+             CASE WHEN CAST(o.o_orderdate AS DATE) < DATE '1998-07-01'
+                  THEN 'before' ELSE 'after' END AS period,
+             CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(o.o_orderdate AS DATE) < DATE '2000-01-01'
+    ),
+    seg AS (
+      SELECT n_name, pri,
+             CAST(SUM(CASE WHEN period = 'before' THEN cents ELSE 0 END)
+                  AS BIGINT) AS before_cents,
+             CAST(SUM(CASE WHEN period = 'after' THEN cents ELSE 0 END)
+                  AS BIGINT) AS after_cents
+      FROM o GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(after_cents) - SUM(before_cents) AS BIGINT)
+               AS total_delta
+      FROM seg
+    ),
+    scored AS (
+      SELECT s.n_name, s.pri, s.before_cents, s.after_cents,
+             s.after_cents - s.before_cents AS delta_cents,
+             CAST((s.after_cents - s.before_cents) * 10000
+                  // (CASE WHEN t.total_delta = 0 THEN 1
+                           ELSE t.total_delta END) AS BIGINT)
+               AS contribution_bps,
+             t.total_delta
+      FROM seg s CROSS JOIN tot t
+    ),
+    top AS (
+      SELECT * FROM scored
+      ORDER BY abs(delta_cents) DESC, n_name ASC, pri ASC LIMIT 15
+    ),
+    residual AS (
+      SELECT CAST(-1 AS VARCHAR) AS n_name, 'OTHER' AS pri,
+             CAST(SUM(before_cents) AS BIGINT),
+             CAST(SUM(after_cents) AS BIGINT),
+             CAST(SUM(delta_cents) AS BIGINT),
+             CAST(SUM(contribution_bps) AS BIGINT),
+             CAST(MAX(total_delta) AS BIGINT)
+      FROM scored s
+      WHERE NOT EXISTS (SELECT 1 FROM top t
+                        WHERE t.n_name = s.n_name AND t.pri = s.pri)
+    )
+    SELECT * FROM (
+      SELECT * FROM top
+      UNION ALL
+      SELECT * FROM residual
+    ) u
+    ORDER BY abs(u.delta_cents) DESC, u.n_name ASC, u.pri ASC
+    """,
+)
+def dq26_metric_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric contribution analysis -- the 'why did revenue move'
+    drill every BI metric tree runs: the period-over-period revenue
+    delta (18 months before vs after a fixed boundary) is decomposed
+    across (nation x priority) segments in EXACT decimal cents, each
+    segment's share of the total move in signed bps. The
+    decomposition is ADDITIVE BY CONSTRUCTION and the result proves
+    it: the top-15 movers ship with an OTHER residual row, so
+    delta_cents (and, up to per-segment floor rounding,
+    contribution_bps) sum to the total across the emitted rows --
+    the property dashboard drill-downs silently assume and
+    root-cause tools like Adtributor formalize.
+
+    Scale shape: one dimension-broadcast join chain (the q5/q8
+    shape), one map-combined (nation, priority, period) aggregate --
+    the segment grid is dimension-bounded; top-15 is TakeOrdered;
+    the residual is a second pass over the 125-row segment grid,
+    not the fact."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        o.where(
+            (F.to_date("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.to_date("o_orderdate") < F.lit("2000-01-01"))
+        )
+        .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            "n_name",
+            F.col("o_orderpriority").alias("pri"),
+            F.when(
+                F.to_date("o_orderdate") < F.lit("1998-07-01"), "before"
+            )
+            .otherwise("after")
+            .alias("period"),
+            (F.col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    seg = base.groupBy("n_name", "pri").agg(
+        F.sum(F.when(F.col("period") == "before", F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("before_cents"),
+        F.sum(F.when(F.col("period") == "after", F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("after_cents"),
+    )
+    tot = seg.agg(
+        (F.sum("after_cents") - F.sum("before_cents"))
+        .cast("bigint")
+        .alias("total_delta")
+    )
+    scored = (
+        seg.crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            "pri",
+            "before_cents",
+            "after_cents",
+            (F.col("after_cents") - F.col("before_cents")).alias("delta_cents"),
+            F.expr(
+                "CAST((after_cents - before_cents) * 10000"
+                " div (CASE WHEN total_delta = 0 THEN 1"
+                " ELSE total_delta END) AS BIGINT)"
+            ).alias("contribution_bps"),
+            "total_delta",
+        )
+        .localCheckpoint(eager=False)  # top + residual share it
+    )
+    top = scored.orderBy(
+        F.abs(F.col("delta_cents")).desc(), F.col("n_name").asc(), F.col("pri").asc()
+    ).limit(15).localCheckpoint(eager=False)  # residual anti-join reuses it
+    residual = (
+        scored.join(
+            F.broadcast(top.select("n_name", "pri")), ["n_name", "pri"], "left_anti"
+        )
+        .agg(
+            F.lit("-1").alias("n_name"),
+            F.lit("OTHER").alias("pri"),
+            F.sum("before_cents").cast("bigint").alias("before_cents"),
+            F.sum("after_cents").cast("bigint").alias("after_cents"),
+            F.sum("delta_cents").cast("bigint").alias("delta_cents"),
+            F.sum("contribution_bps").cast("bigint").alias("contribution_bps"),
+            F.max("total_delta").cast("bigint").alias("total_delta"),
+        )
+        .select(
+            "n_name",
+            "pri",
+            "before_cents",
+            "after_cents",
+            "delta_cents",
+            "contribution_bps",
+            "total_delta",
+        )
+    )
+    return top.unionByName(residual).orderBy(
+        F.abs(F.col("delta_cents")).desc(), F.col("n_name").asc(), F.col("pri").asc()
+    )

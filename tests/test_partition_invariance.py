@@ -127,6 +127,7 @@ FLOAT_SENSITIVE = [
     "u33_mor_cow_planner",
     "ml_bandit_replay",
     "graph_simrank",
+    "dq26_metric_decomposition",
 ]
 
 

@@ -199,6 +199,7 @@ _NLJ_ALLOWED = {
     "j17_coordinated_sample_join",  # 2-row report from four 1-row count broadcasts
     "u33_mor_cow_planner",  # 1-row bounds + 3-share x 2-strategy literal grids
     "ml_bandit_replay",  # 1-row logged-total broadcast over the day-arm grid
+    "dq26_metric_decomposition",  # 1-row total-delta broadcast over the segment grid
 }
 
 

@@ -281,6 +281,7 @@ EXTRA = [
     "u33_mor_cow_planner",
     "ml_bandit_replay",
     "graph_simrank",
+    "dq26_metric_decomposition",
 ]
 
 
