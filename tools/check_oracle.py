@@ -221,6 +221,20 @@ def main():
             spark.catalog.clearCache()
         except Exception:
             pass
+        # clearCache drops SQL-cached frames but NOT the RDD blocks
+        # behind lazy localCheckpoint() — the registry leans on those
+        # for shared subtrees, and ~390 queries of retained checkpoint
+        # blocks OOM the sweep JVM at sf0.1 (observed r9: heap
+        # exhaustion at graph_mst/s7/s8, green in isolation). Each
+        # query is fully collected by here, so its checkpoints are
+        # dead weight: unpersist every retained RDD.
+        try:
+            for rdd_id in list(
+                spark.sparkContext._jsc.getPersistentRDDs().keySet()
+            ):
+                spark.sparkContext._jsc.sc().unpersistRDD(rdd_id, False)
+        except Exception:
+            pass
     import json
     import os as _os
 
