@@ -1200,3 +1200,72 @@ def f_levenshtein_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dist").asc(), F.col("type_a").asc(), F.col("type_b").asc())
         .limit(30)
     )
+
+
+@_register(
+    "f_rounding_suite",
+    """
+    WITH v AS (
+      SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+      FROM (VALUES
+        (7, 2), (-7, 2), (7, -2), (-7, -2),
+        (9, 3), (-9, 3), (1, 1000000), (-1, 1000000)
+      ) AS t(a, b)
+    )
+    SELECT a, b,
+           CAST(floor(CAST(a AS DOUBLE) / b) AS BIGINT) AS floor_div,
+           CAST((a + 4000000 * abs(b)) // abs(b) - 4000000 AS BIGINT)
+             * CASE WHEN b < 0 THEN -1 ELSE 1 END AS offset_floor_div,
+           CAST(a % b AS BIGINT) AS mod_trunc,
+           CAST(((a % b) + b) % b AS BIGINT) AS mod_floor,
+           CAST(abs(a) * 1000000 // abs(b) AS BIGINT) AS abs_ratio_micro
+    FROM v
+    ORDER BY a, b
+    """,
+)
+def f_rounding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's signed-arithmetic determinism rules as an
+    EXECUTABLE table — DETERMINISM.md's round-9 patterns proven on a
+    literal grid instead of asserted in prose. Spark's `div`
+    truncates toward zero while DuckDB's `//` floors — they diverge
+    exactly on negative quotients, so a bare div/`//` never appears
+    in this query (or anywhere in the registry) with a possibly-
+    negative numerator. Both engines' `%` is dividend-signed (they
+    agree), kept here as the witness. The emitted columns are the
+    SAFE constructions the registry is built from: floor_div = IEEE
+    floor() on the double quotient (correctly rounded,
+    bit-identical); offset_floor_div = sign(b) * floor(a/|b|) via
+    the positive-offset form (a + K*|b|) div |b| - K — the
+    ml_pca_power / ml_gbdt_round idiom, stated for the
+    positive-scale divisors the registry uses (for b<0 it is NOT
+    floor(a/b); compare the -3 vs floor_div's -4 rows — exactly the
+    trap the offset form exists to sidestep); mod_floor = the
+    canonical ((a % b) + b) % b; and the |a|*scale div |b|
+    magnitude ratio. A drift in either engine's division/modulo
+    semantics fails this row before it can silently skew a
+    production metric.
+
+    Scale shape: an 8-row literal grid; no table scan at all — the
+    cheapest query in the registry, and the one every other signed
+    division in it leans on."""
+    v = spark.createDataFrame(
+        [(7, 2), (-7, 2), (7, -2), (-7, -2), (9, 3), (-9, 3),
+         (1, 1000000), (-1, 1000000)],
+        "a: bigint, b: bigint",
+    )
+    return v.select(
+        "a",
+        "b",
+        F.expr("CAST(floor(CAST(a AS DOUBLE) / b) AS BIGINT)").alias(
+            "floor_div"
+        ),
+        F.expr(
+            "CAST((a + 4000000 * abs(b)) div abs(b) - 4000000 AS BIGINT)"
+            " * CASE WHEN b < 0 THEN -1 ELSE 1 END"
+        ).alias("offset_floor_div"),
+        F.expr("CAST(a % b AS BIGINT)").alias("mod_trunc"),
+        F.expr("CAST(((a % b) + b) % b AS BIGINT)").alias("mod_floor"),
+        F.expr("CAST(abs(a) * 1000000 div abs(b) AS BIGINT)").alias(
+            "abs_ratio_micro"
+        ),
+    ).orderBy("a", "b")

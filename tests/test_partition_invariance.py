@@ -128,6 +128,7 @@ FLOAT_SENSITIVE = [
     "ml_bandit_replay",
     "graph_simrank",
     "dq26_metric_decomposition",
+    "f_rounding_suite",
 ]
 
 

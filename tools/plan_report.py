@@ -282,6 +282,7 @@ EXTRA = [
     "ml_bandit_replay",
     "graph_simrank",
     "dq26_metric_decomposition",
+    "f_rounding_suite",
 ]
 
 
