@@ -2806,8 +2806,11 @@ def graph_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase cap (pair state <= |V|^2, join fan-in bounded by
     degree); at open scale SimRank runs on a pruned candidate graph
     exactly like this subgraph -- the iteration shape (two hash
-    joins per round) is what survives 100x, and rounds are k
-    repeated plan fragments like components/scc."""
+    joins per round, adjacency explicitly broadcast — it is
+    cap-bounded by construction, and the checkpoint would otherwise
+    hide its size from AQE and fall back to sort-merge) is what
+    survives 100x, and rounds are k repeated plan fragments like
+    components/scc."""
     li = load_table(spark, sf_dir, "lineitem")
     op = (
         li.filter(F.col("l_partkey") < 120)
@@ -2869,12 +2872,22 @@ def graph_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t = (
-        s1full.join(adj.select(F.col("a").alias("tb"), F.col("b").alias("j")), "j")
+        s1full.join(
+            F.broadcast(
+                adj.select(F.col("a").alias("tb"), F.col("b").alias("j"))
+            ),
+            "j",
+        )
         .groupBy("i", "tb")
         .agg(F.sum("s_micro").cast("bigint").alias("tsum"))
     )
     s2 = (
-        t.join(adj.select(F.col("a").alias("sa"), F.col("b").alias("i")), "i")
+        t.join(
+            F.broadcast(
+                adj.select(F.col("a").alias("sa"), F.col("b").alias("i"))
+            ),
+            "i",
+        )
         .where(F.col("sa") < F.col("tb"))
         .groupBy(F.col("sa").alias("i"), F.col("tb").alias("j"))
         .agg(F.sum("tsum").cast("bigint").alias("ssum"))
