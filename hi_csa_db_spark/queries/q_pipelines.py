@@ -2916,3 +2916,191 @@ def graph_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@_register(
+    "graph_robustness",
+    f"""
+    WITH RECURSIVE op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey < 120
+    ),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    ud0 AS (
+      SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+    ),
+    deg AS (SELECT src AS id, COUNT(*) AS d FROM ud0 GROUP BY 1),
+    hubs AS (
+      SELECT id FROM deg ORDER BY d DESC, id ASC LIMIT 5
+    ),
+    rnd AS (
+      SELECT id FROM (
+        SELECT id, ({KNUTH_HASH32_SQL.format(key='id')}) AS h
+        FROM deg) t
+      ORDER BY h ASC, id ASC LIMIT 5
+    ),
+    e_hub AS (
+      SELECT e.src, e.dst FROM edges e
+      WHERE NOT EXISTS (SELECT 1 FROM hubs h WHERE h.id = e.src)
+        AND NOT EXISTS (SELECT 1 FROM hubs h WHERE h.id = e.dst)
+    ),
+    e_rnd AS (
+      SELECT e.src, e.dst FROM edges e
+      WHERE NOT EXISTS (SELECT 1 FROM rnd r WHERE r.id = e.src)
+        AND NOT EXISTS (SELECT 1 FROM rnd r WHERE r.id = e.dst)
+    ),
+    ud_b AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    nb AS (SELECT DISTINCT src AS id FROM ud_b),
+    rb AS (
+      SELECT id, id AS r FROM nb
+      UNION
+      SELECT e.src AS id, rb.r FROM ud_b e JOIN rb ON rb.id = e.dst
+    ),
+    lb AS (SELECT id, MIN(r) AS lbl FROM rb GROUP BY id),
+    ud_h AS (SELECT src, dst FROM e_hub UNION ALL SELECT dst, src FROM e_hub),
+    nh AS (SELECT DISTINCT src AS id FROM ud_h),
+    rh AS (
+      SELECT id, id AS r FROM nh
+      UNION
+      SELECT e.src AS id, rh.r FROM ud_h e JOIN rh ON rh.id = e.dst
+    ),
+    lh AS (SELECT id, MIN(r) AS lbl FROM rh GROUP BY id),
+    ud_r AS (SELECT src, dst FROM e_rnd UNION ALL SELECT dst, src FROM e_rnd),
+    nr AS (SELECT DISTINCT src AS id FROM ud_r),
+    rr AS (
+      SELECT id, id AS r FROM nr
+      UNION
+      SELECT e.src AS id, rr.r FROM ud_r e JOIN rr ON rr.id = e.dst
+    ),
+    lr AS (SELECT id, MIN(r) AS lbl FROM rr GROUP BY id),
+    stats AS (
+      SELECT 'a_baseline' AS scenario,
+             CAST((SELECT COUNT(*) FROM nb) AS BIGINT) AS n_nodes,
+             CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+             CAST(COUNT(DISTINCT lbl) AS BIGINT) AS n_components,
+             CAST(MAX(csz) AS BIGINT) AS giant_size
+      FROM (SELECT lbl, COUNT(*) AS csz FROM lb GROUP BY lbl) t
+      UNION ALL
+      SELECT 'b_hub_attack',
+             CAST((SELECT COUNT(*) FROM nh) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM e_hub) AS BIGINT),
+             CAST(COUNT(DISTINCT lbl) AS BIGINT),
+             CAST(MAX(csz) AS BIGINT)
+      FROM (SELECT lbl, COUNT(*) AS csz FROM lh GROUP BY lbl) t
+      UNION ALL
+      SELECT 'c_random_removal',
+             CAST((SELECT COUNT(*) FROM nr) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM e_rnd) AS BIGINT),
+             CAST(COUNT(DISTINCT lbl) AS BIGINT),
+             CAST(MAX(csz) AS BIGINT)
+      FROM (SELECT lbl, COUNT(*) AS csz FROM lr GROUP BY lbl) t
+    )
+    SELECT scenario, n_nodes, n_edges, n_components, giant_size,
+           CAST(giant_size * 10000 // greatest(n_nodes, 1) AS BIGINT)
+             AS giant_share_bps
+    FROM stats
+    ORDER BY scenario
+    """,
+)
+def graph_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network attack-tolerance audit (Albert, Jeong & Barabasi
+    2000): the co-purchase graph's EXACT connected components
+    (pointer-jumping fixpoint, not the k-round approximation) are
+    measured three ways -- intact, after removing the 5
+    highest-degree hubs (targeted attack; ties break to the smaller
+    id), and after removing 5 hash-chosen nodes (random failure,
+    same portable multiplicative hash as every sampling rule here).
+    The giant-component share collapsing under hub attack but not
+    under random removal is THE scale-free-network signature; on
+    this near-random co-purchase graph the two removals read close
+    -- either way the number is measured, and the three-scenario
+    table is the robustness read an infrastructure-graph owner runs
+    before hardening anything.
+
+    Scale shape: removal sets are TakeOrdered(5); each scenario's
+    edge filter is two NOT-EXISTS semi-joins against a 5-row
+    broadcast; components run the fixpoint operator's per-round
+    (edge join + min combine + label self-join) contract with
+    node-sized state -- three bounded fixpoint runs over the
+    cap-bounded subgraph, k repeated plan fragments at open scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.filter(F.col("l_partkey") < 120)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    oa, ob = op.alias("a"), op.alias("b")
+    edges = (
+        oa.join(
+            ob,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # degrees + all three scenarios share it
+    )
+    ud = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = ud.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    ).localCheckpoint(eager=False)  # hub + random removal sets share it
+    hubs = (
+        deg.orderBy(F.col("d").desc(), F.col("id").asc()).limit(5).select("id")
+    )
+    rnd = (
+        deg.select("id", knuth_hash32(F.col("id")).alias("h"))
+        .orderBy(F.col("h").asc(), F.col("id").asc())
+        .limit(5)
+        .select("id")
+    )
+
+    def _drop(e: DataFrame, rm: DataFrame) -> DataFrame:
+        rm_s = F.broadcast(rm.select(F.col("id").alias("src")))
+        rm_d = F.broadcast(rm.select(F.col("id").alias("dst")))
+        return e.join(rm_s, "src", "left_anti").join(rm_d, "dst", "left_anti")
+
+    def _stats(name: str, e: DataFrame) -> DataFrame:
+        labels = graph.connected_components_fixpoint(e, rounds=10)
+        comp = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("csz"))
+        cstats = comp.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_components"),
+            F.max("csz").cast("bigint").alias("giant_size"),
+        )
+        sizes = e.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges")
+        ).crossJoin(
+            F.broadcast(
+                labels.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            )
+        )
+        return (
+            sizes.crossJoin(F.broadcast(cstats))
+            .select(
+                F.lit(name).alias("scenario"),
+                "n_nodes",
+                "n_edges",
+                "n_components",
+                "giant_size",
+                F.expr(
+                    "CAST(giant_size * 10000"
+                    " div greatest(n_nodes, 1) AS BIGINT)"
+                ).alias("giant_share_bps"),
+            )
+        )
+
+    base = _stats("a_baseline", edges)
+    hub = _stats("b_hub_attack", _drop(edges, hubs).localCheckpoint(eager=False))
+    ran = _stats(
+        "c_random_removal", _drop(edges, rnd).localCheckpoint(eager=False)
+    )
+    return base.unionByName(hub).unionByName(ran).orderBy("scenario")

@@ -129,6 +129,7 @@ FLOAT_SENSITIVE = [
     "graph_simrank",
     "dq26_metric_decomposition",
     "f_rounding_suite",
+    "graph_robustness",
 ]
 
 

@@ -200,6 +200,7 @@ _NLJ_ALLOWED = {
     "u33_mor_cow_planner",  # 1-row bounds + 3-share x 2-strategy literal grids
     "ml_bandit_replay",  # 1-row logged-total broadcast over the day-arm grid
     "dq26_metric_decomposition",  # 1-row total-delta broadcast over the segment grid
+    "graph_robustness",  # 1-row size/component-stat broadcasts per scenario
 }
 
 

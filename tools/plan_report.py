@@ -283,6 +283,7 @@ EXTRA = [
     "graph_simrank",
     "dq26_metric_decomposition",
     "f_rounding_suite",
+    "graph_robustness",
 ]
 
 
