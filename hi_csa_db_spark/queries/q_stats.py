@@ -3134,3 +3134,173 @@ def ml_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@_register(
+    "ml_permutation_importance",
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+             CASE WHEN list_contains(string_split(text, ' '), 'spark')
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    ra AS (
+      SELECT doc_id, y, ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS rnk
+      FROM d
+    ),
+    rb AS (
+      SELECT x, ROW_NUMBER() OVER (
+               ORDER BY ({KNUTH_HASH32_SQL.format(key='doc_id')}) ASC,
+                        doc_id ASC) AS rnk
+      FROM d
+    ),
+    perm AS (
+      SELECT ra.y, rb.x FROM ra JOIN rb ON ra.rnk = rb.rnk
+    ),
+    b AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax FROM d),
+    thr AS (
+      SELECT CAST(b.xmin + (b.xmax - b.xmin + 1) * g.i // 16 AS BIGINT) AS t
+      FROM b CROSS JOIN (
+        SELECT UNNEST([1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]) AS i) g
+    ),
+    acc_i AS (
+      SELECT t.t,
+             (SUM(CASE WHEN d.x < t.t THEN d.y ELSE 0 END)
+              + SUM(CASE WHEN d.x >= t.t THEN 1 - d.y ELSE 0 END)) AS c1,
+             (SUM(CASE WHEN d.x < t.t THEN 1 - d.y ELSE 0 END)
+              + SUM(CASE WHEN d.x >= t.t THEN d.y ELSE 0 END)) AS c2,
+             COUNT(*) AS n
+      FROM d CROSS JOIN thr t GROUP BY 1
+    ),
+    best_i AS (
+      SELECT t AS best_thr,
+             CAST(greatest(c1, c2) * 10000 // n AS BIGINT) AS acc_bps
+      FROM acc_i ORDER BY greatest(c1, c2) DESC, t ASC LIMIT 1
+    ),
+    acc_p AS (
+      SELECT t.t,
+             (SUM(CASE WHEN p.x < t.t THEN p.y ELSE 0 END)
+              + SUM(CASE WHEN p.x >= t.t THEN 1 - p.y ELSE 0 END)) AS c1,
+             (SUM(CASE WHEN p.x < t.t THEN 1 - p.y ELSE 0 END)
+              + SUM(CASE WHEN p.x >= t.t THEN p.y ELSE 0 END)) AS c2,
+             COUNT(*) AS n
+      FROM perm p CROSS JOIN thr t GROUP BY 1
+    ),
+    best_p AS (
+      SELECT t AS best_thr,
+             CAST(greatest(c1, c2) * 10000 // n AS BIGINT) AS acc_bps
+      FROM acc_p ORDER BY greatest(c1, c2) DESC, t ASC LIMIT 1
+    )
+    SELECT v.variant, v.best_thr, v.acc_bps,
+           CAST(i.acc_bps - p.acc_bps AS BIGINT) AS importance_bps
+    FROM (
+      SELECT 'a_intact' AS variant, best_thr, acc_bps FROM best_i
+      UNION ALL
+      SELECT 'b_permuted', best_thr, acc_bps FROM best_p
+    ) v
+    CROSS JOIN best_i i CROSS JOIN best_p p
+    ORDER BY v.variant
+    """,
+)
+def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation feature importance (Breiman 2001) with a
+    DETERMINISTIC permutation: the feature column is re-paired with
+    labels by matching rank-by-doc_id against rank-by-portable-hash
+    -- a fixed, engine-reproducible shuffle (no RNG crosses the
+    boundary), built on ordered.global_row_numbers so BOTH rankings
+    run range-partitioned (never a single-partition sort; the oracle
+    mirrors with plain windows). The stump search (best
+    majority-vote accuracy over the 15-threshold grid, either
+    polarity) runs on the intact and permuted pairings;
+    importance_bps = the accuracy the feature's PAIRING carries.
+    Here n_chars drops to the majority baseline when permuted --
+    real importance -- while a useless feature would drop ~0: the
+    model-agnostic audit between x20's trained classifier and
+    x25's AUC.
+
+    Scale shape: two global_row_numbers passes (range partition +
+    local window + broadcast offsets), one rank equi-join, and two
+    conditional-agg grid passes -- every stage parallel, the
+    permutation never materializes driver-side."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("x"),
+            F.when(
+                F.array_contains(F.split(F.col("text"), " "), "spark"), 1
+            )
+            .otherwise(0)
+            .alias("y"),
+        )
+        .localCheckpoint(eager=False)  # ranks, bounds, intact pass share it
+    )
+    ra = ordered.global_row_numbers(
+        d.select("doc_id", "y"), key_col="doc_id"
+    ).select("y", F.col("rank").alias("rnk"))
+    hkey = F.concat(
+        F.lpad(knuth_hash32(F.col("doc_id")).cast("string"), 10, "0"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+    )
+    rb = ordered.global_row_numbers(
+        d.select(hkey.alias("hk"), "x"), key_col="hk"
+    ).select("x", F.col("rank").alias("rnk"))
+    perm = ra.join(rb, "rnk").select("x", "y")
+    b = d.agg(F.min("x").alias("xmin"), F.max("x").alias("xmax"))
+    grid = spark.createDataFrame([(i,) for i in range(1, 16)], "i: bigint")
+    thr = grid.crossJoin(F.broadcast(b)).select(
+        F.expr("CAST(xmin + (xmax - xmin + 1) * i div 16 AS BIGINT)").alias("t")
+    ).localCheckpoint(eager=False)  # both grid passes share it
+
+    def _best(df: DataFrame) -> DataFrame:
+        acc = (
+            df.crossJoin(F.broadcast(thr))
+            .groupBy("t")
+            .agg(
+                (
+                    F.sum(F.when(F.col("x") < F.col("t"), F.col("y")).otherwise(0))
+                    + F.sum(
+                        F.when(F.col("x") >= F.col("t"), 1 - F.col("y")).otherwise(0)
+                    )
+                ).alias("c1"),
+                (
+                    F.sum(
+                        F.when(F.col("x") < F.col("t"), 1 - F.col("y")).otherwise(0)
+                    )
+                    + F.sum(F.when(F.col("x") >= F.col("t"), F.col("y")).otherwise(0))
+                ).alias("c2"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        return (
+            acc.orderBy(
+                F.greatest(F.col("c1"), F.col("c2")).desc(), F.col("t").asc()
+            )
+            .limit(1)
+            .select(
+                F.col("t").alias("best_thr"),
+                F.expr(
+                    "CAST(greatest(c1, c2) * 10000 div n AS BIGINT)"
+                ).alias("acc_bps"),
+            )
+        )
+
+    best_i = _best(d.select("x", "y")).localCheckpoint(eager=False)
+    best_p = _best(perm).localCheckpoint(eager=False)
+    v = best_i.select(
+        F.lit("a_intact").alias("variant"), "best_thr", "acc_bps"
+    ).unionByName(
+        best_p.select(F.lit("b_permuted").alias("variant"), "best_thr", "acc_bps")
+    )
+    return (
+        v.crossJoin(F.broadcast(best_i.select(F.col("acc_bps").alias("ai"))))
+        .crossJoin(F.broadcast(best_p.select(F.col("acc_bps").alias("ap"))))
+        .select(
+            "variant",
+            "best_thr",
+            "acc_bps",
+            F.expr("CAST(ai - ap AS BIGINT)").alias("importance_bps"),
+        )
+        .orderBy("variant")
+    )

@@ -130,6 +130,7 @@ FLOAT_SENSITIVE = [
     "dq26_metric_decomposition",
     "f_rounding_suite",
     "graph_robustness",
+    "ml_permutation_importance",
 ]
 
 

@@ -201,6 +201,7 @@ _NLJ_ALLOWED = {
     "ml_bandit_replay",  # 1-row logged-total broadcast over the day-arm grid
     "dq26_metric_decomposition",  # 1-row total-delta broadcast over the segment grid
     "graph_robustness",  # 1-row size/component-stat broadcasts per scenario
+    "ml_permutation_importance",  # 1-row bounds/argmin broadcasts + 15-row grid (x2 passes)
 }
 
 

@@ -284,6 +284,7 @@ EXTRA = [
     "dq26_metric_decomposition",
     "f_rounding_suite",
     "graph_robustness",
+    "ml_permutation_importance",
 ]
 
 
