@@ -2465,3 +2465,143 @@ def u33_mor_cow_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("share_permille", "strategy")
     )
+
+
+@_register(
+    "u34_partition_evolution",
+    """
+    WITH o AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+      FROM orders
+    ),
+    b AS (
+      SELECT MIN(d) AS dmin,
+             CAST(MIN(d) + (MAX(d) - MIN(d)) * 8 // 10 AS BIGINT) AS c,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM o
+    ),
+    k AS (
+      SELECT o.d, o.d // 30 AS mon, o.d // 7 AS wk,
+             CASE WHEN o.d >= b.c THEN 1 ELSE 0 END AS post,
+             CASE WHEN o.d >= b.c - 45 AND o.d < b.c + 45
+                  THEN 1 ELSE 0 END AS in_q
+      FROM o CROSS JOIN b
+    ),
+    parts AS (
+      SELECT
+        (SELECT COUNT(DISTINCT wk) FROM k) AS wk_total,
+        (SELECT COUNT(DISTINCT mon) FROM k WHERE post = 0) AS mon_pre,
+        (SELECT COUNT(DISTINCT wk) FROM k WHERE post = 1) AS wk_post,
+        (SELECT COUNT(DISTINCT wk) FROM k WHERE in_q = 1) AS wk_q,
+        (SELECT COUNT(DISTINCT mon) FROM k WHERE in_q = 1 AND post = 0)
+          AS mon_q_pre,
+        (SELECT COUNT(DISTINCT wk) FROM k WHERE in_q = 1 AND post = 1)
+          AS wk_q_post,
+        (SELECT COUNT(*) FROM k WHERE post = 0) AS rows_pre,
+        (SELECT COUNT(*) FROM k WHERE in_q = 1) AS rows_q
+    )
+    SELECT s.strategy,
+           CAST(CASE s.strategy WHEN 'a_rewrite_all' THEN b.n
+                ELSE 0 END AS BIGINT) AS rows_rewritten,
+           CAST(CASE s.strategy WHEN 'a_rewrite_all' THEN p.wk_total
+                ELSE p.mon_pre + p.wk_post END AS BIGINT)
+             AS partitions_total,
+           CAST(CASE s.strategy WHEN 'a_rewrite_all' THEN p.wk_q
+                ELSE p.mon_q_pre + p.wk_q_post END AS BIGINT)
+             AS partitions_scanned_q,
+           CAST(p.rows_q AS BIGINT) AS rows_matching_q,
+           CAST(CASE s.strategy WHEN 'a_rewrite_all' THEN p.wk_q
+                ELSE p.mon_q_pre + p.wk_q_post END * 10000
+                // (CASE s.strategy WHEN 'a_rewrite_all' THEN p.wk_total
+                    ELSE p.mon_pre + p.wk_post END) AS BIGINT)
+             AS scan_share_bps
+    FROM (SELECT UNNEST(['a_rewrite_all', 'b_evolve_spec']) AS strategy) s
+    CROSS JOIN parts p CROSS JOIN b
+    ORDER BY s.strategy
+    """,
+)
+def u34_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution vs full rewrite -- the Iceberg-style
+    question 'we want weekly partitions now; do we rewrite history?':
+    the table is monthly-partitioned, the spec changes to WEEKLY at a
+    data-driven cutover (the 80 % date point), and the planner
+    measures both paths. a_rewrite_all rewrites every row into weekly
+    partitions (rows_rewritten = |table|) and buys uniform weekly
+    pruning; b_evolve_spec rewrites NOTHING (history keeps the
+    monthly spec, new data lands weekly -- exactly Iceberg partition
+    evolution) at the price of a SPLIT scan plan: a 90-day window
+    straddling the cutover reads monthly partitions on the old side
+    + weekly on the new. partitions_scanned_q / scan_share_bps price
+    that split against the rewrite's uniform pruning; epoch-day
+    integer keys (d div 30 / d div 7) keep both dialects
+    calendar-function-free (the t53 discipline).
+
+    Scale shape: one narrow date projection; every aggregate is a
+    map-combined distinct over the bounded partition-key dimension;
+    the report is literal algebra on a 1-row stats frame -- at 100 TB
+    this query reads table METADATA, and here it derives the same
+    numbers from the data once."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(datediff(to_date(o_orderdate), DATE'1970-01-01') AS BIGINT)"
+        ).alias("d")
+    )
+    b = o.agg(
+        F.min("d").alias("dmin"),
+        F.expr("CAST(MIN(d) + (MAX(d) - MIN(d)) * 8 div 10 AS BIGINT)").alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    k = o.crossJoin(F.broadcast(b)).select(
+        "d",
+        F.expr("d div 30").alias("mon"),
+        F.expr("d div 7").alias("wk"),
+        F.expr("CASE WHEN d >= c THEN 1 ELSE 0 END").alias("post"),
+        F.expr(
+            "CASE WHEN d >= c - 45 AND d < c + 45 THEN 1 ELSE 0 END"
+        ).alias("in_q"),
+    ).localCheckpoint(eager=False)  # the eight partition-stat branches share it
+    parts = k.agg(
+        F.countDistinct("wk").cast("bigint").alias("wk_total"),
+        F.countDistinct(F.when(F.col("post") == 0, F.col("mon"))).cast("bigint").alias("mon_pre"),
+        F.countDistinct(F.when(F.col("post") == 1, F.col("wk"))).cast("bigint").alias("wk_post"),
+        F.countDistinct(F.when(F.col("in_q") == 1, F.col("wk"))).cast("bigint").alias("wk_q"),
+        F.countDistinct(
+            F.when((F.col("in_q") == 1) & (F.col("post") == 0), F.col("mon"))
+        ).cast("bigint").alias("mon_q_pre"),
+        F.countDistinct(
+            F.when((F.col("in_q") == 1) & (F.col("post") == 1), F.col("wk"))
+        ).cast("bigint").alias("wk_q_post"),
+        F.sum(F.when(F.col("post") == 0, 1).otherwise(0)).cast("bigint").alias("rows_pre"),
+        F.sum("in_q").cast("bigint").alias("rows_q"),
+    )
+    strat = spark.createDataFrame(
+        [("a_rewrite_all",), ("b_evolve_spec",)], "strategy: string"
+    )
+    return (
+        strat.crossJoin(F.broadcast(parts))
+        .crossJoin(F.broadcast(b.select("n")))
+        .select(
+            "strategy",
+            F.expr(
+                "CAST(CASE strategy WHEN 'a_rewrite_all' THEN n"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("rows_rewritten"),
+            F.expr(
+                "CAST(CASE strategy WHEN 'a_rewrite_all' THEN wk_total"
+                " ELSE mon_pre + wk_post END AS BIGINT)"
+            ).alias("partitions_total"),
+            F.expr(
+                "CAST(CASE strategy WHEN 'a_rewrite_all' THEN wk_q"
+                " ELSE mon_q_pre + wk_q_post END AS BIGINT)"
+            ).alias("partitions_scanned_q"),
+            F.col("rows_q").alias("rows_matching_q"),
+            F.expr(
+                "CAST(CASE strategy WHEN 'a_rewrite_all' THEN wk_q"
+                " ELSE mon_q_pre + wk_q_post END * 10000"
+                " div (CASE strategy WHEN 'a_rewrite_all' THEN wk_total"
+                " ELSE mon_pre + wk_post END) AS BIGINT)"
+            ).alias("scan_share_bps"),
+        )
+        .orderBy("strategy")
+    )

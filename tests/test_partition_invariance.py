@@ -131,6 +131,7 @@ FLOAT_SENSITIVE = [
     "f_rounding_suite",
     "graph_robustness",
     "ml_permutation_importance",
+    "u34_partition_evolution",
 ]
 
 

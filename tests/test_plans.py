@@ -202,6 +202,7 @@ _NLJ_ALLOWED = {
     "dq26_metric_decomposition",  # 1-row total-delta broadcast over the segment grid
     "graph_robustness",  # 1-row size/component-stat broadcasts per scenario
     "ml_permutation_importance",  # 1-row bounds/argmin broadcasts + 15-row grid (x2 passes)
+    "u34_partition_evolution",  # 1-row bounds/stats x 2-strategy literal broadcasts
 }
 
 

@@ -285,6 +285,7 @@ EXTRA = [
     "f_rounding_suite",
     "graph_robustness",
     "ml_permutation_importance",
+    "u34_partition_evolution",
 ]
 
 
