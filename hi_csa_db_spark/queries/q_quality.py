@@ -1739,3 +1739,169 @@ def dq26_metric_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.unionByName(residual).orderBy(
         F.abs(F.col("delta_cents")).desc(), F.col("n_name").asc(), F.col("pri").asc()
     )
+
+
+@_register(
+    "dq27_key_discovery",
+    """
+    WITH cands AS (
+      SELECT 'lineitem' AS tbl, 'l_orderkey+l_linenumber' AS candidate,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT l_orderkey * 1000000 + l_linenumber)
+                  AS BIGINT) AS ndv_pair,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv_left,
+             CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS ndv_right
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders', 'o_custkey+o_orderdate',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT CAST(o_custkey AS VARCHAR) || '|' ||
+                        CAST(CAST(o_orderdate AS DATE) AS VARCHAR))
+                  AS BIGINT),
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+             CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'events', 'user_id+ts',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR) || '|' ||
+                        CAST(epoch_us(ts) AS VARCHAR)) AS BIGINT),
+             CAST(COUNT(DISTINCT user_id) AS BIGINT),
+             CAST(COUNT(DISTINCT epoch_us(ts)) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'part', 'p_brand+p_type',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT p_brand || '|' || p_type) AS BIGINT),
+             CAST(COUNT(DISTINCT p_brand) AS BIGINT),
+             CAST(COUNT(DISTINCT p_type) AS BIGINT)
+      FROM part
+      UNION ALL
+      SELECT 'documents', 'source+doc_id',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT source || '|' || CAST(doc_id AS VARCHAR))
+                  AS BIGINT),
+             CAST(COUNT(DISTINCT source) AS BIGINT),
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+      FROM documents
+    )
+    SELECT tbl, candidate, n_rows, ndv_pair, ndv_left, ndv_right,
+           CASE WHEN ndv_pair = n_rows THEN 1 ELSE 0 END AS is_key,
+           CASE WHEN ndv_pair = n_rows AND ndv_left < n_rows
+                 AND ndv_right < n_rows THEN 1 ELSE 0 END AS is_minimal_key,
+           CAST((n_rows - ndv_pair) * 10000 // greatest(n_rows, 1)
+                AS BIGINT) AS dup_bps
+    FROM cands
+    ORDER BY tbl, candidate
+    """,
+)
+def dq27_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key (unique column combination) DISCOVERY -- the
+    Metanome/HyUCC profiling primitive beside dq25's FDs: five
+    two-column candidates across five tables are tested for
+    uniqueness (ndv_pair vs row count) and MINIMALITY (the pair is a
+    key while neither column alone is -- the property that separates
+    a real composite key like (l_orderkey, l_linenumber) from a pair
+    that is only unique because one side already is, like
+    (source, doc_id)). dup_bps grades near-keys. dq12 asserts
+    DECLARED primary keys hold; this finds key structure nobody
+    declared -- what schema inference runs before choosing merge keys
+    or bucketing columns.
+
+    Scale shape: one map-combined count/countDistinct aggregate per
+    candidate (five, unioned); pair NDVs hash the composite key
+    directly (integer fold where both parts are ints, '|'-joined
+    strings otherwise -- both engines agree on either encoding). No
+    joins, no windows."""
+    t = load_tables(spark, sf_dir)
+    li, o, ev, pt, docs = (
+        t["lineitem"], t["orders"], t["events"], t["part"], t["documents"]
+    )
+
+    def row(df, tbl, cand, pair_col, left_col, right_col):
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(cand).alias("candidate"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(pair_col).cast("bigint").alias("ndv_pair"),
+            F.countDistinct(left_col).cast("bigint").alias("ndv_left"),
+            F.countDistinct(right_col).cast("bigint").alias("ndv_right"),
+        ).select("tbl", "candidate", "n_rows", "ndv_pair", "ndv_left", "ndv_right")
+
+    cands = (
+        row(
+            li,
+            "lineitem",
+            "l_orderkey+l_linenumber",
+            F.expr("l_orderkey * 1000000 + l_linenumber"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        )
+        .unionByName(
+            row(
+                o,
+                "orders",
+                "o_custkey+o_orderdate",
+                F.expr(
+                    "CAST(o_custkey AS STRING) || '|'"
+                    " || CAST(to_date(o_orderdate) AS STRING)"
+                ),
+                F.col("o_custkey"),
+                F.expr("to_date(o_orderdate)"),
+            )
+        )
+        .unionByName(
+            row(
+                ev,
+                "events",
+                "user_id+ts",
+                F.expr(
+                    "CAST(user_id AS STRING) || '|'"
+                    " || CAST(ts_ns div 1000 AS STRING)"
+                ),
+                F.col("user_id"),
+                F.expr("ts_ns div 1000"),
+            )
+        )
+        .unionByName(
+            row(
+                pt,
+                "part",
+                "p_brand+p_type",
+                F.expr("p_brand || '|' || p_type"),
+                F.col("p_brand"),
+                F.col("p_type"),
+            )
+        )
+        .unionByName(
+            row(
+                docs,
+                "documents",
+                "source+doc_id",
+                F.expr("source || '|' || CAST(doc_id AS STRING)"),
+                F.col("source"),
+                F.col("doc_id"),
+            )
+        )
+    )
+    return cands.select(
+        "tbl",
+        "candidate",
+        "n_rows",
+        "ndv_pair",
+        "ndv_left",
+        "ndv_right",
+        F.when(F.col("ndv_pair") == F.col("n_rows"), 1).otherwise(0).alias("is_key"),
+        F.when(
+            (F.col("ndv_pair") == F.col("n_rows"))
+            & (F.col("ndv_left") < F.col("n_rows"))
+            & (F.col("ndv_right") < F.col("n_rows")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_minimal_key"),
+        F.expr(
+            "CAST((n_rows - ndv_pair) * 10000 div greatest(n_rows, 1)"
+            " AS BIGINT)"
+        ).alias("dup_bps"),
+    ).orderBy("tbl", "candidate")

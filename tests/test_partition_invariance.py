@@ -132,6 +132,7 @@ FLOAT_SENSITIVE = [
     "graph_robustness",
     "ml_permutation_importance",
     "u34_partition_evolution",
+    "dq27_key_discovery",
 ]
 
 

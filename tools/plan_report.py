@@ -286,6 +286,7 @@ EXTRA = [
     "graph_robustness",
     "ml_permutation_importance",
     "u34_partition_evolution",
+    "dq27_key_discovery",
 ]
 
 
