@@ -3104,3 +3104,244 @@ def graph_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_random_removal", _drop(edges, rnd).localCheckpoint(eager=False)
     )
     return base.unionByName(hub).unionByName(ran).orderBy("scenario")
+
+
+@_register(
+    "graph_spectral_bisection",
+    f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey < 120
+    ),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    ud AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d FROM ud GROUP BY 1),
+    c AS MATERIALIZED (SELECT MAX(d) + 1 AS c, CAST(COUNT(*) AS BIGINT) AS nn FROM deg),
+    v0r AS MATERIALIZED (
+      SELECT id,
+             CAST(({KNUTH_HASH32_SQL.format(key='id')}) % 2001 - 1000
+                  AS BIGINT) * 1000 AS v
+      FROM deg
+    ),
+    m0 AS MATERIALIZED (
+      SELECT (SUM(v) + 4000000000 * COUNT(*)) // COUNT(*)
+             - 4000000000 AS m
+      FROM v0r
+    ),
+    v0 AS MATERIALIZED (SELECT v0r.id, v0r.v - m0.m AS v FROM v0r CROSS JOIN m0),
+    w1 AS MATERIALIZED (
+      SELECT d.id,
+             (c.c - d.d) * v.v + COALESCE(nb.s, 0) AS w
+      FROM deg d
+      JOIN v0 v ON v.id = d.id
+      CROSS JOIN c
+      LEFT JOIN (SELECT e.src AS id, SUM(v.v) AS s
+                 FROM ud e JOIN v0 v ON v.id = e.dst GROUP BY 1) nb
+        ON nb.id = d.id
+    ),
+    m1 AS MATERIALIZED (
+      SELECT (SUM(w) + 400000000000 * COUNT(*)) // COUNT(*)
+             - 400000000000 AS m
+      FROM w1
+    ),
+    w1c AS MATERIALIZED (SELECT id, w - m1.m AS w FROM w1 CROSS JOIN m1),
+    n1 AS MATERIALIZED (SELECT greatest(MAX(abs(w)) // 1000000, 1) AS nrm FROM w1c),
+    v1 AS MATERIALIZED (
+      SELECT id, (w + 4000000 * n1.nrm) // n1.nrm - 4000000 AS v
+      FROM w1c CROSS JOIN n1
+    ),
+    w2 AS MATERIALIZED (
+      SELECT d.id,
+             (c.c - d.d) * v.v + COALESCE(nb.s, 0) AS w
+      FROM deg d
+      JOIN v1 v ON v.id = d.id
+      CROSS JOIN c
+      LEFT JOIN (SELECT e.src AS id, SUM(v.v) AS s
+                 FROM ud e JOIN v1 v ON v.id = e.dst GROUP BY 1) nb
+        ON nb.id = d.id
+    ),
+    m2 AS MATERIALIZED (
+      SELECT (SUM(w) + 400000000000 * COUNT(*)) // COUNT(*)
+             - 400000000000 AS m
+      FROM w2
+    ),
+    w2c AS MATERIALIZED (SELECT id, w - m2.m AS w FROM w2 CROSS JOIN m2),
+    side AS MATERIALIZED (
+      SELECT id, CASE WHEN w >= 0 THEN 'A' ELSE 'B' END AS side FROM w2c
+    ),
+    cut AS MATERIALIZED (
+      SELECT CAST(SUM(CASE WHEN sa.side <> sb.side THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cut_edges,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM edges e
+      JOIN side sa ON sa.id = e.src
+      JOIN side sb ON sb.id = e.dst
+    ),
+    bal AS MATERIALIZED (
+      SELECT CAST(MIN(cnt) * 10000 // MAX(cnt) AS BIGINT) AS balance_bps
+      FROM (SELECT COUNT(*) AS cnt FROM side GROUP BY side) t
+    )
+    SELECT s.side,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MAX(cut.cut_edges) AS BIGINT) AS cut_edges,
+           CAST(MAX(cut.cut_edges) * 10000 // MAX(cut.m) AS BIGINT)
+             AS cut_share_bps,
+           CAST(MAX(bal.balance_bps) AS BIGINT) AS balance_bps
+    FROM side s CROSS JOIN cut CROSS JOIN bal
+    GROUP BY s.side
+    ORDER BY s.side
+    """,
+)
+def graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral graph bisection (Fiedler 1973) by DEFLATED power
+    iteration, quantized exact: two iterations of w = (cI - L)v on
+    the co-purchase Laplacian (c = maxdeg + 1 makes the operator
+    PSD; the matvec is the pure-integer (c - d_i)v_i + sum of
+    neighbor values -- one edge join + combine per round, the
+    pagerank shape), each followed by MEAN SUBTRACTION, which is
+    exact deflation against the all-ones eigenvector (the Laplacian
+    kernel) -- the component ml_pca_power did not need and spectral
+    methods cannot skip. The iterate converges toward the Fiedler
+    direction; sign(v) is the bisection. Emitted per side: node
+    count, the cut size (with its share of all edges) and the
+    partition balance -- the numbers a graph-partitioning pass
+    (METIS-style) reports before anyone shards on it. On this
+    near-random co-purchase graph the cut share reads ~50 % at
+    decent balance -- random graphs HAVE no small balanced cut
+    (expander-like), and the honest number says so; on modular
+    topology the same plan finds the valley. Start vector
+    is portable-hash noise (mean-centered), every signed division
+    uses the positive-offset floor, all state is exact int64.
+
+    Scale shape: per iteration one neighbor-sum equi-join + two
+    1-row broadcasts (mean, norm) over node-sized state -- the
+    bounded-round contract of pagerank/components; the cut audit is
+    one label join over the edge list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.filter(F.col("l_partkey") < 120)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    oa, ob = op.alias("a"), op.alias("b")
+    edges = (
+        oa.join(
+            ob,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()  # degrees, both matvecs, cut share it (eager: 120-row frame, many consumers)
+    )
+    ud = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = ud.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    ).localCheckpoint()
+    c = deg.agg(
+        (F.max("d") + 1).alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+    )
+    v = deg.select(
+        "id",
+        ((knuth_hash32(F.col("id")) % 2001 - 1000) * 1000).alias("v"),
+    )
+
+    def _center(df: DataFrame, col: str, k: int) -> DataFrame:
+        m = df.agg(
+            F.expr(
+                f"CAST((SUM({col}) + {k} * COUNT(1)) div COUNT(1) - {k}"
+                " AS BIGINT)"
+            ).alias("__m")
+        )
+        return df.crossJoin(F.broadcast(m)).select(
+            "id", (F.col(col) - F.col("__m")).alias(col)
+        )
+
+    v = _center(v, "v", 4000000000)
+    for _ in range(2):
+        nb = (
+            ud.join(
+                F.broadcast(v.select(F.col("id").alias("dst"), F.col("v").alias("nv"))),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.sum("nv").alias("s"))
+        )
+        w = (
+            deg.join(v, "id")
+            .join(F.broadcast(c), F.lit(True))
+            .join(nb.select(F.col("src").alias("id"), "s"), "id", "left")
+            .select(
+                "id",
+                F.expr("(c - d) * v + COALESCE(s, 0)").alias("w"),
+            )
+        )
+        w = _center(w, "w", 400000000000)
+        n1 = w.agg(
+            F.expr("CAST(greatest(MAX(abs(w)) div 1000000, 1) AS BIGINT)").alias(
+                "nrm"
+            )
+        )
+        v = (
+            w.crossJoin(F.broadcast(n1))
+            .select(
+                "id",
+                F.expr("(w + 4000000 * nrm) div nrm - 4000000").alias("v"),
+            )
+            .localCheckpoint()
+        )
+    side = v.select(
+        "id", F.when(F.col("v") >= 0, "A").otherwise("B").alias("side")
+    ).localCheckpoint()  # cut + balance + per-side counts share it
+    cut = (
+        edges.join(
+            F.broadcast(side.select(F.col("id").alias("src"), F.col("side").alias("sa"))),
+            "src",
+        )
+        .join(
+            F.broadcast(side.select(F.col("id").alias("dst"), F.col("side").alias("sb"))),
+            "dst",
+        )
+        .agg(
+            F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cut_edges"),
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+        )
+    )
+    bal = (
+        side.groupBy("side")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.expr("CAST(MIN(cnt) * 10000 div MAX(cnt) AS BIGINT)").alias(
+                "balance_bps"
+            )
+        )
+    )
+    return (
+        side.groupBy("side")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .crossJoin(F.broadcast(cut))
+        .crossJoin(F.broadcast(bal))
+        .select(
+            "side",
+            "n_nodes",
+            "cut_edges",
+            F.expr("CAST(cut_edges * 10000 div m AS BIGINT)").alias(
+                "cut_share_bps"
+            ),
+            "balance_bps",
+        )
+        .orderBy("side")
+    )

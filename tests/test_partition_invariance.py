@@ -133,6 +133,7 @@ FLOAT_SENSITIVE = [
     "ml_permutation_importance",
     "u34_partition_evolution",
     "dq27_key_discovery",
+    "graph_spectral_bisection",
 ]
 
 

@@ -203,6 +203,7 @@ _NLJ_ALLOWED = {
     "graph_robustness",  # 1-row size/component-stat broadcasts per scenario
     "ml_permutation_importance",  # 1-row bounds/argmin broadcasts + 15-row grid (x2 passes)
     "u34_partition_evolution",  # 1-row bounds/stats x 2-strategy literal broadcasts
+    "graph_spectral_bisection",  # 1-row c/mean/norm/cut/balance broadcasts per iteration
 }
 
 

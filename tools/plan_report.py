@@ -287,6 +287,7 @@ EXTRA = [
     "ml_permutation_importance",
     "u34_partition_evolution",
     "dq27_key_discovery",
+    "graph_spectral_bisection",
 ]
 
 
