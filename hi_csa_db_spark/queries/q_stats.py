@@ -3304,3 +3304,110 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@_register(
+    "stats_diff_in_diff",
+    f"""
+    WITH e AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS conv
+      FROM events
+    ),
+    b AS (SELECT MAX(day) - 7 AS cutover FROM e),
+    panel AS (
+      SELECT e.user_id,
+             CAST(({KNUTH_HASH32_SQL.format(key='e.user_id')}) % 2 AS BIGINT)
+               AS treated,
+             CASE WHEN e.day > b.cutover THEN 1 ELSE 0 END AS post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(e.conv) AS BIGINT) AS conv
+      FROM e CROSS JOIN b
+      GROUP BY e.user_id, treated, post
+    ),
+    cells AS (
+      SELECT treated, post,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(SUM(conv) * 1000000 // SUM(n) AS BIGINT) AS rate_micro
+      FROM panel GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN rate_micro END) AS t1,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN rate_micro END) AS t0,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN rate_micro END) AS c1,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN rate_micro END) AS c0
+      FROM cells
+    )
+    SELECT c.treated, c.post, c.n_users, c.n_events, c.rate_micro,
+           CAST((w.t1 - w.t0) - (w.c1 - w.c0) AS BIGINT) AS did_micro,
+           CAST(w.t0 - w.c0 AS BIGINT) AS pre_gap_micro
+    FROM cells c CROSS JOIN wide w
+    ORDER BY c.treated, c.post
+    """,
+)
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences -- the causal estimator for when
+    randomization is NOT available (Card & Krueger 1994), closing
+    the experimentation tier (stats_srm guards assignment,
+    stats_power_mde sizes, stats_cuped tightens, ml_bandit_replay
+    evaluates policies; this estimates effects from observational
+    pre/post x treated/control structure): the 2x2 cell table of
+    conversion rates in exact integer micros, the DiD estimate
+    (t1-t0)-(c1-c0) on every row, and the PARALLEL-TRENDS diagnostic
+    the method stands or falls on (pre_gap_micro: the pre-period
+    treated-control gap a reader must judge before believing
+    did_micro). Hash-assigned 'treatment' on this uniform fixture
+    reads did ~ 0 with pre_gap ~ 0 -- the honest-null posture, and
+    exactly what a correctly-implemented DiD must say when nothing
+    happened at the cutover.
+
+    Scale shape: one (user, treated, post) map-combined aggregate,
+    a 4-row cell table, and 1-row wide/estimate broadcasts -- the
+    event log is read once."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(ts_ns div 1000 div 86400000000 AS BIGINT)").alias("day"),
+        F.when(F.col("value") >= 50.0, 1).otherwise(0).alias("conv"),
+    )
+    b = e.agg(F.expr("CAST(MAX(day) - 7 AS BIGINT)").alias("cutover"))
+    panel = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy(
+            "user_id",
+            (knuth_hash32(F.col("user_id")) % 2).cast("bigint").alias("treated"),
+            F.expr("CASE WHEN day > cutover THEN 1 ELSE 0 END").alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("conv").cast("bigint").alias("conv"),
+        )
+    )
+    cells = panel.groupBy("treated", "post").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.expr("CAST(SUM(conv) * 1000000 div SUM(n) AS BIGINT)").alias(
+            "rate_micro"
+        ),
+    ).localCheckpoint(eager=False)  # wide pivot + output share it
+    wide = cells.agg(
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 1), F.col("rate_micro"))).alias("t1"),
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 0), F.col("rate_micro"))).alias("t0"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 1), F.col("rate_micro"))).alias("c1"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 0), F.col("rate_micro"))).alias("c0"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(wide))
+        .select(
+            "treated",
+            "post",
+            "n_users",
+            "n_events",
+            "rate_micro",
+            F.expr("CAST((t1 - t0) - (c1 - c0) AS BIGINT)").alias("did_micro"),
+            F.expr("CAST(t0 - c0 AS BIGINT)").alias("pre_gap_micro"),
+        )
+        .orderBy("treated", "post")
+    )

@@ -134,6 +134,7 @@ FLOAT_SENSITIVE = [
     "u34_partition_evolution",
     "dq27_key_discovery",
     "graph_spectral_bisection",
+    "stats_diff_in_diff",
 ]
 
 

@@ -204,6 +204,7 @@ _NLJ_ALLOWED = {
     "ml_permutation_importance",  # 1-row bounds/argmin broadcasts + 15-row grid (x2 passes)
     "u34_partition_evolution",  # 1-row bounds/stats x 2-strategy literal broadcasts
     "graph_spectral_bisection",  # 1-row c/mean/norm/cut/balance broadcasts per iteration
+    "stats_diff_in_diff",  # 1-row cutover + 1-row wide-pivot broadcasts over the 2x2 cells
 }
 
 

@@ -288,6 +288,7 @@ EXTRA = [
     "u34_partition_evolution",
     "dq27_key_discovery",
     "graph_spectral_bisection",
+    "stats_diff_in_diff",
 ]
 
 
