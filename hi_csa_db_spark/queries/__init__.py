@@ -112,8 +112,14 @@ _NEEDS_REPROOF = {
 
 # Never-sampled rotation leaders: one representative per major family
 # (graph iteration, ML, embedding dedup, incremental LSH, OLAP cube,
-# bucketed join, sketches, multimodal, source pruning).
+# bucketed join, sketches, multimodal, source pruning). er3/er4 added
+# r10: VERDICT r9 item 2 requires both in the r10 driver sample (the
+# last two names from r8 item 2's dependency-hash done-criterion the
+# all-first-time rotation happened to skip); er4 sat at prefix
+# position 51, one slot outside the 50-name sample.
 _FLAGSHIPS = (
+    "er3_golden_record",
+    "er4_blocking_eval",
     "graph_pagerank",
     "graph_components",
     "ml_kmeans",
