@@ -60,6 +60,18 @@ def test_range_join_is_hash_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simrank_joins_all_broadcast(spark, sf_dir):
+    # VERDICT r9 item 8: the r9 builder root-caused AQE falling back
+    # to sort-merge for graph_simrank's iteration joins because the
+    # localCheckpoint hides the (cap-bounded) adjacency's size — the
+    # fix was explicit broadcast() on every adjacency/degree side.
+    # Pin that plan: pure BroadcastHashJoin, never SortMergeJoin.
+    plan = _plan(spark, sf_dir, "graph_simrank")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 # queries where a broadcast nested-loop IS the intended plan (1-row or
 # few-row broadcast side); everything else must stay NLJ-free
 _NLJ_ALLOWED = {
