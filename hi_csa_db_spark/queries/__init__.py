@@ -625,6 +625,7 @@ from hi_csa_db_spark.queries import (  # noqa: E402
     q_maintenance,
     q_dedup,
     q_corpus,
+    q_mixture,
     q_similarity,
     q_streaming,
     q_stats,
@@ -641,6 +642,7 @@ _FAMILY_MODULES = (
     q_maintenance,
     q_dedup,
     q_corpus,
+    q_mixture,
     q_similarity,
     q_streaming,
     q_stats,

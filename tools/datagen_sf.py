@@ -16,8 +16,23 @@ The output is ONLY used for wall-clock scaling runs (BASELINE.md) and
 local oracle cross-checks — never for the driver correctness gate,
 which runs at the shipped sf0.01. Deterministic: seed 42.
 
-Usage: python tools/datagen_sf.py 0.3 [outdir]     (default outdir
-       .localdata/sf<sf> under the repo root; never /root/testdata)
+Usage: python tools/datagen_sf.py 0.3 [outdir] [--heaps]
+       (default outdir .localdata/sf<sf> under the repo root, or
+       .localdata/sf<sf>-heaps with --heaps; never /root/testdata)
+
+--heaps (VERDICT r9 item 5): grow the document vocabulary with
+corpus size per Heaps' law, V(sf) = 31 * (sf/0.1)^0.5 anchored at
+the shipped sf0.1's 31 words, and draw words Zipf(s=1.05) over that
+vocabulary instead of uniform. The default fixed-31-word extrusion
+keeps trigram document frequencies rising LINEARLY with sf, which
+saturates d3's candidate density quadratically at sf >= 1 — a
+worst-case density stress worth keeping (BASELINE.md sf1 analysis);
+--heaps keeps df distributions Zipf as real corpora do, separating
+real workload growth from that density artifact. In heaps mode the
+documents step draws from its own seeded RNG stream so the default
+path stays byte-identical to the already-measured fixtures; the
+non-document tables are distribution-identical between modes (the
+embeddings draw starts at a shifted main-stream position).
 """
 
 from __future__ import annotations
@@ -63,7 +78,15 @@ def _write(outdir: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows")
 
 
-def generate(sf: float, outdir: str) -> None:
+def _heaps_vocab(sf: float) -> np.ndarray:
+    """Heaps-law vocabulary: V(sf) = 31 * (sf/0.1)^0.5, anchored so
+    sf0.1 reproduces the shipped fixture's 31 words; synthesized
+    tokens are deterministic w0031, w0032, ..."""
+    v = max(len(VOCAB), int(round(len(VOCAB) * (sf / 0.1) ** 0.5)))
+    return np.array(VOCAB + [f"w{i:04d}" for i in range(len(VOCAB), v)])
+
+
+def generate(sf: float, outdir: str, heaps: bool = False) -> None:
     rng = np.random.default_rng(SEED)
     os.makedirs(outdir, exist_ok=True)
 
@@ -224,17 +247,36 @@ def generate(sf: float, outdir: str) -> None:
             }
         ),
     )
-    # documents: 10-100 uniform words over the 31-word vocab; ~0.16 %
-    # exact duplicates planted (copy an earlier doc) so dedup operators
-    # have work at every sf.
-    vocab = np.array(VOCAB)
+    # documents: 10-100 words per doc; ~0.16 % exact duplicates
+    # planted (copy an earlier doc) so dedup operators have work at
+    # every sf. Default: uniform draws over the shipped 31-word vocab
+    # (byte-identical to the measured fixtures). --heaps: Heaps-law
+    # vocab growth + Zipf(1.05) word frequencies from an ISOLATED rng
+    # stream (module docstring).
+    if heaps:
+        drng = np.random.default_rng(SEED ^ 0x9E3779B9)
+        vocab = _heaps_vocab(sf)
+        ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+        zipf_p = 1.0 / ranks**1.05
+        zipf_p /= zipf_p.sum()
+
+        def _words(nw: int) -> np.ndarray:
+            return vocab[drng.choice(len(vocab), size=nw, p=zipf_p)]
+
+    else:
+        drng = rng
+        vocab = np.array(VOCAB)
+
+        def _words(nw: int) -> np.ndarray:
+            return vocab[drng.integers(0, len(vocab), nw)]
+
     texts: list[str] = []
     for i in range(n_docs):
-        if i > 0 and rng.random() < 0.0016:
-            texts.append(texts[rng.integers(0, i)])
+        if i > 0 and drng.random() < 0.0016:
+            texts.append(texts[drng.integers(0, i)])
         else:
-            nw = rng.integers(10, 101)
-            texts.append(" ".join(vocab[rng.integers(0, len(vocab), nw)]))
+            nw = drng.integers(10, 101)
+            texts.append(" ".join(_words(nw)))
     _write(
         outdir,
         "documents",
@@ -243,7 +285,7 @@ def generate(sf: float, outdir: str) -> None:
                 "doc_id": pa.array(np.arange(n_docs), pa.int64()),
                 "text": texts,
                 "lang": pa.array(
-                    np.array(LANGS)[rng.integers(0, len(LANGS), n_docs)]
+                    np.array(LANGS)[drng.integers(0, len(LANGS), n_docs)]
                 ),
                 "source": [f"src{i % 20}" for i in range(n_docs)],
                 "n_chars": pa.array(
@@ -273,20 +315,23 @@ def generate(sf: float, outdir: str) -> None:
 
 
 def main() -> int:
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.3
+    argv = [a for a in sys.argv[1:] if a != "--heaps"]
+    heaps = "--heaps" in sys.argv[1:]
+    sf = float(argv[0]) if argv else 0.3
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    suffix = "-heaps" if heaps else ""
     outdir = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else os.path.join(repo, ".localdata", f"sf{sf:g}")
+        argv[1]
+        if len(argv) > 1
+        else os.path.join(repo, ".localdata", f"sf{sf:g}{suffix}")
     )
     if outdir.startswith("/root/testdata") or outdir.startswith(
         "/root/reference"
     ):
         print("refusing to write into read-only fixture dirs")
         return 1
-    print(f"generating sf={sf} into {outdir}")
-    generate(sf, outdir)
+    print(f"generating sf={sf}{' (heaps)' if heaps else ''} into {outdir}")
+    generate(sf, outdir, heaps=heaps)
     return 0
 
 
