@@ -19,7 +19,7 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
 )
 
-from datagen_sf import generate  # noqa: E402
+from datagen_sf import _heaps_vocab, generate  # noqa: E402
 
 TABLES = [
     "region",
@@ -57,6 +57,33 @@ def test_deterministic_across_runs(gen_dirs):
     con = duckdb.connect()
     for t in TABLES:
         assert _checksum(con, a, t) == _checksum(con, b, t), t
+
+
+def test_heaps_vocab_growth_formula():
+    # anchored at the shipped sf0.1's 31 words; floors at 31 below it
+    assert len(_heaps_vocab(0.001)) == 31
+    assert len(_heaps_vocab(0.1)) == 31
+    assert len(_heaps_vocab(1)) == 98  # 31 * sqrt(10)
+    assert len(_heaps_vocab(10)) == 310
+
+
+def test_heaps_mode_isolated_to_documents(gen_dirs, tmp_path):
+    # --heaps draws documents from an isolated RNG stream, so every
+    # table generated BEFORE documents is byte-identical to default
+    # mode; documents differ (Zipf draws), deterministically.
+    a, _ = gen_dirs
+    h1 = str(tmp_path / "h1")
+    h2 = str(tmp_path / "h2")
+    generate(0.002, h1, heaps=True)
+    generate(0.002, h2, heaps=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        assert _checksum(con, h1, t) == _checksum(con, h2, t), t
+    for t in TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        assert _checksum(con, a, t) == _checksum(con, h1, t), t
+    assert _checksum(con, a, "documents") != _checksum(con, h1, "documents")
 
 
 def test_row_count_ratios_match_shipped(gen_dirs):

@@ -22,8 +22,13 @@ Usage: python tools/datagen_sf.py 0.3 [outdir] [--heaps]
 
 --heaps (VERDICT r9 item 5): grow the document vocabulary with
 corpus size per Heaps' law, V(sf) = 31 * (sf/0.1)^0.5 anchored at
-the shipped sf0.1's 31 words, and draw words Zipf(s=1.05) over that
-vocabulary instead of uniform. The default fixed-31-word extrusion
+the shipped sf0.1's 31 words, and draw words Zipf(s=0.6) over that
+vocabulary instead of uniform (the exponent is calibrated so the
+HEAD word probability matches real text given the small vocab:
+s=0.6 over 98 ranks puts p(rank 1) at 0.073 ~ p("the") ~ 0.07 in
+English; a textbook s~1 over so few ranks would put 22 % of all
+tokens on one word, which over-stresses LSH bucket density instead
+of relieving trigram density). The default fixed-31-word extrusion
 keeps trigram document frequencies rising LINEARLY with sf, which
 saturates d3's candidate density quadratically at sf >= 1 — a
 worst-case density stress worth keeping (BASELINE.md sf1 analysis);
@@ -251,13 +256,13 @@ def generate(sf: float, outdir: str, heaps: bool = False) -> None:
     # planted (copy an earlier doc) so dedup operators have work at
     # every sf. Default: uniform draws over the shipped 31-word vocab
     # (byte-identical to the measured fixtures). --heaps: Heaps-law
-    # vocab growth + Zipf(1.05) word frequencies from an ISOLATED rng
-    # stream (module docstring).
+    # vocab growth + Zipf(0.6) word frequencies from an ISOLATED rng
+    # stream (module docstring explains the exponent calibration).
     if heaps:
         drng = np.random.default_rng(SEED ^ 0x9E3779B9)
         vocab = _heaps_vocab(sf)
         ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
-        zipf_p = 1.0 / ranks**1.05
+        zipf_p = 1.0 / ranks**0.6
         zipf_p /= zipf_p.sum()
 
         def _words(nw: int) -> np.ndarray:
