@@ -289,6 +289,8 @@ EXTRA = [
     "dq27_key_discovery",
     "graph_spectral_bisection",
     "stats_diff_in_diff",
+    # round-10 additions
+    "graph_scc_convergence",
 ]
 
 
