@@ -405,19 +405,37 @@ def scc_convergence_audit(
     the identified-SCC set is a pure function of the two label
     tables, label convergence bounds identification convergence.
 
-    The exact labels come from a directed min-reachability fixpoint
-    WITH POINTER JUMPING — valid here because reachability is
-    transitive (if m is reachable from n, everything reachable from
-    m is too), so following my-label's-own-label doubles propagation
-    distance per round exactly as in the undirected hash-to-min
-    family; ``exact_rounds``=10 covers path length <= 2^10. Output
-    (round, resolved_nodes, total_nodes, resolved_share_micro);
-    share in exact integer micro-units, no float.
+    The exact labels come from ``exact_rounds`` PLAIN directed
+    min-propagation rounds — deliberately NO pointer jumping, for
+    two measured reasons. (1) Directed min-reach does not get the
+    undirected hash-to-min doubling guarantee: on a monotone id
+    layout (a directed ring numbered along its edges) l(n) = n for
+    every node the wrap hasn't reached, so the jump is a no-op and
+    convergence is one hop per round regardless (a 12-ring needs 11
+    rounds; tests/test_temporal_pagerank.py pins it). (2) The jump's
+    label self-join per round triggers an EXPONENTIAL JVM-side cost
+    in the per-round materialization job (~2.5x/round from round
+    ~18, identical under eager localCheckpoint AND reliable
+    disk checkpoint, i.e. not a lineage problem) — plain
+    propagation with an eager per-round checkpoint is flat at
+    ~0.2 s/round through 30+ rounds (NOTES.md round 10). So: size
+    ``exact_rounds`` >= the directed diameter of the audited graph;
+    an UNCONVERGED exact reference silently INFLATES resolved-share
+    (a node matching its own not-yet-final label counts as
+    resolved — also pinned in the tests), and the registered
+    query's oracle — a true recursive-CTE fixpoint in DuckDB —
+    hash-mismatches on any undersized setting. Output (round,
+    resolved_nodes, total_nodes, resolved_share_micro); share in
+    exact integer micro-units, no float.
 
     Scale: forward and backward passes are the components/pagerank
     shuffle shape on the bucketed edge layout; every audit row is a
     node-sized 3-way equi-join + map-combined count — all state is
-    nodes-sized, never edges-sized.
+    nodes-sized, never edges-sized. The exact tier's O(diameter)
+    rounds are the price of DIRECTED reachability (no cheap
+    log-round transitive closure without squaring the relation); at
+    open scale the audit runs on the same pruned candidate subgraphs
+    as graph_scc itself, whose construction bounds the diameter.
     """
     e = _iter_layout(edges.select("src", "dst").distinct(), "src")
     rev = _iter_layout(
@@ -456,21 +474,16 @@ def scc_convergence_audit(
     def _fixpoint(g: DataFrame) -> DataFrame:
         labels = nodes.select("id", F.col("id").alias("lbl"))
         for _ in range(exact_rounds):
-            labels = _step(g, labels)
-            parent = labels.select(
-                F.col("id").alias("__pid"), F.col("lbl").alias("__plbl")
-            )
-            labels = (
-                labels.join(parent, labels["lbl"] == parent["__pid"], "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("lbl"),
-                        F.coalesce(F.col("__plbl"), F.col("lbl")),
-                    ).alias("lbl"),
-                )
-                .localCheckpoint(eager=False)
-            )
+            # EAGER checkpoint: _step references `labels` twice (the
+            # neighbor lookup and the least-with-self), so a lazy
+            # checkpoint leaves a plan tree that DOUBLES per round —
+            # 2^exact_rounds nodes blew the driver heap at 24 rounds
+            # before a single task ran. Eager cuts to a LogicalRDD
+            # each round (node-sized frame, trivial to materialize),
+            # keeping plan and per-round job cost constant (measured
+            # flat ~0.2 s/round through 30 rounds); same pattern as
+            # ordered.py's global_row_numbers barriers.
+            labels = _step(g, labels).localCheckpoint(eager=True)
         return labels
 
     exact = (

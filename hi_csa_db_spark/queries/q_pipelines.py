@@ -2469,7 +2469,18 @@ def graph_scc_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     later rounds' claim priced as a measured resolved_share_micro
     row per round (recorded in SCALE.md). Oracle computes the same
     fixpoints with two recursive reachability CTEs and unrolls the
-    bounded rounds exactly like graph_scc's."""
+    bounded rounds exactly like graph_scc's.
+
+    exact_rounds=24: directed min-reach converges ONE hop per round
+    guaranteed (the pointer jump accelerates but cannot be counted
+    on — see scc_convergence_audit's docstring), so this must cover
+    the graph's directed diameter. The 4-block construction gives
+    each of the 200 nodes up to 7 dense out-edges (measured
+    diameter ~3; the audit's own round-3 = 100 % row proves labels
+    stable by round 3), so 24 is an 8x margin — and an undersized
+    value cannot pass silently: the DuckDB oracle's recursive CTEs
+    are a TRUE fixpoint, so an unconverged Spark exact tier
+    hash-mismatches."""
     li = load_table(spark, sf_dir, "lineitem")
     e = li.filter(F.col("l_partkey") < 200).select(
         F.col("l_partkey").alias("src"),
@@ -2478,7 +2489,7 @@ def graph_scc_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + (l_partkey * 3 + l_linenumber * 7) % 50"
         ).alias("dst"),
     )
-    return graph.scc_convergence_audit(e, rounds=3, exact_rounds=10)
+    return graph.scc_convergence_audit(e, rounds=3, exact_rounds=24)
 
 
 @_register(

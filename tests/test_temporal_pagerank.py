@@ -137,3 +137,69 @@ def test_components_fixpoint_two_components(spark):
         for r in graph.connected_components_fixpoint(edges, rounds=4).collect()
     }
     assert fix == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_scc_convergence_audit_detects_incomplete_rounds(spark):
+    """12-node directed ring (one SCC, directed diameter 11): after k
+    min-label rounds a node's forward label is min(n..n+k mod 12) and
+    its backward label min(n-k..n mod 12), so BOTH equal the true
+    fixpoint (0 everywhere) only for node 0 at k<=3 — the audit must
+    read resolved = 1/12 at every round 1..3, NOT full coverage. This
+    is the negative case the oracle-checked graph_scc_convergence
+    (which fully resolves its 4-block graph by round 3) cannot
+    exercise. exact_rounds=12 > diameter 11: on this monotone id
+    layout the pointer jump is a no-op (l(n) = n for every node the
+    wrap hasn't reached), so the exact tier genuinely needs one round
+    per hop — the case that caught the original O(log d) claim."""
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)], ["src", "dst"]
+    )
+    rows = {
+        r["round"]: r
+        for r in graph.scc_convergence_audit(
+            ring, rounds=3, exact_rounds=12
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    for k in (1, 2, 3):
+        assert rows[k]["total_nodes"] == 12
+        assert rows[k]["resolved_nodes"] == 1, k
+        assert rows[k]["resolved_share_micro"] == 83333
+
+
+def test_scc_convergence_audit_undersized_exact_inflates(spark):
+    """The failure mode the exact_rounds sizing rule exists for: with
+    exact_rounds BELOW the diameter, the unconverged exact labels
+    match their own not-yet-final values and the audit OVERSTATES
+    resolved-share (here 2/12 at round 1 instead of the true 1/12) —
+    pinned so the inflation direction is documented behavior, and so
+    the registered query's oracle-hash guard (a true recursive-CTE
+    fixpoint on the DuckDB side) stays understood as the thing that
+    catches an undersized setting."""
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)], ["src", "dst"]
+    )
+    rows = {
+        r["round"]: r
+        for r in graph.scc_convergence_audit(
+            ring, rounds=1, exact_rounds=6
+        ).collect()
+    }
+    assert rows[1]["resolved_nodes"] == 2  # inflated vs the true 1
+
+
+def test_scc_convergence_audit_full_resolution_on_shallow_graph(spark):
+    """Two disjoint 2-cycles resolve both directions in one round:
+    the audit reads 4/4 from round 1 onward."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (5, 6), (6, 5)], ["src", "dst"]
+    )
+    rows = {
+        r["round"]: r
+        for r in graph.scc_convergence_audit(
+            edges, rounds=2, exact_rounds=4
+        ).collect()
+    }
+    for k in (1, 2):
+        assert rows[k]["resolved_nodes"] == 4
+        assert rows[k]["resolved_share_micro"] == 1000000
