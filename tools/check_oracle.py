@@ -42,9 +42,20 @@ def _vanilla_spark():
 
         return get_spark("oracle-check")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
+    # JVM heap is NOT an SQL conf — vanillaness is about semantics
+    # (timezone, AQE, shuffle partitions, parquet handling), which
+    # stay at defaults. The default 1g driver heap is a harness-scale
+    # limit only: whole-registry sf0.1 sweeps OOM'd at ~460 queries
+    # (r9 at ~390 pre-unpersist-fix; r10 at 464 — same graph_mst
+    # position, cascade-killing the context for every later query)
+    # while each query is green in isolation. Same rationale as the
+    # duckdb memory_limit below: the sweep must measure VALUE parity,
+    # not RAM. The driver's own 50-query gate never approaches this.
+    mem = os.environ.get("SPARK_GRAFT_ORACLE_DRIVER_MEM", "8g")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("oracle-check-vanilla")
+        .config("spark.driver.memory", mem)
         .getOrCreate()
     )
 
