@@ -118,6 +118,18 @@ _NEEDS_REPROOF = {
 # all-first-time rotation happened to skip); er4 sat at prefix
 # position 51, one slot outside the 50-name sample.
 _FLAGSHIPS = (
+    # r11 front-loads (VERDICT r10 item 5): the stream_*/sketch rows
+    # are the never-sampled names whose semantics (state stores,
+    # watermarks, merge-of-registers) differ most from their batch
+    # twins; without this they sort into the rows-only tail slice and
+    # miss the 50-name sample again. pipe_reference_replay rides
+    # along: it is the last rows-only name and the only §3 pipeline
+    # replay without a driver row.
+    "stream_cms_topk",
+    "sketch_hll_merge",
+    "sketch_cardinality",
+    "sketch_quantiles",
+    "pipe_reference_replay",
     "er3_golden_record",
     "er4_blocking_eval",
     "graph_pagerank",
