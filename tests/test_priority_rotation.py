@@ -153,10 +153,18 @@ def test_flagships_lead_the_never_sampled_block():
 
 
 def test_rows_only_names_sort_after_full_oracle_never_names():
+    # _FLAGSHIPS is the deliberate exception: a rows-only name
+    # promoted to flagship (r11: the sketch_* trio +
+    # pipe_reference_replay per VERDICT r10 item 5) sorts with the
+    # flagship slice, ahead of full-oracle never names.
     order = Q.priority_order()
     greens = Q.driver_green_names()
     never = [
-        n for n in order if n not in greens and n not in Q._NEEDS_REPROOF
+        n
+        for n in order
+        if n not in greens
+        and n not in Q._NEEDS_REPROOF
+        and n not in Q._FLAGSHIPS
     ]
     saw_rows_only = False
     for n in never:
