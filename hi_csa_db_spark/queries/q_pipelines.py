@@ -1721,7 +1721,10 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per round one edges ⋈ ranks join + one groupBy(dst)
     — the pagerank layout; 2 rounds unrolled (a loop would ride
-    graph._iter_layout)."""
+    graph._iter_layout). The symmetrized edge frame has 4 consumers
+    (nodes, degrees, one inflow join per round), so it is
+    localCheckpoint'd once — the r10-item-7 scan-count pager flagged
+    the un-checkpointed form re-deriving the lineitem scan 14 times."""
     li = load_table(spark, sf_dir, "lineitem")
     e0 = (
         li.filter(F.col("l_partkey") < 200)
@@ -1733,7 +1736,7 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ud = e0.unionAll(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=False)  # 4 consumers: nodes, deg, 2 rounds
     nodes = ud.select(F.col("src").alias("id")).distinct()
     deg = ud.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     T = 1_000_000_000_000
@@ -1822,7 +1825,17 @@ def graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: md5 edge priorities are distinct with overwhelming
     margin on the fixture (and the per-node MIN is total-ordered by
-    the hex string), so both engines pick identical edges."""
+    the hex string), so both engines pick identical edges.
+
+    Plan shape (VERDICT r10 item 2): every round references the
+    frontier 3x (two endpoint unions + the match join) and the match
+    3x (output, matched set, next frontier), so an unchecked lazy
+    chain multiplies the round-1 subtree into round 2 — the shipped
+    r10 plan re-scanned lineitem 220 times / 487 shuffles for a
+    21-row result. localCheckpoint(eager=False) on the frontier and
+    per-round match cuts each round to one LogicalRDD scan, the
+    mst_boruvka shape (operators/graph.py) and the round-10 NOTES
+    lesson ("a lazy chain doubles the PLAN tree to 2^rounds")."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 120)
     op = li.select("l_orderkey", "l_partkey").distinct()
     a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
@@ -1843,7 +1856,7 @@ def graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = None
-    cur = edges
+    cur = edges.localCheckpoint(eager=False)  # 3 consumers per round
     for rnd in (1, 2):
         ends = cur.select(F.col("p1").alias("id"), "h").unionAll(
             cur.select(F.col("p2").alias("id"), "h")
@@ -1856,6 +1869,7 @@ def graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(nb, "p2")
             .filter((F.col("h") == F.col("ma")) & (F.col("h") == F.col("mb")))
             .select("p1", "p2")
+            .localCheckpoint(eager=False)  # output + matched + frontier
         )
         mm = m.select("p1", "p2", F.lit(rnd).alias("round"))
         out = mm if out is None else out.unionAll(mm)
@@ -1865,6 +1879,7 @@ def graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = (
             cur.join(matched, cur["p1"] == matched["id"], "left_anti")
             .join(matched, cur["p2"] == matched["id"], "left_anti")
+            .localCheckpoint(eager=False)
         )
     return out
 

@@ -699,20 +699,26 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     8dp and summed as DECIMAL (order-independent), and the statistic
     is rounded once at the end.
 
-    Scale shape: three map-combined aggregates over the joined fact
-    (cells, row margins, column margins — 25/5/5 groups), broadcast
-    re-joined; nothing after the first groupBy touches row-scale
-    data. Integer envelope: HUGEINT/DECIMAL(38) cross products hold
-    to ~1e19 pairs."""
+    Scale shape: ONE map-combined aggregate over the joined fact
+    (the 25-group contingency cells, localCheckpoint'd); row margins,
+    column margins, and N re-aggregate the CELLS — the cube trick —
+    so the row-scale join is scanned exactly once (the r10-item-7
+    scan-count pager flagged the four-consumer form re-deriving the
+    orders ⋈ customer join 14 scans' worth). Integer envelope:
+    HUGEINT/DECIMAL(38) cross products hold to ~1e19 pairs."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     p = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
         F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
     )
-    ob = p.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("obs"))
-    rt = p.groupBy("seg").agg(F.count(F.lit(1)).alias("r"))
-    ct = p.groupBy("pri").agg(F.count(F.lit(1)).alias("c"))
-    nn = p.agg(F.count(F.lit(1)).alias("n"))
+    ob = (
+        p.groupBy("seg", "pri")
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .localCheckpoint(eager=False)  # 4 consumers: terms, rt, ct, nn
+    )
+    rt = ob.groupBy("seg").agg(F.sum("obs").alias("r"))
+    ct = ob.groupBy("pri").agg(F.sum("obs").alias("c"))
+    nn = ob.agg(F.sum("obs").alias("n"))
     num = (
         F.col("obs").cast("decimal(38,0)") * F.col("n")
         - F.col("r").cast("decimal(38,0)") * F.col("c")

@@ -60,6 +60,23 @@ def test_range_join_is_hash_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_graph_matching_rounds_are_checkpointed(spark, sf_dir):
+    # VERDICT r10 item 2: the two-round greedy-matching unroll
+    # re-derived its round state (round 2's frontier derives from
+    # round 1's match, which references the frontier 3x), multiplying
+    # the round-1 subtree until the plan held 220 parquet scans / 487
+    # shuffles for a 21-row result. With the mst_boruvka-style
+    # localCheckpoint on the per-round frontier and match, the final
+    # plan is a union over checkpointed LogicalRDD tails: ZERO
+    # parquet scans and zero exchanges survive in the reported plan
+    # (the truncated subtrees each execute exactly once inside their
+    # checkpoint). Pin that collapse.
+    plan = _plan(spark, sf_dir, "graph_matching")
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Exchange") == 0, plan
+    assert "Union" in plan
+
+
 def test_simrank_joins_all_broadcast(spark, sf_dir):
     # VERDICT r9 item 8: the r9 builder root-caused AQE falling back
     # to sort-merge for graph_simrank's iteration joins because the

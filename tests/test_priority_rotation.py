@@ -57,9 +57,11 @@ def _skip_if_manifest_legitimately_lags():
 
 
 def _stale_greens():
-    """Driver-green names whose current (source, oracle) text hash no
-    longer matches the banked manifest -- edited since their green,
-    so they legitimately occupy prefix slots for re-proof."""
+    """Driver-green names whose current text hash OR transitive
+    dependency hash no longer matches the banked manifest -- edited
+    since their green (directly, or through an operator/query they
+    reference, VERDICT r8 item 2), so they legitimately occupy prefix
+    slots for re-proof. Mirrors priority_order()'s banked test."""
     manifest = Q._banked_hashes()
     return {
         n
@@ -67,6 +69,8 @@ def _stale_greens():
         if not (
             isinstance(manifest.get(n), dict)
             and manifest[n].get("hash") == Q.query_text_hash(n)
+            and manifest[n].get("dep_hash")
+            in (None, Q.query_dependency_hash(n))
         )
     }
 
@@ -140,9 +144,12 @@ def test_reproof_retires_once_a_later_round_confirms(tmp_path, monkeypatch):
 
 
 def test_flagships_lead_the_never_sampled_block():
+    # never-green flagships sort right after the re-proof and
+    # hash-stale slices (both legitimately occupy earlier slots).
     order = Q.priority_order()
     greens = Q.driver_green_names()
-    start = len(_pending_reproof())
+    reproof = set(_pending_reproof())
+    start = len(reproof) + len(_stale_greens() - reproof)
     pending_flagships = [
         n
         for n in Q._FLAGSHIPS

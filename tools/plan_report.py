@@ -294,6 +294,57 @@ EXTRA = [
 ]
 
 
+# --- Scan-count outlier guard (VERDICT r10 item 7) ----------------
+# graph_matching sat in PLANS.md for rounds at 220 scans (a per-round
+# re-derivation bug) without any reader noticing — a pathological row
+# must PAGE, not wait for a judge. Rule: a query is an outlier when
+# its scan count exceeds 3x its family median AND an absolute floor
+# (families with median 0-2 would otherwise flag routine 4-8 scan
+# multi-table plans; the pathology class this guard exists for is the
+# 10x-plus lineage blow-up, not a wide star join). Families are the
+# leading alphabetic prefix (graph_, dq, stats, ...).
+# tests/test_plan_outliers.py recomputes this over the committed
+# PLANS.md and pins the outlier list empty modulo the allowlist.
+
+_OUTLIER_ABS_FLOOR = 12
+
+# name -> WHY the scan count is legitimately high (each entry must
+# explain itself; an unexplained entry defeats the pager).
+_OUTLIER_ALLOWLIST: dict[str, str] = {}
+
+
+def _family(name: str) -> str:
+    m = re.match(r"^[a-z]+", name)
+    return m.group(0) if m else name
+
+
+def parse_plans_table(text: str) -> list[tuple[str, int]]:
+    """(query, scan_count) rows from a PLANS.md table body."""
+    out = []
+    for line in text.splitlines():
+        m = re.match(r"\| (\w+) \| (\d+) \|", line)
+        if m:
+            out.append((m.group(1), int(m.group(2))))
+    return out
+
+
+def scan_outliers(rows: list[tuple[str, int]]) -> list[tuple[str, int, float]]:
+    """Non-allowlisted (query, scans, family_median) rows breaching
+    the outlier rule."""
+    import statistics
+
+    fam: dict[str, list[int]] = {}
+    for name, scans in rows:
+        fam.setdefault(_family(name), []).append(scans)
+    med = {f: statistics.median(v) for f, v in fam.items()}
+    return [
+        (name, scans, med[_family(name)])
+        for name, scans in rows
+        if name not in _OUTLIER_ALLOWLIST
+        and scans > max(3 * med[_family(name)], _OUTLIER_ABS_FLOOR)
+    ]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("plan-report")
@@ -329,10 +380,31 @@ def main() -> None:
             f"| {s['joins']} | {s['exchanges']} | {s['codegen_stages']} |"
         )
     out.append("")
+    outliers = scan_outliers([(n, s["scans"]) for n, s in rows])
+    out.append("## Scan-count outliers")
+    out.append("")
+    out.append(
+        "Queries whose scan count exceeds max(3x family median, "
+        f"{_OUTLIER_ABS_FLOOR}) — the lineage-blow-up pager "
+        "(VERDICT r10 item 7). Expected EMPTY; "
+        "tests/test_plan_outliers.py pins it."
+    )
+    out.append("")
+    if outliers:
+        for name, scans, med in outliers:
+            out.append(
+                f"- **{name}**: {scans} scans (family median {med})"
+            )
+    else:
+        out.append("(none)")
+    out.append("")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("\n".join(out))
+    if outliers:
+        print(f"\nWARNING: {len(outliers)} scan-count outlier(s) flagged",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
