@@ -335,6 +335,30 @@ def main() -> int:
     ):
         print("refusing to write into read-only fixture dirs")
         return 1
+    # ADVICE r10: an explicit outdir + --heaps used to write the
+    # heaps-mode tables into the named directory verbatim — so
+    # `datagen_sf.py 1 .localdata/sf1 --heaps` silently OVERWROTE the
+    # default-mode fixture BASELINE.md's scaling rows were measured
+    # on. Heaps mode now refuses an explicit outdir that doesn't
+    # carry the -heaps marker (and vice versa), so the two fixture
+    # families can't clobber each other.
+    if len(argv) > 1:
+        base = os.path.basename(os.path.normpath(outdir))
+        if heaps and not base.endswith("-heaps"):
+            print(
+                f"refusing: --heaps with outdir {outdir!r} — heaps-mode "
+                "fixtures must live in a '*-heaps' directory so they "
+                "never overwrite a default-mode fixture "
+                f"(use {outdir.rstrip('/') + '-heaps'!r})"
+            )
+            return 1
+        if not heaps and base.endswith("-heaps"):
+            print(
+                f"refusing: default-mode generation into {outdir!r} "
+                "would overwrite a heaps-mode fixture (drop the "
+                "'-heaps' suffix or pass --heaps)"
+            )
+            return 1
     print(f"generating sf={sf}{' (heaps)' if heaps else ''} into {outdir}")
     generate(sf, outdir, heaps=heaps)
     return 0
