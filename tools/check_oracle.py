@@ -279,6 +279,17 @@ def main():
     import json
 
     print(f"peak driver heap (post-query samples): {peak_heap_mb:.0f} MiB")
+    # The peak sample includes not-yet-collected garbage; the post-GC
+    # figure is the true RETAINED footprint at sweep end — the number
+    # that says whether the 8g sweep heap is headroom or a growing
+    # requirement (ADVICE r10 item 4).
+    try:
+        spark._jvm.java.lang.System.gc()
+        time.sleep(1.0)
+        final_mb = (_jrt.totalMemory() - _jrt.freeMemory()) / 1048576.0
+        print(f"final retained driver heap (post-GC): {final_mb:.0f} MiB")
+    except Exception:
+        pass
     out_path = _os.environ.get("SPARK_GRAFT_ORACLE_JSON")
     if out_path:
         with open(out_path, "w") as fh:
