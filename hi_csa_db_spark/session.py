@@ -39,6 +39,25 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Optional wide-start for big local fixtures: start reduce
+        # stages at mult x cores and let AQE coalesce down. The
+        # round-11 sixth-decade measurement showed the core-count
+        # default hitting ~2M-row partitions (spill) at sf10 —
+        # graph_degrees 69.9 s -> 29.9 s just from widening to 128 —
+        # but an ALWAYS-wide start costs ~5% at sf0.1 (measured
+        # 23.99 -> 25.2-25.4 s A/B at equal probe: 8x more shuffle
+        # write buckets than the data needs). So the default stays
+        # core-count (right for the benchmark scale) and big-SF local
+        # runs opt in; on a real cluster this knob is moot — the
+        # partition count scales with executors (SCALE.md sizing
+        # rule), which is exactly what the sf10 A/B demonstrated.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(
+                n_shuffle
+                * int(os.environ.get("SPARK_GRAFT_INITIAL_PARTS_MULT", "1"))
+            ),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
