@@ -1287,28 +1287,37 @@ def a11_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "j10_fuzzy_neighbor_join",
     """
-    WITH v AS (
-      SELECT p_partkey, p_name,
+    WITH g AS (
+      SELECT p_name, CAST(COUNT(*) AS BIGINT) AS grp_n,
+             MIN(p_partkey) AS grp_min
+      FROM part GROUP BY p_name
+    ),
+    v AS (
+      SELECT p_name,
              unnest(list_distinct(list_transform(
                range(0, length(p_name) + 1),
                i -> CASE WHEN i = 0 THEN p_name
                     ELSE substr(p_name, 1, i - 1)
                          || substr(p_name, i + 1, length(p_name)) END
              ))) AS variant
-      FROM part
+      FROM g
     ),
     cand AS (
-      SELECT DISTINCT a.p_partkey AS ka, a.p_name AS na,
-                      b.p_partkey AS kb, b.p_name AS nb
-      FROM v a JOIN v b ON a.variant = b.variant AND a.p_partkey <> b.p_partkey
+      SELECT DISTINCT a.p_name AS na, b.p_name AS nb
+      FROM v a JOIN v b ON a.variant = b.variant AND a.p_name <> b.p_name
     ),
     ok AS (
-      SELECT ka, kb FROM cand WHERE levenshtein(na, nb) = 1
+      SELECT na, nb FROM cand WHERE levenshtein(na, nb) = 1
+    ),
+    nbr AS (
+      SELECT o.na,
+             CAST(SUM(g2.grp_n) AS BIGINT) AS n_typo_neighbors,
+             CAST(MIN(g2.grp_min) AS BIGINT) AS nearest_neighbor_key
+      FROM ok o JOIN g g2 ON g2.p_name = o.nb
+      GROUP BY o.na
     )
-    SELECT ka AS p_partkey,
-           CAST(COUNT(*) AS BIGINT) AS n_typo_neighbors,
-           CAST(MIN(kb) AS BIGINT) AS nearest_neighbor_key
-    FROM ok GROUP BY ka
+    SELECT p.p_partkey, n.n_typo_neighbors, n.nearest_neighbor_key
+    FROM part p JOIN nbr n ON n.na = p.p_name
     """,
 )
 def j10_fuzzy_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1323,15 +1332,32 @@ def j10_fuzzy_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per part, how many distance-1 neighbors it has and the smallest
     neighboring key.
 
-    Scale shape: the variant fan-out is ~len+1 rows per name (narrow,
-    map-side); candidate generation is ONE equi-join on the variant
-    hash — never name x name; the verify touches only candidate
-    pairs. The oracle replays the same lossless blocking (a brute
-    theta-join would be quadratic at sf0.1+); blocking = brute force
-    is pinned by a pytest at sf0.001."""
+    Scale shape (r11 rewrite): names are DEDUPED before the variant
+    join — the fixture's 20k parts carry only 64 distinct names
+    (~312 dups each), so the key-level variant join generated 64.7M
+    candidate pairs at sf0.1, nearly all identical-name pairs the
+    distance-1 verify rejects anyway (levenshtein = 0). Grouping
+    parts by name first (count + min key per name), running the
+    variant blocking on DISTINCT names, and re-expanding neighbor
+    mass through the name groups is bit-exact (identical names can
+    never be distance-1 neighbors) and cuts candidates ~1000x — the
+    dedupe-before-fuzzy-join move every entity-resolution stack
+    makes; at 100 TB, variant blocking cost scales with the
+    VOCABULARY, not the corpus. Variant fan-out stays ~len+1 rows per
+    distinct name; candidate generation stays ONE equi-join on the
+    variant key — never name x name. The oracle replays the same
+    name-level blocking; blocking = brute force stays pinned by
+    tests/test_r4c_ops.py::test_fuzzy_blocking_equals_brute_force."""
     part = load_table(spark, sf_dir, "part")
-    v = part.select(
-        "p_partkey",
+    g = (
+        part.groupBy("p_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("grp_n"),
+            F.min("p_partkey").alias("grp_min"),
+        )
+        .localCheckpoint(eager=False)  # 2 consumers: variants + mass
+    )
+    v = g.select(
         "p_name",
         F.explode(
             F.array_distinct(
@@ -1344,26 +1370,30 @@ def j10_fuzzy_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("variant"),
     )
-    a = v.select(
-        F.col("variant"),
-        F.col("p_partkey").alias("ka"),
-        F.col("p_name").alias("na"),
-    )
-    b = v.select(
-        F.col("variant"),
-        F.col("p_partkey").alias("kb"),
-        F.col("p_name").alias("nb"),
-    )
+    a = v.select("variant", F.col("p_name").alias("na"))
+    b = v.select("variant", F.col("p_name").alias("nb"))
     cand = (
         a.join(b, "variant")
-        .filter(F.col("ka") != F.col("kb"))
-        .select("ka", "na", "kb", "nb")
+        .filter(F.col("na") != F.col("nb"))
+        .select("na", "nb")
         .distinct()
     )
     ok = cand.filter(F.levenshtein("na", "nb") == 1)
-    return ok.groupBy(F.col("ka").alias("p_partkey")).agg(
-        F.count(F.lit(1)).alias("n_typo_neighbors"),
-        F.min("kb").alias("nearest_neighbor_key"),
+    nbr = (
+        ok.join(
+            g.select(F.col("p_name").alias("nb"), "grp_n", "grp_min"),
+            "nb",
+        )
+        .groupBy("na")
+        .agg(
+            F.sum("grp_n").cast("bigint").alias("n_typo_neighbors"),
+            F.min("grp_min").alias("nearest_neighbor_key"),
+        )
+    )
+    return (
+        part.select("p_partkey", "p_name")
+        .join(nbr, part["p_name"] == nbr["na"])
+        .select("p_partkey", "n_typo_neighbors", "nearest_neighbor_key")
     )
 
 
