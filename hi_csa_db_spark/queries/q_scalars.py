@@ -506,14 +506,30 @@ def agg_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("sketch_hll_merge")
+@_register(
+    "sketch_hll_merge",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_orderkey % 4) AS n_shards,
+           CAST(1 AS INT) AS ok_merge
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (hll_sketch_agg/hll_union_agg): distinct
     orders estimated from PER-SHARD sketches merged at read time — the
     incremental-aggregation pattern for approximate distinct counts.
-    Rows-only (sketch estimates are engine-specific); the unit test
-    asserts merge(sketch(A), sketch(B)) lands within sketch error of
-    sketch(A ∪ B) — union-mode promotions make it approximate."""
+
+    BOUNDS-CHECKED oracle (r12, VERDICT r11 item 5): the raw estimate
+    is engine-specific, so the hashed output carries the exact twin
+    plus ``ok_merge`` = [merged-sketch estimate within 5 % relative
+    error of the exact distinct count]. Datasketches HLL at the
+    default lgK=12 has sigma ~ 1.04/sqrt(4096) ~ 1.6 %; 5 % is ~3
+    sigma, and union-mode promotions only tighten per-register error.
+    The oracle asserts the flag as the constant 1, so a drifting
+    estimate flips the flag and FAILS the driver's value hash —
+    rows-only no longer."""
     li = load_table(spark, sf_dir, "lineitem")
     shards = li.select(
         "l_returnflag", "l_orderkey", (F.col("l_orderkey") % 4).alias("shard")
@@ -521,8 +537,24 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_shard = shards.groupBy("l_returnflag", "shard").agg(
         F.hll_sketch_agg("l_orderkey").alias("sk")
     )
-    return per_shard.groupBy("l_returnflag").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_orders")
+    merged = per_shard.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_orders"),
+        F.count_distinct("shard").alias("n_shards"),
+    )
+    exact = shards.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders")
+    )
+    joined = exact.join(F.broadcast(merged), "l_returnflag")
+    return joined.select(
+        "l_returnflag",
+        "exact_orders",
+        "n_shards",
+        (
+            F.abs(F.col("est_orders") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        )
+        .cast("int")
+        .alias("ok_merge"),
     )
 
 
@@ -715,38 +747,114 @@ def f_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("sketch_cardinality")
+@_register(
+    "sketch_cardinality",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(*) AS n_rows,
+           CAST(1 AS INT) AS ok_orders,
+           CAST(1 AS INT) AS ok_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct-count sketches (HLL++) per group — the
     100 TB path for cardinality profiling where exact countDistinct
-    would shuffle every value. Rows-only check: sketch estimates are
-    engine-specific by construction (the exact twin is
-    a2_a4_distinct_and_maxlen)."""
+    would shuffle every value.
+
+    BOUNDS-CHECKED oracle (r12, VERDICT r11 item 5): the HLL++
+    estimate is engine-specific, so the hashed output carries the
+    exact twins plus ``ok_*`` = [estimate within 5 % relative error
+    of exact]. rsd=0.02 is the one-sigma target; 5 % is 2.5 sigma.
+    The oracle asserts the flags as constant 1, so a drifting
+    estimate FAILS the driver's value hash — rows-only no longer."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+
+    def ok(est: str, exact: str) -> Column:
+        return (
+            (F.abs(F.col(est) - F.col(exact)) <= 0.05 * F.col(exact))
+            .cast("int")
+        )
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("est_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("est_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        "n_rows",
+        ok("est_orders", "exact_orders").alias("ok_orders"),
+        ok("est_parts", "exact_parts").alias("ok_parts"),
     )
 
 
-@_register("sketch_quantiles")
+@_register(
+    "sketch_quantiles",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.90), 6) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+           COUNT(*) AS n_rows,
+           CAST(1 AS INT) AS ok_p50,
+           CAST(1 AS INT) AS ok_p90,
+           CAST(1 AS INT) AS ok_p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantile sketches (Greenwald-Khanna family) per
     group — the 100 TB path for distribution profiling: each partition
     builds a bounded-size sketch, partials MERGE associatively, and
     only sketches cross the shuffle (exact percentiles would sort every
-    value). Rows-only check: sketch estimates are engine-specific by
-    construction (the exact twin is stats_percentiles)."""
+    value).
+
+    BOUNDS-CHECKED oracle (r12, VERDICT r11 item 5): the sketch value
+    is engine-specific, so the hashed output carries the exact
+    interpolated percentiles (identical to quantile_cont — the
+    stats_percentiles twin, driver-proven) plus ``ok_p*`` = [sketch
+    estimate inside the exact value band of quantile q±0.01]. GK at
+    accuracy=10000 guarantees rank error <= n/10000 (0.0001 of the
+    group) — a 0.01-quantile band is 100x slack, and the estimate is
+    an actual group element so it always lies inside the exact
+    [q-eps, q+eps] value envelope. Oracle asserts the flags constant
+    1: a drifting sketch FAILS the driver's value hash."""
     o = load_table(spark, sf_dir, "orders")
-    qs = F.percentile_approx(
+    est = F.percentile_approx(
         "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
     )
-    return o.groupBy("o_orderpriority").agg(
-        F.round(qs[0], 2).alias("p50_est"),
-        F.round(qs[1], 2).alias("p90_est"),
-        F.round(qs[2], 2).alias("p99_est"),
-        F.count(F.lit(1)).alias("n_rows"),
+    # exact interpolated percentiles at the targets and the ±0.01
+    # band edges (0.99 upper edge saturates at the max)
+    ex = F.expr(
+        "percentile(o_totalprice,"
+        " array(0.49D, 0.50D, 0.51D, 0.89D, 0.90D, 0.91D, 0.98D, 0.99D, 1.0D))"
+    )
+    agg = o.groupBy("o_orderpriority").agg(
+        est.alias("est"), ex.alias("ex"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+    def ok(i_est: int, i_lo: int, i_hi: int) -> Column:
+        e = F.col("est")[i_est]
+        return (
+            (e >= F.col("ex")[i_lo]) & (e <= F.col("ex")[i_hi])
+        ).cast("int")
+
+    return agg.select(
+        "o_orderpriority",
+        F.round(F.col("ex")[1], 6).alias("p50"),
+        F.round(F.col("ex")[4], 6).alias("p90"),
+        F.round(F.col("ex")[7], 6).alias("p99"),
+        "n_rows",
+        ok(0, 0, 2).alias("ok_p50"),
+        ok(1, 3, 5).alias("ok_p90"),
+        ok(2, 6, 8).alias("ok_p99"),
     )
 
 
