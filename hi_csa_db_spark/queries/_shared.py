@@ -952,24 +952,38 @@ def _eval_split_hits(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
 
     def grams(df: DataFrame, with_id: bool):
+        # The token array is MATERIALIZED as a projection column
+        # before the sliding-window transform. Higher-order functions
+        # run interpreted (no whole-stage codegen), so codegen's
+        # common-subexpression elimination never sees them: with the
+        # tokenize expression inlined, every ``toks[i]`` access inside
+        # the lambda re-ran the full punct-strip+split regex over the
+        # text — ~5 re-tokenizations per gram, measured 128.6 s for
+        # the 248 k corpus grams at sf0.1 vs 4.7 s with the boundary
+        # (r12; the x82/x80 sweep wall). CollapseProject keeps the
+        # boundary because ``__ws`` is referenced more than once.
         toks = F.filter(
             tokenize(F.lower(strip_punct(F.col("text")))), lambda x: x != ""
         )
+        base = df.select(
+            *((["doc_id"] if with_id else []) + [toks.alias("__ws")])
+        ).filter(F.size("__ws") >= 5)
+        ws = F.col("__ws")
         # rows are pre-filtered to size >= 5, so 0..size-5 is the full
         # 5-gram start range
         g = F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 5),
+            F.sequence(F.lit(0), F.size(ws) - 5),
             lambda i: F.concat_ws(
                 " ",
-                toks[i],
-                toks[i + 1],
-                toks[i + 2],
-                toks[i + 3],
-                toks[i + 4],
+                ws[i],
+                ws[i + 1],
+                ws[i + 2],
+                ws[i + 3],
+                ws[i + 4],
             ),
         )
         cols = (["doc_id"] if with_id else []) + [F.explode(g).alias("g")]
-        return df.filter(F.size(toks) >= 5).select(*cols)
+        return base.select(*cols)
 
     eg = grams(evald, with_id=False).distinct()
     cg = grams(corpus, with_id=True)

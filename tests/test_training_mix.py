@@ -51,3 +51,25 @@ def test_mixture_is_a_deterministic_downsample(spark, sf_dir):
         # ~min/src of each slice, so no slice should blow far past it
         # (loose statistical bound: 3x on tiny fixture slices)
         assert kept_tokens <= 3 * min_tokens
+
+
+def test_eval_gram_tokenize_runs_once_per_row(spark, sf_dir):
+    """The 5-gram stage of _eval_split_hits (x80/x82) must keep its
+    token array behind a projection boundary: higher-order functions
+    run interpreted (no codegen CSE), so an inlined tokenize re-runs
+    the punct-strip regex for every toks[i] access inside the window
+    lambda (measured 128.6s -> 4.7s at sf0.1, r12). If CollapseProject
+    ever inlines the array again, the regex count in the optimized
+    plan jumps from once per gram source to ~5x."""
+    from hi_csa_db_spark.catalog import load_table
+    from hi_csa_db_spark.queries._shared import _eval_split_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    _corpus, hits = _eval_split_hits(docs)
+    plan = hits._jdf.queryExecution().optimizedPlan().toString()
+    # two tokenizes per side of the gram join (the projection itself
+    # plus the size>=5 predicate pushed through it by substitution —
+    # both once per ROW), never one per window position: the inlined
+    # form shows ~6 per side (5 toks[i] accesses + the sequence
+    # bound), i.e. >= 12 total
+    assert plan.count("regexp_replace") == 4, plan.count("regexp_replace")
