@@ -1777,30 +1777,37 @@ def er4_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ttoks
       ) WHERE shingle <> ''
     ),
-    tsizes AS (SELECT doc_id, COUNT(*) AS sz FROM tsh GROUP BY doc_id),
-    tinter AS (
+    -- AS MATERIALIZED on the truth-graph chain (r12, VERDICT r11
+    -- item 3): t1/t2/t3 each reference their predecessor THREE times
+    -- and DuckDB inlines plain CTEs per reference, so the un-fenced
+    -- chain re-evaluated the tinter/tpairs truth subtree ~27x —
+    -- ~250 s of every full sweep. Fences are evaluation-order only
+    -- (same values); oracle now runs in seconds. Same fix class as
+    -- _D6_LABELS_SQL (r10).
+    tsizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM tsh GROUP BY doc_id),
+    tinter AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ic
       FROM tsh a JOIN tsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    tpairs AS (
+    tpairs AS MATERIALIZED (
       SELECT i.id_a AS src, i.id_b AS dst
       FROM tinter i JOIN tsizes sa ON sa.doc_id = i.id_a
                     JOIN tsizes sb ON sb.doc_id = i.id_b
       WHERE i.ic / (sa.sz + sb.sz - i.ic) >= 0.05
     ),
-    tud AS (SELECT src, dst FROM tpairs
+    tud AS MATERIALIZED (SELECT src, dst FROM tpairs
             UNION ALL SELECT dst AS src, src AS dst FROM tpairs),
-    t0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
-    t1 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+    t0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+    t1 AS MATERIALIZED (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
            FROM t0 n JOIN t0 s ON s.id = n.id
            LEFT JOIN tud e ON e.src = n.id LEFT JOIN t0 nb ON nb.id = e.dst
            GROUP BY n.id, s.lbl),
-    t2 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+    t2 AS MATERIALIZED (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
            FROM t1 n JOIN t1 s ON s.id = n.id
            LEFT JOIN tud e ON e.src = n.id LEFT JOIN t1 nb ON nb.id = e.dst
            GROUP BY n.id, s.lbl),
-    t3 AS (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
+    t3 AS MATERIALIZED (SELECT n.id, least(s.lbl, COALESCE(MIN(nb.lbl), s.lbl)) AS lbl
            FROM t2 n JOIN t2 s ON s.id = n.id
            LEFT JOIN tud e ON e.src = n.id LEFT JOIN t2 nb ON nb.id = e.dst
            GROUP BY n.id, s.lbl),
