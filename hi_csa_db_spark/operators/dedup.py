@@ -121,17 +121,16 @@ def shingle_array(text_col: str = "text", n: int = 3):
     )
 
 
-def minhash_signature_col(text_col: str = "text", n: int = 3, num_hashes: int = 16):
-    """MinHash signature as a NARROW per-row expression: identical
-    values to minhash_signatures() (same shingle set, same
-    Kirsch-Mitzenmacher affine family), but computed with array
-    functions instead of a groupBy — zero shuffle, zero state. This is
-    the streaming-safe path: a stream of new docs can be signed row by
-    row and probed against a static band index without any stateful
-    aggregation. md5 runs ONCE per shingle (the (h1, h2) pair is
-    materialized first), matching the batch path's hashing cost."""
-    hs = F.transform(
-        shingle_array(text_col, n),
+def hash_pairs_col(shingle_col: Column) -> Column:
+    """(h1, h2) Kirsch-Mitzenmacher pair per shingle of an ALREADY
+    MATERIALIZED shingle-array column — one md5 per shingle. Split out
+    of minhash_signature_col (r12) so consumers can pin the pair array
+    behind its own projection: higher-order functions run interpreted
+    (no codegen CSE), so an expression that references the pair array
+    ``num_hashes`` times re-evaluates it per reference unless it is a
+    plain column by then."""
+    return F.transform(
+        shingle_col,
         lambda s: F.struct(
             F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long").alias("h1"),
             (F.conv(F.substring(F.md5(s), 16, 12), 16, 10).cast("long") * 2 + 1).alias(
@@ -139,13 +138,42 @@ def minhash_signature_col(text_col: str = "text", n: int = 3, num_hashes: int = 
             ),
         ),
     )
+
+
+def minhash_from_hash_pairs(hp_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature from a materialized (h1, h2)-pair array
+    column: num_hashes independent array_min folds — cheap integer
+    arithmetic per reference once ``hp_col`` is a plain column."""
     return F.array(
         *[
             F.array_min(
-                F.transform(hs, lambda x: (x["h1"] + F.lit(i) * x["h2"]) % F.lit(2**60))
+                F.transform(
+                    hp_col, lambda x: (x["h1"] + F.lit(i) * x["h2"]) % F.lit(2**60)
+                )
             )
             for i in range(num_hashes)
         ]
+    )
+
+
+def minhash_signature_col(text_col: str = "text", n: int = 3, num_hashes: int = 16):
+    """MinHash signature as a NARROW per-row expression: identical
+    values to minhash_signatures() (same shingle set, same
+    Kirsch-Mitzenmacher affine family), but computed with array
+    functions instead of a groupBy — zero shuffle, zero state. This is
+    the streaming-safe path: a stream of new docs can be signed row by
+    row and probed against a static band index without any stateful
+    aggregation.
+
+    NOTE (r12): as a single fused expression this re-evaluates the
+    shingle pipeline once per hash index (HOFs get no codegen CSE),
+    i.e. ~num_hashes tokenizer runs per row. Hot paths should instead
+    stage the projections themselves:
+    ``shingle_array -> hash_pairs_col -> minhash_from_hash_pairs``
+    (see streaming/windows.py::incremental_dedup_stream), which this
+    helper composes verbatim — values are identical either way."""
+    return minhash_from_hash_pairs(
+        hash_pairs_col(shingle_array(text_col, n)), num_hashes
     )
 
 

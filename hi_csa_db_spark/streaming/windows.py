@@ -238,10 +238,22 @@ def incremental_dedup_stream(
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
+    # STAGED projections for the per-row signer (r12): shingle array,
+    # then (h1,h2) pairs, then the 16 array_min folds. Fused into one
+    # expression (the old minhash_signature_col call) the interpreted
+    # HOF evaluator re-ran the whole shingle/tokenize pipeline once
+    # per hash index — ~16 regex tokenizations per streamed row.
+    # Values identical (minhash_signature_col composes these same
+    # three stages).
     new_bands = dedup.band_keys(
-        raw.filter(F.col("doc_id") >= split_id).select(
+        raw.filter(F.col("doc_id") >= split_id)
+        .select("doc_id", dedup.shingle_array().alias("__shs"))
+        .select("doc_id", dedup.hash_pairs_col(F.col("__shs")).alias("__hp"))
+        .select(
             "doc_id",
-            dedup.minhash_signature_col(num_hashes=num_hashes).alias("sig"),
+            dedup.minhash_from_hash_pairs(
+                F.col("__hp"), num_hashes=num_hashes
+            ).alias("sig"),
         ),
         bands=bands,
         rows=rows,
@@ -259,7 +271,24 @@ def incremental_dedup_stream(
         .groupBy("id_new")
         .agg(F.count(F.lit(1)).alias("n_dup_candidates"))
     )
-    return _run_to_memory(pairs, "stream_incremental_dedup", "complete")
+    # Pin the state-store partition count IN-QUERY (VERDICT r11 item
+    # 4): the two stateful operators (dropDuplicates + complete-mode
+    # agg) each instantiate one state store per shuffle partition per
+    # micro-batch, so a vanilla session's default 200 partitions means
+    # 400 store instances per batch for a few thousand rows — measured
+    # 59.9 s vanilla vs seconds in the tuned session. The conf is read
+    # at query START and recorded in the checkpoint, so a scoped
+    # set/restore pins it for this stream without leaking session-wide.
+    spark = pairs.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        return _run_to_memory(pairs, "stream_incremental_dedup", "complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def upsert_sink(

@@ -317,3 +317,30 @@ def test_tws_user_totals_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_incremental_dedup_pins_state_partitions(spark, sf_dir, monkeypatch):
+    """The stream must pin spark.sql.shuffle.partitions to core
+    parallelism for the duration of its run (each stateful operator
+    instantiates one state store per shuffle partition per batch; a
+    vanilla session's 200 default meant 400 stores/batch ~ 59.9 s at
+    sf0.1, VERDICT r11 item 4) and restore the session value after."""
+    from hi_csa_db_spark.streaming import windows as W
+
+    seen = {}
+    real = W._run_to_memory
+
+    def spy(df, name, mode):
+        seen["parts"] = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        return real(df, name, mode)
+
+    monkeypatch.setattr(W, "_run_to_memory", spy)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        W.incremental_dedup_stream(spark, sf_dir)
+        assert seen["parts"] == str(spark.sparkContext.defaultParallelism)
+        # restored to what it was when the query started
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
