@@ -1876,11 +1876,14 @@ def graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched = m.select(F.col("p1").alias("id")).unionAll(
             m.select(F.col("p2").alias("id"))
         ).distinct()
-        cur = (
-            cur.join(matched, cur["p1"] == matched["id"], "left_anti")
-            .join(matched, cur["p2"] == matched["id"], "left_anti")
-            .localCheckpoint(eager=False)
+        cur = cur.join(matched, cur["p1"] == matched["id"], "left_anti").join(
+            matched, cur["p2"] == matched["id"], "left_anti"
         )
+        # the frontier feeds 3 consumers NEXT round; the final round's
+        # tail has no consumer after the loop, so checkpointing it
+        # would only add a dead node to the returned plan (ADVICE r11)
+        if rnd == 1:
+            cur = cur.localCheckpoint(eager=False)
     return out
 
 

@@ -292,8 +292,15 @@ def main():
         pass
     out_path = _os.environ.get("SPARK_GRAFT_ORACLE_JSON")
     if out_path:
+        # Rebuild in registry order before dumping (ADVICE r11): under
+        # SPARK_GRAFT_SWEEP_SHUFFLE the report dict is built in the
+        # shuffled execution order and json.dump preserves insertion
+        # order, which broke the promised mechanical diff against a
+        # registry-ordered driver run.
+        ordered = {n: report[n] for n in qs if n in report}
+        ordered.update({n: v for n, v in report.items() if n not in ordered})
         with open(out_path, "w") as fh:
-            json.dump(report, fh, indent=2)
+            json.dump(ordered, fh, indent=2)
         print(f"json report: {out_path}")
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     sys.exit(1 if failed else 0)
