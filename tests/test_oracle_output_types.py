@@ -120,6 +120,9 @@ _DOUBLE_WHITELIST: dict[str, set[str]] = {
     "ret4_mmr_rerank": {"score"},
     "ret5_hard_negatives": {"bm25"},
     "ret6_prf_expansion": {"bm25"},
+    # r12 bounds-checked conversion: exact interpolated percentiles,
+    # ROUND(..., 6) on both engines (the stats_percentiles pattern)
+    "sketch_quantiles": {"p50", "p90", "p99"},
     "s10_ivfpq_topk": {"cos_sim"},
     "s11_knn_join": {"cos_sim"},
     "s12_filtered_topk": {"cos_sim"},
