@@ -2605,3 +2605,89 @@ def u34_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("strategy")
     )
+
+
+_U35_TABLES = (
+    "lineitem",
+    "orders",
+    "events",
+    "documents",
+    "embeddings",
+    "customer",
+    "part",
+    "supplier",
+)
+
+_U35_SQL = "\n    UNION ALL\n".join(
+    f"""    SELECT '{t}' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(GREATEST(1, ((COUNT(*) + 499999) // 500000 + 31) // 32) * 32
+                AS BIGINT) AS parts_32,
+           CAST(GREATEST(1, ((COUNT(*) + 499999) // 500000 + 31) // 32)
+                AS BIGINT) AS waves_32,
+           CAST(COUNT(*) // (GREATEST(1, ((COUNT(*) + 499999) // 500000 + 31)
+                // 32) * 32) AS BIGINT) AS rows_per_part,
+           CAST(CASE WHEN COUNT(*) // (GREATEST(1, ((COUNT(*) + 499999)
+                // 500000 + 31) // 32) * 32) <= 500000
+                THEN 1 ELSE 0 END AS INT) AS under_target
+    FROM {t}"""
+    for t in _U35_TABLES
+)
+
+
+@_register(
+    "u35_shuffle_sizing_plan",
+    f"""
+    SELECT * FROM (
+{_U35_SQL}
+    ) ORDER BY table_name
+    """,
+)
+def u35_shuffle_sizing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE shuffle-partition sizing rule (SCALE.md r12 /
+    plans/sizing.py) as an oracle-checked PLANNER QUERY: per fixture
+    table, the partition count a 32-core deployment should start its
+    reduce stages at — enough that the table's widest shuffle stays
+    under 500k rows/partition (the sf10-heaps spill calibration:
+    60M-row lineitem at 32 partitions = 1.9M rows spilled, 69.9 s;
+    at the derived 128 = 469k rows, 29.9 s), rounded UP to whole
+    32-task waves so no slot idles, floored at one wave. Pure integer
+    arithmetic on COUNT(*) — identical on both engines; the row count
+    itself comes from a metadata-fast count-star scan on each table.
+
+    Scale: 8 count-star aggregates (parquet footer counts at scan
+    level), a constant-width union, no shuffle of data rows at all —
+    the planner costs nothing at any fleet size, which is the point:
+    derive the setting BEFORE the expensive job runs."""
+    dfs = []
+    for t in _U35_TABLES:
+        df = (
+            load_table(spark, sf_dir, t)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+            .select(
+                F.lit(t).alias("table_name"),
+                "n_rows",
+                F.expr(
+                    "CAST(GREATEST(1, ((n_rows + 499999) div 500000 + 31)"
+                    " div 32) * 32 AS BIGINT)"
+                ).alias("parts_32"),
+                F.expr(
+                    "CAST(GREATEST(1, ((n_rows + 499999) div 500000 + 31)"
+                    " div 32) AS BIGINT)"
+                ).alias("waves_32"),
+                F.expr(
+                    "CAST(n_rows div (GREATEST(1, ((n_rows + 499999)"
+                    " div 500000 + 31) div 32) * 32) AS BIGINT)"
+                ).alias("rows_per_part"),
+                F.expr(
+                    "CAST(CASE WHEN n_rows div (GREATEST(1, ((n_rows"
+                    " + 499999) div 500000 + 31) div 32) * 32) <= 500000"
+                    " THEN 1 ELSE 0 END AS INT)"
+                ).alias("under_target"),
+            )
+        )
+        dfs.append(df)
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("table_name")
