@@ -115,6 +115,69 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Footer-derived split parallelism per table path (metadata only — row
+# GROUP counts, no data read and no cached query results; the same
+# class of planning metadata Spark itself caches in InMemoryFileIndex).
+_SPLIT_PARALLELISM: dict[str, int] = {}
+
+
+def scan_split_parallelism(sf_dir: str, name: str) -> int:
+    """How many parallel tasks a scan of this table can actually use:
+    the number of parquet ROW GROUPS across its files. Spark splits
+    parquet scans by byte range, but a task only produces rows for row
+    groups whose midpoint falls in its range — a single-row-group file
+    is a single-task scan no matter how many splits Spark makes.
+    Footer metadata only (pyarrow), cached per path; 0 = unknown."""
+    key = f"{sf_dir}/{name}"
+    if key not in _SPLIT_PARALLELISM:
+        total = 0
+        try:
+            import glob as _glob
+
+            import pyarrow.parquet as pq
+
+            path = f"{sf_dir}/{name}.parquet"
+            files = (
+                _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+                if os.path.isdir(path)
+                else [path]
+            )
+            for f in files:
+                total += pq.ParquetFile(f).metadata.num_row_groups
+        except Exception:
+            total = 0
+        _SPLIT_PARALLELISM[key] = total
+    return _SPLIT_PARALLELISM[key]
+
+
+def spread_input(df: DataFrame, sf_dir: str, name: str, *keys: str) -> DataFrame:
+    """Redistribute a NARROW-parallelism scan across the session's
+    cores before CPU-heavy per-row work (guide §2.5 "input skew: one
+    huge unsplittable file — repartition immediately after the read").
+
+    The driver fixtures are single-row-group parquet files, so every
+    scan is a single task: a query whose plan has no Exchange runs
+    START TO FINISH ON ONE CORE regardless of cluster size. For
+    queries whose per-row compute (tokenize chains, rolling hashes,
+    decimal aggregates) dominates, one cheap hash exchange of the
+    narrow input buys full-core parallelism for the expensive stage.
+
+    Scale-adaptive, not a local[32] constant: the exchange is added
+    ONLY when the source's available split parallelism (parquet row
+    groups, footer metadata) is below the session's core count. On a
+    production table (thousands of row groups) this is a no-op — the
+    scan is already wide and the extra shuffle would be pure cost.
+    Hash-partitioning on a stable key (not round-robin) avoids the
+    sort-before-repartition pass and keeps task assignment
+    deterministic under retries."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    splits = scan_split_parallelism(sf_dir, name)
+    if splits == 0 or splits >= cores:
+        return df
+    return df.repartition(cores, *[F.col(k) for k in keys])
+
+
 class LazyTables(Mapping):
     """Mapping of table name -> DataFrame that loads each table on
     first access. Per-query lazy loading means a query touching only

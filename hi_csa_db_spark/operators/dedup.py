@@ -799,29 +799,38 @@ def simhash(
     # nonexistent __w column (ADVICE r7); out-of-range sub-bits are
     # simply not packed.
     lanes = (bits + 2) // 3
-    def _lane_word(w: int):
-        word = F.shiftright(F.col("h"), 3 * w).bitwiseAND(F.lit(1))
+    # r12: both the lane words and the fingerprint assembly are built
+    # as SQL STRINGS parsed by ONE F.expr call each. The previous
+    # Column-algebra construction (60 when-terms + 20 three-part lane
+    # words, every F.* call a py4j round trip) spent ~1.3 s of every
+    # invocation BUILDING the expression tree on the Python side
+    # (measured with a build/plan/exec split at sf0.1: d4 = 1.33 s
+    # build vs 0.55 s exec). The parsed expressions are semantically
+    # identical (same shifts, masks, casts), so plan and values are
+    # unchanged — pinned by tests/test_dedup_guards.py value tests.
+
+    def _lane_word_sql(w: int) -> str:
+        parts = [f"(shiftright(h, {3 * w}) & 1)"]
         for k in (1, 2):
             if 3 * w + k < bits:
-                word = word + F.shiftleft(
-                    F.shiftright(F.col("h"), 3 * w + k).bitwiseAND(F.lit(1)),
-                    21 * k,
+                parts.append(
+                    f"shiftleft(shiftright(h, {3 * w + k}) & 1, {21 * k})"
                 )
-        return word
+        return " + ".join(parts)
 
     aggs = [
-        F.sum(_lane_word(w)).alias(f"__w{w}") for w in range(lanes)
+        F.expr(f"sum({_lane_word_sql(w)})").alias(f"__w{w}")
+        for w in range(lanes)
     ] + [F.count(F.lit(1)).alias("__n")]
     per_doc = hashed.groupBy(id_col).agg(*aggs)
-    fingerprint = None
+    terms = []
     for b in range(bits):
-        ones = F.shiftright(F.col(f"__w{b // 3}"), 21 * (b % 3)).bitwiseAND(
-            F.lit((1 << 21) - 1)
+        ones = f"(shiftright(__w{b // 3}, {21 * (b % 3)}) & {(1 << 21) - 1})"
+        terms.append(
+            f"(CASE WHEN {ones} * 2 > __n THEN CAST({2**b} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
         )
-        term = F.when(
-            ones * 2 > F.col("__n"), F.lit(2**b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        fingerprint = term if fingerprint is None else fingerprint + term
+    fingerprint = F.expr(" + ".join(terms))
     return per_doc.select(id_col, fingerprint.alias("simhash"))
 
 

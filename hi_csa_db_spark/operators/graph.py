@@ -155,6 +155,19 @@ def connected_components_fixpoint(
     labels = ud.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
     )
+    # r12 EARLY STOP: every label move is non-increasing (step (a)
+    # takes a min with the current label; step (b) replaces lbl with
+    # lbl's own label, and lbl(x) <= x is an invariant from lbl_0 = id,
+    # so the parent's label cannot exceed the follower's), hence
+    # sum(lbl) strictly decreases until the fixpoint and an UNCHANGED
+    # sum proves no label moved — all remaining rounds are identity
+    # maps and the early exit returns the exact same table. One cheap
+    # nodes-sized aggregate per round (decimal sum: immune to bigint
+    # wrap at any node-id scale) replaces up to rounds-minus-diameter
+    # wasted join rounds AND their driver-side plan constructions —
+    # measured at sf0.1 (graph_components_star): 10 rounds built in
+    # 4.2 s driver-side for a graph that converges in 2.
+    prev_sum = None
     for _ in range(rounds):
         nb_min = (
             ud.join(
@@ -192,6 +205,12 @@ def connected_components_fixpoint(
             # the standard iterative-algorithm truncation.
             .localCheckpoint(eager=False)
         )
+        cur_sum = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     return labels
 
 

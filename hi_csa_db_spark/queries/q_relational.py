@@ -19,7 +19,7 @@ import re
 from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from hi_csa_db_spark.catalog import load_table, load_tables
+from hi_csa_db_spark.catalog import load_table, load_tables, spread_input
 from hi_csa_db_spark.functions.hashing import KNUTH_HASH32_SQL, knuth_hash32
 from hi_csa_db_spark.functions.text import absolutize_url, slugify, strip_punct, tokenize
 from hi_csa_db_spark.operators import classify, dedup, graph, ordered, similarity, textstats
@@ -57,10 +57,28 @@ from hi_csa_db_spark.queries._shared import (
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style scan+filter+hash-aggregate; the filter and the two
     needed columns push down to the parquet scan; partial aggregation is
-    map-side (7 groups total, so the shuffle is a few KB at any scale)."""
+    map-side (7 groups total, so the shuffle is a few KB at any scale).
+
+    r12: spread_input after the filter — the decimal partial
+    aggregation is the expensive stage and the single-row-group
+    fixture scan ran it on one core. The filter stays BELOW the added
+    exchange (still pushed to the scan, pinned by
+    tests/test_plans.py); the exchange redistributes survivors so the
+    partial aggregate runs on every core: 1.54 s -> 0.87 s at sf0.1.
+    No-op when the source scan is already wide. The spread key is
+    l_extendedprice — near-unique (even hash spread) and ALREADY in
+    the aggregate's input, so the scan's 7-column pruning (pinned in
+    tests/test_plans.py) is unchanged."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        spread_input(
+            li.filter(
+                F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp")
+            ),
+            sf_dir,
+            "lineitem",
+            "l_extendedprice",
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dsum(F.col("l_quantity")).alias("sum_qty"),
