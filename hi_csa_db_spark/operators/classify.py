@@ -82,6 +82,68 @@ def keyword_classify(
     )
 
 
+def keyword_classify_literal(
+    docs: DataFrame,
+    keyword_pairs: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+) -> DataFrame:
+    """Shingle strategy for a PLAN-TIME dictionary: when the keyword
+    dictionary is a Python literal (the registry queries' case), the
+    whole classifier compiles to narrow per-row expressions — filter
+    the shingle array against the literal keyword set, map survivors
+    to labels through a literal map, array_distinct, explode_outer.
+    Zero joins, zero shuffles; same (id, label) rows as
+    ``keyword_classify`` including the NULL-label row for unmatched
+    docs (explode_outer of an empty array).
+
+    Requires unique lowercased keywords (duplicate keywords with
+    conflicting labels need the join strategy); falls back is the
+    caller's job — this raises to make the precondition loud.
+    """
+    pairs = [(k.lower(), v) for k, v in keyword_pairs if k and k.lower()]
+    if len({k for k, _ in pairs}) != len(pairs):
+        raise ValueError("duplicate keywords: use keyword_classify")
+    max_n = max(len(k.split(" ")) for k, _ in pairs)
+    toks = docs.select(
+        F.col(id_col),
+        tokenize(F.lower(strip_punct(F.col(text_col)))).alias("__toks"),
+    )
+
+    def _ngrams(n: int):
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("__toks") - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)),
+        )
+
+    # n=1 shingles ARE the token array — skip the sequence/slice/
+    # concat_ws rebuild the generic operator pays per token
+    shingles = F.col("__toks")
+    if max_n > 1:
+        shingles = F.flatten(
+            F.array(shingles, *[_ngrams(n) for n in range(2, max_n + 1)])
+        )
+    kws = [k for k, _ in pairs]
+    label_map = F.create_map(
+        *[F.lit(x) for pair in pairs for x in pair]
+    )
+    matched = F.array_distinct(
+        F.transform(
+            F.filter(shingles, lambda s: s.isin(*kws)),
+            lambda s: F.element_at(label_map, s),
+        )
+    )
+    # a NULL id never matched the join-back in the generic strategy,
+    # so it always carried a NULL label — reproduce that exactly
+    labels = F.when(F.col(id_col).isNull(), F.lit(None).cast("array<string>")).otherwise(
+        matched
+    )
+    return toks.select(
+        F.col(id_col), F.explode_outer(labels).alias(label_col)
+    )
+
+
 def keyword_classify_nlj(
     docs: DataFrame,
     keywords: DataFrame,

@@ -32,38 +32,46 @@ def lang_id(
 ) -> DataFrame:
     """Marker-token language scoring: (id, predicted_lang).
 
-    Token-explode + broadcast marker join + per-(doc,lang) counts +
-    deterministic argmax (max count, then lexicographic lang; docs with
-    zero marker hits predict 'und'). Same shape as the keyword
-    classifier J2 — one broadcast join, one aggregation.
+    LANG_MARKERS is a plan-time constant (a handful of words per
+    language), so the whole classifier compiles to narrow per-row
+    expressions: filter the token array down to marker tokens, count
+    per-language occurrences over that (tiny) array, and take the
+    deterministic argmax as array_min over (-hits, lang) structs —
+    max hits, ties broken by lexicographically smallest lang, zero
+    hits -> 'und'. No explode, no join, no shuffle (the r11 shape
+    shuffled every (doc, lang) hit row through a broadcast join plus
+    two aggregations for the same answer).
     """
-    spark = docs.sparkSession
-    markers = spark.createDataFrame(
-        [(w, lang) for lang, ws in LANG_MARKERS.items() for w in ws],
-        ["tok", "lang"],
-    )
-    toks = docs.select(
+    all_markers = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    staged = docs.select(
         F.col(id_col),
-        F.explode(tokenize(F.lower(strip_punct(F.col(text_col))))).alias("tok"),
+        F.filter(
+            tokenize(F.lower(strip_punct(F.col(text_col)))),
+            lambda x: x.isin(*all_markers),
+        ).alias("__mk"),
     )
-    scores = (
-        toks.join(F.broadcast(markers), "tok")
-        .groupBy(id_col, "lang")
-        .agg(F.count(F.lit(1)).alias("hits"))
+    def _hits(ws: tuple[str, ...]):
+        # NB: the lambda must take exactly one arg — F.filter treats a
+        # second parameter (even a default) as the element index
+        return F.size(F.filter(F.col("__mk"), lambda x: x.isin(*ws)))
+
+    cands = F.array(
+        *[
+            F.struct(
+                (-_hits(ws)).alias("nh"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, ws in sorted(LANG_MARKERS.items())
+        ]
     )
-    # deterministic argmax: highest hits, ties -> lexicographically
-    # smallest lang. Implemented with min_by over (-hits, lang).
-    best = scores.groupBy(id_col).agg(
-        F.min_by("lang", F.struct((-F.col("hits")).alias("nh"), F.col("lang"))).alias(
-            "predicted_lang"
-        )
-    )
-    return (
-        docs.select(id_col)
-        .join(best, id_col, "left")
-        .select(
-            id_col, F.coalesce("predicted_lang", F.lit("und")).alias("predicted_lang")
-        )
+    best = F.array_min(F.filter(cands, lambda c: c["nh"] < 0))["lang"]
+    # a NULL id row can never match the old argmax left-join back to
+    # docs, so it always predicted 'und' — reproduce that exactly
+    return staged.select(
+        id_col,
+        F.when(F.col(id_col).isNull(), F.lit("und"))
+        .otherwise(F.coalesce(best, F.lit("und")))
+        .alias("predicted_lang"),
     )
 
 

@@ -78,11 +78,12 @@ def j1_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j2_keyword_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/X3: keyword-dictionary multi-label classifier (detect.csa,
-    hi-csa-db.Rmd:75-88) via the scale strategy: token-explode +
-    broadcast equi-join (not an rlike nested-loop join)."""
+    hi-csa-db.Rmd:75-88). The dictionary is a plan-time literal, so
+    the literal strategy applies: shingle-filter + literal label map,
+    no join and no shuffle (same rows as the broadcast equi-join
+    strategy, which remains the path for runtime dictionaries)."""
     docs = load_table(spark, sf_dir, "documents")
-    kw = spark.createDataFrame(_KEYWORD_DICT, ["keyword", "label"])
-    return classify.keyword_classify(docs, kw)
+    return classify.keyword_classify_literal(docs, _KEYWORD_DICT)
 
 
 @_register(

@@ -2,7 +2,13 @@
 
 from pyspark.sql import functions as F
 
-from hi_csa_db_spark.operators.classify import keyword_classify, keyword_classify_nlj
+import pytest
+
+from hi_csa_db_spark.operators.classify import (
+    keyword_classify,
+    keyword_classify_literal,
+    keyword_classify_nlj,
+)
 from hi_csa_db_spark.operators.merge import db_merge, union_streams
 
 
@@ -62,6 +68,75 @@ def test_nlj_strategy_agrees_with_equijoin_strategy(spark):
     a = keyword_classify(_docs(spark), _dict(spark))
     b = keyword_classify_nlj(_docs(spark), _dict(spark))
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_literal_strategy_agrees_with_equijoin_strategy(spark):
+    # r12: the plan-time-dictionary strategy (narrow expressions, no
+    # join) must emit exactly the join strategy's rows — including the
+    # NULL-label row for unmatched docs
+    pairs = [("cover", "Conservation Cover"), ("rotation", "Crop Rotation"),
+             ("irrigation", "Irrigation Mgmt")]
+    a = keyword_classify(_docs(spark), _dict(spark))
+    b = keyword_classify_literal(_docs(spark), pairs)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_literal_strategy_phrases_and_edge_docs(spark):
+    # multi-word phrases (max_n > 1), empty text, NULL text
+    docs = spark.createDataFrame(
+        [
+            (0, "use cover crops for SOIL health and cover"),
+            (1, ""),
+            (2, None),
+            (3, "nothing to see"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = [("cover crops", "CC"), ("soil health", "SH"), ("cover", "C")]
+    kw = spark.createDataFrame(pairs, "keyword string, label string")
+    a = keyword_classify(docs, kw)
+    b = keyword_classify_literal(docs, pairs)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    got = {tuple(r) for r in b.collect()}
+    assert got == {(0, "CC"), (0, "SH"), (0, "C"), (1, None), (2, None), (3, None)}
+
+
+def test_literal_strategy_rejects_duplicate_keywords(spark):
+    with pytest.raises(ValueError):
+        keyword_classify_literal(
+            _docs(spark), [("cover", "A"), ("Cover", "B")]
+        )
+
+
+def test_literal_strategy_plan_is_narrow(spark):
+    import re
+
+    plan = keyword_classify_literal(
+        _docs(spark), [("cover", "A")]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Join|Exchange", plan)
+
+
+def test_lang_id_narrow_plan_and_und(spark):
+    import re
+
+    from hi_csa_db_spark.operators.textstats import lang_id
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the value of the thing and the other"),
+            (1, "le chat et la porte des une"),
+            (2, "zzz qqq"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = lang_id(docs)
+    got = {(r.doc_id, r.predicted_lang) for r in out.collect()}
+    assert got == {(0, "en"), (1, "fr"), (2, "und"), (3, "und"), (4, "und")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Join|Exchange", plan)
 
 
 def test_upsert_semantics(spark):

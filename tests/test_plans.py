@@ -35,11 +35,20 @@ def test_dimension_joins_broadcast(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
-def test_keyword_classify_is_equi_join(spark, sf_dir):
-    # the J2 scale rewrite: shingle equi-join, NOT an rlike nested loop
+def test_keyword_classify_is_narrow(spark, sf_dir):
+    # the J2 scale rewrite, r12 form: the literal dictionary compiles
+    # to narrow per-row expressions — no join of ANY kind (the r11
+    # shape was a shingle equi-join; an rlike nested loop was never
+    # acceptable), and no shuffle
     plan = _plan(spark, sf_dir, "j2_keyword_classify")
-    assert "BroadcastHashJoin" in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # NB: the dictionary's "Join Tuning" label appears as a map
+    # literal in the plan text, so match operator names, not "Join"
+    assert not re.search(
+        r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"
+        r"|BroadcastNestedLoopJoin|CartesianProduct",
+        plan,
+    )
+    assert "Exchange" not in plan
 
 
 def test_lsh_pairs_no_cartesian(spark, sf_dir):
