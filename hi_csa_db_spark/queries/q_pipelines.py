@@ -145,16 +145,41 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph degree aggregation (the reference stores NetwEdges
-    but never analyzes them, hi-csa-db.Rmd:123-128 — the engine does)."""
+    but never analyzes them, hi-csa-db.Rmd:123-128 — the engine does).
+
+    r12: this graph is BIPARTITE with disjoint node namespaces
+    ('p<k>' sources vs 's<k>' sinks), so the generic explode+groupBy
+    of graph.degrees (2x row blowup shuffled as strings) specializes
+    to two integer-keyed aggregations over the distinct pair table,
+    unioned, with node strings built on the aggregated rows only
+    (20k + 500 concats instead of 1.1M) — the oracle's FULL JOIN
+    degenerates to this union exactly because no id is on both
+    sides. Measured 1.34 -> 1.19 and 0.96 -> 0.79 s at sf0.1
+    (interleaved A/B), values identical. graph.degrees stays the
+    generic-operator path."""
     li = load_table(spark, sf_dir, "lineitem")
     # distinct on the INT key pair, concat to node strings after — the
     # dedup shuffle moves 16-byte rows, not 2x ~10-char strings.
     pairs = li.select("l_partkey", "l_suppkey").distinct()
-    edges = pairs.select(
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    out = (
+        pairs.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .select(
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("id"),
+            F.col("out_deg").cast("long").alias("out_deg"),
+            F.lit(0).cast("long").alias("in_deg"),
+        )
     )
-    return graph.degrees(edges)
+    inn = (
+        pairs.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("in_deg"))
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("id"),
+            F.lit(0).cast("long").alias("out_deg"),
+            F.col("in_deg").cast("long").alias("in_deg"),
+        )
+    )
+    return out.unionByName(inn)
 
 
 @_register(
