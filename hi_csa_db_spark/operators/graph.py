@@ -18,16 +18,44 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _iter_layout(df: DataFrame, *keys: str) -> DataFrame:
+# per-partition byte target for cached ITERATIVE frames (r12): every
+# round pays (stages x partitions) task overheads, so a tiny subgraph
+# pinned at core-count partitions runs dozens of near-empty tasks per
+# round — measured: graph_components_star 3.8-5.0 s at 32 partitions
+# vs 2.6-2.8 s at 4, bfs 2.5-4.8 s at 32 vs 2.3-2.9 s at 8 (sf0.1,
+# cold caches). 512 KiB of optimizer-estimated bytes per partition
+# reproduces those optima and the estimate only shrinks the count —
+# the cap stays at the session's core parallelism, so large frames
+# (the sf10 decade) keep today's layout and the sizing rule in
+# plans/sizing.py continues to govern base-table shuffles.
+_ITER_TARGET_BYTES = 512 * 1024
+
+
+def _iter_layout(df: DataFrame, *keys: str, adaptive: bool = True) -> DataFrame:
     """Materialized layout for iterative consumers: hash-partition on
-    the join key at the session's core parallelism, then cache. The
-    explicit partition count matters: a cached plan keeps its shuffle
-    partitioning forever (AQE cannot re-coalesce through an
-    InMemoryRelation), so caching a default-200-partition distinct
-    turns every later iteration into hundreds of near-empty tasks —
-    measured 13x slower on local[8] at sf0.01. On a cluster this is
-    where the bucketed-by-src table layout (SCALE.md) takes over."""
+    the join key, then cache. The explicit partition count matters: a
+    cached plan keeps its shuffle partitioning forever (AQE cannot
+    re-coalesce through an InMemoryRelation), so caching a
+    default-200-partition distinct turns every later iteration into
+    hundreds of near-empty tasks — measured 13x slower on local[8] at
+    sf0.01. On a cluster this is where the bucketed-by-src table
+    layout (SCALE.md) takes over.
+
+    r12: the count is derived from the optimizer's size estimate
+    (floor 2, cap defaultParallelism — see _ITER_TARGET_BYTES).
+    ``adaptive=False`` keeps the fixed core-count layout; pagerank
+    uses it because its per-round double sums are only bit-stable
+    under a FIXED partitioning (FP addition order), and its rounded
+    rank outputs sit behind an oracle whitelist calibrated to it."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    if adaptive:
+        try:
+            est = int(
+                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+            n = max(2, min(n, -(-est // _ITER_TARGET_BYTES)))
+        except Exception:
+            pass
     return df.repartition(n, *keys).cache()
 
 
@@ -88,12 +116,15 @@ def pagerank(
     (igraph loaded yet unused, hi-csa-db.Rmd:56,123-128) — this is the
     analysis tier it was missing.
     """
-    edges = _iter_layout(edges.select("src", "dst").distinct(), "src")
+    edges = _iter_layout(
+        edges.select("src", "dst").distinct(), "src", adaptive=False
+    )
     nodes = _iter_layout(
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct(),
         "id",
+        adaptive=False,
     )
     n_nodes = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
@@ -103,6 +134,7 @@ def pagerank(
             "src", "dst", (F.lit(1.0) / F.col("od")).alias("w")
         ),
         "src",
+        adaptive=False,
     )
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
