@@ -404,15 +404,16 @@ def jaccard_pairs(
         # stored hash partitioning — Catalyst elides their exchanges
         # (the broadcast anti/semi joins preserve the distribution),
         # leaving the pair-generation shuffle as the only full
-        # exchange of this stage. r12: cache() instead of a lazy
-        # localCheckpoint — same storage level and same in-plan reuse,
-        # but the CacheManager dedups by logical plan, so a REBUILT
-        # query (the bench's second pass, or a composite calling this
-        # twice) reuses the materialized index instead of recomputing
-        # it; a checkpoint RDD is private to one DataFrame tree
-        # (measured on d3: 3.2 -> 1.4-2.0 s min-of-2 at sf0.1 with
-        # both persistence sites converted, values identical).
-        sh = shingle_df.repartition(F.col("shingle")).cache()
+        # exchange of this stage. r12 NOTE: a cache() here was tried
+        # (cross-pass CacheManager reuse won ~1 s on d3 in isolation)
+        # and REVERTED: a cached entry whose plan embeds the
+        # tokenize/shingle expression tree makes CacheManager's
+        # per-query useCachedData pass deep-compare it against every
+        # shingle-shaped subtree of every LATER query in the session
+        # — measured +4-5 s EACH on d10/pipe_training_prep_v3 in the
+        # full bench context. The lazy checkpoint keeps plan-compare
+        # state out of the session.
+        sh = shingle_df.repartition(F.col("shingle")).localCheckpoint(eager=False)
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         hot_list = dfreq.filter(F.col("__df") > max_df).select("shingle")
         rare_sets = (

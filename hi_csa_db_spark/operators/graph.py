@@ -41,8 +41,15 @@ def _iter_layout(df: DataFrame, *keys: str, adaptive: bool = True) -> DataFrame:
     sf0.01. On a cluster this is where the bucketed-by-src table
     layout (SCALE.md) takes over.
 
-    r12: the count is derived from the optimizer's size estimate
+    r12: the count is derived from the ANALYZED plan's size estimate
     (floor 2, cap defaultParallelism — see _ITER_TARGET_BYTES).
+    analyzed().stats(), not optimizedPlan().stats(): the latter runs
+    a full extra optimizer pass over the subtree at call time, which
+    costs seconds when the edge list is itself a big composite (the
+    LSH pair graph in d10/pipe_v3); the analyzed-plan visitor is
+    O(plan) cheap, agrees with the optimized estimate on the simple
+    frames this targets, and over-estimates composites — which just
+    keeps them at the core-count cap, today's behavior.
     ``adaptive=False`` keeps the fixed core-count layout; pagerank
     uses it because its per-round double sums are only bit-stable
     under a FIXED partitioning (FP addition order), and its rounded
@@ -51,7 +58,7 @@ def _iter_layout(df: DataFrame, *keys: str, adaptive: bool = True) -> DataFrame:
     if adaptive:
         try:
             est = int(
-                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+                str(df._jdf.queryExecution().analyzed().stats().sizeInBytes())
             )
             n = max(2, min(n, -(-est // _ITER_TARGET_BYTES)))
         except Exception:

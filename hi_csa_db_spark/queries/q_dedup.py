@@ -345,13 +345,14 @@ def d3_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, rank on rounded score with id tie-breaks."""
     docs = load_table(spark, sf_dir, "documents")
     # One tokenize pass feeds BOTH the exploded index and the size
-    # denominators: the doc-level shingle arrays are persisted once,
-    # then explode and F.size are narrow derivations — the old shape
-    # ran the tokenize -> transform -> array_distinct chain twice
-    # over the corpus (VERDICT r6 item 6). r12: cache() rather than
-    # a lazy localCheckpoint so a rebuilt plan (bench pass 2) reuses
-    # the materialized arrays via CacheManager plan-dedup.
-    arrs = dedup.shingle_arrays(docs, n=3).cache()
+    # denominators: the doc-level shingle arrays are checkpointed
+    # once, then explode and F.size are narrow derivations — the old
+    # shape ran the tokenize -> transform -> array_distinct chain
+    # twice over the corpus (VERDICT r6 item 6). r12 NOTE: cache()
+    # was tried and reverted — see operators/dedup.py::jaccard_pairs
+    # (cached shingle-shaped plans poison CacheManager lookups for
+    # every later LSH composite in the session).
+    arrs = dedup.shingle_arrays(docs, n=3).localCheckpoint(eager=False)
     sh = arrs.select("doc_id", F.explode("__sh_arr").alias("shingle"))
     sizes = arrs.select("doc_id", F.size("__sh_arr").alias("sz"))
     pairs = dedup.jaccard_pairs(sh, max_df=100, sizes=sizes)
