@@ -203,3 +203,39 @@ def test_scc_convergence_audit_full_resolution_on_shallow_graph(spark):
     for k in (1, 2):
         assert rows[k]["resolved_nodes"] == 4
         assert rows[k]["resolved_share_micro"] == 1000000
+
+
+def test_iter_layout_adaptive_partitioning(spark, tmp_path):
+    """r12: _iter_layout derives its partition count from the analyzed
+    plan's size estimate (512 KiB/partition, floor 2, cap
+    defaultParallelism); adaptive=False keeps the fixed core-count
+    layout pagerank's FP sums rely on, and an unknown estimate (an
+    RDD-backed frame reports Long.MaxValue) falls back to the cap."""
+    from hi_csa_db_spark.operators.graph import _iter_layout
+
+    path = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], ["src", "dst"]
+    ).coalesce(1).write.parquet(path)
+    tiny = spark.read.parquet(path)  # scan-backed => real size estimate
+    cores = spark.sparkContext.defaultParallelism
+    small = _iter_layout(tiny, "src")
+    try:
+        # a 50-row scan estimates far under one 512 KiB partition
+        assert small.rdd.getNumPartitions() == 2
+        fixed = _iter_layout(tiny, "src", adaptive=False)
+        try:
+            assert fixed.rdd.getNumPartitions() == cores
+        finally:
+            fixed.unpersist()
+        # unknown-estimate fallback: RDD-backed frames keep the cap
+        rddish = spark.createDataFrame(
+            [(i, i + 1) for i in range(50)], ["src", "dst"]
+        )
+        capped = _iter_layout(rddish, "src")
+        try:
+            assert capped.rdd.getNumPartitions() == cores
+        finally:
+            capped.unpersist()
+    finally:
+        small.unpersist()
