@@ -398,13 +398,20 @@ def jaccard_pairs(
         # join below the set aggregate) and value-exactness with an
         # ultra-hot shingle present.
         # The shingle stream feeds THREE consumers (df count, rare set
-        # aggregate, hot semi-join) plus sizes; repartition it BY
-        # SHINGLE and cache, so (a) tokenize+explode runs once, not
-        # four times, and (b) both shingle-keyed groupBys reuse the
-        # stored hash partitioning — Catalyst elides their exchanges
-        # (the broadcast anti/semi joins preserve the distribution),
-        # leaving the pair-generation shuffle as the only full
-        # exchange of this stage. r12 NOTE: a cache() here was tried
+        # aggregate, hot semi-join): repartition it BY SHINGLE, with NO
+        # checkpoint (r12). Keeping the Exchange visible in the plan
+        # does two things a checkpoint cannot: EnsureRequirements sees
+        # hashpartitioning(shingle) already satisfied, so the
+        # shingle-keyed aggregates run WITHOUT their own exchanges, and
+        # AQE's stage reuse materializes the one repartition shuffle
+        # once for all three consumers (ReusedExchange), so the
+        # upstream map work still runs once — which is everything the
+        # old repartition+localCheckpoint bought, minus one full
+        # re-shuffle per aggregate (the checkpointed LogicalRDD loses
+        # its partitioning under AQE: every consumer re-exchanged) and
+        # minus one optimize/physical cycle at plan-build time.
+        # Interleaved A/B at sf0.1: 2.60 -> 1.98 s, values equal.
+        # r12 NOTE: a cache() here was tried
         # (cross-pass CacheManager reuse won ~1 s on d3 in isolation)
         # and REVERTED: a cached entry whose plan embeds the
         # tokenize/shingle expression tree makes CacheManager's
@@ -413,7 +420,7 @@ def jaccard_pairs(
         # — measured +4-5 s EACH on d10/pipe_training_prep_v3 in the
         # full bench context. The lazy checkpoint keeps plan-compare
         # state out of the session.
-        sh = shingle_df.repartition(F.col("shingle")).localCheckpoint(eager=False)
+        sh = shingle_df.repartition(F.col("shingle"))
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         hot_list = dfreq.filter(F.col("__df") > max_df).select("shingle")
         rare_sets = (
@@ -421,7 +428,6 @@ def jaccard_pairs(
             .groupBy("shingle")
             .agg(F.collect_set(id_col).alias("__ds"))
         )
-        hot = sh.join(hot_list, "shingle", "left_semi").select("shingle", id_col)
         inter_rare = (
             rare_sets.select(F.explode("__ds").alias("id_a"), "__ds")
             .select(
@@ -433,40 +439,50 @@ def jaccard_pairs(
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("__rc"))
         )
-        hot_a = hot.select(F.col(id_col).alias("id_a"), "shingle")
-        hot_b = hot.select(F.col(id_col).alias("id_b"), "shingle")
-        inter_hot = (
-            inter_rare.select("id_a", "id_b")
-            .join(hot_a, "id_a")
-            .join(hot_b, ["id_b", "shingle"], "left_semi")
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("__hc"))
-        )
-        inter = (
-            inter_rare.join(inter_hot, ["id_a", "id_b"], "left")
-            .select(
-                "id_a",
-                "id_b",
-                (F.col("__rc") + F.coalesce(F.col("__hc"), F.lit(0))).alias(
-                    "inter_cnt"
-                ),
-            )
+        # Hot-shingle intersection counts (r12): each doc's hot-shingle
+        # SET rides the per-doc size join the plan already pays, and the
+        # per-pair overlap is one array_intersect — replacing the four
+        # pair-sized stages of the old shape (join hot index by id_a,
+        # semi-join by (id_b, shingle), pair re-aggregate, left-join
+        # back onto inter_rare). Per-group state stays bounded: a doc's
+        # hot set is capped by its own distinct-shingle count (docs are
+        # length-bounded), never by corpus skew — the unbounded-group
+        # guarantee (LeftAnti below collect_set) is about SHINGLE
+        # groups and is untouched above.
+        hot_sets = (
+            sh.join(hot_list, "shingle", "left_semi")
+            .groupBy(id_col)
+            .agg(F.collect_set("shingle").alias("__hs"))
         )
         if sizes is None:
             sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-        sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-        sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+        info = sizes.join(hot_sets, id_col, "left")
+        sa = info.select(
+            F.col(id_col).alias("id_a"),
+            F.col("sz").alias("sz_a"),
+            F.col("__hs").alias("__hs_a"),
+        )
+        sb = info.select(
+            F.col(id_col).alias("id_b"),
+            F.col("sz").alias("sz_b"),
+            F.col("__hs").alias("__hs_b"),
+        )
+        # array_intersect(NULL, x) is NULL and size(NULL) is NULL, so a
+        # doc with no hot shingles contributes 0 via the coalesce.
+        hc = F.coalesce(
+            F.size(F.array_intersect("__hs_a", "__hs_b")), F.lit(0)
+        )
+        inter_c = F.col("__rc") + hc
         return (
-            inter.join(sa, "id_a")
+            inter_rare.join(sa, "id_a")
             .join(sb, "id_b")
             .select(
                 "id_a",
                 "id_b",
-                "inter_cnt",
-                (
-                    F.col("inter_cnt")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter_cnt"))
-                ).alias("jaccard"),
+                inter_c.alias("inter_cnt"),
+                (inter_c / (F.col("sz_a") + F.col("sz_b") - inter_c)).alias(
+                    "jaccard"
+                ),
             )
         )
     if candidates is not None:

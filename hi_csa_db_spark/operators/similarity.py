@@ -101,30 +101,74 @@ def ivf_topk(
     Centroids are the first ``n_centroids`` corpus vectors (a
     deterministic coarse quantizer stand-in for k-means; the plumbing —
     assignment, probing, pruned scoring — is the real scale path).
+
+    r12 fused form: the centroid table and the query vector collapse
+    into ONE broadcast row (array of (cid, cv) structs + qv), so
+    assignment (per-row argmax over the centroid array), probe-set
+    membership (array_contains against the in-row probe list) and
+    candidate scoring are a single narrow pass over the corpus — the
+    corpus is never shuffled at all (the old shape paid a full
+    groupBy(vec_id) exchange for assignment plus a bucket equi-join;
+    measured 1.1-2.0 s of pure stage overhead on 2000 rows at sf0.1).
+    Semantics are bit-identical: assignment maximizes
+    (round(cos,6), -centroid_id) exactly like ivf_assign's max_by, the
+    probe list sorts by (-round(cos,6), centroid_id) — the same
+    (score DESC, id ASC) order — and final scores go through the same
+    _ranked rounding. Fixture embeddings are unit-norm (no NaN scores;
+    NaN ordering is the one place the two forms could diverge).
     """
-    cents = (
-        embeddings.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    pool = embeddings.filter(
+        (F.col(id_col) < n_centroids) | (F.col(id_col) == query_id)
     )
-    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
-    q = embeddings.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("__q")
+    helper = pool.agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col(id_col) < n_centroids,
+                    F.struct(
+                        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+                    ),
+                )
+            )
+        ).alias("__cents"),
+        F.first(
+            F.when(F.col(id_col) == query_id, F.col(vec_col)), ignorenulls=True
+        ).alias("__q"),
+    ).select(
+        "__cents",
+        "__q",
+        F.transform(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        "__cents",
+                        lambda c: F.struct(
+                            (-F.round(cosine(c["cv"], F.col("__q")), 6)).alias(
+                                "negcs"
+                            ),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                ),
+                1,
+                n_probe,
+            ),
+            lambda p: p["cid"],
+        ).alias("__probe_ids"),
     )
-    probe = (
-        cents.crossJoin(F.broadcast(q))
-        .select(
-            "centroid_id",
-            F.round(cosine(F.col(vec_col), F.col("__q")), 6).alias("__cs"),
+    assigned_cid = -F.array_max(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                F.round(cosine(F.col(vec_col), c["cv"]), 6).alias("cs"),
+                (-c["cid"]).alias("negcid"),
+            ),
         )
-        .orderBy(F.col("__cs").desc(), F.col("centroid_id").asc())
-        .limit(n_probe)
-        .select("centroid_id")
-    )
-    bucket = assigned.join(F.broadcast(probe), "centroid_id").select(id_col)
+    )["negcid"]
     scored = (
-        embeddings.join(bucket, id_col)
-        .filter(F.col(id_col) != query_id)
-        .crossJoin(F.broadcast(q))
+        embeddings.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(helper))
+        .filter(F.array_contains(F.col("__probe_ids"), assigned_cid))
         .select(F.col(id_col), cosine(F.col(vec_col), F.col("__q")).alias("cos_sim"))
     )
     return _ranked(scored, k, id_col)
