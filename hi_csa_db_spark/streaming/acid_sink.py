@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hi_csa_db_spark.sources import txlog
-from hi_csa_db_spark.streaming.windows import read_events_stream
+from hi_csa_db_spark.streaming.windows import (
+    pinned_state_partitions,
+    read_events_stream,
+)
 
 
 def stream_append_to_table(
@@ -53,14 +56,15 @@ def stream_append_to_table(
         if compact_every and (batch_id + 1) % compact_every == 0:
             txlog.compact_table(batch_df.sparkSession, table_path)
 
-    q = (
-        ev.writeStream.foreachBatch(write_batch)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with pinned_state_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return txlog.read_table(spark, table_path)
 
 
@@ -92,12 +96,13 @@ def stream_rollup_to_table(
             batch_id=batch_id,
         )
 
-    q = (
-        ev.writeStream.foreachBatch(write_batch)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with pinned_state_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return read_rollup(spark, table_path)

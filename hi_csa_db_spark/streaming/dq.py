@@ -42,12 +42,15 @@ def dq_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             t[0] += r["n_checked"]
             t[1] += r["n_violations"]
 
+    from hi_csa_db_spark.streaming.windows import pinned_state_partitions
+
     ev = read_events_stream(spark, sf_dir).select("user_id", "value", "event_type")
     # no explicit checkpointLocation: a fresh temp checkpoint per run
     # makes re-invocation reprocess the full fixture (idempotent gate);
     # a production deployment pins one and gets exactly-once batches
-    q = ev.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
-    q.awaitTermination()
+    with pinned_state_partitions(spark):
+        q = ev.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
+        q.awaitTermination()
     rows = [
         (rule, int(n), int(v)) for rule, (n, v) in sorted(totals.items())
     ]

@@ -75,14 +75,17 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    q = (
-        updated.writeStream.format("memory")
-        .queryName("stream_user_totals")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from hi_csa_db_spark.streaming.windows import pinned_state_partitions
+
+    with pinned_state_partitions(spark):
+        q = (
+            updated.writeStream.format("memory")
+            .queryName("stream_user_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("stream_user_totals")
 
 
@@ -158,12 +161,15 @@ def user_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    q = (
-        updated.writeStream.format("memory")
-        .queryName("stream_transition_counts")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from hi_csa_db_spark.streaming.windows import pinned_state_partitions
+
+    with pinned_state_partitions(spark):
+        q = (
+            updated.writeStream.format("memory")
+            .queryName("stream_transition_counts")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("stream_transition_counts")

@@ -91,14 +91,17 @@ def user_running_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName("tws_user_totals")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from hi_csa_db_spark.streaming.windows import pinned_state_partitions
+
+    with pinned_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_user_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # update-mode emits one row per (key, batch); keep each key's last.
     from pyspark.sql import Window
 

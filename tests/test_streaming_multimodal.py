@@ -319,28 +319,74 @@ def test_tws_user_totals_matches_batch(spark, sf_dir):
     assert got == want
 
 
-def test_incremental_dedup_pins_state_partitions(spark, sf_dir, monkeypatch):
-    """The stream must pin spark.sql.shuffle.partitions to core
-    parallelism for the duration of its run (each stateful operator
+def _spy_stream_start(spark, monkeypatch, seen):
+    """Record spark.sql.shuffle.partitions at DataStreamWriter.start()
+    time — the moment the streaming planner reads the conf and records
+    it in the checkpoint as the state-store partition count."""
+    from pyspark.sql.streaming import readwriter as RW
+
+    real_start = RW.DataStreamWriter.start
+
+    def spy(self, *a, **k):
+        seen.append(spark.conf.get("spark.sql.shuffle.partitions"))
+        return real_start(self, *a, **k)
+
+    monkeypatch.setattr(RW.DataStreamWriter, "start", spy)
+
+
+@pytest.mark.parametrize(
+    "run",
+    [
+        pytest.param(
+            lambda W, spark, sf_dir: W.incremental_dedup_stream(spark, sf_dir),
+            id="incremental_dedup",
+        ),
+        pytest.param(
+            lambda W, spark, sf_dir: W.hourly_counts(spark, sf_dir),
+            id="run_to_memory_family",
+        ),
+        pytest.param(
+            lambda W, spark, sf_dir: W.stream_stream_interval_join(spark, sf_dir),
+            id="interval_join",
+        ),
+    ],
+)
+def test_stream_family_pins_state_partitions(spark, sf_dir, monkeypatch, run):
+    """Every streaming query must START under the scoped
+    pinned_state_partitions context (each stateful operator
     instantiates one state store per shuffle partition per batch; a
     vanilla session's 200 default meant 400 stores/batch ~ 59.9 s at
-    sf0.1, VERDICT r11 item 4) and restore the session value after."""
+    sf0.1 for incremental_dedup, VERDICT r11 item 4 — r12 extends the
+    pin to the whole stream_* family: stream_stream_join 38.4 -> 13.2 s
+    vanilla at sf0.1) and restore the session value after."""
     from hi_csa_db_spark.streaming import windows as W
 
-    seen = {}
-    real = W._run_to_memory
-
-    def spy(df, name, mode):
-        seen["parts"] = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        return real(df, name, mode)
-
-    monkeypatch.setattr(W, "_run_to_memory", spy)
+    seen: list[str] = []
+    _spy_stream_start(spark, monkeypatch, seen)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "200")
     try:
-        W.incremental_dedup_stream(spark, sf_dir)
-        assert seen["parts"] == str(spark.sparkContext.defaultParallelism)
+        run(W, spark, sf_dir)
+        assert seen == [str(spark.sparkContext.defaultParallelism)]
         # restored to what it was when the query started
         assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_pinned_state_partitions_restores_on_error(spark):
+    """The scope must restore the conf even when the body raises."""
+    from hi_csa_db_spark.streaming.windows import pinned_state_partitions
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "123")
+    try:
+        with pytest.raises(RuntimeError):
+            with pinned_state_partitions(spark):
+                assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+                    spark.sparkContext.defaultParallelism
+                )
+                raise RuntimeError("boom")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "123"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
