@@ -188,7 +188,43 @@ def test_scc_convergence_audit_undersized_exact_inflates(spark):
     assert rows[1]["resolved_nodes"] == 2  # inflated vs the true 1
 
 
-def test_scc_convergence_audit_full_resolution_on_shallow_graph(spark):
+def test_scc_convergence_audit_exact_tier_stops_at_fixpoint(spark, monkeypatch):
+    """r12 early stop: the exact tier's sum(lbl) is non-increasing and
+    an unchanged sum proves the fixpoint, so a diameter-3 graph under
+    exact_rounds=24 must NOT run 24 rounds per direction. Observed via
+    the per-round eager localCheckpoint count (one per executed
+    round); values must equal the un-stopped run bit-for-bit (here:
+    the known 12-ring audit values from the test above, whose
+    exact_rounds=12 run already converges at round 11 — use a short
+    path graph instead for a genuinely early stop)."""
+    from pyspark.sql import DataFrame
+
+    eager_calls = {"n": 0}
+    real = DataFrame.localCheckpoint
+
+    def spy(self, eager=True):
+        if eager:
+            eager_calls["n"] += 1
+        return real(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    # directed path 0->1->2->3 (+ isolated 2-cycle): diameter 3
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (8, 9), (9, 8)], ["src", "dst"]
+    )
+    rows = {
+        r["round"]: (r["resolved_nodes"], r["total_nodes"])
+        for r in graph.scc_convergence_audit(
+            edges, rounds=3, exact_rounds=24
+        ).collect()
+    }
+    # fixpoint: forward labels (0,1,2,3 -> own min-reach) converge in
+    # <= 3 hops; with 24 allowed rounds per direction the early stop
+    # must cut the executed eager rounds to <= 6 per direction
+    # (converge + 1 detection round), not 48 total.
+    assert eager_calls["n"] <= 12, eager_calls["n"]
+    assert rows[3][1] == 6  # all six nodes audited
+    assert rows[3][0] == 6  # fully resolved by round 3
     """Two disjoint 2-cycles resolve both directions in one round:
     the audit reads 4/4 from round 1 onward."""
     edges = spark.createDataFrame(
