@@ -107,9 +107,37 @@ def normalize_events(df: DataFrame) -> DataFrame:
     return df
 
 
+# Footer-inferred schema per table path (metadata only — column
+# names/types, no data and no query results; the same class of
+# planning metadata as _SPLIT_PARALLELISM below, which Spark itself
+# caches in InMemoryFileIndex/FileStatusCache). Catalyst's
+# ResolveDataSource re-reads parquet footers on EVERY schema-less
+# ``spark.read.parquet`` call — ~100-135 ms per load_table call even
+# in a warm local session (measured r12: pipe_training_prep_v3 spent
+# 2.0 of its 4.6 s of total rule time in ResolveDataSource). Handing
+# the once-inferred schema back to the reader skips that re-inference
+# (~26 ms). Keyed by (path, mtime) so a rewritten fixture re-infers.
+_TABLE_SCHEMAS: dict[tuple[str, float], "object"] = {}
+
+
+def _parquet_with_memoized_schema(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        # missing path: fall through to the plain reader so the error
+        # surfaces exactly as before
+        return spark.read.parquet(path)
+    sch = _TABLE_SCHEMAS.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _TABLE_SCHEMAS[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _parquet_with_memoized_schema(spark, f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_events(df)
     return df

@@ -64,10 +64,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     and run it through the SAME ``catalog.normalize_events`` the batch
     tier uses. One vintage contract, both engines; the footer read is
     metadata-only (no data scan)."""
-    from hi_csa_db_spark.catalog import _ensure_session_confs, normalize_events
+    from hi_csa_db_spark.catalog import (
+        _ensure_session_confs,
+        _parquet_with_memoized_schema,
+        normalize_events,
+    )
 
     _ensure_session_confs(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _parquet_with_memoized_schema(
+        spark, f"{sf_dir}/events.parquet"
+    ).schema
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
