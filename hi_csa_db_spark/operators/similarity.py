@@ -86,6 +86,55 @@ def ivf_assign(
     )
 
 
+def ivf_assign_map(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """``ivf_assign`` as a PURE MAP over the corpus: the centroid table
+    collapses into ONE broadcast row (sorted array of (cid, cv)
+    structs) and the argmax runs as an in-row expression — no
+    groupBy(id) exchange of the corpus and no join-back to recover the
+    vector column (the r12 ivf_topk fusion, generalized to the
+    assignment operator). Returns (id_col, vec_col, centroid_id).
+
+    Bit-identical to ``ivf_assign(...).join(embeddings, id_col)``:
+    array_max over struct(round(cos,6), -cid) picks the lexicographic
+    max (cs, -cid) exactly like ivf_assign's
+    max_by(cid, struct(cs, -cid)) — highest cosine, ties to the
+    smallest centroid id. The one divergence channel is NaN ordering
+    under negation, which cannot fire on unit-norm fixture embeddings
+    (same argument as ivf_topk). Requires a non-empty centroid table
+    (an empty one yields NULL assignments where ivf_assign yields no
+    rows); every caller's centroid set is a non-empty filter/trainer
+    output. The 100 TB shape: one tiny broadcast + one corpus pass
+    beats shuffling every vector through an assignment aggregate."""
+    helper = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(centroid_id).alias("cid"), F.col(vec_col).alias("cv")
+                )
+            )
+        ).alias("__cents")
+    )
+    cid = -F.array_max(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                F.round(cosine(F.col(vec_col), c["cv"]), 6).alias("cs"),
+                (-c["cid"]).alias("negcid"),
+            ),
+        )
+    )["negcid"]
+    return (
+        embeddings.crossJoin(F.broadcast(helper))
+        .select(F.col(id_col), F.col(vec_col), cid.alias(centroid_id))
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_id: int = 0,

@@ -494,13 +494,18 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise comparison is intra-bucket only (the blocked/partitioned
     scale path — never an unblocked O(n^2) cross join)."""
     from hi_csa_db_spark.functions.vectors import cosine
-    from hi_csa_db_spark.operators.similarity import ivf_assign
+    from hi_csa_db_spark.operators.similarity import ivf_assign_map
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding")
     )
-    assigned = ivf_assign(emb, cents).join(emb, "vec_id")
+    # r12: assignment as a pure map (ivf_assign_map) — the old
+    # ivf_assign(...).join(emb) shape paid a full groupBy(vec_id)
+    # exchange of the corpus plus a join-back, duplicated under BOTH
+    # sides of the self-join below. Bit-equality argued at the
+    # operator; pinned value-exactly in tests/test_similarity_mips.py.
+    assigned = ivf_assign_map(emb, cents)
     a = assigned.select(
         F.col("centroid_id"),
         F.col("vec_id").alias("id_a"),
@@ -828,13 +833,16 @@ def sem1_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-iteration integer min-label propagation of
     operators/graph.py::connected_components."""
     from hi_csa_db_spark.functions.vectors import cosine
-    from hi_csa_db_spark.operators.similarity import ivf_assign
+    from hi_csa_db_spark.operators.similarity import ivf_assign_map
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding")
     )
-    assigned = ivf_assign(emb, cents).join(emb, "vec_id")
+    # r12: same fused-assignment rewrite as d5 (see there) — removes
+    # the corpus groupBy exchange + join-back under both self-join
+    # sides feeding the component edges.
+    assigned = ivf_assign_map(emb, cents)
     a = assigned.select(
         F.col("centroid_id"),
         F.col("vec_id").alias("id_a"),

@@ -89,3 +89,25 @@ def test_mips_and_cosine_rank_differently_under_norm_spread(spark):
     cos = similarity.cosine_topk(emb, query_id=0, k=1).collect()
     assert mips[0].vec_id == 2  # dot: 8.0 beats 0.9
     assert cos[0].vec_id == 1  # cosine: alignment beats magnitude
+
+
+def test_ivf_assign_map_matches_ivf_assign(spark):
+    """ivf_assign_map (r12 fused, no corpus shuffle) must reproduce
+    ivf_assign's assignment EXACTLY — same argmax, same
+    smallest-centroid-id tie-break — and pass the vector column
+    through unchanged. Random non-unit-norm vectors, so the equality
+    is structural, not a fixture accident."""
+    emb, rows = _vectors(spark, n=60, dim=8, seed=13)
+    cents = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    base = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign(emb, cents).collect()
+    }
+    fused = similarity.ivf_assign_map(emb, cents).collect()
+    assert len(fused) == len(rows)
+    by_id = dict(rows)
+    for r in fused:
+        assert r["centroid_id"] == base[r["vec_id"]]
+        assert r["embedding"] == by_id[r["vec_id"]]
