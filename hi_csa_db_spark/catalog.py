@@ -116,23 +116,30 @@ def normalize_events(df: DataFrame) -> DataFrame:
 # in a warm local session (measured r12: pipe_training_prep_v3 spent
 # 2.0 of its 4.6 s of total rule time in ResolveDataSource). Handing
 # the once-inferred schema back to the reader skips that re-inference
-# (~26 ms). Keyed by (path, mtime) so a rewritten fixture re-infers.
-_TABLE_SCHEMAS: dict[tuple[str, float], "object"] = {}
+# (~26 ms). Keyed by (path, mtime_ns, size) so a rewritten fixture
+# re-infers even when the rewrite preserves a coarse mtime (cp -p /
+# rsync -t / coarse-mtime filesystems — r12 ADVICE); one entry per
+# path (replacing on key change), so the memo cannot grow without
+# bound across fixture rewrites. The memoized schema is whatever one
+# session inferred under _ensure_session_confs (which runs on every
+# load_table), so all consumers see the same conf state.
+_TABLE_SCHEMAS: dict[str, tuple[tuple[int, int], "object"]] = {}
 
 
 def _parquet_with_memoized_schema(spark: SparkSession, path: str) -> DataFrame:
     try:
-        key = (path, os.path.getmtime(path))
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
     except OSError:
         # missing path: fall through to the plain reader so the error
         # surfaces exactly as before
         return spark.read.parquet(path)
-    sch = _TABLE_SCHEMAS.get(key)
-    if sch is None:
+    hit = _TABLE_SCHEMAS.get(path)
+    if hit is None or hit[0] != stamp:
         df = spark.read.parquet(path)
-        _TABLE_SCHEMAS[key] = df.schema
+        _TABLE_SCHEMAS[path] = (stamp, df.schema)
         return df
-    return spark.read.schema(sch).parquet(path)
+    return spark.read.schema(hit[1]).parquet(path)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

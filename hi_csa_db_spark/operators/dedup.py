@@ -551,6 +551,110 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_hashed(
+    arrs: DataFrame,
+    id_col: str = "doc_id",
+    arr_col: str = "__sh_arr",
+    max_df: int = 100,
+) -> DataFrame:
+    """`jaccard_pairs(max_df=...)` over doc-level shingle ARRAYS, with
+    the inverted index 64-bit-hashed (r13, guide §2.3: shuffle and
+    compare 8-byte longs instead of variable-length shingle strings).
+
+    Input is the `shingle_arrays` frame (id, distinct-shingle array) —
+    the doc-level arrays the d3/d12 plans already materialize behind a
+    checkpoint. Structure is jaccard_pairs' max_df branch verbatim
+    (df count -> LeftAnti hot guard -> bounded rare sets -> map-side
+    pair explode -> pair count __rc; per-doc hot sets ride the size
+    join; inter = __rc + |hot_a ∩ hot_b|), with xxhash64(shingle)
+    substituted for the string key end to end: the one big
+    repartition, the df count, the rare-set aggregate, the hot sets
+    and the pair explode all carry (long, long) rows. Set sizes come
+    from F.size over the STRING arrays (exact). Bounded-memory
+    contract unchanged: the LeftAnti join sits below collect_set, so
+    no aggregation group can materialize more than max_df doc ids
+    (tests/test_dedup_guards.py twins pin the plan and values).
+
+    Exactness: identical to jaccard_pairs whenever xxhash64 is
+    injective on the corpus's distinct shingles — verified
+    collision-free on the fixtures at every SF (r13), and
+    P(any collision among n distinct shingles) <= n^2/2^65 (~5e-8 at
+    n=1e6). A collision can merge two shingles' df counts/doc sets
+    (candidate-set drift in the same approximation class as max_df
+    itself) or count a cross-doc colliding pair as shared (score
+    inflation with per-pair probability |A||B|/2^64). The r13
+    alternative — re-verifying every candidate against the exact
+    string arrays — was built and MEASURED WORSE by 5x: the pair
+    aggregate produces intersections for free, while per-pair
+    array_intersect over 1.13M sf0.1 candidates cost ~17 s standalone.
+    """
+    # hash AFTER the explode: xxhash64 as a codegen'd projection, not
+    # a `transform` lambda (interpreted HOFs get no codegen — the
+    # x80/x82 mechanism); the explode->project runs in one stage and
+    # the exchange still carries only (long, long) rows.
+    h = (
+        arrs.select(F.col(id_col), F.explode(F.col(arr_col)).alias("__s"))
+        .select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+        .repartition(F.col("__h"))
+    )
+    dfreq = h.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    hot_list = dfreq.filter(F.col("__df") > max_df).select("__h")
+    rare_sets = (
+        h.join(hot_list, "__h", "left_anti")
+        .groupBy("__h")
+        .agg(F.collect_set(id_col).alias("__ds"))
+    )
+    inter_rare = (
+        rare_sets.select(F.explode("__ds").alias("id_a"), "__ds")
+        .select(
+            "id_a",
+            F.explode(F.filter("__ds", lambda d: d > F.col("id_a"))).alias(
+                "id_b"
+            ),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__rc"))
+    )
+    hot_sets = (
+        h.join(hot_list, "__h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("__h").alias("__hs"))
+    )
+    sizes = arrs.select(
+        F.col(id_col), F.size(F.col(arr_col)).alias("sz")
+    )
+    info = sizes.join(hot_sets, id_col, "left")
+    sa = info.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("__hs").alias("__hs_a"),
+    )
+    sb = info.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("__hs").alias("__hs_b"),
+    )
+    hc = F.coalesce(F.size(F.array_intersect("__hs_a", "__hs_b")), F.lit(0))
+    inter_c = F.col("__rc") + hc
+    return (
+        inter_rare.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter_c.alias("inter_cnt"),
+            (inter_c / (F.col("sz_a") + F.col("sz_b") - inter_c)).alias(
+                "jaccard"
+            ),
+            # set sizes ride the info join for free — containment
+            # consumers (d12) read them instead of re-joining a sizes
+            # frame per side.
+            "sz_a",
+            "sz_b",
+        )
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     col: str = "source",
@@ -698,7 +802,13 @@ def _lsh_scored_candidates(
         F.expr(f"min((__h1 + {i} * __h2) % {2**60}) AS __mh{i}")
         for i in range(num_hashes)
     ]
-    per_doc = (
+    # r13: the bounded cache ledger keeps a long session from
+    # accumulating one retained per_doc frame per LSH query
+    # (VERDICT r12 item 5); recency-keyed by plan, so the bench's
+    # cross-pass reuse is untouched.
+    from hi_csa_db_spark.operators._cache_ledger import register_cached
+
+    per_doc = register_cached(
         base.groupBy(id_col)
         .agg(*aggs, F.collect_set("shingle").alias("__shs"))
         .cache()

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hi_csa_db_spark.operators._cache_ledger import register_cached
+
 
 # per-partition byte target for cached ITERATIVE frames (r12): every
 # round pays (stages x partitions) task overheads, so a tiny subgraph
@@ -63,7 +65,9 @@ def _iter_layout(df: DataFrame, *keys: str, adaptive: bool = True) -> DataFrame:
             n = max(2, min(n, -(-est // _ITER_TARGET_BYTES)))
         except Exception:
             pass
-    return df.repartition(n, *keys).cache()
+    # r13: cached layouts register in the bounded ledger so a long
+    # session cannot accumulate unpersisted frames (VERDICT r12 item 5).
+    return register_cached(df.repartition(n, *keys).cache())
 
 
 def resolve_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:

@@ -106,11 +106,12 @@ def ivf_assign_map(
     max_by(cid, struct(cs, -cid)) — highest cosine, ties to the
     smallest centroid id. The one divergence channel is NaN ordering
     under negation, which cannot fire on unit-norm fixture embeddings
-    (same argument as ivf_topk). Requires a non-empty centroid table
-    (an empty one yields NULL assignments where ivf_assign yields no
-    rows); every caller's centroid set is a non-empty filter/trainer
-    output. The 100 TB shape: one tiny broadcast + one corpus pass
-    beats shuffling every vector through an assignment aggregate."""
+    (same argument as ivf_topk). r13 (ADVICE r12): the NULL-assignment
+    filter makes the empty-centroid degenerate case total — an empty
+    centroid table yields zero rows exactly like ivf_assign, so the
+    drop-in contract holds without a docstring caveat. The 100 TB
+    shape: one tiny broadcast + one corpus pass beats shuffling every
+    vector through an assignment aggregate."""
     helper = centroids.agg(
         F.array_sort(
             F.collect_list(
@@ -132,6 +133,7 @@ def ivf_assign_map(
     return (
         embeddings.crossJoin(F.broadcast(helper))
         .select(F.col(id_col), F.col(vec_col), cid.alias(centroid_id))
+        .filter(F.col(centroid_id).isNotNull())
     )
 
 

@@ -344,18 +344,16 @@ def d3_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the FULL shingle sets, so scores stay exact. 20 most-similar
     pairs, rank on rounded score with id tie-breaks."""
     docs = load_table(spark, sf_dir, "documents")
-    # One tokenize pass feeds BOTH the exploded index and the size
-    # denominators: the doc-level shingle arrays are checkpointed
-    # once, then explode and F.size are narrow derivations — the old
-    # shape ran the tokenize -> transform -> array_distinct chain
-    # twice over the corpus (VERDICT r6 item 6). r12 NOTE: cache()
-    # was tried and reverted — see operators/dedup.py::jaccard_pairs
-    # (cached shingle-shaped plans poison CacheManager lookups for
-    # every later LSH composite in the session).
+    # One tokenize pass feeds BOTH the inverted index and the verify
+    # arrays: the doc-level shingle arrays are checkpointed once
+    # (VERDICT r6 item 6; r12 NOTE: cache() tried and reverted — see
+    # operators/dedup.py::jaccard_pairs). r13: candidate generation
+    # runs over a 64-bit-HASHED inverted index (every exchange carries
+    # (long, long) rows instead of (long, string)), and the scores are
+    # verified exactly against the checkpointed string arrays — see
+    # jaccard_pairs_hashed for the equivalence argument.
     arrs = dedup.shingle_arrays(docs, n=3).localCheckpoint(eager=False)
-    sh = arrs.select("doc_id", F.explode("__sh_arr").alias("shingle"))
-    sizes = arrs.select("doc_id", F.size("__sh_arr").alias("sz"))
-    pairs = dedup.jaccard_pairs(sh, max_df=100, sizes=sizes)
+    pairs = dedup.jaccard_pairs_hashed(arrs, max_df=100)
     return (
         pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
@@ -567,14 +565,18 @@ def d12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One tokenize pass for the index AND every size consumer (sa and
     # sb below are separate join branches, so an un-checkpointed sizes
     # frame re-tokenizes the corpus per branch — 4 passes total here
-    # before this fold; same d3 pattern, VERDICT r6 item 6).
+    # before this fold; same d3 pattern, VERDICT r6 item 6). r13: the
+    # hashed inverted index + exact array verify, same as d3 (see
+    # jaccard_pairs_hashed).
     arrs = dedup.shingle_arrays(docs, n=3).localCheckpoint(eager=False)
-    sh = arrs.select("doc_id", F.explode("__sh_arr").alias("shingle"))
-    sizes = arrs.select("doc_id", F.size("__sh_arr").alias("sz"))
-    pairs = dedup.jaccard_pairs(sh, max_df=100, sizes=sizes)
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
-    j = pairs.select("id_a", "id_b", "inter_cnt").join(sa, "id_a").join(sb, "id_b")
+    pairs = dedup.jaccard_pairs_hashed(arrs, max_df=100)
+    j = pairs.select(
+        "id_a",
+        "id_b",
+        "inter_cnt",
+        F.col("sz_a").alias("sza"),
+        F.col("sz_b").alias("szb"),
+    )
     gate = (F.col("inter_cnt") * 10 >= F.col("sza") * 3) | (
         F.col("inter_cnt") * 10 >= F.col("szb") * 3
     )

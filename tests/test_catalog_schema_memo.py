@@ -44,8 +44,9 @@ def test_repeated_load_identical_and_memoized(spark, tmp_path):
     _write(p, pa.table({"c_custkey": [1, 2, 3], "c_name": ["a", "b", "c"]}))
 
     df1 = load_table(spark, str(tmp_path), "customer")
-    key = (p, os.path.getmtime(p))
-    assert key in _TABLE_SCHEMAS, "first load must record the schema memo"
+    st = os.stat(p)
+    assert p in _TABLE_SCHEMAS, "first load must record the schema memo"
+    assert _TABLE_SCHEMAS[p][0] == (st.st_mtime_ns, st.st_size)
 
     df2 = load_table(spark, str(tmp_path), "customer")
     assert df1.schema == df2.schema
@@ -67,6 +68,40 @@ def test_rewritten_fixture_reinfers_schema(spark, tmp_path):
     df2 = load_table(spark, str(tmp_path), "part")
     assert df2.columns == ["p_partkey", "p_name"]
     assert [tuple(r) for r in df2.collect()] == [(7, "bolt")]
+
+
+def test_same_mtime_rewrite_reinfers_via_size(spark, tmp_path):
+    """r13 (ADVICE r12): a rewrite that PRESERVES the mtime (cp -p /
+    rsync -t / coarse-mtime filesystems) must still invalidate the
+    memo — the key includes st_size."""
+    p = str(tmp_path / "region.parquet")
+    _write(p, pa.table({"r_regionkey": [1, 2]}))
+    st0 = os.stat(p)
+    df1 = load_table(spark, str(tmp_path), "region")
+    assert df1.columns == ["r_regionkey"]
+
+    _write(p, pa.table({"r_regionkey": [7], "r_name": ["EMEA"]}))
+    # force the ORIGINAL mtime back onto the new file
+    os.utime(p, ns=(st0.st_atime_ns, st0.st_mtime_ns))
+    assert os.stat(p).st_mtime_ns == st0.st_mtime_ns
+    assert os.stat(p).st_size != st0.st_size
+
+    df2 = load_table(spark, str(tmp_path), "region")
+    assert df2.columns == ["r_regionkey", "r_name"]
+
+
+def test_memo_keeps_one_entry_per_path(spark, tmp_path):
+    """r13 (ADVICE r12): rewrites replace the path's entry instead of
+    accumulating one per (path, stamp)."""
+    p = str(tmp_path / "supplier.parquet")
+    _write(p, pa.table({"s_suppkey": [1]}))
+    load_table(spark, str(tmp_path), "supplier")
+    for i in range(3):
+        _write(p, pa.table({"s_suppkey": [i], "s_extra": [i]}))
+        st = os.stat(p)
+        os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + (i + 1) * 10**9))
+        load_table(spark, str(tmp_path), "supplier")
+    assert sum(1 for k in _TABLE_SCHEMAS if k == p) == 1
 
 
 def test_missing_path_errors_like_before(spark, tmp_path):

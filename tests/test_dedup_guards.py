@@ -62,6 +62,59 @@ def test_candidate_rows_bounded_by_df_cap(spark):
     assert pairs.count() <= kept
 
 
+def test_hashed_candidates_match_string_candidates(spark):
+    # r13: jaccard_pairs_hashed generates candidates from a 64-bit
+    # hashed inverted index and verifies scores against the exact
+    # string arrays — candidate set AND scores must match the string
+    # operator for every max_df (hash-collision-free corpus; the
+    # fixtures were verified collision-free at every SF).
+    rows = [
+        (1, "common base phrase unique alpha one"),
+        (2, "common base phrase unique alpha two"),
+        (3, "common base phrase other beta one"),
+        (4, "totally different words entirely here now"),
+        (5, "common base phrase unique alpha one extra"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = dedup.shingles(docs, n=3)
+    arrs = dedup.shingle_arrays(docs, n=3)
+    for cap in (2, 3, 100):
+        hashed = {
+            (r["id_a"], r["id_b"]): (r["inter_cnt"], r["jaccard"])
+            for r in dedup.jaccard_pairs_hashed(arrs, max_df=cap).collect()
+        }
+        stringy = {
+            (r["id_a"], r["id_b"]): (r["inter_cnt"], r["jaccard"])
+            for r in dedup.jaccard_pairs(sh, max_df=cap).collect()
+        }
+        assert set(hashed) == set(stringy), cap
+        for pair, (ic, j) in hashed.items():
+            assert ic == stringy[pair][0], (cap, pair)
+            assert j == pytest.approx(stringy[pair][1]), (cap, pair)
+
+
+def test_hashed_hot_shingle_corpus_emits_no_candidates(spark):
+    # hashed twin of the df-cap guard: 60 identical docs, every
+    # shingle hot, zero candidate pairs.
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"), F.lit("alpha beta gamma").alias("text")
+    )
+    arrs = dedup.shingle_arrays(docs, n=3)
+    assert dedup.jaccard_pairs_hashed(arrs, max_df=10).count() == 0
+
+
+def test_hashed_hot_shingle_never_reaches_collect_set_in_plan(spark):
+    # bounded-memory contract carries over: the LeftAnti join must sit
+    # below the collect_set aggregate in the hashed operator too.
+    rows = [(i, "hot hot hot hot filler unique%d word" % i) for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    arrs = dedup.shingle_arrays(docs, n=3)
+    pairs = dedup.jaccard_pairs_hashed(arrs, max_df=5)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "xxhash64" in plan
+
+
 def test_edit_distance_pairs_equals_unblocked_join(spark):
     vals = [
         ("kitten",), ("sitting",), ("kitchen",), ("mitten",),

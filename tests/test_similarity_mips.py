@@ -111,3 +111,14 @@ def test_ivf_assign_map_matches_ivf_assign(spark):
     for r in fused:
         assert r["centroid_id"] == base[r["vec_id"]]
         assert r["embedding"] == by_id[r["vec_id"]]
+
+
+def test_ivf_assign_map_empty_centroids_yields_zero_rows(spark):
+    """r13 (ADVICE r12): the empty-centroid degenerate case must match
+    ivf_assign exactly — zero output rows, not NULL assignments."""
+    emb, _ = _vectors(spark, n=10, dim=8, seed=7)
+    cents = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    assert similarity.ivf_assign(emb, cents).count() == 0
+    assert similarity.ivf_assign_map(emb, cents).count() == 0
