@@ -63,11 +63,11 @@ def test_candidate_rows_bounded_by_df_cap(spark):
 
 
 def test_hashed_candidates_match_string_candidates(spark):
-    # r13: jaccard_pairs_hashed generates candidates from a 64-bit
-    # hashed inverted index and verifies scores against the exact
-    # string arrays — candidate set AND scores must match the string
-    # operator for every max_df (hash-collision-free corpus; the
-    # fixtures were verified collision-free at every SF).
+    # r13: jaccard_pairs_hashed runs the whole max_df pipeline over a
+    # 64-bit hashed inverted index — candidate set AND scores must
+    # match the string operator for every max_df on a
+    # hash-collision-free corpus (the fixtures were verified
+    # collision-free at every SF).
     rows = [
         (1, "common base phrase unique alpha one"),
         (2, "common base phrase unique alpha two"),
