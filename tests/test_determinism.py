@@ -160,6 +160,7 @@ def test_env_fingerprint_emittable():
         assert key in fp and fp[key]
 
 
+@pytest.mark.slow  # r13: ~53 s full-prefix replay; slow tier
 def test_round_boundary_stability_prefix():
     """Every oracle in the driver-facing 50-query prefix (plus the
     changed-block tail) must be stable when every ROUND input is

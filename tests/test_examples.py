@@ -6,6 +6,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+# r13: slow tier — each example is a subprocess Spark session (~225 s
+# total), excluded from the default run (pytest.ini).
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

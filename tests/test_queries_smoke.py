@@ -17,6 +17,7 @@ def test_entry_returns_rows(spark):
     assert df.count() > 0
 
 
+@pytest.mark.slow  # r13: slow tier (467 cases; oracle-gate redundant)
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_query_runs(spark, sf_dir, name):
     if name.startswith("stream_"):
