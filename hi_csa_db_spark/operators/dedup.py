@@ -591,11 +591,21 @@ def jaccard_pairs_hashed(
     # hash AFTER the explode: xxhash64 as a codegen'd projection, not
     # a `transform` lambda (interpreted HOFs get no codegen — the
     # x80/x82 mechanism); the explode->project runs in one stage and
-    # the exchange still carries only (long, long) rows.
+    # the exchange still carries only (long, long) rows. The partition
+    # count is EXPLICIT (REPARTITION_BY_NUM, which AQE never
+    # coalesces): the stage fed by this exchange runs the map-side
+    # pair explode, whose work is ~max_df x its input bytes, so AQE's
+    # byte-based coalescing (parallelismFirst + 1 MB minPartitionSize)
+    # under-parallelizes it — measured r13: hashing HALVED the
+    # exchange bytes and AQE halved the stage's tasks with it, eating
+    # the win. defaultParallelism scales with the session, not a
+    # local constant (guide §2.5: partition by downstream work, not
+    # shuffled bytes).
+    n_parts = arrs.sparkSession.sparkContext.defaultParallelism
     h = (
         arrs.select(F.col(id_col), F.explode(F.col(arr_col)).alias("__s"))
         .select(F.col(id_col), F.xxhash64("__s").alias("__h"))
-        .repartition(F.col("__h"))
+        .repartition(n_parts, F.col("__h"))
     )
     dfreq = h.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
     hot_list = dfreq.filter(F.col("__df") > max_df).select("__h")
