@@ -337,12 +337,6 @@ def connected_components(
     """
     if directed:
         ud = _iter_layout(edges.select("src", "dst").distinct(), "src")
-        labels = (
-            ud.select(F.col("src").alias("id"))
-            .unionAll(ud.select(F.col("dst").alias("id")))
-            .distinct()
-            .select("id", F.col("id").alias("lbl"))
-        )
     else:
         ud = _iter_layout(
             edges.select("src", "dst")
@@ -350,6 +344,26 @@ def connected_components(
             .distinct(),
             "src",
         )
+    # r13: truncate the LOGICAL lineage on top of the cache. Every
+    # caller feeds this operator a near-dup pair graph whose edge
+    # frame is a deep LSH/IVF composite, and each round's lazy
+    # checkpoint re-OPTIMIZES that whole subtree (the cache substitutes
+    # at execution, not at analysis) — measured r13: pipe_v3 spends
+    # ~1.5 s of its 3.9 s warm build inside this loop. The checkpoint
+    # leaf makes per-round planning O(1) while executing THROUGH the
+    # cache, so the cross-query CacheManager reuse that killed the r12
+    # cache->checkpoint conversion is retained. Nothing is lost at
+    # execution: the round joins key on dst/id, so the cached src
+    # partitioning was never elided into them anyway.
+    ud = ud.localCheckpoint(eager=False)
+    if directed:
+        labels = (
+            ud.select(F.col("src").alias("id"))
+            .unionAll(ud.select(F.col("dst").alias("id")))
+            .distinct()
+            .select("id", F.col("id").alias("lbl"))
+        )
+    else:
         labels = ud.select(F.col("src").alias("id")).distinct().select(
             "id", F.col("id").alias("lbl")
         )
