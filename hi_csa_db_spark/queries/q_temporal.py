@@ -3315,30 +3315,58 @@ def t51_event_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("seq")
     )
-    pats = spark.createDataFrame(
-        [
-            ("funnel", "v+c+p"),
-            ("error_retry", "e[vc]*e"),
-            ("signup_to_purchase", "s.*p"),
-        ],
-        ["pattern_name", "pattern"],
+    # r13 (VERDICT r12 item 7, the j2/x2 literal-compile sweep): the
+    # pattern dimension is a plan-time Python literal, so instead of a
+    # 3-row broadcast crossJoin (3x row blowup AND regexp_count over a
+    # pattern COLUMN — Spark caches the compiled regex only for
+    # foldable patterns, so the column form re-compiles per row) the
+    # three counts run as literal-pattern columns in ONE narrow pass
+    # over the sessions, aggregated once and unpivoted with a literal
+    # stack. Same rows, same schema; oracle green at every SF.
+    pats = [
+        ("funnel", "v+c+p"),
+        ("error_retry", "e[vc]*e"),
+        ("signup_to_purchase", "s.*p"),
+    ]
+    counted = seq.select(
+        *[
+            F.expr(f"CAST(regexp_count(seq, '{p}') AS BIGINT)").alias(
+                f"__nm{i}"
+            )
+            for i, (_, p) in enumerate(pats)
+        ]
     )
-    m = seq.crossJoin(F.broadcast(pats)).select(
-        "pattern_name",
-        "pattern",
-        F.expr("CAST(regexp_count(seq, pattern) AS BIGINT)").alias("nm"),
+    agg = counted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        *[
+            x
+            for i in range(len(pats))
+            for x in (
+                F.sum(F.when(F.col(f"__nm{i}") > 0, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"__m{i}"),
+                F.sum(f"__nm{i}").cast("bigint").alias(f"__t{i}"),
+            )
+        ],
+    )
+    stack = ", ".join(
+        f"'{name}', '{pat}', __m{i}, __t{i}"
+        for i, (name, pat) in enumerate(pats)
     )
     return (
-        m.groupBy("pattern_name", "pattern")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
-            F.sum(F.when(F.col("nm") > 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_matched_sessions"),
-            F.sum("nm").cast("bigint").alias("total_matches"),
+        agg.selectExpr(
+            "__n",
+            f"stack({len(pats)}, {stack})"
+            " AS (pattern_name, pattern, n_matched_sessions, total_matches)",
+        )
+        .select(
+            "pattern_name",
+            "pattern",
+            F.col("__n").alias("n_sessions"),
+            "n_matched_sessions",
+            "total_matches",
             F.expr(
-                "CAST(SUM(CASE WHEN nm > 0 THEN 1 ELSE 0 END) * 10000"
-                " div COUNT(1) AS BIGINT)"
+                "CAST(n_matched_sessions * 10000 div __n AS BIGINT)"
             ).alias("matched_bps"),
         )
         .orderBy("pattern_name")
