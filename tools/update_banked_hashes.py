@@ -14,17 +14,30 @@ queries.priority_order() treats a green as banked only while the
 current hash matches this manifest; mismatches rotate to the front of
 the driver-sample prefix (ADVICE r6 medium).
 
-Usage: python tools/update_banked_hashes.py [--check|--migrate-dep-hashes]
+Usage: python tools/update_banked_hashes.py
+           [--check|--migrate-dep-hashes --evidence <sweep.json>]
   --check  exit 1 if any driver-green registry name lacks a manifest
            entry at its latest green round (round_checklist uses this
            to force the round-start refresh).
   --migrate-dep-hashes  re-fill dep_hash for entries whose TEXT hash
-           still matches the banked green (query source unedited) --
-           for dependency-hash RESOLUTION changes (e.g. the r9 fix
-           making resolution import-state-independent), which flip
-           stored dep hashes without any operator edit. Entries whose
-           text no longer matches are never touched: an edited query
-           stays stale until a later driver round proves it.
+           still matches the banked green (query source unedited).
+           Covered cases (r13 contract, per ADVICE r12):
+           (a) dependency-hash RESOLUTION changes (e.g. the r9 fix
+               making resolution import-state-independent), which flip
+               stored dep hashes without any operator edit;
+           (b) BEHAVIOR-NEUTRAL dependency edits (an operator/helper
+               touched in every query's transitive call graph, e.g.
+               the r12 schema memo or the r13 cache ledger), PROVEN
+               neutral by a full-registry oracle sweep at the refill
+               commit. For case (b) the tool REQUIRES
+               --evidence <path>: a check_oracle JSON artifact
+               (SPARK_GRAFT_ORACLE_JSON output) covering the whole
+               registry with zero failures, which must be COMMITTED
+               alongside the refilled manifest — the refill is only
+               as trustworthy as that committed proof.
+           Entries whose text no longer matches are never touched: an
+           edited query stays stale until a later driver round proves
+           it.
 """
 
 from __future__ import annotations
@@ -117,11 +130,51 @@ def report_dep_stale() -> list[str]:
     return stale
 
 
+def _validate_evidence(path: str) -> None:
+    """Gate for --migrate-dep-hashes (r13 contract): the evidence file
+    must be a full-registry oracle sweep with zero failures."""
+    with open(path, encoding="utf-8") as fh:
+        data = json.load(fh)
+    registry = set(Q._QUERIES)
+    covered = registry & set(data)
+    missing = registry - set(data)
+    if missing:
+        raise SystemExit(
+            f"--evidence {path} covers {len(covered)}/{len(registry)} "
+            f"registry queries; missing e.g. {sorted(missing)[:5]} — a "
+            "dep-hash migration needs a FULL-registry sweep."
+        )
+    def _green(rec: dict) -> bool:
+        if rec.get("err") == "no_oracle":
+            # rows-only-by-design (pipe_reference_replay) — green when
+            # the engine produced rows, same as the driver's gate
+            return (rec.get("spark_rows") or 0) > 0
+        return bool(rec.get("rows_match") and rec.get("hash_match"))
+
+    bad = [n for n, rec in data.items() if n in registry and not _green(rec)]
+    if bad:
+        raise SystemExit(
+            f"--evidence {path} has {len(bad)} non-green rows "
+            f"(e.g. {bad[:5]}) — refusing to migrate dep hashes."
+        )
+    print(
+        f"evidence {path}: {len(covered)} registry queries, all green — "
+        "commit this artifact alongside the refilled manifest."
+    )
+
+
 def main() -> int:
     check = "--check" in sys.argv
-    updated, kept, behind = refresh(
-        dry_run=check, migrate_dep="--migrate-dep-hashes" in sys.argv
-    )
+    migrate = "--migrate-dep-hashes" in sys.argv
+    if migrate:
+        if "--evidence" not in sys.argv:
+            raise SystemExit(
+                "--migrate-dep-hashes requires --evidence <sweep.json> "
+                "(full-registry check_oracle artifact at this commit; "
+                "see the module docstring for the r13 contract)."
+            )
+        _validate_evidence(sys.argv[sys.argv.index("--evidence") + 1])
+    updated, kept, behind = refresh(dry_run=check, migrate_dep=migrate)
     if check:
         report_dep_stale()
         if behind:
